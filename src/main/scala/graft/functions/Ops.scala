@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational helpers the reference leans on constantly.
+  *
+  * These are the three idioms SURVEY.md §7.1 calls out as unblocking
+  * everything else: top-1-per-group (`DISTINCT ON`, W5), the as-of join
+  * (LATERAL top-1 ≤ ts, J5), and the date scaffold (`generate_series`,
+  * §2.9). All are single-shuffle, driver-free, and AQE-friendly — designed
+  * to survive a 100 TB fact side.
+  */
+object Ops {
+
+  /** Top-1 row per key — Postgres `DISTINCT ON (keys) ORDER BY keys, ord`
+    * (reference: crates/etl-core/src/dao/postgre/lp_pool_state.rs:319-327 and
+    * ~6 more sites, SURVEY.md W5).
+    *
+    * One shuffle on `keys`; `row_number` keeps only rank 1 so the filter is
+    * evaluated streaming inside the window operator — no second pass. Callers
+    * must pass a total order (include a unique tiebreak column) for
+    * deterministic results.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** As-of join: for every left row, attach the latest right row with
+    * `right.ts <= left.ts` within the same key — the reference's
+    * `LEFT JOIN LATERAL (... WHERE ts <= $t ORDER BY ts DESC LIMIT 1)`
+    * (crates/etl-core/src/dao/postgre/ls_opening.rs:1460-1467, SURVEY.md J5).
+    *
+    * Implementation is the union-and-window technique: tag both sides, union
+    * on a common schema, and carry the last non-null right-side values forward
+    * with `last(_, ignoreNulls=true)` over (key ORDER BY ts, side). This costs
+    * exactly ONE shuffle on the key column — no correlated per-row lookup, no
+    * broadcast of the (potentially huge) time-series side — so it scales to a
+    * 100 TB fact table joined to a long price history. At equal timestamps the
+    * right row sorts first, making the bound inclusive (<=).
+    *
+    * @param valueCols right-side columns to attach (left's columns all pass through)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns
+    // Common schema: all left columns (null on right rows) ++ valueCols (null
+    // on left rows) ++ [__k, __ts, __side].
+    val lProj = left.select(
+      leftCols.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(0).as("__side")): _*
+    )
+    val rProj = right.select(
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col) ++
+        Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(1).as("__side")): _*
+    )
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lProj.unionByName(rProj).select(
+      (leftCols.map(col) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+        col("__side")): _*
+    )
+    filled.filter(col("__side") === 0).drop("__side")
+  }
+
+  /** Continuous per-day scaffold between two dates — Postgres
+    * `generate_series(start, end, interval '1 day')`
+    * (crates/etl-core/src/dao/postgre/ls_opening.rs:1321-1335, SURVEY.md §2.9).
+    * Returns a single-column DataFrame `colName: timestamp`, one row per day,
+    * bounds inclusive. Built with `sequence` + `explode` — computed
+    * distributed, never a driver loop.
+    */
+  def dateScaffold(df: DataFrame, startExpr: Column, endExpr: Column, colName: String): DataFrame =
+    df.select(explode(sequence(startExpr, endExpr, expr("interval 1 day"))).as(colName))
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Named-query registry, part 1: aggregation core.
+  *
+  * Conventions for oracle hash-parity (driver compares Spark output vs DuckDB
+  * running `oracleSql` on the same parquet):
+  *   - Sums of doubles are computed in DECIMAL (exact, order-independent —
+  *     a plain double sum is shuffle-order-dependent and would flap the hash),
+  *     then cast to double for a stable final type both engines agree on.
+  *   - Counts stay BIGINT.
+  *   - Every computed column is aliased identically in Spark and SQL.
+  *   - Queries that LIMIT establish a total order (unique tiebreak) first.
+  */
+object CoreQueries {
+
+  /** Exact money arithmetic: cast a double column to DECIMAL(18,2) before
+    * aggregation. The test doubles carry at most 2 decimal digits, so the
+    * cast is lossless in both engines.
+    */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2 hash aggregation (reference: ls_opening.rs:379-397 leased-assets) —
+    // TPC-H Q1 shape: group lineitem by flag/status, exact sums + counts.
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated star-schema test tables (TESTDATA.md).
+  *
+  * Scale tiers: `lineitem`, `orders`, `events`, `documents`, `embeddings` are
+  * fact-tier (grow with sf; at production scale these are the 100 TB tables) —
+  * read them with column pruning / predicate pushdown intact (plain parquet
+  * scan, no driver-side collect). `region`, `nation`, `customer`, `supplier`,
+  * `part` are dimension-tier — small enough to broadcast in joins (mirrors the
+  * reference's five broadcast dimensions, SURVEY.md §4).
+  */
+object Tables {
+  val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  val dimTables  = Seq("region", "nation", "customer", "supplier", "part")
+  val all: Seq[String] = dimTables ++ factTables
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
