@@ -30,10 +30,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return tuple(cell(x) for x in v)
         return v
-    for c in df.columns:
-        df[c] = df[c].map(cell)
-    rows = sorted(df.itertuples(index=False, name=None), key=lambda r: tuple(
-        (x is None, str(type(x)), x) if not isinstance(x, tuple) else (False, "t", str(x)) for x in r))
+    # build plain-python rows directly — pandas re-coerces None to NaN on
+    # column assignment, and nan != nan would produce spurious diffs
+    raw = [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows = sorted(raw, key=lambda r: tuple(
+        (x is None, str(type(x)), str(x)) for x in r))
     return df.columns.tolist(), rows
 
 

@@ -18,8 +18,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
+    CoreQueries.oracleSql ++ FilterQueries.oracleSql ++ JoinQueries.oracleSql
 }

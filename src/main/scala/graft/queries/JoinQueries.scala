@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Ops
+import graft.sources.Tables
+
+/** SURVEY.md §2.4 — every join shape the reference uses (J1–J11).
+  *
+  * Scale rules baked in: dimension sides are `broadcast()` (reference joins
+  * its five small dims everywhere, SURVEY §4); the as-of join is the
+  * single-shuffle union-and-window from [[Ops.asOfJoin]] rather than a
+  * per-row correlated lookup; anti/semi joins are native `left_anti` /
+  * `left_semi` so Catalyst plans them as broadcast/hash joins instead of
+  * NOT-IN nested loops.
+  */
+object JoinQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: fact ⋈ broadcast dim with decimal normalization
+    // (reference: LS_Opening ⋈ pool_config ls_opening.rs:385-388).
+    "q_j1_broadcast_dim" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    // J2: left outer join keeping zero-activity keys
+    // (reference: openings ⋈ closings ls_opening.rs:269-274).
+    "q_j2_left_outer" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec("o_totalprice")), lit(0).cast("decimal(28,2)"))
+            .cast("double").as("total_spent"))
+    },
+    // J3: full outer join aligning two daily series
+    // (reference: daily opened vs closed ls_opening.rs:1373-1382).
+    "q_j3_full_outer" -> { (s, dir) =>
+      val ordered = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_ordered"))
+      val shipped = Tables.lineitem(s, dir)
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_shipped"))
+      ordered.join(shipped, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+          coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+    },
+    // J4: cross join against a 1-row scalar aggregate
+    // (reference: CROSS JOIN LatestAggregation ls_state.rs:213-215).
+    "q_j4_cross_scalar" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val latest = o.agg(max(col("o_orderdate")).as("max_date"))
+      o.crossJoin(latest)
+        .filter(col("o_orderdate") > col("max_date") - expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_recent"))
+    },
+    // J5: as-of join — latest 'view' event per user at-or-before each
+    // 'purchase' (reference: LATERAL top-1 price ≤ ts, ls_opening.rs:1460-1467).
+    "q_j5_asof" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("view_value"))
+      Ops.asOfJoin(purchases, views, "user_id", "v_user", "ts", "v_ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_value"), col("view_value"))
+    },
+    // J6: anti-join — keys with no counterpart
+    // (reference: active leases via NOT EXISTS ×4, ls_state.rs:77-126).
+    "q_j6_anti" -> { (s, dir) =>
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    // J7: semi-join — existence without multiplying rows
+    // (reference: EXISTS "is position open" ls_opening.rs:1453-1458).
+    "q_j7_semi" -> { (s, dir) =>
+      val recent = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      Tables.part(s, dir)
+        .join(recent, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+    },
+    // J8: correlated scalar subquery, rewritten as agg + left join
+    // (reference: latest withdraw ts inside COALESCE, lp_lender_state.rs:54-60).
+    "q_j8_latest_scalar" -> { (s, dir) =>
+      val lastOrder = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order_ts"))
+      Tables.customer(s, dir)
+        .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("last_order_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("last_order_ts"))
+    },
+    // J9: multi-way analytic join (6 tables) — revenue per nation in a region
+    // and date range (reference: get_positions 5–8-table join ls_state.rs:799-941).
+    "q_j9_multiway" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
+          .cast("double").as("revenue"))
+    },
+    // J10: join USING a shared column name (reference: raw_message.rs:143).
+    "q_j10_using" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      li.join(o, Seq("orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+    },
+    // J11/W1: gap detection via LEAD — synthesize gaps by dropping every
+    // orderkey divisible by 100 (reference: missing block ranges block.rs:29-74).
+    "q_j11_gap_lead" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val present = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 =!= 0)
+        .select(col("o_orderkey"))
+      // Global-order window: fine for a bookkeeping table of synced ids (the
+      // reference scans the last 100k blocks); for a 100 TB fact use the
+      // range-partitioned anti-join form instead (SURVEY S4).
+      present
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(Window.orderBy(col("o_orderkey"))))
+        .filter(col("next_key") > col("o_orderkey") + 1)
+        .select((col("o_orderkey") + 1).as("gap_start"), (col("next_key") - 1).as("gap_end"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_j1_broadcast_dim" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q_j2_left_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+    "q_j3_full_outer" ->
+      """WITH ordered AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_ordered
+        |  FROM orders GROUP BY 1),
+        |shipped AS (
+        |  SELECT date_trunc('day', l_shipdate) AS day, count(*) AS n_shipped
+        |  FROM lineitem GROUP BY 1)
+        |SELECT coalesce(ordered.day, shipped.day) AS day,
+        |  coalesce(n_ordered, 0) AS n_ordered,
+        |  coalesce(n_shipped, 0) AS n_shipped
+        |FROM ordered FULL OUTER JOIN shipped ON ordered.day = shipped.day""".stripMargin,
+    "q_j4_cross_scalar" ->
+      """SELECT o_orderstatus, count(*) AS n_recent
+        |FROM orders CROSS JOIN (SELECT max(o_orderdate) AS max_date FROM orders) latest
+        |WHERE o_orderdate > max_date - INTERVAL 90 DAY
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_j5_asof" ->
+      """SELECT p.event_id, p.user_id, p.value AS purchase_value, v.view_value
+        |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id AS v_user, date_trunc('microseconds', ts) AS v_ts, value AS view_value
+        |      FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
+    "q_j6_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_j7_semi" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_j8_latest_scalar" ->
+      """SELECT c_custkey,
+        |  coalesce((SELECT max(o_orderdate) FROM orders WHERE o_custkey = c_custkey),
+        |           TIMESTAMP '1970-01-01 00:00:00') AS last_order_ts
+        |FROM customer""".stripMargin,
+    "q_j9_multiway" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_j10_using" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM (SELECT l_orderkey AS orderkey, l_quantity, l_extendedprice FROM lineitem) li
+        |JOIN (SELECT o_orderkey AS orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F') o
+        |USING (orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_j11_gap_lead" ->
+      """WITH present AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 <> 0),
+        |w AS (SELECT o_orderkey, lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key FROM present)
+        |SELECT o_orderkey + 1 AS gap_start, next_key - 1 AS gap_end
+        |FROM w WHERE next_key > o_orderkey + 1""".stripMargin
+  )
+}
