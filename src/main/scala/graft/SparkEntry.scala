@@ -18,8 +18,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries
+    CoreQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
+      AggQueries.queries ++ WindowSetQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ FilterQueries.oracleSql ++ JoinQueries.oracleSql
+    CoreQueries.oracleSql ++ FilterQueries.oracleSql ++ JoinQueries.oracleSql ++
+      AggQueries.oracleSql ++ WindowSetQueries.oracleSql
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY.md §2.5 — the aggregation inventory (A1–A11).
+  *
+  * All sums over doubles go through DECIMAL (exact, order-independent) and
+  * come out as doubles; ratios are computed as double/double at the end so
+  * both engines do the identical IEEE division. Every agg here is a
+  * map-side-combinable hash aggregate — no sort-based paths, no driver
+  * collects — and the only global-order windows run over already-aggregated
+  * (small) day/hour rollups.
+  */
+object AggQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  /** events with µs-truncated ts; oracle side mirrors this with a CTE. */
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private val evCte =
+    "ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: scalar COUNT/SUM bundle over a time range — the PL_State input
+    // pattern (reference: ls_opening.rs:194-258 and 6 sibling DAOs).
+    "q_a1_scalar_range" -> { (s, dir) =>
+      ev(s, dir)
+        .filter(col("ts") > lit("2024-01-08").cast("timestamp") &&
+          col("ts") <= lit("2024-01-15").cast("timestamp"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          sum(when(col("event_type") === "purchase", dec("value"))).cast("double").as("purchase_volume"),
+          count(when(col("event_type") === "signup", 1)).as("n_signups"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    // A3: AVG/MAX/MIN stats per group (reference: ls_state.rs:761-797).
+    // avg is sum(decimal)→double / count so both engines divide identically.
+    "q_a3_stats" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .groupBy(col("p_type"))
+        .agg(
+          (sum(dec("p_retailprice")).cast("double") / count(lit(1))).as("avg_price"),
+          max(col("p_retailprice")).as("max_price"),
+          min(col("p_retailprice")).as("min_price"),
+          count(lit(1)).as("n_parts"))
+    },
+    // A4+U3: monthly active users over a UNION of activity streams
+    // (reference: ls_opening.rs:1234-1251 five-stream COUNT(DISTINCT)).
+    "q_a4_monthly_active" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val streams = e.filter(col("event_type") === "purchase").select(col("ts"), col("user_id"))
+        .unionByName(e.filter(col("event_type") === "signup").select(col("ts"), col("user_id")))
+        .unionByName(e.filter(col("event_type") === "click").select(col("ts"), col("user_id")))
+      streams
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    },
+    // A5: conditional aggregation — MAX(CASE WHEN), SUM(CASE WHEN) → flag
+    // (reference: ls_repayment.rs:252-265).
+    "q_a5_conditional" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase_ts"),
+          when(sum(when(col("event_type") === "error", 1).otherwise(0)) > 0, "yes")
+            .otherwise("no").as("has_errors"),
+          count(lit(1)).as("n_events"))
+    },
+    // A6: weighted average with NULLIF divide-guard
+    // (reference: net-interest lp_pool_state.rs:474-495).
+    "q_a6_weighted_avg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          (sum((dec("l_extendedprice") * dec("l_quantity")).cast("decimal(30,4)")).cast("double") /
+            nullif(sum(dec("l_quantity")).cast("double"), lit(0.0))).as("weighted_avg_price"),
+          count(lit(1)).as("n_lines"))
+    },
+    // A7+U8: bucketed histogram with a static bucket dimension LEFT JOINed so
+    // empty buckets still appear (reference: ls_state.rs:243-289,
+    // raw_message.rs:243-350).
+    "q_a7_histogram" -> { (s, dir) =>
+      import s.implicits._
+      val buckets = Seq(
+        (1, "0-100k"), (2, "100k-200k"), (3, "200k-300k"), (4, "300k-400k"), (5, "400k+")
+      ).toDF("bucket_id", "bucket")
+      val bucketed = Tables.orders(s, dir)
+        .withColumn("bucket_id",
+          when(col("o_totalprice") < 100000, 1)
+            .when(col("o_totalprice") < 200000, 2)
+            .when(col("o_totalprice") < 300000, 3)
+            .when(col("o_totalprice") < 400000, 4)
+            .otherwise(5))
+        .groupBy(col("bucket_id")).agg(count(lit(1)).as("n"))
+      buckets.join(bucketed, Seq("bucket_id"), "left")
+        .select(col("bucket_id"), col("bucket"), coalesce(col("n"), lit(0L)).as("n_orders"))
+    },
+    // A8: ARRAY_AGG(x)[1] with pinned ordering → min_by on a unique tiebreak
+    // (reference: first collected symbol ls_opening.rs:1722-1726; ordering
+    // pinned per SURVEY §7.4#5).
+    "q_a8_first_elem" -> { (s, dir) =>
+      // l_linenumber is NOT unique per order in this dataset, so the tiebreak
+      // folds the partkey into the ordering key (composite numeric key — both
+      // engines support only scalar arg_min/min_by orderings).
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(min_by(col("l_partkey"),
+            col("l_linenumber").cast("long") * 10000000L + col("l_partkey")).as("first_partkey"),
+          count(lit(1)).as("n_lines"))
+    },
+    // A9: floor-at-zero aggregation (reference: SUM(GREATEST(earnings,0))
+    // lp_pool_state.rs:390-392).
+    "q_a9_greatest_floor" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(greatest(dec("value") - lit(50).cast("decimal(18,2)"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("sum_over_50"))
+    },
+    // A10+W4: aggregate-of-aggregate — daily revenue plus running cumulative
+    // (reference: SUM(SUM(x)) OVER (ORDER BY day), tr_profit.rs:214-231).
+    // The window runs over the ~2.4k-row daily rollup, not the fact table.
+    "q_a10_daily_cumulative" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(dec("o_totalprice")).as("daily_rev"))
+      val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("day"), col("daily_rev"),
+          sum(col("daily_rev")).over(w).as("cum_rev"))
+        .select(col("day"), col("daily_rev").cast("double").as("daily_rev"),
+          col("cum_rev").cast("double").as("cum_rev"))
+    },
+    // A11+U7: signed union-aggregate — net flow per user as Σ(+purchase)
+    // −Σ(error) (reference: net lease amount via UNION ALL of ± amounts,
+    // ls_loan_closing.rs:46-78).
+    "q_a11_signed_union" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val pos = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), dec("value").as("amt"))
+      val neg = e.filter(col("event_type") === "error")
+        .select(col("user_id"), (-dec("value")).as("amt"))
+      pos.unionByName(neg)
+        .groupBy(col("user_id"))
+        .agg(sum(col("amt")).cast("double").as("net_value"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_a1_scalar_range" ->
+      s"""WITH $evCte
+         |SELECT
+         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_volume,
+         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM ev
+         |WHERE ts > TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-15'""".stripMargin,
+    "q_a3_stats" ->
+      """SELECT p_type,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  max(p_retailprice) AS max_price,
+        |  min(p_retailprice) AS min_price,
+        |  count(*) AS n_parts
+        |FROM part GROUP BY p_type""".stripMargin,
+    "q_a4_monthly_active" ->
+      s"""WITH $evCte,
+         |streams AS (
+         |  SELECT ts, user_id FROM ev WHERE event_type = 'purchase'
+         |  UNION ALL SELECT ts, user_id FROM ev WHERE event_type = 'signup'
+         |  UNION ALL SELECT ts, user_id FROM ev WHERE event_type = 'click')
+         |SELECT strftime(ts, '%Y-%m') AS month, count(DISTINCT user_id) AS active_users
+         |FROM streams GROUP BY 1""".stripMargin,
+    "q_a5_conditional" ->
+      s"""WITH $evCte
+         |SELECT user_id,
+         |  max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts,
+         |  CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0
+         |       THEN 'yes' ELSE 'no' END AS has_errors,
+         |  count(*) AS n_events
+         |FROM ev GROUP BY user_id""".stripMargin,
+    "q_a6_weighted_avg" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE)
+        |    / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS weighted_avg_price,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q_a7_histogram" ->
+      """WITH buckets(bucket_id, bucket) AS (
+        |  VALUES (1,'0-100k'),(2,'100k-200k'),(3,'200k-300k'),(4,'300k-400k'),(5,'400k+')),
+        |bucketed AS (
+        |  SELECT CASE WHEN o_totalprice < 100000 THEN 1
+        |              WHEN o_totalprice < 200000 THEN 2
+        |              WHEN o_totalprice < 300000 THEN 3
+        |              WHEN o_totalprice < 400000 THEN 4
+        |              ELSE 5 END AS bucket_id, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT bucket_id, bucket, coalesce(n, 0) AS n_orders
+        |FROM buckets LEFT JOIN bucketed USING (bucket_id)""".stripMargin,
+    "q_a8_first_elem" ->
+      """SELECT l_orderkey,
+        |  arg_min(l_partkey, CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey) AS first_partkey,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    // NB: DuckDB's greatest() promotes DECIMAL args to DOUBLE (inexact sum);
+    // the oracle uses the equivalent CASE WHEN to stay in DECIMAL.
+    "q_a9_greatest_floor" ->
+      s"""WITH $evCte
+         |SELECT event_type,
+         |  CAST(sum(CASE WHEN CAST(value AS DECIMAL(18,2)) - 50 > 0
+         |                THEN CAST(value AS DECIMAL(18,2)) - 50
+         |                ELSE CAST(0 AS DECIMAL(19,2)) END) AS DOUBLE) AS sum_over_50
+         |FROM ev GROUP BY event_type""".stripMargin,
+    "q_a10_daily_cumulative" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(daily_rev AS DOUBLE) AS daily_rev,
+        |  CAST(sum(daily_rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+        |FROM daily""".stripMargin,
+    "q_a11_signed_union" ->
+      s"""WITH $evCte,
+         |flows AS (
+         |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS amt FROM ev WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, -CAST(value AS DECIMAL(18,2)) AS amt FROM ev WHERE event_type = 'error')
+         |SELECT user_id, CAST(sum(amt) AS DOUBLE) AS net_value
+         |FROM flows GROUP BY user_id""".stripMargin
+  )
+}

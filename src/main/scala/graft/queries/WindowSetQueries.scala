@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Ops
+import graft.sources.Tables
+
+/** SURVEY.md §2.6–2.8 — window functions (W2–W6), sorts/limits/top-k
+  * (O1–O3), and the UNION ALL family (U1–U6).
+  *
+  * `latestPerKey` (W5) is the reference's single most common idiom
+  * (`DISTINCT ON`); all uses here pin a unique tiebreak so results are
+  * deterministic. Pagination (O1) establishes a total order before
+  * offset/limit for the same reason.
+  */
+object WindowSetQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private val evCte =
+    "ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W5: DISTINCT ON — latest order per customer with unique tiebreak
+    // (reference: latest state per contract ls_state.rs:467-471 + 6 sites).
+    "q_w5_latest_per_key" -> { (s, dir) =>
+      Ops.latestPerKey(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    },
+    // W2: RANK()=1 latest-per-pool variant — same shape, rank() flavor on a
+    // tie-free order (reference: lp_pool_state.rs:287-309).
+    "q_w2_rank_latest" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, dir)
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+    },
+    // W3: running total per key (reference: cumulative buyback
+    // tr_profit.rs:105-174). Partitioned by user — scales horizontally.
+    "q_w3_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(dec("value")).over(w).cast("double").as("cum_value"))
+    },
+    // W6: cumulative over ordered hours — the reference writes it as an
+    // inequality join + GROUP BY (ls_state.rs:586-595); expressed here as a
+    // window over the hourly rollup (same semantics, one shuffle less).
+    "q_w6_hourly_cumulative" -> { (s, dir) =>
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.select(col("event_type"), col("hour"), col("n"),
+        sum(col("n")).over(w).as("cum_n"))
+    },
+    // O1: keyset pagination — ORDER BY ... DESC OFFSET/LIMIT with a unique
+    // tiebreak (reference: ls_opening.rs:324,766-767).
+    "q_o1_pagination" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .offset(20).limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    },
+    // O2: argmax — top event by value per type, ORDER BY ... LIMIT 1 per
+    // group (reference: latest price mp_asset.rs:89-123).
+    "q_o2_argmax" -> { (s, dir) =>
+      Ops.latestPerKey(ev(s, dir), Seq("event_type"),
+        Seq(col("value").desc, col("event_id").asc))
+        .select(col("event_type"), col("event_id"), col("value"))
+    },
+    // O3: global presentation sort (reference: ORDER BY "Loan" DESC
+    // ls_opening.rs:444-446). Top-20 suppliers by revenue — sort + limit is
+    // executed as a TakeOrdered top-k, not a full global sort.
+    "q_o3_topk_sorted" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec("l_extendedprice")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_suppkey").asc)
+        .limit(20)
+    },
+    // U2: per-entity history — UNION ALL with type tags and NULL padding
+    // (reference: repay ∪ market-close ∪ liquidation ls_opening.rs:830-870).
+    "q_u2_union_history" -> { (s, dir) =>
+      val placed = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        lit("placed").as("typ"),
+        dec("o_totalprice").cast("double").as("amount"),
+        col("o_orderpriority").as("priority"))
+      val shipped = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"),
+        lit("shipped").as("typ"),
+        dec("l_extendedprice").cast("double").as("amount"),
+        lit(null).cast("string").as("priority"))
+      placed.unionByName(shipped)
+        .filter(col("okey") < 100)
+    },
+    // U1: total flow across multiple streams → one scalar
+    // (reference: total tx value across 5 flow types ls_opening.rs:723-731).
+    "q_u1_total_flows" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val streams = Seq("purchase", "click", "view", "signup", "error").map(t =>
+        e.filter(col("event_type") === t).select(dec("value").as("amt")))
+      streams.reduce(_ unionByName _)
+        .agg(sum(col("amt")).cast("double").as("total_value"), count(lit(1)).as("n_events"))
+    },
+    // U6: two-sided ledger with tags, kept as rows (reference: deposits ∪
+    // withdrawals lp_deposit.rs:161-190).
+    "q_u6_ledger" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val dep = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts"), lit("in").as("kind"), col("value").as("amount"))
+      val wd = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"), lit("out").as("kind"), col("value").as("amount"))
+      dep.unionByName(wd)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_w5_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q_w2_rank_latest" ->
+      s"""WITH $evCte
+         |SELECT event_type, event_id, ts, value FROM (
+         |  SELECT *, rank() OVER (PARTITION BY event_type
+         |    ORDER BY ts DESC, event_id DESC) AS rk
+         |  FROM ev) WHERE rk = 1""".stripMargin,
+    "q_w3_running_total" ->
+      s"""WITH $evCte
+         |SELECT user_id, event_id, ts,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+         |FROM ev WHERE event_type = 'purchase'""".stripMargin,
+    "q_w6_hourly_cumulative" ->
+      s"""WITH $evCte,
+         |hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT event_type, hour, n,
+         |  sum(n) OVER (PARTITION BY event_type ORDER BY hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+         |FROM hourly""".stripMargin,
+    "q_o1_pagination" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10 OFFSET 20""".stripMargin,
+    "q_o2_argmax" ->
+      s"""WITH $evCte
+         |SELECT event_type, event_id, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY value DESC, event_id ASC) AS rn
+         |  FROM ev) WHERE rn = 1""".stripMargin,
+    "q_o3_topk_sorted" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY revenue DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+    "q_u2_union_history" ->
+      """SELECT o_orderkey AS okey, 'placed' AS typ,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        |  o_orderpriority AS priority
+        |FROM orders WHERE o_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey AS okey, 'shipped' AS typ,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        |  CAST(NULL AS VARCHAR) AS priority
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+    "q_u1_total_flows" ->
+      s"""WITH $evCte
+         |SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  count(*) AS n_events
+         |FROM ev
+         |WHERE event_type IN ('purchase','click','view','signup','error')""".stripMargin,
+    "q_u6_ledger" ->
+      s"""WITH $evCte
+         |SELECT user_id, event_id, ts, 'in' AS kind, value AS amount
+         |FROM ev WHERE event_type = 'signup'
+         |UNION ALL
+         |SELECT user_id, event_id, ts, 'out' AS kind, value AS amount
+         |FROM ev WHERE event_type = 'error'""".stripMargin
+  )
+}
