@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
-      AggQueries.queries ++ WindowSetQueries.queries
+      AggQueries.queries ++ WindowSetQueries.queries ++
+      ScalarQueries.queries ++ DerivationQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ FilterQueries.oracleSql ++ JoinQueries.oracleSql ++
-      AggQueries.oracleSql ++ WindowSetQueries.oracleSql
+      AggQueries.oracleSql ++ WindowSetQueries.oracleSql ++
+      ScalarQueries.oracleSql ++ DerivationQueries.oracleSql
 }
