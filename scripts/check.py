@@ -27,6 +27,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             return None
         if hasattr(v, "item"):  # numpy scalar
             v = v.item()
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            v = int(v) if v == v.to_integral_value() else float(v)
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return tuple(cell(x) for x in v)
         return v

@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
       AggQueries.queries ++ WindowSetQueries.queries ++
-      ScalarQueries.queries ++ DerivationQueries.queries
+      ScalarQueries.queries ++ DerivationQueries.queries ++
+      ExtTextQueries.queries ++ ExtVectorQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ FilterQueries.oracleSql ++ JoinQueries.oracleSql ++
       AggQueries.oracleSql ++ WindowSetQueries.oracleSql ++
-      ScalarQueries.oracleSql ++ DerivationQueries.oracleSql
+      ScalarQueries.oracleSql ++ DerivationQueries.oracleSql ++
+      ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps.{md5Long64, tokens}
+
+/** Deduplication operators for training-data pipelines, all LSH-based where
+  * pairwise comparison would be O(n²):
+  *
+  *  - exact: hash-groupBy keep-first (one shuffle)
+  *  - MinHash + LSH banding: shingle → k min-hashes → b bands → bucket join;
+  *    only bucket-colliding pairs are verified with exact Jaccard
+  *  - SimHash: 64-bit sign-of-weighted-sums sketch, banded for Hamming ≤ r
+  *    candidate search — order-invariant, catches shuffled duplicates
+  *  - n-gram Jaccard: exact similarity, evaluated only on banded candidates
+  *
+  * The hash family is md5-derived (seeded by prefix), chosen because common
+  * SQL engines can reproduce it bit-for-bit for oracle checks. Every stage is
+  * built-in expressions (codegen'd); shuffles key on doc id or band bucket —
+  * both well-distributed — so the pipeline survives a 100 TB corpus. The only
+  * skew risk is a hot LSH bucket (e.g. boilerplate docs); cap bucket sizes or
+  * salt if a corpus has mega-clusters.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per key group. */
+  def dedupExact(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles of the text (order-sensitive). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+
+  /** Distinct character n-grams (for n-gram Jaccard similarity). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
+  /** Seeded 64-bit hash: h_seed(s) = md5Long64(seed || '|' || s). */
+  def seededHash(seed: Int, c: Column): Column =
+    md5Long64(concat(lit(s"$seed|"), c))
+
+  /** MinHash signature: one row per doc, columns m0..m{k-1} = min over the
+    * doc's shingles of the k seeded hashes — k parallel min-aggs over the
+    * exploded shingle table, a single shuffle on doc id.
+    */
+  def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val hashed = sh.select(
+      col(idCol) +: (0 until numHashes).map(i => seededHash(i, col("sh")).as(s"h$i")): _*)
+    hashed.groupBy(col(idCol))
+      .agg(min(col("h0")).as("m0"),
+        (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
+
+  /** LSH banding: md5 each band of `rowsPerBand` signature values, bucket-join
+    * on (band index, band hash), emit unordered candidate pairs (a < b).
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { j =>
+      val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+    }
+    val bands = sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = bands.select(col(idCol).as("a"), col("band"), col("bh"))
+    val r = bands.select(col(idCol).as("b"), col("band"), col("bh"))
+    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact word-shingle Jaccard on candidate pairs: |A∩B| via shingle
+    * equi-join, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("sz"))
+    val common = pairs
+      .join(sh.select(col("__id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("__id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("__id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("__id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 3).as("jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: signature → banded candidates → exact
+    * Jaccard ≥ threshold.
+    */
+  def nearDupPairsMinHash(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val sig = minHashSignature(docs, idCol, textCol, numHashes, shingleN)
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+    jaccardOnPairs(pairs, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per doc over the token multiset: bit i of the sketch is
+    * set iff Σ_tokens (±1 by bit i of the token hash) > 0. The sketch itself
+    * is the native [[graft.functions.SimHash64]] expression — a one-pass
+    * codegen'd kernel over the collected token-hash list (the all-built-ins
+    * fold formulation exploded codegen: CollapseProject duplicated it once
+    * per output bit). One shuffle; per-doc token counts are bounded, so
+    * collect_list per doc is safe at corpus scale.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), md5Long64(col("w")).as("h"))
+    tok.groupBy(col(idCol)).agg(collect_list(col("h")).as("hs"))
+      .select(col(idCol), org.apache.spark.sql.graft.natives.simhash64(col("hs")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: split the sketch into 4×16-bit bands
+    * (Hamming ≤ 3 ⇒ at least one band identical), bucket-join, then verify
+    * the true Hamming distance with bit_count(xor).
+    */
+  def nearDupPairsSimHash(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = simHash(docs, idCol, textCol)
+    val bands = sk.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val l = bands.select(col(idCol).as("a"), col("simhash").as("sha"), col("band"), col("bv"))
+    val r = bands.select(col(idCol).as("b"), col("simhash").as("shb"), col("band"), col("bv"))
+    l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character-n-gram Jaccard near-dups, banded by a cheap length bucket to
+    * avoid O(n²): only docs in the same length bucket are compared.
+    */
+  def nearDupPairsCharNgram(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, lengthBucket: Int = 50, threshold: Double = 0.5): DataFrame = {
+    val withBucket = docs.select(col(idCol), col(textCol),
+      floor(length(col(textCol)) / lengthBucket.toDouble).as("lb"))
+    val l = withBucket.select(col(idCol).as("a"), col(textCol).as("ta"), col("lb"))
+    val r = withBucket.select(col(idCol).as("b"), col(textCol).as("tb"), col("lb"))
+    val cand = l.join(r, Seq("lb")).filter(col("a") < col("b"))
+    cand.select(col("a"), col("b"),
+      round(
+        size(array_intersect(charNgrams(col("ta"), n), charNgrams(col("tb"), n))).cast("double") /
+          size(array_union(charNgrams(col("ta"), n), charNgrams(col("tb"), n))).cast("double"),
+        3).as("ngram_jaccard"))
+      .filter(col("ngram_jaccard") >= threshold)
+  }
+}

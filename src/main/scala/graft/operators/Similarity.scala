@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.natives.cosineSim
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers, mirroring how a 100 TB corpus is actually served:
+  *  - [[annBruteForce]]: exact top-k — the query side is broadcast, the
+  *    corpus is scanned once; correct but O(|corpus|·|queries|). Baseline and
+  *    oracle; fine when queries are few.
+  *  - [[annLsh]]: random-hyperplane LSH — deterministic signed projections
+  *    bucket the corpus (one narrow map + one shuffle); only bucket-colliding
+  *    candidates are scored. The scale path: cost ∝ bucket sizes, not n².
+  *
+  * Scoring is the native codegen'd [[org.apache.spark.sql.graft.CosineSimilarity]]
+  * kernel (double accumulation, element order) — no UDF boxing on the hot path.
+  */
+object Similarity {
+
+  /** Exact top-k: for each query vector, the k nearest corpus vectors by
+    * cosine. Query side must be small (it's broadcast).
+    */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qe"), col("__ce")).as("cs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Brute-force near-duplicate pairs: all (a<b) with cosine ≥ threshold.
+    * O(n²) by construction — this is the small-corpus baseline / oracle; use
+    * [[annLsh]]-style bucketing at scale.
+    */
+  def nearDupPairsCosine(embeddings: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val l = embeddings.select(col(idCol).as("a"), col(embCol).as("__ea"))
+    val r = embeddings.select(col(idCol).as("b"), col(embCol).as("__eb"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosineSim(col("__ea"), col("__eb")).as("cs"))
+      .filter(col("cs") >= threshold)
+      .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p is a
+    * hash of (seed, p, d) mapped to [-1, 1]. Pure driver-side doubles — the
+    * planes are data-independent literals in the plan.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      // splitmix64-style scramble: deterministic, platform-independent
+      var z = seed + p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+  }
+
+  /** LSH signature: an int bucket whose bit p is the sign of dot(v, plane_p).
+    * Narrow map over the corpus — no shuffle, no UDF (the dot products are
+    * built-in aggregate() folds over zip_with).
+    */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      val dot = aggregate(
+        zip_with(emb, planeCol, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket with the query, scored and
+    * ranked per query. Recall < 1 by design; raise numPlanes/multi-probe for
+    * better recall. One shuffle on bucket id.
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int,
+      numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qe"), col("__ce")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

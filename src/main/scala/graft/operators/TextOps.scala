@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built-in `Column` expressions (whole-stage codegen, no
+  * UDFs), so each op is a narrow map over the documents fact table — no
+  * shuffle, scales linearly, and pushes column pruning down to the scan.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count; empty/blank text counts 0 (split("") yields [""], which
+    * both engines must guard identically).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** 64-bit signed hash from the first 16 hex chars of md5 — the one hash
+    * both our engine and common SQL engines can compute bit-identically
+    * (DuckDB: CAST('0x'||substr(md5(x),1,16) AS UBIGINT) bit-cast to signed).
+    * conv() parses the hex as unsigned; the decimal→long wrap-around is done
+    * via a 128-bit decimal intermediate to stay exact.
+    */
+  def md5Long64(c: Column): Column = {
+    val unsigned = conv(substring(md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
+    // two's-complement wrap: x >= 2^63 → x - 2^64
+    (unsigned - when(unsigned >= lit(BigDecimal("9223372036854775808")), lit(BigDecimal("18446744073709551616")))
+      .otherwise(lit(BigDecimal(0)))).cast("long")
+  }
+
+  /** Quality-score feature bundle: char count, token count, distinct-token
+    * ratio (repetition detector), stopword ratio, mean token length.
+    */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = tokenCount(text)
+    val nD = n.cast("double")
+    Seq(
+      "n_chars" -> length(text),
+      "n_tokens" -> n,
+      "distinct_ratio" -> (size(array_distinct(toks)).cast("double") / nullif(nD, lit(0.0))),
+      "stopword_ratio" -> (size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+        nullif(nD, lit(0.0))),
+      "mean_token_len" -> ((length(text) - (n - 1)).cast("double") / nullif(nD, lit(0.0)))
+    )
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * repetition and a natural stopword rate (the reference-style
+    * length/stopword-ratio heuristic).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val f = qualityFeatures(text, stopwords).toMap
+    val lengthScore = least(f("n_tokens").cast("double") / 50.0, lit(1.0))
+    val diversity = coalesce(f("distinct_ratio"), lit(0.0))
+    val stop = coalesce(f("stopword_ratio"), lit(0.0))
+    round((lengthScore * 0.4 + diversity * 0.4 + least(stop * 5.0, lit(1.0)) * 0.2), 6)
+  }
+
+  /** n-gram-lexicon language ID: score = hits per language lexicon, argmax
+    * with alphabetical tiebreak, 'und' when every score is zero.
+    */
+  def langId(text: Column, lexicons: Map[String, Seq[String]]): Column = {
+    val toks = tokens(text)
+    // left fold in alphabetical lang order, replacing only on strictly
+    // greater score — ties keep the alphabetically-first language, all-zero
+    // scores yield 'und'. (Equivalent SQL: argmax with alphabetical tiebreak.)
+    var bestScore: Column = lit(0)
+    var bestLang: Column = lit("und")
+    for ((lang, words) <- lexicons.toSeq.sortBy(_._1)) {
+      val sc = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+      val newLang = when(sc > bestScore, lit(lang)).otherwise(bestLang)
+      val newScore = when(sc > bestScore, sc).otherwise(bestScore)
+      bestLang = newLang
+      bestScore = newScore
+    }
+    bestLang
+  }
+
+  /** Document fingerprint: md5 over the sorted token multiset — invariant to
+    * word order, catches shuffle-duplicates that exact-text hashing misses.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))))
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Extension operators: text analysis + deduplication over the `documents`
+  * corpus (the LLM-training-data-pipeline surface). All hash-parity oracles
+  * use the md5-derived 64-bit hash family so DuckDB reproduces every stage
+  * bit-for-bit — including the full MinHash→LSH→Jaccard and SimHash
+  * pipelines.
+  */
+object ExtTextQueries {
+
+  private val stopwords = Seq("the", "a")
+  private val lexicons = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "les", "une"),
+    "de" -> Seq("der", "die", "das"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace tokenizer) per doc.
+    "q_x_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_measured"))
+    },
+    // Quality scoring: length/diversity/stopword composite in [0,1].
+    "q_x_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.qualityScore(col("text"), stopwords).as("quality"))
+    },
+    // Language ID via per-language lexicon hit argmax.
+    "q_x_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.langId(col("text"), lexicons).as("lang_pred"))
+    },
+    // Order-invariant document fingerprint (md5 of sorted token multiset).
+    "q_x_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fingerprint"))
+    },
+    // Exact dedup: keep lowest doc_id per (lang, source) group.
+    "q_x_dedup_exact" -> { (s, dir) =>
+      Dedup.dedupExact(Tables.documents(s, dir), Seq("lang", "source"), "doc_id")
+        .select(col("lang"), col("source"), col("doc_id").as("kept_id"))
+    },
+    // MinHash + LSH banding + exact-Jaccard verify (full near-dup pipeline).
+    "q_x_dedup_minhash" -> { (s, dir) =>
+      Dedup.nearDupPairsMinHash(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6)
+    },
+    // SimHash 64-bit sketch per doc (bit-parity checked against the oracle).
+    "q_x_simhash_sketch" -> { (s, dir) =>
+      Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // SimHash banded near-dup pairs with verified Hamming distance. Hamming
+    // ≤ 20 keeps the oracle non-vacuous on this corpus (permuted docs share
+    // token multisets → distance 0; edited ones land in the teens).
+    "q_x_dedup_simhash" -> { (s, dir) =>
+      Dedup.nearDupPairsSimHash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 20)
+    },
+    // Character-5-gram Jaccard near-dups, banded by length bucket.
+    "q_x_dedup_ngram" -> { (s, dir) =>
+      Dedup.nearDupPairsCharNgram(Tables.documents(s, dir), "doc_id", "text",
+        n = 5, lengthBucket = 50, threshold = 0.5)
+    }
+  )
+
+  private val wCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM documents)"""
+  private val shingleExpr =
+    "list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)])"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_x_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars_measured
+        |FROM documents""".stripMargin,
+    "q_x_quality_score" ->
+      s"""WITH $wCte,
+         |f AS (SELECT doc_id, len(ws) AS n,
+         |  len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0) AS diversity,
+         |  len(list_filter(ws, t -> t IN ('the','a')))::DOUBLE / nullif(len(ws), 0) AS stop
+         |FROM w)
+         |SELECT doc_id,
+         |  round(least(n / 50.0, 1.0) * 0.4 + coalesce(diversity, 0.0) * 0.4 +
+         |        least(coalesce(stop, 0.0) * 5.0, 1.0) * 0.2, 6) AS quality
+         |FROM f""".stripMargin,
+    "q_x_lang_id" ->
+      s"""WITH $wCte,
+         |s AS (SELECT doc_id,
+         |  len(list_filter(ws, t -> t IN ('der','die','das'))) AS s_de,
+         |  len(list_filter(ws, t -> t IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(ws, t -> t IN ('el','la','de'))) AS s_es,
+         |  len(list_filter(ws, t -> t IN ('le','les','une'))) AS s_fr,
+         |  len(list_filter(ws, t -> t IN ('de5','shi4','le5'))) AS s_zh
+         |FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM s""".stripMargin,
+    "q_x_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q_x_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS kept_id
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q_x_dedup_minhash" ->
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |hs AS (SELECT doc_id, seed,
+         |    CAST(concat('0x', substr(md5(concat(seed, '|', sh)), 1, 16)) AS UBIGINT) AS u
+         |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)),
+         |hsig AS (SELECT doc_id, seed,
+         |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+         |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |         ELSE CAST(u AS BIGINT) END AS h
+         |  FROM hs),
+         |mins AS (SELECT doc_id, seed, min(h) AS mh FROM hsig GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mins GROUP BY doc_id),
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w)
+         |SELECT a, b,
+         |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
+         |FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
+         |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
+    "q_x_simhash_sketch" ->
+      s"""WITH $wCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |h AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(word), 1, 16)) AS UBIGINT) AS u
+         |  FROM tok),
+         |bits AS (SELECT doc_id, i,
+         |    sum(CASE WHEN ((u >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN generate_series(0, 63) t(i) GROUP BY 1, 2),
+         |sk AS (SELECT doc_id,
+         |    sum(CASE WHEN s > 0 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS su
+         |  FROM bits GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN su >= 9223372036854775808
+         |       THEN CAST(su - 18446744073709551616 AS BIGINT)
+         |       ELSE CAST(su AS BIGINT) END AS simhash
+         |FROM sk""".stripMargin,
+    "q_x_dedup_simhash" ->
+      s"""WITH $wCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |h AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(word), 1, 16)) AS UBIGINT) AS u
+         |  FROM tok),
+         |bits AS (SELECT doc_id, i,
+         |    sum(CASE WHEN ((u >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN generate_series(0, 63) t(i) GROUP BY 1, 2),
+         |sk AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS UBIGINT) AS su
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, su, j, CAST((su >> (16*j)) & 65535 AS BIGINT) AS bv
+         |  FROM sk CROSS JOIN generate_series(0, 3) t(j)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.su AS sua, y.su AS sub
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT a, b, bit_count(xor(sua, sub)) AS hamming
+         |FROM pairs WHERE bit_count(xor(sua, sub)) <= 20""".stripMargin,
+    "q_x_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(floor(length(text) / 50.0) AS BIGINT) AS lb FROM documents),
+        |g AS (SELECT doc_id, lb,
+        |    list_distinct([substr(text, i, 5) for i in generate_series(1, length(text)-4)]) AS gs
+        |  FROM d)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  round(len(list_intersect(x.gs, y.gs))::DOUBLE /
+        |        len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) AS ngram_jaccard
+        |FROM g x JOIN g y ON x.lb = y.lb AND x.doc_id < y.doc_id
+        |WHERE round(len(list_intersect(x.gs, y.gs))::DOUBLE /
+        |            len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) >= 0.5""".stripMargin
+  )
+}

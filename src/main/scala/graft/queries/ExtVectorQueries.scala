@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Extension operators: similarity search over the embeddings table.
+  *
+  * The cosine oracle parity holds because both engines compute
+  * dot/(√·√) in double over the same float inputs; ranks are broken by
+  * neighbor id, and random embeddings keep cosine gaps far above 1-ulp noise.
+  */
+object ExtVectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact top-5 cosine neighbors for the query subset
+    // (vec_id % 100 == 0) — the ANN baseline.
+    "q_x_ann_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annBruteForce(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "vec_id", "embedding", k = 5)
+    },
+    // Embedding near-duplicate pairs above a cosine threshold (brute
+    // baseline; the LSH variant below is the scale path).
+    "q_x_embed_neardup" -> { (s, dir) =>
+      Similarity.nearDupPairsCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.25)
+    },
+    // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
+    // against the brute-force baseline).
+    "q_x_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annLsh(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "vec_id", "embedding", k = 5, numPlanes = 6)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_x_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+    "q_x_embed_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""".stripMargin
+  )
+}

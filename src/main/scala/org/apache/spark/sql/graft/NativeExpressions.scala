@@ -1,0 +1,105 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for hot paths built-ins can't express without
+  * blowing up the expression tree (SURVEY.md §7.3 preference order: compose
+  * built-ins → custom Expression → custom plan → mapPartitions).
+  *
+  * Hosted under org.apache.spark.sql because `ExpressionUtils` (Expression ⇄
+  * Column bridge) and `AbstractDataType` are private[sql] — the same pattern
+  * public Spark extension libraries use. Both expressions participate in
+  * whole-stage codegen via a single static call: no boxing, no lambda
+  * dispatch, no 64-way expression duplication (the all-built-ins SimHash
+  * formulation OOM'd codegen when CollapseProject duplicated the fold once
+  * per output bit).
+  */
+object natives {
+  /** 64-bit SimHash over an array of 64-bit token hashes. */
+  def simhash64(hashes: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes)))
+
+  /** Cosine similarity between two float vectors, double accumulation in
+    * element order (bit-reproducible against a strict left-fold oracle).
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** One-pass SimHash: counts[i] += ±1 per token-hash bit, result bit i set
+  * iff counts[i] > 0.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** dot(a,b) / (|a|·|b|) over float vectors, double accumulators, strict
+  * element order; 0.0 when either norm is zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.NativeKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernels invoked from generated code. */
+object NativeKernels {
+  def simhash(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var k = 0
+    while (k < n) {
+      val h = arr.getLong(k)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      k += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) r |= (1L << i)
+      i += 1
+    }
+    r
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
