@@ -81,23 +81,36 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: candidates share a bucket with the query, scored and
-    * ranked per query. Recall < 1 by design; raise numPlanes/multi-probe for
-    * better recall. One shuffle on bucket id.
+  /** Multi-table LSH ANN (OR-amplification): L independent tables of k
+    * hyperplanes each; a corpus vector is a candidate if it shares a bucket
+    * with the query in ANY table. Recall ≈ 1−(1−p^k)^L for per-plane
+    * agreement p = 1−θ/π; tune (k, L) for the corpus's similarity profile —
+    * near-orthogonal corpora need more tables. Cost: one shuffle on
+    * (table, bucket); candidates are deduped before scoring.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       queryIdCol: String, embCol: String, k: Int,
-      numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+      numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = 64
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val tables = (0 until numTables).map { t =>
+      hyperplanes(numPlanes, dim, seed + t * 1000003L)
+    }
+    def buckets(emb: Column): Column = explode(array(tables.zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("t"), lshBucket(emb, planes).as("bv"))
+    }: _*))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
-      lshBucket(col(embCol), planes).as("bucket"))
+      buckets(col(embCol)).as("b"))
+      .select(col("neighbor_id"), col("__ce"), col("b.t").as("t"), col("b.bv").as("bv"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"),
-      lshBucket(col(embCol), planes).as("bucket"))
+      buckets(col(embCol)).as("b"))
+      .select(col("query_id"), col("__qe"), col("b.t").as("t"), col("b.bv").as("bv"))
+    val cand = c.join(q, Seq("t", "bv"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qe"), col("__ce"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id").asc)
-    c.join(q, Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    cand
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("__qe"), col("__ce")).as("cs"))
       .withColumn("rank", row_number().over(w))

@@ -32,7 +32,7 @@ object ExtVectorQueries {
     "q_x_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.annLsh(emb, emb.filter(col("vec_id") % 100 === 0),
-        "vec_id", "vec_id", "embedding", k = 5, numPlanes = 6)
+        "vec_id", "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 8)
     }
   )
 

@@ -1,0 +1,64 @@
+package graft.sink
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load-side operators (SURVEY §2.2): idempotent append (the reference's
+  * `INSERT ... ON CONFLICT DO NOTHING`, K1/K3), bulk JDBC append (K2),
+  * SCD-1 dimension overwrite (K5), CSV export (K7).
+  */
+object Sinks {
+
+  /** Idempotent append to a parquet "table" directory: dedup within the
+    * batch on the natural key, anti-join against what the sink already
+    * holds, append the remainder. Exactly the reference's at-least-once +
+    * keyed-dedup = effectively-once contract (ls_opening.rs:100), shaped for
+    * `foreachBatch` reuse. Re-delivering the same batch is a no-op.
+    */
+  def appendDedupParquet(batch: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates(keys)
+    val toWrite =
+      if (exists(spark, path))
+        fresh.join(spark.read.parquet(path).select(keys.map(col): _*), keys, "left_anti")
+      else fresh
+    toWrite.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Idempotent JDBC append: stage the batch minus already-present keys, then
+    * bulk-append (reference K1/K2/K3; `batchsize` plays push_values). The
+    * anti-join reads only the key columns from the sink — pushdown keeps it a
+    * key scan, not a full-table read.
+    */
+  def appendDedupJdbc(batch: DataFrame, url: String, table: String,
+      keys: Seq[String], props: Properties = new Properties()): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates(keys)
+    val existing =
+      try Some(spark.read.jdbc(url, table, props).select(keys.map(col): _*))
+      catch { case _: Exception => None } // table absent on first batch
+    val toWrite = existing match {
+      case Some(e) => fresh.join(e, keys, "left_anti")
+      case None    => fresh
+    }
+    toWrite.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** SCD-1 dimension refresh: full overwrite of a small registry table
+    * (reference currency_registry upsert + mass-deprecate, K5 — at dimension
+    * sizes an overwrite is simpler and transactional-enough).
+    */
+  def overwriteDimensionJdbc(dim: DataFrame, url: String, table: String,
+      props: Properties = new Properties()): Unit =
+    dim.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** CSV export with header (reference csv_response.rs, K7). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming jobs mirroring the reference's live path (SURVEY
+  * §2.11): watermarked tumbling-window aggregation (the hourly snapshot
+  * cadence), keyed dedup (ON CONFLICT DO NOTHING in stream form), custom
+  * per-key state via flatMapGroupsWithState (the LS_State recurrence), and a
+  * foreachBatch idempotent sink.
+  *
+  * The reference repairs gaps by backfill rather than discarding late data
+  * (synchronization.rs:42-52); the streaming tier therefore uses a generous
+  * watermark for state cleanup, with the batch pipeline as reconciliation.
+  */
+object StreamJobs {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream (one file per micro-batch in tests; in
+    * production this is the block/event feed).
+    */
+  def fileEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Hourly tumbling counts/sums per event type with a 2h watermark —
+    * the aggregation-interval snapshot (AGGREGATION_INTERVAL=1h).
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Keyed dedup within the watermark horizon — replay-safe ingestion
+    * (reference K1: at-least-once + natural-key dedup).
+    */
+  def dedupByKey(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running session state via flatMapGroupsWithState — the custom
+    * stateful recurrence ("present in previous state or opened, not closed",
+    * entities.md:183-186) in stream form. Emits an updated row per user per
+    * batch; state times out after inactivity.
+    */
+  def userSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value", "cast(ts as long) as ts_s")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double, Long)], state: GroupState[SessionState]) => {
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          var n = prev.nEvents
+          var total = prev.totalValue
+          var last = prev.lastTs
+          rows.foreach { case (_, v, t) =>
+            n += 1; total += v; last = math.max(last, t)
+          }
+          state.update(SessionState(n, total, last))
+          Iterator(SessionOut(user, n, total))
+        })
+  }
+
+  /** Drive a streaming DataFrame into an idempotent parquet sink via
+    * foreachBatch — the exactly-once write contract (§2.11): batch replay
+    * dedups on the natural key instead of double-inserting.
+    */
+  def runToIdempotentSink(out: DataFrame, sinkPath: String, checkpoint: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.Sinks.appendDedupParquet(batch.toDF(), sinkPath, keys)
+      }
+      .start()
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again today"), // 1-word edit
+    (2L, "today again and again dog lazy the over jumps fox brown quick the"), // permutation of 0
+    (3L, "completely different content about spark engines and shuffle plans yes")
+  ).toDF("doc_id", "text")
+
+  test("minhash pipeline finds the near-duplicate, not the unrelated doc") {
+    val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash is identical for a token permutation and far from unrelated text") {
+    val sk = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sk(0L) == sk(2L)) // order-invariant
+    val hammingTo3 = java.lang.Long.bitCount(sk(0L) ^ sk(3L))
+    assert(hammingTo3 > 10)
+  }
+
+  test("char-ngram jaccard ranks the 1-word edit above unrelated docs") {
+    val pairs = Dedup.nearDupPairsCharNgram(docs, "doc_id", "text",
+      n = 5, lengthBucket = 200, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs((0L, 1L)) > pairs.getOrElse((0L, 3L), 0.0))
+  }
+
+  test("dedupExact keeps the lowest id per group") {
+    val df = Seq((5L, "x"), (3L, "x"), (9L, "y")).toDF("id", "g")
+    val kept = Dedup.dedupExact(df, Seq("g"), "id").select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 9L))
+  }
+
+  test("lsh ann achieves reasonable recall against brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.annBruteForce(emb, queries, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh(emb, queries, "vec_id", "vec_id", "embedding", 5,
+      numPlanes = 4, numTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+}

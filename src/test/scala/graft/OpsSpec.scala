@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestPerKey keeps exactly the top row per key") {
+    val df = Seq(("a", 1, 10), ("a", 2, 20), ("b", 5, 50)).toDF("k", "ord", "v")
+    val got = Ops.latestPerKey(df, Seq("k"), Seq(col("ord").desc))
+      .select("k", "v").as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 20, "b" -> 50))
+  }
+
+  test("asOfJoin attaches the latest right value at or before each left ts") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 50L), (4L, "w", 100L))
+      .toDF("id", "k", "t")
+      .select($"id", $"k", timestamp_micros($"t").as("t"))
+    val right = Seq(("u", 100L, 1.0), ("u", 200L, 2.0), ("v", 90L, 9.0))
+      .toDF("rk", "rt", "price")
+      .select($"rk", timestamp_micros($"rt").as("rt"), $"price")
+    val got = Ops.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("price"))
+      .select($"id", $"price").as[(Long, Option[Double])].collect().toMap
+    // id1: ts=100 matches price@100 (inclusive); id2: latest ≤205 is 2.0;
+    // id3: before any price → null; id4: other key → null
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+  }
+
+  test("dateScaffold emits every day inclusive") {
+    val bounds = Seq(("2024-01-01", "2024-01-05")).toDF("lo", "hi")
+      .select($"lo".cast("timestamp").as("lo"), $"hi".cast("timestamp").as("hi"))
+    val days = Ops.dateScaffold(bounds, col("lo"), col("hi"), "day")
+    assert(days.count() == 5)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamJobs
+
+class StreamingSpec extends SparkSpec {
+
+  /** Stage the sf0.001 events as a one-file stream source directory. */
+  private def stageEvents(): String = {
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val batch = graft.sources.Tables.events(spark, sfDir)
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("hourly windowed aggregation matches the batch computation") {
+    val src = stageEvents()
+    val q = StreamJobs.hourlyTypeCounts(StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("append").format("memory").queryName("hourly").start()
+    q.processAllAvailable(); q.stop()
+    // append mode only emits closed windows (watermark 2h) — compare those
+    val streamed = spark.table("hourly")
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val maxClosed = streamed.agg(max("hour")).head().getTimestamp(0)
+    if (maxClosed != null) {
+      val s = streamed.select("hour", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val b = batch.filter(col("hour") <= lit(maxClosed))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(s == b, "streamed closed windows must equal batch rollup")
+      assert(s.nonEmpty)
+    }
+  }
+
+  test("stream dedup drops replayed event_ids") {
+    val src = Files.createTempDirectory("graft_dup_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
+    // write the same 100 events twice = two micro-batches of pure replay
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    val q = StreamJobs.dedupByKey(StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() == 100)
+  }
+
+  test("flatMapGroupsWithState accumulates per-user running totals") {
+    val src = stageEvents()
+    val out = StreamJobs.userSessions(spark, StreamJobs.fileEventStream(spark, src))
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    // last emitted row per user must equal the batch per-user totals
+    val last = spark.table("sessions")
+      .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == batch)
+  }
+
+  test("idempotent sink: replaying a batch adds no rows (parquet + jdbc)") {
+    val sink = Files.createTempDirectory("graft_sink").toString + "/t"
+    val batch = graft.sources.Tables.events(spark, sfDir).limit(50)
+    graft.sink.Sinks.appendDedupParquet(batch, sink, Seq("event_id"))
+    graft.sink.Sinks.appendDedupParquet(batch, sink, Seq("event_id"))
+    assert(spark.read.parquet(sink).count() == 50)
+
+    val dbDir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val simple = batch.select("event_id", "event_type", "value")
+    graft.sink.Sinks.appendDedupJdbc(simple, url, "events_t", Seq("event_id"))
+    graft.sink.Sinks.appendDedupJdbc(simple, url, "events_t", Seq("event_id"))
+    assert(spark.read.jdbc(url, "events_t", new java.util.Properties()).count() == 50)
+  }
+}
