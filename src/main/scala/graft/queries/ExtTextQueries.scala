@@ -116,12 +116,24 @@ object ExtTextQueries {
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,
-    "q_x_dedup_minhash" ->
+    "q_x_dedup_minhash" -> {
+      // seed constants shared with Dedup.seededHashes (single source of truth)
+      val seeds = graft.operators.Dedup.seedConstants(16).zipWithIndex
+        .map { case (c, i) =>
+          val u = java.lang.Long.toUnsignedString(c)
+          s"($i, CAST($u AS UBIGINT))"
+        }.mkString(", ")
+      // wrapping << n == mask-then-shift on UBIGINT; masks are 2^(64-n)-1
       s"""WITH $wCte,
          |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
-         |hs AS (SELECT doc_id, seed,
-         |    CAST(concat('0x', substr(md5(concat(seed, '|', sh)), 1, 16)) AS UBIGINT) AS u
-         |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |seeds(seed, c) AS (VALUES $seeds),
+         |z0t AS (SELECT doc_id, seed, xor(u0, c) AS z0 FROM sh0 CROSS JOIN seeds),
+         |z1t AS (SELECT doc_id, seed, xor(z0, (z0 & CAST(2251799813685247 AS UBIGINT)) * CAST(8192 AS UBIGINT)) AS z1 FROM z0t),
+         |z2t AS (SELECT doc_id, seed, xor(z1, (z1 >> 7)) AS z2 FROM z1t),
+         |hs AS (SELECT doc_id, seed, xor(z2, (z2 & CAST(140737488355327 AS UBIGINT)) * CAST(131072 AS UBIGINT)) AS u FROM z2t),
          |hsig AS (SELECT doc_id, seed,
          |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
          |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
@@ -139,7 +151,8 @@ object ExtTextQueries {
          |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
          |FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
          |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
-         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
+         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin
+    },
     "q_x_simhash_sketch" ->
       s"""WITH $wCte,
          |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),

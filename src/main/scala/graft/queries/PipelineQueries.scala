@@ -16,6 +16,42 @@ object PipelineQueries {
     // as-of price enrichment (in_stable) → daily per-user state snapshots
     // with running balances.
     "q_e2e_daily_state" -> { (s, dir) => EventPipeline.run(s, dir) },
+    // PL_State analog: the platform-wide daily rollup (reference
+    // pl_state.rs:13-204 — ~20 scalar aggregates per interval, previous
+    // snapshot joined via lag, and the tax identity tax = state_now +
+    // outflows − rewards − state_prev, entities.md:345). One multi-agg pass
+    // + one window — no per-interval re-scans.
+    "q_e2e_pl_state" -> { (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec18 = (c: String) => col(c).cast("decimal(18,2)")
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          sum(when(col("event_type") === "purchase", dec18("value"))).as("purchase_vol"),
+          count(when(col("event_type") === "signup", 1)).as("n_signups"),
+          sum(when(col("event_type") === "signup", dec18("value"))).as("signup_vol"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"),
+          sum(when(col("event_type") === "error", dec18("value"))).as("error_vol"),
+          countDistinct(col("user_id")).as("n_active"),
+          max(when(col("event_type") === "purchase", col("value"))).as("max_purchase"))
+      val w = Window.orderBy(col("day"))
+      val cum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("state", sum(coalesce(col("purchase_vol"), lit(0).cast("decimal(18,2)")) -
+          coalesce(col("error_vol"), lit(0).cast("decimal(18,2)"))).over(cum))
+        .withColumn("prev_state", lag(col("state"), 1).over(w))
+        .select(col("day"), col("n_purchases"), col("n_signups"), col("n_errors"), col("n_active"),
+          col("purchase_vol").cast("double").as("purchase_vol"),
+          col("signup_vol").cast("double").as("signup_vol"),
+          col("error_vol").cast("double").as("error_vol"),
+          col("max_purchase"),
+          col("state").cast("double").as("state"),
+          (col("state") + coalesce(col("error_vol"), lit(0).cast("decimal(18,2)"))
+            - coalesce(col("signup_vol"), lit(0).cast("decimal(18,2)"))
+            - coalesce(col("prev_state"), lit(0).cast("decimal(28,2)")))
+            .cast("double").as("tax_identity"))
+    }},
     // Multimodal metadata rollup over the binary payload table: per kind,
     // object count and byte-size stats (decode stage is spec-tested; this
     // checks the schema/plumbing tier against the oracle).
@@ -47,6 +83,32 @@ object PipelineQueries {
         |  CAST(sum(day_stable) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance_stable
         |FROM daily""".stripMargin,
+    "q_e2e_pl_state" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, user_id, event_type, value FROM events),
+        |daily AS (SELECT date_trunc('day', ts) AS day,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |    sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS purchase_vol,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups,
+        |    sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS signup_vol,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        |    sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS error_vol,
+        |    count(DISTINCT user_id) AS n_active,
+        |    max(CASE WHEN event_type = 'purchase' THEN value END) AS max_purchase
+        |  FROM ev GROUP BY 1),
+        |st AS (SELECT *,
+        |    sum(coalesce(purchase_vol, 0) - coalesce(error_vol, 0)) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+        |  FROM daily),
+        |pv AS (SELECT *, lag(state, 1) OVER (ORDER BY day) AS prev_state FROM st)
+        |SELECT day, n_purchases, n_signups, n_errors, n_active,
+        |  CAST(purchase_vol AS DOUBLE) AS purchase_vol,
+        |  CAST(signup_vol AS DOUBLE) AS signup_vol,
+        |  CAST(error_vol AS DOUBLE) AS error_vol,
+        |  max_purchase,
+        |  CAST(state AS DOUBLE) AS state,
+        |  CAST(state + coalesce(error_vol, 0) - coalesce(signup_vol, 0)
+        |       - coalesce(prev_state, 0) AS DOUBLE) AS tax_identity
+        |FROM pv""".stripMargin,
     "q_x_mm_meta" ->
       """SELECT list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
         |  count(*) AS n_objects,

@@ -53,6 +53,37 @@ object Sinks {
       props: Properties = new Properties()): Unit =
     dim.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
 
+  /** Keyed upsert (K4 point-UPDATE batch analog): new rows replace existing
+    * rows with the same key; untouched rows survive. Spark's JDBC writer has
+    * no MERGE, so this is read ∪ new → latest-per-key → overwrite — correct
+    * for the reference's small correction batches (backfilled loan amounts,
+    * processed flags); for big fact tables use a staging table + sink-side
+    * MERGE instead.
+    */
+  def upsertJdbc(updates: DataFrame, url: String, table: String,
+      keys: Seq[String], props: Properties = new Properties()): Unit = {
+    val spark = updates.sparkSession
+    val tagged = updates.withColumn("__new", lit(1))
+    val existing =
+      try Some(spark.read.jdbc(url, table, props).withColumn("__new", lit(0)))
+      catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(e) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("__new").desc)
+        tagged.unionByName(e)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__new")
+      case None => tagged.drop("__new")
+    }
+    // materialize before overwrite: the merged frame reads the table being
+    // replaced, and JDBC overwrite truncates before the read would run
+    val rows = merged.collect()
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
+    out.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+  }
+
   /** CSV export with header (reference csv_response.rs, K7). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -30,6 +30,13 @@ object natives {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Intersection size of two SORTED long arrays (single merge walk, zero
+    * allocation) — the set-similarity kernel for pair verification.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** One-pass SimHash: counts[i] += ±1 per token-hash bit, result bit i set
@@ -61,6 +68,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A ∩ B| for two sorted (ascending, distinct) long arrays via merge walk —
+  * O(|A|+|B|), no per-row hash sets. The candidate-pair verification hot
+  * path: with hashed n-grams this replaces string-set intersection.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.sortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.NativeKernels.sortedIntersect($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels invoked from generated code. */
 object NativeKernels {
   def simhash(arr: ArrayData): Long = {
@@ -83,6 +106,22 @@ object NativeKernels {
       i += 1
     }
     r
+  }
+
+  def sortedIntersect(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {

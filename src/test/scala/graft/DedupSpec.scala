@@ -6,16 +6,20 @@ import graft.operators.{Dedup, Similarity}
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "storm rolls in across the wide green valley and the river keeps running south"
   private val docs = Seq(
-    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
-    (1L, "the quick brown fox jumps over the lazy cat again and again today"), // 1-word edit
-    (2L, "today again and again dog lazy the over jumps fox brown quick the"), // permutation of 0
+    (0L, base),
+    (1L, base.replace("dog", "cat")), // 1-word edit, high shingle overlap
+    (2L, base.split(' ').reverse.mkString(" ")), // permutation of 0
     (3L, "completely different content about spark engines and shuffle plans yes")
   ).toDF("doc_id", "text")
 
   test("minhash pipeline finds the near-duplicate, not the unrelated doc") {
+    // 2-row bands: catch probability for j≈0.9 is 1-(1-j²)^8 ≈ 1-2e-6 —
+    // effectively deterministic for this fixture
     val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
-      numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
+      numHashes = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
