@@ -83,7 +83,11 @@ object Dedup {
     */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+    // spread docs before the explode so hashing parallelizes even when the
+    // source is a single parquet file; the groupBy then reuses the same
+    // id partitioning (no second exchange)
+    val sh = docs.repartition(col(idCol))
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
     val hs = seededHashes(col("sh"), numHashes)
     val hashed = sh.select(col(idCol) +: hs.zipWithIndex.map { case (h, i) => h.as(s"h$i") }: _*)
     hashed.groupBy(col(idCol))
@@ -114,7 +118,13 @@ object Dedup {
     */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("sh"))
+    // verification only ever needs the candidate docs — semi-join the corpus
+    // down FIRST so a 100 TB corpus is exploded once for candidates, not
+    // three times for everybody
+    val candIds = pairs.select(col("a").as("__id"))
+      .unionByName(pairs.select(col("b").as("__id"))).distinct()
+    val candDocs = docs.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
+    val sh = candDocs.select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("sh"))
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("sz"))
     val common = pairs
       .join(sh.select(col("__id").as("a"), col("sh")), Seq("a"))
@@ -135,7 +145,10 @@ object Dedup {
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     val sig = minHashSignature(docs, idCol, textCol, numHashes, shingleN)
-    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+    // candidate pairs are tiny but referenced twice by the verifier (for the
+    // semi-join filter and the pair join) — materialize once so the whole
+    // signature pipeline doesn't re-run per reference
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand).localCheckpoint()
     jaccardOnPairs(pairs, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
@@ -149,7 +162,8 @@ object Dedup {
     * collect_list per doc is safe at corpus scale.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val tok = docs.repartition(col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .select(col(idCol), md5Long64(col("w")).as("h"))
     tok.groupBy(col(idCol)).agg(collect_list(col("h")).as("hs"))
       .select(col(idCol), org.apache.spark.sql.graft.natives.simhash64(col("hs")).as("simhash"))
@@ -190,7 +204,11 @@ object Dedup {
     val grams = docs.select(col(idCol),
       floor(length(col(textCol)) / lengthBucket.toDouble).as("lb"),
       array_sort(array_distinct(transform(charNgrams(col(textCol), n), g => xxhash64(g)))).as("gs"))
-    val l = grams.select(col(idCol).as("a"), col("lb"), col("gs").as("ga"))
+    // a small corpus often arrives as ONE parquet file = one partition; the
+    // pair blow-up must not inherit that. Spreading the stream side by id
+    // parallelizes verification across the cluster (broadcast side is whole).
+    val l = grams.repartition(col(idCol))
+      .select(col(idCol).as("a"), col("lb"), col("gs").as("ga"))
     val r = grams.select(col(idCol).as("b"), col("lb"), col("gs").as("gb"))
     import org.apache.spark.sql.graft.natives.sortedIntersectCount
     // gram table is tiny relative to the pair blow-up → broadcast one side

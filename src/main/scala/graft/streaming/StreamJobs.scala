@@ -51,6 +51,27 @@ object StreamJobs {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the views of the
+    * same user in the preceding hour — the streaming form of the batch as-of
+    * enrichment (J5/B2). Watermarks bound both sides' state; late views past
+    * the watermark are reconciled by the batch pipeline, matching the
+    * reference's repair-by-backfill stance.
+    */
+  def enrichedPurchaseStream(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"), col("value").as("amount"))
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("ts").as("v_ts"), col("user_id").as("v_user"),
+        col("value").as("price"))
+    purchases.join(views,
+      expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"),
+      "leftOuter")
+      .select(col("p_event_id"), col("p_user"), col("p_ts"), col("amount"), col("price"))
+  }
+
   case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
 

@@ -39,6 +39,29 @@ object natives {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
+/** SparkSessionExtensions entry point: registers the native expressions as
+  * SQL functions (`simhash64`, `cosine_sim`, `sorted_intersect_count`) so
+  * `spark.sql(...)` users get them too. Enable with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+  }
+}
+
 /** One-pass SimHash: counts[i] += ±1 per token-hash bit, result bit i set
   * iff counts[i] > 0.
   */

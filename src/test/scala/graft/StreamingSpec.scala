@@ -63,6 +63,26 @@ class StreamingSpec extends SparkSpec {
     assert(last == batch)
   }
 
+  test("stream-stream interval join enriches purchases with in-window views") {
+    val src = stageEvents()
+    val q = StreamJobs.enrichedPurchaseStream(StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+    val batchEquiv = {
+      val ev = graft.sources.Tables.events(spark, sfDir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("ts").as("v_ts"), col("user_id").as("v_user"))
+      p.join(v, expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"))
+    }
+    // inner-match rows (price not null) must equal the batch interval join;
+    // left-outer nulls for unmatched purchases may lag the final watermark
+    assert(got.filter(col("price").isNotNull).count() == batchEquiv.count())
+  }
+
   test("idempotent sink: replaying a batch adds no rows (parquet + jdbc)") {
     val sink = Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = graft.sources.Tables.events(spark, sfDir).limit(50)
