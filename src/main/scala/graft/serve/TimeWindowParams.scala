@@ -1,0 +1,39 @@
+package graft.serve
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Serving-layer time-window parameter parsing — the reference's
+  * `?period=3m|6m|12m|all` (default 3m) with optional `?from=` incremental
+  * override (crates/etl-core/src/helpers/time_window.rs:79-100).
+  *
+  * Produces a Column predicate against an explicit `asOf` anchor so query
+  * results stay deterministic (SURVEY §7.4#3: never a wall-clock NOW()).
+  */
+object TimeWindowParams {
+
+  sealed trait Window
+  case class Months(n: Int) extends Window
+  case object All extends Window
+  case class From(ts: Timestamp) extends Window
+
+  /** Parse the period/from params; unknown periods fall back to 3 months
+    * (the reference's default), `from` wins over `period` when both given.
+    */
+  def parse(period: Option[String], from: Option[Timestamp]): Window =
+    (from, period) match {
+      case (Some(ts), _)      => From(ts)
+      case (_, Some("all"))   => All
+      case (_, Some(p)) if p.endsWith("m") && p.dropRight(1).forall(_.isDigit) &&
+        p.length > 1 => Months(p.dropRight(1).toInt)
+      case _                  => Months(3)
+    }
+
+  /** Predicate for `ts` within the parsed window ending at `asOf`. */
+  def predicate(w: Window, ts: Column, asOf: Column): Column = w match {
+    case Months(n) => ts > asOf - expr(s"INTERVAL $n MONTHS") && ts <= asOf
+    case All       => ts <= asOf
+    case From(f)   => ts > lit(f) && ts <= asOf
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Ops
+
+/** Property tests from the SURVEY §5 harness plan: ingestion idempotency,
+  * as-of join vs a naive reference implementation, latest-per-key totality.
+  * Uses ScalaCheck generators with explicit seeds (deterministic runs).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private val rowsGen: Gen[List[(Int, Long, Double)]] = Gen.listOfN(40,
+    for {
+      key <- Gen.choose(0, 4)
+      ts <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (key, ts, v))
+
+  test("property: asOfJoin equals the naive per-row latest-at-or-before lookup") {
+    for (seed <- 1 to 10) {
+      val leftRows = sample(rowsGen, seed)
+      val rightRows = sample(rowsGen, seed + 1000)
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+        .toDF("id", "k", "t", "v")
+        .select($"id", $"k", timestamp_micros($"t").as("t"), $"v")
+      val right = rightRows.toDF("rk", "rt", "price")
+        .select($"rk", timestamp_micros($"rt").as("rt"), $"price")
+      val got = Ops.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("price"))
+        .select($"id", $"price").as[(Long, Option[Double])].collect().toMap
+      // naive reference: for each left row, the max-ts right row with ts <= t;
+      // ties on (key, ts) are order-dependent in both implementations, so
+      // compare only rows whose naive answer is unambiguous
+      leftRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+        val unambiguous = cands.isEmpty ||
+          cands.count(r => r._2 == cands.map(_._2).max) == 1
+        if (unambiguous) {
+          val expected = if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3)
+          assert(got(i.toLong) == expected, s"seed $seed row $i")
+        }
+      }
+    }
+  }
+
+  test("property: idempotent sink converges regardless of replay count") {
+    for (replays <- 1 to 3) {
+      val sink = Files.createTempDirectory("graft_prop_sink").toString + "/t"
+      val batch = graft.sources.Tables.events(spark, sfDir).limit(30)
+      (0 to replays).foreach { _ =>
+        graft.sink.Sinks.appendDedupParquet(batch, sink, Seq("event_id"))
+      }
+      assert(spark.read.parquet(sink).count() == 30)
+    }
+  }
+
+  test("property: latestPerKey emits exactly one row per key, the maximum") {
+    for (seed <- 1 to 10) {
+      val rows = sample(rowsGen, seed)
+      val df = rows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "ord", "uid")
+      val got = Ops.latestPerKey(df, Seq("k"), Seq(col("ord").desc, col("uid").desc))
+        .select($"k", $"ord", $"uid").as[(Int, Long, Long)].collect()
+      val expected = rows.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._3))).toMap
+      assert(got.length == expected.size, s"seed $seed")
+      got.foreach { case (k, ord, uid) =>
+        assert(expected(k) == ((k, ord, uid)), s"seed $seed key $k")
+      }
+    }
+  }
+
+  test("time-window params parse with reference defaults") {
+    import graft.serve.TimeWindowParams._
+    assert(parse(Some("3m"), None) == Months(3))
+    assert(parse(Some("12m"), None) == Months(12))
+    assert(parse(Some("all"), None) == All)
+    assert(parse(Some("bogus"), None) == Months(3)) // fallback = default
+    assert(parse(None, None) == Months(3))
+    val f = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(parse(Some("6m"), Some(f)) == From(f)) // from wins
+  }
+}
