@@ -79,6 +79,25 @@ object Ops {
     filled.filter(col("__side") === 0).drop("__side")
   }
 
+  /** Skew-mitigating equi-join: the left (skewed fact) side gets a random
+    * salt in [0, saltFactor); the right side is replicated saltFactor times
+    * with every salt value, and the join key becomes (key, salt). Hot keys
+    * spread over saltFactor reducers instead of landing on one. Use when a
+    * handful of keys dominate (AQE skew-join handles moderate skew on its
+    * own; salting is for the pathological long tail).
+    *
+    * The salt is `rand`-derived, so results are row-identical but partition
+    * placement is not reproducible — fine for joins, never use the salt in
+    * output.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt", (rand() * saltFactor).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Continuous per-day scaffold between two dates — Postgres
     * `generate_series(start, end, interval '1 day')`
     * (crates/etl-core/src/dao/postgre/ls_opening.rs:1321-1335, SURVEY.md §2.9).

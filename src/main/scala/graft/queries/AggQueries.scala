@@ -57,6 +57,15 @@ object AggQueries {
         .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
         .agg(countDistinct(col("user_id")).as("active_users"))
     },
+    // A4 at scale: HLL sketch distinct — the 100 TB tier of q_a4 where exact
+    // per-month distinct would shuffle every user id. No SQL oracle (sketches
+    // differ across engines); the driver records a rows-only check, and the
+    // exact twin above is the correctness anchor.
+    "q_a4_approx_active" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_active"))
+    },
     // A5: conditional aggregation — MAX(CASE WHEN), SUM(CASE WHEN) → flag
     // (reference: ls_repayment.rs:252-265).
     "q_a5_conditional" -> { (s, dir) =>
