@@ -23,6 +23,31 @@ class ExtensionsSpec extends AnyFunSuite {
     .getOrCreate()
   }
 
+  test("LatestPerKeyRule rewrites row_number()=1 into max_by and matches the window result") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1, 10L, "a1"), (1, 20L, "a2"), (1, 15L, "a3"),
+      (2, 5L, "b1"), (2, 7L, "b2")
+    ).toDF("k", "ord", "v")
+    val latest = graft.functions.Ops.latestPerKey(df, Seq("k"), Seq(col("ord").desc))
+    val plan = latest.queryExecution.optimizedPlan.toString
+    assert(plan.contains("max_by") && !plan.contains("row_number"),
+      s"rule should have rewritten the window:\n$plan")
+    val got = latest.select($"k", $"v").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a2", 2 -> "b2"))
+    // ascending variant → min_by
+    val first = graft.functions.Ops.latestPerKey(df, Seq("k"), Seq(col("ord").asc))
+    assert(first.queryExecution.optimizedPlan.toString.contains("min_by"))
+    assert(first.select($"k", $"v").as[(Int, String)].collect().toMap ==
+      Map(1 -> "a1", 2 -> "b1"))
+    // nullable order key → rule must NOT fire (max_by drops null-keyed rows)
+    val nullable = df.withColumn("ordN", when($"ord" > 6L, $"ord"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"ordN".desc)
+    val viaWindow = nullable.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(viaWindow.queryExecution.optimizedPlan.toString.contains("row_number"))
+  }
+
   test("native expressions are callable from SQL") {
     val cos = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
