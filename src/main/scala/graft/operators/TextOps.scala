@@ -21,18 +21,14 @@ object TextOps {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
-  /** 64-bit signed hash from the first 16 hex chars of md5 — the one hash
-    * both our engine and common SQL engines can compute bit-identically
-    * (DuckDB: CAST('0x'||substr(md5(x),1,16) AS UBIGINT) bit-cast to signed).
-    * conv() parses the hex as unsigned; the decimal→long wrap-around is done
-    * via a 128-bit decimal intermediate to stay exact.
+  /** 64-bit signed hash = first 8 md5 bytes — the one hash both our engine
+    * and common SQL engines compute bit-identically (DuckDB:
+    * CAST('0x'||substr(md5(x),1,16) AS UBIGINT) reinterpreted signed).
+    * Native digest-direct expression; the hex-string+conv+decimal
+    * formulation cost ~10× on the MinHash hot path.
     */
-  def md5Long64(c: Column): Column = {
-    val unsigned = conv(substring(md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
-    // two's-complement wrap: x >= 2^63 → x - 2^64
-    (unsigned - when(unsigned >= lit(BigDecimal("9223372036854775808")), lit(BigDecimal("18446744073709551616")))
-      .otherwise(lit(BigDecimal(0)))).cast("long")
-  }
+  def md5Long64(c: Column): Column =
+    org.apache.spark.sql.graft.natives.md5Long(c)
 
   /** Quality-score feature bundle: char count, token count, distinct-token
     * ratio (repetition detector), stopword ratio, mean token length.

@@ -37,6 +37,28 @@ object natives {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Signed 64-bit hash = first 8 md5 bytes (big-endian) of the UTF-8 text —
+    * identical to CAST('0x'||substr(md5(s),1,16) AS UBIGINT) reinterpreted
+    * signed, but computed digest-direct (no hex string / decimal churn).
+    */
+  def md5Long(c: Column): Column =
+    ExpressionUtils.column(Md5Long(ExpressionUtils.expression(c)))
+}
+
+/** First 8 bytes of md5 as a big-endian signed long — the seeded-hash base
+  * for MinHash/SimHash/fingerprints. Bit-identical to the hex-string
+  * formulation both engines can express, ~an order of magnitude cheaper.
+  */
+case class Md5Long(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.md5Long(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.md5Long($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
 }
 
 /** SparkSessionExtensions entry point: registers the native expressions as
@@ -110,6 +132,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 /** Static kernels invoked from generated code. */
 object NativeKernels {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Long(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
   def simhash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
