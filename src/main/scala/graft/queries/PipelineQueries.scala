@@ -16,6 +16,39 @@ object PipelineQueries {
     // as-of price enrichment (in_stable) → daily per-user state snapshots
     // with running balances.
     "q_e2e_daily_state" -> { (s, dir) => EventPipeline.run(s, dir) },
+    // The reference's hardest read query, get_positions (ls_state.rs:799-941,
+    // SURVEY §7.2): latest state per key (W5) ⋈ as-of entry price (J5) ⋈
+    // current price (W5 again) with an active-set anti-join (J6, "no closing
+    // event after") and the unrealized-PnL derivation (B9) — composed here
+    // from the same library operators.
+    "q_e2e_positions" -> { (s, dir) => {
+      import graft.functions.Ops
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("amount"))
+      val latestPurchase = Ops.latestPerKey(purchases, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"), col("value").as("price"))
+      val entry = Ops.asOfJoin(latestPurchase, views.drop("v_id"),
+        "user_id", "v_user", "ts", "v_ts", Seq("price"))
+        .withColumnRenamed("price", "entry_price")
+      val nowPrice = Ops.latestPerKey(views, Seq("v_user"),
+        Seq(col("v_ts").desc, col("v_id").desc))
+        .select(col("v_user"), col("price").as("current_price"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      // active = latest purchase not followed by an error event of that user
+      val active = entry.join(errors,
+        col("user_id") === col("e_user") && col("e_ts") > col("ts"), "left_anti")
+      active
+        .join(nowPrice, col("user_id") === col("v_user"), "left")
+        .select(col("user_id"), col("event_id"), col("amount"),
+          col("entry_price"), col("current_price"),
+          round(col("amount") * (coalesce(col("current_price"), lit(1.0)) /
+            coalesce(col("entry_price"), lit(1.0)) - 1.0), 6).as("unrealized_pnl"))
+    }},
     // PL_State analog: the platform-wide daily rollup (reference
     // pl_state.rs:13-204 — ~20 scalar aggregates per interval, previous
     // snapshot joined via lag, and the tax identity tax = state_now +
@@ -83,6 +116,27 @@ object PipelineQueries {
         |  CAST(sum(day_stable) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance_stable
         |FROM daily""".stripMargin,
+    "q_e2e_positions" ->
+      """WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value FROM events),
+        |purchases AS (SELECT event_id, user_id, ts, value AS amount FROM ev WHERE event_type = 'purchase'),
+        |latest_purchase AS (
+        |  SELECT event_id, user_id, ts, amount FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM purchases) WHERE rn = 1),
+        |views AS (SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id, value AS price FROM ev WHERE event_type = 'view'),
+        |entry AS (SELECT p.event_id, p.user_id, p.ts, p.amount, v.price AS entry_price
+        |  FROM latest_purchase p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.v_user AND p.ts >= v.v_ts),
+        |now_price AS (
+        |  SELECT v_user, price AS current_price FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY v_user ORDER BY v_ts DESC, v_id DESC) AS rn
+        |    FROM views) WHERE rn = 1),
+        |active AS (SELECT * FROM entry e
+        |  WHERE NOT EXISTS (SELECT 1 FROM ev x
+        |    WHERE x.event_type = 'error' AND x.user_id = e.user_id AND x.ts > e.ts))
+        |SELECT a.user_id, a.event_id, a.amount, a.entry_price, n.current_price,
+        |  round(a.amount * (coalesce(n.current_price, 1.0) / coalesce(a.entry_price, 1.0) - 1.0), 6) AS unrealized_pnl
+        |FROM active a LEFT JOIN now_price n ON a.user_id = n.v_user""".stripMargin,
     "q_e2e_pl_state" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, user_id, event_type, value FROM events),
         |daily AS (SELECT date_trunc('day', ts) AS day,
