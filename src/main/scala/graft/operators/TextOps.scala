@@ -84,4 +84,13 @@ object TextOps {
     */
   def fingerprintMd5(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))))
+
+  /** Rolling-hash (Rabin-Karp + winnowing) fingerprint set: sorted distinct
+    * window-minima of byte k-gram hashes. Any shared substring of length ≥
+    * window+k−1 produces a shared fingerprint, so overlap (via
+    * sortedIntersectCount) measures copied-passage similarity. Native
+    * one-pass expression.
+    */
+  def fingerprintRolling(text: Column, k: Int = 8, window: Int = 16): Column =
+    org.apache.spark.sql.graft.natives.winnowFingerprint(text, k, window)
 }

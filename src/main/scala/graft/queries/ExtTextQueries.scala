@@ -43,6 +43,16 @@ object ExtTextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fingerprint"))
     },
+    // Rolling-hash (winnowing) fingerprint set per doc — rows-only check
+    // (the per-engine oracle cannot express the one-pass rolling hash);
+    // the winnowing guarantee is spec-tested in DedupSpec.
+    "q_x_fingerprint_rolling" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.fingerprintRolling(col("text")).as("fingerprints"))
+        .select(col("doc_id"), col("fingerprints"),
+          size(col("fingerprints")).as("n_fingerprints"))
+    },
     // Exact dedup: keep lowest doc_id per (lang, source) group.
     "q_x_dedup_exact" -> { (s, dir) =>
       Dedup.dedupExact(Tables.documents(s, dir), Seq("lang", "source"), "doc_id")

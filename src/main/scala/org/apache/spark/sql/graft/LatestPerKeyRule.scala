@@ -19,6 +19,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the reference's single most common idiom (Postgres DISTINCT ON —
   * SURVEY.md W5), which makes the rewrite broadly load-bearing.
   *
+  * Relationship to Spark's own InferWindowGroupLimit (3.5+): that rule
+  * inserts a map-side WindowGroupLimit (≤1 row per key per map partition)
+  * but still sorts inside the reduce stage; this rewrite replaces the sort
+  * with hash aggregation when it can prove safety. Parquet columns are
+  * nullable, so on raw scans the nullable-key guard usually defers to the
+  * built-in — the rewrite fires on derived non-nullable keys (aggregates,
+  * literals, coalesced columns).
+  *
   * Conservative preconditions:
   *  - exactly one window expression, and it is row_number()
   *  - filter is exactly `rn = 1` (or `1 = rn`)

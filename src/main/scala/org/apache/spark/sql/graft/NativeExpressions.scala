@@ -44,6 +44,30 @@ object natives {
     */
   def md5Long(c: Column): Column =
     ExpressionUtils.column(Md5Long(ExpressionUtils.expression(c)))
+
+  /** Winnowing fingerprint: Rabin-Karp rolling hashes of byte k-grams,
+    * keeping the minimum hash of each sliding window — returns the sorted
+    * distinct fingerprint set (array<long>). Standard winnowing guarantee:
+    * any shared substring of length ≥ window+k−1 yields a shared fingerprint.
+    */
+  def winnowFingerprint(c: Column, k: Int = 8, window: Int = 16): Column =
+    ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, window))
+}
+
+/** Winnowing (rolling-hash) document fingerprint — one pass, O(n) per doc,
+  * array<long> output sized ~2n/window. Pairs directly with
+  * [[SortedIntersectCount]] for fingerprint-overlap similarity.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.winnow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.winnow($c, $k, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
 }
 
 /** First 8 bytes of md5 as a big-endian signed long — the seeded-hash base
@@ -166,6 +190,59 @@ object NativeKernels {
       i += 1
     }
     r
+  }
+
+  /** Rabin-Karp + winnowing over UTF-8 bytes; deterministic base/modulus. */
+  def winnow(s: org.apache.spark.unsafe.types.UTF8String, k: Int, window: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val B = 1000003L
+    val M = (1L << 61) - 1 // Mersenne prime; products fit via 128-bit Math.multiplyHigh-free path
+    def mulMod(a: Long, b: Long): Long = {
+      // (a*b) mod 2^61-1 using Math.multiplyHigh
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      // split into low 61 bits and the rest
+      val lo61 = lo & M
+      val rest = (hi << 3) | (lo >>> 61)
+      val r = lo61 + rest
+      if (r >= M) r - M else r
+    }
+    // rolling hash of k-grams
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk = mulMod(bk, B); i += 1 } // B^(k-1)
+    val nh = n - k + 1
+    val hashes = new Array[Long](nh)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (mulMod(h, B) + (bytes(i) & 0xFF)) % M; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nh) {
+      h = (h + M - mulMod((bytes(i - 1) & 0xFF).toLong, bk)) % M
+      h = (mulMod(h, B) + (bytes(i + k - 1) & 0xFF)) % M
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min of each sliding window (rightmost min on ties)
+    val picks = scala.collection.mutable.SortedSet.empty[Long]
+    val w = math.min(window, nh)
+    var start = 0
+    while (start + w <= nh) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+        j += 1
+      }
+      picks += hashes(minIdx)
+      start += 1
+    }
+    if (picks.isEmpty) picks += hashes.min
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(picks.toArray)
   }
 
   def sortedIntersect(a: ArrayData, b: ArrayData): Int = {

@@ -47,6 +47,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 9L))
   }
 
+  test("winnowing fingerprints: shared passages overlap, unrelated text doesn't") {
+    import org.apache.spark.sql.graft.natives.{winnowFingerprint, sortedIntersectCount}
+    val passage = "the quick brown fox jumps over the lazy dog while the storm rolls in"
+    val df = Seq(
+      (0L, passage + " and the day ends quietly by the river bank tonight"),
+      (1L, "meanwhile in another town " + passage + " as the crowd watches on"),
+      (2L, "completely unrelated content about catalyst optimizer rules and codegen spans here")
+    ).toDF("id", "t")
+    val fp = df.select($"id", winnowFingerprint($"t", 8, 16).as("fp"))
+    val pairs = fp.as("x").crossJoin(fp.as("y"))
+      .filter($"x.id" < $"y.id")
+      .select($"x.id".as("a"), $"y.id".as("b"),
+        sortedIntersectCount($"x.fp", $"y.fp").as("common"))
+      .as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) > 0, "docs sharing a long passage must share fingerprints")
+    assert(pairs((0L, 1L)) > pairs((0L, 2L)))
+  }
+
   test("lsh ann achieves reasonable recall against brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
