@@ -55,6 +55,8 @@ object Ops {
       valueCols: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns
+    require(!(leftCols ++ valueCols).exists(Set("__k", "__ts", "__side")),
+      "asOfJoin reserves the __k/__ts/__side column names")
     // Common schema: all left columns (null on right rows) ++ valueCols (null
     // on left rows) ++ [__k, __ts, __side].
     val lProj = left.select(

@@ -90,8 +90,8 @@ object Similarity {
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       queryIdCol: String, embCol: String, k: Int,
-      numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64
+      numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
     val tables = (0 until numTables).map { t =>
       hyperplanes(numPlanes, dim, seed + t * 1000003L)
     }
