@@ -25,13 +25,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             return None
         if isinstance(v, float) and math.isnan(v):
             return None
+        # arrays BEFORE the numpy-scalar branch: ndarray also has .item,
+        # which raises on multi-element arrays
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(cell(x) for x in v)
         if hasattr(v, "item"):  # numpy scalar
             v = v.item()
         import decimal
         if isinstance(v, decimal.Decimal):
             v = int(v) if v == v.to_integral_value() else float(v)
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return tuple(cell(x) for x in v)
         return v
     # build plain-python rows directly — pandas re-coerces None to NaN on
     # column assignment, and nan != nan would produce spurious diffs

@@ -59,26 +59,34 @@ object Ops {
       "asOfJoin reserves the __k/__ts/__side column names")
     // Common schema: all left columns (null on right rows) ++ valueCols (null
     // on left rows) ++ [__k, __ts, __side].
+    // The carried payload is a STRUCT of the value columns: non-null for
+    // every right row even when individual fields are null, so
+    // last(ignoreNulls) picks the latest right ROW — a right row whose value
+    // is genuinely NULL is attached as NULL rather than skipped for an older
+    // non-null one (true as-of semantics; matches SQL ASOF JOIN oracles).
     val lProj = left.select(
       leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(0).as("__side")): _*
+        Seq(lit(null).cast(org.apache.spark.sql.types.StructType(
+            valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))).as("__vals"),
+          col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(0).as("__side")): _*
     )
     val rProj = right.select(
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col) ++
-        Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(1).as("__side")): _*
+        Seq(struct(valueCols.map(col): _*).as("__vals"),
+          col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(1).as("__side")): _*
     )
     val w = Window
       .partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lProj.unionByName(rProj).select(
-      (leftCols.map(col) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+      (leftCols.map(col) :+
+        last(col("__vals"), ignoreNulls = true).over(w).as("__picked") :+
         col("__side")): _*
     )
-    filled.filter(col("__side") === 0).drop("__side")
+    filled.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__picked").getField(c).as(c)): _*)
   }
 
   /** Skew-mitigating equi-join: the left (skewed fact) side gets a random
@@ -94,6 +102,12 @@ object Ops {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit saltFactor null-padded copies of every
+    // unmatched replicated right row — only shapes where the replicated side
+    // never surfaces unmatched are allowed
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support '$joinType' (replicated right side would duplicate unmatched rows)")
     val salted = left.withColumn("__salt", (rand() * saltFactor).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

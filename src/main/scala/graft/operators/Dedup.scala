@@ -211,9 +211,10 @@ object Dedup {
       .select(col(idCol).as("a"), col("lb"), col("gs").as("ga"))
     val r = grams.select(col(idCol).as("b"), col("lb"), col("gs").as("gb"))
     import org.apache.spark.sql.graft.natives.sortedIntersectCount
-    // gram table is tiny relative to the pair blow-up → broadcast one side
-    // so the big arrays never go through a sort-merge shuffle
-    l.join(broadcast(r), Seq("lb")).filter(col("a") < col("b"))
+    // shuffle-HASH join: the gram table grows with the corpus, so a broadcast
+    // would eventually exceed the 8 GB cap / driver memory; a hash join still
+    // avoids sort-merge's sorting of the big gram arrays
+    l.join(r.hint("shuffle_hash"), Seq("lb")).filter(col("a") < col("b"))
       .withColumn("common", sortedIntersectCount(col("ga"), col("gb")).cast("double"))
       .select(col("a"), col("b"),
         round(col("common") /

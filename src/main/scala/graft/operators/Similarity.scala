@@ -92,6 +92,11 @@ object Similarity {
       queryIdCol: String, embCol: String, k: Int,
       numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
       dim: Int = 64): DataFrame = {
+    // a dim mismatch null-poisons every dot product via zip_with padding and
+    // silently collapses all vectors into one bucket (= full cross product);
+    // fail fast instead with one cheap probe
+    val badDim = corpus.select(size(col(embCol)).as("d")).filter(col("d") =!= dim).limit(1).count()
+    require(badDim == 0, s"annLsh: embedding length differs from dim=$dim")
     val tables = (0 until numTables).map { t =>
       hyperplanes(numPlanes, dim, seed + t * 1000003L)
     }

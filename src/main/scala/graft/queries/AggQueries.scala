@@ -112,11 +112,12 @@ object AggQueries {
     "q_a8_first_elem" -> { (s, dir) =>
       // l_linenumber is NOT unique per order in this dataset, so the tiebreak
       // folds the partkey into the ordering key (composite numeric key — both
-      // engines support only scalar arg_min/min_by orderings).
+      // engines support only scalar arg_min/min_by orderings). 2^33 keeps the
+      // encoding order-correct for partkeys up to ~8.5e9 (TPC-H SF ~40k).
       Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
         .agg(min_by(col("l_partkey"),
-            col("l_linenumber").cast("long") * 10000000L + col("l_partkey")).as("first_partkey"),
+            col("l_linenumber").cast("long") * 8589934592L + col("l_partkey")).as("first_partkey"),
           count(lit(1)).as("n_lines"))
     },
     // A9: floor-at-zero aggregation (reference: SUM(GREATEST(earnings,0))
@@ -209,7 +210,7 @@ object AggQueries {
         |FROM buckets LEFT JOIN bucketed USING (bucket_id)""".stripMargin,
     "q_a8_first_elem" ->
       """SELECT l_orderkey,
-        |  arg_min(l_partkey, CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey) AS first_partkey,
+        |  arg_min(l_partkey, CAST(l_linenumber AS BIGINT) * 8589934592 + l_partkey) AS first_partkey,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     // NB: DuckDB's greatest() promotes DECIMAL args to DOUBLE (inexact sum);

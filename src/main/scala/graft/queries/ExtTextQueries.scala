@@ -92,11 +92,16 @@ object ExtTextQueries {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  length(text) AS n_chars_measured
         |FROM documents""".stripMargin,
+    // blank-text guard mirrors Spark's tokenCount: split('') yields [''] in
+    // both engines, which must count as 0 tokens, not 1
     "q_x_quality_score" ->
       s"""WITH $wCte,
-         |f AS (SELECT doc_id, len(ws) AS n,
-         |  len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0) AS diversity,
-         |  len(list_filter(ws, t -> t IN ('the','a')))::DOUBLE / nullif(len(ws), 0) AS stop
+         |f AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n,
+         |  len(list_distinct(ws))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS diversity,
+         |  len(list_filter(ws, t -> t IN ('the','a')))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS stop
          |FROM w)
          |SELECT doc_id,
          |  round(least(n / 50.0, 1.0) * 0.4 + coalesce(diversity, 0.0) * 0.4 +

@@ -25,8 +25,8 @@ object TimeWindowParams {
     (from, period) match {
       case (Some(ts), _)      => From(ts)
       case (_, Some("all"))   => All
-      case (_, Some(p)) if p.endsWith("m") && p.dropRight(1).forall(_.isDigit) &&
-        p.length > 1 => Months(p.dropRight(1).toInt)
+      case (_, Some(p)) if p.endsWith("m") && p.length > 1 &&
+        p.dropRight(1).toIntOption.isDefined => Months(p.dropRight(1).toInt)
       case _                  => Months(3)
     }
 

@@ -35,13 +35,13 @@ object Sinks {
       keys: Seq[String], props: Properties = new Properties()): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates(keys)
-    val existing =
-      try Some(spark.read.jdbc(url, table, props).select(keys.map(col): _*))
-      catch { case _: Exception => None } // table absent on first batch
-    val toWrite = existing match {
-      case Some(e) => fresh.join(e, keys, "left_anti")
-      case None    => fresh
-    }
+    // Only a confirmed-absent table may skip the anti-join: a transient read
+    // failure must propagate, or a replayed batch would double-append and
+    // break the effectively-once contract.
+    val toWrite =
+      if (jdbcTableExists(url, table, props))
+        fresh.join(spark.read.jdbc(url, table, props).select(keys.map(col): _*), keys, "left_anti")
+      else fresh
     toWrite.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
@@ -64,18 +64,17 @@ object Sinks {
       keys: Seq[String], props: Properties = new Properties()): Unit = {
     val spark = updates.sparkSession
     val tagged = updates.withColumn("__new", lit(1))
-    val existing =
-      try Some(spark.read.jdbc(url, table, props).withColumn("__new", lit(0)))
-      catch { case _: Exception => None }
-    val merged = existing match {
-      case Some(e) =>
+    // A transient read failure must NOT be mistaken for "table absent" —
+    // the Overwrite below would then replace the table with just this batch.
+    val merged =
+      if (jdbcTableExists(url, table, props)) {
+        val e = spark.read.jdbc(url, table, props).withColumn("__new", lit(0))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*).orderBy(col("__new").desc)
         tagged.unionByName(e)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn", "__new")
-      case None => tagged.drop("__new")
-    }
+      } else tagged.drop("__new")
     // materialize before overwrite: the merged frame reads the table being
     // replaced, and JDBC overwrite truncates before the read would run
     val rows = merged.collect()
@@ -87,6 +86,21 @@ object Sinks {
   /** CSV export with header (reference csv_response.rs, K7). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Definitive table-existence check via JDBC metadata (connection errors
+    * propagate; only true absence returns false).
+    */
+  private def jdbcTableExists(url: String, table: String, props: Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      var found = false
+      while (!found && rs.next()) {
+        if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) found = true
+      }
+      found
+    } finally conn.close()
+  }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -27,6 +27,19 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
   }
 
+  test("asOfJoin attaches a genuinely-NULL latest value instead of skipping to an older one") {
+    val left = Seq((1L, "u", 300L)).toDF("id", "k", "t")
+      .select($"id", $"k", timestamp_micros($"t").as("t"))
+    val right = Seq(("u", 100L, Some(5.0)), ("u", 200L, None))
+      .toDF("rk", "rt", "price")
+      .select($"rk", timestamp_micros($"rt").as("rt"), $"price")
+    val got = Ops.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("price"))
+      .select($"price").as[Option[Double]].head()
+    // the latest right ROW (ts=200) has price NULL — true as-of semantics
+    // (and SQL ASOF JOIN) attach NULL, not the older 5.0
+    assert(got.isEmpty)
+  }
+
   test("dateScaffold emits every day inclusive") {
     val bounds = Seq(("2024-01-01", "2024-01-05")).toDF("lo", "hi")
       .select($"lo".cast("timestamp").as("lo"), $"hi".cast("timestamp").as("hi"))
