@@ -81,6 +81,72 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells` cells by
+    * nearest centroid, then search only the query's `nProbe` closest cells.
+    * Centroids here are one k-means-style averaging pass over a hash-assigned
+    * seed partition (deterministic, no iteration) — production would run a
+    * few Lloyd iterations, but the index/probe machinery is identical. Cell
+    * assignment is a narrow map over a broadcast centroid array; the search
+    * shuffles on cell id only.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // one averaging pass: seed cell = id hash, centroid = elementwise mean
+    val seeded = corpus.select(pmod(hash(col(idCol)), lit(nCells)).as("cell"),
+      posexplode(col(embCol)).as(Seq("pos", "x")))
+    val centroids = seeded.groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+      .select(col("cell"), expr("transform(cs, s -> CAST(s.cx AS FLOAT))").as("centroid"))
+      .collect()
+      .map { case Row(cell: Int, centroid: scala.collection.Seq[_]) =>
+        cell -> centroid.asInstanceOf[scala.collection.Seq[Float]].toArray
+      }.sortBy(_._1).map(_._2)
+    // unit-normalize centroids so the dot-product cell ranking below IS the
+    // cosine ranking
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (n == 0) c else c.map(x => (x / n).toFloat)
+    }
+    // rank cells by dot against unit centroids; corpus keeps 1, queries nProbe
+    val scored = (df: DataFrame, id: Column, keep: Int) => {
+      // __e must be a real column before the explode expr references it
+      // (Generate cannot hold a lateral column alias)
+      val staged = df.select(id, col(embCol).as("__e"))
+      staged
+        .withColumn("sc",
+          explode(slice(array_sort(expr(
+            "transform(" + centroidExpr(unit) + ", (c, i) -> struct(-" +
+              "aggregate(zip_with(c, __e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)" +
+              " AS negdot, i AS cell))")), 1, keep)))
+        .select(col(staged.columns.head), col("__e"), col("sc.cell").as("cell"))
+    }
+    val c = scored(corpus, col(idCol).as("neighbor_id"), 1)
+      .withColumnRenamed("__e", "__ce")
+    val q = scored(queries, col(queryIdCol).as("query_id"), nProbe)
+      .withColumnRenamed("__e", "__qe")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qe"), col("__ce")).as("cs"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** SQL literal for the centroid array-of-arrays (16×64 floats is a small
+    * plan constant; at larger codebooks broadcast a DataFrame instead).
+    */
+  private def centroidExpr(cents: Array[Array[Float]]): String =
+    cents.map(c => "array(" + c.map(x => s"CAST($x AS FLOAT)").mkString(",") + ")")
+      .mkString("array(", ",", ")")
+
   /** Multi-table LSH ANN (OR-amplification): L independent tables of k
     * hyperplanes each; a corpus vector is a candidate if it shares a bucket
     * with the query in ANY table. Recall ≈ 1−(1−p^k)^L for per-plane

@@ -33,6 +33,13 @@ object ExtVectorQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.annLsh(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 8)
+    },
+    // IVF-bucketed ANN: centroid cells + nProbe search (no oracle; recall
+    // spec-tested against brute force).
+    "q_x_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvf(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 6)
     }
   )
 

@@ -77,4 +77,16 @@ class DedupSpec extends SparkSpec {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall $recall too low")
   }
+
+  test("ivf ann achieves reasonable recall against brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.annBruteForce(emb, queries, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(emb, queries, "vec_id", "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ivf recall $recall too low")
+  }
 }
