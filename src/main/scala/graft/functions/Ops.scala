@@ -55,8 +55,8 @@ object Ops {
       valueCols: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns
-    require(!(leftCols ++ valueCols).exists(Set("__k", "__ts", "__side")),
-      "asOfJoin reserves the __k/__ts/__side column names")
+    require(!(leftCols ++ valueCols).exists(Set("__k", "__ts", "__side", "__vals", "__picked")),
+      "asOfJoin reserves the __k/__ts/__side/__vals/__picked column names")
     // Common schema: all left columns (null on right rows) ++ valueCols (null
     // on left rows) ++ [__k, __ts, __side].
     // The carried payload is a STRUCT of the value columns: non-null for
@@ -108,6 +108,8 @@ object Ops {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support '$joinType' (replicated right side would duplicate unmatched rows)")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val salted = left.withColumn("__salt", (rand() * saltFactor).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -37,13 +37,22 @@ object IngestJob {
   }
 
   def run(spark: SparkSession, sfDir: String, wh: String): Unit = {
-    val parsed = EventPipeline.parse(graft.sources.Tables.events(spark, sfDir))
+    // parsed feeds 6+ downstream actions — persist so the raw scan + JSON
+    // parse run once, not once per action
+    val parsed = EventPipeline.parse(graft.sources.Tables.events(spark, sfDir)).persist()
+    try {
+      runStages(parsed, spark, sfDir, wh)
+    } finally parsed.unpersist()
+  }
 
-    // bronze→silver: one entity table per event family, idempotent append
+  private def runStages(parsed: org.apache.spark.sql.DataFrame,
+      spark: SparkSession, sfDir: String, wh: String): Unit = {
+    // bronze→silver: one entity table per event family, idempotent append,
+    // date-partitioned for pruning
     Seq("purchase", "view", "click", "signup", "error").foreach { t =>
       Sinks.appendDedupParquet(
         EventPipeline.entity(parsed, t).withColumn("event_date", to_date(col("ts"))),
-        s"$wh/entities/$t", Seq("event_id"))
+        s"$wh/entities/$t", Seq("event_id"), partitionCols = Seq("event_date"))
     }
 
     // silver: enriched purchases (as-of price, in_stable precompute — R4:

@@ -204,17 +204,19 @@ object Dedup {
     val grams = docs.select(col(idCol),
       floor(length(col(textCol)) / lengthBucket.toDouble).as("lb"),
       array_sort(array_distinct(transform(charNgrams(col(textCol), n), g => xxhash64(g)))).as("gs"))
-    // a small corpus often arrives as ONE parquet file = one partition; the
-    // pair blow-up must not inherit that. Spreading the stream side by id
-    // parallelizes verification across the cluster (broadcast side is whole).
-    val l = grams.repartition(col(idCol))
-      .select(col(idCol).as("a"), col("lb"), col("gs").as("ga"))
+    // The pair join keys on the length bucket, which has FEW distinct values
+    // — joining on lb alone caps parallelism at the bucket count. Salt the
+    // left side deterministically by doc id and replicate the right side
+    // over the salt range: parallelism becomes buckets × saltFactor, no
+    // broadcast (the gram table grows with the corpus), no sort-merge
+    // sorting of the big arrays (hash join hint).
+    val saltFactor = 16
+    val l = grams.select(col(idCol).as("a"), col("lb"), col("gs").as("ga"),
+      pmod(hash(col(idCol)), lit(saltFactor)).as("__s"))
     val r = grams.select(col(idCol).as("b"), col("lb"), col("gs").as("gb"))
+      .withColumn("__s", explode(sequence(lit(0), lit(saltFactor - 1))))
     import org.apache.spark.sql.graft.natives.sortedIntersectCount
-    // shuffle-HASH join: the gram table grows with the corpus, so a broadcast
-    // would eventually exceed the 8 GB cap / driver memory; a hash join still
-    // avoids sort-merge's sorting of the big gram arrays
-    l.join(r.hint("shuffle_hash"), Seq("lb")).filter(col("a") < col("b"))
+    l.join(r.hint("shuffle_hash"), Seq("lb", "__s")).filter(col("a") < col("b"))
       .withColumn("common", sortedIntersectCount(col("ga"), col("gb")).cast("double"))
       .select(col("a"), col("b"),
         round(col("common") /

@@ -91,8 +91,10 @@ object Similarity {
     */
   def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       queryIdCol: String, embCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.Row
+    requireDim(corpus, embCol, dim, "annIvf corpus")
+    requireDim(queries, embCol, dim, "annIvf queries")
     // one averaging pass: seed cell = id hash, centroid = elementwise mean
     val seeded = corpus.select(pmod(hash(col(idCol)), lit(nCells)).as("cell"),
       posexplode(col(embCol)).as(Seq("pos", "x")))
@@ -140,6 +142,14 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Fail fast on ragged/mismatched embedding lengths (a single pruned-scan
+    * probe; zip_with null-padding would otherwise silently degrade results).
+    */
+  private def requireDim(df: DataFrame, embCol: String, dim: Int, what: String): Unit = {
+    val bad = df.select(size(col(embCol)).as("d")).filter(col("d") =!= dim).limit(1).count()
+    require(bad == 0, s"$what: embedding length differs from dim=$dim")
+  }
+
   /** SQL literal for the centroid array-of-arrays (16×64 floats is a small
     * plan constant; at larger codebooks broadcast a DataFrame instead).
     */
@@ -160,9 +170,9 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     // a dim mismatch null-poisons every dot product via zip_with padding and
     // silently collapses all vectors into one bucket (= full cross product);
-    // fail fast instead with one cheap probe
-    val badDim = corpus.select(size(col(embCol)).as("d")).filter(col("d") =!= dim).limit(1).count()
-    require(badDim == 0, s"annLsh: embedding length differs from dim=$dim")
+    // fail fast instead — BOTH sides (the query side is just as poisonable)
+    requireDim(corpus, embCol, dim, "annLsh corpus")
+    requireDim(queries, embCol, dim, "annLsh queries")
     val tables = (0 until numTables).map { t =>
       hyperplanes(numPlanes, dim, seed + t * 1000003L)
     }

@@ -18,16 +18,20 @@ object TimeWindowParams {
   case object All extends Window
   case class From(ts: Timestamp) extends Window
 
-  /** Parse the period/from params; unknown periods fall back to 3 months
-    * (the reference's default), `from` wins over `period` when both given.
+  /** Parse the period/from params. Matches the reference contract: `from`
+    * wins when given; absent period defaults to 3 months; only 3m/6m/12m/all
+    * are valid — anything else is an error, not a silent default.
     */
   def parse(period: Option[String], from: Option[Timestamp]): Window =
     (from, period) match {
-      case (Some(ts), _)      => From(ts)
-      case (_, Some("all"))   => All
-      case (_, Some(p)) if p.endsWith("m") && p.length > 1 &&
-        p.dropRight(1).toIntOption.isDefined => Months(p.dropRight(1).toInt)
-      case _                  => Months(3)
+      case (Some(ts), _)    => From(ts)
+      case (_, None)        => Months(3)
+      case (_, Some("all")) => All
+      case (_, Some("3m"))  => Months(3)
+      case (_, Some("6m"))  => Months(6)
+      case (_, Some("12m")) => Months(12)
+      case (_, Some(bad))   =>
+        throw new IllegalArgumentException(s"invalid period '$bad' (want 3m|6m|12m|all)")
     }
 
   /** Predicate for `ts` within the parsed window ending at `asOf`. */

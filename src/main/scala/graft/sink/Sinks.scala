@@ -16,14 +16,17 @@ object Sinks {
     * keyed-dedup = effectively-once contract (ls_opening.rs:100), shaped for
     * `foreachBatch` reuse. Re-delivering the same batch is a no-op.
     */
-  def appendDedupParquet(batch: DataFrame, path: String, keys: Seq[String]): Unit = {
+  def appendDedupParquet(batch: DataFrame, path: String, keys: Seq[String],
+      partitionCols: Seq[String] = Seq.empty): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.dropDuplicates(keys)
     val toWrite =
       if (exists(spark, path))
         fresh.join(spark.read.parquet(path).select(keys.map(col): _*), keys, "left_anti")
       else fresh
-    toWrite.write.mode(SaveMode.Append).parquet(path)
+    val writer = toWrite.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
   }
 
   /** Idempotent JDBC append: stage the batch minus already-present keys, then
@@ -88,15 +91,23 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
   /** Definitive table-existence check via JDBC metadata (connection errors
-    * propagate; only true absence returns false).
+    * propagate; only true absence returns false). Handles schema-qualified
+    * names ("schema.table") by matching both parts.
     */
   private def jdbcTableExists(url: String, table: String, props: Properties): Boolean = {
+    val (schemaOpt, bare) = table.split('.') match {
+      case Array(s, t) => (Some(s), t)
+      case _           => (None, table)
+    }
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
       var found = false
       while (!found && rs.next()) {
-        if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) found = true
+        val nameOk = rs.getString("TABLE_NAME").equalsIgnoreCase(bare)
+        val schemaOk = schemaOpt.forall(s =>
+          Option(rs.getString("TABLE_SCHEM")).exists(_.equalsIgnoreCase(s)))
+        if (nameOk && schemaOk) found = true
       }
       found
     } finally conn.close()

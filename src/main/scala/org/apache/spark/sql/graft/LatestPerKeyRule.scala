@@ -41,6 +41,9 @@ object LatestPerKeyRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w @ Window(Seq(alias @ Alias(we: WindowExpression, _)), partitionSpec, orderSpec, child, _))
         if isRowNumber(we) && isRnEqualsOne(cond, alias.toAttribute) &&
+          // empty partitionSpec would turn a 0-row window result into a
+          // 1-row all-null global aggregate on empty input
+          partitionSpec.nonEmpty &&
           sameDirection(orderSpec) && orderSpec.nonEmpty &&
           orderSpec.forall(so => so.child.isInstanceOf[Attribute] && !so.child.nullable) &&
           partitionSpec.forall(_.isInstanceOf[Attribute]) =>

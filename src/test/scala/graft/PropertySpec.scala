@@ -78,13 +78,14 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("time-window params parse with reference defaults") {
+  test("time-window params parse with reference contract") {
     import graft.serve.TimeWindowParams._
     assert(parse(Some("3m"), None) == Months(3))
     assert(parse(Some("12m"), None) == Months(12))
     assert(parse(Some("all"), None) == All)
-    assert(parse(Some("bogus"), None) == Months(3)) // fallback = default
-    assert(parse(None, None) == Months(3))
+    assert(parse(None, None) == Months(3)) // default only on absence
+    intercept[IllegalArgumentException](parse(Some("bogus"), None))
+    intercept[IllegalArgumentException](parse(Some("9m"), None))
     val f = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     assert(parse(Some("6m"), Some(f)) == From(f)) // from wins
   }
