@@ -30,34 +30,50 @@ object TextOps {
   def md5Long64(c: Column): Column =
     org.apache.spark.sql.graft.natives.md5Long(c)
 
-  /** Quality-score feature bundle: char count, token count, distinct-token
-    * ratio (repetition detector), stopword ratio, mean token length.
+  /** Token count derived from an already-materialized token array; blank
+    * text tokenizes to [""], which must count 0 (same guard as tokenCount).
     */
-  def qualityFeatures(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    val n = tokenCount(text)
+  def tokenCountFromTokens(toks: Column): Column =
+    when(size(toks) === 1 && element_at(toks, 1) === "", lit(0)).otherwise(size(toks))
+
+  /** Quality-score feature bundle over a PRE-MATERIALIZED token array:
+    * token count, distinct-token ratio (repetition detector), stopword
+    * ratio. Taking the array (not the text) keeps tokenization a single
+    * `split` per row — inlining `tokens(text)` per feature let
+    * CollapseProject duplicate the split 4×, which made quality scoring
+    * ~30× the cost of token counting on the same corpus (round-1 bench).
+    */
+  def qualityFeaturesFromTokens(toks: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val n = tokenCountFromTokens(toks)
     val nD = n.cast("double")
     Seq(
-      "n_chars" -> length(text),
       "n_tokens" -> n,
       "distinct_ratio" -> (size(array_distinct(toks)).cast("double") / nullif(nD, lit(0.0))),
       "stopword_ratio" -> (size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
-        nullif(nD, lit(0.0))),
-      "mean_token_len" -> ((length(text) - (n - 1)).cast("double") / nullif(nD, lit(0.0)))
+        nullif(nD, lit(0.0)))
     )
   }
 
-  /** Composite quality score in [0,1]: favors mid-length docs with low
-    * repetition and a natural stopword rate (the reference-style
-    * length/stopword-ratio heuristic).
+  /** Composite quality score in [0,1] over a pre-materialized token array:
+    * favors mid-length docs with low repetition and a natural stopword rate
+    * (the reference-style length/stopword-ratio heuristic). Callers should
+    * project `tokens(text).as("toks")` in a separate select stage so the
+    * split happens once (CollapseProject keeps non-cheap multiply-referenced
+    * projections staged).
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val f = qualityFeatures(text, stopwords).toMap
+  def qualityScoreFromTokens(toks: Column, stopwords: Seq[String]): Column = {
+    val f = qualityFeaturesFromTokens(toks, stopwords).toMap
     val lengthScore = least(f("n_tokens").cast("double") / 50.0, lit(1.0))
     val diversity = coalesce(f("distinct_ratio"), lit(0.0))
     val stop = coalesce(f("stopword_ratio"), lit(0.0))
     round((lengthScore * 0.4 + diversity * 0.4 + least(stop * 5.0, lit(1.0)) * 0.2), 6)
   }
+
+  /** Single-column convenience form; prefer the FromTokens variant plus a
+    * staged `tokens(...)` projection on hot paths.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreFromTokens(tokens(text), stopwords)
 
   /** n-gram-lexicon language ID: score = hits per language lexicon, argmax
     * with alphabetical tiebreak, 'und' when every score is zero.

@@ -28,10 +28,13 @@ object ExtTextQueries {
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).as("n_chars_measured"))
     },
-    // Quality scoring: length/diversity/stopword composite in [0,1].
+    // Quality scoring: length/diversity/stopword composite in [0,1]. The
+    // token array is materialized in its own projection stage so the split
+    // runs once per row, not once per feature.
     "q_x_quality_score" -> { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.qualityScore(col("text"), stopwords).as("quality"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.qualityScoreFromTokens(col("toks"), stopwords).as("quality"))
     },
     // Language ID via per-language lexicon hit argmax.
     "q_x_lang_id" -> { (s, dir) =>
@@ -43,15 +46,19 @@ object ExtTextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fingerprint"))
     },
-    // Rolling-hash (winnowing) fingerprint set per doc — rows-only check
-    // (the per-engine oracle cannot express the one-pass rolling hash);
-    // the winnowing guarantee is spec-tested in DedupSpec.
+    // Rolling-hash (winnowing) fingerprint set per doc, emitted as a scalar
+    // digest + count (the driver's comparator can't sort raw array columns).
+    // The oracle replays the Rabin-Karp k-gram hashes positionally with
+    // precomputed powers of B mod 2^61-1 (HUGEINT holds the products) and
+    // winnows via distinct window minima — bit-parity with the native
+    // kernel; the winnowing guarantee itself is spec-tested in DedupSpec.
     "q_x_fingerprint_rolling" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextOps.fingerprintRolling(col("text")).as("fingerprints"))
-        .select(col("doc_id"), col("fingerprints"),
-          size(col("fingerprints")).as("n_fingerprints"))
+          TextOps.fingerprintRolling(col("text")).as("fps"))
+        .select(col("doc_id"),
+          md5(concat_ws(",", col("fps").cast("array<string>"))).as("fp_digest"),
+          size(col("fps")).as("n_fingerprints"))
     },
     // Exact dedup: keep lowest doc_id per (lang, source) group.
     "q_x_dedup_exact" -> { (s, dir) =>
@@ -128,6 +135,37 @@ object ExtTextQueries {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_x_fingerprint_rolling" -> {
+      // Rabin-Karp powers B^(k-1-j) mod 2^61-1 for B=1000003, k=8 — the same
+      // constants the native kernel derives (NativeKernels.winnow).
+      val M = (1L << 61) - 1
+      val B = 1000003L
+      val P = (0 until 8).map { j =>
+        java.math.BigInteger.valueOf(B)
+          .modPow(java.math.BigInteger.valueOf(7L - j), java.math.BigInteger.valueOf(M))
+          .longValueExact()
+      }
+      s"""WITH b AS (SELECT doc_id,
+         |    [ord(text[i]) for i in generate_series(1, length(text))] AS bv
+         |  FROM documents),
+         |hs AS (SELECT doc_id,
+         |  CASE WHEN len(bv) < 8 THEN []
+         |  ELSE [CAST((bv[i]::HUGEINT*${P(0)} + bv[i+1]::HUGEINT*${P(1)}
+         |            + bv[i+2]::HUGEINT*${P(2)} + bv[i+3]::HUGEINT*${P(3)}
+         |            + bv[i+4]::HUGEINT*${P(4)} + bv[i+5]::HUGEINT*${P(5)}
+         |            + bv[i+6]::HUGEINT*${P(6)} + bv[i+7]::HUGEINT*${P(7)}) % $M AS BIGINT)
+         |     for i in generate_series(1, len(bv)-7)] END AS hashes
+         |  FROM b),
+         |wn AS (SELECT doc_id,
+         |  CASE WHEN len(hashes) = 0 THEN []
+         |  ELSE list_sort(list_distinct([
+         |    list_min(hashes[s:s+least(16, len(hashes))-1])
+         |    for s in generate_series(1, len(hashes)-least(16, len(hashes))+1)])) END AS picks
+         |  FROM hs)
+         |SELECT doc_id, md5(array_to_string(picks, ',')) AS fp_digest,
+         |  len(picks) AS n_fingerprints
+         |FROM wn""".stripMargin
+    },
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,

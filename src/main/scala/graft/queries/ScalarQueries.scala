@@ -128,7 +128,7 @@ object ScalarQueries {
          |SELECT event_type,
          |  CAST(json_extract_string(props, '$$.k') AS INT) % 10 AS k_mod,
          |  count(*) AS n,
-         |  sum(CAST(json_extract_string(props, '$$.k') AS INT)) AS sum_k
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS sum_k
          |FROM ev GROUP BY 1, 2""".stripMargin
   )
 }

@@ -147,8 +147,8 @@ object WindowSetQueries {
          |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
          |  FROM ev GROUP BY 1, 2)
          |SELECT event_type, hour, n,
-         |  sum(n) OVER (PARTITION BY event_type ORDER BY hour
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+         |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
          |FROM hourly""".stripMargin,
     "q_o1_pagination" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
