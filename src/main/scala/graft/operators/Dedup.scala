@@ -18,9 +18,10 @@ import TextOps.{md5Long64, tokens}
   * The hash family is md5-derived (seeded by prefix), chosen because common
   * SQL engines can reproduce it bit-for-bit for oracle checks. Every stage is
   * built-in expressions (codegen'd); shuffles key on doc id or band bucket —
-  * both well-distributed — so the pipeline survives a 100 TB corpus. The only
-  * skew risk is a hot LSH bucket (e.g. boilerplate docs); cap bucket sizes or
-  * salt if a corpus has mega-clusters.
+  * both well-distributed — so the pipeline survives a 100 TB corpus. The one
+  * skew risk — a hot LSH bucket from boilerplate mega-clusters — is guarded:
+  * buckets over `maxBucketSize` emit linear star pairs instead of quadratic
+  * all-pairs (see [[lshCandidatePairs]]).
   */
 object Dedup {
 
@@ -95,22 +96,51 @@ object Dedup {
         (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
 
+  /** Default per-bucket cap for banded candidate generation. A bucket of m
+    * near-identical docs (boilerplate mega-cluster) otherwise emits m²/2
+    * pairs onto one reducer — the one scale-killer in LSH dedup.
+    */
+  val DefaultMaxBucketSize = 1024
+
   /** LSH banding: md5 each band of `rowsPerBand` signature values, bucket-join
     * on (band index, band hash), emit unordered candidate pairs (a < b).
+    *
+    * Hot-bucket guard: buckets larger than `maxBucketSize` switch from
+    * all-pairs to STAR pairs (bucket-min id → every other member) — linear in
+    * the bucket size instead of quadratic, and the cluster stays connected
+    * for downstream connected-components dedup (mirrors the reference's
+    * bounded fan-out philosophy, handler/ls_state.rs:23-47). The bucket
+    * size/min annotations ride a window over (band, bh) — the same hash
+    * partitioning the self-join needs, so the guard adds no extra shuffle.
+    * The count of capped buckets is published via `observe` as
+    * `lsh_hot_buckets` for pipeline monitoring.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
+      numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
       struct(lit(j).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }
+    val wB = Window.partitionBy(col("band"), col("bh"))
     val bands = sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
-    val l = bands.select(col(idCol).as("a"), col("band"), col("bh"))
-    val r = bands.select(col(idCol).as("b"), col("band"), col("bh"))
-    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .withColumn("__sz", count(lit(1)).over(wB))
+      .withColumn("__mn", min(col(idCol)).over(wB))
+      // one row per bucket carries id == min, so this counts capped buckets
+      // exactly once (observe disallows DISTINCT aggregates)
+      .observe("lsh_hot_buckets",
+        sum(when(col("__sz") > maxBucketSize && col(idCol) === col("__mn"), 1)
+          .otherwise(0)).as("n_capped_buckets"))
+    val small = bands.filter(col("__sz") <= maxBucketSize)
+    val l = small.select(col(idCol).as("a"), col("band"), col("bh"))
+    val r = small.select(col(idCol).as("b"), col("band"), col("bh"))
+    val allPairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val starPairs = bands.filter(col("__sz") > maxBucketSize && col(idCol) =!= col("__mn"))
+      .select(col("__mn").as("a"), col(idCol).as("b"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** Exact word-shingle Jaccard on candidate pairs: |A∩B| via shingle
@@ -143,12 +173,14 @@ object Dedup {
     */
   def nearDupPairsMinHash(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sig = minHashSignature(docs, idCol, textCol, numHashes, shingleN)
     // candidate pairs are tiny but referenced twice by the verifier (for the
     // semi-join filter and the pair join) — materialize once so the whole
     // signature pipeline doesn't re-run per reference
-    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand).localCheckpoint()
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
+      .localCheckpoint()
     jaccardOnPairs(pairs, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
@@ -171,22 +203,34 @@ object Dedup {
 
   /** SimHash near-dup candidates: split the sketch into 4×16-bit bands
     * (Hamming ≤ 3 ⇒ at least one band identical), bucket-join, then verify
-    * the true Hamming distance with bit_count(xor).
+    * the true Hamming distance with bit_count(xor). Same hot-bucket star
+    * guard as [[lshCandidatePairs]]: over-cap buckets link members to the
+    * bucket-min doc instead of emitting all pairs.
     */
   def nearDupPairsSimHash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sk = simHash(docs, idCol, textCol)
+    val wB = Window.partitionBy(col("band"), col("bv"))
     val bands = sk.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
           shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val l = bands.select(col(idCol).as("a"), col("simhash").as("sha"), col("band"), col("bv"))
-    val r = bands.select(col(idCol).as("b"), col("simhash").as("shb"), col("band"), col("bv"))
-    l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
+      .withColumn("__sz", count(lit(1)).over(wB))
+      // struct min carries the hub's sketch along with its id
+      .withColumn("__mn", min(struct(col(idCol), col("simhash"))).over(wB))
+    val small = bands.filter(col("__sz") <= maxBucketSize)
+    val l = small.select(col(idCol).as("a"), col("simhash").as("sha"), col("band"), col("bv"))
+    val r = small.select(col(idCol).as("b"), col("simhash").as("shb"), col("band"), col("bv"))
+    val allPairs = l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
-      .distinct()
+    val starPairs = bands
+      .filter(col("__sz") > maxBucketSize && col(idCol) =!= col("__mn").getField(idCol))
+      .select(col("__mn").getField(idCol).as("a"), col(idCol).as("b"),
+        bit_count(col("__mn").getField("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    allPairs.unionByName(starPairs).distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

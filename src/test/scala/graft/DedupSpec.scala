@@ -66,6 +66,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs((0L, 1L)) > pairs((0L, 2L)))
   }
 
+  test("hot-bucket guard: a mega-cluster emits linear star pairs, not quadratic") {
+    // 1,200 identical docs (the boilerplate case) share one LSH bucket in
+    // every band; without the cap this is ~719k pairs on one reducer. With
+    // the default cap (1024) the cluster must complete promptly and stay
+    // connected via the star hub (min id): exactly 1199 linear pairs.
+    val cluster = (0L until 1200L).map(i => (i, base))
+    val others = Seq((5000L, "completely different content about spark engines and plans"),
+      (5001L, "another unrelated snippet touching neither fox nor valley at all"))
+    val big = spark.createDataFrame(cluster ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsMinHash(big, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.length == 1199, s"expected 1199 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L), "cap must link cluster members to the bucket-min hub")
+  }
+
+  test("hot-bucket guard in simhash banding caps identical-sketch clusters") {
+    val cluster = (0L until 1200L).map(i => (i, base))
+    val big = spark.createDataFrame(cluster :+
+      (5000L, "another unrelated snippet touching neither fox nor valley at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsSimHash(big, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.length == 1199, s"expected 1199 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L))
+  }
+
+  test("small buckets keep exact all-pairs semantics regardless of the guard") {
+    val pairsDefault = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val pairsHugeCap = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairsDefault == pairsHugeCap)
+  }
+
   test("lsh ann achieves reasonable recall against brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
