@@ -58,32 +58,57 @@ object Sinks {
 
   /** Keyed upsert (K4 point-UPDATE batch analog): new rows replace existing
     * rows with the same key; untouched rows survive. Spark's JDBC writer has
-    * no MERGE, so this is read ∪ new → latest-per-key → overwrite — correct
-    * for the reference's small correction batches (backfilled loan amounts,
-    * processed flags); for big fact tables use a staging table + sink-side
-    * MERGE instead.
+    * no MERGE, so the batch is bulk-staged to `<table>__graft_stage` (a
+    * distributed JDBC write — nothing ever passes through the driver) and a
+    * single sink-side `MERGE INTO` applies it — the reference's own
+    * `INSERT ... ON CONFLICT DO UPDATE` contract
+    * (etl-core/src/dao/postgre/currency_registry.rs:9-50). Within-batch
+    * duplicate keys are collapsed first (a multi-match source row is a MERGE
+    * error in ANSI engines). The staging table is dropped afterwards.
     */
   def upsertJdbc(updates: DataFrame, url: String, table: String,
       keys: Seq[String], props: Properties = new Properties()): Unit = {
-    val spark = updates.sparkSession
-    val tagged = updates.withColumn("__new", lit(1))
-    // A transient read failure must NOT be mistaken for "table absent" —
-    // the Overwrite below would then replace the table with just this batch.
-    val merged =
-      if (jdbcTableExists(url, table, props)) {
-        val e = spark.read.jdbc(url, table, props).withColumn("__new", lit(0))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(col("__new").desc)
-        tagged.unionByName(e)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", "__new")
-      } else tagged.drop("__new")
-    // materialize before overwrite: the merged frame reads the table being
-    // replaced, and JDBC overwrite truncates before the read would run
-    val rows = merged.collect()
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
-    out.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+    require(keys.nonEmpty, "upsertJdbc requires at least one key column")
+    val batch = updates.dropDuplicates(keys)
+    // A transient existence-check failure must propagate, not be mistaken
+    // for "table absent" (which would fork the no-MERGE create path).
+    if (!jdbcTableExists(url, table, props)) {
+      batch.write.mode(SaveMode.Append).jdbc(url, table, props)
+    } else {
+      val stage = stagingName(table)
+      batch.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        // Spark's JDBC writer creates columns with quoted (case-exact)
+        // identifiers — quote them here the same way. Table names are used
+        // as passed (they may be schema-qualified).
+        def q(c: String) = "\"" + c + "\""
+        val cols = batch.columns.toSeq
+        val nonKeys = cols.filterNot(keys.contains)
+        val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val matched = if (nonKeys.isEmpty) ""
+          else " WHEN MATCHED THEN UPDATE SET " +
+            nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+        val insert = s" WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})" +
+          s" VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+        val st = conn.createStatement()
+        try st.executeUpdate(s"MERGE INTO $table t USING $stage s ON $on$matched$insert")
+        finally st.close()
+      } finally {
+        try {
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Staging-table name next to the target (schema-qualified names keep
+    * their schema part).
+    */
+  private def stagingName(table: String): String = table.split('.') match {
+    case Array(s, t) => s"$s.${t}__graft_stage"
+    case _           => s"${table}__graft_stage"
   }
 
   /** CSV export with header (reference csv_response.rs, K7). */
