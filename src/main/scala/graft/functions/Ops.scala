@@ -57,6 +57,10 @@ object Ops {
     val leftCols = left.columns
     require(!(leftCols ++ valueCols).exists(Set("__k", "__ts", "__side", "__vals", "__picked")),
       "asOfJoin reserves the __k/__ts/__side/__vals/__picked column names")
+    val clash = leftCols.toSet.intersect(valueCols.toSet)
+    require(clash.isEmpty,
+      s"asOfJoin value columns ${clash.mkString(", ")} collide with left columns — " +
+        "alias them on the right side first (duplicate output names break downstream resolution)")
     // Common schema: all left columns (null on right rows) ++ valueCols (null
     // on left rows) ++ [__k, __ts, __side].
     // The carried payload is a STRUCT of the value columns: non-null for

@@ -75,6 +75,44 @@ object DerivationQueries {
             .cast("double").as("pnl"))
         .filter(col("o_orderkey") < 300)
     },
+    // B7: PnL short branch — the debt leg is valued through a price at
+    // valuation time: pnl = amount − debt×lpn_price − Σrepaid − downpayment
+    // + fee (reference: get_pnl_short ls_loan_closing.rs:569-684, formula at
+    // :670). The customer dim supplies the per-order price factor; exact
+    // DECIMAL sums feed a per-row double formula.
+    "q_b7_pnl_short" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(30,4)")).as("debt"),
+          sum((dec("l_extendedprice") * dec("l_tax")).cast("decimal(30,4)")).as("repaid"))
+      val price = Tables.customer(s, dir)
+        .select(col("c_custkey"), (lit(1.0) + col("c_acctbal") / 100000.0).as("lpn_price"))
+      Tables.orders(s, dir)
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .join(broadcast(price), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice")
+            - coalesce(col("debt").cast("double"), lit(0.0)) * col("lpn_price")
+            - coalesce(col("repaid").cast("double"), lit(0.0))
+            - col("o_totalprice") * 0.2
+            + col("o_totalprice") * 0.01, 6).as("pnl_short"))
+        .filter(col("o_orderkey") < 300)
+    },
+    // B8: PnL liquidated branch — no market legs survive liquidation:
+    // pnl = −(Σrepaid + downpayment) (reference: get_pnl_liquidated
+    // ls_loan_closing.rs:743-802, formula at :791).
+    "q_b8_pnl_liquidated" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((dec("l_extendedprice") * dec("l_tax")).cast("decimal(30,4)")).as("repaid"))
+      Tables.orders(s, dir)
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          round(-(coalesce(col("repaid").cast("double"), lit(0.0))
+            + col("o_totalprice") * 0.2), 6).as("pnl_liquidated"))
+        .filter(col("o_orderkey") < 300)
+    },
     // B10: snapshot-delta identity tax = state_now + rewards − profit −
     // state_prev via lag over ordered snapshots (reference: pl_state.rs:160-166,
     // entities.md:345). Daily per-user value plays the snapshot series.
@@ -136,6 +174,31 @@ object DerivationQueries {
         |  FROM lineitem GROUP BY l_orderkey)
         |SELECT o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - coalesce(net_value, 0) + coalesce(tax_paid, 0) AS DOUBLE) AS pnl
+        |FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 300""".stripMargin,
+    "q_b7_pnl_short" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS debt,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS repaid
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey,
+        |  round(o_totalprice
+        |    - coalesce(CAST(debt AS DOUBLE), 0.0) * (1.0 + c_acctbal / 100000.0)
+        |    - coalesce(CAST(repaid AS DOUBLE), 0.0)
+        |    - o_totalprice * 0.2
+        |    + o_totalprice * 0.01, 6) AS pnl_short
+        |FROM orders
+        |LEFT JOIN li ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 300""".stripMargin,
+    "q_b8_pnl_liquidated" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS repaid
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey,
+        |  round(-(coalesce(CAST(repaid AS DOUBLE), 0.0) + o_totalprice * 0.2), 6) AS pnl_liquidated
         |FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
         |WHERE o_orderkey < 300""".stripMargin,
     "q_b10_lag_identity" ->

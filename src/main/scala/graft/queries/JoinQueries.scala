@@ -150,6 +150,20 @@ object JoinQueries {
         .withColumn("next_key", lead(col("o_orderkey"), 1).over(Window.orderBy(col("o_orderkey"))))
         .filter(col("next_key") > col("o_orderkey") + 1)
         .select((col("o_orderkey") + 1).as("gap_start"), (col("next_key") - 1).as("gap_end"))
+    },
+    // S4/J11 scale form: missing ids via range anti-join — spark.range is a
+    // partitioned generator and the anti-join shuffles on the id, so there is
+    // no global window and no single-partition stage at any table size
+    // (reference: recover_missing_blocks synchronization.rs:33-136). The only
+    // driver materialization is the 2-value min/max bound.
+    "q_j11_gap_range" -> { (s, dir) =>
+      val present = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 =!= 0)
+        .select(col("o_orderkey"))
+      val bounds = present.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (lo, hi) = (bounds.getAs[Number](0).longValue, bounds.getAs[Number](1).longValue)
+      s.range(lo, hi + 1).toDF("missing_id")
+        .join(present, col("missing_id") === col("o_orderkey"), "left_anti")
     }
   )
 
@@ -227,6 +241,12 @@ object JoinQueries {
       """WITH present AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 <> 0),
         |w AS (SELECT o_orderkey, lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key FROM present)
         |SELECT o_orderkey + 1 AS gap_start, next_key - 1 AS gap_end
-        |FROM w WHERE next_key > o_orderkey + 1""".stripMargin
+        |FROM w WHERE next_key > o_orderkey + 1""".stripMargin,
+    "q_j11_gap_range" ->
+      """WITH present AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 <> 0),
+        |bounds AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM present),
+        |ids AS (SELECT unnest(generate_series(lo, hi)) AS missing_id FROM bounds)
+        |SELECT missing_id FROM ids
+        |WHERE NOT EXISTS (SELECT 1 FROM present WHERE o_orderkey = missing_id)""".stripMargin
   )
 }

@@ -111,6 +111,40 @@ object WindowSetQueries {
       streams.reduce(_ unionByName _)
         .agg(sum(col("amt")).cast("double").as("total_value"), count(lit(1)).as("n_events"))
     },
+    // U4: closed-loans union — close-position rows ∪ repayment rows on an
+    // aligned schema, rolled up per contract with the MAX(CASE close-flag)
+    // timestamp and kept only when a close row exists
+    // (reference: Closed_Loans/RepaidLeases ls_repayment.rs:224-260). The
+    // 'error' stream plays close-position, 'purchase' plays repayments.
+    "q_u4_closed_union" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val closes = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), dec("value").as("amount"), lit(true).as("is_close"))
+      val repays = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), dec("value").as("amount"), lit(false).as("is_close"))
+      closes.unionByName(repays)
+        .groupBy(col("user_id"))
+        .agg(sum(col("amount")).cast("double").as("total_flow"),
+          max(when(col("is_close"), col("ts"))).as("close_ts"),
+          count(when(col("is_close"), 1)).as("n_close"))
+        .filter(col("n_close") > 0)
+    },
+    // U5: interest-events union — three tagged streams on one schema with a
+    // per-row interest split, newest-first keyset page
+    // (reference: RepaymentEvents ∪ CloseEvents ∪ LiquidationEvents
+    // ls_repayment.rs:414-477). Tag sort keeps equal-ts rows deterministic.
+    "q_u5_interest_union" -> { (s, dir) =>
+      val e = ev(s, dir)
+      def stream(t: String, tag: String) = e.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"), lit(tag).as("evt"),
+          round(col("value") * 0.7, 6).as("loan_interest"),
+          round(col("value") * 0.3, 6).as("margin_interest"))
+      stream("purchase", "repayment")
+        .unionByName(stream("signup", "close"))
+        .unionByName(stream("error", "liquidation"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .offset(10).limit(50)
+    },
     // U6: two-sided ledger with tags, kept as rows (reference: deposits ∪
     // withdrawals lp_deposit.rs:161-190).
     "q_u6_ledger" -> { (s, dir) =>
@@ -180,6 +214,35 @@ object WindowSetQueries {
          |  count(*) AS n_events
          |FROM ev
          |WHERE event_type IN ('purchase','click','view','signup','error')""".stripMargin,
+    "q_u4_closed_union" ->
+      s"""WITH $evCte,
+         |flows AS (
+         |  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS amount, true AS is_close
+         |  FROM ev WHERE event_type = 'error'
+         |  UNION ALL
+         |  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS amount, false AS is_close
+         |  FROM ev WHERE event_type = 'purchase')
+         |SELECT user_id, CAST(sum(amount) AS DOUBLE) AS total_flow,
+         |  max(CASE WHEN is_close THEN ts END) AS close_ts,
+         |  count(CASE WHEN is_close THEN 1 END) AS n_close
+         |FROM flows GROUP BY user_id
+         |HAVING count(CASE WHEN is_close THEN 1 END) > 0""".stripMargin,
+    "q_u5_interest_union" ->
+      s"""WITH $evCte,
+         |streams AS (
+         |  SELECT event_id, user_id, ts, 'repayment' AS evt,
+         |    round(value * 0.7, 6) AS loan_interest, round(value * 0.3, 6) AS margin_interest
+         |  FROM ev WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts, 'close' AS evt,
+         |    round(value * 0.7, 6), round(value * 0.3, 6)
+         |  FROM ev WHERE event_type = 'signup'
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts, 'liquidation' AS evt,
+         |    round(value * 0.7, 6), round(value * 0.3, 6)
+         |  FROM ev WHERE event_type = 'error')
+         |SELECT * FROM streams
+         |ORDER BY ts DESC, event_id DESC LIMIT 50 OFFSET 10""".stripMargin,
     "q_u6_ledger" ->
       s"""WITH $evCte
          |SELECT user_id, event_id, ts, 'in' AS kind, value AS amount

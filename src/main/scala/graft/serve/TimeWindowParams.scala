@@ -34,6 +34,17 @@ object TimeWindowParams {
         throw new IllegalArgumentException(s"invalid period '$bad' (want 3m|6m|12m|all)")
     }
 
+  /** O4 limit clamping — the reference's pagination guard: absent limit
+    * defaults, oversized limits clamp to the cap rather than erroring
+    * (etl-api/src/controller/leases.rs:43-47); negative asks are a caller
+    * bug and reject.
+    */
+  def clampLimit(limit: Option[Int], default: Int = 10, max: Int = 100): Int = {
+    val n = limit.getOrElse(default)
+    require(n >= 0, s"limit must be non-negative, got $n")
+    math.min(n, max)
+  }
+
   /** Predicate for `ts` within the parsed window ending at `asOf`. */
   def predicate(w: Window, ts: Column, asOf: Column): Column = w match {
     case Months(n) => ts > asOf - expr(s"INTERVAL $n MONTHS") && ts <= asOf

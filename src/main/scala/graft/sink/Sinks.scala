@@ -115,6 +115,15 @@ object Sinks {
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** K6 JSON response sink: render a result as a JSON array string for an
+    * HTTP handler (reference: actix Json responses over DAO rows). A
+    * response body is driver-side by nature, so the row count is clamped
+    * first — pair with [[graft.serve.TimeWindowParams.clampLimit]] for the
+    * request-facing cap.
+    */
+  def toJsonResponse(df: DataFrame, maxRows: Int = 100): String =
+    df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+
   /** Definitive table-existence check via JDBC metadata (connection errors
     * propagate; only true absence returns false). Handles schema-qualified
     * names ("schema.table") by matching both parts.

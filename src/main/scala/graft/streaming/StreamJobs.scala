@@ -78,24 +78,33 @@ object StreamJobs {
   /** Per-user running session state via flatMapGroupsWithState — the custom
     * stateful recurrence ("present in previous state or opened, not closed",
     * entities.md:183-186) in stream form. Emits an updated row per user per
-    * batch; state times out after inactivity.
+    * batch; state for users idle past `idleTimeout` is evicted (processing-
+    * time timeout), so long-running streams don't accumulate dead keys — the
+    * batch reconciliation tier rebuilds any session that resumes later.
     */
-  def userSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+  def userSessions(spark: SparkSession, events: DataFrame,
+      idleTimeout: String = "30 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     events.selectExpr("user_id", "value", "cast(ts as long) as ts_s")
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (user: Long, rows: Iterator[(Long, Double, Long)], state: GroupState[SessionState]) => {
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          var n = prev.nEvents
-          var total = prev.totalValue
-          var last = prev.lastTs
-          rows.foreach { case (_, v, t) =>
-            n += 1; total += v; last = math.max(last, t)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var n = prev.nEvents
+            var total = prev.totalValue
+            var last = prev.lastTs
+            rows.foreach { case (_, v, t) =>
+              n += 1; total += v; last = math.max(last, t)
+            }
+            state.update(SessionState(n, total, last))
+            state.setTimeoutDuration(idleTimeout)
+            Iterator(SessionOut(user, n, total))
           }
-          state.update(SessionState(n, total, last))
-          Iterator(SessionOut(user, n, total))
         })
   }
 
@@ -112,4 +121,48 @@ object StreamJobs {
         graft.sink.Sinks.appendDedupParquet(batch.toDF(), sinkPath, keys)
       }
       .start()
+
+  /** S2 consumer retry + circuit breaker: wrap a foreachBatch body in
+    * bounded in-place retries (the batch's epoch is only committed once the
+    * body returns, so a retried batch is never lost and never doubled given
+    * an idempotent sink). After `maxAttempts` consecutive failures of the
+    * same batch the breaker opens: the wrapper rethrows and the query stops
+    * — mirroring the reference consumer's abort-after-N-consecutive-errors
+    * loop (etl-ingest/src/provider/event.rs:157-215). Restarting the query
+    * resumes from the uncommitted batch.
+    */
+  def breakerForeachBatch(maxAttempts: Int, backoffMs: Long = 0L)(
+      body: (Dataset[org.apache.spark.sql.Row], Long) => Unit):
+      (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, batchId) =>
+    var attempt = 1
+    var done = false
+    while (!done) {
+      try { body(batch, batchId); done = true }
+      catch {
+        case e: Throwable if attempt < maxAttempts =>
+          attempt += 1
+          if (backoffMs > 0) Thread.sleep(backoffMs)
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"circuit breaker open: batch $batchId failed $maxAttempts consecutive attempts", e)
+      }
+    }
+  }
+
+  /** Observes query terminations and latches the breaker state: once a query
+    * dies with an exception (e.g. the breaker above rethrowing), `isOpen`
+    * stays true so a supervising restart loop stops re-spawning a sick
+    * consumer (reference: event.rs:20-29). Register with
+    * `spark.streams.addListener`.
+    */
+  class BreakerListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile private var reason: Option[String] = None
+    def isOpen: Boolean = reason.isDefined
+    def openReason: Option[String] = reason
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+      event.exception.foreach(e => reason = Some(e))
+  }
 }

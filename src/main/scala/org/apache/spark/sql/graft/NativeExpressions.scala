@@ -124,7 +124,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
 }
 
 /** dot(a,b) / (|a|·|b|) over float vectors, double accumulators, strict
-  * element order; 0.0 when either norm is zero.
+  * element order; 0.0 when either norm is zero; throws on ragged input
+  * (silent truncation would quietly corrupt similarity scores).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -262,7 +263,12 @@ object NativeKernels {
   }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // ragged embeddings are data corruption, not a 0-similarity pair — fail
+    // fast instead of silently truncating to the shorter vector
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: embedding lengths differ ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -89,4 +89,37 @@ class PropertySpec extends SparkSpec {
     val f = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     assert(parse(Some("6m"), Some(f)) == From(f)) // from wins
   }
+
+  test("limit clamping follows the reference pagination guard") {
+    import graft.serve.TimeWindowParams.clampLimit
+    assert(clampLimit(None) == 10)          // absent → default
+    assert(clampLimit(Some(42)) == 42)      // in range passes through
+    assert(clampLimit(Some(100)) == 100)    // cap inclusive
+    assert(clampLimit(Some(5000)) == 100)   // oversized → clamped, not error
+    assert(clampLimit(Some(0)) == 0)
+    assert(clampLimit(Some(7), default = 25, max = 50) == 7)
+    assert(clampLimit(None, default = 25, max = 50) == 25)
+    intercept[IllegalArgumentException](clampLimit(Some(-1)))
+  }
+
+  test("catch-up scheduling mirrors the reference timer math") {
+    import graft.serve.Scheduling.catchUpDelaySeconds
+    val hour = 3600L
+    assert(catchUpDelaySeconds(hour, None, 1000000L) == 0L)           // cold start → now
+    assert(catchUpDelaySeconds(hour, Some(0L), hour * 2000) == 0L)    // long overdue → now
+    val now = 10_000_000_000L
+    assert(catchUpDelaySeconds(hour, Some(now - 600_000), now) == 3000L) // 10 min ago → 50 min
+    assert(catchUpDelaySeconds(hour, Some(now), now) == hour)         // just ran / skew → full
+    assert(catchUpDelaySeconds(hour, Some(now + 5000), now) == hour)  // future ts → full
+    intercept[IllegalArgumentException](catchUpDelaySeconds(0, None, now))
+  }
+
+  test("json response sink renders clamped rows as a JSON array") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val body = graft.sink.Sinks.toJsonResponse(df.orderBy("id"), maxRows = 2)
+    assert(body.startsWith("[") && body.endsWith("]"))
+    assert(body.contains("\"id\":1") && body.contains("\"name\":\"a\""))
+    assert(!body.contains("\"id\":3"), "rows past the clamp must not serialize")
+  }
 }

@@ -51,7 +51,18 @@ class StreamingSpec extends SparkSpec {
     val src = stageEvents()
     val out = StreamJobs.userSessions(spark, StreamJobs.fileEventStream(spark, src))
     val q = out.writeStream.outputMode("append").format("memory").queryName("sessions").start()
-    q.processAllAvailable(); q.stop()
+    // ProcessingTimeTimeout queries keep scheduling empty timeout-check
+    // batches, so processAllAvailable can spin — poll the sink until every
+    // user's final total has landed, then stop.
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deadline = System.currentTimeMillis() + 120000
+    def latest() = spark.table("sessions")
+      .groupBy("user_id").agg(max(col("n_events")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    while (latest() != expected && System.currentTimeMillis() < deadline) Thread.sleep(250)
+    q.stop()
     // last emitted row per user must equal the batch per-user totals
     val last = spark.table("sessions")
       .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("s"))
@@ -81,6 +92,47 @@ class StreamingSpec extends SparkSpec {
     // inner-match rows (price not null) must equal the batch interval join;
     // left-outer nulls for unmatched purchases may lag the final watermark
     assert(got.filter(col("price").isNotNull).count() == batchEquiv.count())
+  }
+
+  test("breaker sink: transient batch failures retry in place, then recover") {
+    val src = Files.createTempDirectory("graft_brk_src").toString
+    graft.sources.Tables.events(spark, sfDir).limit(20).coalesce(1)
+      .write.mode("append").parquet(src)
+    val sink = Files.createTempDirectory("graft_brk_sink").toString + "/t"
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val q = StreamJobs.fileEventStream(spark, src).writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft_brk_cp").toString)
+      .foreachBatch(StreamJobs.breakerForeachBatch(maxAttempts = 3) { (batch, _) =>
+        if (failures.getAndDecrement() > 0) sys.error("transient sink outage")
+        graft.sink.Sinks.appendDedupParquet(batch.toDF(), sink, Seq("event_id"))
+      })
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(sink).count() == 20, "batch must land exactly once after retries")
+  }
+
+  test("breaker opens after max consecutive failures and the listener latches") {
+    val src = Files.createTempDirectory("graft_brk2_src").toString
+    graft.sources.Tables.events(spark, sfDir).limit(5).coalesce(1)
+      .write.mode("append").parquet(src)
+    val listener = new StreamJobs.BreakerListener
+    spark.streams.addListener(listener)
+    try {
+      val q = StreamJobs.fileEventStream(spark, src).writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft_brk2_cp").toString)
+        .foreachBatch(StreamJobs.breakerForeachBatch(maxAttempts = 2) { (_, _) =>
+          sys.error("sink permanently down")
+        })
+        .start()
+      val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination()
+      }
+      assert(died.getMessage.contains("circuit breaker open"))
+      // listener delivery is async — poll until the event lands
+      var waited = 0
+      while (!listener.isOpen && waited < 10000) { Thread.sleep(100); waited += 100 }
+      assert(listener.isOpen, "listener must latch the breaker open on sick termination")
+    } finally spark.streams.removeListener(listener)
   }
 
   test("idempotent sink: replaying a batch adds no rows (parquet + jdbc)") {
