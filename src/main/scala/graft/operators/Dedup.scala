@@ -107,12 +107,17 @@ object Dedup {
     *
     * Hot-bucket guard: buckets larger than `maxBucketSize` switch from
     * all-pairs to STAR pairs (bucket-min id → every other member) — linear in
-    * the bucket size instead of quadratic, and the cluster stays connected
-    * for downstream connected-components dedup (mirrors the reference's
-    * bounded fan-out philosophy, handler/ls_state.rs:23-47). The bucket
-    * size/min annotations ride a window over (band, bh) — the same hash
-    * partitioning the self-join needs, so the guard adds no extra shuffle.
-    * The count of capped buckets is published via `observe` as
+    * the bucket size instead of quadratic. For the boilerplate mega-clusters
+    * the cap targets (near-identical docs), every member verifies against
+    * the hub, so the cluster stays one connected component for downstream
+    * dedup; in a mixed over-cap bucket a member similar to a sibling but not
+    * to the hub loses that edge — the accepted trade for bounded fan-out
+    * (mirrors the reference's philosophy, handler/ls_state.rs:23-47). The
+    * bucket size/min annotations ride a window over (band, bh) — the same
+    * hash partitioning the self-join needs — and the annotated band table is
+    * localCheckpointed because three consumers (both join sides + star
+    * extraction) would otherwise re-run the signature pipeline each. The
+    * count of capped buckets is published via `observe` as
     * `lsh_hot_buckets` for pipeline monitoring.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
@@ -133,6 +138,7 @@ object Dedup {
       .observe("lsh_hot_buckets",
         sum(when(col("__sz") > maxBucketSize && col(idCol) === col("__mn"), 1)
           .otherwise(0)).as("n_capped_buckets"))
+      .localCheckpoint()
     val small = bands.filter(col("__sz") <= maxBucketSize)
     val l = small.select(col(idCol).as("a"), col("band"), col("bh"))
     val r = small.select(col(idCol).as("b"), col("band"), col("bh"))
@@ -204,8 +210,9 @@ object Dedup {
   /** SimHash near-dup candidates: split the sketch into 4×16-bit bands
     * (Hamming ≤ 3 ⇒ at least one band identical), bucket-join, then verify
     * the true Hamming distance with bit_count(xor). Same hot-bucket star
-    * guard as [[lshCandidatePairs]]: over-cap buckets link members to the
-    * bucket-min doc instead of emitting all pairs.
+    * guard (and connectivity trade) as [[lshCandidatePairs]]: over-cap
+    * buckets link members to the bucket-min doc instead of emitting all
+    * pairs.
     */
   def nearDupPairsSimHash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
@@ -218,8 +225,10 @@ object Dedup {
           shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
       .withColumn("__sz", count(lit(1)).over(wB))
-      // struct min carries the hub's sketch along with its id
+      // struct min carries the hub's sketch along with its id; checkpoint —
+      // three consumers would re-run the sketch pipeline otherwise
       .withColumn("__mn", min(struct(col(idCol), col("simhash"))).over(wB))
+      .localCheckpoint()
     val small = bands.filter(col("__sz") <= maxBucketSize)
     val l = small.select(col(idCol).as("a"), col("simhash").as("sha"), col("band"), col("bv"))
     val r = small.select(col(idCol).as("b"), col("simhash").as("shb"), col("band"), col("bv"))

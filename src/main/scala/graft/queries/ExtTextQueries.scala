@@ -51,7 +51,10 @@ object ExtTextQueries {
     // The oracle replays the Rabin-Karp k-gram hashes positionally with
     // precomputed powers of B mod 2^61-1 (HUGEINT holds the products) and
     // winnows via distinct window minima — bit-parity with the native
-    // kernel; the winnowing guarantee itself is spec-tested in DedupSpec.
+    // kernel for ASCII corpora (this testdata: verified 0 non-ASCII docs).
+    // The kernel hashes UTF-8 BYTES while the oracle's ord(text[i]) walks
+    // codepoints, so non-ASCII text would diverge; a byte-true oracle would
+    // need blob-level indexing. Winnowing guarantee spec-tested in DedupSpec.
     "q_x_fingerprint_rolling" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),

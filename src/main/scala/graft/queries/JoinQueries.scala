@@ -161,9 +161,14 @@ object JoinQueries {
         .filter(col("o_orderkey") % 100 =!= 0)
         .select(col("o_orderkey"))
       val bounds = present.agg(min("o_orderkey"), max("o_orderkey")).head()
-      val (lo, hi) = (bounds.getAs[Number](0).longValue, bounds.getAs[Number](1).longValue)
-      s.range(lo, hi + 1).toDF("missing_id")
-        .join(present, col("missing_id") === col("o_orderkey"), "left_anti")
+      if (bounds.isNullAt(0)) {
+        // empty present set → no range to repair (oracle yields zero rows too)
+        s.range(0, 0).toDF("missing_id")
+      } else {
+        val (lo, hi) = (bounds.getAs[Number](0).longValue, bounds.getAs[Number](1).longValue)
+        s.range(lo, hi + 1).toDF("missing_id")
+          .join(present, col("missing_id") === col("o_orderkey"), "left_anti")
+      }
     }
   )
 

@@ -89,12 +89,17 @@ object Materialize {
   }
 
   /** Build into a fresh version directory, atomically repoint `_CURRENT`,
-    * prune all versions but current + previous.
+    * prune everything but the new and the previously-pointed version.
     */
   private def publish(spark: SparkSession, path: String, build: => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
+    // the version the pointer held BEFORE this publish is the one in-flight
+    // readers may still be scanning — prune keeps exactly {new, previous},
+    // never trusting directory names (a partial dir from a failed build must
+    // not displace the real previous snapshot)
+    val prev = if (fs.exists(new Path(root, "_CURRENT"))) Some(currentVersion(spark, path)) else None
     val version = s"v${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
     build.write.mode(SaveMode.Overwrite).parquet(new Path(root, version).toString)
     val tmp = new Path(root, s"_CURRENT.tmp.$version")
@@ -103,7 +108,7 @@ object Materialize {
     // rename-with-overwrite is the atomic publish point on local FS and HDFS
     FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, new Path(root, "_CURRENT"), Options.Rename.OVERWRITE)
-    prune(spark, path, keep = 2)
+    prune(spark, path, keepVersions = Set(version) ++ prev)
   }
 
   private def currentVersion(spark: SparkSession, path: String): String = {
@@ -115,17 +120,19 @@ object Materialize {
   private def readCurrent(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(new Path(path, currentVersion(spark, path)).toString)
 
-  /** Delete version directories beyond the newest `keep` (the previous one
-    * stays for readers that resolved the pointer before the last swap). The
-    * pointer target itself is never deleted, whatever its name sorts as.
+  /** Delete version directories outside `keepVersions` (the just-published
+    * snapshot + the previously-pointed one readers may still hold). A short
+    * modification-time grace window spares a concurrent cross-process
+    * build's in-progress directory.
     */
-  private def prune(spark: SparkSession, path: String, keep: Int): Unit = {
+  private def prune(spark: SparkSession, path: String, keepVersions: Set[String]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = currentVersion(spark, path)
-    val versions = fs.listStatus(new Path(path)).toSeq
+    val graceMs = 10 * 60 * 1000L
+    val now = System.currentTimeMillis()
+    fs.listStatus(new Path(path)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .sortBy(_.getPath.getName).reverse
-    versions.filter(_.getPath.getName != cur).drop(keep - 1)
+      .filterNot(s => keepVersions.contains(s.getPath.getName))
+      .filter(s => now - s.getModificationTime > graceMs)
       .foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -24,10 +24,9 @@ object Scheduling {
     require(intervalSeconds > 0, s"intervalSeconds must be positive, got $intervalSeconds")
     lastRunEpochMs match {
       case None => 0L // never ran — aggregate immediately
+      case Some(last) if nowEpochMs < last => intervalSeconds // clock skew → full interval
       case Some(last) =>
-        val elapsedSec = (nowEpochMs - last) / 1000
-        if (elapsedSec <= 0) intervalSeconds // clock skew → full interval
-        else math.max(intervalSeconds - elapsedSec, 0L)
+        math.max(intervalSeconds - (nowEpochMs - last) / 1000, 0L)
     }
   }
 }

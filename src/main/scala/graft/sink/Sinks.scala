@@ -58,18 +58,32 @@ object Sinks {
 
   /** Keyed upsert (K4 point-UPDATE batch analog): new rows replace existing
     * rows with the same key; untouched rows survive. Spark's JDBC writer has
-    * no MERGE, so the batch is bulk-staged to `<table>__graft_stage` (a
-    * distributed JDBC write — nothing ever passes through the driver) and a
-    * single sink-side `MERGE INTO` applies it — the reference's own
-    * `INSERT ... ON CONFLICT DO UPDATE` contract
-    * (etl-core/src/dao/postgre/currency_registry.rs:9-50). Within-batch
-    * duplicate keys are collapsed first (a multi-match source row is a MERGE
-    * error in ANSI engines). The staging table is dropped afterwards.
+    * no MERGE, so the batch is bulk-staged to a uniquely-named side table (a
+    * distributed JDBC write — nothing ever passes through the driver; the
+    * unique suffix keeps concurrent upserts to the same target from
+    * clobbering each other's stage) and a single sink-side `MERGE INTO`
+    * applies it — the reference's own `INSERT ... ON CONFLICT DO UPDATE`
+    * contract (etl-core/src/dao/postgre/currency_registry.rs:9-50).
+    *
+    * Within-batch duplicate keys are collapsed first (a multi-match source
+    * row is a MERGE error in ANSI engines): pass `orderCol` to keep the row
+    * with the greatest value of that column per key (the "last write wins"
+    * the reference gets from statement order); without it the pick among
+    * genuinely-different duplicate rows is arbitrary, as DataFrames carry no
+    * row order. The staging table is dropped afterwards.
     */
   def upsertJdbc(updates: DataFrame, url: String, table: String,
-      keys: Seq[String], props: Properties = new Properties()): Unit = {
+      keys: Seq[String], props: Properties = new Properties(),
+      orderCol: Option[String] = None): Unit = {
     require(keys.nonEmpty, "upsertJdbc requires at least one key column")
-    val batch = updates.dropDuplicates(keys)
+    val batch = orderCol match {
+      case Some(c) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(c).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => updates.dropDuplicates(keys)
+    }
     // A transient existence-check failure must propagate, not be mistaken
     // for "table absent" (which would fork the no-MERGE create path).
     if (!jdbcTableExists(url, table, props)) {
@@ -103,12 +117,17 @@ object Sinks {
     }
   }
 
-  /** Staging-table name next to the target (schema-qualified names keep
-    * their schema part).
+  /** Unique staging-table name next to the target (schema-qualified names
+    * keep their schema part); uniqueness isolates concurrent upserts. A
+    * crashed JVM can orphan its stage — the `__graft_stage_` prefix makes
+    * those trivially identifiable for cleanup.
     */
-  private def stagingName(table: String): String = table.split('.') match {
-    case Array(s, t) => s"$s.${t}__graft_stage"
-    case _           => s"${table}__graft_stage"
+  private def stagingName(table: String): String = {
+    val suffix = s"__graft_stage_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
+    table.split('.') match {
+      case Array(s, t) => s"$s.$t$suffix"
+      case _           => s"$table$suffix"
+    }
   }
 
   /** CSV export with header (reference csv_response.rs, K7). */

@@ -139,10 +139,12 @@ object StreamJobs {
     while (!done) {
       try { body(batch, batchId); done = true }
       catch {
-        case e: Throwable if attempt < maxAttempts =>
+        // NonFatal only: InterruptedException (query.stop()), OOM and other
+        // VM errors must propagate immediately, not burn retry attempts
+        case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
           attempt += 1
           if (backoffMs > 0) Thread.sleep(backoffMs)
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           throw new IllegalStateException(
             s"circuit breaker open: batch $batchId failed $maxAttempts consecutive attempts", e)
       }

@@ -102,4 +102,19 @@ class ServeSinkSpec extends SparkSpec {
     assert(got(30L) == ("u30", 60.0))   // replaced
     assert(got(125L) == ("u125", 250.0)) // inserted
   }
+
+  test("upsertJdbc orderCol makes within-batch duplicate keys last-write-wins") {
+    val dbDir = Files.createTempDirectory("graft_derby_up3").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties()
+    Seq((1L, "base", 0L)).toDF("id", "name", "seq")
+      .write.mode("append").jdbc(url, "dim_ord", props)
+    // two different rows for key 2: the greater seq must win deterministically
+    val updates = Seq((2L, "first", 1L), (2L, "fixup", 2L), (1L, "upd", 3L))
+      .toDF("id", "name", "seq").repartition(3)
+    graft.sink.Sinks.upsertJdbc(updates, url, "dim_ord", Seq("id"), props, orderCol = Some("seq"))
+    val got = spark.read.jdbc(url, "dim_ord", props)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "upd", 2L -> "fixup"))
+  }
 }
