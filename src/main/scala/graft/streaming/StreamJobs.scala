@@ -122,6 +122,32 @@ object StreamJobs {
       }
       .start()
 
+  /** S5 market-price poller: one poll cycle of the price feed as a bounded
+    * stream — filter the price stream, normalize the decimal exponent (the
+    * reference divides by 10^decimal_digits before storing, mp_asset
+    * contract), and land idempotently keyed on the event id.
+    * `Trigger.AvailableNow` drains everything available then stops = one
+    * poll; schedule the cycle on the poll cadence (the reference's interval
+    * timer — see [[graft.serve.Scheduling.catchUpDelaySeconds]]), or swap in
+    * `Trigger.ProcessingTime` for a resident poller. Checkpoint + keyed
+    * dedup make re-polls no-ops on already-seen prices.
+    */
+  def pricePollerOnce(spark: SparkSession, srcDir: String, sinkPath: String,
+      checkpoint: String, decimalDigits: Int = 2):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val prices = fileEventStream(spark, srcDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts"), col("user_id").as("asset_id"),
+        (col("value") / math.pow(10, decimalDigits)).as("price"))
+    prices.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.Sinks.appendDedupParquet(batch.toDF(), sinkPath, Seq("event_id"))
+      }
+      .start()
+  }
+
   /** S2 consumer retry + circuit breaker: wrap a foreachBatch body in
     * bounded in-place retries (the batch's epoch is only committed once the
     * body returns, so a retried batch is never lost and never doubled given

@@ -52,6 +52,20 @@ object natives {
     */
   def winnowFingerprint(c: Column, k: Int = 8, window: Int = 16): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, window))
+
+  /** First varint field `fieldNo` of a protobuf wire-format message (B13 raw
+    * tx decode tier): null when absent. Unknown fields are skipped by wire
+    * type, exactly as a generated decoder would.
+    */
+  def protoVarint(bin: Column, fieldNo: Int): Column =
+    ExpressionUtils.column(ProtoVarintField(ExpressionUtils.expression(bin), fieldNo))
+
+  /** First length-delimited field `fieldNo` (bytes / string / submessage) of
+    * a protobuf wire-format message; null when absent. Chain calls to walk
+    * nested messages.
+    */
+  def protoBytes(bin: Column, fieldNo: Int): Column =
+    ExpressionUtils.column(ProtoBytesField(ExpressionUtils.expression(bin), fieldNo))
 }
 
 /** Winnowing (rolling-hash) document fingerprint — one pass, O(n) per doc,
@@ -106,6 +120,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("proto_varint"),
+      new ExpressionInfo(classOf[ProtoVarintField].getName, "proto_varint"),
+      (exprs: Seq[Expression]) => ProtoVarintField(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue)))
+    e.injectFunction((FunctionIdentifier("proto_bytes"),
+      new ExpressionInfo(classOf[ProtoBytesField].getName, "proto_bytes"),
+      (exprs: Seq[Expression]) => ProtoBytesField(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue)))
   }
 }
 
@@ -153,6 +175,48 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.NativeKernels.sortedIntersect($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** First varint field with number `fieldNo` from protobuf wire format —
+  * nullable long (protobuf fields are optional by construction). The raw-tx
+  * decode tier (SURVEY B13): the reference decodes cosmos tx protobuf
+  * upstream of SQL; this expression gives the engine the same wire-walking
+  * primitive without any generated classes.
+  */
+case class ProtoVarintField(child: Expression, fieldNo: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.protoVarint(input.asInstanceOf[Array[Byte]], fieldNo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""java.lang.Long v = org.apache.spark.sql.graft.NativeKernels.protoVarint($c, $fieldNo);
+         |if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v.longValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ProtoVarintField =
+    copy(child = newChild)
+}
+
+/** First length-delimited field (bytes/string/submessage) with number
+  * `fieldNo` from protobuf wire format — nullable binary. Chain to descend
+  * into nested messages, cast to string for text fields.
+  */
+case class ProtoBytesField(child: Expression, fieldNo: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.protoBytes(input.asInstanceOf[Array[Byte]], fieldNo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""byte[] v = org.apache.spark.sql.graft.NativeKernels.protoBytes($c, $fieldNo);
+         |if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ProtoBytesField =
+    copy(child = newChild)
 }
 
 /** Static kernels invoked from generated code. */
@@ -245,6 +309,62 @@ object NativeKernels {
     if (picks.isEmpty) picks += hashes.min
     new org.apache.spark.sql.catalyst.util.GenericArrayData(picks.toArray)
   }
+
+  /** Reads a varint at `pos`; returns (value, nextPos) packed — value in the
+    * low path via the array. Malformed input yields null at the callers.
+    */
+  private def readVarint(b: Array[Byte], pos0: Int): (Long, Int) = {
+    var v = 0L
+    var shift = 0
+    var pos = pos0
+    while (pos < b.length && shift < 64) {
+      val x = b(pos)
+      v |= (x & 0x7FL) << shift
+      pos += 1
+      if ((x & 0x80) == 0) return (v, pos)
+      shift += 7
+    }
+    (v, -1) // truncated / overlong
+  }
+
+  /** Walk protobuf wire format, return the first field matching `fieldNo`
+    * with the wanted wire type: 0 = varint (Long), 2 = length-delimited
+    * (Array[Byte]). Null for absent field or malformed input — decode
+    * failures are data, not exceptions, at ETL scale.
+    */
+  private def protoWalk(b: Array[Byte], fieldNo: Int, wantWire: Int): Any = {
+    var pos = 0
+    while (pos < b.length) {
+      val (key, p1) = readVarint(b, pos)
+      if (p1 < 0) return null
+      val field = (key >>> 3).toInt
+      val wire = (key & 7).toInt
+      pos = p1
+      wire match {
+        case 0 =>
+          val (v, p2) = readVarint(b, pos)
+          if (p2 < 0) return null
+          if (field == fieldNo && wantWire == 0) return java.lang.Long.valueOf(v)
+          pos = p2
+        case 1 => pos += 8
+        case 2 =>
+          val (len, p2) = readVarint(b, pos)
+          if (p2 < 0 || len < 0 || p2 + len > b.length) return null
+          if (field == fieldNo && wantWire == 2)
+            return java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case 5 => pos += 4
+        case _ => return null // groups (3/4) are pre-proto2 legacy; treat as malformed
+      }
+    }
+    null
+  }
+
+  def protoVarint(b: Array[Byte], fieldNo: Int): java.lang.Long =
+    protoWalk(b, fieldNo, 0).asInstanceOf[java.lang.Long]
+
+  def protoBytes(b: Array[Byte], fieldNo: Int): Array[Byte] =
+    protoWalk(b, fieldNo, 2).asInstanceOf[Array[Byte]]
 
   def sortedIntersect(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()

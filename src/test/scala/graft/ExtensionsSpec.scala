@@ -59,5 +59,11 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT sorted_intersect_count(array(CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT)), " +
         "array(CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT)))").head().getInt(0)
     assert(ic == 2)
+    // proto field extraction: X'089601' = field1 varint 150
+    val pv = spark.sql("SELECT proto_varint(X'089601', 1)").head().getLong(0)
+    assert(pv == 150L)
+    val pb = spark.sql("SELECT CAST(proto_bytes(X'120774657374696E67', 2) AS STRING)")
+      .head().getString(0)
+    assert(pb == "testing")
   }
 }

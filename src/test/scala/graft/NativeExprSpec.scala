@@ -18,6 +18,35 @@ class NativeExprSpec extends SparkSpec {
     assert(got(2) == 0.0)
   }
 
+  test("proto wire-format extraction: varint, string, nested, skips, malformed") {
+    // the canonical protobuf example message: field1 varint 150, field2
+    // string "testing", field3 a nested message (field1=42), plus fixed64 /
+    // fixed32 fields that must be skipped by wire type to reach field7
+    val inner = Array[Byte](0x08, 0x2A) // field1 varint 42
+    val msg = Array[Byte](
+      0x08, 0x96.toByte, 0x01,                    // field1 varint 150
+      0x12, 0x07, 't', 'e', 's', 't', 'i', 'n', 'g', // field2 bytes "testing"
+      0x1A, 0x02) ++ inner ++ Array[Byte](        // field3 nested message
+      0x21, 1, 2, 3, 4, 5, 6, 7, 8,               // field4 fixed64 (skip)
+      0x2D, 1, 2, 3, 4,                           // field5 fixed32 (skip)
+      0x38, 0x05)                                 // field7 varint 5
+    val truncated = Array[Byte](0x08, 0x96.toByte) // varint missing last byte
+    val df = Seq((msg, truncated)).toDF("m", "bad")
+    val row = df.select(
+      natives.protoVarint($"m", 1).as("f1"),
+      natives.protoBytes($"m", 2).cast("string").as("f2"),
+      natives.protoVarint(natives.protoBytes($"m", 3), 1).as("nested"),
+      natives.protoVarint($"m", 7).as("f7"),
+      natives.protoVarint($"m", 9).as("absent"),
+      natives.protoVarint($"bad", 1).as("malformed")).head()
+    assert(row.getLong(0) == 150L)
+    assert(row.getString(1) == "testing")
+    assert(row.getLong(2) == 42L)
+    assert(row.getLong(3) == 5L)
+    assert(row.isNullAt(4), "absent field must be null")
+    assert(row.isNullAt(5), "malformed message must decode to null, not throw")
+  }
+
   test("simhash64 matches a reference computation") {
     val hashes = Seq(0x0F0FL, 0x00FFL, 0x0FF0L)
     def ref(hs: Seq[Long]): Long = {

@@ -94,6 +94,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("price").isNotNull).count() == batchEquiv.count())
   }
 
+  test("price poller drains one cycle, normalizes, and re-polls as a no-op") {
+    val src = stageEvents()
+    val sink = Files.createTempDirectory("graft_poll_sink").toString + "/prices"
+    val cp = Files.createTempDirectory("graft_poll_cp").toString
+    val q1 = StreamJobs.pricePollerOnce(spark, src, sink, cp)
+    q1.awaitTermination() // AvailableNow stops by itself after the drain
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+    val got = spark.read.parquet(sink)
+    assert(got.count() == expected.count())
+    // decimal normalization applied (value / 10^2)
+    val sample = got.orderBy("event_id").select("event_id", "price").head()
+    val raw = expected.orderBy("event_id").select("event_id", "value").head()
+    assert(sample.getLong(0) == raw.getLong(0))
+    assert(math.abs(sample.getDouble(1) - raw.getDouble(1) / 100.0) < 1e-9)
+    // second poll cycle over the same feed: checkpoint + keyed dedup → no-op
+    val q2 = StreamJobs.pricePollerOnce(spark, src, sink, cp)
+    q2.awaitTermination()
+    assert(spark.read.parquet(sink).count() == expected.count())
+  }
+
   test("breaker sink: transient batch failures retry in place, then recover") {
     val src = Files.createTempDirectory("graft_brk_src").toString
     graft.sources.Tables.events(spark, sfDir).limit(20).coalesce(1)
