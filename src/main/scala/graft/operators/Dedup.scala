@@ -47,15 +47,13 @@ object Dedup {
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n)))))
 
-  /** splitmix64 — generates the per-seed xor constants (pure Scala; the
-    * same constants are embedded in the SQL oracle).
+  /** splitmix64 — generates the per-seed xor constants (the same constants
+    * are embedded in the SQL oracle). Canonical implementation lives in
+    * NativeKernels so the one-pass kernels and the oracle SQL can never
+    * diverge.
     */
-  def splitmix64(x0: Long): Long = {
-    var z = x0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  def splitmix64(x0: Long): Long =
+    org.apache.spark.sql.graft.NativeKernels.splitmix64(x0)
 
   def seedConstants(numHashes: Int): IndexedSeq[Long] =
     (0 until numHashes).map(i => splitmix64(i.toLong))
@@ -79,21 +77,21 @@ object Dedup {
   }
 
   /** MinHash signature: one row per doc, columns m0..m{k-1} = min over the
-    * doc's shingles of the k seeded hashes — k parallel min-aggs over the
-    * exploded shingle table, a single shuffle on doc id.
+    * doc's shingles of the k seeded hashes. Computed by the one-pass native
+    * kernel ([[org.apache.spark.sql.graft.natives.minhashSig]]) — a NARROW
+    * MAP: the signature stage performs zero shuffles (round 1 exploded
+    * shingles and ran k min-aggs — one full shuffle of the exploded corpus).
+    * The repartition spreads the hashing work when the source is one parquet
+    * file; on a many-split 100 TB corpus it can be dropped.
     */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int): DataFrame = {
-    // spread docs before the explode so hashing parallelizes even when the
-    // source is a single parquet file; the groupBy then reuses the same
-    // id partitioning (no second exchange)
-    val sh = docs.repartition(col(idCol))
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
-    val hs = seededHashes(col("sh"), numHashes)
-    val hashed = sh.select(col(idCol) +: hs.zipWithIndex.map { case (h, i) => h.as(s"h$i") }: _*)
-    hashed.groupBy(col(idCol))
-      .agg(min(col("h0")).as("m0"),
-        (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val sig = docs.repartition(col(idCol))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.natives.minhashSig(col(textCol), numHashes, shingleN).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    sig.select(col(idCol) +:
+      (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** Default per-bucket cap for banded candidate generation. A bucket of m
@@ -192,20 +190,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc over the token multiset: bit i of the sketch is
-    * set iff Σ_tokens (±1 by bit i of the token hash) > 0. The sketch itself
-    * is the native [[graft.functions.SimHash64]] expression — a one-pass
-    * codegen'd kernel over the collected token-hash list (the all-built-ins
-    * fold formulation exploded codegen: CollapseProject duplicated it once
-    * per output bit). One shuffle; per-doc token counts are bounded, so
-    * collect_list per doc is safe at corpus scale.
+    * set iff Σ_tokens (±1 by bit i of the token hash) > 0. One-pass native
+    * kernel straight from the text ([[org.apache.spark.sql.graft.natives
+    * .simhashText]]) — a narrow map, no explode/collect_list shuffle (round
+    * 1's explode+groupBy form; before that, the all-built-ins fold blew up
+    * codegen via CollapseProject duplication).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.repartition(col(idCol))
-      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .select(col(idCol), md5Long64(col("w")).as("h"))
-    tok.groupBy(col(idCol)).agg(collect_list(col("h")).as("hs"))
-      .select(col(idCol), org.apache.spark.sql.graft.natives.simhash64(col("hs")).as("simhash"))
-  }
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol), org.apache.spark.sql.graft.natives.simhashText(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: split the sketch into 4×16-bit bands
     * (Hamming ≤ 3 ⇒ at least one band identical), bucket-join, then verify

@@ -53,6 +53,23 @@ object natives {
   def winnowFingerprint(c: Column, k: Int = 8, window: Int = 16): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(c), k, window))
 
+  /** MinHash signature in ONE pass over the document: tokenize, build word
+    * n-gram shingles, md5+xorshift per seed, track mins — array<long> of
+    * `numHashes` minima, null when the doc has fewer than `shingleN` tokens.
+    * Bit-identical to the exploded shingle→16-min-agg pipeline (duplicate
+    * shingles can't change a min, so no distinct pass is needed), but a
+    * narrow map: the signature stage stops shuffling entirely.
+    */
+  def minhashSig(text: Column, numHashes: Int, shingleN: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(text), numHashes, shingleN))
+
+  /** 64-bit SimHash straight from text in one pass (tokenize → md5 per
+    * token → ±1 bit votes). Same result as explode+collect_list+simhash64
+    * without the shuffle.
+    */
+  def simhashText(text: Column): Column =
+    ExpressionUtils.column(SimHashText(ExpressionUtils.expression(text)))
+
   /** First varint field `fieldNo` of a protobuf wire-format message (B13 raw
     * tx decode tier): null when absent. Unknown fields are skipped by wire
     * type, exactly as a generated decoder would.
@@ -175,6 +192,41 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.NativeKernels.sortedIntersect($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** One-pass MinHash signature over text (see [[natives.minhashSig]]).
+  * Tokenization matches `split(trim(text), "\\s+")` exactly — UTF8String
+  * space-trim + Java regex split — so results are bit-identical to the
+  * built-ins pipeline and its DuckDB oracle.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.minhashSig(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numHashes, shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""org.apache.spark.sql.catalyst.util.GenericArrayData v =
+         |  org.apache.spark.sql.graft.NativeKernels.minhashSig($c, $numHashes, $shingleN);
+         |if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** One-pass SimHash from text (see [[natives.simhashText]]). */
+case class SimHashText(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.simhashText(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.simhashText($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
 }
 
 /** First varint field with number `fieldNo` from protobuf wire format —
@@ -308,6 +360,106 @@ object NativeKernels {
     }
     if (picks.isEmpty) picks += hashes.min
     new org.apache.spark.sql.catalyst.util.GenericArrayData(picks.toArray)
+  }
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** splitmix64 — the seed-constant generator shared with the SQL oracle
+    * (graft.operators.Dedup delegates here; single source of truth).
+    */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** xorshift64 mix — bit-identical to the Column/SQL formulation. */
+  @inline private def xs64(z0: Long): Long = {
+    var z = z0 ^ (z0 << 13)
+    z = z ^ (z >>> 7)
+    z ^ (z << 17)
+  }
+
+  private def md5LongBytes(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
+  /** Tokens exactly as `split(trim(text), "\\s+")` produces them: UTF8String
+    * space-trim (0x20 only — Java's String.trim would also eat tabs and
+    * diverge), then Java-regex split with limit -1.
+    */
+  private def tokensOf(s: org.apache.spark.unsafe.types.UTF8String): Array[String] =
+    wsPattern.split(s.trim().toString, -1)
+
+  /** One-pass MinHash signature; null when the doc has < shingleN tokens
+    * (the exploded pipeline emits no row for such docs). Duplicate shingles
+    * are hashed redundantly rather than deduped — a min is insensitive to
+    * them, and skipping the per-doc distinct set is cheaper.
+    */
+  def minhashSig(s: org.apache.spark.unsafe.types.UTF8String, numHashes: Int, shingleN: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = tokensOf(s)
+    if (toks.length < shingleN) return null
+    val seeds = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) { seeds(k) = splitmix64(k.toLong); k += 1 }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = toks.length - shingleN
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h0 = md5LongBytes(bytes, 0, bytes.length)
+      k = 0
+      while (k < numHashes) {
+        val h = xs64(h0 ^ seeds(k))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** One-pass SimHash from text: every token (including the empty token a
+    * blank doc tokenizes to — parity with the exploded pipeline) votes ±1
+    * per bit of its md5-derived hash.
+    */
+  def simhashText(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val toks = tokensOf(s)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val bytes = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = md5LongBytes(bytes, 0, bytes.length)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) r |= (1L << i)
+      i += 1
+    }
+    r
   }
 
   /** Reads a varint at `pos`; returns (value, nextPos) packed — value in the
