@@ -76,6 +76,15 @@ object ScalarQueries {
           coalesce(nullif(col("o_orderstatus"), lit("P")), lit("?")).as("coalesced"))
         .filter(col("o_orderkey") < 500)
     },
+    // §2.9 array: `value != ALL(array)` — membership negation over a real
+    // array column (reference: currency != ALL(excluded_symbols) filters);
+    // docs whose token array never contains the probe word.
+    "q_s_array_notall" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("toks"))
+        .filter(!array_contains(col("toks"), "the"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"))
+    },
     // B12: event attribute extraction from the JSON props payload
     // (reference: attr map → typed row event_parsing.rs:313-327; our props
     // column plays the raw attribute bag).
@@ -123,6 +132,10 @@ object ScalarQueries {
         |  o_orderpriority || ' (priority)' AS tagged,
         |  coalesce(nullif(o_orderstatus, 'P'), '?') AS coalesced
         |FROM orders WHERE o_orderkey < 500""".stripMargin,
+    "q_s_array_notall" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id, len(ws) AS n_tokens FROM w
+        |WHERE NOT list_contains(ws, 'the')""".stripMargin,
     "q_b12_json_props" ->
       s"""WITH $evCte
          |SELECT event_type,
