@@ -75,11 +75,13 @@ object TextOps {
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     qualityScoreFromTokens(tokens(text), stopwords)
 
-  /** n-gram-lexicon language ID: score = hits per language lexicon, argmax
-    * with alphabetical tiebreak, 'und' when every score is zero.
+  /** n-gram-lexicon language ID over a PRE-MATERIALIZED token array: score =
+    * hits per language lexicon, argmax with alphabetical tiebreak, 'und'
+    * when every score is zero. Stage `tokens(text)` in its own projection —
+    * inlining it here would re-split once per lexicon (the quality-score
+    * lesson, round-1 bench).
     */
-  def langId(text: Column, lexicons: Map[String, Seq[String]]): Column = {
-    val toks = tokens(text)
+  def langIdFromTokens(toks: Column, lexicons: Map[String, Seq[String]]): Column = {
     // left fold in alphabetical lang order, replacing only on strictly
     // greater score — ties keep the alphabetically-first language, all-zero
     // scores yield 'und'. (Equivalent SQL: argmax with alphabetical tiebreak.)
@@ -94,6 +96,10 @@ object TextOps {
     }
     bestLang
   }
+
+  /** Single-column convenience form of [[langIdFromTokens]]. */
+  def langId(text: Column, lexicons: Map[String, Seq[String]]): Column =
+    langIdFromTokens(tokens(text), lexicons)
 
   /** Document fingerprint: md5 over the sorted token multiset — invariant to
     * word order, catches shuffle-duplicates that exact-text hashing misses.

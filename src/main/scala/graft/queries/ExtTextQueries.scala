@@ -36,10 +36,11 @@ object ExtTextQueries {
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextOps.qualityScoreFromTokens(col("toks"), stopwords).as("quality"))
     },
-    // Language ID via per-language lexicon hit argmax.
+    // Language ID via per-language lexicon hit argmax (tokens staged once).
     "q_x_lang_id" -> { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.langId(col("text"), lexicons).as("lang_pred"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.langIdFromTokens(col("toks"), lexicons).as("lang_pred"))
     },
     // Order-invariant document fingerprint (md5 of sorted token multiset).
     "q_x_fingerprint" -> { (s, dir) =>
