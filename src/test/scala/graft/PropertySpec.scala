@@ -78,6 +78,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: one-pass minhash/simhash kernels equal the exploded formulations") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graft.natives
+    // adversarial tokenization inputs: blank, pure whitespace, tabs/newlines
+    // (UTF8String.trim strips 0x20 only), runs of spaces, non-ASCII bytes,
+    // plus seeded random word soup
+    val fixed = Seq("", " ", "   ", "a", "a b", "a b c", "a  b\tc\nd e",
+      "\tlead tab still here", "trail space ", " both  sides ",
+      "café naïve résumé words here", "é ü ñ x y z")
+    val rng = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "été", "gamma", "x", "longerword")
+    val random = (1 to 20).map { _ =>
+      (1 to rng.nextInt(12)).map(_ => words(rng.nextInt(words.size)))
+        .mkString(Seq(" ", "  ", "\t", " \n ")(rng.nextInt(4)))
+    }
+    val docs = (fixed ++ random).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    // minhash: kernel array vs the round-1 exploded shingle→min-agg pipeline
+    val kernelSig = docs.select($"doc_id", natives.minhashSig($"text", 8, 3).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val sh = docs.select($"doc_id", explode(Dedup.shingles($"text", 3)).as("sh"))
+    val hs = Dedup.seededHashes($"sh", 8)
+    val explodedSig = sh.select($"doc_id" +: hs.zipWithIndex.map { case (h, i) => h.as(s"h$i") }: _*)
+      .groupBy($"doc_id").agg(min($"h0").as("m0"), (1 until 8).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)).toMap
+    assert(kernelSig == explodedSig,
+      "one-pass MinHash must be bit-identical to the exploded pipeline")
+
+    // simhash: kernel vs explode+md5Long+collect_list+simhash64
+    val kernelSim = docs.select($"doc_id", natives.simhashText($"text"))
+      .as[(Long, Long)].collect().toMap
+    val explodedSim = docs
+      .select($"doc_id", explode(graft.operators.TextOps.tokens($"text")).as("w"))
+      .select($"doc_id", graft.operators.TextOps.md5Long64($"w").as("h"))
+      .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
+      .select($"doc_id", natives.simhash64($"hs"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernelSim == explodedSim,
+      "one-pass SimHash must be bit-identical to the exploded pipeline")
+  }
+
   test("time-window params parse with reference contract") {
     import graft.serve.TimeWindowParams._
     assert(parse(Some("3m"), None) == Months(3))
