@@ -199,6 +199,9 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(col(idCol))
       .select(col(idCol), org.apache.spark.sql.graft.natives.simhashText(col(textCol)).as("simhash"))
+      // null text → null sketch; the exploded pipeline (and the SQL oracle)
+      // drop such docs, so parity requires dropping them here too
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup candidates: split the sketch into 4×16-bit bands
     * (Hamming ≤ 3 ⇒ at least one band identical), bucket-join, then verify

@@ -113,14 +113,17 @@ object StreamJobs {
     * dedups on the natural key instead of double-inserting.
     */
   def runToIdempotentSink(out: DataFrame, sinkPath: String, checkpoint: String,
-      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
-    out.writeStream
+      keys: Seq[String],
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = out.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sink.Sinks.appendDedupParquet(batch.toDF(), sinkPath, keys)
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** S5 market-price poller: one poll cycle of the price feed as a bounded
     * stream — filter the price stream, normalize the decimal exponent (the
@@ -139,13 +142,8 @@ object StreamJobs {
       .filter(col("event_type") === "view")
       .select(col("event_id"), col("ts"), col("user_id").as("asset_id"),
         (col("value") / math.pow(10, decimalDigits)).as("price"))
-    prices.writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sink.Sinks.appendDedupParquet(batch.toDF(), sinkPath, Seq("event_id"))
-      }
-      .start()
+    runToIdempotentSink(prices, sinkPath, checkpoint, Seq("event_id"),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
   }
 
   /** S2 consumer retry + circuit breaker: wrap a foreachBatch body in

@@ -137,14 +137,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    def literalFieldNo(fn: String, exprs: Seq[Expression]): Int = {
+      require(exprs.length == 2, s"$fn(bin, fieldNo) takes exactly 2 arguments")
+      require(exprs(1).foldable, s"$fn: fieldNo must be a literal integer")
+      exprs(1).eval().asInstanceOf[Number].intValue
+    }
     e.injectFunction((FunctionIdentifier("proto_varint"),
       new ExpressionInfo(classOf[ProtoVarintField].getName, "proto_varint"),
-      (exprs: Seq[Expression]) => ProtoVarintField(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+      (exprs: Seq[Expression]) =>
+        ProtoVarintField(exprs(0), literalFieldNo("proto_varint", exprs))))
     e.injectFunction((FunctionIdentifier("proto_bytes"),
       new ExpressionInfo(classOf[ProtoBytesField].getName, "proto_bytes"),
-      (exprs: Seq[Expression]) => ProtoBytesField(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+      (exprs: Seq[Expression]) =>
+        ProtoBytesField(exprs(0), literalFieldNo("proto_bytes", exprs))))
   }
 }
 
@@ -209,9 +214,12 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numHashes, shingleN)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      s"""org.apache.spark.sql.catalyst.util.GenericArrayData v =
+      // freshName: two instances in one stage over a non-nullable child
+      // would otherwise declare duplicate locals and break Janino
+      val v = ctx.freshName("minhashSig")
+      s"""org.apache.spark.sql.catalyst.util.GenericArrayData $v =
          |  org.apache.spark.sql.graft.NativeKernels.minhashSig($c, $numHashes, $shingleN);
-         |if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v; }""".stripMargin
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -244,8 +252,9 @@ case class ProtoVarintField(child: Expression, fieldNo: Int)
     NativeKernels.protoVarint(input.asInstanceOf[Array[Byte]], fieldNo)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      s"""java.lang.Long v = org.apache.spark.sql.graft.NativeKernels.protoVarint($c, $fieldNo);
-         |if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v.longValue(); }""".stripMargin
+      val v = ctx.freshName("protoVarint")
+      s"""java.lang.Long $v = org.apache.spark.sql.graft.NativeKernels.protoVarint($c, $fieldNo);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): ProtoVarintField =
     copy(child = newChild)
@@ -264,8 +273,9 @@ case class ProtoBytesField(child: Expression, fieldNo: Int)
     NativeKernels.protoBytes(input.asInstanceOf[Array[Byte]], fieldNo)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      s"""byte[] v = org.apache.spark.sql.graft.NativeKernels.protoBytes($c, $fieldNo);
-         |if (v == null) { ${ev.isNull} = true; } else { ${ev.value} = v; }""".stripMargin
+      val v = ctx.freshName("protoBytes")
+      s"""byte[] $v = org.apache.spark.sql.graft.NativeKernels.protoBytes($c, $fieldNo);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): ProtoBytesField =
     copy(child = newChild)
@@ -403,14 +413,18 @@ object NativeKernels {
     * are hashed redundantly rather than deduped — a min is insensitive to
     * them, and skipping the per-doc distinct set is cheaper.
     */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def seedsFor(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, n => Array.tabulate(n)(i => splitmix64(i.toLong)))
+
   def minhashSig(s: org.apache.spark.unsafe.types.UTF8String, numHashes: Int, shingleN: Int):
       org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val toks = tokensOf(s)
     if (toks.length < shingleN) return null
-    val seeds = new Array[Long](numHashes)
-    var k = 0
-    while (k < numHashes) { seeds(k) = splitmix64(k.toLong); k += 1 }
+    val seeds = seedsFor(numHashes) // per-query constant — memoized, not per row
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var k = 0
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     val last = toks.length - shingleN

@@ -45,6 +45,18 @@ class NativeExprSpec extends SparkSpec {
     assert(row.getLong(3) == 5L)
     assert(row.isNullAt(4), "absent field must be null")
     assert(row.isNullAt(5), "malformed message must decode to null, not throw")
+
+    // codegen regression: two extractor instances over a NON-nullable child
+    // share one generated scope (nullSafeCodeGen skips the null wrapper), so
+    // their locals must be fresh-named or Janino rejects the stage
+    val nn = coalesce($"m", lit(Array.emptyByteArray)) // nullable=false, not foldable
+    val two = df.select(
+      natives.protoVarint(nn, 1).as("a"),
+      natives.protoVarint(nn, 7).as("b"),
+      natives.protoBytes(nn, 2).as("c"),
+      natives.protoBytes(nn, 3).as("d")).head()
+    assert(two.getLong(0) == 150L && two.getLong(1) == 5L)
+    assert(new String(two.getAs[Array[Byte]](2)) == "testing")
   }
 
   test("simhash64 matches a reference computation") {
