@@ -51,6 +51,46 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
   }
 
+  /** Scale path for embedding near-dup: multi-table hyperplane LSH — vectors
+    * sharing a (table, bucket) become candidate pairs, verified with exact
+    * cosine ≥ threshold. One shuffle on (table, bucket); the same hot-bucket
+    * star guard (and connectivity trade) as the text dedup pipelines bounds
+    * a bucket of near-identical vectors to linear fan-out. Probabilistic
+    * recall by construction (tune numPlanes/numTables per corpus) — the
+    * all-pairs [[nearDupPairsCosine]] is the exact baseline it is
+    * recall-spec-checked against.
+    */
+  def nearDupPairsCosineLsh(embeddings: DataFrame, idCol: String, embCol: String,
+      threshold: Double, numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
+      dim: Int = 64, maxBucketSize: Int = 1024): DataFrame = {
+    requireDim(embeddings, embCol, dim, "nearDupPairsCosineLsh")
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t * 1000003L))
+    def buckets(emb: Column): Column = explode(array(tables.zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("t"), lshBucket(emb, planes).as("bv"))
+    }: _*))
+    val wB = Window.partitionBy(col("t"), col("bv"))
+    val b = embeddings
+      .select(col(idCol).as("id"), col(embCol).as("__e"), buckets(col(embCol)).as("b"))
+      .select(col("id"), col("__e"), col("b.t").as("t"), col("b.bv").as("bv"))
+      .withColumn("__sz", count(lit(1)).over(wB))
+      // struct min carries the hub's embedding along with its id
+      .withColumn("__mn", min(struct(col("id"), col("__e").as("e"))).over(wB))
+      .localCheckpoint()
+    val small = b.filter(col("__sz") <= maxBucketSize)
+    val l = small.select(col("id").as("a"), col("__e").as("__ea"), col("t"), col("bv"))
+    val r = small.select(col("id").as("b"), col("__e").as("__eb"), col("t"), col("bv"))
+    val allPairs = l.join(r, Seq("t", "bv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("__ea"), col("__eb"))
+    val starPairs = b.filter(col("__sz") > maxBucketSize && col("id") =!= col("__mn.id"))
+      .select(col("__mn.id").as("a"), col("id").as("b"),
+        col("__mn.e").as("__ea"), col("__e").as("__eb"))
+    allPairs.unionByName(starPairs)
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), cosineSim(col("__ea"), col("__eb")).as("cs"))
+      .filter(col("cs") >= threshold)
+      .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component d of plane p is a
     * hash of (seed, p, d) mapped to [-1, 1]. Pure driver-side doubles — the
     * planes are data-independent literals in the plan.

@@ -27,6 +27,13 @@ object ExtVectorQueries {
       Similarity.nearDupPairsCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.25)
     },
+    // LSH-bucketed embedding near-dup: the scale path for q_x_embed_neardup
+    // (no oracle: recall-traded by construction; spec proves every emitted
+    // pair is exact-verified — a subset of brute — with fair recall).
+    "q_x_embed_neardup_lsh" -> { (s, dir) =>
+      Similarity.nearDupPairsCosineLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.25)
+    },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).
     "q_x_ann_lsh" -> { (s, dir) =>

@@ -116,6 +116,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("lsh embedding near-dup: exact-verified subset of brute with fair recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Similarity.nearDupPairsCosine(emb, "vec_id", "embedding", threshold = 0.25)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsCosineLsh(emb, "vec_id", "embedding", threshold = 0.25)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "exact cosine verify must forbid false positives")
+    assert(brute.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
   test("ivf ann achieves reasonable recall against brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
