@@ -69,23 +69,27 @@ object Similarity {
       case (planes, t) => struct(lit(t).as("t"), lshBucket(emb, planes).as("bv"))
     }: _*))
     val wB = Window.partitionBy(col("t"), col("bv"))
+    // candidate generation carries BARE IDS — pairs are deduped across the
+    // numTables bucketings first, and the (wide) embedding arrays are
+    // attached once per surviving pair, not once per candidate occurrence
+    // (array-through-every-bucket-join was ~10× the cost at sf0.1)
     val b = embeddings
-      .select(col(idCol).as("id"), col(embCol).as("__e"), buckets(col(embCol)).as("b"))
-      .select(col("id"), col("__e"), col("b.t").as("t"), col("b.bv").as("bv"))
+      .select(col(idCol).as("id"), buckets(col(embCol)).as("b"))
+      .select(col("id"), col("b.t").as("t"), col("b.bv").as("bv"))
       .withColumn("__sz", count(lit(1)).over(wB))
-      // struct min carries the hub's embedding along with its id
-      .withColumn("__mn", min(struct(col("id"), col("__e").as("e"))).over(wB))
+      .withColumn("__mn", min(col("id")).over(wB))
       .localCheckpoint()
     val small = b.filter(col("__sz") <= maxBucketSize)
-    val l = small.select(col("id").as("a"), col("__e").as("__ea"), col("t"), col("bv"))
-    val r = small.select(col("id").as("b"), col("__e").as("__eb"), col("t"), col("bv"))
-    val allPairs = l.join(r, Seq("t", "bv")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("__ea"), col("__eb"))
-    val starPairs = b.filter(col("__sz") > maxBucketSize && col("id") =!= col("__mn.id"))
-      .select(col("__mn.id").as("a"), col("id").as("b"),
-        col("__mn.e").as("__ea"), col("__e").as("__eb"))
-    allPairs.unionByName(starPairs)
-      .dropDuplicates("a", "b")
+    val allPairs = small.select(col("id").as("a"), col("t"), col("bv"))
+      .join(small.select(col("id").as("b"), col("t"), col("bv")), Seq("t", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val starPairs = b.filter(col("__sz") > maxBucketSize && col("id") =!= col("__mn"))
+      .select(col("__mn").as("a"), col("id").as("b"))
+    val cand = allPairs.unionByName(starPairs).distinct()
+    val ea = embeddings.select(col(idCol).as("a"), col(embCol).as("__ea"))
+    val eb = embeddings.select(col(idCol).as("b"), col(embCol).as("__eb"))
+    cand.join(ea, Seq("a")).join(eb, Seq("b"))
       .select(col("a"), col("b"), cosineSim(col("__ea"), col("__eb")).as("cs"))
       .filter(col("cs") >= threshold)
       .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))

@@ -30,9 +30,14 @@ object ExtVectorQueries {
     // LSH-bucketed embedding near-dup: the scale path for q_x_embed_neardup
     // (no oracle: recall-traded by construction; spec proves every emitted
     // pair is exact-verified — a subset of brute — with fair recall).
+    // Operating point: this corpus's "near-dups" sit at cos≈0.25-0.5, close
+    // to random for hyperplane LSH, so pruning is weak by nature; 5 planes /
+    // 8 tables trades to recall≈0.5 at ~4× less candidate work than the 4/8
+    // default. At a genuine near-dup threshold (≥0.8) the same machinery
+    // prunes orders of magnitude harder.
     "q_x_embed_neardup_lsh" -> { (s, dir) =>
       Similarity.nearDupPairsCosineLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.25)
+        threshold = 0.25, numPlanes = 5)
     },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).
