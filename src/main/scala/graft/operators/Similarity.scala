@@ -51,37 +51,62 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
   }
 
+  /** Multi-table hyperplane bucketing shared by [[annLsh]] and
+    * [[nearDupPairsCosineLsh]] — one (t, bv) struct per table per vector.
+    * Both paths MUST share this (seed spacing, field names, explode shape)
+    * so their bucket semantics can never diverge.
+    */
+  private def lshTableBuckets(emb: Column, numPlanes: Int, numTables: Int,
+      dim: Int, seed: Long): Column = {
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t * 1000003L))
+    explode(array(tables.zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("t"), lshBucket(emb, planes).as("bv"))
+    }: _*))
+  }
+
   /** Scale path for embedding near-dup: multi-table hyperplane LSH — vectors
     * sharing a (table, bucket) become candidate pairs, verified with exact
-    * cosine ≥ threshold. One shuffle on (table, bucket); the same hot-bucket
-    * star guard (and connectivity trade) as the text dedup pipelines bounds
-    * a bucket of near-identical vectors to linear fan-out. Probabilistic
-    * recall by construction (tune numPlanes/numTables per corpus) — the
+    * cosine ≥ threshold. Probabilistic recall by construction — the
     * all-pairs [[nearDupPairsCosine]] is the exact baseline it is
     * recall-spec-checked against.
+    *
+    * SIZING RULE (unlike the text pipelines, whose md5 band hashes have an
+    * effectively unbounded keyspace): the bucket keyspace here is only
+    * numTables × 2^numPlanes, so numPlanes must grow with the corpus —
+    * numPlanes ≈ log2(n / targetBucketSize) — or every bucket goes over
+    * `maxBucketSize` and the star guard truncates recall to hub edges. The
+    * guard is a safety valve for genuine near-identical clusters, not a
+    * substitute for sizing; the capped-bucket count is published via
+    * `observe` as `emb_lsh_hot_buckets` so that failure mode is visible.
+    * The pairing self-join is salted (deterministically, ids only) because
+    * the raw (t, bv) keyspace would cap shuffle parallelism.
     */
   def nearDupPairsCosineLsh(embeddings: DataFrame, idCol: String, embCol: String,
       threshold: Double, numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
       dim: Int = 64, maxBucketSize: Int = 1024): DataFrame = {
     requireDim(embeddings, embCol, dim, "nearDupPairsCosineLsh")
-    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t * 1000003L))
-    def buckets(emb: Column): Column = explode(array(tables.zipWithIndex.map {
-      case (planes, t) => struct(lit(t).as("t"), lshBucket(emb, planes).as("bv"))
-    }: _*))
     val wB = Window.partitionBy(col("t"), col("bv"))
     // candidate generation carries BARE IDS — pairs are deduped across the
     // numTables bucketings first, and the (wide) embedding arrays are
     // attached once per surviving pair, not once per candidate occurrence
     // (array-through-every-bucket-join was ~10× the cost at sf0.1)
     val b = embeddings
-      .select(col(idCol).as("id"), buckets(col(embCol)).as("b"))
+      .select(col(idCol).as("id"),
+        lshTableBuckets(col(embCol), numPlanes, numTables, dim, seed).as("b"))
       .select(col("id"), col("b.t").as("t"), col("b.bv").as("bv"))
       .withColumn("__sz", count(lit(1)).over(wB))
       .withColumn("__mn", min(col("id")).over(wB))
+      .observe("emb_lsh_hot_buckets",
+        sum(when(col("__sz") > maxBucketSize && col("id") === col("__mn"), 1)
+          .otherwise(0)).as("n_capped_buckets"))
       .localCheckpoint()
+    val saltFactor = 16
     val small = b.filter(col("__sz") <= maxBucketSize)
-    val allPairs = small.select(col("id").as("a"), col("t"), col("bv"))
-      .join(small.select(col("id").as("b"), col("t"), col("bv")), Seq("t", "bv"))
+    val l = small.select(col("id").as("a"), col("t"), col("bv"),
+      pmod(hash(col("id")), lit(saltFactor)).as("__s"))
+    val r = small.select(col("id").as("b"), col("t"), col("bv"))
+      .withColumn("__s", explode(sequence(lit(0), lit(saltFactor - 1))))
+    val allPairs = l.join(r.hint("shuffle_hash"), Seq("t", "bv", "__s"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
     val starPairs = b.filter(col("__sz") > maxBucketSize && col("id") =!= col("__mn"))
@@ -217,12 +242,7 @@ object Similarity {
     // fail fast instead — BOTH sides (the query side is just as poisonable)
     requireDim(corpus, embCol, dim, "annLsh corpus")
     requireDim(queries, embCol, dim, "annLsh queries")
-    val tables = (0 until numTables).map { t =>
-      hyperplanes(numPlanes, dim, seed + t * 1000003L)
-    }
-    def buckets(emb: Column): Column = explode(array(tables.zipWithIndex.map {
-      case (planes, t) => struct(lit(t).as("t"), lshBucket(emb, planes).as("bv"))
-    }: _*))
+    def buckets(emb: Column): Column = lshTableBuckets(emb, numPlanes, numTables, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
       buckets(col(embCol)).as("b"))
       .select(col("neighbor_id"), col("__ce"), col("b.t").as("t"), col("b.bv").as("bv"))

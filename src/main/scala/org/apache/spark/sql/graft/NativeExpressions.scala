@@ -140,7 +140,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     def literalFieldNo(fn: String, exprs: Seq[Expression]): Int = {
       require(exprs.length == 2, s"$fn(bin, fieldNo) takes exactly 2 arguments")
       require(exprs(1).foldable, s"$fn: fieldNo must be a literal integer")
-      exprs(1).eval().asInstanceOf[Number].intValue
+      exprs(1).eval() match {
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"$fn: fieldNo must be a literal integer, got ${if (other == null) "NULL" else other}")
+      }
     }
     e.injectFunction((FunctionIdentifier("proto_varint"),
       new ExpressionInfo(classOf[ProtoVarintField].getName, "proto_varint"),

@@ -120,12 +120,17 @@ class DedupSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val brute = Similarity.nearDupPairsCosine(emb, "vec_id", "embedding", threshold = 0.25)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.nearDupPairsCosineLsh(emb, "vec_id", "embedding", threshold = 0.25)
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(brute), "exact cosine verify must forbid false positives")
     assert(brute.nonEmpty)
-    val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall $recall too low")
+    // test BOTH the operator default (4 planes) and the registry's shipped
+    // operating point (5 planes) — a recall collapse at either must fail CI
+    for ((planes, minRecall) <- Seq(4 -> 0.4, 5 -> 0.3)) {
+      val lsh = Similarity.nearDupPairsCosineLsh(emb, "vec_id", "embedding",
+        threshold = 0.25, numPlanes = planes)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(brute), s"planes=$planes: exact verify must forbid false positives")
+      val recall = (brute & lsh).size.toDouble / brute.size
+      assert(recall >= minRecall, s"planes=$planes recall $recall too low")
+    }
   }
 
   test("ivf ann achieves reasonable recall against brute force") {
