@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.IngestJob
+import graft.sources.Tables
+
+/** Drives the full batch write path (SURVEY §3: bronze → silver → gold) into
+  * a temp warehouse and checks layout, counts, gold parity with the
+  * oracle-verified registry queries, and idempotent re-runs.
+  */
+class IngestJobSpec extends SparkSpec {
+
+  test("full lifecycle lands bronze/silver/gold; re-run is a no-op") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    IngestJob.run(spark, sfDir, wh)
+
+    val events = Tables.events(spark, sfDir)
+    val nPurchases = events.filter(col("event_type") === "purchase").count()
+
+    // bronze: one date-partitioned entity table per family, exact row parity
+    val purchase = spark.read.parquet(s"$wh/entities/purchase")
+    assert(purchase.count() == nPurchases)
+    assert(new java.io.File(s"$wh/entities/purchase").listFiles()
+      .exists(_.getName.startsWith("event_date=")), "entity tables must be date-partitioned")
+    for (t <- Seq("view", "click", "signup", "error")) {
+      assert(spark.read.parquet(s"$wh/entities/$t").count() ==
+        events.filter(col("event_type") === t).count(), s"entity $t count")
+    }
+
+    // silver: enriched purchases carry the precomputed in_stable column
+    val enriched = spark.read.parquet(s"$wh/enriched_purchases")
+    assert(enriched.count() == nPurchases)
+    assert(enriched.columns.contains("in_stable"))
+
+    // gold: daily state matches the oracle-verified registry query
+    val daily = spark.read.parquet(s"$wh/daily_user_state")
+    val registryDaily = graft.queries.PipelineQueries.queries("q_e2e_daily_state")(spark, sfDir)
+    assert(daily.count() == registryDaily.count())
+    val gold = spark.read.parquet(s"$wh/gold_pl_state")
+    assert(gold.count() ==
+      graft.queries.PipelineQueries.queries("q_e2e_pl_state")(spark, sfDir).count())
+
+    // idempotent re-run: entity tables unchanged (K1 replay contract);
+    // silver/gold are overwrite-refreshed, still exact
+    IngestJob.run(spark, sfDir, wh)
+    assert(spark.read.parquet(s"$wh/entities/purchase").count() == nPurchases)
+    assert(spark.read.parquet(s"$wh/enriched_purchases").count() == nPurchases)
+  }
+}
