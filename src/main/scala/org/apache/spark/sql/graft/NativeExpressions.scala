@@ -137,15 +137,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
-    def literalFieldNo(fn: String, exprs: Seq[Expression]): Int = {
-      require(exprs.length == 2, s"$fn(bin, fieldNo) takes exactly 2 arguments")
-      require(exprs(1).foldable, s"$fn: fieldNo must be a literal integer")
-      exprs(1).eval() match {
+    def literalInt(fn: String, argName: String, expr: Expression): Int = {
+      require(expr.foldable, s"$fn: $argName must be a literal integer")
+      expr.eval() match {
         case n: Number => n.intValue
         case other => throw new IllegalArgumentException(
-          s"$fn: fieldNo must be a literal integer, got ${if (other == null) "NULL" else other}")
+          s"$fn: $argName must be a literal integer, got ${if (other == null) "NULL" else other}")
       }
     }
+    def literalFieldNo(fn: String, exprs: Seq[Expression]): Int = {
+      require(exprs.length == 2, s"$fn(bin, fieldNo) takes exactly 2 arguments")
+      literalInt(fn, "fieldNo", exprs(1))
+    }
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "minhash_sig(text, numHashes, shingleN) takes exactly 3 arguments")
+        MinHashSig(exprs.head,
+          literalInt("minhash_sig", "numHashes", exprs(1)),
+          literalInt("minhash_sig", "shingleN", exprs(2)))
+      }))
+    e.injectFunction((FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      (exprs: Seq[Expression]) => SimHashText(exprs.head)))
     e.injectFunction((FunctionIdentifier("proto_varint"),
       new ExpressionInfo(classOf[ProtoVarintField].getName, "proto_varint"),
       (exprs: Seq[Expression]) =>

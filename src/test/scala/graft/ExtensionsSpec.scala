@@ -65,5 +65,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val pb = spark.sql("SELECT CAST(proto_bytes(X'120774657374696E67', 2) AS STRING)")
       .head().getString(0)
     assert(pb == "testing")
+    // one-pass signature kernels from SQL
+    val ms = spark.sql("SELECT minhash_sig('a b c d', 4, 3)").head().getSeq[Long](0)
+    assert(ms.length == 4)
+    val st = spark.sql("SELECT simhash_text('hello world hello')").head().getLong(0)
+    assert(st != 0L)
   }
 }
