@@ -47,4 +47,19 @@ class IngestJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/entities/purchase").count() == nPurchases)
     assert(spark.read.parquet(s"$wh/enriched_purchases").count() == nPurchases)
   }
+
+  test("typed entity tier agrees with the untyped pipeline") {
+    import spark.implicits._
+    val typedTotal = graft.ingest.Entities.purchases(spark, sfDir)
+      .groupByKey(_.user_id)
+      .mapValues(_.value.getOrElse(0.0))
+      .reduceGroups(_ + _)
+      .collect().toMap
+    val untyped = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum(coalesce(col("value"), lit(0.0))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(typedTotal.keySet == untyped.keySet)
+    typedTotal.foreach { case (u, t) => assert(math.abs(t - untyped(u)) < 1e-6) }
+  }
 }
