@@ -16,6 +16,12 @@ case class PurchaseEvent(event_id: Long, ts: Timestamp, user_id: Long,
 case class ViewEvent(event_id: Long, ts: Timestamp, user_id: Long,
     value: Option[Double], attr_k: Option[Int])
 
+case class ClickEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    value: Option[Double], attr_k: Option[Int])
+
+case class SignupEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    value: Option[Double], attr_k: Option[Int])
+
 case class ErrorEvent(event_id: Long, ts: Timestamp, user_id: Long,
     value: Option[Double], attr_k: Option[Int])
 
@@ -33,6 +39,16 @@ object Entities {
   def views(spark: SparkSession, dir: String): Dataset[ViewEvent] = {
     import spark.implicits._
     typed[ViewEvent](spark, dir, "view")
+  }
+
+  def clicks(spark: SparkSession, dir: String): Dataset[ClickEvent] = {
+    import spark.implicits._
+    typed[ClickEvent](spark, dir, "click")
+  }
+
+  def signups(spark: SparkSession, dir: String): Dataset[SignupEvent] = {
+    import spark.implicits._
+    typed[SignupEvent](spark, dir, "signup")
   }
 
   def errors(spark: SparkSession, dir: String): Dataset[ErrorEvent] = {

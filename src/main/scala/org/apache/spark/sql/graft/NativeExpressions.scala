@@ -154,13 +154,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3,
           "minhash_sig(text, numHashes, shingleN) takes exactly 3 arguments")
-        MinHashSig(exprs.head,
-          literalInt("minhash_sig", "numHashes", exprs(1)),
-          literalInt("minhash_sig", "shingleN", exprs(2)))
+        val numHashes = literalInt("minhash_sig", "numHashes", exprs(1))
+        val shingleN = literalInt("minhash_sig", "shingleN", exprs(2))
+        // non-positive values don't error downstream — they yield empty or
+        // constant signatures (every doc colliding), so fail at analysis
+        require(numHashes > 0 && shingleN > 0,
+          s"minhash_sig: numHashes and shingleN must be positive, got ($numHashes, $shingleN)")
+        MinHashSig(exprs.head, numHashes, shingleN)
       }))
     e.injectFunction((FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
-      (exprs: Seq[Expression]) => SimHashText(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash_text(text) takes exactly 1 argument")
+        SimHashText(exprs.head)
+      }))
     e.injectFunction((FunctionIdentifier("proto_varint"),
       new ExpressionInfo(classOf[ProtoVarintField].getName, "proto_varint"),
       (exprs: Seq[Expression]) =>

@@ -33,10 +33,24 @@ class IngestJobSpec extends SparkSpec {
     assert(enriched.count() == nPurchases)
     assert(enriched.columns.contains("in_stable"))
 
-    // gold: daily state matches the oracle-verified registry query
+    // gold: the WRITTEN daily state is cell-identical to the oracle-verified
+    // registry computation (catches write-path corruption — partition column
+    // damage, schema drift, row loss — not just count equality)
     val daily = spark.read.parquet(s"$wh/daily_user_state")
     val registryDaily = graft.queries.PipelineQueries.queries("q_e2e_daily_state")(spark, sfDir)
-    assert(daily.count() == registryDaily.count())
+      .select(daily.columns.map(col): _*)
+    assert(daily.exceptAll(registryDaily).isEmpty && registryDaily.exceptAll(daily).isEmpty,
+      "written daily_user_state must be cell-identical to the registry computation")
+    // independent recomputation (different code path than the pipeline):
+    // each user's final balance == Σ of their purchase values
+    val finalBalance = daily.groupBy("user_id")
+      .agg(max_by(col("balance"), col("day")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(finalBalance == direct, "final balances must equal independently-summed purchases")
     val gold = spark.read.parquet(s"$wh/gold_pl_state")
     assert(gold.count() ==
       graft.queries.PipelineQueries.queries("q_e2e_pl_state")(spark, sfDir).count())
@@ -61,5 +75,13 @@ class IngestJobSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(typedTotal.keySet == untyped.keySet)
     typedTotal.foreach { case (u, t) => assert(math.abs(t - untyped(u)) < 1e-6) }
+    // every family's typed view decodes (encoder/schema mismatches fail here,
+    // not at a downstream caller)
+    val ev = Tables.events(spark, sfDir)
+    def n(t: String) = ev.filter(col("event_type") === t).count()
+    assert(graft.ingest.Entities.views(spark, sfDir).count() == n("view"))
+    assert(graft.ingest.Entities.clicks(spark, sfDir).count() == n("click"))
+    assert(graft.ingest.Entities.signups(spark, sfDir).count() == n("signup"))
+    assert(graft.ingest.Entities.errors(spark, sfDir).count() == n("error"))
   }
 }
