@@ -85,14 +85,28 @@ object Dedup {
     * file; on a many-split 100 TB corpus it can be dropped.
     */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleN: Int): DataFrame = {
-    val sig = docs.repartition(col(idCol))
+      numHashes: Int, shingleN: Int): DataFrame =
+    widenSignature(docs.repartition(col(idCol))
       .select(col(idCol),
-        org.apache.spark.sql.graft.natives.minhashSig(col(textCol), numHashes, shingleN).as("__sig"))
-      .filter(col("__sig").isNotNull)
-    sig.select(col(idCol) +:
-      (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
-  }
+        org.apache.spark.sql.graft.natives.minhashSig(col(textCol), numHashes, shingleN).as("__sig")),
+      idCol, numHashes)
+
+  /** MinHash signature over character n-grams — same one-pass narrow-map
+    * shape as [[minHashSignature]], gram-level hashing instead of word
+    * shingles ([[org.apache.spark.sql.graft.natives.minhashSigChar]]). Docs
+    * shorter than `n` codepoints have no grams and are dropped (null sig).
+    */
+  def minHashSignatureCharNgram(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, n: Int): DataFrame =
+    widenSignature(docs.repartition(col(idCol))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.natives.minhashSigChar(col(textCol), numHashes, n).as("__sig")),
+      idCol, numHashes)
+
+  private def widenSignature(sig: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sig.filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
 
   /** Default per-bucket cap for banded candidate generation. A bucket of m
     * near-identical docs (boilerplate mega-cluster) otherwise emits m²/2
@@ -203,16 +217,31 @@ object Dedup {
       // drop such docs, so parity requires dropping them here too
       .filter(col("simhash").isNotNull)
 
-  /** SimHash near-dup candidates: split the sketch into 4×16-bit bands
-    * (Hamming ≤ 3 ⇒ at least one band identical), bucket-join, then verify
-    * the true Hamming distance with bit_count(xor). Same hot-bucket star
-    * guard (and connectivity trade) as [[lshCandidatePairs]]: over-cap
-    * buckets link members to the bucket-min doc instead of emitting all
-    * pairs.
+  /** SimHash near-dup candidates: split the sketch into 4×16-bit bands,
+    * bucket-join, then verify the true Hamming distance with bit_count(xor).
+    *
+    * RECALL CONTRACT: the banding GUARANTEES a candidate only for pairs with
+    * Hamming ≤ 3 (pigeonhole: ≤ 3 differing bits cannot touch all 4 bands).
+    * `maxHamming` may be set higher — the verify stage is exact — but then
+    * results are candidate-recall-limited: a pair at distance 4..maxHamming
+    * is found only if its differing bits happen to spare one band. Callers
+    * needing a guarantee at larger radii should band a rotation family or
+    * use [[nearDupPairsMinHash]]; this mirrors the documented recall trade
+    * in [[Similarity.nearDupPairsCosineLsh]].
+    *
+    * Hot-bucket star guard (same as [[lshCandidatePairs]]): over-cap buckets
+    * link members to the bucket-min doc instead of emitting all pairs. Note
+    * the Hamming filter runs AFTER star substitution, so an over-cap member
+    * whose distance to the HUB exceeds `maxHamming` is dropped entirely even
+    * when within range of a sibling — over-cap buckets can lose members, not
+    * just re-home their edges. The capped-bucket count is observable as
+    * `simhash_hot_buckets`.
     */
   def nearDupPairsSimHash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val sk = simHash(docs, idCol, textCol)
     val wB = Window.partitionBy(col("band"), col("bv"))
     val bands = sk.select(col(idCol), col("simhash"),
@@ -224,6 +253,9 @@ object Dedup {
       // struct min carries the hub's sketch along with its id; checkpoint —
       // three consumers would re-run the sketch pipeline otherwise
       .withColumn("__mn", min(struct(col(idCol), col("simhash"))).over(wB))
+      .observe("simhash_hot_buckets",
+        sum(when(col("__sz") > maxBucketSize && col(idCol) === col("__mn").getField(idCol), 1)
+          .otherwise(0)).as("n_capped_buckets"))
       .localCheckpoint()
     val small = bands.filter(col("__sz") <= maxBucketSize)
     val l = small.select(col(idCol).as("a"), col("simhash").as("sha"), col("band"), col("bv"))
@@ -239,33 +271,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character-n-gram Jaccard near-dups, banded by a cheap length bucket to
-    * avoid O(n²): only docs in the same length bucket are compared.
+  /** Character-n-gram Jaccard near-dups with CONTENT-based banding: gram-level
+    * MinHash signatures ([[minHashSignatureCharNgram]], one narrow map) band
+    * candidates through [[lshCandidatePairs]], then exact gram Jaccard is
+    * verified on candidates only. The round-2 form banded by a length bucket
+    * — content-blind, so a bucket held a constant FRACTION of the corpus and
+    * the within-bucket all-pairs join was O(n²) no matter the salt; banded
+    * candidates are linearithmic and shuffle on a well-distributed band hash.
+    *
+    * Verification is exact on the candidate set: n-gram sets are hashed to
+    * longs and sorted ONCE per doc (semi-joined down to candidate docs
+    * first), then each pair is a zero-allocation merge walk (native
+    * SortedIntersectCount). 64-bit gram hashing is exact w.r.t. the string
+    * sets up to ~1e-15 collision odds per pair.
+    *
+    * RECALL CONTRACT: candidates are probabilistic — catch probability is
+    * 1−(1−J^r)^b, s-curve midpoint (1/b)^(1/r). The default r=4, b=4 sits
+    * the midpoint at ≈0.71: near-identical docs (J ≥ 0.8, the dedup targets)
+    * are caught at ≥ 97%, while pairs just over a low threshold may be
+    * missed. r MUST stay ≥ 4 on natural-language corpora: shared vocabulary
+    * puts the BASELINE pairwise gram Jaccard around 0.2 (measured on the
+    * test corpus), and r=2 banding made 46% of ALL pairs candidates — the
+    * all-pairs regime the banding exists to avoid. Pairs the bands miss are
+    * lost (the trade every LSH path in this module makes); the exact verify
+    * guarantees no false positives.
     */
   def nearDupPairsCharNgram(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, lengthBucket: Int = 50, threshold: Double = 0.5): DataFrame = {
-    // n-gram sets are hashed to longs and sorted ONCE per doc before the
-    // pair join; pair verification is then a zero-allocation merge walk
-    // (native SortedIntersectCount). String-set intersection per pair ran
-    // minutes at 5k docs — this form runs in seconds and scales to banded
-    // candidates at corpus size. 64-bit gram hashing is exact w.r.t. the
-    // string sets up to ~1e-15 collision odds per pair.
-    val grams = docs.select(col(idCol),
-      floor(length(col(textCol)) / lengthBucket.toDouble).as("lb"),
-      array_sort(array_distinct(transform(charNgrams(col(textCol), n), g => xxhash64(g)))).as("gs"))
-    // The pair join keys on the length bucket, which has FEW distinct values
-    // — joining on lb alone caps parallelism at the bucket count. Salt the
-    // left side deterministically by doc id and replicate the right side
-    // over the salt range: parallelism becomes buckets × saltFactor, no
-    // broadcast (the gram table grows with the corpus), no sort-merge
-    // sorting of the big arrays (hash join hint).
-    val saltFactor = 16
-    val l = grams.select(col(idCol).as("a"), col("lb"), col("gs").as("ga"),
-      pmod(hash(col(idCol)), lit(saltFactor)).as("__s"))
-    val r = grams.select(col(idCol).as("b"), col("lb"), col("gs").as("gb"))
-      .withColumn("__s", explode(sequence(lit(0), lit(saltFactor - 1))))
+      n: Int = 5, threshold: Double = 0.5,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sig = minHashSignatureCharNgram(docs, idCol, textCol, numHashes, n)
+    // pairs are tiny but referenced twice by the verifier — materialize once
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
+      .localCheckpoint()
+    val candIds = pairs.select(col("a").as("__id"))
+      .unionByName(pairs.select(col("b").as("__id"))).distinct()
+    val grams = docs.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
+      .select(col(idCol), org.apache.spark.sql.graft.natives.gramHashes(col(textCol), n).as("gs"))
     import org.apache.spark.sql.graft.natives.sortedIntersectCount
-    l.join(r.hint("shuffle_hash"), Seq("lb", "__s")).filter(col("a") < col("b"))
+    pairs
+      .join(grams.select(col(idCol).as("a"), col("gs").as("ga")), Seq("a"))
+      .join(grams.select(col(idCol).as("b"), col("gs").as("gb")), Seq("b"))
       .withColumn("common", sortedIntersectCount(col("ga"), col("gb")).cast("double"))
       .select(col("a"), col("b"),
         round(col("common") /

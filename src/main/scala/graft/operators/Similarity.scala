@@ -211,11 +211,19 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Fail fast on ragged/mismatched embedding lengths (a single pruned-scan
-    * probe; zip_with null-padding would otherwise silently degrade results).
+  /** Fail fast on mismatched embedding lengths with a SAMPLED probe: the
+    * first 1000 rows only, a pruned local scan. A full-corpus pre-scan cost
+    * two extra passes over the (at scale, dominant) embedding column per
+    * query for a check the scoring kernel repeats anyway —
+    * [[org.apache.spark.sql.graft.NativeKernels.cosine]] throws on any
+    * ragged pair it actually scores. The probe catches the common
+    * misconfiguration (a whole table at the wrong dim) before plan launch;
+    * a lone ragged row past the sample dies at scoring time instead of
+    * silently null-poisoning its bucket.
     */
   private def requireDim(df: DataFrame, embCol: String, dim: Int, what: String): Unit = {
-    val bad = df.select(size(col(embCol)).as("d")).filter(col("d") =!= dim).limit(1).count()
+    val bad = df.select(size(col(embCol)).as("d")).limit(1000)
+      .filter(col("d") =!= dim).limit(1).count()
     require(bad == 0, s"$what: embedding length differs from dim=$dim")
   }
 

@@ -82,19 +82,21 @@ object TextOps {
     * lesson, round-1 bench).
     */
   def langIdFromTokens(toks: Column, lexicons: Map[String, Seq[String]]): Column = {
-    // left fold in alphabetical lang order, replacing only on strictly
-    // greater score — ties keep the alphabetically-first language, all-zero
-    // scores yield 'und'. (Equivalent SQL: argmax with alphabetical tiebreak.)
-    var bestScore: Column = lit(0)
-    var bestLang: Column = lit("und")
-    for ((lang, words) <- lexicons.toSeq.sortBy(_._1)) {
-      val sc = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
-      val newLang = when(sc > bestScore, lit(lang)).otherwise(bestLang)
-      val newScore = when(sc > bestScore, sc).otherwise(bestScore)
-      bestLang = newLang
-      bestScore = newScore
-    }
-    bestLang
+    // One score per language packed in a single array, argmax via
+    // array_position(scores, array_max(scores)) — position of the FIRST
+    // maximum, so ties keep the alphabetically-first language and all-zero
+    // scores yield 'und'. The tree is LINEAR in the lexicon count: the
+    // round-2 when-fold nested the running best into BOTH branches of each
+    // step, so CollapseProject duplicated every size(filter(...)) subtree 2^L
+    // times (codegen blow-up at a realistic 20-language set).
+    val langs = lexicons.toSeq.sortBy(_._1)
+    val scores = array(langs.map { case (_, words) =>
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    }: _*)
+    val names = array(langs.map { case (lang, _) => lit(lang) }: _*)
+    val mx = array_max(scores)
+    when(mx.isNull || mx === 0, lit("und"))
+      .otherwise(element_at(names, array_position(scores, mx).cast("int")))
   }
 
   /** Single-column convenience form of [[langIdFromTokens]]. */

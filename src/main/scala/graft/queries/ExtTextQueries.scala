@@ -84,10 +84,13 @@ object ExtTextQueries {
     "q_x_dedup_simhash" -> { (s, dir) =>
       Dedup.nearDupPairsSimHash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 20)
     },
-    // Character-5-gram Jaccard near-dups, banded by length bucket.
+    // Character-5-gram Jaccard near-dups, content-banded: gram-MinHash
+    // signatures → LSH candidates (4 bands × 4 rows) → exact gram Jaccard on
+    // candidates only. The oracle replays the full banded pipeline
+    // bit-for-bit (like q_x_dedup_simhash / q_x_dedup_minhash).
     "q_x_dedup_ngram" -> { (s, dir) =>
       Dedup.nearDupPairsCharNgram(Tables.documents(s, dir), "doc_id", "text",
-        n = 5, lengthBucket = 50, threshold = 0.5)
+        n = 5, threshold = 0.5, numHashes = 16, rowsPerBand = 4)
     }
   )
 
@@ -95,6 +98,33 @@ object ExtTextQueries {
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM documents)"""
   private val shingleExpr =
     "list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)])"
+
+  /** Shared DuckDB CTE chain for the seeded md5+xorshift MinHash family:
+    * expects a CTE `sh0(doc_id, u0 UBIGINT)` (one row per shingle/gram hash)
+    * upstream, yields `sig(doc_id, sig)` — the 16-minima signature ordered by
+    * seed. Seed constants come from Dedup.seedConstants (single source of
+    * truth with the native kernels); wrapping `<< n` equals mask-then-shift
+    * on UBIGINT (masks are 2^(64-n)-1).
+    */
+  private def minhashChainCtes: String = {
+    val seeds = graft.operators.Dedup.seedConstants(16).zipWithIndex
+      .map { case (c, i) =>
+        val u = java.lang.Long.toUnsignedString(c)
+        s"($i, CAST($u AS UBIGINT))"
+      }.mkString(", ")
+    s"""seeds(seed, c) AS (VALUES $seeds),
+       |z0t AS (SELECT doc_id, seed, xor(u0, c) AS z0 FROM sh0 CROSS JOIN seeds),
+       |z1t AS (SELECT doc_id, seed, xor(z0, (z0 & CAST(2251799813685247 AS UBIGINT)) * CAST(8192 AS UBIGINT)) AS z1 FROM z0t),
+       |z2t AS (SELECT doc_id, seed, xor(z1, (z1 >> 7)) AS z2 FROM z1t),
+       |hs AS (SELECT doc_id, seed, xor(z2, (z2 & CAST(140737488355327 AS UBIGINT)) * CAST(131072 AS UBIGINT)) AS u FROM z2t),
+       |hsig AS (SELECT doc_id, seed,
+       |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+       |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+       |         ELSE CAST(u AS BIGINT) END AS h
+       |  FROM hs),
+       |mins AS (SELECT doc_id, seed, min(h) AS mh FROM hsig GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mins GROUP BY doc_id)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_x_token_count" ->
@@ -173,31 +203,13 @@ object ExtTextQueries {
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,
-    "q_x_dedup_minhash" -> {
-      // seed constants shared with Dedup.seededHashes (single source of truth)
-      val seeds = graft.operators.Dedup.seedConstants(16).zipWithIndex
-        .map { case (c, i) =>
-          val u = java.lang.Long.toUnsignedString(c)
-          s"($i, CAST($u AS UBIGINT))"
-        }.mkString(", ")
-      // wrapping << n == mask-then-shift on UBIGINT; masks are 2^(64-n)-1
+    "q_x_dedup_minhash" ->
       s"""WITH $wCte,
          |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
          |sh0 AS (SELECT doc_id,
          |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
          |  FROM sh),
-         |seeds(seed, c) AS (VALUES $seeds),
-         |z0t AS (SELECT doc_id, seed, xor(u0, c) AS z0 FROM sh0 CROSS JOIN seeds),
-         |z1t AS (SELECT doc_id, seed, xor(z0, (z0 & CAST(2251799813685247 AS UBIGINT)) * CAST(8192 AS UBIGINT)) AS z1 FROM z0t),
-         |z2t AS (SELECT doc_id, seed, xor(z1, (z1 >> 7)) AS z2 FROM z1t),
-         |hs AS (SELECT doc_id, seed, xor(z2, (z2 & CAST(140737488355327 AS UBIGINT)) * CAST(131072 AS UBIGINT)) AS u FROM z2t),
-         |hsig AS (SELECT doc_id, seed,
-         |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
-         |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
-         |         ELSE CAST(u AS BIGINT) END AS h
-         |  FROM hs),
-         |mins AS (SELECT doc_id, seed, min(h) AS mh FROM hsig GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mins GROUP BY doc_id),
+         |$minhashChainCtes,
          |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
          |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -208,8 +220,7 @@ object ExtTextQueries {
          |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
          |FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
          |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
-         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin
-    },
+         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
     "q_x_simhash_sketch" ->
       s"""WITH $wCte,
          |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
@@ -245,17 +256,28 @@ object ExtTextQueries {
          |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
          |SELECT a, b, bit_count(xor(sua, sub)) AS hamming
          |FROM pairs WHERE bit_count(xor(sua, sub)) <= 20""".stripMargin,
+    // Full banded-contract replay: gram hashes → shared MinHash chain → 8
+    // bands × 2 rows → candidates → exact string-level gram Jaccard. Grams
+    // are codepoint substrings in both engines; duplicate grams feed the
+    // hash chain redundantly on both sides (min-insensitive).
     "q_x_dedup_ngram" ->
-      """WITH d AS (SELECT doc_id, text,
-        |    CAST(floor(length(text) / 50.0) AS BIGINT) AS lb FROM documents),
-        |g AS (SELECT doc_id, lb,
-        |    list_distinct([substr(text, i, 5) for i in generate_series(1, length(text)-4)]) AS gs
-        |  FROM d)
-        |SELECT x.doc_id AS a, y.doc_id AS b,
-        |  round(len(list_intersect(x.gs, y.gs))::DOUBLE /
-        |        len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) AS ngram_jaccard
-        |FROM g x JOIN g y ON x.lb = y.lb AND x.doc_id < y.doc_id
-        |WHERE round(len(list_intersect(x.gs, y.gs))::DOUBLE /
-        |            len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) >= 0.5""".stripMargin
+      s"""WITH g AS (SELECT doc_id,
+         |    list_distinct([substr(text, i, 5) for i in generate_series(1, length(text)-4)]) AS gs
+         |  FROM documents),
+         |gr AS (SELECT doc_id, unnest(gs) AS gm FROM g),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(gm), 1, 16)) AS UBIGINT) AS u0
+         |  FROM gr),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |  round(len(list_intersect(x.gs, y.gs))::DOUBLE /
+         |        len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) AS ngram_jaccard
+         |FROM cand JOIN g x ON x.doc_id = a JOIN g y ON y.doc_id = b
+         |WHERE round(len(list_intersect(x.gs, y.gs))::DOUBLE /
+         |            len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) >= 0.5""".stripMargin
   )
 }

@@ -63,6 +63,27 @@ object natives {
   def minhashSig(text: Column, numHashes: Int, shingleN: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(text), numHashes, shingleN))
 
+  /** MinHash signature over CHARACTER n-grams (codepoint-indexed, matching
+    * SQL `substr` semantics) in one pass — same seeded md5+xorshift family as
+    * [[minhashSig]], null when the text has fewer than `n` codepoints. The
+    * content-banding primitive for n-gram Jaccard dedup: gram-level
+    * signatures band candidates by CONTENT, where a length bucket is blind
+    * to it (and quadratic within bucket).
+    */
+  def minhashSigChar(text: Column, numHashes: Int, n: Int): Column =
+    ExpressionUtils.column(MinHashSigChar(ExpressionUtils.expression(text), numHashes, n))
+
+  /** Sorted distinct 64-bit (md5-derived) hashes of the text's character
+    * n-grams in one pass — the exact-verify twin of [[minhashSigChar]]:
+    * feed two of these to [[sortedIntersectCount]] for an exact gram
+    * Jaccard (exact w.r.t. the string sets up to ~1e-15 collision odds per
+    * pair). Replaces the interpreted transform(substr)+hash+sort+distinct
+    * higher-order pipeline on the verification hot path. Empty array when
+    * the text has fewer than `n` codepoints.
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(GramHashes(ExpressionUtils.expression(text), n))
+
   /** 64-bit SimHash straight from text in one pass (tokenize → md5 per
     * token → ±1 bit votes). Same result as explode+collect_list+simhash64
     * without the shuffle.
@@ -162,6 +183,25 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           s"minhash_sig: numHashes and shingleN must be positive, got ($numHashes, $shingleN)")
         MinHashSig(exprs.head, numHashes, shingleN)
       }))
+    e.injectFunction((FunctionIdentifier("minhash_sig_char"),
+      new ExpressionInfo(classOf[MinHashSigChar].getName, "minhash_sig_char"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "minhash_sig_char(text, numHashes, n) takes exactly 3 arguments")
+        val numHashes = literalInt("minhash_sig_char", "numHashes", exprs(1))
+        val n = literalInt("minhash_sig_char", "n", exprs(2))
+        require(numHashes > 0 && n > 0,
+          s"minhash_sig_char: numHashes and n must be positive, got ($numHashes, $n)")
+        MinHashSigChar(exprs.head, numHashes, n)
+      }))
+    e.injectFunction((FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "gram_hashes(text, n) takes exactly 2 arguments")
+        val n = literalInt("gram_hashes", "n", exprs(1))
+        require(n > 0, s"gram_hashes: n must be positive, got $n")
+        GramHashes(exprs.head, n)
+      }))
     e.injectFunction((FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       (exprs: Seq[Expression]) => {
@@ -248,6 +288,47 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
          |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** One-pass MinHash signature over character n-grams (see
+  * [[natives.minhashSigChar]]). Grams are codepoint-indexed substrings —
+  * identical to `substr(text, i, n)` in Spark and DuckDB — hashed over their
+  * UTF-8 bytes, so signatures are bit-reproducible in the SQL oracle.
+  */
+case class MinHashSigChar(child: Expression, numHashes: Int, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.minhashSigChar(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numHashes, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("minhashSigChar")
+      s"""org.apache.spark.sql.catalyst.util.GenericArrayData $v =
+         |  org.apache.spark.sql.graft.NativeKernels.minhashSigChar($c, $numHashes, $n);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigChar =
+    copy(child = newChild)
+}
+
+/** Sorted distinct md5-derived hashes of character n-grams (see
+  * [[natives.gramHashes]]). Non-null: gram-less short texts yield an empty
+  * array (Jaccard 0 against everything, matching the SQL `list_distinct` of
+  * an empty comprehension).
+  */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.gramHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.gramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)
 }
 
@@ -473,6 +554,94 @@ object NativeKernels {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** One-pass MinHash signature over character n-grams; null when the text
+    * has fewer than n codepoints (no grams — such docs can't band). Grams are
+    * codepoint-indexed (`substr` semantics in both engines) and hashed over
+    * UTF-8 bytes; duplicate grams are hashed redundantly — a min is
+    * insensitive to them, same argument as [[minhashSig]].
+    */
+  def minhashSigChar(s: org.apache.spark.unsafe.types.UTF8String, numHashes: Int, n: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // A codepoint substring in UTF-8 is exactly the byte slice between its
+    // codepoint byte offsets, so grams are hashed as slices of ONE shared
+    // byte array — no per-gram String/substring/getBytes allocation (the
+    // allocation path was ~2× the md5 cost at ~2k grams/doc).
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cp = 0
+    var i = 0
+    while (i < len) { // codepoint starts = non-continuation bytes
+      if ((bytes(i) & 0xC0) != 0x80) cp += 1
+      i += 1
+    }
+    if (cp < n) return null
+    val offs = new Array[Int](cp + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(k) = i; k += 1 }
+      i += 1
+    }
+    offs(cp) = len
+    val seeds = seedsFor(numHashes)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var g = 0
+    val last = cp - n
+    while (g <= last) {
+      val h0 = md5LongBytes(bytes, offs(g), offs(g + n) - offs(g))
+      k = 0
+      while (k < numHashes) {
+        val h = xs64(h0 ^ seeds(k))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Sorted distinct md5-derived 64-bit hashes of the codepoint n-grams —
+    * same byte-slice walk as [[minhashSigChar]]; pairs with
+    * [[sortedIntersect]] for exact gram Jaccard on candidates.
+    */
+  def gramHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cp = 0
+    var i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) cp += 1
+      i += 1
+    }
+    if (cp < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val offs = new Array[Int](cp + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(k) = i; k += 1 }
+      i += 1
+    }
+    offs(cp) = len
+    val hs = new Array[Long](cp - n + 1)
+    var g = 0
+    while (g <= cp - n) {
+      hs(g) = md5LongBytes(bytes, offs(g), offs(g + n) - offs(g))
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(w)) { w += 1; hs(w) = hs(i) }
+      i += 1
+    }
+    val out = if (w + 1 == hs.length) hs else java.util.Arrays.copyOf(hs, w + 1)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** One-pass SimHash from text: every token (including the empty token a

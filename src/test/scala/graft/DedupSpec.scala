@@ -33,12 +33,25 @@ class DedupSpec extends SparkSpec {
     assert(hammingTo3 > 10)
   }
 
-  test("char-ngram jaccard ranks the 1-word edit above unrelated docs") {
+  test("char-ngram jaccard finds the 1-word edit, not unrelated docs") {
+    // gram jaccard(0,1) ≈ 0.9 → band-catch probability 1-(1-0.9⁴)⁴ ≈ 0.99
+    // (deterministic for the fixed hash family — no flake)
     val pairs = Dedup.nearDupPairsCharNgram(docs, "doc_id", "text",
-      n = 5, lengthBucket = 200, threshold = 0.0)
+      n = 5, threshold = 0.0)
       .as[(Long, Long, Double)].collect()
       .map(p => ((p._1, p._2), p._3)).toMap
     assert(pairs((0L, 1L)) > pairs.getOrElse((0L, 3L), 0.0))
+  }
+
+  test("char-ngram content banding finds the one near-dup pair in a wider corpus") {
+    val r = new scala.util.Random(7)
+    def randDoc() = Seq.fill(12)(r.alphanumeric.take(5).mkString).mkString(" ")
+    val uniq = (2L until 50L).map(i => (i, randDoc()))
+    val nd = Seq((0L, base), (1L, base.replace("dog", "cat")))
+    val df = spark.createDataFrame(nd ++ uniq).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsCharNgram(df, "doc_id", "text", n = 5, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
   }
 
   test("dedupExact keeps the lowest id per group") {
