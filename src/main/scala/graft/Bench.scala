@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * `.count()` would let Catalyst prune projections and undercount the real
   * work. One warmup query amortizes JIT/codegen and parquet footer reads out
   * of the first measurement.
+  *
+  * Each query is timed MEDIAN-OF-3 with a GC settle between attempts: a
+  * serial single-JVM sweep over 70+ queries otherwise attributes JIT warmup
+  * and GC pauses to whichever query they land on (the round-2 ledger showed
+  * two 8×-inflated rows that re-measured at warm truth). The median — not
+  * the min — keeps the number honest for genuinely variable plans.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,7 +31,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOne(name: String): Double = {
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -35,11 +42,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    runOne("q1_agg") // warmup: JIT, codegen cache, parquet footers
+    def runOne(name: String): Double = {
+      val ts = (1 to reps).map { _ =>
+        System.gc() // settle: don't bill the previous query's garbage here
+        timeOne(name)
+      }
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+    }
+
+    timeOne("q1_agg") // warmup: JIT, codegen cache, parquet footers
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
     spark.stop()
   }
 }

@@ -6,8 +6,8 @@ import graft.ingest.EventPipeline
 import graft.operators.Multimodal
 import graft.sources.Tables
 
-/** End-to-end ingest-pipeline query (parse → enrich → snapshot, SURVEY §3)
-  * and the multimodal metadata rollup.
+/** End-to-end composite queries (parse → enrich → snapshot, SURVEY §3; the
+  * get_positions and earn-APR pages) and the multimodal metadata rollup.
   */
 object PipelineQueries {
 
@@ -95,6 +95,54 @@ object PipelineQueries {
             - coalesce(col("prev_state"), lit(0).cast("decimal(28,2)")))
             .cast("double").as("tax_identity"))
     }},
+    // The earn-APR page (reference lp_pool_state.rs:440-517): a 4-operator
+    // composition no other e2e query covers — W5 latest state per pool
+    // (DISTINCT ON), A6 weighted-average net interest with a NULLIF guard,
+    // B11 utilization, and the §2.9 daily-compounding POWER formula, glued
+    // with a broadcast dim join (J1) and LEFT JOIN null padding (J2).
+    // Suppliers play the pools; lineitem plays both the pool-state series
+    // (per ship date) and the open-position set.
+    "q_e2e_earn_apr" -> { (s, dir) => {
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      // daily pool state (agg-of-agg base), then W5 latest row per pool —
+      // (pool, day) is unique, so the desc day order is tie-free
+      val st = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"), col("l_shipdate"))
+        .agg(
+          sum(dec("l_extendedprice")).as("tvl"),
+          sum(when(col("l_returnflag") === "R", dec("l_extendedprice"))).as("borrowed"))
+      val latest = graft.functions.Ops.latestPerKey(st, Seq("l_suppkey"),
+        Seq(col("l_shipdate").desc))
+      // A6: principal-weighted net interest per pool; rate = discount as a
+      // percentage, flat 1% margin (the reference's per-protocol margin CASE
+      // collapses to a constant on this schema). Lossless decimal scales:
+      // (18,2)*(18,0)-(18,2) stays scale 2, ×(18,2) → scale 4.
+      val netRate = dec("l_discount") * lit(100).cast("decimal(18,0)") -
+        lit(1).cast("decimal(18,2)")
+      val ai = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg((sum((netRate * dec("l_extendedprice")).cast("decimal(30,4)")).cast("double") /
+          nullif(sum(dec("l_extendedprice")).cast("double"), lit(0.0))).as("avg_net_interest"))
+      val base = latest
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(ai, Seq("l_suppkey"), "left")
+        .select(col("l_suppkey"), col("s_name").as("protocol"),
+          (coalesce(col("borrowed").cast("double"), lit(0.0)) /
+            nullif(col("tvl").cast("double"), lit(0.0))).as("util_rate"),
+          col("tvl").cast("double").as("supplied"),
+          coalesce(col("borrowed").cast("double"), lit(0.0)).as("borrowed"),
+          col("avg_net_interest"))
+      base
+        .withColumn("apr_simple",
+          coalesce(col("avg_net_interest"), lit(0.0)) * coalesce(col("util_rate"), lit(0.0)))
+        .select(col("l_suppkey").as("pool_id"), col("protocol"),
+          round(coalesce(col("util_rate"), lit(0.0)) * 100.0, 6).as("utilization_pct"),
+          col("supplied"), col("borrowed"),
+          when(col("apr_simple") > 0,
+            round((pow(lit(1.0) + col("apr_simple") / 100.0 / 365.0, 365) - 1.0) * 100.0, 6))
+            .otherwise(lit(0.0)).as("earn_apr"))
+    }},
     // Multimodal metadata rollup over the binary payload table: per kind,
     // object count and byte-size stats (decode stage is spec-tested; this
     // checks the schema/plumbing tier against the oracle).
@@ -173,6 +221,37 @@ object PipelineQueries {
         |  CAST(state + coalesce(error_vol, 0) - coalesce(signup_vol, 0)
         |       - coalesce(prev_state, 0) AS DOUBLE) AS tax_identity
         |FROM pv""".stripMargin,
+    "q_e2e_earn_apr" ->
+      """WITH st AS (SELECT l_suppkey, l_shipdate,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS tvl,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS borrowed
+        |  FROM lineitem GROUP BY 1, 2),
+        |latest AS (SELECT DISTINCT ON (l_suppkey) l_suppkey, tvl, borrowed
+        |  FROM st ORDER BY l_suppkey, l_shipdate DESC),
+        |ai AS (SELECT l_suppkey,
+        |    CAST(sum(CAST((CAST(l_discount AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(18,0))
+        |                    - CAST(1 AS DECIMAL(18,2))) * CAST(l_extendedprice AS DECIMAL(18,2))
+        |             AS DECIMAL(30,4))) AS DOUBLE) /
+        |    nullif(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS avg_net_interest
+        |  FROM lineitem GROUP BY l_suppkey),
+        |base AS (SELECT l.l_suppkey, s_name AS protocol,
+        |    coalesce(CAST(l.borrowed AS DOUBLE), 0.0) / nullif(CAST(l.tvl AS DOUBLE), 0.0) AS util_rate,
+        |    CAST(l.tvl AS DOUBLE) AS supplied,
+        |    coalesce(CAST(l.borrowed AS DOUBLE), 0.0) AS borrowed,
+        |    ai.avg_net_interest
+        |  FROM latest l
+        |  JOIN supplier ON l.l_suppkey = s_suppkey
+        |  LEFT JOIN ai ON l.l_suppkey = ai.l_suppkey),
+        |calc AS (SELECT *,
+        |    coalesce(avg_net_interest, 0.0) * coalesce(util_rate, 0.0) AS apr_simple
+        |  FROM base)
+        |SELECT l_suppkey AS pool_id, protocol,
+        |  round(coalesce(util_rate, 0.0) * 100.0, 6) AS utilization_pct,
+        |  supplied, borrowed,
+        |  CASE WHEN apr_simple > 0
+        |       THEN round((power(1.0 + apr_simple / 100.0 / 365.0, 365) - 1.0) * 100.0, 6)
+        |       ELSE 0.0 END AS earn_apr
+        |FROM calc""".stripMargin,
     "q_x_mm_meta" ->
       """SELECT list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
         |  count(*) AS n_objects,

@@ -55,11 +55,51 @@ class IngestJobSpec extends SparkSpec {
     assert(gold.count() ==
       graft.queries.PipelineQueries.queries("q_e2e_pl_state")(spark, sfDir).count())
 
+    // run log: one persisted marker per stage (action_history analog)
+    val runLog = spark.read.parquet(s"$wh/run_log")
+    val stages = Seq("entities", "enriched_purchases", "daily_user_state", "gold_pl_state")
+    assert(runLog.select("stage").distinct().collect().map(_.getString(0)).toSet == stages.toSet)
+    assert(runLog.count() == stages.size, "exactly one marker per stage on first run")
+    val enrRow = runLog.filter(col("stage") === "enriched_purchases").head()
+    assert(enrRow.getAs[Long]("rows") == nPurchases)
+    assert(enrRow.getAs[Long]("finished_ms") >= enrRow.getAs[Long]("started_ms"))
+
+    // catch-up math driven from the persisted marker: just-finished → wait
+    // out (almost) the full interval; cold stage → run immediately
+    val last = graft.ingest.RunLog.lastFinishedMs(spark, wh, "gold_pl_state").get
+    val delay = graft.ingest.RunLog.catchUpDelaySeconds(spark, wh, "gold_pl_state",
+      intervalSeconds = 3600, nowEpochMs = last + 1000)
+    assert(delay == 3599, s"expected 3599s remaining, got $delay")
+    assert(graft.ingest.RunLog.catchUpDelaySeconds(spark, wh, "never_ran",
+      intervalSeconds = 3600, nowEpochMs = last) == 0L, "unknown stage = cold start")
+    // overdue marker → immediate catch-up
+    assert(graft.ingest.RunLog.catchUpDelaySeconds(spark, wh, "gold_pl_state",
+      intervalSeconds = 3600, nowEpochMs = last + 7200 * 1000) == 0L)
+
     // idempotent re-run: entity tables unchanged (K1 replay contract);
-    // silver/gold are overwrite-refreshed, still exact
+    // silver/gold are overwrite-refreshed, still exact; run log APPENDS one
+    // marker per stage (history, not upsert)
     IngestJob.run(spark, sfDir, wh)
     assert(spark.read.parquet(s"$wh/entities/purchase").count() == nPurchases)
     assert(spark.read.parquet(s"$wh/enriched_purchases").count() == nPurchases)
+    assert(spark.read.parquet(s"$wh/run_log").count() == 2L * stages.size)
+    assert(graft.ingest.RunLog.lastFinishedMs(spark, wh, "gold_pl_state").get >= last,
+      "re-run must advance (or hold) the last-finished marker")
+  }
+
+  test("decimal clamp guard: testdata passes, >1e30 amounts and cast overflows fail") {
+    import spark.implicits._
+    import graft.ingest.DecimalGuard.assertWithinClamp
+    // the real corpus sits far under the clamp — must pass untouched
+    assertWithinClamp(Tables.events(spark, sfDir), "value")
+    // nulls are data, not violations
+    assertWithinClamp(Seq[Option[Double]](None, Some(1.0)).toDF("value"), "value")
+    // an amount past the documented 1e30 bound must be rejected...
+    intercept[IllegalStateException](assertWithinClamp(Seq(1e31).toDF("value"), "value"))
+    // ...and so must one the (38,0) cast itself overflows (u128 max ≈ 3.4e38)
+    intercept[IllegalStateException](assertWithinClamp(Seq(1e39).toDF("value"), "value"))
+    // boundary: just under the limit passes
+    assertWithinClamp(Seq(9.99e29).toDF("value"), "value")
   }
 
   test("typed entity tier agrees with the untyped pipeline") {

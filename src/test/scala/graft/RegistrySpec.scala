@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity guard: the driver's correctness gate only checks what
+  * the registry exposes, so a silently-dropped entry (a Map key collision
+  * from a module merge, a renamed query) would LOOK like a clean round while
+  * shrinking coverage. Pin the exact census and the oracle contract.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries that legitimately carry no DuckDB oracle: approximate /
+    * recall-traded paths whose exact twins ARE oracle-checked.
+    */
+  private val noOracleByDesign = Set(
+    "q_a4_approx_active",   // HLL sketch (exact twin: q_a4_monthly_active)
+    "q_x_ann_lsh",          // LSH ANN (exact twin: q_x_ann_topk)
+    "q_x_ann_ivf",          // IVF ANN (exact twin: q_x_ann_topk)
+    "q_x_embed_neardup_lsh" // embedding LSH (exact twin: q_x_embed_neardup)
+  )
+
+  test("registry census: no entry silently dropped") {
+    assert(SparkEntry.queries.size == 75,
+      s"query registry changed size (${SparkEntry.queries.size}) — if intentional, " +
+        "update this census AND the oracle accounting below")
+    assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - noOracleByDesign.size)
+  }
+
+  test("every query is oracle-checked or a declared approximate path") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(queries),
+      s"oracles without a query: ${(oracles -- queries).toSeq.sorted.mkString(", ")}")
+    val unchecked = queries -- oracles -- noOracleByDesign
+    assert(unchecked.isEmpty,
+      s"queries with neither oracle nor declared exemption: ${unchecked.toSeq.sorted.mkString(", ")}")
+    assert(noOracleByDesign.subsetOf(queries))
+  }
+}
