@@ -26,7 +26,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Materialize {
 
-  private val locks = new ConcurrentHashMap[String, Object]()
+  // Striped build locks: bounded BY CONSTRUCTION — a long-lived driver
+  // serving arbitrarily many table paths holds exactly 64 monitors (the
+  // per-path ConcurrentHashMap of the first cut grew without eviction, and
+  // evicting a monitor somebody may hold reopens the stampede it guards
+  // against). Distinct paths on one stripe merely serialize their builds;
+  // staleness is re-checked per path under the lock, so coalescing stays
+  // correct. refreshInFlight IS per-path but self-evicting (removed in the
+  // task's finally), so it only ever holds in-flight paths.
+  private val lockStripes = Array.fill(64)(new Object)
   private val refreshInFlight = ConcurrentHashMap.newKeySet[String]()
   private lazy val refreshPool = Executors.newFixedThreadPool(2, new ThreadFactory {
     def newThread(r: Runnable): Thread = {
@@ -37,7 +45,7 @@ object Materialize {
   })
 
   private def lockFor(path: String): Object =
-    locks.computeIfAbsent(path, _ => new Object)
+    lockStripes(math.floorMod(path.hashCode, lockStripes.length))
 
   /** Read the gold table at `path`, rebuilding via `build` when absent or
     * older than `ttlSeconds` (TTL 0 forces rebuild). Concurrent stale
@@ -120,19 +128,32 @@ object Materialize {
   private def readCurrent(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(new Path(path, currentVersion(spark, path)).toString)
 
+  /** Retention floor for pruned snapshot versions: a version is deletable
+    * only once it has been superseded for at least this long, bounding how
+    * long a reader may hold one DataFrame across publishes (a ttl=0 caller
+    * re-publishing in a loop would otherwise delete a snapshot mid-scan
+    * after just two iterations). Size to the longest expected query.
+    */
+  val PruneRetentionMs: Long = 30 * 60 * 1000L
+
   /** Delete version directories outside `keepVersions` (the just-published
-    * snapshot + the previously-pointed one readers may still hold). A short
-    * modification-time grace window spares a concurrent cross-process
-    * build's in-progress directory.
+    * snapshot + the previously-pointed one readers may still hold), the two
+    * most recent directories (a cross-process publisher's {new, prev} this
+    * process never pointed at), and anything younger than
+    * [[PruneRetentionMs]] — mtime ≈ publish time, so the age test means "has
+    * been superseded long enough that no sane reader still scans it".
     */
   private def prune(spark: SparkSession, path: String, keepVersions: Set[String]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val graceMs = 10 * 60 * 1000L
     val now = System.currentTimeMillis()
-    fs.listStatus(new Path(path)).toSeq
+    val versions = fs.listStatus(new Path(path)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+    val mostRecent = versions.sortBy(-_.getModificationTime).take(2)
+      .map(_.getPath.getName).toSet
+    versions
       .filterNot(s => keepVersions.contains(s.getPath.getName))
-      .filter(s => now - s.getModificationTime > graceMs)
+      .filterNot(s => mostRecent.contains(s.getPath.getName))
+      .filter(s => now - s.getModificationTime > PruneRetentionMs)
       .foreach(s => fs.delete(s.getPath, true))
   }
 }

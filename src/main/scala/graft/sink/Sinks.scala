@@ -61,16 +61,28 @@ object Sinks {
     * no MERGE, so the batch is bulk-staged to a uniquely-named side table (a
     * distributed JDBC write — nothing ever passes through the driver; the
     * unique suffix keeps concurrent upserts to the same target from
-    * clobbering each other's stage) and a single sink-side `MERGE INTO`
-    * applies it — the reference's own `INSERT ... ON CONFLICT DO UPDATE`
-    * contract (etl-core/src/dao/postgre/currency_registry.rs:9-50).
+    * clobbering each other's stage) and ONE sink-side apply statement moves
+    * it into the target. The statement is picked per JDBC dialect — the
+    * reference's own contract is `INSERT ... ON CONFLICT DO UPDATE`
+    * (etl-core/src/dao/postgre/currency_registry.rs:9-50), which Postgres
+    * of any vintage and SQLite speak, while MySQL wants ON DUPLICATE KEY
+    * and ANSI engines (Derby, H2, Oracle, MSSQL) take MERGE INTO:
+    *
+    *  - postgresql / sqlite → `INSERT ... SELECT ... ON CONFLICT (keys) DO
+    *    UPDATE SET c = EXCLUDED.c` (requires a unique index on the keys,
+    *    which the ON CONFLICT contract presumes)
+    *  - mysql / mariadb → `INSERT ... SELECT ... ON DUPLICATE KEY UPDATE
+    *    c = VALUES(c)` (backtick quoting; unique key on the keys presumed)
+    *  - everything else → ANSI `MERGE INTO`
     *
     * Within-batch duplicate keys are collapsed first (a multi-match source
     * row is a MERGE error in ANSI engines): pass `orderCol` to keep the row
     * with the greatest value of that column per key (the "last write wins"
     * the reference gets from statement order); without it the pick among
     * genuinely-different duplicate rows is arbitrary, as DataFrames carry no
-    * row order. The staging table is dropped afterwards.
+    * row order. The staging table is dropped afterwards; a failed DROP is
+    * logged and swallowed so it can never mask the apply-statement failure
+    * (orphaned `__graft_stage_` tables are documented cleanable).
     */
   def upsertJdbc(updates: DataFrame, url: String, table: String,
       keys: Seq[String], props: Properties = new Properties(),
@@ -85,7 +97,7 @@ object Sinks {
       case None => updates.dropDuplicates(keys)
     }
     // A transient existence-check failure must propagate, not be mistaken
-    // for "table absent" (which would fork the no-MERGE create path).
+    // for "table absent" (which would fork the no-upsert create path).
     if (!jdbcTableExists(url, table, props)) {
       batch.write.mode(SaveMode.Append).jdbc(url, table, props)
     } else {
@@ -93,27 +105,61 @@ object Sinks {
       batch.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
-        // Spark's JDBC writer creates columns with quoted (case-exact)
-        // identifiers — quote them here the same way. Table names are used
-        // as passed (they may be schema-qualified).
-        def q(c: String) = "\"" + c + "\""
-        val cols = batch.columns.toSeq
-        val nonKeys = cols.filterNot(keys.contains)
-        val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-        val matched = if (nonKeys.isEmpty) ""
-          else " WHEN MATCHED THEN UPDATE SET " +
-            nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-        val insert = s" WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})" +
-          s" VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+        val sql = upsertSql(url, table, stage, batch.columns.toSeq, keys)
         val st = conn.createStatement()
-        try st.executeUpdate(s"MERGE INTO $table t USING $stage s ON $on$matched$insert")
+        try st.executeUpdate(sql)
         finally st.close()
       } finally {
+        // best-effort cleanup: if the apply failed (e.g. connection loss)
+        // this DROP usually fails too — swallowing keeps the ROOT CAUSE
+        // propagating instead of replacing it with the DROP's exception
         try {
           val st = conn.createStatement()
-          try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+          try st.executeUpdate(s"DROP TABLE $stage")
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[upsertJdbc] staging table $stage not dropped " +
+                s"(${e.getMessage}) — __graft_stage_ tables are safe to clean up")
+          } finally st.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => // createStatement on a dead conn
         } finally conn.close()
       }
+    }
+  }
+
+  /** The dialect-dispatched upsert statement (pure string builder — unit-
+    * tested per dialect; the Derby/MERGE branch is also integration-tested).
+    * Identifier quoting matches what Spark's JDBC writer used to CREATE the
+    * staging columns: backticks on MySQL, double quotes elsewhere.
+    */
+  private[graft] def upsertSql(url: String, table: String, stage: String,
+      cols: Seq[String], keys: Seq[String]): String = {
+    val mysql = url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")
+    def q(c: String) = if (mysql) s"`$c`" else "\"" + c + "\""
+    val nonKeys = cols.filterNot(keys.contains)
+    val colList = cols.map(q).mkString(", ")
+    if (url.startsWith("jdbc:postgresql") || url.startsWith("jdbc:sqlite")) {
+      val conflict =
+        if (nonKeys.isEmpty) " DO NOTHING"
+        else " DO UPDATE SET " + nonKeys.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      s"INSERT INTO $table ($colList) SELECT $colList FROM $stage" +
+        s" ON CONFLICT (${keys.map(q).mkString(", ")})$conflict"
+    } else if (mysql) {
+      // key-only tables: refresh a key column with itself — MySQL's idiom
+      // for "do nothing" without INSERT IGNORE's error-swallowing
+      val updates = (if (nonKeys.isEmpty) keys.take(1) else nonKeys)
+        .map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
+      s"INSERT INTO $table ($colList) SELECT $colList FROM $stage" +
+        s" ON DUPLICATE KEY UPDATE $updates"
+    } else {
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val matched = if (nonKeys.isEmpty) ""
+        else " WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val insert = s" WHEN NOT MATCHED THEN INSERT ($colList)" +
+        s" VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+      s"MERGE INTO $table t USING $stage s ON $on$matched$insert"
     }
   }
 

@@ -117,4 +117,42 @@ class ServeSinkSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "upd", 2L -> "fixup"))
   }
+
+  test("upsertSql dispatches on the JDBC dialect") {
+    import graft.sink.Sinks.upsertSql
+    val cols = Seq("id", "name", "v")
+    // reference contract: Postgres takes INSERT ... ON CONFLICT, any version
+    assert(upsertSql("jdbc:postgresql://h/db", "t", "t__s", cols, Seq("id")) ==
+      """INSERT INTO t ("id", "name", "v") SELECT "id", "name", "v" FROM t__s""" +
+        """ ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", "v" = EXCLUDED."v"""")
+    // MySQL: ON DUPLICATE KEY, backtick quoting
+    assert(upsertSql("jdbc:mysql://h/db", "t", "t__s", cols, Seq("id")) ==
+      "INSERT INTO t (`id`, `name`, `v`) SELECT `id`, `name`, `v` FROM t__s" +
+        " ON DUPLICATE KEY UPDATE `name` = VALUES(`name`), `v` = VALUES(`v`)")
+    // ANSI engines (Derby/H2/Oracle/MSSQL): MERGE INTO
+    val merge = upsertSql("jdbc:derby:/x/db", "t", "t__s", cols, Seq("id"))
+    assert(merge.startsWith("MERGE INTO t t USING t__s s ON t.\"id\" = s.\"id\""))
+    assert(merge.contains("WHEN MATCHED THEN UPDATE SET") &&
+      merge.contains("WHEN NOT MATCHED THEN INSERT"))
+    // key-only tables degrade to insert-if-absent in every dialect
+    assert(upsertSql("jdbc:postgresql://h/db", "t", "t__s", Seq("id"), Seq("id"))
+      .endsWith("ON CONFLICT (\"id\") DO NOTHING"))
+    assert(upsertSql("jdbc:sqlite:/x.db", "t", "t__s", Seq("id"), Seq("id"))
+      .contains("ON CONFLICT"))
+    assert(!upsertSql("jdbc:derby:/x/db", "t", "t__s", Seq("id"), Seq("id"))
+      .contains("WHEN MATCHED"))
+  }
+
+  test("rapid republish keeps superseded snapshots for in-flight readers") {
+    // a ttl=0 caller republishing in a loop: the retention floor must keep
+    // every superseded version on disk (none is older than PruneRetentionMs),
+    // so a reader holding any of them never loses its snapshot mid-scan
+    val path = Files.createTempDirectory("graft_gold_floor").toString + "/t"
+    for (i <- 1 to 3)
+      Materialize.goldTable(spark, path, ttlSeconds = 0)(Seq((i, s"v$i")).toDF("id", "tag"))
+    val versionDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(versionDirs.length == 3,
+      s"expected all 3 versions retained, found ${versionDirs.length}")
+  }
 }
