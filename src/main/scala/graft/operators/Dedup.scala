@@ -161,29 +161,34 @@ object Dedup {
     allPairs.unionByName(starPairs).distinct()
   }
 
-  /** Exact word-shingle Jaccard on candidate pairs: |A∩B| via shingle
-    * equi-join, |A∪B| = |A|+|B|−|A∩B|.
+  /** Exact word-shingle Jaccard on candidate pairs: |A∩B| via a native
+    * merge walk over sorted hashed shingle sets, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Verification only ever needs the candidate docs — semi-join the corpus
+    * down FIRST, then hash each candidate's shingle set ONCE (one-pass
+    * [[org.apache.spark.sql.graft.natives.shingleHashes]], a narrow map) and
+    * compare pairs with the zero-allocation SortedIntersectCount. The round-2
+    * form exploded candidate shingles into an equi-join + two groupBys —
+    * three shuffles of the exploded shingle sets; this form shuffles only
+    * the (tiny) pair list and the per-doc hash arrays. 64-bit shingle
+    * hashing is exact w.r.t. the string sets up to ~1e-15 collision odds
+    * per pair (same argument as the n-gram verify and its oracle).
     */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
-    // verification only ever needs the candidate docs — semi-join the corpus
-    // down FIRST so a 100 TB corpus is exploded once for candidates, not
-    // three times for everybody
     val candIds = pairs.select(col("a").as("__id"))
       .unionByName(pairs.select(col("b").as("__id"))).distinct()
-    val candDocs = docs.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
-    val sh = candDocs.select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleN)).as("sh"))
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("sz"))
-    val common = pairs
-      .join(sh.select(col("__id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("__id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("__id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("__id").as("b"), col("sz").as("szb")), Seq("b"))
+    val sh = docs.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
+      .select(col(idCol),
+        org.apache.spark.sql.graft.natives.shingleHashes(col(textCol), shingleN).as("ss"))
+    import org.apache.spark.sql.graft.natives.sortedIntersectCount
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("ss").as("sa")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("ss").as("sb")), Seq("b"))
+      .withColumn("common", sortedIntersectCount(col("sa"), col("sb")).cast("double"))
       .select(col("a"), col("b"),
-        round(col("common").cast("double") /
-          (col("sza") + col("szb") - col("common")).cast("double"), 3).as("jaccard"))
+        round(col("common") /
+          (size(col("sa")) + size(col("sb")) - col("common")).cast("double"), 3).as("jaccard"))
   }
 
   /** Full MinHash near-dup pipeline: signature → banded candidates → exact

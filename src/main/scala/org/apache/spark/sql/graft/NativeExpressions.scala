@@ -84,6 +84,16 @@ object natives {
   def gramHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(GramHashes(ExpressionUtils.expression(text), n))
 
+  /** Sorted distinct 64-bit (md5-derived) hashes of the text's word n-gram
+    * SHINGLES in one pass — the exact-verify twin of [[minhashSig]], pairing
+    * with [[sortedIntersectCount]] for exact shingle Jaccard on candidate
+    * pairs (replaces the explode→equi-join→count intersection, which
+    * shuffled every candidate doc's shingle set). Empty array when the doc
+    * has fewer than `n` tokens.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+
   /** 64-bit SimHash straight from text in one pass (tokenize → md5 per
     * token → ±1 bit votes). Same result as explode+collect_list+simhash64
     * without the shuffle.
@@ -193,6 +203,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(numHashes > 0 && n > 0,
           s"minhash_sig_char: numHashes and n must be positive, got ($numHashes, $n)")
         MinHashSigChar(exprs.head, numHashes, n)
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "shingle_hashes(text, n) takes exactly 2 arguments")
+        val n = literalInt("shingle_hashes", "n", exprs(1))
+        require(n > 0, s"shingle_hashes: n must be positive, got $n")
+        ShingleHashes(exprs.head, n)
       }))
     e.injectFunction((FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
@@ -312,6 +330,22 @@ case class MinHashSigChar(child: Expression, numHashes: Int, n: Int)
          |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): MinHashSigChar =
+    copy(child = newChild)
+}
+
+/** Sorted distinct md5-derived hashes of word n-gram shingles (see
+  * [[natives.shingleHashes]]). Non-null: shingle-less short docs yield an
+  * empty array.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.shingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 
@@ -632,16 +666,48 @@ object NativeKernels {
       hs(g) = md5LongBytes(bytes, offs(g), offs(g + n) - offs(g))
       g += 1
     }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sortDistinct(hs))
+  }
+
+  /** Sorted distinct md5-derived hashes of word n-gram shingles — shingle
+    * construction identical to [[minhashSig]] (space-joined tokens), pairs
+    * with [[sortedIntersect]] for exact shingle Jaccard.
+    */
+  def shingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = tokensOf(s)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hs(i) = md5LongBytes(bytes, 0, bytes.length)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sortDistinct(hs))
+  }
+
+  /** Sort + in-place dedupe; returns the (possibly shorter) array. */
+  private def sortDistinct(hs: Array[Long]): Array[Long] = {
+    if (hs.isEmpty) return hs
     java.util.Arrays.sort(hs)
-    // in-place dedupe of the sorted array
     var w = 0
-    i = 1
+    var i = 1
     while (i < hs.length) {
       if (hs(i) != hs(w)) { w += 1; hs(w) = hs(i) }
       i += 1
     }
-    val out = if (w + 1 == hs.length) hs else java.util.Arrays.copyOf(hs, w + 1)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    if (w + 1 == hs.length) hs else java.util.Arrays.copyOf(hs, w + 1)
   }
 
   /** One-pass SimHash from text: every token (including the empty token a

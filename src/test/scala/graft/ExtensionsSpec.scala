@@ -70,5 +70,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ms.length == 4)
     val st = spark.sql("SELECT simhash_text('hello world hello')").head().getLong(0)
     assert(st != 0L)
+    val msc = spark.sql("SELECT minhash_sig_char('abcdefgh', 4, 5)").head().getSeq[Long](0)
+    assert(msc.length == 4)
+    // identical texts must produce identical hash sets; sets are sorted
+    val gh = spark.sql(
+      "SELECT sorted_intersect_count(gram_hashes('abcdef', 5), gram_hashes('abcdef', 5))")
+      .head().getInt(0)
+    assert(gh == 2) // 'abcde', 'bcdef'
+    val shh = spark.sql(
+      "SELECT sorted_intersect_count(shingle_hashes('a b c d', 3), shingle_hashes('a b c d e', 3))")
+      .head().getInt(0)
+    assert(shh == 2) // 'a b c', 'b c d'
   }
 }

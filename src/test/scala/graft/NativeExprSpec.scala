@@ -71,4 +71,52 @@ class NativeExprSpec extends SparkSpec {
       .select(natives.simhash64($"hs")).as[Long].head()
     assert(got == ref(hashes))
   }
+
+  // Deterministic fuzz corpus for the one-pass kernel parity tests: mixed
+  // lengths, blanks, repeated words, multi-space runs, non-ASCII codepoints
+  // (2- and 3-byte UTF-8, plus a surrogate-pair emoji to stress the
+  // codepoint-offset walk).
+  private val fuzzDocs: Seq[String] = {
+    val r = new scala.util.Random(11)
+    val words = Seq("the", "fox", "über", "日本語", "a", "storm", "🙂ok", "x")
+    (0 until 40).map { _ =>
+      (0 until r.nextInt(12)).map(_ => words(r.nextInt(words.length)))
+        .mkString(if (r.nextBoolean()) " " else "  ")
+    } :+ "" :+ "   " :+ "ab" :+ "日本語テキストの断片です"
+  }
+
+  test("minhashSigChar parity: one-pass kernel == built-ins gram pipeline") {
+    // built-ins twin: explode char grams, md5Long+xorshift per seed, min-agg
+    val df = fuzzDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val native = df.select($"id", natives.minhashSigChar($"t", 8, 5).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val exploded = df
+      .select($"id", explode(graft.operators.Dedup.charNgrams($"t", 5)).as("g"))
+      .select($"id" +: graft.operators.Dedup.seededHashes($"g", 8)
+        .zipWithIndex.map { case (c, i) => c.as(s"h$i") }: _*)
+      .groupBy($"id").agg(min($"h0"), min($"h1"), min($"h2"), min($"h3"),
+        min($"h4"), min($"h5"), min($"h6"), min($"h7"))
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    assert(native.keySet == exploded.keySet, "doc sets must agree (null = no grams)")
+    native.foreach { case (id, sig) => assert(sig == exploded(id), s"doc $id") }
+  }
+
+  test("shingleHashes/gramHashes parity: sorted distinct md5Long of the built-ins sets") {
+    val df = fuzzDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val nativeSh = df.select($"id", natives.shingleHashes($"t", 3).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val builtSh = df.select($"id",
+      array_sort(array_distinct(transform(
+        graft.operators.Dedup.shingles($"t", 3), s => natives.md5Long(s)))).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nativeSh == builtSh)
+    val nativeGr = df.select($"id", natives.gramHashes($"t", 5).as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val builtGr = df.select($"id",
+      array_sort(array_distinct(transform(
+        graft.operators.Dedup.charNgrams($"t", 5), g => natives.md5Long(g)))).as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nativeGr == builtGr)
+  }
 }
