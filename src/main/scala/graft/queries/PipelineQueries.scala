@@ -104,34 +104,44 @@ object PipelineQueries {
     // (per ship date) and the open-position set.
     "q_e2e_earn_apr" -> { (s, dir) => {
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      // daily pool state (agg-of-agg base), then W5 latest row per pool —
-      // (pool, day) is unique, so the desc day order is tie-free
+      // A6 numerator: rate = discount as a percentage, flat 1% margin (the
+      // reference's per-protocol margin CASE collapses to a constant on this
+      // schema). Lossless decimal scales: (18,2)*(18,0)-(18,2) stays scale 2,
+      // ×(18,2) → scale 4.
+      val netRate = dec("l_discount") * lit(100).cast("decimal(18,0)") -
+        lit(1).cast("decimal(18,2)")
+      // ONE fact scan: the (pool, day) pre-aggregate carries both the state
+      // series (tvl/borrowed) AND the weighted-net-interest partial sum, so
+      // the W5 latest row and the A6 all-history weighted average both come
+      // from re-aggregating this tiny pre-agg per pool — no second lineitem
+      // scan. Decimal sums re-aggregate exactly (sum of per-day sums == sum
+      // of rows at the same scale), so the result is hash-identical to the
+      // former two-scan form.
       val st = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"), col("l_shipdate"))
         .agg(
           sum(dec("l_extendedprice")).as("tvl"),
-          sum(when(col("l_returnflag") === "R", dec("l_extendedprice"))).as("borrowed"))
-      val latest = graft.functions.Ops.latestPerKey(st, Seq("l_suppkey"),
-        Seq(col("l_shipdate").desc))
-      // A6: principal-weighted net interest per pool; rate = discount as a
-      // percentage, flat 1% margin (the reference's per-protocol margin CASE
-      // collapses to a constant on this schema). Lossless decimal scales:
-      // (18,2)*(18,0)-(18,2) stays scale 2, ×(18,2) → scale 4.
-      val netRate = dec("l_discount") * lit(100).cast("decimal(18,0)") -
-        lit(1).cast("decimal(18,2)")
-      val ai = Tables.lineitem(s, dir)
+          sum(when(col("l_returnflag") === "R", dec("l_extendedprice"))).as("borrowed"),
+          sum((netRate * dec("l_extendedprice")).cast("decimal(30,4)")).as("wsum"))
+      // W5 via scalar max_by pairs — primitive agg buffers keep the re-agg in
+      // HashAggregate (a struct payload would demote it to SortAggregate);
+      // (pool, day) is unique so the day order is tie-free and both max_by
+      // calls pick the same row. A6 via sum-of-sums with the NULLIF guard.
+      val perPool = st
         .groupBy(col("l_suppkey"))
-        .agg((sum((netRate * dec("l_extendedprice")).cast("decimal(30,4)")).cast("double") /
-          nullif(sum(dec("l_extendedprice")).cast("double"), lit(0.0))).as("avg_net_interest"))
-      val base = latest
+        .agg(
+          max_by(col("tvl"), col("l_shipdate")).as("latest_tvl"),
+          max_by(col("borrowed"), col("l_shipdate")).as("latest_borrowed"),
+          (sum(col("wsum")).cast("double") /
+            nullif(sum(col("tvl")).cast("double"), lit(0.0))).as("avg_net_interest"))
+      val base = perPool
         .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
-        .join(ai, Seq("l_suppkey"), "left")
         .select(col("l_suppkey"), col("s_name").as("protocol"),
-          (coalesce(col("borrowed").cast("double"), lit(0.0)) /
-            nullif(col("tvl").cast("double"), lit(0.0))).as("util_rate"),
-          col("tvl").cast("double").as("supplied"),
-          coalesce(col("borrowed").cast("double"), lit(0.0)).as("borrowed"),
+          (coalesce(col("latest_borrowed").cast("double"), lit(0.0)) /
+            nullif(col("latest_tvl").cast("double"), lit(0.0))).as("util_rate"),
+          col("latest_tvl").cast("double").as("supplied"),
+          coalesce(col("latest_borrowed").cast("double"), lit(0.0)).as("borrowed"),
           col("avg_net_interest"))
       base
         .withColumn("apr_simple",
