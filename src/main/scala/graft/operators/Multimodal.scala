@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — schema, partitioning, the
   * batched `mapPartitions` stage (Scala's analog of a pandas-batch UDF: one
   * iterator per partition, so per-partition codec state is amortized across
-  * rows). The codec itself is a clearly-marked STUB: this container has no
-  * image/audio libraries, so `stubDecode` derives deterministic fake features
-  * from the bytes. Swapping in a real decoder changes only that function.
+  * rows). The codec tier is real where the JDK ships one: images decode via
+  * `javax.imageio` (PNG/JPEG/GIF/BMP — format, width, height read from the
+  * header without materializing pixels) and audio via `javax.sound.sampled`
+  * (WAV/AIFF/AU — type, channels, sample rate). Video, which has no JDK
+  * codec, and undecodable payloads fall back to `stubDecode`'s deterministic
+  * byte-derived features; swapping in a full codec (e.g. ffmpeg bindings)
+  * changes only `decodeOne`.
   */
 object Multimodal {
 
@@ -55,6 +59,73 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // real codec init would happen once per partition here
       rows.map(stubDecode)
+    }
+  }
+
+  /** Decoded per-object metadata. `format` is the codec's own name ("png",
+    * "wave", …; empty when no JDK codec decoded the payload). `dim1`/`dim2`
+    * are kind-dependent: width × height for images, channels × sample rate
+    * for audio, -1 × -1 for the stub fallback.
+    */
+  case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int, checksum: Long,
+      format: String, dim1: Int, dim2: Int, features: Array[Float])
+
+  /** Real header decode for one object; stub fallback for video/undecodable
+    * bytes. Header-only on purpose: at 100 TB the metadata pass must not
+    * materialize pixel buffers — `ImageReader.getWidth/getHeight` parse the
+    * stream header, so cost is O(header), not O(pixels).
+    */
+  def decodeOne(m: MediaRow): MediaMeta = {
+    val base = stubDecode(m)
+    val header = m.kind match {
+      case "image" => decodeImageHeader(m.payload)
+      case "audio" => decodeAudioHeader(m.payload)
+      case _       => None
+    }
+    val (fmt, d1, d2) = header.getOrElse(("", -1, -1))
+    MediaMeta(m.doc_id, m.kind, base.n_bytes, base.checksum, fmt, d1, d2, base.features)
+  }
+
+  /** (format, width, height) from an image byte stream via javax.imageio,
+    * or None if no installed reader claims the bytes.
+    */
+  def decodeImageHeader(payload: Array[Byte]): Option[(String, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** (type, channels, sample rate) from an audio byte stream via
+    * javax.sound.sampled (WAV/AIFF/AU headers), or None.
+    */
+  def decodeAudioHeader(payload: Array[Byte]): Option[(String, Int, Int)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      Some((aff.getType.toString.toLowerCase,
+        aff.getFormat.getChannels, aff.getFormat.getSampleRate.toInt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched metadata decode: the real-codec analog of `decodeFeatures` —
+    * one partition = one codec session (`ImageIO` plugin lookup is cached
+    * per JVM; the disk cache is disabled so byte-array streams stay on-heap).
+    */
+  def decodeMeta(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(decodeOne)
     }
   }
 

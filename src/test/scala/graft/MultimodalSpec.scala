@@ -20,6 +20,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).features.forall(v => v >= 0f && v <= 1f))
   }
 
+  test("decodeMeta reads real PNG and WAV headers, stub-falls-back elsewhere") {
+    implicit val s = spark
+    // real PNG: 7×5 ARGB rendered through the JDK encoder
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(3, 2, 0xFF336699)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    // real WAV: 100 frames of mono 8 kHz 8-bit silence through the JDK encoder
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](100)), fmt, 100),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", pngOut.toByteArray),
+      Multimodal.MediaRow(1L, "audio", wavOut.toByteArray),
+      Multimodal.MediaRow(2L, "video", "not a codec stream".getBytes("UTF-8")),
+      Multimodal.MediaRow(3L, "image", "not a png".getBytes("UTF-8")))
+    val meta = Multimodal.decodeMeta(rows.toDF("doc_id", "kind", "payload"))
+      .collect().sortBy(_.doc_id)
+    assert(meta(0).format == "png" && meta(0).dim1 == 7 && meta(0).dim2 == 5)
+    assert(meta(1).format == "wave" && meta(1).dim1 == 1 && meta(1).dim2 == 8000)
+    assert(meta(2).format == "" && meta(2).dim1 == -1) // video: stub fallback
+    assert(meta(3).format == "" && meta(3).dim2 == -1) // bad bytes: fallback
+    assert(meta.forall(_.checksum != 0)) // stub features still computed
+  }
+
   test("frameSample takes every stride-th chunk") {
     implicit val s = spark
     val frames = Multimodal.frameSample(media, chunkBytes = 4, stride = 2)
