@@ -152,52 +152,62 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: partition the corpus into `nCells` cells by
     * nearest centroid, then search only the query's `nProbe` closest cells.
-    * Centroids here are one k-means-style averaging pass over a hash-assigned
-    * seed partition (deterministic, no iteration) — production would run a
-    * few Lloyd iterations, but the index/probe machinery is identical. Cell
-    * assignment is a narrow map over a broadcast centroid array; the search
-    * shuffles on cell id only.
+    *
+    * The codebook is fully distributed: seed centroids are one averaging
+    * pass over a hash-assigned partition, refined by `lloydIters` spherical
+    * k-means iterations (assign to nearest unit centroid → re-average →
+    * re-normalize), and carried as a ONE-ROW broadcast DataFrame of
+    * (cell, centroid) structs — no driver `.collect()` at any codebook size;
+    * the broadcast ceiling (not the driver heap or a SQL-literal plan node)
+    * bounds nCells × dim. Cell assignment stays a narrow map: each vector
+    * cross-joins the single broadcast codebook row and ranks cells with an
+    * `aggregate`/`zip_with` dot product; the search shuffles on cell id only.
+    * Each iteration's tiny per-cell table is localCheckpointed so iteration
+    * N doesn't re-run iterations 1..N-1's corpus scans.
     */
   def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       queryIdCol: String, embCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.Row
+      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
+      lloydIters: Int = 2): DataFrame = {
     requireDim(corpus, embCol, dim, "annIvf corpus")
     requireDim(queries, embCol, dim, "annIvf queries")
-    // one averaging pass: seed cell = id hash, centroid = elementwise mean
-    val seeded = corpus.select(pmod(hash(col(idCol)), lit(nCells)).as("cell"),
-      posexplode(col(embCol)).as(Seq("pos", "x")))
-    val centroids = seeded.groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
-      .select(col("cell"), expr("transform(cs, s -> CAST(s.cx AS FLOAT))").as("centroid"))
-      .collect()
-      .map { case Row(cell: Int, centroid: scala.collection.Seq[_]) =>
-        cell -> centroid.asInstanceOf[scala.collection.Seq[Float]].toArray
-      }.sortBy(_._1).map(_._2)
-    // unit-normalize centroids so the dot-product cell ranking below IS the
-    // cosine ranking
-    val unit = centroids.map { c =>
-      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
-      if (n == 0) c else c.map(x => (x / n).toFloat)
-    }
-    // rank cells by dot against unit centroids; corpus keeps 1, queries nProbe
-    val scored = (df: DataFrame, id: Column, keep: Int) => {
+    // per-cell unit centroids → one codebook row: cb = array<struct<cell, centroid>>
+    def toCodebook(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("__e")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+        .select(col("cell"), expr("transform(cs, s -> s.cx)").as("c"))
+        .select(col("cell"), expr(
+          "transform(c, x -> CAST(x / sqrt(greatest(" +
+            "aggregate(c, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v), 1e-30)) AS FLOAT))")
+          .as("centroid"))
+        .localCheckpoint()
+        .agg(collect_list(struct(col("cell"), col("centroid"))).as("cb"))
+    // rank cells by dot against the broadcast codebook; keep the best `keep`
+    def assignCells(df: DataFrame, id: Column, keep: Int, codebook: DataFrame): DataFrame = {
       // __e must be a real column before the explode expr references it
       // (Generate cannot hold a lateral column alias)
       val staged = df.select(id, col(embCol).as("__e"))
-      staged
+      staged.crossJoin(broadcast(codebook))
         .withColumn("sc",
           explode(slice(array_sort(expr(
-            "transform(" + centroidExpr(unit) + ", (c, i) -> struct(-" +
-              "aggregate(zip_with(c, __e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)" +
-              " AS negdot, i AS cell))")), 1, keep)))
+            "transform(cb, s -> struct(-" +
+              "aggregate(zip_with(s.centroid, __e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)" +
+              " AS negdot, s.cell AS cell))")), 1, keep)))
         .select(col(staged.columns.head), col("__e"), col("sc.cell").as("cell"))
     }
-    val c = scored(corpus, col(idCol).as("neighbor_id"), 1)
+    // seed pass: cell = id hash; then Lloyd refinement
+    var codebook = toCodebook(corpus.select(
+      pmod(hash(col(idCol)), lit(nCells)).as("cell"), col(embCol).as("__e")))
+    for (_ <- 1 to lloydIters)
+      codebook = toCodebook(
+        assignCells(corpus, col(idCol).as("id"), 1, codebook)
+          .select(col("cell"), col("__e")))
+    val c = assignCells(corpus, col(idCol).as("neighbor_id"), 1, codebook)
       .withColumnRenamed("__e", "__ce")
-    val q = scored(queries, col(queryIdCol).as("query_id"), nProbe)
+    val q = assignCells(queries, col(queryIdCol).as("query_id"), nProbe, codebook)
       .withColumnRenamed("__e", "__qe")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id").asc)
@@ -226,13 +236,6 @@ object Similarity {
       .filter(col("d") =!= dim).limit(1).count()
     require(bad == 0, s"$what: embedding length differs from dim=$dim")
   }
-
-  /** SQL literal for the centroid array-of-arrays (16×64 floats is a small
-    * plan constant; at larger codebooks broadcast a DataFrame instead).
-    */
-  private def centroidExpr(cents: Array[Array[Float]]): String =
-    cents.map(c => "array(" + c.map(x => s"CAST($x AS FLOAT)").mkString(",") + ")")
-      .mkString("array(", ",", ")")
 
   /** Multi-table LSH ANN (OR-amplification): L independent tables of k
     * hyperplanes each; a corpus vector is a candidate if it shares a bucket
