@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   * and GC pauses to whichever query they land on (the round-2 ledger showed
   * two 8×-inflated rows that re-measured at warm truth). The median — not
   * the min — keeps the number honest for genuinely variable plans.
+  *
+  * Additionally each query runs ONE untimed warm-up rep before its measured
+  * reps: whole-stage codegen compiles per query shape, so the global warm-up
+  * can't pre-pay it and the first rep of early-alphabet queries otherwise
+  * reads 1.5-2× warm truth (the round-3 ledger's q_j1_broadcast_dim
+  * 2.32 s-vs-1.54 s gap).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,6 +49,7 @@ object Bench {
     }
 
     def runOne(name: String): Double = {
+      timeOne(name) // untimed warm-up rep: per-query codegen compile
       val ts = (1 to reps).map { _ =>
         System.gc() // settle: don't bill the previous query's garbage here
         timeOne(name)
@@ -54,7 +61,7 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm"}""")
     spark.stop()
   }
 }
