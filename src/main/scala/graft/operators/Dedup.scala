@@ -222,37 +222,54 @@ object Dedup {
       // drop such docs, so parity requires dropping them here too
       .filter(col("simhash").isNotNull)
 
-  /** SimHash near-dup candidates: split the sketch into 4×16-bit bands,
-    * bucket-join, then verify the true Hamming distance with bit_count(xor).
+  /** SimHash near-dup candidates: split the sketch into bands, bucket-join,
+    * then verify the true Hamming distance with bit_count(xor).
     *
-    * RECALL CONTRACT: the banding GUARANTEES a candidate only for pairs with
-    * Hamming ≤ 3 (pigeonhole: ≤ 3 differing bits cannot touch all 4 bands).
-    * `maxHamming` may be set higher — the verify stage is exact — but then
-    * results are candidate-recall-limited: a pair at distance 4..maxHamming
-    * is found only if its differing bits happen to spare one band. Callers
-    * needing a guarantee at larger radii should band a rotation family or
-    * use [[nearDupPairsMinHash]]; this mirrors the documented recall trade
-    * in [[Similarity.nearDupPairsCosineLsh]].
+    * RECALL CONTRACT: the default 4×16-bit banding GUARANTEES a candidate
+    * only for pairs with Hamming ≤ 3 (pigeonhole: ≤ 3 differing bits cannot
+    * touch all 4 bands). `maxHamming` may be set higher — the verify stage
+    * is exact — but then results are candidate-recall-limited: a pair at
+    * distance 4..maxHamming is found only if its differing bits happen to
+    * spare one band. For a GUARANTEE at larger radii set
+    * `guaranteeRadius = true`: the sketch is split into `maxHamming + 1`
+    * near-equal slices, so any pair within radius shares an untouched band
+    * by pigeonhole — zero candidate misses at Hamming ≤ maxHamming.
+    * Supported for maxHamming ≤ 7 (8×8-bit bands); beyond that the band
+    * keyspace (2^width per band) is too small to discriminate at corpus
+    * scale — band a rotation family or use [[nearDupPairsMinHash]] instead.
     *
     * Hot-bucket star guard (same as [[lshCandidatePairs]]): over-cap buckets
     * link members to the bucket-min doc instead of emitting all pairs. Note
     * the Hamming filter runs AFTER star substitution, so an over-cap member
     * whose distance to the HUB exceeds `maxHamming` is dropped entirely even
     * when within range of a sibling — over-cap buckets can lose members, not
-    * just re-home their edges. The capped-bucket count is observable as
-    * `simhash_hot_buckets`.
+    * just re-home their edges; with `guaranteeRadius` the zero-miss guarantee
+    * is therefore modulo capped buckets (count observable as
+    * `simhash_hot_buckets`, zero on a healthy corpus).
     */
   def nearDupPairsSimHash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      guaranteeRadius: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    require(!guaranteeRadius || maxHamming <= 7,
+      s"guaranteeRadius supports maxHamming <= 7 (got $maxHamming); " +
+        "larger radii need a rotation family or MinHash banding")
+    val numBands = if (guaranteeRadius) maxHamming + 1 else 4
+    // near-equal bit slices covering all 64 bits (e.g. 6 bands → 11,11,11,11,10,10)
+    val base = 64 / numBands
+    val rem = 64 % numBands
+    val slices = (0 until numBands).map { j =>
+      val start = j * base + math.min(j, rem)
+      val width = base + (if (j < rem) 1 else 0)
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("simhash"), start)
+          .bitwiseAND(lit((1L << width) - 1L)).as("bv"))
+    }
     val sk = simHash(docs, idCol, textCol)
     val wB = Window.partitionBy(col("band"), col("bv"))
-    val bands = sk.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("band"),
-          shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("b"))
+    val bands = sk.select(col(idCol), col("simhash"), explode(array(slices: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
       .withColumn("__sz", count(lit(1)).over(wB))
       // struct min carries the hub's sketch along with its id; checkpoint —

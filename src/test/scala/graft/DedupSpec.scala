@@ -33,6 +33,38 @@ class DedupSpec extends SparkSpec {
     assert(hammingTo3 > 10)
   }
 
+  test("guaranteed-radius simhash banding misses no pair within the radius") {
+    // seeded corpus of token-mutated clusters: variants of a shared base
+    // land at small (but > 3) Hamming distances, plus unrelated noise docs
+    val r = new scala.util.Random(11)
+    def randTokens(n: Int) = Seq.fill(n)(r.alphanumeric.take(5).mkString)
+    val bases = (0 until 6).map(_ => randTokens(40))
+    val corpus = bases.zipWithIndex.flatMap { case (toks, c) =>
+      (0 until 4).map { v =>
+        val mutated = if (v == 0) toks
+          else toks.updated(v * 3, "mut" + c + "x" + v).updated(v * 5 + 1, "alt" + v)
+        ((c * 4 + v).toLong, mutated.mkString(" "))
+      }
+    } ++ (100L until 115L).map(i => (i, randTokens(40).mkString(" ")))
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val radius = 5
+    // ground truth: all-pairs Hamming over the sketches
+    val sk = Dedup.simHash(df, "doc_id", "text").as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sk; (ib, sb) <- sk
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= radius
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "fixture must contain pairs within the radius")
+    assert(want.exists { case (a, b) =>
+      val m = sk.toMap; java.lang.Long.bitCount(m(a) ^ m(b)) > 3
+    }, "fixture must contain pairs beyond the default 4-band guarantee")
+    val got = Dedup.nearDupPairsSimHash(df, "doc_id", "text",
+      maxHamming = radius, guaranteeRadius = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"guaranteed banding must find exactly the within-radius pairs; " +
+      s"missed ${(want -- got).size}, extra ${(got -- want).size}")
+  }
+
   test("char-ngram jaccard finds the 1-word edit, not unrelated docs") {
     // gram jaccard(0,1) ≈ 0.9 → band-catch probability 1-(1-0.9⁴)⁴ ≈ 0.99
     // (deterministic for the fixed hash family — no flake)
