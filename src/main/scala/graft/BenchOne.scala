@@ -18,6 +18,7 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args.tail) {
+      System.gc() // same settle as Bench: drop prior queries' checkpoint blocks
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -31,13 +31,17 @@ object ExtVectorQueries {
     // (no oracle: recall-traded by construction; spec proves every emitted
     // pair is exact-verified — a subset of brute — with fair recall).
     // Operating point: this corpus's "near-dups" sit at cos≈0.25-0.5, close
-    // to random for hyperplane LSH, so pruning is weak by nature; 5 planes /
-    // 8 tables trades to recall≈0.5 at ~4× less candidate work than the 4/8
-    // default. At a genuine near-dup threshold (≥0.8) the same machinery
-    // prunes orders of magnitude harder.
+    // to random for hyperplane LSH, so pruning is weak by nature; auto-sized
+    // planes (≈ log2(n/256), = 5-6 at sf0.1) trade to recall≈0.5 at ~4× less
+    // candidate work than the 4/8 default. At a genuine near-dup threshold
+    // (≥0.8) the same machinery prunes orders of magnitude harder. Planes
+    // are AUTO-SIZED from the corpus count — the sf1 probe measured a pinned
+    // numPlanes=5 at 22× on a 10× corpus (quadratic buckets), auto-sized
+    // linear.
     "q_x_embed_neardup_lsh" -> { (s, dir) =>
-      Similarity.nearDupPairsCosineLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.25, numPlanes = 5)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.nearDupPairsCosineLsh(emb, "vec_id", "embedding",
+        threshold = 0.25, numPlanes = Similarity.autoPlanes(emb.count()))
     },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).

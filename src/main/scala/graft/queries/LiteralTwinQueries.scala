@@ -35,6 +35,47 @@ object LiteralTwinQueries {
     floor(c * p + 0.5) / p
   }
 
+  /** pool_config role (shared by the positions and realized-PnL twins):
+    * customer plays the pool dim — Long/Short/NULL position type from the
+    * market segment (so COALESCE defaults and both CASE branches fire),
+    * per-pool decimal divisors from the nation key, protocol from a key
+    * cohort, label (the reference's short-display symbol) from the name.
+    */
+  private def poolConfig(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("pool_id"),
+      when(col("c_mktsegment") === "MACHINERY", lit(null).cast("string"))
+        .when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), lit("Long"))
+        .otherwise(lit("Short")).as("position_type"),
+      col("c_nationkey").as("lpn_symbol"),
+      ((col("c_nationkey") % 4) + 1).cast("double").as("lpn_decimals"),
+      ((col("c_nationkey") % 3) + 1).cast("double").as("stable_currency_decimals"),
+      pmod(col("c_custkey"), lit(7)).as("protocol"),
+      (col("c_acctbal") > 0).as("is_active"),
+      col("c_name").as("label"))
+
+  /** currency_registry role, columns prefixed per join alias: nation plays
+    * the registry (ticker = nation key, decimal_digits = region key + 1).
+    */
+  private def currencyRegistry(s: SparkSession, dir: String, role: String): DataFrame =
+    broadcast(Tables.nation(s, dir).select(
+      col("n_nationkey").cast("bigint").as(s"${role}_ticker"),
+      (col("n_regionkey") + 1).cast("int").as(s"${role}_decimal_digits")))
+
+  /** LS_Opening role: orders, with derived symbol keys into the registry. */
+  private def lsOpening(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("ls_contract_id"),
+      col("o_custkey").as("ls_address_id"),
+      col("o_orderdate").as("ls_timestamp"),
+      pmod(col("o_orderkey"), lit(25)).as("ls_asset_symbol"),
+      pmod(col("o_custkey"), lit(25)).as("ls_cltr_symbol"),
+      col("o_totalprice").as("ls_cltr_amnt_stable"),
+      col("o_totalprice").as("ls_loan_amnt"),
+      col("o_custkey").as("ls_loan_pool_id"),
+      col("o_orderpriority").as("open_tx_hash"),
+      col("o_orderstatus").as("ls_status"))
+
   /** ContractInfo CTE (ls_repayment.rs:416-424): openings ⋈ config dim with
     * a COALESCE'd position type and the per-contract decimals divisor.
     */
@@ -128,30 +169,9 @@ object LiteralTwinQueries {
     "q_lit_positions" -> { (s, dir) =>
       val stateCutoff = lit("1996-01-01").cast("timestamp")
       val priceCutoff = lit("1995-06-01").cast("timestamp")
-      // pool_config role
-      val pc = Tables.customer(s, dir).select(
-        col("c_custkey").as("pool_id"),
-        when(col("c_mktsegment") === "MACHINERY", lit(null).cast("string"))
-          .when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), lit("Long"))
-          .otherwise(lit("Short")).as("position_type"),
-        col("c_nationkey").as("lpn_symbol"),
-        ((col("c_nationkey") % 4) + 1).cast("double").as("lpn_decimals"),
-        ((col("c_nationkey") % 3) + 1).cast("double").as("stable_currency_decimals"),
-        pmod(col("c_custkey"), lit(7)).as("protocol"),
-        (col("c_acctbal") > 0).as("is_active"))
-      // currency_registry role, aliased per join (asset / cltr / lpn)
-      def cr(role: String) = broadcast(Tables.nation(s, dir).select(
-        col("n_nationkey").cast("bigint").as(s"${role}_ticker"),
-        (col("n_regionkey") + 1).cast("int").as(s"${role}_decimal_digits")))
-      // LS_Opening role
-      val opening = Tables.orders(s, dir).select(
-        col("o_orderkey").as("ls_contract_id"),
-        col("o_custkey").as("ls_address_id"),
-        col("o_orderdate").as("ls_timestamp"),
-        pmod(col("o_orderkey"), lit(25)).as("ls_asset_symbol"),
-        pmod(col("o_custkey"), lit(25)).as("ls_cltr_symbol"),
-        col("o_totalprice").as("ls_cltr_amnt_stable"),
-        col("o_custkey").as("ls_loan_pool_id"))
+      val pc = poolConfig(s, dir)
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val opening = lsOpening(s, dir)
       // Latest_States: DISTINCT ON (contract) newest snapshot in the window
       // tiebreak covers every projected measure — (orderkey, linenumber,
       // shipdate) is NOT unique in this testdata, so the pinned total order
@@ -255,6 +275,142 @@ object LiteralTwinQueries {
             .when(col("position_type_eff") === "Short",
               rnd(col("lease_value") / (col("loan_token_amount") / 0.9), 4))
             .as("liquidation_price"))
+    },
+    // get_realized_pnl_data, clause-for-clause (ls_opening.rs:980-1161):
+    // the wallet's accounting export. Every CTE of the original appears
+    // under the same name and shape: openings (wallet filter + derived
+    // pos_type with the USDC/USDC_NOBLE Short default), repayments
+    // (stable-decimals sum), collects (per-registry-decimals normalized
+    // sum), liqs (full liquidations), closing_ts, the three close-tx-hash
+    // MAX tables, closable_positions (EXISTS collects OR EXISTS liqs —
+    // composed as a semi-join on the union of both id sets), opening_rows /
+    // closing_rows with the constant USDC/fee/label columns and the CONCAT'd
+    // Long/Short descriptions, UNION ALL, and the 4-key final sort.
+    //
+    // Role mapping additions: LS_Loan_Collect → lineitem A-rows (symbol =
+    // l_partkey%25), LS_Liquidation → lineitem N-rows, LS_Close_Position →
+    // lineitem A-rows, loan_close = (l_linestatus = 'F'), Tx_Hash =
+    // CAST(l_partkey AS STRING), LS_Loan_Closing → F-status orders (one
+    // close ts per contract, as the reference assumes), the USDC/USDC_NOBLE
+    // ticker set → {0, 13}. Pinned deviations: the bound $1 wallet address
+    // becomes the key cohort o_custkey % 100 = 7 (a single custkey leaves
+    // the page near-empty on this schema), and the collect normalization
+    // sums bit-deterministic 6dp-rounded decimals (the repo's exact-sum
+    // convention) instead of raw doubles.
+    "q_lit_realized_pnl" -> { (s, dir) =>
+      val usdcSet = Seq(0L, 13L)
+      val pcDf = poolConfig(s, dir)
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      // openings: wallet cohort + pool join + derived pos_type/short_symbol
+      val openings = lsOpening(s, dir)
+        .filter(pmod(col("ls_address_id"), lit(100)) === 7)
+        .join(broadcast(pcDf), col("ls_loan_pool_id") === col("pool_id"))
+        .select(col("ls_contract_id"), col("ls_timestamp"), col("ls_asset_symbol"),
+          col("ls_loan_amnt"), col("ls_cltr_symbol"), col("ls_cltr_amnt_stable"),
+          col("open_tx_hash"),
+          coalesce(col("position_type"),
+            when(col("ls_asset_symbol").isin(usdcSet: _*), lit("Short"))
+              .otherwise(lit("Long"))).as("pos_type"),
+          col("label").as("short_symbol"),
+          col("stable_currency_decimals"))
+        .localCheckpoint()
+      val openIds = openings.select(col("ls_contract_id"))
+      def leg(flag: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+      // repayments: Σ payment / stable decimals per contract
+      val repayments = leg("R")
+        .select(col("l_orderkey").as("r_contract_id"),
+          col("l_extendedprice").as("pay"))
+        .join(openings.select(col("ls_contract_id"), col("stable_currency_decimals")),
+          col("r_contract_id") === col("ls_contract_id"))
+        .groupBy(col("r_contract_id"), col("stable_currency_decimals"))
+        .agg((sum(col("pay").cast("decimal(18,2)")).cast("double") /
+          col("stable_currency_decimals")).as("total_repaid_stable"))
+        .select(col("r_contract_id"), col("total_repaid_stable"))
+      // collects: Σ amount / POWER(10, registry digits) per contract
+      val collects = leg("A")
+        .select(col("l_orderkey").as("c_contract_id"),
+          col("l_extendedprice").as("amt"),
+          pmod(col("l_partkey"), lit(25)).as("c_symbol"))
+        .join(openIds, col("c_contract_id") === col("ls_contract_id"), "left_semi")
+        .join(cr("col"), col("c_symbol") === col("col_ticker"))
+        .groupBy(col("c_contract_id"))
+        .agg(sum(rnd(col("amt") / pow(lit(10.0), col("col_decimal_digits")), 6)
+          .cast("decimal(28,6)")).cast("double").as("total_collect_normalized"))
+      // liqs: fully liquidated contracts
+      val liqs = leg("N").filter(col("l_linestatus") === "F")
+        .select(col("l_orderkey").as("lq_contract_id"))
+        .join(openIds, col("lq_contract_id") === col("ls_contract_id"), "left_semi")
+      // closing timestamps: one per contract
+      val closingTs = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("ct_contract_id"), col("o_orderdate").as("close_ts"))
+      // the three close-tx-hash candidate tables
+      def closeTx(flag: String, prefix: String) = leg(flag)
+        .filter(col("l_linestatus") === "F")
+        .select(col("l_orderkey").as(s"${prefix}_contract_id"),
+          col("l_partkey").cast("string").as("tx"))
+        .join(openIds, col(s"${prefix}_contract_id") === col("ls_contract_id"), "left_semi")
+        .groupBy(col(s"${prefix}_contract_id"))
+        .agg(max(col("tx")).as(s"${prefix}_tx"))
+      val rct = closeTx("R", "rct")
+      val cpt = closeTx("A", "cpt")
+      val lqt = closeTx("N", "lqt")
+      // closable: EXISTS collects OR EXISTS liqs
+      val closableIds = collects.select(col("c_contract_id").as("id"))
+        .unionByName(liqs.select(col("lq_contract_id").as("id"))).distinct()
+      val closable = openings
+        .join(closableIds, col("ls_contract_id") === col("id"), "left_semi")
+        .localCheckpoint()
+      val isUsdc = col("ls_asset_symbol").isin(usdcSet: _*)
+      val assetStr = col("ls_asset_symbol").cast("string")
+      val openingRows = closable
+        .join(repayments, col("ls_contract_id") === col("r_contract_id"), "left")
+        .join(cr("cl2"), col("ls_cltr_symbol") === col("cl2_ticker"))
+        .join(cr("as2"), col("ls_asset_symbol") === col("as2_ticker"))
+        .select(
+          col("ls_timestamp").as("date"),
+          col("ls_contract_id").as("position_id"),
+          (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("cl2_decimal_digits")) +
+            coalesce(col("total_repaid_stable"), lit(0.0))).as("sent_amount"),
+          lit("USDC").as("sent_currency"),
+          (col("ls_loan_amnt") / pow(lit(10.0), col("as2_decimal_digits"))).as("received_amount"),
+          when(isUsdc, lit("USDC")).otherwise(assetStr).as("received_currency"),
+          lit(0.0).as("fee_amount"),
+          lit("USDC").as("fee_currency"),
+          lit("margin trading").as("label"),
+          when(col("pos_type") === "Short",
+            concat(coalesce(col("short_symbol"), lit("Unknown")), lit(" short opening")))
+            .otherwise(concat(assetStr, lit(" long opening"))).as("description"),
+          col("open_tx_hash").as("tx_hash"))
+      val closingRows = closable
+        .join(closingTs, col("ls_contract_id") === col("ct_contract_id"))
+        .join(collects, col("ls_contract_id") === col("c_contract_id"), "left")
+        .join(rct, col("ls_contract_id") === col("rct_contract_id"), "left")
+        .join(cpt, col("ls_contract_id") === col("cpt_contract_id"), "left")
+        .join(lqt, col("ls_contract_id") === col("lqt_contract_id"), "left")
+        .join(cr("as3"), col("ls_asset_symbol") === col("as3_ticker"))
+        .select(
+          col("close_ts").as("date"),
+          col("ls_contract_id").as("position_id"),
+          (col("ls_loan_amnt") / pow(lit(10.0), col("as3_decimal_digits"))).as("sent_amount"),
+          when(isUsdc, lit("USDC")).otherwise(assetStr).as("sent_currency"),
+          coalesce(col("total_collect_normalized"), lit(0.0)).as("received_amount"),
+          lit("USDC").as("received_currency"),
+          lit(0.0).as("fee_amount"),
+          lit("USDC").as("fee_currency"),
+          lit("margin trading").as("label"),
+          when(coalesce(col("total_collect_normalized"), lit(0.0)) > 0,
+            when(col("pos_type") === "Short",
+              concat(coalesce(col("short_symbol"), lit("Unknown")), lit(" short closing")))
+              .otherwise(concat(assetStr, lit(" long closing"))))
+            .otherwise(
+              when(col("pos_type") === "Short",
+                concat(coalesce(col("short_symbol"), lit("Unknown")), lit(" short liquidation")))
+                .otherwise(concat(assetStr, lit(" long liquidation")))).as("description"),
+          coalesce(col("rct_tx"), col("cpt_tx"), col("lqt_tx")).as("tx_hash"))
+      openingRows.unionByName(closingRows)
+        .orderBy(col("date"), col("position_id"), col("sent_currency"), col("received_currency"))
     },
     // buyback/profit time series, clause-for-clause (tr_profit.rs:214-231):
     // day-truncated SUM(amnt)/1e6 plus the SUM(SUM(amnt)) OVER (ORDER BY
@@ -403,6 +559,112 @@ object LiteralTwinQueries {
         |FROM js
         |LEFT JOIN latest_prices p ON js.symbol = p.mp_asset_symbol
         |LEFT JOIN repayments rp ON js.contract_id = rp.r_contract_id""".stripMargin,
+    "q_lit_realized_pnl" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type,
+        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals,
+        |    c_name AS label
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |openings AS (
+        |  SELECT o_orderkey AS ls_contract_id, o_orderdate AS ls_timestamp,
+        |    o_orderkey % 25 AS ls_asset_symbol, o_totalprice AS ls_loan_amnt,
+        |    o_custkey % 25 AS ls_cltr_symbol, o_totalprice AS ls_cltr_amnt_stable,
+        |    o_orderpriority AS open_tx_hash,
+        |    COALESCE(pc.position_type,
+        |      CASE WHEN o_orderkey % 25 IN (0, 13) THEN 'Short' ELSE 'Long' END) AS pos_type,
+        |    pc.label AS short_symbol,
+        |    pc.stable_currency_decimals
+        |  FROM orders JOIN pc ON pc.pool_id = o_custkey
+        |  WHERE o_custkey % 100 = 7),
+        |repayments AS (
+        |  SELECT l_orderkey AS r_contract_id,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / o.stable_currency_decimals AS total_repaid_stable
+        |  FROM lineitem JOIN openings o ON o.ls_contract_id = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY l_orderkey, o.stable_currency_decimals),
+        |collects AS (
+        |  SELECT l_orderkey AS c_contract_id,
+        |    CAST(SUM(CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS total_collect_normalized
+        |  FROM lineitem c JOIN cr ON cr.ticker = c.l_partkey % 25
+        |  WHERE l_returnflag = 'A'
+        |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = c.l_orderkey)
+        |  GROUP BY l_orderkey),
+        |liqs AS (
+        |  SELECT l_orderkey AS lq_contract_id FROM lineitem
+        |  WHERE l_returnflag = 'N' AND l_linestatus = 'F'
+        |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)),
+        |closing_ts AS (
+        |  SELECT o_orderkey AS ct_contract_id, o_orderdate AS close_ts
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |rct AS (SELECT l_orderkey AS rct_contract_id, MAX(CAST(l_partkey AS VARCHAR)) AS rct_tx
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
+        |  GROUP BY l_orderkey),
+        |cpt AS (SELECT l_orderkey AS cpt_contract_id, MAX(CAST(l_partkey AS VARCHAR)) AS cpt_tx
+        |  FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+        |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
+        |  GROUP BY l_orderkey),
+        |lqt AS (SELECT l_orderkey AS lqt_contract_id, MAX(CAST(l_partkey AS VARCHAR)) AS lqt_tx
+        |  FROM lineitem WHERE l_returnflag = 'N' AND l_linestatus = 'F'
+        |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
+        |  GROUP BY l_orderkey),
+        |closable AS (
+        |  SELECT * FROM openings o
+        |  WHERE EXISTS (SELECT 1 FROM collects c WHERE c.c_contract_id = o.ls_contract_id)
+        |     OR EXISTS (SELECT 1 FROM liqs l WHERE l.lq_contract_id = o.ls_contract_id)),
+        |opening_rows AS (
+        |  SELECT o.ls_timestamp AS "date", o.ls_contract_id AS position_id,
+        |    o.ls_cltr_amnt_stable / POWER(10, cr_cltr.decimal_digits)
+        |      + COALESCE(r.total_repaid_stable, 0.0) AS sent_amount,
+        |    'USDC' AS sent_currency,
+        |    o.ls_loan_amnt / POWER(10, cr_asset.decimal_digits) AS received_amount,
+        |    CASE WHEN o.ls_asset_symbol IN (0, 13) THEN 'USDC'
+        |         ELSE CAST(o.ls_asset_symbol AS VARCHAR) END AS received_currency,
+        |    0.0 AS fee_amount, 'USDC' AS fee_currency, 'margin trading' AS label,
+        |    CASE WHEN o.pos_type = 'Short'
+        |           THEN CONCAT(COALESCE(o.short_symbol, 'Unknown'), ' short opening')
+        |         ELSE CONCAT(CAST(o.ls_asset_symbol AS VARCHAR), ' long opening')
+        |    END AS description,
+        |    o.open_tx_hash AS tx_hash
+        |  FROM closable o
+        |  LEFT JOIN repayments r ON r.r_contract_id = o.ls_contract_id
+        |  JOIN cr cr_cltr ON cr_cltr.ticker = o.ls_cltr_symbol
+        |  JOIN cr cr_asset ON cr_asset.ticker = o.ls_asset_symbol),
+        |closing_rows AS (
+        |  SELECT cts.close_ts AS "date", o.ls_contract_id AS position_id,
+        |    o.ls_loan_amnt / POWER(10, cr_asset.decimal_digits) AS sent_amount,
+        |    CASE WHEN o.ls_asset_symbol IN (0, 13) THEN 'USDC'
+        |         ELSE CAST(o.ls_asset_symbol AS VARCHAR) END AS sent_currency,
+        |    COALESCE(c.total_collect_normalized, 0.0) AS received_amount,
+        |    'USDC' AS received_currency,
+        |    0.0 AS fee_amount, 'USDC' AS fee_currency, 'margin trading' AS label,
+        |    CASE WHEN COALESCE(c.total_collect_normalized, 0.0) > 0
+        |         THEN CASE WHEN o.pos_type = 'Short'
+        |                THEN CONCAT(COALESCE(o.short_symbol, 'Unknown'), ' short closing')
+        |              ELSE CONCAT(CAST(o.ls_asset_symbol AS VARCHAR), ' long closing') END
+        |         ELSE CASE WHEN o.pos_type = 'Short'
+        |                THEN CONCAT(COALESCE(o.short_symbol, 'Unknown'), ' short liquidation')
+        |              ELSE CONCAT(CAST(o.ls_asset_symbol AS VARCHAR), ' long liquidation') END
+        |    END AS description,
+        |    COALESCE(rct.rct_tx, cpt.cpt_tx, lqt.lqt_tx) AS tx_hash
+        |  FROM closable o
+        |  JOIN closing_ts cts ON cts.ct_contract_id = o.ls_contract_id
+        |  LEFT JOIN collects c ON c.c_contract_id = o.ls_contract_id
+        |  LEFT JOIN rct ON rct.rct_contract_id = o.ls_contract_id
+        |  LEFT JOIN cpt ON cpt.cpt_contract_id = o.ls_contract_id
+        |  LEFT JOIN lqt ON lqt.lqt_contract_id = o.ls_contract_id
+        |  JOIN cr cr_asset ON cr_asset.ticker = o.ls_asset_symbol)
+        |SELECT "date", position_id, sent_amount, sent_currency, received_amount,
+        |  received_currency, fee_amount, fee_currency, label, description, tx_hash
+        |FROM (SELECT * FROM opening_rows UNION ALL SELECT * FROM closing_rows) x
+        |ORDER BY "date", position_id, sent_currency, received_currency""".stripMargin,
     "q_lit_profit_series" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type, value FROM events),
         |daily AS (SELECT date_trunc('day', ts) AS "time",

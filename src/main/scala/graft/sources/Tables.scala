@@ -32,11 +32,18 @@ object Tables {
     * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long via
     * the legacy conf, then truncate to microsecond TimestampType — the same
     * truncation the oracle side applies with `date_trunc('microseconds', ts)`.
+    * Schema-adaptive: µs/ms-precision copies of the table (already in Spark's
+    * native range, so the legacy conf leaves them as timestamps) pass through
+    * with only a session-TZ cast — real lakes mix precisions across writers.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
