@@ -412,6 +412,91 @@ object LiteralTwinQueries {
       openingRows.unionByName(closingRows)
         .orderBy(col("date"), col("position_id"), col("sent_currency"), col("received_currency"))
     },
+    // get_total_tx_value, clause-for-clause (ls_opening.rs:686-748): five
+    // normalized volume CTEs (opened leases with down-payment + loan,
+    // deposits, withdrawals, market closes, repayments — each divided by its
+    // own decimals source, two via NULLIF guards), UNION ALL, one scalar
+    // SUM. Role additions: LP_Deposit → purchase events, LP_Withdraw →
+    // signup events (pool = user id). Pinned deviation: per-row volumes are
+    // 6dp-rounded (bit-deterministic rnd) and summed as exact decimals so
+    // the scalar is shuffle-order-independent.
+    "q_lit_total_tx_value" -> { (s, dir) =>
+      val pcDf = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      def vol(c: org.apache.spark.sql.Column) = rnd(c, 6).cast("decimal(28,6)").as("volume")
+      val openedLeases = lsOpening(s, dir)
+        .join(pcDf, col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("cl"), col("ls_cltr_symbol") === col("cl_ticker"))
+        .select(vol(
+          col("ls_cltr_amnt_stable") / pow(lit(10.0), col("cl_decimal_digits")) +
+            col("ls_loan_amnt") / nullif(col("stable_currency_decimals"), lit(0.0))))
+      def lpFlow(eventType: String) = Tables.events(s, dir)
+        .filter(col("event_type") === eventType)
+        .join(pcDf, col("user_id") === col("pool_id"))
+        .select(vol(col("value") / nullif(col("stable_currency_decimals"), lit(0.0))))
+      def lsPay(flag: String, role: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .join(cr(role), pmod(col("l_partkey"), lit(25)) === col(s"${role}_ticker"))
+        .select(vol(col("l_extendedprice") / pow(lit(10.0), col(s"${role}_decimal_digits"))))
+      openedLeases
+        .unionByName(lpFlow("purchase"))
+        .unionByName(lpFlow("signup"))
+        .unionByName(lsPay("A", "cp"))
+        .unionByName(lsPay("R", "rp"))
+        .agg(sum(col("volume")).cast("double").as("tx_value"))
+    },
+    // get_lease_history, clause-for-clause (ls_opening.rs:824-881): three
+    // tagged branches (repay / market-close / liquidation) with NULL-padded
+    // columns where a branch lacks them, UNION ALL, time-ascending order.
+    // Role mapping: the three event tables are the R/A/N lineitem splits;
+    // symbol = l_partkey%25, amount = l_extendedprice, ls_amnt legs =
+    // l_suppkey%25 / l_quantity, additional (the liquidation transaction
+    // type) = l_linestatus. Pinned deviation: the bound $1 contract id
+    // becomes the cohort l_orderkey % 500 = 17 so the page has mass.
+    "q_lit_lease_history" -> { (s, dir) =>
+      def branch(flag: String, tag: String, withAmnt: Boolean, withAdd: Boolean) = {
+        val base = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === flag && pmod(col("l_orderkey"), lit(500)) === 17)
+        base.select(
+          pmod(col("l_partkey"), lit(25)).as("symbol"),
+          col("l_extendedprice").as("amount"),
+          (if (withAmnt) pmod(col("l_suppkey"), lit(25))
+           else lit(null).cast("bigint")).as("ls_amnt_symbol"),
+          (if (withAmnt) col("l_quantity") else lit(null).cast("double")).as("ls_amnt"),
+          col("l_shipdate").as("time"),
+          lit(tag).as("type"),
+          (if (withAdd) col("l_linestatus") else lit(null).cast("string")).as("additional"))
+      }
+      branch("R", "repay", withAmnt = false, withAdd = false)
+        .unionByName(branch("A", "market-close", withAmnt = true, withAdd = false))
+        .unionByName(branch("N", "liquidation", withAmnt = true, withAdd = true))
+        .orderBy(col("time").asc)
+    },
+    // get_leases_monthly, clause-for-clause (ls_opening.rs:881-921): the
+    // Historically_Opened_Base CTE (DISTINCT ON contract — an identity here
+    // as in the reference, where LS_Opening is contract-unique; the Short
+    // label CASE, LEFT-joined dims, the two decimals divisors), then
+    // SUM + SUM per month, newest first. Exact-decimal sum convention as
+    // above.
+    "q_lit_leases_monthly" -> { (s, dir) =>
+      val base = lsOpening(s, dir)
+        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"), "left")
+        .join(currencyRegistry(s, dir, "cl"), col("ls_cltr_symbol") === col("cl_ticker"), "left")
+        .select(
+          col("ls_contract_id"),
+          col("ls_address_id"),
+          when(col("position_type") === "Short", col("label"))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("leased_asset"),
+          date_trunc("month", col("ls_timestamp")).as("date"),
+          rnd(col("ls_cltr_amnt_stable") / pow(lit(10.0), col("cl_decimal_digits")), 6)
+            .cast("decimal(28,6)").as("down_payment_amount"),
+          rnd(col("ls_loan_amnt") / col("lpn_decimals"), 6)
+            .cast("decimal(28,6)").as("loan_amount"))
+      base.groupBy(col("date"))
+        .agg((sum(col("down_payment_amount")) + sum(col("loan_amount")))
+          .cast("double").as("amount"))
+        .orderBy(col("date").desc)
+    },
     // buyback/profit time series, clause-for-clause (tr_profit.rs:214-231):
     // day-truncated SUM(amnt)/1e6 plus the SUM(SUM(amnt)) OVER (ORDER BY
     // day) agg-of-agg cumulative, under the reference's amount sanity filter
@@ -665,6 +750,85 @@ object LiteralTwinQueries {
         |  received_currency, fee_amount, fee_currency, label, description, tx_hash
         |FROM (SELECT * FROM opening_rows UNION ALL SELECT * FROM closing_rows) x
         |ORDER BY "date", position_id, sent_currency, received_currency""".stripMargin,
+    "q_lit_total_tx_value" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |opened_leases AS (
+        |  SELECT CAST(floor((o_totalprice / POWER(10, cr.decimal_digits)
+        |      + o_totalprice / NULLIF(pc.stable_currency_decimals, 0.0))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
+        |  FROM orders
+        |  JOIN pc ON o_custkey = pc.pool_id
+        |  JOIN cr ON cr.ticker = o_custkey % 25),
+        |lp_deposits AS (
+        |  SELECT CAST(floor(value / NULLIF(pc.stable_currency_decimals, 0.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
+        |  FROM events JOIN pc ON user_id = pc.pool_id
+        |  WHERE event_type = 'purchase'),
+        |lp_withdrawals AS (
+        |  SELECT CAST(floor(value / NULLIF(pc.stable_currency_decimals, 0.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
+        |  FROM events JOIN pc ON user_id = pc.pool_id
+        |  WHERE event_type = 'signup'),
+        |ls_close AS (
+        |  SELECT CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'A'),
+        |ls_repayment AS (
+        |  SELECT CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'R')
+        |SELECT CAST(SUM(volume) AS DOUBLE) AS tx_value
+        |FROM (SELECT volume FROM opened_leases
+        |  UNION ALL SELECT volume FROM lp_deposits
+        |  UNION ALL SELECT volume FROM lp_withdrawals
+        |  UNION ALL SELECT volume FROM ls_close
+        |  UNION ALL SELECT volume FROM ls_repayment) combined""".stripMargin,
+    "q_lit_lease_history" ->
+      """SELECT * FROM (
+        |  SELECT l_partkey % 25 AS symbol, l_extendedprice AS amount,
+        |    CAST(NULL AS BIGINT) AS ls_amnt_symbol, CAST(NULL AS DOUBLE) AS ls_amnt,
+        |    l_shipdate AS "time", 'repay' AS "type", CAST(NULL AS VARCHAR) AS additional
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 500 = 17
+        |  UNION ALL
+        |  SELECT l_partkey % 25, l_extendedprice, l_suppkey % 25, l_quantity,
+        |    l_shipdate, 'market-close', CAST(NULL AS VARCHAR)
+        |  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 500 = 17
+        |  UNION ALL
+        |  SELECT l_partkey % 25, l_extendedprice, l_suppkey % 25, l_quantity,
+        |    l_shipdate, 'liquidation', l_linestatus
+        |  FROM lineitem WHERE l_returnflag = 'N' AND l_orderkey % 500 = 17
+        |) AS combined_data ORDER BY "time" ASC""".stripMargin,
+    "q_lit_leases_monthly" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    c_name AS label
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |base AS (
+        |  SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |    CASE WHEN pc.position_type = 'Short' THEN pc.label
+        |         ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS leased_asset,
+        |    date_trunc('month', o_orderdate) AS "date",
+        |    CAST(floor(o_totalprice / POWER(10, cr.decimal_digits)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS down_payment_amount,
+        |    CAST(floor(o_totalprice / pc.lpn_decimals
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS loan_amount
+        |  FROM orders
+        |  LEFT JOIN pc ON o_custkey = pc.pool_id
+        |  LEFT JOIN cr ON cr.ticker = o_custkey % 25)
+        |SELECT "date",
+        |  CAST(SUM(down_payment_amount) + SUM(loan_amount) AS DOUBLE) AS amount
+        |FROM base GROUP BY "date" ORDER BY "date" DESC""".stripMargin,
     "q_lit_profit_series" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type, value FROM events),
         |daily AS (SELECT date_trunc('day', ts) AS "time",
