@@ -497,6 +497,81 @@ object LiteralTwinQueries {
           .cast("double").as("amount"))
         .orderBy(col("date").desc)
     },
+    // get_active_states, clause-for-clause (lp_lender_state.rs:45-67):
+    // deposits newer than the depositor's latest CLOSING withdrawal in that
+    // pool — the correlated `ORDER BY ts DESC LIMIT 1` scalar subquery with
+    // a COALESCE(to_timestamp(0)) epoch default, grouped to (address, pool).
+    // The LIMIT-1-on-ts-desc subquery is value-equal to MAX(ts), so the
+    // Spark side composes it as a per-key MAX + left join (J8's rewrite) —
+    // same rows, no per-row subquery execution. Role mapping: LP_Deposit →
+    // O-status lineitem, LP_Withdraw → F-status lineitem (deposit_close =
+    // returnflag 'R'), address = l_suppkey, pool = l_partkey % 25.
+    "q_lit_active_states" -> { (s, dir) =>
+      val dep = Tables.lineitem(s, dir).filter(col("l_linestatus") === "O")
+        .select(col("l_suppkey").as("address"), pmod(col("l_partkey"), lit(25)).as("pool"),
+          col("l_shipdate").as("dep_ts"))
+      val closeWd = Tables.lineitem(s, dir)
+        .filter(col("l_linestatus") === "F" && col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("w_address"), pmod(col("l_partkey"), lit(25)).as("w_pool"),
+          col("l_shipdate").as("w_ts"))
+        .groupBy(col("w_address"), col("w_pool"))
+        .agg(max(col("w_ts")).as("last_close_ts"))
+      dep.join(closeWd,
+          col("address") === col("w_address") && col("pool") === col("w_pool"), "left")
+        .filter(col("dep_ts") >
+          coalesce(col("last_close_ts"), lit("1970-01-01").cast("timestamp")))
+        .groupBy(col("address"), col("pool")).agg(lit(1).as("__one"))
+        .select(col("address"), col("pool"))
+    },
+    // get_current_lenders, clause-for-clause (lp_lender_state.rs:159-195):
+    // the LatestAggregation MAX(ts) CTE CROSS JOINed onto the state table
+    // (keep only the globally newest snapshot), pool display =
+    // COALESCE(label, pool id), and the lender's join date from a DISTINCT
+    // ON (address) latest-deposit subquery, LEFT JOINed. Role mapping:
+    // LP_Lender_State → lineitem (lender = l_suppkey, pool = l_partkey %
+    // 25, stable = l_extendedprice), LP_Deposit → purchase events.
+    "q_lit_current_lenders" -> { (s, dir) =>
+      val lps = Tables.lineitem(s, dir).select(
+        col("l_suppkey").as("lender"), pmod(col("l_partkey"), lit(25)).as("pool_key"),
+        col("l_shipdate").as("lp_ts"), col("l_extendedprice").as("lender_stable"))
+      val latestAgg = lps.agg(max(col("lp_ts")).as("max_ts"))
+      val wJ = Window.partitionBy(col("d_address"))
+        .orderBy(col("d_ts").desc, col("d_id").desc)
+      val uniqueLpd = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("d_address"), col("ts").as("d_ts"),
+          col("event_id").as("d_id"))
+        .withColumn("rn", row_number().over(wJ)).filter(col("rn") === 1)
+        .select(col("d_address"), col("d_ts").as("joined"))
+      lps
+        .join(broadcast(poolConfig(s, dir)), col("pool_key") === col("pool_id"))
+        .crossJoin(broadcast(latestAgg))
+        .join(uniqueLpd, col("lender") === col("d_address"), "left")
+        .filter(col("lp_ts") === col("max_ts"))
+        .select(col("joined"),
+          coalesce(col("label"), col("pool_key").cast("string")).as("pool"),
+          col("lender"),
+          (col("lender_stable") / col("lpn_decimals")).as("lent_stables"))
+    },
+    // get_prices, clause-for-clause (mp_asset.rs:61-88): the
+    // arbitrary-minute-granularity bucket — date_trunc('hour', ts) +
+    // (minute ÷ g)·g minutes (the reference builds the interval by string
+    // concat; the arithmetic is transliterated) — MAX(price) per bucket for
+    // one (symbol, protocol) under a time cursor, newest bucket first, with
+    // the reference's bound params pinned (g = 15, symbol = 7, protocol =
+    // 'view', cursor = 1997-01-01). MP_Asset → events price ticks (real
+    // intra-day minutes; symbol = user_id % 25, protocol = event_type).
+    "q_lit_price_series" -> { (s, dir) =>
+      val bucket = expr(
+        "date_trunc('hour', ts) + make_interval(0, 0, 0, 0, 0, " +
+          "(CAST(date_part('minute', ts) AS INT) DIV 15) * 15, 0)")
+      Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(25)) === 7 &&
+          col("event_type") === "view" &&
+          col("ts") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy(bucket.as("price_ts"))
+        .agg(max(col("value")).as("price_in_stable"))
+        .orderBy(col("price_ts").desc)
+    },
     // buyback/profit time series, clause-for-clause (tr_profit.rs:214-231):
     // day-truncated SUM(amnt)/1e6 plus the SUM(SUM(amnt)) OVER (ORDER BY
     // day) agg-of-agg cumulative, under the reference's amount sanity filter
@@ -750,6 +825,53 @@ object LiteralTwinQueries {
         |  received_currency, fee_amount, fee_currency, label, description, tx_hash
         |FROM (SELECT * FROM opening_rows UNION ALL SELECT * FROM closing_rows) x
         |ORDER BY "date", position_id, sent_currency, received_currency""".stripMargin,
+    "q_lit_active_states" ->
+      """WITH dep AS (SELECT l_suppkey AS address, l_partkey % 25 AS pool,
+        |    l_shipdate AS dep_ts FROM lineitem WHERE l_linestatus = 'O')
+        |SELECT a.address, a.pool
+        |FROM dep a
+        |WHERE a.dep_ts > COALESCE((
+        |    SELECT b.l_shipdate
+        |    FROM lineitem b
+        |    WHERE b.l_linestatus = 'F' AND b.l_returnflag = 'R'
+        |      AND b.l_suppkey = a.address AND b.l_partkey % 25 = a.pool
+        |    ORDER BY b.l_shipdate DESC
+        |    LIMIT 1
+        |  ), to_timestamp(0))
+        |GROUP BY a.address, a.pool""".stripMargin,
+    "q_lit_current_lenders" ->
+      """WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value FROM events),
+        |pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    c_name AS label
+        |  FROM customer),
+        |lps AS (SELECT l_suppkey AS lender, l_partkey % 25 AS pool_key,
+        |    l_shipdate AS lp_ts, l_extendedprice AS lender_stable FROM lineitem),
+        |latest_aggregation AS (SELECT MAX(lp_ts) AS max_ts FROM lps),
+        |unique_lpd AS (
+        |  SELECT d_address, d_ts AS joined FROM (
+        |    SELECT user_id AS d_address, ts AS d_ts, event_id AS d_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT unique_lpd.joined,
+        |  COALESCE(pc.label, CAST(lps.pool_key AS VARCHAR)) AS pool,
+        |  lps.lender,
+        |  lps.lender_stable / pc.lpn_decimals AS lent_stables
+        |FROM lps
+        |JOIN pc ON pc.pool_id = lps.pool_key
+        |CROSS JOIN latest_aggregation la
+        |LEFT JOIN unique_lpd ON lps.lender = unique_lpd.d_address
+        |WHERE lps.lp_ts = la.max_ts""".stripMargin,
+    "q_lit_price_series" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, user_id, event_type, value FROM events)
+        |SELECT
+        |  date_trunc('hour', ts) + ((CAST(date_part('minute', ts) AS INTEGER) // 15) * 15)
+        |    * INTERVAL 1 MINUTE AS price_ts,
+        |  MAX(value) AS price_in_stable
+        |FROM ev
+        |WHERE user_id % 25 = 7 AND event_type = 'view' AND ts >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY price_ts DESC""".stripMargin,
     "q_lit_total_tx_value" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
         |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals
