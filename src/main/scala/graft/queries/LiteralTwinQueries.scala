@@ -572,6 +572,51 @@ object LiteralTwinQueries {
         .agg(max(col("value")).as("price_in_stable"))
         .orderBy(col("price_ts").desc)
     },
+    // get_realized_pnl, clause-for-clause (ls_loan_closing.rs:229-297): the
+    // wallet's total realized PnL — openings for the wallet, per-contract
+    // repayment and collect sums each normalized by their OWN payment-symbol
+    // registry digits (cr_pay / cr_col / cr_cltr are three registry roles),
+    // position_flows restricted to CLOSED contracts (INNER JOIN the closing
+    // table), and the final (SUM(received) − SUM(sent))::double scalar.
+    // Role mapping as in q_lit_realized_pnl; LS_Loan_Closing → F-status
+    // orders. Pinned deviations: the wallet cohort o_custkey % 100 = 7, and
+    // the reference's ::numeric(38,8) scale pins become bit-deterministic
+    // 8dp rounds into DECIMAL(20,8) sums — small enough that no Spark decimal
+    // op overflows precision 38 (an overflow silently SHRINKS scale and
+    // rounds, while DuckDB keeps full scale: the (38,8) form lost the 8th
+    // decimal in the final SUM−SUM).
+    "q_lit_realized_pnl_total" -> { (s, dir) =>
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val dec38 = (c: org.apache.spark.sql.Column) => rnd(c, 8).cast("decimal(20,8)")
+      val openings = lsOpening(s, dir)
+        .filter(pmod(col("ls_address_id"), lit(100)) === 7)
+        .select(col("ls_contract_id"), col("ls_cltr_symbol"), col("ls_cltr_amnt_stable"))
+      val openIds = openings.select(col("ls_contract_id"))
+      def paySum(flag: String, role: String, out: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as(s"${out}_contract_id"),
+          col("l_extendedprice").as("amt"), pmod(col("l_partkey"), lit(25)).as("sym"))
+        .join(openIds, col(s"${out}_contract_id") === col("ls_contract_id"), "left_semi")
+        .join(cr(role), col("sym") === col(s"${role}_ticker"))
+        .groupBy(col(s"${out}_contract_id"))
+        .agg(sum(dec38(col("amt") / pow(lit(10.0), col(s"${role}_decimal_digits"))))
+          .as(s"${out}_total"))
+      val repayments = paySum("R", "pay", "rp")
+      val collects = paySum("A", "col", "cl")
+      val closing = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("ct_contract_id"))
+      val flows = openings
+        .join(cr("cltr"), col("ls_cltr_symbol") === col("cltr_ticker"))
+        .join(repayments, col("ls_contract_id") === col("rp_contract_id"), "left")
+        .join(collects, col("ls_contract_id") === col("cl_contract_id"), "left")
+        .join(closing, col("ls_contract_id") === col("ct_contract_id"))
+        .select(
+          (dec38(col("ls_cltr_amnt_stable") / pow(lit(10.0), col("cltr_decimal_digits"))) +
+            coalesce(col("rp_total"), lit(0).cast("decimal(20,8)"))).as("sent_open_usdc"),
+          coalesce(col("cl_total"), lit(0).cast("decimal(20,8)")).as("received_close_usdc"))
+      flows.agg((sum(col("received_close_usdc")) - sum(col("sent_open_usdc")))
+        .cast("double").as("total_realized_pnl"))
+    },
     // buyback/profit time series, clause-for-clause (tr_profit.rs:214-231):
     // day-truncated SUM(amnt)/1e6 plus the SUM(SUM(amnt)) OVER (ORDER BY
     // day) agg-of-agg cumulative, under the reference's amount sanity filter
@@ -825,6 +870,43 @@ object LiteralTwinQueries {
         |  received_currency, fee_amount, fee_currency, label, description, tx_hash
         |FROM (SELECT * FROM opening_rows UNION ALL SELECT * FROM closing_rows) x
         |ORDER BY "date", position_id, sent_currency, received_currency""".stripMargin,
+    "q_lit_realized_pnl_total" ->
+      """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |openings AS (
+        |  SELECT o_orderkey AS ls_contract_id, o_custkey % 25 AS ls_cltr_symbol,
+        |    o_totalprice AS ls_cltr_amnt_stable
+        |  FROM orders WHERE o_custkey % 100 = 7),
+        |repayments AS (
+        |  SELECT l_orderkey AS rp_contract_id,
+        |    SUM(CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |      * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(20,8))) AS rp_total
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
+        |  GROUP BY l_orderkey),
+        |collects AS (
+        |  SELECT l_orderkey AS cl_contract_id,
+        |    SUM(CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |      * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(20,8))) AS cl_total
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'A'
+        |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
+        |  GROUP BY l_orderkey),
+        |position_flows AS (
+        |  SELECT
+        |    CAST(floor(o.ls_cltr_amnt_stable / POWER(10, cr_cltr.decimal_digits)
+        |      * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(20,8))
+        |      + COALESCE(r.rp_total, CAST(0 AS DECIMAL(20,8))) AS sent_open_usdc,
+        |    COALESCE(c.cl_total, CAST(0 AS DECIMAL(20,8))) AS received_close_usdc
+        |  FROM openings o
+        |  JOIN cr cr_cltr ON cr_cltr.ticker = o.ls_cltr_symbol
+        |  LEFT JOIN repayments r ON r.rp_contract_id = o.ls_contract_id
+        |  LEFT JOIN collects c ON c.cl_contract_id = o.ls_contract_id
+        |  JOIN orders ct ON ct.o_orderkey = o.ls_contract_id AND ct.o_orderstatus = 'F')
+        |SELECT CAST(SUM(received_close_usdc) - SUM(sent_open_usdc) AS DOUBLE)
+        |  AS total_realized_pnl
+        |FROM position_flows""".stripMargin,
     "q_lit_active_states" ->
       """WITH dep AS (SELECT l_suppkey AS address, l_partkey % 25 AS pool,
         |    l_shipdate AS dep_ts FROM lineitem WHERE l_linestatus = 'O')
