@@ -52,7 +52,12 @@ object LiteralTwinQueries {
       ((col("c_nationkey") % 3) + 1).cast("double").as("stable_currency_decimals"),
       pmod(col("c_custkey"), lit(7)).as("protocol"),
       (col("c_acctbal") > 0).as("is_active"),
-      col("c_name").as("label"))
+      col("c_name").as("label"),
+      // nullable display protocol (negative balances → NULL) so the
+      // utilization twin's `protocol IS NOT NULL` guard and COALESCE fire
+      when(col("c_acctbal") < 0, lit(null).cast("string"))
+        .otherwise(concat(lit("proto-"), pmod(col("c_custkey"), lit(7)).cast("string")))
+        .as("protocol_label"))
 
   /** currency_registry role, columns prefixed per join alias: nation plays
     * the registry (ticker = nation key, decimal_digits = region key + 1).
@@ -74,7 +79,8 @@ object LiteralTwinQueries {
       col("o_totalprice").as("ls_loan_amnt"),
       col("o_custkey").as("ls_loan_pool_id"),
       col("o_orderpriority").as("open_tx_hash"),
-      col("o_orderstatus").as("ls_status"))
+      col("o_orderstatus").as("ls_status"),
+      pmod(col("o_orderkey"), lit(200)).as("ls_interest"))
 
   /** ContractInfo CTE (ls_repayment.rs:416-424): openings ⋈ config dim with
     * a COALESCE'd position type and the per-contract decimals divisor.
@@ -617,6 +623,101 @@ object LiteralTwinQueries {
       flows.agg((sum(col("received_close_usdc")) - sum(col("sent_open_usdc")))
         .cast("double").as("total_realized_pnl"))
     },
+    // get_all_utilization_levels, clause-for-clause (lp_pool_state.rs:
+    // 430-545): the pools dashboard. All seven CTEs appear under the same
+    // name and shape: the two global MAX(ts) aggregations, LatestStates
+    // (DISTINCT ON pool over the snapshot at the global max, pool dim
+    // INNER-joined), LatestBorrowAPR (DISTINCT ON pool over openings,
+    // interest/10), PoolUtilization (borrowed/tvl with the >0 guard),
+    // AvgInterestPerPool (the date- AND protocol- AND symbol-dependent
+    // margin CASE ladder, principal-weighted with a NULLIF guard),
+    // EarnAPRCalc, and the final page with the POWER(…, 365) daily
+    // compounding, COALESCE'd display protocol, `protocol IS NOT NULL`
+    // guard, and protocol sort. Role additions: LP_Pool_State → lineitem
+    // ticks (pool = l_partkey % 25, tvl = extendedprice, borrowed =
+    // quantity, threshold = linenumber), LS_interest = o_orderkey % 200,
+    // margin constants keyed to proto-3/proto-5 and lpn symbols {3,7}/11/
+    // {15,19}, the 2024-12-22 margin cutover → 1997-06-01. Pinned
+    // deviations: DISTINCT ON tiebreaks carry the projected payload
+    // (value-determinism), the weighted sum uses the exact-decimal
+    // convention, and earn_apr is 6dp-rounded (libm POWER differs in the
+    // last ulp between engines).
+    "q_lit_utilization_levels" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      val lps = Tables.lineitem(s, dir).select(
+        pmod(col("l_partkey"), lit(25)).as("lp_pool"),
+        col("l_shipdate").as("lp_ts"),
+        col("l_extendedprice").as("tvl"),
+        col("l_quantity").as("borrowed_st"),
+        col("l_linenumber").as("min_util"))
+      val latestPoolAgg = lps.agg(max(col("lp_ts")).as("pool_max_ts"))
+      val lsState = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("st_contract"), col("l_shipdate").as("st_ts"),
+        col("l_extendedprice").as("st_principal"))
+      val latestLsAgg = lsState.agg(max(col("st_ts")).as("ls_max_ts"))
+      val wP = Window.partitionBy(col("lp_pool")).orderBy(col("lp_ts").desc,
+        col("tvl").desc, col("borrowed_st").desc, col("min_util").desc)
+      val latestStates = lps
+        .join(pcB, col("lp_pool") === col("pool_id"))
+        .crossJoin(broadcast(latestPoolAgg))
+        .filter(col("lp_ts") === col("pool_max_ts"))
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+        .select(col("lp_pool"), col("tvl"), col("borrowed_st"), col("min_util"),
+          col("lpn_decimals"), col("protocol_label"))
+      val wB = Window.partitionBy(col("ls_loan_pool_id")).orderBy(
+        col("ls_timestamp").desc, col("ls_interest").desc, col("ls_contract_id").desc)
+      val latestBorrowApr = lsOpening(s, dir)
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+        .select(col("ls_loan_pool_id").as("ba_pool"),
+          (col("ls_interest") / 10.0).as("borrow_apr"))
+      val poolUtil = lps
+        .crossJoin(broadcast(latestPoolAgg))
+        .filter(col("lp_ts") === col("pool_max_ts"))
+        .select(col("lp_pool").as("pu_pool"),
+          when(col("tvl") > 0, col("borrowed_st") / col("tvl"))
+            .otherwise(lit(0.0)).as("utilization_rate"))
+      val margin =
+        when(col("protocol_label").isin("proto-3", "proto-5"),
+          when(col("ls_timestamp") >= lit("1997-06-01").cast("timestamp"), lit(8.0))
+            .otherwise(lit(4.0)))
+          .when(col("lpn_symbol").isin(3, 7), lit(2.5))
+          .when(col("lpn_symbol") === 11, lit(4.0))
+          .when(col("lpn_symbol").isin(15, 19), lit(2.0))
+          .otherwise(lit(4.0))
+      val avgInterest = lsState
+        .crossJoin(broadcast(latestLsAgg))
+        .join(lsOpening(s, dir), col("st_contract") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .filter(col("st_ts") === col("ls_max_ts"))
+        .groupBy(col("ls_loan_pool_id"))
+        .agg((sum(rnd((col("ls_interest") / 10.0 - margin) * col("st_principal"), 6)
+          .cast("decimal(28,6)")).cast("double") /
+          nullif(sum(col("st_principal").cast("decimal(18,2)")).cast("double"), lit(0.0)))
+          .as("avg_net_interest"))
+        .select(col("ls_loan_pool_id").as("ai_pool"), col("avg_net_interest"))
+      val earnAprCalc = poolConfig(s, dir)
+        .join(avgInterest, col("pool_id") === col("ai_pool"), "left")
+        .join(poolUtil, col("pool_id") === col("pu_pool"), "left")
+        .select(col("pool_id").as("ea_pool"),
+          (coalesce(col("avg_net_interest"), lit(0.0)) *
+            coalesce(col("utilization_rate"), lit(0.0))).as("apr_simple"))
+      latestStates
+        .join(latestBorrowApr, col("lp_pool") === col("ba_pool"), "left")
+        .join(earnAprCalc, col("lp_pool") === col("ea_pool"), "left")
+        .filter(col("protocol_label").isNotNull)
+        .select(
+          coalesce(col("protocol_label"), col("lp_pool").cast("string")).as("protocol"),
+          when(col("tvl") > 0, col("borrowed_st") / col("tvl") * 100.0)
+            .otherwise(lit(0.0)).as("utilization"),
+          (col("tvl") / col("lpn_decimals")).as("supplied"),
+          (col("borrowed_st") / col("lpn_decimals")).as("borrowed"),
+          coalesce(col("borrow_apr"), lit(0.0)).as("borrow_apr"),
+          when(col("apr_simple").isNotNull && col("apr_simple") > 0,
+            rnd((pow(lit(1.0) + col("apr_simple") / 100.0 / 365.0, 365) - 1.0) * 100.0, 6))
+            .otherwise(lit(0.0)).as("earn_apr"),
+          (col("min_util") / 10.0).as("deposit_suspension"))
+        .orderBy(col("protocol"))
+    },
     // buyback/profit time series, clause-for-clause (tr_profit.rs:214-231):
     // day-truncated SUM(amnt)/1e6 plus the SUM(SUM(amnt)) OVER (ORDER BY
     // day) agg-of-agg cumulative, under the reference's amount sanity filter
@@ -870,6 +971,82 @@ object LiteralTwinQueries {
         |  received_currency, fee_amount, fee_currency, label, description, tx_hash
         |FROM (SELECT * FROM opening_rows UNION ALL SELECT * FROM closing_rows) x
         |ORDER BY "date", position_id, sent_currency, received_currency""".stripMargin,
+    "q_lit_utilization_levels" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    c_nationkey AS lpn_symbol,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CASE WHEN c_acctbal < 0 THEN NULL
+        |         ELSE CONCAT('proto-', CAST(c_custkey % 7 AS VARCHAR)) END AS protocol_label
+        |  FROM customer),
+        |lps AS (SELECT l_partkey % 25 AS lp_pool, l_shipdate AS lp_ts,
+        |    l_extendedprice AS tvl, l_quantity AS borrowed_st,
+        |    l_linenumber AS min_util FROM lineitem),
+        |latest_pool_aggregation AS (SELECT MAX(lp_ts) AS pool_max_ts FROM lps),
+        |ls_state AS (SELECT l_orderkey AS st_contract, l_shipdate AS st_ts,
+        |    l_extendedprice AS st_principal FROM lineitem),
+        |latest_ls_aggregation AS (SELECT MAX(st_ts) AS ls_max_ts FROM ls_state),
+        |openings AS (SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_loan_pool_id,
+        |    o_orderdate AS ls_timestamp, o_orderkey % 200 AS ls_interest FROM orders),
+        |latest_states AS (
+        |  SELECT lp_pool, tvl, borrowed_st, min_util, lpn_decimals, protocol_label FROM (
+        |    SELECT lps.*, pc.lpn_decimals, pc.protocol_label,
+        |      row_number() OVER (PARTITION BY lp_pool ORDER BY lp_ts DESC,
+        |        tvl DESC, borrowed_st DESC, min_util DESC) AS rn
+        |    FROM lps
+        |    JOIN pc ON lps.lp_pool = pc.pool_id
+        |    CROSS JOIN latest_pool_aggregation la
+        |    WHERE lps.lp_ts = la.pool_max_ts) WHERE rn = 1),
+        |latest_borrow_apr AS (
+        |  SELECT ls_loan_pool_id AS ba_pool, ls_interest / 10.0 AS borrow_apr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ls_loan_pool_id
+        |      ORDER BY ls_timestamp DESC, ls_interest DESC, ls_contract_id DESC) AS rn
+        |    FROM openings) WHERE rn = 1),
+        |pool_utilization AS (
+        |  SELECT lp_pool AS pu_pool,
+        |    CASE WHEN tvl > 0 THEN borrowed_st / tvl ELSE 0.0 END AS utilization_rate
+        |  FROM lps CROSS JOIN latest_pool_aggregation la
+        |  WHERE lps.lp_ts = la.pool_max_ts),
+        |avg_interest_per_pool AS (
+        |  SELECT o.ls_loan_pool_id AS ai_pool,
+        |    CAST(SUM(CAST(floor((o.ls_interest / 10.0 -
+        |        CASE WHEN pc.protocol_label IN ('proto-3', 'proto-5')
+        |               THEN CASE WHEN o.ls_timestamp >= TIMESTAMP '1997-06-01'
+        |                         THEN 8.0 ELSE 4.0 END
+        |             WHEN pc.lpn_symbol IN (3, 7) THEN 2.5
+        |             WHEN pc.lpn_symbol = 11 THEN 4.0
+        |             WHEN pc.lpn_symbol IN (15, 19) THEN 2.0
+        |             ELSE 4.0 END) * s.st_principal
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) /
+        |    NULLIF(CAST(SUM(CAST(s.st_principal AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        |      AS avg_net_interest
+        |  FROM ls_state s
+        |  CROSS JOIN latest_ls_aggregation la
+        |  JOIN openings o ON s.st_contract = o.ls_contract_id
+        |  JOIN pc ON o.ls_loan_pool_id = pc.pool_id
+        |  WHERE s.st_ts = la.ls_max_ts
+        |  GROUP BY o.ls_loan_pool_id),
+        |earn_apr_calc AS (
+        |  SELECT pc.pool_id AS ea_pool,
+        |    COALESCE(ai.avg_net_interest, 0.0) * COALESCE(pu.utilization_rate, 0.0) AS apr_simple
+        |  FROM pc
+        |  LEFT JOIN avg_interest_per_pool ai ON pc.pool_id = ai.ai_pool
+        |  LEFT JOIN pool_utilization pu ON pc.pool_id = pu.pu_pool)
+        |SELECT
+        |  COALESCE(ls.protocol_label, CAST(ls.lp_pool AS VARCHAR)) AS protocol,
+        |  CASE WHEN ls.tvl > 0 THEN ls.borrowed_st / ls.tvl * 100.0 ELSE 0.0 END AS utilization,
+        |  ls.tvl / ls.lpn_decimals AS supplied,
+        |  ls.borrowed_st / ls.lpn_decimals AS borrowed,
+        |  COALESCE(apr.borrow_apr, 0.0) AS borrow_apr,
+        |  CASE WHEN ea.apr_simple IS NOT NULL AND ea.apr_simple > 0
+        |       THEN floor((power(1.0 + ea.apr_simple / 100.0 / 365.0, 365) - 1.0) * 100.0
+        |            * 1000000.0 + 0.5) / 1000000.0
+        |       ELSE 0.0 END AS earn_apr,
+        |  ls.min_util / 10.0 AS deposit_suspension
+        |FROM latest_states ls
+        |LEFT JOIN latest_borrow_apr apr ON ls.lp_pool = apr.ba_pool
+        |LEFT JOIN earn_apr_calc ea ON ls.lp_pool = ea.ea_pool
+        |WHERE ls.protocol_label IS NOT NULL
+        |ORDER BY protocol""".stripMargin,
     "q_lit_realized_pnl_total" ->
       """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
         |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
