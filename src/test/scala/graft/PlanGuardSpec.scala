@@ -1,0 +1,32 @@
+package graft
+
+/** Global plan-hygiene census over the ENTIRE query registry: no registered
+  * query may plan a CartesianProduct, except the explicitly-labeled brute
+  * baselines whose all-pairs contract is the point. This is the guard the
+  * per-query plan audits in PLANS.md can't give — a future registry entry
+  * (or an optimizer regression) that quietly plans a cross product fails
+  * here before it fails at 100 TB.
+  *
+  * Plans are built (analyzed + physically planned), not executed — the only
+  * execution this spec triggers is the corpus-count job inside auto-sized
+  * LSH plane derivation, which is part of building that query's plan.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** All-pairs by documented contract (the exact baselines LSH paths are
+    * recall-checked against).
+    */
+  private val bruteByDesign = Set("q_x_embed_neardup")
+
+  test("no registered query plans a CartesianProduct (outside brute baselines)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (bruteByDesign(name)) None
+      else {
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product planned by: ${offenders.mkString(", ")}")
+  }
+}
