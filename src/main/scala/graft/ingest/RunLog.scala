@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * resumes from the PERSISTED marker after a driver restart, not from a
   * cold start. The single-row append is a driver-side bookkeeping write,
   * mirroring the reference's `INSERT INTO action_history`.
+  *
+  * Growth note: one small file per stage run, unbounded by design (the
+  * reference's action_history has the same property). At one row per
+  * aggregation tick this is ~10⁴ files/year — when reads matter, compact
+  * occasionally (`spark.read.parquet(dir).repartition(1)` to a new dir, or
+  * prune rows older than the catch-up horizon, which only needs the last
+  * marker per stage).
   */
 object RunLog {
 
