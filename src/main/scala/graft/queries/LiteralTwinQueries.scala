@@ -140,8 +140,12 @@ object LiteralTwinQueries {
           (col("s_nationkey") + 1).cast("double").as("lpn_decimals"))
         .withColumn("rank", rank().over(w))
         .filter(col("rank") === 1)
+        // emitted as the exact DECIMAL(38,6): the scalar exceeds ~1e10 at
+        // sf1, where its unscaled value passes 2^53 and DuckDB's
+        // decimal→double cast (int128→double, then ÷10⁶) double-rounds —
+        // one ulp off Spark's single-rounded BigDecimal.doubleValue
         .agg(sum(round(col("tvl") / col("lpn_decimals"), 6).cast("decimal(28,6)"))
-          .cast("double").as("total_supplied"))
+          .as("total_supplied"))
     },
     // get_all_positions, clause-for-clause (ls_state.rs:946-1083) — the
     // reference's most-executed page. Every CTE of the original appears
@@ -449,7 +453,11 @@ object LiteralTwinQueries {
         .unionByName(lpFlow("signup"))
         .unionByName(lsPay("A", "cp"))
         .unionByName(lsPay("R", "rp"))
-        .agg(sum(col("volume")).cast("double").as("tx_value"))
+        // exact DECIMAL(38,6) out: at sf0.1 the scalar is ~2.5e10, whose
+        // unscaled value (×10⁶) exceeds 2^53 — DuckDB's decimal→double cast
+        // double-rounds there and lands one ulp off Spark's (observed:
+        // …066185 vs …066180 for the exact …066183)
+        .agg(sum(col("volume")).as("tx_value"))
     },
     // get_lease_history, clause-for-clause (ls_opening.rs:824-881): three
     // tagged branches (repay / market-close / liquidation) with NULL-padded
@@ -769,7 +777,7 @@ object LiteralTwinQueries {
         |    CAST(s_nationkey + 1 AS DOUBLE) AS lpn_decimals,
         |    RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate DESC) AS rank
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
-        |SELECT CAST(sum(CAST(round(tvl / lpn_decimals, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_supplied
+        |SELECT sum(CAST(round(tvl / lpn_decimals, 6) AS DECIMAL(28,6))) AS total_supplied
         |FROM ranked WHERE rank = 1""".stripMargin,
     "q_lit_positions" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
@@ -1164,7 +1172,7 @@ object LiteralTwinQueries {
         |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'R')
-        |SELECT CAST(SUM(volume) AS DOUBLE) AS tx_value
+        |SELECT SUM(volume) AS tx_value
         |FROM (SELECT volume FROM opened_leases
         |  UNION ALL SELECT volume FROM lp_deposits
         |  UNION ALL SELECT volume FROM lp_withdrawals
