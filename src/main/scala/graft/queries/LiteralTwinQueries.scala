@@ -741,6 +741,221 @@ object LiteralTwinQueries {
       daily.select(col("time"),
         (col("d").cast("double") / 1000000.0).as("daily"),
         (sum(col("d")).over(w).cast("double") / 1000000.0).as("cumulative"))
+    },
+    // get_tx_volume, clause-for-clause (raw_message.rs:119-172): the wallet
+    // volume scalar — openings CTE (both normalized legs: down payment via
+    // the registry divisor, loan via the pool divisor), repayments and
+    // closes CTEs each joined back to the wallet's contracts and divided by
+    // their own registry divisor, UNION ALL, one SUM. Wallet cohort
+    // o_custkey%100=7 as in the realized-PnL twin. Per-row volumes are
+    // 6dp-rounded decimals summed exactly; the scalar stays DECIMAL (ulp
+    // rule, see q_lit_total_tx_value).
+    "q_lit_wallet_tx_volume" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val openings = lsOpening(s, dir)
+        .filter(pmod(col("ls_address_id"), lit(100)) === 7)
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("vd"), col("ls_cltr_symbol") === col("vd_ticker"))
+        .select(col("ls_contract_id"),
+          (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("vd_decimal_digits")))
+            .as("down_payment_usdc"),
+          (col("ls_loan_amnt") / col("lpn_decimals")).as("loan_usdc"))
+      val openIds = openings.select(col("ls_contract_id"))
+      def legVol(flag: String, role: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as("leg_contract"), col("l_extendedprice").as("amt"),
+          pmod(col("l_partkey"), lit(25)).as("leg_symbol"))
+        .join(openIds, col("leg_contract") === col("ls_contract_id"), "left_semi")
+        .join(cr(role), col("leg_symbol") === col(s"${role}_ticker"))
+        .select(rnd(col("amt") / pow(lit(10.0), col(s"${role}_decimal_digits")), 6)
+          .cast("decimal(28,6)").as("vol"))
+      openings
+        .select(rnd(col("down_payment_usdc") + col("loan_usdc"), 6)
+          .cast("decimal(28,6)").as("vol"))
+        .unionByName(legVol("R", "vp"))
+        .unionByName(legVol("A", "vc"))
+        .agg(sum(col("vol")).as("tx_volume"))
+    },
+    // get_win_rate, clause-for-clause (raw_message.rs:174-241): the wallet
+    // win-percentage scalar — openings (no dims), repayments grouped per
+    // (contract, pool stable decimals), collects grouped per contract with
+    // the registry divisor, the finalized CTE's pnl = COALESCE(collected,0)
+    // − (down payment + COALESCE(repaid,0)) restricted to closed contracts
+    // (INNER JOIN LS_Loan_Closing → F-status orders), then
+    // CASE WHEN COUNT(*)=0 THEN 0 ELSE count(pnl>0)/count(*)*100. All pnl
+    // terms are 6dp-rounded decimals so the sign test is exact; the final
+    // ratio divides two exact counts (reference's ::float/::float order).
+    "q_lit_win_rate" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val openings = lsOpening(s, dir)
+        .filter(pmod(col("ls_address_id"), lit(100)) === 7)
+        .select(col("ls_contract_id"), col("ls_cltr_symbol"),
+          col("ls_cltr_amnt_stable"), col("ls_loan_pool_id"))
+      val repayments = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_contract"), col("l_extendedprice").as("pay"))
+        .join(openings.select(col("ls_contract_id"), col("ls_loan_pool_id")),
+          col("r_contract") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .groupBy(col("r_contract"), col("stable_currency_decimals"))
+        .agg(rnd(sum(col("pay").cast("decimal(18,2)")).cast("double") /
+          col("stable_currency_decimals"), 6)
+          .cast("decimal(28,6)").as("total_repaid_usdc"))
+        .select(col("r_contract"), col("total_repaid_usdc"))
+      val collects = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey").as("c_contract"), col("l_extendedprice").as("amt"),
+          pmod(col("l_partkey"), lit(25)).as("c_symbol"))
+        .join(openings.select(col("ls_contract_id")),
+          col("c_contract") === col("ls_contract_id"), "left_semi")
+        .join(cr("wc"), col("c_symbol") === col("wc_ticker"))
+        .groupBy(col("c_contract"))
+        .agg(sum(rnd(col("amt") / pow(lit(10.0), col("wc_decimal_digits")), 6)
+          .cast("decimal(28,6)")).as("total_collected_usdc"))
+      val closings = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("ct_contract"))
+      val dec0 = lit(0).cast("decimal(28,6)")
+      val finalized = openings
+        .join(cr("wl"), col("ls_cltr_symbol") === col("wl_ticker"))
+        .join(repayments, col("ls_contract_id") === col("r_contract"), "left")
+        .join(collects, col("ls_contract_id") === col("c_contract"), "left")
+        .join(closings, col("ls_contract_id") === col("ct_contract"), "left_semi")
+        .select((coalesce(col("total_collected_usdc"), dec0) -
+          (rnd(col("ls_cltr_amnt_stable") / pow(lit(10.0), col("wl_decimal_digits")), 6)
+            .cast("decimal(28,6)") +
+            coalesce(col("total_repaid_usdc"), dec0))).as("pnl"))
+      finalized.agg(
+        when(count(lit(1)) === 0, lit(0.0))
+          .otherwise(count(when(col("pnl") > 0, 1)).cast("double") /
+            count(lit(1)).cast("double") * 100.0)
+          .as("win_rate"))
+    },
+    // get_buckets, clause-for-clause (raw_message.rs:243-350): the wallet
+    // PnL%-distribution page — the same openings/repayments/collects/
+    // finalized chain as the win rate, then pnl_pct = realized/sent×100
+    // (NULL when sent=0), the reference's exact CASE ladder into the
+    // five-row inline bucket dim (en-dash labels preserved), LEFT JOIN …
+    // USING(bucket) so empty buckets render 0, CROSS JOIN of the 1-row
+    // total (broadcast nested-loop, not a cartesian), and the 2dp share.
+    "q_lit_pnl_buckets" -> { (s, dir) =>
+      import s.implicits._
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val buckets = Seq((1, "<0"), (2, "0-50"), (3, "51–100"),
+        (4, "101–300"), (5, "301+")).toDF("ord", "bucket")
+      val openings = lsOpening(s, dir)
+        .filter(pmod(col("ls_address_id"), lit(100)) === 7)
+        .select(col("ls_contract_id"), col("ls_cltr_symbol"),
+          col("ls_cltr_amnt_stable"), col("ls_loan_pool_id"))
+      val repayments = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_contract"), col("l_extendedprice").as("pay"))
+        .join(openings.select(col("ls_contract_id"), col("ls_loan_pool_id")),
+          col("r_contract") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .groupBy(col("r_contract"), col("stable_currency_decimals"))
+        .agg(rnd(sum(col("pay").cast("decimal(18,2)")).cast("double") /
+          col("stable_currency_decimals"), 6)
+          .cast("decimal(28,6)").as("total_repaid_usdc"))
+        .select(col("r_contract"), col("total_repaid_usdc"))
+      val collects = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey").as("c_contract"), col("l_extendedprice").as("amt"),
+          pmod(col("l_partkey"), lit(25)).as("c_symbol"))
+        .join(openings.select(col("ls_contract_id")),
+          col("c_contract") === col("ls_contract_id"), "left_semi")
+        .join(cr("bc"), col("c_symbol") === col("bc_ticker"))
+        .groupBy(col("c_contract"))
+        .agg(sum(rnd(col("amt") / pow(lit(10.0), col("bc_decimal_digits")), 6)
+          .cast("decimal(28,6)")).as("total_collected_usdc"))
+      val closings = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("ct_contract"))
+      val dec0 = lit(0).cast("decimal(28,6)")
+      val sent = rnd(col("ls_cltr_amnt_stable") / pow(lit(10.0), col("bl_decimal_digits")), 6)
+        .cast("decimal(28,6)") + coalesce(col("total_repaid_usdc"), dec0)
+      val finalized = openings
+        .join(cr("bl"), col("ls_cltr_symbol") === col("bl_ticker"))
+        .join(repayments, col("ls_contract_id") === col("r_contract"), "left")
+        .join(collects, col("ls_contract_id") === col("c_contract"), "left")
+        .join(closings, col("ls_contract_id") === col("ct_contract"), "left_semi")
+        .select(sent.cast("double").as("sent_usdc"),
+          (coalesce(col("total_collected_usdc"), dec0) - sent)
+            .cast("double").as("realized_pnl_usdc"))
+      val withPct = finalized.select(
+        when(col("sent_usdc") === 0, lit(null).cast("double"))
+          .otherwise(col("realized_pnl_usdc") / col("sent_usdc") * 100.0).as("pnl_pct"))
+      val counts = withPct.filter(col("pnl_pct").isNotNull)
+        .select(
+          when(col("pnl_pct") < 0, lit("<0"))
+            .when(col("pnl_pct") >= 0 && col("pnl_pct") < 50, lit("0-50"))
+            .when(col("pnl_pct") >= 50 && col("pnl_pct") < 100, lit("51–100"))
+            .when(col("pnl_pct") >= 100 && col("pnl_pct") <= 300, lit("101–300"))
+            .when(col("pnl_pct") > 300, lit("301+")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+      buckets
+        .join(counts, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("ord"), col("bucket"),
+          coalesce(col("cnt"), lit(0L)).as("positions"),
+          when(col("total") > 0,
+            rnd(lit(100.0) * coalesce(col("cnt"), lit(0L)) / col("total"), 2))
+            .otherwise(lit(0.0)).as("share_percent"))
+        .orderBy(col("ord")).drop("ord")
+    },
+    // get_liquidations_with_window, clause-for-clause
+    // (ls_liquidation.rs:160-209): liquidation events LEFT-joined to their
+    // opening, then INNER-joined to the registry and pool dims on the
+    // opening's columns — the reference's literal shape, where those inner
+    // joins silently drop liquidations without an opening (quirk kept
+    // as-is), the two divisor flavors (pool stable decimals for the payment,
+    // POWER-of-registry for the down payment, pool lpn for the loan), a
+    // months-window cutoff, newest first. LS_Liquidation → lineitem N-rows
+    // (payment = l_extendedprice, liquidation price = l_quantity,
+    // loan_close = l_linestatus='F').
+    "q_lit_liquidations" -> { (s, dir) =>
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val liq = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "N" && col("l_shipdate") >= cutoff)
+        .select(col("l_shipdate").as("timestamp"),
+          pmod(col("l_partkey"), lit(25)).as("ticker"),
+          col("l_orderkey").as("contract_id"),
+          col("l_linestatus").as("transaction_type"),
+          col("l_extendedprice").as("payment_stable"),
+          (col("l_linestatus") === "F").as("closed_loan"),
+          col("l_quantity").as("liquidation_price"))
+      liq
+        .join(lsOpening(s, dir), col("contract_id") === col("ls_contract_id"), "left")
+        .join(currencyRegistry(s, dir, "ld"), col("ls_cltr_symbol") === col("ld_ticker"))
+        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
+        .select(col("timestamp"), col("ticker"), col("contract_id"),
+          col("ls_address_id").as("user"), col("transaction_type"),
+          (col("payment_stable") / col("stable_currency_decimals")).as("liquidation_amount"),
+          col("closed_loan"),
+          (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("ld_decimal_digits")))
+            .as("down_payment"),
+          (col("ls_loan_amnt") / col("lpn_decimals")).as("loan"),
+          col("liquidation_price"))
+        .orderBy(col("timestamp").desc, col("contract_id").desc,
+          col("ticker").desc, col("liquidation_amount").desc)
+    },
+    // get_historical_lenders_with_window, clause-for-clause
+    // (lp_deposit.rs:138-190): the Deposit ∪ Withdraw tagged union with the
+    // INNER pool_config join, per-pool divisor, COALESCE'd pool label (the
+    // nullable protocol_label plays the reference's nullable pc.label), a
+    // time-window cutoff, newest first. LP_Deposit → purchase events,
+    // LP_Withdraw → signup events (pool = user id), as in the tx-value twin.
+    "q_lit_lender_history" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      def flow(et: String, tag: String) = Tables.events(s, dir)
+        .filter(col("event_type") === et)
+        .join(pcB, col("user_id") === col("pool_id"))
+        .select(lit(tag).as("transaction_type"), col("ts").as("timestamp"),
+          col("user_id").as("user"),
+          (col("value") / col("lpn_decimals")).as("amount"),
+          coalesce(col("protocol_label"), col("pool_id").cast("string")).as("pool"))
+      flow("purchase", "Deposit").unionByName(flow("signup", "Withdraw"))
+        .filter(col("timestamp") > cutoff)
+        .orderBy(col("timestamp").desc, col("user").desc, col("transaction_type").desc)
     }
   )
 
@@ -1227,6 +1442,199 @@ object LiteralTwinQueries {
         |  CAST(d AS DOUBLE) / 1000000.0 AS daily,
         |  CAST(sum(d) OVER (ORDER BY "time"
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS cumulative
-        |FROM daily""".stripMargin
+        |FROM daily""".stripMargin,
+    "q_lit_wallet_tx_volume" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |openings AS (
+        |  SELECT o_orderkey AS contract_id,
+        |    o_totalprice / POWER(10, cr.decimal_digits) AS down_payment_usdc,
+        |    o_totalprice / pc.lpn_decimals AS loan_usdc
+        |  FROM orders
+        |  JOIN pc ON o_custkey = pc.pool_id
+        |  JOIN cr ON cr.ticker = o_custkey % 25
+        |  WHERE o_custkey % 100 = 7),
+        |repayments AS (
+        |  SELECT CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS vol
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'R'
+        |    AND l_orderkey IN (SELECT contract_id FROM openings)),
+        |closes AS (
+        |  SELECT CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS vol
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'A'
+        |    AND l_orderkey IN (SELECT contract_id FROM openings))
+        |SELECT SUM(vol) AS tx_volume FROM (
+        |  SELECT CAST(floor((down_payment_usdc + loan_usdc) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS DECIMAL(28,6)) AS vol FROM openings
+        |  UNION ALL SELECT vol FROM repayments
+        |  UNION ALL SELECT vol FROM closes) x""".stripMargin,
+    "q_lit_win_rate" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |openings AS (
+        |  SELECT o_orderkey AS contract_id, o_custkey % 25 AS cltr_symbol,
+        |    o_totalprice AS cltr_amnt_stable, o_custkey AS loan_pool_id
+        |  FROM orders WHERE o_custkey % 100 = 7),
+        |repayments AS (
+        |  SELECT l_orderkey AS r_contract,
+        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / pc.stable_currency_decimals * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(28,6)) AS total_repaid_usdc
+        |  FROM lineitem
+        |  JOIN openings o ON o.contract_id = l_orderkey
+        |  JOIN pc ON pc.pool_id = o.loan_pool_id
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY l_orderkey, pc.stable_currency_decimals),
+        |collects AS (
+        |  SELECT l_orderkey AS c_contract,
+        |    SUM(CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS total_collected_usdc
+        |  FROM lineitem
+        |  JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'A'
+        |    AND l_orderkey IN (SELECT contract_id FROM openings)
+        |  GROUP BY l_orderkey),
+        |finalized AS (
+        |  SELECT COALESCE(c.total_collected_usdc, CAST(0 AS DECIMAL(28,6)))
+        |    - (CAST(floor(o.cltr_amnt_stable / POWER(10, cr.decimal_digits)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))
+        |       + COALESCE(r.total_repaid_usdc, CAST(0 AS DECIMAL(28,6)))) AS pnl
+        |  FROM openings o
+        |  JOIN cr ON cr.ticker = o.cltr_symbol
+        |  LEFT JOIN repayments r ON r.r_contract = o.contract_id
+        |  LEFT JOIN collects c ON c.c_contract = o.contract_id
+        |  WHERE o.contract_id IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
+        |SELECT CASE WHEN COUNT(*) = 0 THEN 0.0
+        |  ELSE (CAST(COUNT(CASE WHEN pnl > 0 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) * 100.0 END AS win_rate
+        |FROM finalized""".stripMargin,
+    "q_lit_pnl_buckets" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |buckets AS (
+        |  SELECT 1 AS ord, '<0' AS bucket UNION ALL
+        |  SELECT 2, '0-50' UNION ALL
+        |  SELECT 3, '51–100' UNION ALL
+        |  SELECT 4, '101–300' UNION ALL
+        |  SELECT 5, '301+'),
+        |openings AS (
+        |  SELECT o_orderkey AS contract_id, o_custkey % 25 AS cltr_symbol,
+        |    o_totalprice AS cltr_amnt_stable, o_custkey AS loan_pool_id
+        |  FROM orders WHERE o_custkey % 100 = 7),
+        |repayments AS (
+        |  SELECT l_orderkey AS r_contract,
+        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / pc.stable_currency_decimals * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(28,6)) AS total_repaid_usdc
+        |  FROM lineitem
+        |  JOIN openings o ON o.contract_id = l_orderkey
+        |  JOIN pc ON pc.pool_id = o.loan_pool_id
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY l_orderkey, pc.stable_currency_decimals),
+        |collects AS (
+        |  SELECT l_orderkey AS c_contract,
+        |    SUM(CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS total_collected_usdc
+        |  FROM lineitem
+        |  JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'A'
+        |    AND l_orderkey IN (SELECT contract_id FROM openings)
+        |  GROUP BY l_orderkey),
+        |finalized AS (
+        |  SELECT
+        |    CAST(CAST(floor(o.cltr_amnt_stable / POWER(10, cr.decimal_digits)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))
+        |      + COALESCE(r.total_repaid_usdc, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS sent_usdc,
+        |    CAST(COALESCE(c.total_collected_usdc, CAST(0 AS DECIMAL(28,6)))
+        |      - (CAST(floor(o.cltr_amnt_stable / POWER(10, cr.decimal_digits)
+        |            * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))
+        |         + COALESCE(r.total_repaid_usdc, CAST(0 AS DECIMAL(28,6))))
+        |      AS DOUBLE) AS realized_pnl_usdc
+        |  FROM openings o
+        |  JOIN cr ON cr.ticker = o.cltr_symbol
+        |  LEFT JOIN repayments r ON r.r_contract = o.contract_id
+        |  LEFT JOIN collects c ON c.c_contract = o.contract_id
+        |  WHERE o.contract_id IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+        |with_pct AS (
+        |  SELECT CASE WHEN sent_usdc = 0 THEN NULL
+        |    ELSE (realized_pnl_usdc / sent_usdc) * 100.0 END AS pnl_pct
+        |  FROM finalized),
+        |counts AS (
+        |  SELECT CASE
+        |      WHEN pnl_pct < 0 THEN '<0'
+        |      WHEN pnl_pct >= 0 AND pnl_pct < 50 THEN '0-50'
+        |      WHEN pnl_pct >= 50 AND pnl_pct < 100 THEN '51–100'
+        |      WHEN pnl_pct >= 100 AND pnl_pct <= 300 THEN '101–300'
+        |      WHEN pnl_pct > 300 THEN '301+' END AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM with_pct WHERE pnl_pct IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT COALESCE(SUM(cnt), 0) AS total FROM counts)
+        |SELECT b.bucket, COALESCE(c.cnt, 0) AS positions,
+        |  CASE WHEN t.total > 0
+        |    THEN floor(CAST(100.0 AS DOUBLE) * COALESCE(c.cnt, 0) / t.total
+        |      * 100.0 + 0.5) / 100.0
+        |    ELSE 0.0 END AS share_percent
+        |FROM buckets b
+        |LEFT JOIN counts c USING (bucket)
+        |CROSS JOIN tot t
+        |ORDER BY b.ord""".stripMargin,
+    "q_lit_liquidations" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |liq AS (
+        |  SELECT l_shipdate AS "timestamp", l_partkey % 25 AS ticker,
+        |    l_orderkey AS contract_id, l_linestatus AS transaction_type,
+        |    l_extendedprice AS payment_stable, l_linestatus = 'F' AS closed_loan,
+        |    l_quantity AS liquidation_price
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'N' AND l_shipdate >= TIMESTAMP '1997-06-01'),
+        |o AS (
+        |  SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |    o_custkey % 25 AS ls_cltr_symbol, o_totalprice AS ls_cltr_amnt_stable,
+        |    o_totalprice AS ls_loan_amnt, o_custkey AS ls_loan_pool_id
+        |  FROM orders)
+        |SELECT liq."timestamp", liq.ticker, liq.contract_id,
+        |  o.ls_address_id AS "user", liq.transaction_type,
+        |  liq.payment_stable / pc.stable_currency_decimals AS liquidation_amount,
+        |  liq.closed_loan,
+        |  o.ls_cltr_amnt_stable / POWER(10, cr.decimal_digits) AS down_payment,
+        |  o.ls_loan_amnt / pc.lpn_decimals AS loan,
+        |  liq.liquidation_price
+        |FROM liq
+        |LEFT JOIN o ON o.ls_contract_id = liq.contract_id
+        |JOIN cr ON cr.ticker = o.ls_cltr_symbol
+        |JOIN pc ON pc.pool_id = o.ls_loan_pool_id
+        |ORDER BY liq."timestamp" DESC, liq.contract_id DESC, liq.ticker DESC,
+        |  liquidation_amount DESC""".stripMargin,
+    "q_lit_lender_history" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, user_id, event_type, value FROM events),
+        |pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CASE WHEN c_acctbal < 0 THEN NULL
+        |         ELSE 'proto-' || CAST(c_custkey % 7 AS VARCHAR) END AS protocol_label
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'Deposit' AS transaction_type, ts AS "timestamp", user_id AS "user",
+        |    value / pc.lpn_decimals AS amount,
+        |    COALESCE(pc.protocol_label, CAST(pc.pool_id AS VARCHAR)) AS pool
+        |  FROM ev JOIN pc ON user_id = pc.pool_id WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'Withdraw', ts, user_id, value / pc.lpn_decimals,
+        |    COALESCE(pc.protocol_label, CAST(pc.pool_id AS VARCHAR))
+        |  FROM ev JOIN pc ON user_id = pc.pool_id WHERE event_type = 'signup') combined
+        |WHERE "timestamp" > TIMESTAMP '1997-01-01'
+        |ORDER BY "timestamp" DESC""".stripMargin
   )
 }
