@@ -817,8 +817,8 @@ object LiteralTwinQueries {
       val dec0 = lit(0).cast("decimal(28,6)")
       val finalized = openings
         .join(cr("wl"), col("ls_cltr_symbol") === col("wl_ticker"))
-        .join(repayments, col("ls_contract_id") === col("r_contract"), "left")
-        .join(collects, col("ls_contract_id") === col("c_contract"), "left")
+        .join(broadcast(repayments), col("ls_contract_id") === col("r_contract"), "left")
+        .join(broadcast(collects), col("ls_contract_id") === col("c_contract"), "left")
         .join(closings, col("ls_contract_id") === col("ct_contract"), "left_semi")
         .select((coalesce(col("total_collected_usdc"), dec0) -
           (rnd(col("ls_cltr_amnt_stable") / pow(lit(10.0), col("wl_decimal_digits")), 6)
@@ -873,8 +873,8 @@ object LiteralTwinQueries {
         .cast("decimal(28,6)") + coalesce(col("total_repaid_usdc"), dec0)
       val finalized = openings
         .join(cr("bl"), col("ls_cltr_symbol") === col("bl_ticker"))
-        .join(repayments, col("ls_contract_id") === col("r_contract"), "left")
-        .join(collects, col("ls_contract_id") === col("c_contract"), "left")
+        .join(broadcast(repayments), col("ls_contract_id") === col("r_contract"), "left")
+        .join(broadcast(collects), col("ls_contract_id") === col("c_contract"), "left")
         .join(closings, col("ls_contract_id") === col("ct_contract"), "left_semi")
         .select(sent.cast("double").as("sent_usdc"),
           (coalesce(col("total_collected_usdc"), dec0) - sent)
@@ -892,7 +892,7 @@ object LiteralTwinQueries {
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
       val tot = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
       buckets
-        .join(counts, Seq("bucket"), "left")
+        .join(broadcast(counts), Seq("bucket"), "left")
         .crossJoin(broadcast(tot))
         .select(col("ord"), col("bucket"),
           coalesce(col("cnt"), lit(0L)).as("positions"),
