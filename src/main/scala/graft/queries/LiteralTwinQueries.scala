@@ -956,6 +956,140 @@ object LiteralTwinQueries {
       flow("purchase", "Deposit").unionByName(flow("signup", "Withdraw"))
         .filter(col("timestamp") > cutoff)
         .orderBy(col("timestamp").desc, col("user").desc, col("transaction_type").desc)
+    },
+    // get_loans_by_token, clause-for-clause (ls_state.rs:195-241): the
+    // LatestAggregation global-max-snapshot CTE (1-row MAX cross-joined —
+    // broadcast nested loop, not a cartesian), states at that ts INNER-join
+    // their opening, LEFT-join the pool dim, the Short display symbol
+    // (lpn_symbol || ' (Short)'), SUM(principal/lpn_decimals) over positive
+    // loans, smallest-value-first. Per-row 6dp-round + exact-decimal sum is
+    // the repo's pinned determinism deviation for double SUMs.
+    "q_lit_loans_by_token" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      val opened = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"),
+          col("l_shipdate").as("st_timestamp"),
+          col("l_extendedprice").as("st_principal_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_timestamp") === col("max_ts"))
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
+        .select(
+          (col("st_principal_stable") / col("lpn_decimals")).as("loan_in_stables"),
+          when(col("position_type") === "Short",
+            concat(col("lpn_symbol").cast("string"), lit(" (Short)")))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("asset_type"))
+      opened.filter(col("loan_in_stables") > 0)
+        .groupBy(col("asset_type"))
+        .agg(sum(rnd(col("loan_in_stables"), 6).cast("decimal(28,6)"))
+          .cast("double").as("value"))
+        .select(col("asset_type").as("symbol"), col("value"))
+        .orderBy(col("value").asc)
+    },
+    // get_position_buckets, clause-for-clause (ls_state.rs:243-289): the
+    // loan-size histogram over the latest snapshot — the reference's exact
+    // BETWEEN ladder is preserved including its gaps (a loan of 1999.5
+    // falls between '1-1.9k' and '2-4.9k' into the NULL category, which
+    // both engines then group and report).
+    "q_lit_position_buckets" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      val loans = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"),
+          col("l_shipdate").as("st_timestamp"),
+          col("l_extendedprice").as("st_principal_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_timestamp") === col("max_ts") && col("st_principal_stable") > 0)
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
+        .select((col("st_principal_stable") / col("lpn_decimals")).as("loan"))
+      val lc = col("loan")
+      loans.select(
+          when(lc < 1000, lit("0-0.999k"))
+            .when(lc.between(1000, 1999), lit("1-1.9k"))
+            .when(lc.between(2000, 4999), lit("2-4.9k"))
+            .when(lc.between(5000, 9999), lit("5-9.9k"))
+            .when(lc.between(10000, 14999), lit("10-14.9k"))
+            .when(lc >= 15000, lit("15k+")).as("loan_category"), lc)
+        .groupBy(col("loan_category"))
+        .agg(count(col("loan")).as("loan_count"),
+          sum(rnd(lc, 6).cast("decimal(28,6)")).cast("double").as("loan_size"))
+    },
+    // get_lease_value_stats, clause-for-clause (ls_state.rs:761-797):
+    // Latest_States DISTINCT ON (contract) restricted to the global max
+    // snapshot ts — every candidate ties on ts, so the pinned total order
+    // extends to the payload (the repo's DISTINCT-ON determinism
+    // convention) — joined to openings and the asset registry, AVG + MAX of
+    // the normalized lease value per symbol. AVG is transliterated as
+    // exact-decimal SUM / COUNT (pinned deviation: native double AVG is
+    // accumulation-order-dependent).
+    "q_lit_lease_value_stats" -> { (s, dir) =>
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      val wLS = Window.partitionBy(col("st_contract_id"))
+        .orderBy(col("st_timestamp").desc, col("st_line").desc, col("st_amnt_stable").desc)
+      val latest = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"),
+          col("l_shipdate").as("st_timestamp"),
+          col("l_linenumber").as("st_line"),
+          col("l_quantity").as("st_amnt_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_timestamp") === col("max_ts"))
+        .withColumn("rn", row_number().over(wLS)).filter(col("rn") === 1)
+      latest
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
+        .join(cr("lv"), col("ls_asset_symbol") === col("lv_ticker"))
+        .filter(col("st_amnt_stable") > 0)
+        .select(col("ls_asset_symbol").as("asset"),
+          (col("st_amnt_stable") / pow(lit(10.0), col("lv_decimal_digits"))).as("lease_value"))
+        .groupBy(col("asset"))
+        .agg((sum(rnd(col("lease_value"), 6).cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_value"),
+          max(col("lease_value")).as("max_value"))
+    },
+    // get_leased_assets_total, clause-for-clause (ls_opening.rs:399-447):
+    // the latest-snapshot Opened CTE with both LEFT dim joins, the
+    // CONCAT(label, ' (Short)') display asset, the Lease_Value_Table
+    // normalization by the asset registry digits, SUM per asset, biggest
+    // first.
+    "q_lit_leased_assets_total" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"),
+          col("l_shipdate").as("st_timestamp"),
+          col("l_quantity").as("st_amnt_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_timestamp") === col("max_ts") && col("st_amnt_stable") > 0)
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
+        .join(cr("lt"), col("ls_asset_symbol") === col("lt_ticker"), "left")
+        .select(
+          when(col("position_type") === "Short", concat(col("label"), lit(" (Short)")))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("asset"),
+          (col("st_amnt_stable") / pow(lit(10.0), col("lt_decimal_digits"))).as("lease_value"))
+        .groupBy(col("asset"))
+        .agg(sum(rnd(col("lease_value"), 6).cast("decimal(28,6)"))
+          .cast("double").as("loan"))
+        .orderBy(col("loan").desc)
+    },
+    // get_loans_granted, clause-for-clause (ls_opening.rs:1400-1423): the
+    // all-history variant — every opening joined to its pool (INNER, per the
+    // reference), the same CONCAT'd Short display asset, SUM of the
+    // pool-normalized loan per asset, smallest first.
+    "q_lit_loans_granted" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
+        .select(
+          when(col("position_type") === "Short", concat(col("label"), lit(" (Short)")))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("asset"),
+          (col("ls_loan_amnt") / col("lpn_decimals")).as("granted"))
+        .groupBy(col("asset"))
+        .agg(sum(rnd(col("granted"), 6).cast("decimal(28,6)"))
+          .cast("double").as("loan"))
+        .orderBy(col("loan").asc)
     }
   )
 
@@ -1635,6 +1769,111 @@ object LiteralTwinQueries {
         |    COALESCE(pc.protocol_label, CAST(pc.pool_id AS VARCHAR))
         |  FROM ev JOIN pc ON user_id = pc.pool_id WHERE event_type = 'signup') combined
         |WHERE "timestamp" > TIMESTAMP '1997-01-01'
-        |ORDER BY "timestamp" DESC""".stripMargin
+        |ORDER BY "timestamp" DESC""".stripMargin,
+    "q_lit_loans_by_token" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CAST(c_nationkey AS BIGINT) AS lpn_symbol,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type
+        |  FROM customer),
+        |la AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |opened AS (
+        |  SELECT CASE WHEN pc.position_type = 'Short'
+        |              THEN CAST(pc.lpn_symbol AS VARCHAR) || ' (Short)'
+        |              ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset_type,
+        |    s.l_extendedprice / pc.lpn_decimals AS loan_in_stables
+        |  FROM lineitem s CROSS JOIN la
+        |  JOIN orders ON s.l_orderkey = o_orderkey
+        |  LEFT JOIN pc ON pc.pool_id = o_custkey
+        |  WHERE s.l_shipdate = la.max_ts)
+        |SELECT asset_type AS symbol,
+        |  CAST(SUM(CAST(floor(loan_in_stables * 1000000.0 + 0.5) / 1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS value
+        |FROM opened WHERE loan_in_stables > 0
+        |GROUP BY asset_type ORDER BY value ASC""".stripMargin,
+    "q_lit_position_buckets" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
+        |la AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |opened_loans AS (
+        |  SELECT s.l_extendedprice / pc.lpn_decimals AS loan
+        |  FROM lineitem s CROSS JOIN la
+        |  JOIN orders ON s.l_orderkey = o_orderkey
+        |  LEFT JOIN pc ON pc.pool_id = o_custkey
+        |  WHERE s.l_shipdate = la.max_ts AND s.l_extendedprice > 0)
+        |SELECT CASE
+        |    WHEN loan < 1000 THEN '0-0.999k'
+        |    WHEN loan BETWEEN 1000 AND 1999 THEN '1-1.9k'
+        |    WHEN loan BETWEEN 2000 AND 4999 THEN '2-4.9k'
+        |    WHEN loan BETWEEN 5000 AND 9999 THEN '5-9.9k'
+        |    WHEN loan BETWEEN 10000 AND 14999 THEN '10-14.9k'
+        |    WHEN loan >= 15000 THEN '15k+' END AS loan_category,
+        |  COUNT(loan) AS loan_count,
+        |  CAST(SUM(CAST(floor(loan * 1000000.0 + 0.5) / 1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS loan_size
+        |FROM opened_loans GROUP BY loan_category""".stripMargin,
+    "q_lit_lease_value_stats" ->
+      """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |la AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT l_orderkey AS st_contract_id, l_shipdate AS st_timestamp,
+        |      l_linenumber AS st_line, l_quantity AS st_amnt_stable,
+        |      row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC) AS rn
+        |    FROM lineitem CROSS JOIN la WHERE l_shipdate = la.max_ts) t
+        |  WHERE rn = 1),
+        |js AS (
+        |  SELECT o_orderkey % 25 AS asset,
+        |    st_amnt_stable / POWER(10, cr.decimal_digits) AS lease_value
+        |  FROM latest
+        |  JOIN orders ON st_contract_id = o_orderkey
+        |  JOIN cr ON cr.ticker = o_orderkey % 25
+        |  WHERE st_amnt_stable > 0)
+        |SELECT asset,
+        |  CAST(SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+        |  MAX(lease_value) AS max_value
+        |FROM js GROUP BY asset""".stripMargin,
+    "q_lit_leased_assets_total" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id, c_name AS label,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |la AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |opened AS (
+        |  SELECT CASE WHEN pc.position_type = 'Short'
+        |              THEN pc.label || ' (Short)'
+        |              ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset,
+        |    s.l_quantity / POWER(10, cr.decimal_digits) AS lease_value
+        |  FROM lineitem s CROSS JOIN la
+        |  JOIN orders ON s.l_orderkey = o_orderkey
+        |  LEFT JOIN pc ON pc.pool_id = o_custkey
+        |  LEFT JOIN cr ON cr.ticker = o_orderkey % 25
+        |  WHERE s.l_shipdate = la.max_ts AND s.l_quantity > 0)
+        |SELECT asset,
+        |  CAST(SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS loan
+        |FROM opened GROUP BY asset ORDER BY loan DESC""".stripMargin,
+    "q_lit_loans_granted" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id, c_name AS label,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type
+        |  FROM customer)
+        |SELECT CASE WHEN pc.position_type = 'Short'
+        |           THEN pc.label || ' (Short)'
+        |           ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset,
+        |  CAST(SUM(CAST(floor(o_totalprice / pc.lpn_decimals * 1000000.0 + 0.5)
+        |    / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS loan
+        |FROM orders JOIN pc ON pc.pool_id = o_custkey
+        |GROUP BY 1 ORDER BY loan ASC""".stripMargin
   )
 }
