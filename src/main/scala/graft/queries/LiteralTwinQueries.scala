@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Ops
 import graft.sources.Tables
 
 /** Literal 1:1 twins of three reference DAO queries, transliterated onto the
@@ -80,7 +81,11 @@ object LiteralTwinQueries {
       col("o_custkey").as("ls_loan_pool_id"),
       col("o_orderpriority").as("open_tx_hash"),
       col("o_orderstatus").as("ls_status"),
-      pmod(col("o_orderkey"), lit(200)).as("ls_interest"))
+      pmod(col("o_orderkey"), lit(200)).as("ls_interest"),
+      // LPN leg (historically-opened twin): amount reuses the order total,
+      // the per-row LPN decimals divisor derives from the contract key
+      col("o_totalprice").as("ls_lpn_loan_amnt"),
+      (pmod(col("o_orderkey"), lit(4)) + 1).cast("double").as("ls_lpn_decimals"))
 
   /** ContractInfo CTE (ls_repayment.rs:416-424): openings ⋈ config dim with
     * a COALESCE'd position type and the per-contract decimals divisor.
@@ -1090,6 +1095,92 @@ object LiteralTwinQueries {
         .agg(sum(rnd(col("granted"), 6).cast("decimal(28,6)"))
           .cast("double").as("loan"))
         .orderBy(col("loan").asc)
+    },
+    // get_open_positions_by_token, clause-for-clause (ls_state.rs:292-340):
+    // the market-value variant of the snapshot rollup — same Opened CTE,
+    // but the Short display token uses lpn_symbol (not the label) and the
+    // value normalizes amnt_stable by the asset registry digits, biggest
+    // market value first.
+    "q_lit_open_positions_by_token" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"),
+          col("l_shipdate").as("st_timestamp"),
+          col("l_quantity").as("st_amnt_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_timestamp") === col("max_ts") && col("st_amnt_stable") > 0)
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
+        .join(cr("op"), col("ls_asset_symbol") === col("op_ticker"), "left")
+        .select(
+          when(col("position_type") === "Short",
+            concat(col("lpn_symbol").cast("string"), lit(" (Short)")))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("token"),
+          (col("st_amnt_stable") / pow(lit(10.0), col("op_decimal_digits"))).as("lease_value"))
+        .groupBy(col("token"))
+        .agg(sum(rnd(col("lease_value"), 6).cast("decimal(28,6)"))
+          .cast("double").as("market_value"))
+        .orderBy(col("market_value").desc)
+    },
+    // get_historically_opened, clause-for-clause (ls_opening.rs:1424-1495):
+    // the paged opening-history export — Historically_Opened_Base (DISTINCT
+    // ON contract is an identity here as in the reference, where LS_Opening
+    // is contract-unique) with both INNER dim joins and the Short label
+    // asset, the LEFT JOIN LATERAL as-of price re-expressed as the
+    // single-shuffle union+window as-of join (Ops.asOfJoin — no per-row
+    // lookup; prices pre-deduped to (symbol, ts) via MAX, the pinned tie
+    // deviation for the reference's arbitrary LIMIT 1 among same-ts rows),
+    // the EXISTS freshness flag as a distinct-semi LEFT join, the two-branch
+    // liquidation-price CASE, and the newest-first OFFSET/LIMIT page.
+    // Short rows look their price up by the display LABEL (the reference's
+    // label tickers don't exist in this price table either way) → NULL
+    // price, NULL Long-branch liquidation price — kept as-is.
+    "q_lit_historically_opened" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val freshCutoff = lit("1998-11-01").cast("timestamp")
+      val base = lsOpening(s, dir)
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("ho"), col("ls_cltr_symbol") === col("ho_ticker"))
+        .select(
+          col("ls_contract_id").as("contract_id"),
+          col("ls_address_id").as("user"),
+          when(col("position_type") === "Short", col("label"))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("leased_asset"),
+          col("ls_timestamp").as("opening_date"),
+          coalesce(col("position_type"), lit("Long")).as("position_type_eff"),
+          (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("ho_decimal_digits")))
+            .as("down_payment_amount"),
+          col("ls_cltr_symbol").as("down_payment_asset"),
+          (col("ls_loan_amnt") / col("lpn_decimals")).as("loan"),
+          (col("ls_lpn_loan_amnt") / col("ls_lpn_decimals")).as("total_position_lpn"))
+      val prices = Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(25)).cast("string").as("mp_symbol"),
+          col("l_shipdate").as("mp_ts"), col("l_extendedprice").as("mp_price"))
+        .groupBy(col("mp_symbol"), col("mp_ts"))
+        .agg(max(col("mp_price")).as("price"))
+      val withPrice = Ops.asOfJoin(base, prices, "leased_asset", "mp_symbol",
+        "opening_date", "mp_ts", Seq("price"))
+      val openIds = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= freshCutoff)
+        .select(col("l_orderkey").as("open_contract")).distinct()
+      withPrice
+        .join(openIds, col("contract_id") === col("open_contract"), "left")
+        .select(
+          col("contract_id"), col("user"), col("leased_asset"), col("opening_date"),
+          col("position_type_eff").as("position_type"),
+          col("down_payment_amount"), col("down_payment_asset"),
+          col("loan"), col("total_position_lpn"), col("price"),
+          col("open_contract").isNotNull.as("open"),
+          when(col("position_type_eff") === "Long",
+            (col("loan") / 0.9) / (col("down_payment_amount") + col("loan")) * col("price"))
+            .when(col("position_type_eff") === "Short",
+              (col("down_payment_amount") + col("loan")) / (col("total_position_lpn") / 0.9))
+            .as("liquidation_price"))
+        .orderBy(col("opening_date").desc, col("contract_id").desc)
+        .offset(30).limit(60)
     }
   )
 
@@ -1874,6 +1965,74 @@ object LiteralTwinQueries {
         |  CAST(SUM(CAST(floor(o_totalprice / pc.lpn_decimals * 1000000.0 + 0.5)
         |    / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS loan
         |FROM orders JOIN pc ON pc.pool_id = o_custkey
-        |GROUP BY 1 ORDER BY loan ASC""".stripMargin
+        |GROUP BY 1 ORDER BY loan ASC""".stripMargin,
+    "q_lit_open_positions_by_token" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey AS BIGINT) AS lpn_symbol,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |la AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |opened AS (
+        |  SELECT CASE WHEN pc.position_type = 'Short'
+        |              THEN CAST(pc.lpn_symbol AS VARCHAR) || ' (Short)'
+        |              ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS token,
+        |    s.l_quantity / POWER(10, cr.decimal_digits) AS lease_value
+        |  FROM lineitem s CROSS JOIN la
+        |  JOIN orders ON s.l_orderkey = o_orderkey
+        |  LEFT JOIN pc ON pc.pool_id = o_custkey
+        |  LEFT JOIN cr ON cr.ticker = o_orderkey % 25
+        |  WHERE s.l_shipdate = la.max_ts AND s.l_quantity > 0)
+        |SELECT token,
+        |  CAST(SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS market_value
+        |FROM opened GROUP BY token ORDER BY market_value DESC""".stripMargin,
+    "q_lit_historically_opened" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id, c_name AS label,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |base AS (
+        |  SELECT o_orderkey AS contract_id, o_custkey AS "user",
+        |    CASE WHEN pc.position_type = 'Short' THEN pc.label
+        |         ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS leased_asset,
+        |    o_orderdate AS opening_date,
+        |    COALESCE(pc.position_type, 'Long') AS position_type,
+        |    o_totalprice / POWER(10, cr.decimal_digits) AS down_payment_amount,
+        |    o_custkey % 25 AS down_payment_asset,
+        |    o_totalprice / pc.lpn_decimals AS loan,
+        |    o_totalprice / CAST(o_orderkey % 4 + 1 AS DOUBLE) AS total_position_lpn
+        |  FROM orders
+        |  JOIN pc ON pc.pool_id = o_custkey
+        |  JOIN cr ON cr.ticker = o_custkey % 25),
+        |prices AS (
+        |  SELECT CAST(l_partkey % 25 AS VARCHAR) AS mp_symbol, l_shipdate AS mp_ts,
+        |    MAX(l_extendedprice) AS price
+        |  FROM lineitem GROUP BY 1, 2),
+        |wp AS (
+        |  SELECT b.*, p.price
+        |  FROM base b ASOF LEFT JOIN prices p
+        |    ON b.leased_asset = p.mp_symbol AND b.opening_date >= p.mp_ts),
+        |open_ids AS (
+        |  SELECT DISTINCT l_orderkey AS open_contract FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-11-01')
+        |SELECT contract_id, "user", leased_asset, opening_date, position_type,
+        |  down_payment_amount, down_payment_asset, loan, total_position_lpn, price,
+        |  (open_contract IS NOT NULL) AS "open",
+        |  CASE WHEN position_type = 'Long'
+        |       THEN (loan / 0.9) / (down_payment_amount + loan) * price
+        |       WHEN position_type = 'Short'
+        |       THEN (down_payment_amount + loan) / (total_position_lpn / 0.9)
+        |  END AS liquidation_price
+        |FROM wp LEFT JOIN open_ids ON contract_id = open_contract
+        |ORDER BY opening_date DESC, contract_id DESC
+        |OFFSET 30 LIMIT 60""".stripMargin
   )
 }
