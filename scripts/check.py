@@ -33,7 +33,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             v = v.item()
         import decimal
         if isinstance(v, decimal.Decimal):
-            v = int(v) if v == v.to_integral_value() else float(v)
+            # EXACT value compare (canonical exponent, so 1.50 == 1.5 but a
+            # 1-ulp diff fails). Collapsing to float here hid the r4
+            # q_lit_wallet_tx_volume sub-float-precision mismatch that the
+            # driver's exact hash caught — decimals must never degrade.
+            return ("dec", str(v.normalize()))
         return v
     # build plain-python rows directly — pandas re-coerces None to NaN on
     # column assignment, and nan != nan would produce spurious diffs
@@ -43,7 +47,24 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.columns.tolist(), rows
 
 
+def selftest():
+    """norm() must distinguish decimals that differ by 1 ulp at scale 6 (the
+    r4 failure class) and must treat rescaled-equal decimals as equal."""
+    from decimal import Decimal
+    a = pd.DataFrame({"x": [Decimal("20893331.915740")]})
+    b = pd.DataFrame({"x": [Decimal("20893331.915741")]})
+    c = pd.DataFrame({"x": [Decimal("20893331.91574000")]})
+    assert norm(a) != norm(b), "1-ulp decimal diff must FAIL the compare"
+    assert norm(a) == norm(c), "trailing-zero rescale must still compare equal"
+    assert norm(a) != norm(pd.DataFrame({"x": [20893331.915740]})), \
+        "decimal vs float type confusion must FAIL, not coerce"
+    print("selftest OK")
+    sys.exit(0)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     only = set(sys.argv[3:])

@@ -15,7 +15,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-if [ $# -le 2 ]; then rm -rf "$OUT"; fi
+# Full-dump runs (no subset names) must start clean: graft.Verify continues
+# past per-query failures, and a stale parquet from a prior run would let
+# check.py PASS on a query that no longer even plans.
+if [ $# -le 3 ]; then rm -rf "$OUT"; fi
 SPARK_GRAFT_CPUS=$CPUS exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx8g \

@@ -263,9 +263,13 @@ object Dedup {
     val slices = (0 until numBands).map { j =>
       val start = j * base + math.min(j, rem)
       val width = base + (if (j < rem) 1 else 0)
+      // width can be 64 (guaranteeRadius + maxHamming=0 → one full-word
+      // band); JVM shifts are mod-64, so (1L << 64) - 1L would be 0 and
+      // collapse the whole corpus into a single bucket
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), start)
-          .bitwiseAND(lit((1L << width) - 1L)).as("bv"))
+          .bitwiseAND(lit(mask)).as("bv"))
     }
     val sk = simHash(docs, idCol, textCol)
     val wB = Window.partitionBy(col("band"), col("bv"))

@@ -92,6 +92,9 @@ object Multimodal {
   def decodeImageHeader(payload: Array[Byte]): Option[(String, Int, Int)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    // null when no ImageInputStreamSpi is registered (stripped-down JRE) —
+    // fall through to the caller's stub tier instead of NPE-ing in finally
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
