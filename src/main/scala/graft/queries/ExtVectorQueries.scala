@@ -13,6 +13,29 @@ import graft.sources.Tables
   */
 object ExtVectorQueries {
 
+  /** Corpus row count from the parquet footers — NO Spark job (a plain
+    * `df.count()` at plan-build time ran a full count job every time the
+    * LSH entry was even constructed, e.g. per PlanGuardSpec plan census).
+    * Footer record counts are exact; memoized per directory.
+    */
+  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def embeddingCount(s: SparkSession, dir: String): Long =
+    corpusCounts.getOrElseUpdate(dir, {
+      val conf = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(root)
+      files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for the query subset
     // (vec_id % 100 == 0) — the ANN baseline.
@@ -37,11 +60,11 @@ object ExtVectorQueries {
     // (≥0.8) the same machinery prunes orders of magnitude harder. Planes
     // are AUTO-SIZED from the corpus count — the sf1 probe measured a pinned
     // numPlanes=5 at 22× on a 10× corpus (quadratic buckets), auto-sized
-    // linear.
+    // linear. The count comes from the parquet footers, not a count job.
     "q_x_embed_neardup_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.nearDupPairsCosineLsh(emb, "vec_id", "embedding",
-        threshold = 0.25, numPlanes = Similarity.autoPlanes(emb.count()))
+        threshold = 0.25, numPlanes = Similarity.autoPlanes(embeddingCount(s, dir)))
     },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).

@@ -1241,8 +1241,165 @@ object LiteralTwinQueries {
             .as("liquidation_price"))
         .orderBy(col("opening_date").desc, col("contract_id").desc)
         .offset(30).limit(60)
+    },
+    // get_supplied_borrowed_series, clause-for-clause
+    // (lp_pool_state.rs:117-142): the main dashboard chart — one pool
+    // (bound $1 → pinned pool 7), INNER dim join, dual
+    // SUM(stable/lpn_decimals) per raw snapshot timestamp, newest first.
+    // LP_Pool_State role as in the utilization twin (lineitem:
+    // pool = l_partkey%25, tvl = l_extendedprice, borrowed = l_quantity).
+    // Per-row 6dp-round + exact-decimal sum is the repo's pinned double-SUM
+    // determinism convention (divisors 1..4: tie-free per the PLANS audit).
+    "q_lit_supplied_borrowed" -> { (s, dir) =>
+      suppliedBorrowed(s, dir, col("lp_pool") === 7)
+    },
+    // get_supplied_borrowed_series_total, clause-for-clause
+    // (lp_pool_state.rs:144-182): the IN-list variant summing across the
+    // protocol set (bound list → pinned pools 2/7/11/19).
+    "q_lit_supplied_borrowed_total" -> { (s, dir) =>
+      suppliedBorrowed(s, dir, col("lp_pool").isin(2, 7, 11, 19))
+    },
+    // get_supplied_borrowed_series_total_with_window, clause-for-clause
+    // (lp_pool_state.rs:229-280): IN-list + the `?from=` incremental cursor
+    // (timestamp > $from; the NOW()-months branch is the same predicate with
+    // a computed cutoff — P3's parameterized-asOf convention).
+    "q_lit_supplied_borrowed_window" -> { (s, dir) =>
+      suppliedBorrowed(s, dir,
+        col("lp_pool").isin(2, 7, 11, 19) &&
+          col("lp_ts") > lit("1997-06-01").cast("timestamp"))
+    },
+    // get_buyback_with_window, clause-for-clause (tr_profit.rs:105-174): the
+    // per-event cumulative buyback — (amnt_nls/10⁶) summed over
+    // ORDER BY timestamp with the default RANGE frame (peers share the
+    // cumulative), `timestamp > $from` cursor, oldest first. TR_Profit →
+    // purchase events as in the profit-series twin. The /10⁶ is the exact
+    // decimal 10⁻⁶ multiply (no double division), and the scalar chain stays
+    // DECIMAL end-to-end (ulp rule).
+    "q_lit_buyback" -> { (s, dir) =>
+      val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
+      val w = Window.orderBy(col("time"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("ts") > lit("1997-01-01").cast("timestamp"))
+        .select(col("ts").as("time"),
+          (col("value").cast("decimal(18,2)") * micro).as("v"))
+        .select(col("time"), sum(col("v")).over(w).as("bought_back"))
+        .orderBy(col("time").asc, col("bought_back").asc)
+    },
+    // get_revenue, clause-for-clause (tr_profit.rs:195-209): the
+    // SUM(amnt_stable)/10⁶ treasury scalar — sum first, then the exact
+    // decimal 10⁻⁶ multiply; DECIMAL out (ulp rule). The outlier-guarded
+    // day series over the same fact is the existing q_lit_profit_series
+    // twin (tr_profit.rs:214-231 incl. the `< 10000000000` guard, R13).
+    "q_lit_revenue_total" -> { (s, dir) =>
+      val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .agg((sum(col("value").cast("decimal(18,2)")) * micro).as("revenue"))
+    },
+    // get_pnl_over_time, clause-for-clause (ls_state.rs:537-624): the
+    // hourly unrealized-PnL series for one position — every CTE of the
+    // original under the same name and shape: DP_Loan_Table and
+    // Lease_Value_Table (state ⋈ opening ⋈ pool ⋈ its registry role, hourly
+    // DATE_TRUNC), Lease_Hours (DISTINCT hours scaffold), Normalized_
+    // Repayments (5-leg sum / pool decimals, unwindowed), Repayment_Summary
+    // (the scaffold LEFT-joined on rep_hour <= hour — the W6 inequality-join
+    // cumulative — grouped per (hour, contract)), then DISTINCT ON (hour) of
+    // the 6-term PnL expression, hour-ascending. Pinned deviations: the
+    // bound contract id becomes the cohort l_orderkey % 500 = 17 (mass), the
+    // NOW()-24h freshness window a fixed cutoff, and DISTINCT ON carries the
+    // (contract, pnl) value-deterministic tiebreak (SURVEY §7.4#5).
+    "q_lit_pnl_over_time" -> { (s, dir) =>
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val opening = lsOpening(s, dir)
+      val states = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(500)) === 17 && col("l_shipdate") >= cutoff)
+        .select(col("l_orderkey").as("st_contract_id"),
+          date_trunc("hour", col("l_shipdate")).as("hour"),
+          col("l_extendedprice").as("st_principal_stable"),
+          col("l_quantity").as("st_amnt_stable"),
+          col("l_discount").as("st_prev_margin_stable"),
+          col("l_tax").as("st_current_margin_stable"),
+          col("l_linenumber").cast("double").as("st_prev_interest_stable"),
+          col("l_quantity").as("st_current_interest_stable"))
+      val dpLoan = states
+        .join(opening, col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("pcl"), col("ls_cltr_symbol") === col("pcl_ticker"))
+        .select(col("st_contract_id").as("dp_contract"), col("hour").as("dp_hour"),
+          (col("st_principal_stable") / col("lpn_decimals")).as("loan"),
+          (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("pcl_decimal_digits")))
+            .as("down_payment"))
+      val leaseValue = states
+        .join(opening, col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("pas"), col("ls_asset_symbol") === col("pas_ticker"))
+        .select(col("st_contract_id").as("lv_contract"), col("hour").as("lv_hour"),
+          (col("st_amnt_stable") / pow(lit(10.0), col("pas_decimal_digits")))
+            .as("lease_value"),
+          ((col("st_prev_margin_stable") + col("st_current_margin_stable")) /
+            col("lpn_decimals")).as("margin_interest"),
+          ((col("st_prev_interest_stable") + col("st_current_interest_stable")) /
+            col("lpn_decimals")).as("loan_interest"))
+      val leaseHours = states.select(col("hour")).distinct()
+      val normRepay = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && pmod(col("l_orderkey"), lit(500)) === 17)
+        .select(col("l_orderkey").as("nr_contract"),
+          date_trunc("hour", col("l_shipdate")).as("rep_hour"),
+          (col("l_extendedprice") + col("l_quantity") + col("l_tax") +
+            col("l_linenumber") + col("l_discount")).as("rep_raw"))
+        .join(opening, col("nr_contract") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .select(col("nr_contract"), col("rep_hour"),
+          (col("rep_raw") / col("lpn_decimals")).as("rep_value"))
+      val repaySummary = leaseHours
+        .join(normRepay, col("rep_hour") <= col("hour"), "left")
+        .groupBy(col("hour"), col("nr_contract"))
+        .agg(sum(rnd(col("rep_value"), 6).cast("decimal(28,6)"))
+          .cast("double").as("cumulative_repayment"))
+        .select(col("hour").as("rs_hour"), col("nr_contract").as("rs_contract"),
+          col("cumulative_repayment"))
+      val pnl = col("lease_value") - col("loan") - col("down_payment") -
+        col("margin_interest") - col("loan_interest") -
+        coalesce(col("cumulative_repayment"), lit(0.0))
+      val joined = leaseValue
+        .join(dpLoan, col("lv_contract") === col("dp_contract") &&
+          col("lv_hour") === col("dp_hour"), "left")
+        .join(repaySummary, col("lv_contract") === col("rs_contract") &&
+          col("lv_hour") === col("rs_hour"), "left")
+        .select(col("lv_hour").as("hour"), col("lv_contract").as("contract_id"),
+          pnl.as("hourly_unrealized_pnl"))
+      val wH = Window.partitionBy(col("hour"))
+        .orderBy(col("contract_id").asc, col("hourly_unrealized_pnl").asc)
+      joined.withColumn("rn", row_number().over(wH)).filter(col("rn") === 1).drop("rn")
+        .orderBy(col("hour").asc)
     }
   )
+
+  /** Shared shape of the 4 supplied/borrowed endpoints (single pool,
+    * IN-list, and their `?from=` window variants differ only in the WHERE).
+    */
+  private def suppliedBorrowed(s: SparkSession, dir: String,
+      where: org.apache.spark.sql.Column): DataFrame = {
+    val lps = Tables.lineitem(s, dir).select(
+      pmod(col("l_partkey"), lit(25)).as("lp_pool"),
+      col("l_shipdate").as("lp_ts"),
+      col("l_extendedprice").as("tvl"),
+      col("l_quantity").as("borrowed_st"))
+    lps.join(broadcast(poolConfig(s, dir)), col("lp_pool") === col("pool_id"))
+      .filter(where)
+      .groupBy(col("lp_ts"))
+      .agg(
+        sum(rnd(col("tvl") / col("lpn_decimals"), 6).cast("decimal(28,6)"))
+          .cast("double").as("supplied"),
+        sum(rnd(col("borrowed_st") / col("lpn_decimals"), 6).cast("decimal(28,6)"))
+          .cast("double").as("borrowed"))
+      .select(col("lp_ts").as("timestamp"), col("supplied"), col("borrowed"))
+      .orderBy(col("timestamp").desc)
+  }
 
   private val ciCte =
     """ci AS (SELECT o_orderkey AS ci_contract_id, o_custkey AS position_owner,
@@ -2118,6 +2275,109 @@ object LiteralTwinQueries {
         |  END AS liquidation_price
         |FROM wp LEFT JOIN open_ids ON contract_id = open_contract
         |ORDER BY opening_date DESC, contract_id DESC
-        |OFFSET 30 LIMIT 60""".stripMargin
+        |OFFSET 30 LIMIT 60""".stripMargin,
+    "q_lit_supplied_borrowed" -> suppliedBorrowedSql("lp_pool = 7"),
+    "q_lit_supplied_borrowed_total" ->
+      suppliedBorrowedSql("lp_pool IN (2, 7, 11, 19)"),
+    "q_lit_supplied_borrowed_window" ->
+      suppliedBorrowedSql(
+        "lp_pool IN (2, 7, 11, 19) AND lp_ts > TIMESTAMP '1997-06-01'"),
+    "q_lit_buyback" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type,
+        |    CAST(value AS DECIMAL(18,2)) * CAST('0.000001' AS DECIMAL(7,6)) AS v
+        |  FROM events)
+        |SELECT ts AS "time", SUM(v) OVER (ORDER BY ts) AS bought_back
+        |FROM ev
+        |WHERE event_type = 'purchase' AND ts > TIMESTAMP '1997-01-01'
+        |ORDER BY "time" ASC, bought_back ASC""".stripMargin,
+    "q_lit_revenue_total" ->
+      """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS revenue
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_lit_pnl_over_time" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |o AS (SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_loan_pool_id,
+        |    o_orderkey % 25 AS ls_asset_symbol, o_custkey % 25 AS ls_cltr_symbol,
+        |    o_totalprice AS ls_cltr_amnt_stable FROM orders),
+        |states AS (
+        |  SELECT l_orderkey AS st_contract_id,
+        |    date_trunc('hour', l_shipdate) AS "hour",
+        |    CAST(l_extendedprice AS DOUBLE) AS st_principal_stable,
+        |    CAST(l_quantity AS DOUBLE) AS st_amnt_stable,
+        |    l_discount AS st_prev_margin_stable,
+        |    l_tax AS st_current_margin_stable,
+        |    CAST(l_linenumber AS DOUBLE) AS st_prev_interest_stable,
+        |    CAST(l_quantity AS DOUBLE) AS st_current_interest_stable
+        |  FROM lineitem
+        |  WHERE l_orderkey % 500 = 17 AND l_shipdate >= TIMESTAMP '1998-06-01'),
+        |dp_loan AS (
+        |  SELECT st_contract_id AS dp_contract, "hour" AS dp_hour,
+        |    st_principal_stable / pc.lpn_decimals AS loan,
+        |    o.ls_cltr_amnt_stable / POWER(10, cr.decimal_digits) AS down_payment
+        |  FROM states
+        |  JOIN o ON st_contract_id = o.ls_contract_id
+        |  JOIN pc ON o.ls_loan_pool_id = pc.pool_id
+        |  JOIN cr ON cr.ticker = o.ls_cltr_symbol),
+        |lease_value AS (
+        |  SELECT st_contract_id AS lv_contract, "hour" AS lv_hour,
+        |    st_amnt_stable / POWER(10, cr.decimal_digits) AS lease_value,
+        |    (st_prev_margin_stable + st_current_margin_stable)
+        |      / pc.lpn_decimals AS margin_interest,
+        |    (st_prev_interest_stable + st_current_interest_stable)
+        |      / pc.lpn_decimals AS loan_interest
+        |  FROM states
+        |  JOIN o ON st_contract_id = o.ls_contract_id
+        |  JOIN pc ON o.ls_loan_pool_id = pc.pool_id
+        |  JOIN cr ON cr.ticker = o.ls_asset_symbol),
+        |lease_hours AS (SELECT DISTINCT "hour" FROM states),
+        |norm_repay AS (
+        |  SELECT l_orderkey AS nr_contract,
+        |    date_trunc('hour', l_shipdate) AS rep_hour,
+        |    (l_extendedprice + l_quantity + l_tax + l_linenumber + l_discount)
+        |      / pc.lpn_decimals AS rep_value
+        |  FROM lineitem
+        |  JOIN o ON l_orderkey = o.ls_contract_id
+        |  JOIN pc ON o.ls_loan_pool_id = pc.pool_id
+        |  WHERE l_returnflag = 'R' AND l_orderkey % 500 = 17),
+        |repay_summary AS (
+        |  SELECT h."hour" AS rs_hour, nr.nr_contract AS rs_contract,
+        |    CAST(SUM(CAST(floor(nr.rep_value * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS cumulative_repayment
+        |  FROM lease_hours h
+        |  LEFT JOIN norm_repay nr ON nr.rep_hour <= h."hour"
+        |  GROUP BY h."hour", nr.nr_contract)
+        |SELECT DISTINCT ON (lv.lv_hour)
+        |  lv.lv_hour AS "hour", lv.lv_contract AS contract_id,
+        |  (lv.lease_value - dp.loan - dp.down_payment - lv.margin_interest
+        |    - lv.loan_interest - COALESCE(rs.cumulative_repayment, 0))
+        |    AS hourly_unrealized_pnl
+        |FROM lease_value lv
+        |LEFT JOIN dp_loan dp
+        |  ON lv.lv_contract = dp.dp_contract AND lv.lv_hour = dp.dp_hour
+        |LEFT JOIN repay_summary rs
+        |  ON lv.lv_contract = rs.rs_contract AND lv.lv_hour = rs.rs_hour
+        |ORDER BY lv.lv_hour, lv.lv_contract, hourly_unrealized_pnl""".stripMargin
   )
+
+  /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
+    * one text modulo the WHERE clause.
+    */
+  private def suppliedBorrowedSql(where: String): String =
+    s"""WITH pc AS (SELECT c_custkey AS pool_id,
+       |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
+       |lps AS (SELECT l_partkey % 25 AS lp_pool, l_shipdate AS lp_ts,
+       |    CAST(l_extendedprice AS DOUBLE) AS tvl,
+       |    CAST(l_quantity AS DOUBLE) AS borrowed_st FROM lineitem)
+       |SELECT lp_ts AS "timestamp",
+       |  CAST(SUM(CAST(floor(tvl / pc.lpn_decimals * 1000000.0 + 0.5) / 1000000.0
+       |    AS DECIMAL(28,6))) AS DOUBLE) AS supplied,
+       |  CAST(SUM(CAST(floor(borrowed_st / pc.lpn_decimals * 1000000.0 + 0.5) / 1000000.0
+       |    AS DECIMAL(28,6))) AS DOUBLE) AS borrowed
+       |FROM lps JOIN pc ON lp_pool = pc.pool_id
+       |WHERE $where
+       |GROUP BY lp_ts
+       |ORDER BY lp_ts DESC""".stripMargin
 }

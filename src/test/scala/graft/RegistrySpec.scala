@@ -20,10 +20,19 @@ class RegistrySpec extends AnyFunSuite {
   )
 
   test("registry census: no entry silently dropped") {
-    assert(SparkEntry.queries.size == 100,
+    assert(SparkEntry.queries.size == 106,
       s"query registry changed size (${SparkEntry.queries.size}) — if intentional, " +
         "update this census AND the oracle accounting below")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - noOracleByDesign.size)
+  }
+
+  test("COVERAGE.md quotes the live census (doc-drift guard)") {
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val n = SparkEntry.queries.size
+    val o = SparkEntry.oracleSql.size
+    assert(doc.contains(s"$n entries") && doc.contains(s"$o DuckDB-oracled"),
+      s"COVERAGE.md census line is stale — update it to '$n entries, $o DuckDB-oracled'")
   }
 
   test("every query is oracle-checked or a declared approximate path") {
