@@ -1376,6 +1376,125 @@ object LiteralTwinQueries {
         .orderBy(col("contract_id").asc, col("hourly_unrealized_pnl").asc)
       joined.withColumn("rn", row_number().over(wH)).filter(col("rn") === 1).drop("rn")
         .orderBy(col("hour").asc)
+    },
+    // get_monthly_active_wallets_with_window, clause-for-clause
+    // (ls_opening.rs:1184-1262): the two owner-resolution CTEs
+    // (close-position and repayment events INNER-joined to their opening for
+    // the wallet), the 5-stream UNION ALL (openings ∪ deposits ∪ withdrawals
+    // ∪ owned closes ∪ owned repayments), TO_CHAR month bucket,
+    // COUNT(DISTINCT address), `combined_timestamp > $from` cursor, month
+    // ascending. LP flows → purchase/signup events as everywhere else.
+    "q_lit_monthly_active" -> { (s, dir) =>
+      val from = lit("1995-01-01").cast("timestamp")
+      val opening = lsOpening(s, dir)
+      val ownerIdx = opening.select(col("ls_contract_id"), col("ls_address_id"))
+      def ownedLeg(flag: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as("leg_contract"), col("l_shipdate").as("ts"))
+        .join(ownerIdx, col("leg_contract") === col("ls_contract_id"))
+        .select(col("ts"), col("ls_address_id").as("address"))
+      def lpLeg(eventType: String) = Tables.events(s, dir)
+        .filter(col("event_type") === eventType)
+        .select(col("ts"), col("user_id").as("address"))
+      val combined = opening
+        .select(col("ls_timestamp").as("ts"), col("ls_address_id").as("address"))
+        .unionByName(lpLeg("purchase"))
+        .unionByName(lpLeg("signup"))
+        .unionByName(ownedLeg("A"))
+        .unionByName(ownedLeg("R"))
+      combined.filter(col("ts") > from)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(countDistinct(col("address")).as("unique_addresses"))
+        .orderBy(col("month").asc)
+    },
+    // get_daily_opened_closed (ls_opening.rs:1299-1395), clause-for-clause:
+    // the four Filtered* CTEs under one shared time filter, the DateSeries
+    // generate_series scaffold spanning MIN..MAX over the union of per-CTE
+    // extrema, Close_Loans (close ∪ repayment ∪ liquidation), the two daily
+    // LEFT-join aggregates (closed: principal / STABLE decimals via the
+    // opening's pool; opened: loan / LPN decimals), and the FULL OUTER JOIN
+    // day alignment with its COALESCE triple. Divisors are 1..3 / 1..4 —
+    // tie-free — so the per-row 6dp-round + exact-decimal sum convention
+    // applies; COALESCE(...,0) keeps empty days as exact zero on both sides.
+    "q_lit_daily_open_close" -> { (s, dir) =>
+      val cutoff = lit("1996-06-01").cast("timestamp")
+      val pcB = broadcast(poolConfig(s, dir))
+      val opening = lsOpening(s, dir).filter(col("ls_timestamp") > cutoff)
+      def leg(flag: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag && col("l_shipdate") > cutoff)
+        .select(col("l_orderkey").as("cl_contract"), col("l_shipdate").as("cl_ts"),
+          col("l_extendedprice").as("cl_principal"))
+      val closeLoans = leg("A").unionByName(leg("R")).unionByName(leg("N"))
+      val extrema = leg("A").agg(min(col("cl_ts")).as("lo"), max(col("cl_ts")).as("hi"))
+        .unionByName(leg("R").agg(min(col("cl_ts")).as("lo"), max(col("cl_ts")).as("hi")))
+        .unionByName(leg("N").agg(min(col("cl_ts")).as("lo"), max(col("cl_ts")).as("hi")))
+        .unionByName(opening.agg(min(col("ls_timestamp")).as("lo"),
+          max(col("ls_timestamp")).as("hi")))
+      val dateSeries = extrema
+        .agg(to_date(min(col("lo"))).as("d0"), to_date(max(col("hi"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("date"))
+      val dailyClosed = dateSeries
+        .join(closeLoans, to_date(col("cl_ts")) === col("date"), "left")
+        .join(lsOpening(s, dir).select(col("ls_contract_id"), col("ls_loan_pool_id")),
+          col("cl_contract") === col("ls_contract_id"), "left")
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
+        .groupBy(col("date"))
+        .agg(coalesce(
+          sum(rnd(col("cl_principal") / col("stable_currency_decimals"), 6)
+            .cast("decimal(28,6)")),
+          lit(0).cast("decimal(38,6)")).cast("double").as("closed_loans"))
+        .select(col("date").as("closed_date"), col("closed_loans"))
+      val dailyOpened = dateSeries
+        .join(opening, to_date(col("ls_timestamp")) === col("date"), "left")
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
+        .groupBy(col("date"))
+        .agg(coalesce(
+          sum(rnd(col("ls_loan_amnt") / col("lpn_decimals"), 6)
+            .cast("decimal(28,6)")),
+          lit(0).cast("decimal(38,6)")).cast("double").as("opened_loans"))
+        .select(col("date").as("opened_date"), col("opened_loans"))
+      dailyClosed
+        .join(dailyOpened, col("closed_date") === col("opened_date"), "full_outer")
+        .select(
+          coalesce(col("closed_date"), col("opened_date")).as("date"),
+          coalesce(col("closed_loans"), lit(0.0)).as("closed_loans"),
+          coalesce(col("opened_loans"), lit(0.0)).as("opened_loans"))
+        .orderBy(col("date").asc)
+    },
+    // get_earn_apr, clause-for-clause (ls_opening.rs:520-577): the
+    // Latest_Aggregation MAX-ts scalar, Last_Hour_States at that ts joined
+    // to openings of the bound pool (pinned pool 7), the Last_Hour_Pool_
+    // State `ORDER BY ts DESC LIMIT 1` utilization scalar (borrowed /
+    // NULLIF(tvl,0); LIMIT-1 ties carry the usual value-deterministic
+    // tiebreak), APRCalc = (AVG(interest)/10 − 4) × utilization, and the
+    // 365-day compounding POWER. Pinned deviation: the final transcendental
+    // is 6dp-rounded (rnd) — Java and C pow may differ in the last ulp and
+    // the reference emits a raw double.
+    "q_lit_earn_apr" -> { (s, dir) =>
+      val lsState = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("st_contract"), col("l_shipdate").as("st_ts"))
+      val maxTs = lsState.agg(max(col("st_ts")).as("max_ts"))
+      val lastHourStates = lsState.crossJoin(broadcast(maxTs))
+        .filter(col("st_ts") === col("max_ts"))
+      val utilization = Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(25)).as("lp_pool"),
+          col("l_shipdate").as("lp_ts"),
+          col("l_extendedprice").as("tvl"), col("l_quantity").as("borrowed_st"))
+        .filter(col("lp_pool") === 7)
+        .orderBy(col("lp_ts").desc, col("tvl").desc, col("borrowed_st").desc)
+        .limit(1)
+        .select((col("borrowed_st") / nullif(col("tvl"), lit(0.0)))
+          .as("utilization_rate"))
+      val aprCalc = lastHourStates
+        .join(lsOpening(s, dir), col("st_contract") === col("ls_contract_id"))
+        .filter(col("ls_loan_pool_id") === 7)
+        .agg((avg(col("ls_interest")) / 10.0 - 4.0).as("base"))
+        .crossJoin(broadcast(utilization))
+        .select((col("base") * col("utilization_rate")).as("apr"))
+      aprCalc.select(
+        rnd((pow(lit(1.0) + col("apr") / 100.0 / 365.0, 365) - 1.0) * 100.0, 6)
+          .as("percent"))
     }
   )
 
@@ -2359,7 +2478,116 @@ object LiteralTwinQueries {
         |  ON lv.lv_contract = dp.dp_contract AND lv.lv_hour = dp.dp_hour
         |LEFT JOIN repay_summary rs
         |  ON lv.lv_contract = rs.rs_contract AND lv.lv_hour = rs.rs_hour
-        |ORDER BY lv.lv_hour, lv.lv_contract, hourly_unrealized_pnl""".stripMargin
+        |ORDER BY lv.lv_hour, lv.lv_contract, hourly_unrealized_pnl""".stripMargin,
+    "q_lit_monthly_active" ->
+      """WITH o AS (SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |    o_orderdate AS ls_timestamp FROM orders),
+        |ev AS (SELECT date_trunc('microseconds', ts) AS ts, user_id, event_type
+        |  FROM events),
+        |market_close_with_owners AS (
+        |  SELECT l_shipdate AS ts, o.ls_address_id AS address
+        |  FROM lineitem JOIN o ON l_orderkey = o.ls_contract_id
+        |  WHERE l_returnflag = 'A'),
+        |repayment_with_owners AS (
+        |  SELECT l_shipdate AS ts, o.ls_address_id AS address
+        |  FROM lineitem JOIN o ON l_orderkey = o.ls_contract_id
+        |  WHERE l_returnflag = 'R'),
+        |combined_data AS (
+        |  SELECT ls_timestamp AS ts, ls_address_id AS address FROM o
+        |  UNION ALL
+        |  SELECT ts, user_id FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT ts, user_id FROM ev WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT ts, address FROM market_close_with_owners
+        |  UNION ALL
+        |  SELECT ts, address FROM repayment_with_owners)
+        |SELECT strftime(ts, '%Y-%m') AS month,
+        |  COUNT(DISTINCT address) AS unique_addresses
+        |FROM combined_data
+        |WHERE ts > TIMESTAMP '1995-01-01'
+        |GROUP BY month
+        |ORDER BY month ASC""".stripMargin,
+    "q_lit_daily_open_close" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals
+        |  FROM customer),
+        |fo AS (SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_loan_pool_id,
+        |    o_orderdate AS ls_timestamp, o_totalprice AS ls_loan_amnt
+        |  FROM orders WHERE o_orderdate > TIMESTAMP '1996-06-01'),
+        |fa AS (SELECT l_orderkey AS cl_contract, l_shipdate AS cl_ts,
+        |    l_extendedprice AS cl_principal FROM lineitem
+        |  WHERE l_returnflag = 'A' AND l_shipdate > TIMESTAMP '1996-06-01'),
+        |fr AS (SELECT l_orderkey AS cl_contract, l_shipdate AS cl_ts,
+        |    l_extendedprice AS cl_principal FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_shipdate > TIMESTAMP '1996-06-01'),
+        |fn AS (SELECT l_orderkey AS cl_contract, l_shipdate AS cl_ts,
+        |    l_extendedprice AS cl_principal FROM lineitem
+        |  WHERE l_returnflag = 'N' AND l_shipdate > TIMESTAMP '1996-06-01'),
+        |date_series AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(MIN(lo) AS DATE), CAST(MAX(hi) AS DATE),
+        |    INTERVAL '1 day')) AS DATE) AS "date"
+        |  FROM (
+        |    SELECT MIN(cl_ts) AS lo, MAX(cl_ts) AS hi FROM fa
+        |    UNION ALL SELECT MIN(cl_ts), MAX(cl_ts) FROM fr
+        |    UNION ALL SELECT MIN(cl_ts), MAX(cl_ts) FROM fn
+        |    UNION ALL SELECT MIN(ls_timestamp), MAX(ls_timestamp) FROM fo
+        |  ) combined_dates),
+        |close_loans AS (
+        |  SELECT * FROM fa UNION ALL SELECT * FROM fr UNION ALL SELECT * FROM fn),
+        |all_o AS (SELECT o_orderkey AS ls_contract_id,
+        |    o_custkey AS ls_loan_pool_id FROM orders),
+        |daily_closed AS (
+        |  SELECT ds."date" AS closed_date,
+        |    CAST(COALESCE(SUM(CAST(floor(cl.cl_principal / pc.stable_currency_decimals
+        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |      CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS closed_loans
+        |  FROM date_series ds
+        |  LEFT JOIN close_loans cl ON CAST(cl.cl_ts AS DATE) = ds."date"
+        |  LEFT JOIN all_o o ON o.ls_contract_id = cl.cl_contract
+        |  LEFT JOIN pc ON pc.pool_id = o.ls_loan_pool_id
+        |  GROUP BY ds."date"),
+        |daily_opened AS (
+        |  SELECT ds."date" AS opened_date,
+        |    CAST(COALESCE(SUM(CAST(floor(lo.ls_loan_amnt / pc.lpn_decimals
+        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |      CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS opened_loans
+        |  FROM date_series ds
+        |  LEFT JOIN fo lo ON CAST(lo.ls_timestamp AS DATE) = ds."date"
+        |  LEFT JOIN pc ON lo.ls_loan_pool_id = pc.pool_id
+        |  GROUP BY ds."date")
+        |SELECT COALESCE(c.closed_date, op.opened_date) AS "date",
+        |  COALESCE(c.closed_loans, 0) AS closed_loans,
+        |  COALESCE(op.opened_loans, 0) AS opened_loans
+        |FROM daily_closed c
+        |FULL OUTER JOIN daily_opened op ON c.closed_date = op.opened_date
+        |ORDER BY "date" ASC""".stripMargin,
+    "q_lit_earn_apr" ->
+      """WITH latest_aggregation AS (
+        |  SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |last_hour_states AS (
+        |  SELECT l_orderkey AS st_contract FROM lineitem
+        |  WHERE l_shipdate = (SELECT max_ts FROM latest_aggregation)),
+        |last_hour_pool_state AS (
+        |  SELECT CAST(l_quantity AS DOUBLE)
+        |      / NULLIF(CAST(l_extendedprice AS DOUBLE), 0.0) AS utilization_rate
+        |  FROM lineitem
+        |  WHERE l_partkey % 25 = 7
+        |  ORDER BY l_shipdate DESC, l_extendedprice DESC, l_quantity DESC
+        |  LIMIT 1),
+        |o AS (SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_loan_pool_id,
+        |    o_orderkey % 200 AS ls_interest FROM orders),
+        |apr_calc AS (
+        |  SELECT (AVG(o.ls_interest) / 10.0 - 4)
+        |    * (SELECT utilization_rate FROM last_hour_pool_state) AS apr
+        |  FROM last_hour_states s
+        |  JOIN o ON s.st_contract = o.ls_contract_id
+        |  WHERE o.ls_loan_pool_id = 7)
+        |SELECT floor((power(1 + (apr / 100 / 365), 365) - 1) * 100
+        |  * 1000000.0 + 0.5) / 1000000.0 AS percent
+        |FROM apr_calc""".stripMargin
   )
 
   /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
