@@ -1495,6 +1495,77 @@ object LiteralTwinQueries {
       aprCalc.select(
         rnd((pow(lit(1.0) + col("apr") / 100.0 / 365.0, 365) - 1.0) * 100.0, 6)
           .as("percent"))
+    },
+    // get_current_unrealized_pnl_by_address, clause-for-clause
+    // (ls_state.rs:626-704): the R10 early-filter read — Address_Contracts
+    // first (wallet cohort), Latest_States DISTINCT ON (contract) restricted
+    // to those contracts at the global max snapshot ts with amnt > 0,
+    // Repayments (5-leg sum / stable decimals, LEFT-opening + INNER-pool as
+    // written), then ONE scalar SUM of the six-term PnL over the three
+    // registry roles (asset / lpn-symbol / collateral). Every rounded term
+    // is exact micro-unit decimal (the /10^d legs are tie-capable — see the
+    // PLANS.md rnd audit), per-row 6dp, summed exactly; scalar stays DECIMAL
+    // (ulp rule). DISTINCT ON carries the payload tiebreak (all candidates
+    // tie on the max ts).
+    "q_lit_unrealized_pnl_addr" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val opening = lsOpening(s, dir)
+      val addrContracts = opening
+        .filter(pmod(col("ls_address_id"), lit(100)) === 7)
+        .select(col("ls_contract_id").as("ac_contract"))
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      val wLS = Window.partitionBy(col("st_contract_id"))
+        .orderBy(col("st_timestamp").desc, col("st_line").desc,
+          col("st_principal_stable").desc, col("st_amnt_stable").desc,
+          col("st_prev_margin_stable").desc, col("st_current_margin_stable").desc)
+      val latestStates = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"),
+          col("l_shipdate").as("st_timestamp"),
+          col("l_linenumber").as("st_line"),
+          col("l_extendedprice").as("st_principal_stable"),
+          col("l_quantity").as("st_amnt_stable"),
+          col("l_discount").as("st_prev_margin_stable"),
+          col("l_tax").as("st_current_margin_stable"),
+          col("l_linenumber").cast("double").as("st_prev_interest_stable"),
+          col("l_quantity").as("st_current_interest_stable"))
+        .join(addrContracts, col("st_contract_id") === col("ac_contract"), "left_semi")
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_timestamp") === col("max_ts") && col("st_amnt_stable") > 0)
+        .withColumn("rn", row_number().over(wLS)).filter(col("rn") === 1).drop("rn")
+      val repayments = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_contract"),
+          (col("l_discount") + col("l_linenumber") + col("l_tax") +
+            col("l_quantity") + col("l_extendedprice")).as("r_total"))
+        .join(addrContracts, col("r_contract") === col("ac_contract"), "left_semi")
+        .join(opening.select(col("ls_contract_id"), col("ls_loan_pool_id")),
+          col("r_contract") === col("ls_contract_id"), "left")
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .groupBy(col("r_contract"), col("stable_currency_decimals"))
+        .agg((sum(col("r_total").cast("decimal(18,2)")).cast("decimal(20,2)") *
+          microRecip(col("stable_currency_decimals"))).as("total_repayment_micro"))
+        .select(col("r_contract"), col("total_repayment_micro"))
+      val pnlMicro =
+        col("st_amnt_stable").cast("decimal(20,2)") *
+          pow10micro(col("pa_decimal_digits")) -
+        col("st_principal_stable").cast("decimal(20,2)") *
+          pow10micro(col("pl_decimal_digits")) -
+        col("ls_cltr_amnt_stable").cast("decimal(20,2)") *
+          pow10micro(col("pcr_decimal_digits")) -
+        (col("st_prev_margin_stable") + col("st_current_margin_stable"))
+          .cast("decimal(20,2)") * microRecip(col("lpn_decimals")) -
+        (col("st_prev_interest_stable") + col("st_current_interest_stable"))
+          .cast("decimal(20,2)") * microRecip(col("lpn_decimals")) -
+        coalesce(col("total_repayment_micro"), lit(0).cast("decimal(34,8)"))
+      latestStates
+        .join(opening, col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("pa"), col("ls_asset_symbol") === col("pa_ticker"))
+        .join(cr("pcr"), col("ls_cltr_symbol") === col("pcr_ticker"))
+        .join(cr("pl"), col("lpn_symbol").cast("bigint") === col("pl_ticker"))
+        .join(repayments, col("st_contract_id") === col("r_contract"), "left")
+        .agg(sum(microRound6(pnlMicro)).as("total_pnl"))
     }
   )
 
@@ -2587,7 +2658,82 @@ object LiteralTwinQueries {
         |  WHERE o.ls_loan_pool_id = 7)
         |SELECT floor((power(1 + (apr / 100 / 365), 365) - 1) * 100
         |  * 1000000.0 + 0.5) / 1000000.0 AS percent
-        |FROM apr_calc""".stripMargin
+        |FROM apr_calc""".stripMargin,
+    "q_lit_unrealized_pnl_addr" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    c_nationkey AS lpn_symbol,
+        |    CAST(c_nationkey % 4 + 1 AS INT) AS lpn_decimals,
+        |    CAST(c_nationkey % 3 + 1 AS INT) AS stable_currency_decimals
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |o AS (SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |    o_custkey AS ls_loan_pool_id, o_orderkey % 25 AS ls_asset_symbol,
+        |    o_custkey % 25 AS ls_cltr_symbol, o_totalprice AS ls_cltr_amnt_stable
+        |  FROM orders),
+        |address_contracts AS (
+        |  SELECT ls_contract_id FROM o WHERE ls_address_id % 100 = 7),
+        |latest_aggregation AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |latest_states AS (
+        |  SELECT DISTINCT ON (l_orderkey)
+        |    l_orderkey AS st_contract_id,
+        |    CAST(l_extendedprice AS DOUBLE) AS st_principal_stable,
+        |    CAST(l_quantity AS DOUBLE) AS st_amnt_stable,
+        |    l_discount AS st_prev_margin_stable,
+        |    l_tax AS st_current_margin_stable,
+        |    CAST(l_linenumber AS DOUBLE) AS st_prev_interest_stable,
+        |    CAST(l_quantity AS DOUBLE) AS st_current_interest_stable
+        |  FROM lineitem
+        |  WHERE l_orderkey IN (SELECT ls_contract_id FROM address_contracts)
+        |    AND l_shipdate = (SELECT max_ts FROM latest_aggregation)
+        |    AND l_quantity > 0
+        |  ORDER BY l_orderkey, l_shipdate DESC, l_linenumber DESC,
+        |    l_extendedprice DESC, l_quantity DESC, l_discount DESC, l_tax DESC),
+        |repayments AS (
+        |  SELECT l_orderkey AS r_contract,
+        |    CAST(SUM(CAST(l_discount + l_linenumber + l_tax + l_quantity
+        |        + l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+        |      * (CASE pc.stable_currency_decimals
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |      AS total_repayment_micro
+        |  FROM lineitem
+        |  LEFT JOIN o ON o.ls_contract_id = l_orderkey
+        |  JOIN pc ON pc.pool_id = o.ls_loan_pool_id
+        |  WHERE l_returnflag = 'R'
+        |    AND l_orderkey IN (SELECT ls_contract_id FROM address_contracts)
+        |  GROUP BY l_orderkey, pc.stable_currency_decimals)
+        |SELECT SUM(CAST(CAST(round(
+        |    CAST(s.st_amnt_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr_asset.decimal_digits) AS DECIMAL(6,0))
+        |  - CAST(s.st_principal_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr_lpn.decimal_digits) AS DECIMAL(6,0))
+        |  - CAST(o.ls_cltr_amnt_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr_cltr.decimal_digits) AS DECIMAL(6,0))
+        |  - CAST(s.st_prev_margin_stable + s.st_current_margin_stable AS DECIMAL(20,2))
+        |      * (CASE pc.lpn_decimals
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |  - CAST(s.st_prev_interest_stable + s.st_current_interest_stable AS DECIMAL(20,2))
+        |      * (CASE pc.lpn_decimals
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |  - COALESCE(rp.total_repayment_micro, CAST(0 AS DECIMAL(34,8))),
+        |  0) AS DECIMAL(20,0))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS total_pnl
+        |FROM latest_states s
+        |JOIN o ON s.st_contract_id = o.ls_contract_id
+        |JOIN pc ON o.ls_loan_pool_id = pc.pool_id
+        |JOIN cr cr_asset ON cr_asset.ticker = o.ls_asset_symbol
+        |JOIN cr cr_cltr ON cr_cltr.ticker = o.ls_cltr_symbol
+        |JOIN cr cr_lpn ON cr_lpn.ticker = pc.lpn_symbol
+        |LEFT JOIN repayments rp ON s.st_contract_id = rp.r_contract""".stripMargin
   )
 
   /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
