@@ -64,4 +64,53 @@ class LiteralTwinSpec extends SparkSpec {
       .filter(col("timestamp") < lit(cutoff)).count()
     assert(bad == 0, "months-window cutoff must bound every row")
   }
+
+  test("supplied/borrowed variants nest: window ⊆ total ⊇ single-pool") {
+    val single = run("q_lit_supplied_borrowed").count()
+    val total = run("q_lit_supplied_borrowed_total").count()
+    val window = run("q_lit_supplied_borrowed_window").count()
+    // the IN-list includes pool 7, so the total series covers at least every
+    // timestamp the single-pool series has; the window variant only drops
+    assert(total >= single && total >= window && single > 0,
+      s"series sizes single=$single total=$total window=$window break nesting")
+    val badWin = run("q_lit_supplied_borrowed_window")
+      .filter(col("timestamp") <= lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+      .count()
+    assert(badWin == 0, "window cursor must bound every row")
+  }
+
+  test("buyback running total is monotone non-decreasing in time order") {
+    val rows = run("q_lit_buyback").collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getDecimal(1).doubleValue())
+    assert(vals.zip(vals.tail).forall { case (a, b) => b >= a },
+      "amounts are positive, so the cumulative sum must never decrease")
+  }
+
+  test("pnl_over_time emits exactly one row per hour, hour-ascending") {
+    val rows = run("q_lit_pnl_over_time").collect()
+    assert(rows.nonEmpty, "cohort/window must produce hours")
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("hour"))
+    assert(hours.distinct.length == hours.length, "DISTINCT ON (hour) contract")
+    assert(hours.zip(hours.tail).forall { case (a, b) => a.before(b) })
+  }
+
+  test("daily open/close scaffold is gap-free and non-negative") {
+    val rows = run("q_lit_daily_open_close").collect()
+    val dates = rows.map(_.getAs[java.sql.Date]("date").toLocalDate)
+    assert(dates.distinct.length == dates.length, "one row per scaffold day")
+    // generate_series contract: consecutive days with no holes
+    assert(dates.zip(dates.tail).forall { case (a, b) => a.plusDays(1) == b },
+      "the day scaffold must be contiguous — LEFT JOINs keep empty days")
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0))
+  }
+
+  test("monthly_active months are well-formed, cursored, and ascending") {
+    val rows = run("q_lit_monthly_active").collect()
+    val months = rows.map(_.getString(0))
+    assert(months.forall(_.matches("\\d{4}-\\d{2}")), "TO_CHAR YYYY-MM shape")
+    assert(months.forall(_ >= "1995-01"), "from-cursor must bound every month")
+    assert(months.sorted.toSeq == months.toSeq && months.distinct.length == months.length)
+    assert(rows.forall(_.getLong(1) > 0), "a reported month has at least one wallet")
+  }
 }
