@@ -10,7 +10,7 @@ different libm/FMA build. Dev tool only — NOT part of the shipped library.
 Usage: scripts/tie_probe.py [sfDir] [oracleJson]
 Exit 1 if any site's min distance < 1e-8.
 """
-import sys, json, math
+import sys, os, json, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -52,8 +52,10 @@ def main():
     oracle = json.load(open(oj))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written multi-file table (sf1 probe)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     worst_overall = None
     ok = True
     for name, swaps, cols in SITES:

@@ -1566,6 +1566,110 @@ object LiteralTwinQueries {
         .join(cr("pl"), col("lpn_symbol").cast("bigint") === col("pl_ticker"))
         .join(repayments, col("st_contract_id") === col("r_contract"), "left")
         .agg(sum(microRound6(pnlMicro)).as("total_pnl"))
+    },
+    // get_earnings, clause-for-clause (lp_pool_state.rs:312-392): the
+    // lender-earnings scalar — LatestLenderState DISTINCT ON (pool) for the
+    // wallet (cohort l_suppkey%100=7; payload tiebreak), Deposits and
+    // Withdrawals summed per pool under the EXISTS(ts <= state ts) guard
+    // (semi-join — LatestLenderState is pool-unique so no fanout), the
+    // three-branch earnings CASE (Long: stable flows; Short: asset flows ×
+    // the LATERAL latest Long-protocol price; ELSE 0), and the
+    // SUM(GREATEST(e,0)) floor with its COALESCE-0 empty default. Lender/
+    // deposit/withdraw roles as in the active-states and current-lenders
+    // twins (l_linestatus O = deposit, F+R = withdraw). Earnings divisors
+    // are 1..4 (tie-free) so the 6dp-round + exact-decimal sum convention
+    // applies; scalar stays DECIMAL.
+    "q_lit_earnings" -> { (s, dir) =>
+      val pcAll = poolConfig(s, dir)
+      // tiebreak covers every OUTPUT column (a residual tie is then
+      // value-identical, so no lender-id tiebreak is needed — which also
+      // dodges a DuckDB 1.0 wrong-result bug where a DISTINCT ON ordered by
+      // a non-selected column breaks joins on the DISTINCT ON key)
+      val wP = Window.partitionBy(col("ls_pool")).orderBy(col("ls_ts").desc,
+        col("lender_stable").desc, col("lender_asset").desc)
+      val lenderStates = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_suppkey"), lit(100)) === 7)
+        .select(pmod(col("l_partkey"), lit(25)).as("ls_pool"),
+          col("l_shipdate").as("ls_ts"),
+          col("l_extendedprice").as("lender_stable"),
+          col("l_quantity").as("lender_asset"))
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1).drop("rn")
+      val stateTs = lenderStates.select(col("ls_pool").as("g_pool"), col("ls_ts").as("g_ts"))
+      def flowSums(cond: org.apache.spark.sql.Column, pool: String,
+          st: String, as_ : String) = Tables.lineitem(s, dir)
+        .filter(cond && pmod(col("l_suppkey"), lit(100)) === 7)
+        .select(pmod(col("l_partkey"), lit(25)).as(pool),
+          col("l_shipdate").as("f_ts"),
+          col("l_extendedprice").as("f_stable"), col("l_quantity").as("f_asset"))
+        .join(stateTs, col(pool) === col("g_pool") && col("f_ts") <= col("g_ts"),
+          "left_semi")
+        .groupBy(col(pool))
+        .agg(sum(col("f_stable").cast("decimal(18,2)")).cast("double").as(st),
+          sum(col("f_asset").cast("decimal(18,2)")).cast("double").as(as_))
+      val deposits = flowSums(col("l_linestatus") === "O",
+        "d_pool", "deposited_stable", "deposited_asset")
+      val withdrawals = flowSums(
+        col("l_linestatus") === "F" && col("l_returnflag") === "R",
+        "w_pool", "withdrawn_stable", "withdrawn_asset")
+      val longProtocols = pcAll
+        .filter(col("position_type") === "Long" && col("is_active"))
+        .select(col("protocol").as("lp_protocol")).distinct()
+      val wS = Window.partitionBy(col("mp_symbol"))
+        .orderBy(col("mp_ts").desc, col("mp_price").desc)
+      val latestPrices = Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(25)).as("mp_symbol"),
+          col("l_extendedprice").as("mp_price"), col("l_shipdate").as("mp_ts"),
+          pmod(col("l_suppkey"), lit(7)).as("mp_protocol"))
+        .join(broadcast(longProtocols), col("mp_protocol") === col("lp_protocol"))
+        .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+        .select(col("mp_symbol"), col("mp_price"))
+      val earnings =
+        when(col("position_type") === "Long",
+          (col("lender_stable") -
+            (coalesce(col("deposited_stable"), lit(0.0)) -
+              coalesce(col("withdrawn_stable"), lit(0.0)))) / col("lpn_decimals"))
+          .when(col("position_type") === "Short",
+            (col("lender_asset") -
+              (coalesce(col("deposited_asset"), lit(0.0)) -
+                coalesce(col("withdrawn_asset"), lit(0.0)))) / col("lpn_decimals") *
+              coalesce(col("mp_price"), lit(0.0)))
+          .otherwise(lit(0.0))
+      pcAll.filter(col("is_active"))
+        .join(lenderStates, col("pool_id") === col("ls_pool"))
+        .join(deposits, col("pool_id") === col("d_pool"), "left")
+        .join(withdrawals, col("pool_id") === col("w_pool"), "left")
+        .join(latestPrices, col("lpn_symbol").cast("bigint") === col("mp_symbol") &&
+          col("position_type") === "Short", "left")
+        .agg(coalesce(
+          sum(rnd(greatest(earnings, lit(0.0)), 6).cast("decimal(28,6)")),
+          lit(0).cast("decimal(38,6)")).as("total_earnings_in_stable"))
+    },
+    // get_min_max_from_range, clause-for-clause (mp_asset.rs:40-60): the
+    // closed-range MIN/MAX price pair for one symbol (pinned symbol 7,
+    // range [1996-01-01, 1997-01-01]). MIN/MAX of raw doubles — no sum, no
+    // rounding — deterministic by construction.
+    "q_lit_price_range" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(25)).as("mp_symbol"),
+          col("l_shipdate").as("mp_ts"), col("l_extendedprice").as("mp_price"))
+        .filter(col("mp_symbol") === 7 &&
+          col("mp_ts") >= lit("1996-01-01").cast("timestamp") &&
+          col("mp_ts") <= lit("1997-01-01").cast("timestamp"))
+        .agg(min(col("mp_price")).as("min_price"), max(col("mp_price")).as("max_price"))
+    },
+    // get_price (protocol variant), clause-for-clause (mp_asset.rs:89-123):
+    // the newest price for (symbol, protocol) via ORDER BY ts DESC LIMIT 1
+    // — pinned symbol 7 / protocol 3, with the usual value-deterministic
+    // tiebreak on the payload (shipdate ties are dense).
+    "q_lit_price_latest" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(25)).as("mp_symbol"),
+          pmod(col("l_suppkey"), lit(7)).as("mp_protocol"),
+          col("l_shipdate").as("mp_ts"), col("l_extendedprice").as("mp_price"))
+        .filter(col("mp_symbol") === 7 && col("mp_protocol") === 3)
+        .orderBy(col("mp_ts").desc, col("mp_price").desc)
+        .limit(1)
+        .select(col("mp_price"))
     }
   )
 
@@ -2687,7 +2791,7 @@ object LiteralTwinQueries {
         |  WHERE l_orderkey IN (SELECT ls_contract_id FROM address_contracts)
         |    AND l_shipdate = (SELECT max_ts FROM latest_aggregation)
         |    AND l_quantity > 0
-        |  ORDER BY l_orderkey, l_shipdate DESC, l_linenumber DESC,
+        |  ORDER BY l_orderkey, l_linenumber DESC,
         |    l_extendedprice DESC, l_quantity DESC, l_discount DESC, l_tax DESC),
         |repayments AS (
         |  SELECT l_orderkey AS r_contract,
@@ -2733,7 +2837,90 @@ object LiteralTwinQueries {
         |JOIN cr cr_asset ON cr_asset.ticker = o.ls_asset_symbol
         |JOIN cr cr_cltr ON cr_cltr.ticker = o.ls_cltr_symbol
         |JOIN cr cr_lpn ON cr_lpn.ticker = pc.lpn_symbol
-        |LEFT JOIN repayments rp ON s.st_contract_id = rp.r_contract""".stripMargin
+        |LEFT JOIN repayments rp ON s.st_contract_id = rp.r_contract""".stripMargin,
+    "q_lit_earnings" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type,
+        |    c_nationkey AS lpn_symbol,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    c_custkey % 7 AS protocol,
+        |    c_acctbal > 0 AS is_active
+        |  FROM customer),
+        |latest_lender_state AS (
+        |  SELECT DISTINCT ON (l_partkey % 25)
+        |    l_partkey % 25 AS ls_pool, l_shipdate AS ls_ts,
+        |    CAST(l_extendedprice AS DOUBLE) AS lender_stable,
+        |    CAST(l_quantity AS DOUBLE) AS lender_asset
+        |  FROM lineitem
+        |  WHERE l_suppkey % 100 = 7
+        |  ORDER BY l_partkey % 25, l_shipdate DESC, l_extendedprice DESC,
+        |    l_quantity DESC),
+        |deposits AS (
+        |  SELECT l_partkey % 25 AS d_pool,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS deposited_stable,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS deposited_asset
+        |  FROM lineitem d
+        |  WHERE l_linestatus = 'O' AND l_suppkey % 100 = 7
+        |    AND EXISTS (SELECT 1 FROM latest_lender_state ls
+        |      WHERE ls.ls_pool = d.l_partkey % 25 AND d.l_shipdate <= ls.ls_ts)
+        |  GROUP BY l_partkey % 25),
+        |withdrawals AS (
+        |  SELECT l_partkey % 25 AS w_pool,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS withdrawn_stable,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS withdrawn_asset
+        |  FROM lineitem w
+        |  WHERE l_linestatus = 'F' AND l_returnflag = 'R' AND l_suppkey % 100 = 7
+        |    AND EXISTS (SELECT 1 FROM latest_lender_state ls
+        |      WHERE ls.ls_pool = w.l_partkey % 25 AND w.l_shipdate <= ls.ls_ts)
+        |  GROUP BY l_partkey % 25),
+        |long_protocols AS (
+        |  SELECT DISTINCT protocol FROM pc
+        |  WHERE position_type = 'Long' AND is_active),
+        |latest_prices AS (
+        |  SELECT DISTINCT ON (l_partkey % 25)
+        |    l_partkey % 25 AS mp_symbol, l_shipdate AS mp_ts,
+        |    CAST(l_extendedprice AS DOUBLE) AS mp_price
+        |  FROM lineitem
+        |  JOIN long_protocols lp ON l_suppkey % 7 = lp.protocol
+        |  ORDER BY l_partkey % 25, l_shipdate DESC, l_extendedprice DESC),
+        |pool_earnings AS (
+        |  SELECT ap.pool_id,
+        |    CASE
+        |      WHEN ap.position_type = 'Long' THEN
+        |        (ls.lender_stable - (COALESCE(dep.deposited_stable, 0)
+        |          - COALESCE(wdr.withdrawn_stable, 0))) / ap.lpn_decimals
+        |      WHEN ap.position_type = 'Short' THEN
+        |        (ls.lender_asset - (COALESCE(dep.deposited_asset, 0)
+        |          - COALESCE(wdr.withdrawn_asset, 0))) / ap.lpn_decimals
+        |          * COALESCE(lp.mp_price, 0)
+        |      ELSE 0
+        |    END AS earnings_in_stable
+        |  FROM pc ap
+        |  JOIN latest_lender_state ls ON ap.pool_id = ls.ls_pool
+        |  LEFT JOIN deposits dep ON ap.pool_id = dep.d_pool
+        |  LEFT JOIN withdrawals wdr ON ap.pool_id = wdr.w_pool
+        |  LEFT JOIN latest_prices lp
+        |    ON ap.lpn_symbol = lp.mp_symbol AND ap.position_type = 'Short'
+        |  WHERE ap.is_active)
+        |SELECT COALESCE(SUM(CAST(floor(GREATEST(earnings_in_stable, 0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |  CAST(0 AS DECIMAL(38,6))) AS total_earnings_in_stable
+        |FROM pool_earnings""".stripMargin,
+    "q_lit_price_range" ->
+      """SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS min_price,
+        |  MAX(CAST(l_extendedprice AS DOUBLE)) AS max_price
+        |FROM lineitem
+        |WHERE l_partkey % 25 = 7
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1997-01-01'""".stripMargin,
+    "q_lit_price_latest" ->
+      """SELECT CAST(l_extendedprice AS DOUBLE) AS mp_price
+        |FROM lineitem
+        |WHERE l_partkey % 25 = 7 AND l_suppkey % 7 = 3
+        |ORDER BY l_shipdate DESC, l_extendedprice DESC
+        |LIMIT 1""".stripMargin
   )
 
   /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
