@@ -1670,6 +1670,100 @@ object LiteralTwinQueries {
         .orderBy(col("mp_ts").desc, col("mp_price").desc)
         .limit(1)
         .select(col("mp_price"))
+    },
+    // get_open_position_value, clause-for-clause (ls_state.rs:348-403): the
+    // platform TVL-in-positions scalar — Opened (states at the global max
+    // snapshot with amnt > 0, INNER opening, LEFT pool dim, LEFT asset
+    // registry, the Short display-token CASE), Lease_Value_Table
+    // normalizing by the asset digits, one SUM. Integer amounts / 10^d stay
+    // at scale ≤ 5 (tie-free), so the 6dp-round + exact-decimal sum
+    // convention applies; scalar stays DECIMAL.
+    "q_lit_open_position_value" -> { (s, dir) =>
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"), col("l_shipdate").as("st_ts"),
+          col("l_quantity").as("st_amnt_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_ts") === col("max_ts") && col("st_amnt_stable") > 0)
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
+        .join(broadcast(poolConfig(s, dir)),
+          col("ls_loan_pool_id") === col("pool_id"), "left")
+        .join(currencyRegistry(s, dir, "ov"),
+          col("ls_asset_symbol") === col("ov_ticker"), "left")
+        .select(
+          when(col("position_type") === "Short",
+            concat(col("lpn_symbol").cast("string"), lit(" (Short)")))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("token"),
+          (col("st_amnt_stable") / pow(lit(10.0), col("ov_decimal_digits")))
+            .as("lease_value"))
+        .agg(sum(rnd(col("lease_value"), 6).cast("decimal(28,6)"))
+          .as("open_position_value"))
+    },
+    // get_open_interest, clause-for-clause (ls_state.rs:404-458): the same
+    // Opened chain WITHOUT the amnt > 0 filter (the reference drops it
+    // here), interest = the 4-leg margin/interest sum / 10^(asset digits).
+    // 2dp legs make the quotient scale-7-capable (tie class) → exact
+    // micro-unit decimals.
+    "q_lit_open_interest" -> { (s, dir) =>
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"), col("l_shipdate").as("st_ts"),
+          (col("l_discount") + col("l_linenumber") + col("l_tax") + col("l_quantity"))
+            .as("interest"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_ts") === col("max_ts"))
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
+        .join(broadcast(poolConfig(s, dir)),
+          col("ls_loan_pool_id") === col("pool_id"), "left")
+        .join(currencyRegistry(s, dir, "oi"),
+          col("ls_asset_symbol") === col("oi_ticker"), "left")
+        .agg(sum(microRound6(col("interest").cast("decimal(20,2)") *
+          pow10micro(col("oi_decimal_digits")))).as("open_interest"))
+    },
+    // get_historically_repaid, clause-for-clause (ls_repayment.rs:219-296):
+    // Closed_Loans (close-position ∪ repayment with the loan_close flag and
+    // each leg's own amount symbol), then RepaidLeases — openings LEFT JOIN
+    // the union but INNER JOIN the amount-symbol registry (the original's
+    // LEFT-then-INNER quirk, preserved: contracts with no events vanish),
+    // INNER pool dim, grouped per contract with the COALESCE'd repaid sum
+    // (micro-decimal: the /10^d legs are tie-capable), the A5 conditional
+    // MAX close timestamp, and the yes/no closed flag.
+    "q_lit_historically_repaid" -> { (s, dir) =>
+      def cl(flag: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as("cl_contract"), col("l_shipdate").as("cl_ts"),
+          col("l_extendedprice").as("cl_amnt_stable"),
+          (col("l_linestatus") === "F").as("cl_loan_close"),
+          pmod(col("l_partkey"), lit(25)).as("cl_amount_symbol"))
+      val closedLoans = cl("A").unionByName(cl("R"))
+      lsOpening(s, dir)
+        .join(closedLoans, col("ls_contract_id") === col("cl_contract"), "left")
+        .join(currencyRegistry(s, dir, "hr"),
+          col("cl_amount_symbol") === col("hr_ticker"))
+        .join(broadcast(poolConfig(s, dir)), col("pool_id") === col("ls_loan_pool_id"))
+        .groupBy(col("ls_contract_id"), col("ls_asset_symbol"),
+          col("ls_loan_amnt"), col("lpn_decimals"))
+        .agg(
+          coalesce(sum(microRound6(col("cl_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("hr_decimal_digits")))), lit(0).cast("decimal(38,6)"))
+            .cast("double").as("total_repaid"),
+          max(when(col("cl_loan_close"), col("cl_ts"))).as("close_timestamp"),
+          sum(when(col("cl_loan_close"), 1).otherwise(0)).as("n_close"))
+        .select(col("ls_contract_id").as("contract_id"),
+          col("ls_asset_symbol").as("symbol"),
+          (col("ls_loan_amnt") / col("lpn_decimals")).as("loan"),
+          col("total_repaid"), col("close_timestamp"),
+          when(col("n_close") > 0, lit("yes")).otherwise(lit("no")).as("loan_closed"))
+    },
+    // get_distributed, clause-for-clause (tr_rewards_distribution.rs:
+    // 127-150): SUM(rewards amnt_nls)/10⁶ — TR_Rewards_Distribution → view
+    // events; exact decimal end-to-end (ulp rule).
+    "q_lit_rewards_distributed" -> { (s, dir) =>
+      val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
+      Tables.events(s, dir)
+        .filter(col("event_type") === "view")
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)") * micro)
+          .as("distributed"))
     }
   )
 
@@ -2920,7 +3014,94 @@ object LiteralTwinQueries {
         |FROM lineitem
         |WHERE l_partkey % 25 = 7 AND l_suppkey % 7 = 3
         |ORDER BY l_shipdate DESC, l_extendedprice DESC
-        |LIMIT 1""".stripMargin
+        |LIMIT 1""".stripMargin,
+    "q_lit_open_position_value" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type,
+        |    c_nationkey AS lpn_symbol
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |latest_aggregation AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |opened AS (
+        |  SELECT s.l_orderkey AS st_contract_id,
+        |    CAST(s.l_quantity AS DOUBLE) AS st_amnt_stable,
+        |    CASE WHEN pc.position_type = 'Short'
+        |         THEN CAST(pc.lpn_symbol AS VARCHAR) || ' (Short)'
+        |         ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS token,
+        |    cr.decimal_digits AS asset_decimals
+        |  FROM lineitem s
+        |  CROSS JOIN latest_aggregation la
+        |  JOIN orders o ON o.o_orderkey = s.l_orderkey
+        |  LEFT JOIN pc ON o.o_custkey = pc.pool_id
+        |  LEFT JOIN cr ON cr.ticker = o.o_orderkey % 25
+        |  WHERE s.l_shipdate = la.max_ts AND s.l_quantity > 0),
+        |lease_value_table AS (
+        |  SELECT token,
+        |    st_amnt_stable / POWER(10, asset_decimals) AS lease_value
+        |  FROM opened)
+        |SELECT SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
+        |  AS DECIMAL(28,6))) AS open_position_value
+        |FROM lease_value_table""".stripMargin,
+    "q_lit_open_interest" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type,
+        |    c_nationkey AS lpn_symbol
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |latest_aggregation AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |opened AS (
+        |  SELECT s.l_orderkey AS st_contract_id,
+        |    (s.l_discount + s.l_linenumber + s.l_tax + s.l_quantity) AS interest,
+        |    cr.decimal_digits AS asset_decimals
+        |  FROM lineitem s
+        |  CROSS JOIN latest_aggregation la
+        |  JOIN orders o ON o.o_orderkey = s.l_orderkey
+        |  LEFT JOIN pc ON o.o_custkey = pc.pool_id
+        |  LEFT JOIN cr ON cr.ticker = o.o_orderkey % 25
+        |  WHERE s.l_shipdate = la.max_ts)
+        |SELECT SUM(CAST(CAST(round(CAST(interest AS DECIMAL(20,2))
+        |    * CAST(POWER(10, 6 - asset_decimals) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS open_interest
+        |FROM opened""".stripMargin,
+    "q_lit_historically_repaid" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |closed_loans AS (
+        |  SELECT l_orderkey AS cl_contract, l_shipdate AS cl_ts,
+        |    l_extendedprice AS cl_amnt_stable, l_linestatus = 'F' AS cl_loan_close,
+        |    l_partkey % 25 AS cl_amount_symbol
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_shipdate, l_extendedprice, l_linestatus = 'F',
+        |    l_partkey % 25
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT o_orderkey AS contract_id,
+        |  o_orderkey % 25 AS symbol,
+        |  o_totalprice / pc.lpn_decimals AS loan,
+        |  CAST(COALESCE(SUM(CAST(CAST(round(CAST(cl.cl_amnt_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))),
+        |    CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS total_repaid,
+        |  MAX(CASE WHEN cl.cl_loan_close THEN cl.cl_ts END) AS close_timestamp,
+        |  CASE WHEN SUM(CASE WHEN cl.cl_loan_close THEN 1 ELSE 0 END) > 0
+        |    THEN 'yes' ELSE 'no' END AS loan_closed
+        |FROM orders
+        |LEFT JOIN closed_loans cl ON o_orderkey = cl.cl_contract
+        |JOIN cr ON cr.ticker = cl.cl_amount_symbol
+        |JOIN pc ON pc.pool_id = o_custkey
+        |GROUP BY o_orderkey, o_orderkey % 25, o_totalprice, pc.lpn_decimals""".stripMargin,
+    "q_lit_rewards_distributed" ->
+      """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS distributed
+        |FROM events WHERE event_type = 'view'""".stripMargin
   )
 
   /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
