@@ -1764,6 +1764,120 @@ object LiteralTwinQueries {
         .filter(col("event_type") === "view")
         .agg((sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)") * micro)
           .as("distributed"))
+    },
+    // get_borrow_apr_with_window, clause-for-clause (ls_opening.rs:337-377):
+    // the APR page — interest permille / 10.0 for one pool (pinned pool 7)
+    // under the `timestamp > $from` cursor, newest first. Permille/10 is
+    // exact at scale 1 in double.
+    "q_lit_borrow_apr" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .filter(col("ls_loan_pool_id") === 7 &&
+          col("ls_timestamp") > lit("1996-06-01").cast("timestamp"))
+        .select((col("ls_interest") / 10.0).as("apr"), col("ls_timestamp"))
+        .orderBy(col("ls_timestamp").desc, col("apr").desc)
+        .select(col("apr"))
+    },
+    // get_borrowed_by_protocols, clause-for-clause (ls_opening.rs:635-657):
+    // one grouped query for every pool — COALESCE(SUM(loan/lpn_decimals),0)
+    // per pool (divisors 1..4, tie-free → 6dp-round + exact-decimal sum).
+    // Shape-covers get_borrowed / get_borrowed_total (same SELECT, WHERE =
+    // one pool / none).
+    "q_lit_borrowed_by_protocols" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .join(broadcast(poolConfig(s, dir)), col("pool_id") === col("ls_loan_pool_id"))
+        .groupBy(col("ls_loan_pool_id"))
+        .agg(coalesce(
+          sum(rnd(col("ls_loan_amnt") / col("lpn_decimals"), 6).cast("decimal(28,6)")),
+          lit(0).cast("decimal(38,6)")).cast("double").as("loan"))
+        .select(col("ls_loan_pool_id").as("protocol"), col("loan"))
+    },
+    // get_position_value, clause-for-clause (ls_opening.rs:921-944): the
+    // wallet's position-value series — states joined to the wallet's
+    // openings and the asset registry, SUM(amnt/10^d) per snapshot ts inside
+    // the freshness window (fixed cutoff per P3), ts ascending. Integer
+    // amounts / 10^d are tie-free at 6dp.
+    "q_lit_position_value" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+        .select(col("l_orderkey").as("st_contract_id"), col("l_shipdate").as("time"),
+          col("l_quantity").as("st_amnt_stable"))
+        .join(lsOpening(s, dir).filter(pmod(col("ls_address_id"), lit(100)) === 7),
+          col("st_contract_id") === col("ls_contract_id"))
+        .join(currencyRegistry(s, dir, "pv"), col("ls_asset_symbol") === col("pv_ticker"))
+        .groupBy(col("time"))
+        .agg(sum(rnd(col("st_amnt_stable") / pow(lit(10.0), col("pv_decimal_digits")), 6)
+          .cast("decimal(28,6)")).cast("double").as("amount"))
+        .orderBy(col("time").asc)
+    },
+    // get_debt_value, clause-for-clause (ls_opening.rs:946-978): the debt
+    // sibling — the 5-leg state sum / the pool's LPN decimals (1..4,
+    // tie-free), same scaffold and window.
+    "q_lit_debt_value" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+        .select(col("l_orderkey").as("st_contract_id"), col("l_shipdate").as("time"),
+          (col("l_extendedprice") + col("l_discount") + col("l_tax") +
+            col("l_linenumber") + col("l_quantity")).as("debt"))
+        .join(lsOpening(s, dir).filter(pmod(col("ls_address_id"), lit(100)) === 7),
+          col("st_contract_id") === col("ls_contract_id"))
+        .join(broadcast(poolConfig(s, dir)), col("pool_id") === col("ls_loan_pool_id"))
+        .groupBy(col("time"))
+        .agg(sum(rnd(col("debt") / col("lpn_decimals"), 6)
+          .cast("decimal(28,6)")).cast("double").as("amount"))
+        .orderBy(col("time").asc)
+    },
+    // get_historically_liquidated, clause-for-clause
+    // (ls_liquidation.rs:228-267): openings LEFT-joined to their
+    // liquidations but INNER-joined to both dims, the Short CONCAT display
+    // asset, loan normalized by the pool divisor, SUM(liq amount / 10^d) per
+    // (contract, asset, loan) — NULL (not zero) for never-liquidated
+    // contracts, exactly as the original. The /10^d legs are tie-capable →
+    // micro-decimal rounds.
+    "q_lit_historically_liquidated" -> { (s, dir) =>
+      val liq = Tables.lineitem(s, dir).filter(col("l_returnflag") === "N")
+        .select(col("l_orderkey").as("lq_contract"),
+          col("l_extendedprice").as("lq_amnt_stable"))
+      lsOpening(s, dir)
+        .join(liq, col("ls_contract_id") === col("lq_contract"), "left")
+        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
+        .join(currencyRegistry(s, dir, "hl"), col("ls_asset_symbol") === col("hl_ticker"))
+        .select(col("ls_contract_id"),
+          when(col("position_type") === "Short", concat(col("label"), lit(" (Short)")))
+            .otherwise(col("ls_asset_symbol").cast("string")).as("asset"),
+          (col("ls_loan_amnt") / col("lpn_decimals")).as("loan"),
+          microRound6(col("lq_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("hl_decimal_digits"))).as("liq_amount"))
+        .groupBy(col("ls_contract_id"), col("asset"), col("loan"))
+        .agg(sum(col("liq_amount")).cast("double").as("total_liquidated"))
+        .select(col("ls_contract_id").as("contract_id"), col("asset"), col("loan"),
+          col("total_liquidated"))
+    },
+    // get_realized_pnl_stats, clause-for-clause (ls_loan_closing.rs:80-105):
+    // the platform realized-PnL scalar since a fixed date — closings (LS_pnl
+    // = the closing amount) LEFT-joined to their opening but INNER-joined to
+    // the asset registry, SUM(pnl / 10^d). Tie-capable /10^d → micro-decimal;
+    // scalar stays DECIMAL.
+    "q_lit_realized_pnl_stats" -> { (s, dir) =>
+      val closings = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("c_contract"), col("o_totalprice").as("c_pnl"))
+      closings
+        .join(lsOpening(s, dir), col("c_contract") === col("ls_contract_id"), "left")
+        .join(currencyRegistry(s, dir, "ps"), col("ls_asset_symbol") === col("ps_ticker"))
+        .agg(sum(microRound6(col("c_pnl").cast("decimal(20,2)") *
+          pow10micro(col("ps_decimal_digits")))).as("total_adjusted_stable_amount"))
+    },
+    // get_first_block / get_last_block, clause-for-clause (block.rs:76-97):
+    // ORDER BY id ASC/DESC LIMIT 1 over the synced-heights table (orders
+    // keys play the block ids — unique, so LIMIT 1 is deterministic).
+    "q_lit_first_block" -> { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey").as("id"))
+        .orderBy(col("id").asc).limit(1)
+    },
+    "q_lit_last_block" -> { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey").as("id"))
+        .orderBy(col("id").desc).limit(1)
     }
   )
 
@@ -3101,7 +3215,93 @@ object LiteralTwinQueries {
     "q_lit_rewards_distributed" ->
       """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
         |  * CAST('0.000001' AS DECIMAL(7,6)) AS distributed
-        |FROM events WHERE event_type = 'view'""".stripMargin
+        |FROM events WHERE event_type = 'view'""".stripMargin,
+    "q_lit_borrow_apr" ->
+      """SELECT apr FROM (
+        |  SELECT o_orderkey % 200 / 10.0 AS apr, o_orderdate
+        |  FROM orders
+        |  WHERE o_custkey = 7 AND o_orderdate > TIMESTAMP '1996-06-01'
+        |  ORDER BY o_orderdate DESC, apr DESC) t""".stripMargin,
+    "q_lit_borrowed_by_protocols" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer)
+        |SELECT o_custkey AS protocol,
+        |  CAST(COALESCE(SUM(CAST(floor(o_totalprice / pc.lpn_decimals
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |    CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS loan
+        |FROM orders JOIN pc ON pc.pool_id = o_custkey
+        |GROUP BY o_custkey""".stripMargin,
+    "q_lit_position_value" ->
+      """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation)
+        |SELECT l_shipdate AS "time",
+        |  CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE) / POWER(10, cr.decimal_digits)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS amount
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey AND o_custkey % 100 = 7
+        |JOIN cr ON cr.ticker = o_orderkey % 25
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+        |GROUP BY l_shipdate
+        |ORDER BY l_shipdate""".stripMargin,
+    "q_lit_debt_value" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer)
+        |SELECT l_shipdate AS "time",
+        |  CAST(SUM(CAST(floor((l_extendedprice + l_discount + l_tax
+        |      + l_linenumber + l_quantity) / pc.lpn_decimals
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS amount
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey AND o_custkey % 100 = 7
+        |JOIN pc ON pc.pool_id = o_custkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+        |GROUP BY l_shipdate
+        |ORDER BY l_shipdate""".stripMargin,
+    "q_lit_historically_liquidated" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
+        |         ELSE 'Short' END AS position_type,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    c_name AS label
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |liquidation_amounts AS (
+        |  SELECT o_orderkey AS ls_contract_id,
+        |    CASE WHEN pc.position_type = 'Short' THEN CONCAT(pc.label, ' (Short)')
+        |         ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset,
+        |    o_totalprice / pc.lpn_decimals AS loan,
+        |    CAST(CAST(round(CAST(lsl.l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS liq_amount
+        |  FROM orders
+        |  LEFT JOIN (SELECT l_orderkey, l_extendedprice FROM lineitem
+        |    WHERE l_returnflag = 'N') lsl ON o_orderkey = lsl.l_orderkey
+        |  JOIN pc ON o_custkey = pc.pool_id
+        |  JOIN cr ON cr.ticker = o_orderkey % 25)
+        |SELECT ls_contract_id AS contract_id, asset, loan,
+        |  CAST(SUM(liq_amount) AS DOUBLE) AS total_liquidated
+        |FROM liquidation_amounts
+        |GROUP BY ls_contract_id, asset, loan""".stripMargin,
+    "q_lit_realized_pnl_stats" ->
+      """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |closings AS (
+        |  SELECT o_orderkey AS c_contract, o_totalprice AS c_pnl,
+        |    o_orderkey % 25 AS asset_symbol
+        |  FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1997-01-01')
+        |SELECT SUM(CAST(CAST(round(CAST(c.c_pnl AS DECIMAL(20,2))
+        |    * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)))
+        |    AS total_adjusted_stable_amount
+        |FROM closings c
+        |LEFT JOIN orders o ON c.c_contract = o.o_orderkey
+        |JOIN cr ON cr.ticker = o.o_orderkey % 25""".stripMargin,
+    "q_lit_first_block" ->
+      """SELECT o_orderkey AS id FROM orders ORDER BY id ASC LIMIT 1""".stripMargin,
+    "q_lit_last_block" ->
+      """SELECT o_orderkey AS id FROM orders ORDER BY id DESC LIMIT 1""".stripMargin
   )
 
   /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
