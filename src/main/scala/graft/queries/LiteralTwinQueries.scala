@@ -1878,6 +1878,145 @@ object LiteralTwinQueries {
     "q_lit_last_block" -> { (s, dir) =>
       Tables.orders(s, dir).select(col("o_orderkey").as("id"))
         .orderBy(col("id").desc).limit(1)
+    },
+    // get_price_by_date (protocol variant), clause-for-clause
+    // (mp_asset.rs:125-150): the first price AT-OR-AFTER a date —
+    // `ts >= $3 ORDER BY ts ASC LIMIT 1` for (symbol, protocol), the
+    // forward-looking sibling of the as-of join; pinned (7, 3, 1997-06-01)
+    // with the value tiebreak.
+    "q_lit_price_asof" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(25)).as("mp_symbol"),
+          pmod(col("l_suppkey"), lit(7)).as("mp_protocol"),
+          col("l_shipdate").as("mp_ts"), col("l_extendedprice").as("mp_price"))
+        .filter(col("mp_symbol") === 7 && col("mp_protocol") === 3 &&
+          col("mp_ts") >= lit("1997-06-01").cast("timestamp"))
+        .orderBy(col("mp_ts").asc, col("mp_price").asc)
+        .limit(1)
+        .select(col("mp_price"))
+    },
+    // get_total_value_locked, clause-for-clause (ls_state.rs:706-760): the
+    // platform TVL scalar — Lease_Value (states at the global max snapshot,
+    // LEFT opening then INNER registry — the quirk), Pool_Available
+    // (DISTINCT ON pool over the IN-list pools, (tvl − borrowed) / lpn
+    // decimals), and the two scalar-subquery sums added (lease sum has NO
+    // COALESCE — an empty lease set yields NULL TVL, as the original).
+    // Integer amounts and 1..4 divisors are tie-free → 6dp-round +
+    // exact-decimal sums; scalar stays DECIMAL.
+    "q_lit_tvl" -> { (s, dir) =>
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      val leaseValue = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"), col("l_shipdate").as("st_ts"),
+          col("l_quantity").as("st_amnt_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_ts") === col("max_ts"))
+        .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"), "left")
+        .join(currencyRegistry(s, dir, "tv"), col("ls_asset_symbol") === col("tv_ticker"))
+        .select(rnd(col("st_amnt_stable") / pow(lit(10.0), col("tv_decimal_digits")), 6)
+          .cast("decimal(28,6)").as("lease_value"))
+      val wP = Window.partitionBy(col("lp_pool"))
+        .orderBy(col("lp_ts").desc, col("tvl").desc, col("borrowed_st").desc)
+      val poolAvail = Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(25)).as("lp_pool"),
+          col("l_shipdate").as("lp_ts"),
+          col("l_extendedprice").as("tvl"), col("l_quantity").as("borrowed_st"))
+        .filter(col("lp_pool").isin(2, 7, 11, 19))
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+        .join(broadcast(poolConfig(s, dir)), col("lp_pool") === col("pool_id"))
+        .select(rnd((col("tvl") - col("borrowed_st")) / col("lpn_decimals"), 6)
+          .cast("decimal(28,6)").as("available_assets"))
+      val leaseSum = leaseValue.agg(sum(col("lease_value")).as("total_lease_value"))
+      val availSum = poolAvail.agg(coalesce(sum(col("available_assets")),
+        lit(0).cast("decimal(38,6)")).as("total_available"))
+      leaseSum.crossJoin(broadcast(availSum))
+        .select((col("total_lease_value") + col("total_available")).as("tvl"))
+    },
+    // get_realized_pnl_by_wallet, clause-for-clause (ls_opening.rs:
+    // 1683-1793): the wallet accounting page over the loan-collect path —
+    // openings (1-year window → fixed cutoff) with the COALESCE'd LPN
+    // display symbol, collects_by_symbol (per-symbol LPN/stable sums over
+    // the registry digits), collects with the reference's ARRAY_AGG[1]
+    // first-symbol pick (A8 — pinned symbol-ascending order; symbols are
+    // unique per group so the pick is deterministic), loan_close, repays and
+    // liqs (each a per-contract /10^d sum — micro-decimal), and the final
+    // LEFT-join ledger with its COALESCE-0 columns and the
+    // close-desc OFFSET 10 LIMIT 40 page (contract tiebreak). All rounded
+    // legs exact-decimal; stable columns stay DECIMAL.
+    "q_lit_realized_pnl_wallet" -> { (s, dir) =>
+      // all stable legs pinned to DECIMAL(28,6): additions then stay under
+      // precision 38 on BOTH engines (DuckDB addition width is hard-capped)
+      val dec0 = lit(0).cast("decimal(28,6)")
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val openings = lsOpening(s, dir)
+        .filter(col("ls_timestamp") >= lit("1996-01-01").cast("timestamp"))
+        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("wd"), col("ls_cltr_symbol") === col("wd_ticker"))
+        .select(col("ls_contract_id").as("o_contract"),
+          col("ls_address_id").as("user"),
+          col("ls_timestamp").as("opening_date"),
+          col("ls_asset_symbol").as("leased_asset"),
+          col("ls_cltr_symbol").as("down_payment_asset"),
+          microRound6(col("ls_cltr_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("wd_decimal_digits"))).as("down_payment_stable"),
+          coalesce(col("lpn_symbol").cast("string"), lit("USDC_NOBLE")).as("lpn_symbol"))
+      val openIds = openings.select(col("o_contract"))
+      val collectsBySymbol = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey").as("c_contract"),
+          pmod(col("l_partkey"), lit(25)).as("c_symbol"),
+          col("l_quantity").as("c_amount"), col("l_extendedprice").as("c_amount_stable"))
+        .join(openIds, col("c_contract") === col("o_contract"), "left_semi")
+        .join(cr("wc"), col("c_symbol") === col("wc_ticker"))
+        .groupBy(col("c_contract"), col("c_symbol"), col("wc_decimal_digits"))
+        .agg(
+          (sum(col("c_amount")) / pow(lit(10.0), col("wc_decimal_digits")))
+            .as("amount_lpn_units"),
+          microRound6(sum(col("c_amount_stable").cast("decimal(18,2)"))
+            .cast("decimal(20,2)") * pow10micro(col("wc_decimal_digits")))
+            .as("amount_stable"))
+      val collects = collectsBySymbol
+        .groupBy(col("c_contract"))
+        .agg(min(col("c_symbol")).as("returned_lpn"),
+          min_by(col("amount_lpn_units"), col("c_symbol"))
+            .as("returned_amount_lpn_units"),
+          sum(col("amount_stable")).cast("decimal(28,6)").as("returned_amount_stable"))
+      val loanClose = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("lc_contract"), col("o_orderdate").as("close_ts"))
+        .join(openIds, col("lc_contract") === col("o_contract"), "left_semi")
+      def paySum(flag: String, role: String, out: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as(s"${out}_contract"),
+          col("l_extendedprice").as("pay"), pmod(col("l_partkey"), lit(25)).as("sym"))
+        .join(openIds, col(s"${out}_contract") === col("o_contract"), "left_semi")
+        .join(cr(role), col("sym") === col(s"${role}_ticker"))
+        .groupBy(col(s"${out}_contract"))
+        .agg(sum(microRound6(col("pay").cast("decimal(20,2)") *
+          pow10micro(col(s"${role}_decimal_digits")))).cast("decimal(28,6)")
+          .as(s"${out}_stable"),
+          count(lit(1)).as(s"${out}_events"))
+      val repays = paySum("R", "wr", "rep")
+      val liqs = paySum("N", "wq", "lq")
+      openings
+        .join(loanClose, col("o_contract") === col("lc_contract"))
+        .join(collects, col("o_contract") === col("c_contract"), "left")
+        .join(repays, col("o_contract") === col("rep_contract"), "left")
+        .join(liqs, col("o_contract") === col("lq_contract"), "left")
+        .select(col("o_contract").as("contract_id"), col("user"),
+          col("leased_asset"), col("down_payment_asset"), col("opening_date"),
+          col("close_ts").as("close_timestamp"),
+          col("down_payment_stable"),
+          coalesce(col("rep_stable"), dec0).as("manual_repayments_stable"),
+          (col("down_payment_stable") + coalesce(col("rep_stable"), dec0))
+            .as("total_outflow_stable"),
+          coalesce(col("lq_stable"), dec0).as("liquidations_stable"),
+          coalesce(col("lq_events"), lit(0L)).as("liquidation_events"),
+          col("returned_lpn"), col("returned_amount_lpn_units"),
+          coalesce(col("returned_amount_stable"), dec0).as("returned_amount_stable"),
+          (coalesce(col("returned_amount_stable"), dec0) -
+            (col("down_payment_stable") + coalesce(col("rep_stable"), dec0)))
+            .as("realized_pnl_stable"))
+        .orderBy(col("close_timestamp").desc, col("contract_id").desc)
+        .offset(10).limit(40)
     }
   )
 
@@ -3301,7 +3440,129 @@ object LiteralTwinQueries {
     "q_lit_first_block" ->
       """SELECT o_orderkey AS id FROM orders ORDER BY id ASC LIMIT 1""".stripMargin,
     "q_lit_last_block" ->
-      """SELECT o_orderkey AS id FROM orders ORDER BY id DESC LIMIT 1""".stripMargin
+      """SELECT o_orderkey AS id FROM orders ORDER BY id DESC LIMIT 1""".stripMargin,
+    "q_lit_price_asof" ->
+      """SELECT CAST(l_extendedprice AS DOUBLE) AS mp_price
+        |FROM lineitem
+        |WHERE l_partkey % 25 = 7 AND l_suppkey % 7 = 3
+        |  AND l_shipdate >= TIMESTAMP '1997-06-01'
+        |ORDER BY l_shipdate ASC, l_extendedprice ASC
+        |LIMIT 1""".stripMargin,
+    "q_lit_tvl" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |latest_aggregation AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |lease_value AS (
+        |  SELECT CAST(floor(CAST(s.l_quantity AS DOUBLE) / POWER(10, cr.decimal_digits)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS lease_value
+        |  FROM lineitem s
+        |  LEFT JOIN orders o ON o.o_orderkey = s.l_orderkey
+        |  JOIN cr ON cr.ticker = o.o_orderkey % 25
+        |  WHERE s.l_shipdate = (SELECT max_ts FROM latest_aggregation)),
+        |pool_available AS (
+        |  SELECT CAST(floor((lps.tvl - lps.borrowed_st) / pc.lpn_decimals
+        |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS available_assets
+        |  FROM (
+        |    SELECT DISTINCT ON (lp_pool) lp_pool, lp_ts, tvl, borrowed_st
+        |    FROM (SELECT l_partkey % 25 AS lp_pool, l_shipdate AS lp_ts,
+        |        CAST(l_extendedprice AS DOUBLE) AS tvl,
+        |        CAST(l_quantity AS DOUBLE) AS borrowed_st
+        |      FROM lineitem) t
+        |    WHERE lp_pool IN (2, 7, 11, 19)
+        |    ORDER BY lp_pool, lp_ts DESC, tvl DESC, borrowed_st DESC) lps
+        |  JOIN pc ON pc.pool_id = lps.lp_pool),
+        |lease_value_sum AS (
+        |  SELECT SUM(lease_value) AS total_lease_value FROM lease_value),
+        |pool_available_sum AS (
+        |  SELECT COALESCE(SUM(available_assets), CAST(0 AS DECIMAL(38,6)))
+        |    AS total_available FROM pool_available)
+        |SELECT (SELECT total_lease_value FROM lease_value_sum)
+        |  + (SELECT total_available FROM pool_available_sum) AS tvl""".stripMargin,
+    "q_lit_realized_pnl_wallet" ->
+      """WITH pc AS (SELECT c_custkey AS pool_id,
+        |    c_nationkey AS lpn_symbol FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |openings AS (
+        |  SELECT o_orderkey AS o_contract, o_custkey AS "user",
+        |    o_orderdate AS opening_date,
+        |    o_orderkey % 25 AS leased_asset,
+        |    o_custkey % 25 AS down_payment_asset,
+        |    CAST(CAST(round(CAST(o_totalprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS down_payment_stable,
+        |    COALESCE(CAST(pc.lpn_symbol AS VARCHAR), 'USDC_NOBLE') AS lpn_symbol
+        |  FROM orders
+        |  JOIN pc ON o_custkey = pc.pool_id
+        |  JOIN cr ON cr.ticker = o_custkey % 25
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        |collects_by_symbol AS (
+        |  SELECT l_orderkey AS c_contract, l_partkey % 25 AS c_symbol,
+        |    SUM(l_quantity) / POWER(10, cr.decimal_digits) AS amount_lpn_units,
+        |    CAST(CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS amount_stable
+        |  FROM lineitem
+        |  JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'A'
+        |    AND l_orderkey IN (SELECT o_contract FROM openings)
+        |  GROUP BY l_orderkey, l_partkey % 25, cr.decimal_digits),
+        |collects AS (
+        |  SELECT c_contract,
+        |    (list(c_symbol ORDER BY c_symbol))[1] AS returned_lpn,
+        |    (list(amount_lpn_units ORDER BY c_symbol))[1] AS returned_amount_lpn_units,
+        |    CAST(SUM(amount_stable) AS DECIMAL(28,6)) AS returned_amount_stable
+        |  FROM collects_by_symbol GROUP BY c_contract),
+        |loan_close AS (
+        |  SELECT o_orderkey AS lc_contract, o_orderdate AS close_ts
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |    AND o_orderkey IN (SELECT o_contract FROM openings)),
+        |repays AS (
+        |  SELECT l_orderkey AS rep_contract,
+        |    CAST(SUM(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
+        |      AS rep_stable,
+        |    COUNT(*) AS rep_events
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'R'
+        |    AND l_orderkey IN (SELECT o_contract FROM openings)
+        |  GROUP BY l_orderkey),
+        |liqs AS (
+        |  SELECT l_orderkey AS lq_contract,
+        |    CAST(SUM(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
+        |      AS lq_stable,
+        |    COUNT(*) AS lq_events
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'N'
+        |    AND l_orderkey IN (SELECT o_contract FROM openings)
+        |  GROUP BY l_orderkey)
+        |SELECT o.o_contract AS contract_id, o."user", o.leased_asset,
+        |  o.down_payment_asset, o.opening_date,
+        |  lc.close_ts AS close_timestamp,
+        |  o.down_payment_stable,
+        |  COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))) AS manual_repayments_stable,
+        |  o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6)))
+        |    AS total_outflow_stable,
+        |  COALESCE(l.lq_stable, CAST(0 AS DECIMAL(28,6))) AS liquidations_stable,
+        |  COALESCE(l.lq_events, 0) AS liquidation_events,
+        |  c.returned_lpn, c.returned_amount_lpn_units,
+        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
+        |    AS returned_amount_stable,
+        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
+        |    - (o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))))
+        |    AS realized_pnl_stable
+        |FROM openings o
+        |JOIN loan_close lc ON lc.lc_contract = o.o_contract
+        |LEFT JOIN collects c ON c.c_contract = o.o_contract
+        |LEFT JOIN repays r ON r.rep_contract = o.o_contract
+        |LEFT JOIN liqs l ON l.lq_contract = o.o_contract
+        |ORDER BY lc.close_ts DESC, o.o_contract DESC
+        |OFFSET 10 LIMIT 40""".stripMargin
   )
 
   /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
