@@ -2017,6 +2017,31 @@ object LiteralTwinQueries {
             .as("realized_pnl_stable"))
         .orderBy(col("close_timestamp").desc, col("contract_id").desc)
         .offset(10).limit(40)
+    },
+    // get_sum, clause-for-clause (ls_repayment.rs:127-183): the PL_State
+    // input contract — FIVE separate column SUMs over the OPEN interval
+    // (> from AND < to; the openings counter below uses half-open — the
+    // reference mixes them and the twins preserve each). Exact decimal sums
+    // (ulp rule).
+    "q_lit_repayment_sums" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") > lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .agg(
+          sum(col("l_discount").cast("decimal(18,2)")).as("prev_margin_stable"),
+          sum(col("l_linenumber").cast("decimal(18,2)")).as("prev_interest_stable"),
+          sum(col("l_tax").cast("decimal(18,2)")).as("current_margin_stable"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("current_interest_stable"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("principal_stable"))
+    },
+    // count, clause-for-clause (ls_opening.rs:194-213): the per-interval
+    // openings counter feeding PL_State (half-open window: > from AND <= to).
+    "q_lit_opened_count" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .filter(col("ls_timestamp") > lit("1996-01-01").cast("timestamp") &&
+          col("ls_timestamp") <= lit("1998-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("opened_count"))
     }
   )
 
@@ -3562,7 +3587,23 @@ object LiteralTwinQueries {
         |LEFT JOIN repays r ON r.rep_contract = o.o_contract
         |LEFT JOIN liqs l ON l.lq_contract = o.o_contract
         |ORDER BY lc.close_ts DESC, o.o_contract DESC
-        |OFFSET 10 LIMIT 40""".stripMargin
+        |OFFSET 10 LIMIT 40""".stripMargin,
+    "q_lit_repayment_sums" ->
+      """SELECT
+        |  SUM(CAST(l_discount AS DECIMAL(18,2))) AS prev_margin_stable,
+        |  SUM(CAST(l_linenumber AS DECIMAL(18,2))) AS prev_interest_stable,
+        |  SUM(CAST(l_tax AS DECIMAL(18,2))) AS current_margin_stable,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS current_interest_stable,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS principal_stable
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_lit_opened_count" ->
+      """SELECT COUNT(*) AS opened_count
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1998-01-01'""".stripMargin
   )
 
   /** Oracle mirror of [[suppliedBorrowed]] — the 4 endpoint variants share
