@@ -3,61 +3,157 @@
 DuckDB over the sf parquet tables, compare against the Spark result parquet
 written by graft.Verify. Dev tool only — NOT part of the shipped library.
 
-Compare is strict: column names (sorted), row count, and exact cell values
-after sorting rows by all columns. If this passes, any reasonable hash-based
-compare passes too.
+Driver-faithful compare (r6 rewrite, per VERDICT r5 #3): the Spark parquet is
+read with pyarrow DIRECTLY and the oracle is fetched via con.execute(sql)
+.arrow() — both preserve DECIMAL precision/scale, timestamp unit/tz, and
+exact cell values. The r5 version read both sides through duckdb .df(),
+whose pandas conversion collapses every DECIMAL to float64 and every
+timestamp to ns, which made declared-type mismatches and 1-ulp decimal
+diffs invisible locally while the driver's type-sensitive hash caught them.
+
+Compare is strict, in three layers per query:
+  1. column names (sorted)
+  2. arrow type per column (decimal precision/scale, timestamp unit AND tz,
+     integer width) — list inner-field names are canonicalized (item vs
+     element is a parquet serialization artifact, not a type)
+  3. exact cell values after sorting rows by a canonical key (Decimal kept
+     exact; NaN distinct from NULL; no float coercion anywhere)
 
 Usage: scripts/check.py [sfDir] [outDir] [only_query ...]
+       scripts/check.py --selftest
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, decimal, datetime
 import duckdb
-import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # normalize cell values to comparable primitives
-    def cell(v):
-        if v is None:
-            return None
-        if isinstance(v, float) and math.isnan(v):
-            return None
-        # arrays BEFORE the numpy-scalar branch: ndarray also has .item,
-        # which raises on multi-element arrays
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return tuple(cell(x) for x in v)
-        if hasattr(v, "item"):  # numpy scalar
-            v = v.item()
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            # EXACT value compare (canonical exponent, so 1.50 == 1.5 but a
-            # 1-ulp diff fails). Collapsing to float here hid the r4
-            # q_lit_wallet_tx_volume sub-float-precision mismatch that the
-            # driver's exact hash caught — decimals must never degrade.
-            return ("dec", str(v.normalize()))
-        return v
-    # build plain-python rows directly — pandas re-coerces None to NaN on
-    # column assignment, and nan != nan would produce spurious diffs
-    raw = [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    rows = sorted(raw, key=lambda r: tuple(
-        (x is None, str(type(x)), str(x)) for x in r))
-    return df.columns.tolist(), rows
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type string: exact on decimals (precision+scale),
+    timestamps (unit+tz), int widths; list inner-field NAME is ignored
+    (duckdb says list<item:..>, spark parquet says list<element:..>)."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{t.field(i).name}: {canon_type(t.field(i).type)}"
+                          for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def cell_key(v):
+    """Canonical, hashable, sortable-by-str representation of one cell.
+    Decimals stay exact (normalize only canonicalizes the exponent, so
+    1.50 == 1.5 but a 1-ulp diff at scale 6 fails). NaN is DISTINCT from
+    NULL — the old mirror conflated them."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", repr(v))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, (list, tuple)):
+        return tuple(cell_key(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, cell_key(x)) for k, x in v.items()))
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return ("t", v.isoformat())
+    if isinstance(v, bytes):
+        return ("b", v.hex())
+    return v
+
+
+def sort_key(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def table_rows(t: pa.Table):
+    """Rows (as canonical cell tuples), sorted. Column order must already
+    be aligned by the caller."""
+    cols = [c.to_pylist() for c in t.columns]
+    raw = [tuple(cell_key(col[i]) for col in cols) for i in range(t.num_rows)]
+    return sorted(raw, key=sort_key)
+
+
+def compare(oracle: pa.Table, spark: pa.Table):
+    """Return list of error strings (empty == match). Both tables are
+    column-name-sorted internally; layers: names, arrow types, values."""
+    errs = []
+    o = oracle.select(sorted(oracle.column_names))
+    s = spark.select(sorted(spark.column_names))
+    if o.column_names != s.column_names:
+        return [f"columns differ\n  oracle: {o.column_names}\n  spark : {s.column_names}"]
+    for name in o.column_names:
+        ot = canon_type(o.schema.field(name).type)
+        st = canon_type(s.schema.field(name).type)
+        if ot != st:
+            errs.append(f"TYPE {name}: oracle={ot} spark={st}")
+    if errs:
+        return errs
+    if o.num_rows != s.num_rows:
+        return [f"row count oracle={o.num_rows} spark={s.num_rows}"]
+    er, gr = table_rows(o), table_rows(s)
+    bad = [(i, a, b) for i, (a, b) in enumerate(zip(er, gr)) if a != b]
+    if bad:
+        i, a, b = bad[0]
+        errs.append(f"{len(bad)}/{len(er)} rows differ; first at {i}:\n"
+                    f"  oracle: {a}\n  spark : {b}\n  cols  : {o.column_names}")
+    return errs
+
+
+def read_spark(files) -> pa.Table:
+    return pa.concat_tables([pq.read_table(f) for f in sorted(files)])
 
 
 def selftest():
-    """norm() must distinguish decimals that differ by 1 ulp at scale 6 (the
-    r4 failure class) and must treat rescaled-equal decimals as equal."""
-    from decimal import Decimal
-    a = pd.DataFrame({"x": [Decimal("20893331.915740")]})
-    b = pd.DataFrame({"x": [Decimal("20893331.915741")]})
-    c = pd.DataFrame({"x": [Decimal("20893331.91574000")]})
-    assert norm(a) != norm(b), "1-ulp decimal diff must FAIL the compare"
-    assert norm(a) == norm(c), "trailing-zero rescale must still compare equal"
-    assert norm(a) != norm(pd.DataFrame({"x": [20893331.915740]})), \
-        "decimal vs float type confusion must FAIL, not coerce"
+    """The mirror must catch, through the REAL read path (parquet on disk →
+    pyarrow vs duckdb .arrow()), the two r5 driver-red classes:
+    declared-type mismatch (decimal width, timestamp unit/tz) and 1-ulp
+    value diffs — plus still treat genuinely identical results as equal."""
+    import tempfile
+    con = duckdb.connect()
+    d = tempfile.mkdtemp(prefix="checkself_")
+
+    def dump(sql, name):
+        p = os.path.join(d, name)
+        con.execute(f"COPY ({sql}) TO '{p}' (FORMAT PARQUET)")
+        return read_spark([p])
+
+    # class A: decimal width mismatch (q_lit_repayment_sums signature):
+    # same value, DECIMAL(28,2) vs DECIMAL(38,2) → must FAIL on type
+    sp = dump("SELECT CAST(1.50 AS DECIMAL(28,2)) AS x", "a.parquet")
+    orc = con.execute("SELECT CAST(1.50 AS DECIMAL(38,2)) AS x").arrow()
+    assert compare(orc, sp), "decimal width mismatch must FAIL"
+    # same width → pass (and trailing-zero rescale at equal declared type)
+    orc = con.execute("SELECT CAST(1.50 AS DECIMAL(28,2)) AS x").arrow()
+    assert not compare(orc, sp), "identical decimal must PASS"
+    # class B: 1-ulp value diff at scale 6 (q_lit_wallet_tx_volume r4
+    # signature) → must FAIL on value, not be float-collapsed
+    sp = dump("SELECT CAST('20893331.915740' AS DECIMAL(28,6)) AS x", "b.parquet")
+    orc = con.execute("SELECT CAST('20893331.915741' AS DECIMAL(28,6)) AS x").arrow()
+    errs = compare(orc, sp)
+    assert errs and "rows differ" in errs[0], "1-ulp decimal diff must FAIL on value"
+    # timestamp unit: ns vs us → FAIL on type (q_lit_buyback signature).
+    # pyarrow COPY can't write ns from duckdb, so build the ns side in arrow.
+    ts = datetime.datetime(2024, 1, 1)
+    sp_ns = pa.table({"t": pa.array([ts], type=pa.timestamp("ns"))})
+    orc = con.execute("SELECT TIMESTAMP '2024-01-01' AS t").arrow()
+    assert compare(orc, sp_ns), "timestamp ns vs us must FAIL"
+    # timestamp tz: us,UTC vs naive us → FAIL on type (what INT96→MICROS
+    # conversion alone would leave behind for TIMESTAMP_LTZ columns)
+    sp_tz = pa.table({"t": pa.array([ts], type=pa.timestamp("us", tz="UTC"))})
+    assert compare(orc, sp_tz), "timestamp tz=UTC vs naive must FAIL"
+    sp_us = pa.table({"t": pa.array([ts], type=pa.timestamp("us"))})
+    assert not compare(orc, sp_us), "identical naive us timestamp must PASS"
+    # NaN vs NULL must be distinct
+    a = pa.table({"x": pa.array([float("nan")], type=pa.float64())})
+    b = pa.table({"x": pa.array([None], type=pa.float64())})
+    assert compare(b, a), "NaN vs NULL must FAIL"
     print("selftest OK")
     sys.exit(0)
 
@@ -87,33 +183,24 @@ def main():
             n_fail += 1
             continue
         try:
-            exp_cols, exp_rows = norm(con.execute(sql).df())
+            exp = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        got_cols, got_rows = norm(con.execute(
-            f"SELECT * FROM read_parquet({files!r})").df())
-        if exp_cols != got_cols:
-            print(f"FAIL {name}: columns differ\n  oracle: {exp_cols}\n  spark : {got_cols}")
-            n_fail += 1
-            continue
-        if len(exp_rows) != len(got_rows):
-            print(f"FAIL {name}: row count oracle={len(exp_rows)} spark={len(got_rows)}")
-            n_fail += 1
-            continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(exp_rows, got_rows)) if a != b]
-        if bad:
-            i, a, b = bad[0]
-            print(f"FAIL {name}: {len(bad)}/{len(exp_rows)} rows differ; first at {i}:\n  oracle: {a}\n  spark : {b}\n  cols  : {exp_cols}")
+        got = read_spark(files)
+        errs = compare(exp, got)
+        if errs:
+            print(f"FAIL {name}: " + "\n  ".join(errs))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(exp_rows)} rows)")
+            print(f"PASS {name} ({exp.num_rows} rows)")
             n_pass += 1
     # queries without oracle get a rows-only note
     res_dirs = {os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)}
     for name in sorted(res_dirs - set(oracle)):
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{name}/*.parquet')").fetchone()[0]
+        n = sum(pq.read_metadata(f).num_rows
+                for f in glob.glob(f"{out}/{name}/*.parquet"))
         print(f"ROWS {name}: {n} rows (no oracle)")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)

@@ -15,16 +15,34 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // belt-and-braces with the ntz() output cast below: any timestamp
+      // that does reach the writer as LTZ lands as µs, never INT96/ns
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // sorted for deterministic run order (Map iteration order is not)
+    // Serialization contract with the DuckDB oracle (r6): the oracle's
+    // TIMESTAMP is timezone-naive microseconds (arrow timestamp[us]); a
+    // Spark TIMESTAMP (= LTZ) column would land in parquet as INT96/ns or
+    // as µs-with-UTC-flag, either of which a type-sensitive compare reads
+    // as a different arrow type. Since the session timezone is pinned UTC,
+    // casting LTZ→NTZ at the output boundary is value-preserving and makes
+    // both sides arrow-identical. Top-level columns only (no query returns
+    // nested timestamps; the check.py census would flag one that did).
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types.TimestampType
+      import org.apache.spark.sql.functions.col
+      df.schema.fields.filter(_.dataType == TimestampType).foldLeft(df) {
+        (d, f) => d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -61,7 +61,8 @@ object EventPipeline {
         count(lit(1)).as("n_tx"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.select(col("user_id"), col("day"), col("n_tx"),
+    // DuckDB date_trunc('day', ts) is a DATE — match its arrow type
+    daily.select(col("user_id"), col("day").cast("date").as("day"), col("n_tx"),
       col("day_amount").cast("double").as("day_amount"),
       sum(col("day_amount")).over(w).cast("double").as("balance"),
       sum(col("day_stable")).over(w).cast("double").as("balance_stable"))

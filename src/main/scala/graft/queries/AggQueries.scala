@@ -139,7 +139,8 @@ object AggQueries {
       daily
         .select(col("day"), col("daily_rev"),
           sum(col("daily_rev")).over(w).as("cum_rev"))
-        .select(col("day"), col("daily_rev").cast("double").as("daily_rev"),
+        .select(col("day").cast("date").as("day"),
+          col("daily_rev").cast("double").as("daily_rev"),
           col("cum_rev").cast("double").as("cum_rev"))
     },
     // A11+U7: signed union-aggregate — net flow per user as Σ(+purchase)

@@ -123,7 +123,7 @@ object DerivationQueries {
         .agg(sum(dec("value")).as("state"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       daily
-        .select(col("user_id"), col("day"),
+        .select(col("user_id"), col("day").cast("date").as("day"),
           col("state").cast("double").as("state"),
           (col("state") - lag(col("state"), 1).over(w)).cast("double").as("delta"))
     },

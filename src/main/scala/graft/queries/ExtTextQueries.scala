@@ -129,9 +129,9 @@ object ExtTextQueries {
   val oracleSql: Map[String, String] = Map(
     "q_x_token_count" ->
       """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  length(text) AS n_chars_measured
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_measured
         |FROM documents""".stripMargin,
     // blank-text guard mirrors Spark's tokenCount: split('') yields [''] in
     // both engines, which must count as 0 tokens, not 1
@@ -197,7 +197,7 @@ object ExtTextQueries {
          |    for s in generate_series(1, len(hashes)-least(16, len(hashes))+1)])) END AS picks
          |  FROM hs)
          |SELECT doc_id, md5(array_to_string(picks, ',')) AS fp_digest,
-         |  len(picks) AS n_fingerprints
+         |  CAST(len(picks) AS INTEGER) AS n_fingerprints
          |FROM wn""".stripMargin
     },
     "q_x_dedup_exact" ->
@@ -254,7 +254,7 @@ object ExtTextQueries {
          |  FROM sk CROSS JOIN generate_series(0, 3) t(j)),
          |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.su AS sua, y.su AS sub
          |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         |SELECT a, b, bit_count(xor(sua, sub)) AS hamming
+         |SELECT a, b, CAST(bit_count(xor(sua, sub)) AS INTEGER) AS hamming
          |FROM pairs WHERE bit_count(xor(sua, sub)) <= 20""".stripMargin,
     // Full banded-contract replay: gram hashes → shared MinHash chain → 8
     // bands × 2 rows → candidates → exact string-level gram Jaccard. Grams

@@ -91,7 +91,7 @@ object ExtVectorQueries {
         |r AS (SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
         |  FROM s)
-        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
     "q_x_embed_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim

@@ -52,7 +52,7 @@ object JoinQueries {
         .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
         .agg(count(lit(1)).as("n_shipped"))
       ordered.join(shipped, Seq("day"), "full_outer")
-        .select(col("day"),
+        .select(col("day").cast("date").as("day"),
           coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
           coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
     },

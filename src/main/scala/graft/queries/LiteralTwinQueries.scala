@@ -571,6 +571,8 @@ object LiteralTwinQueries {
       base.groupBy(col("date"))
         .agg((sum(col("down_payment_amount")) + sum(col("loan_amount")))
           .cast("double").as("amount"))
+        // DuckDB date_trunc('month', ts) is a DATE — match its arrow type
+        .withColumn("date", col("date").cast("date"))
         .orderBy(col("date").desc)
     },
     // get_active_states, clause-for-clause (lp_lender_state.rs:45-67):
@@ -800,7 +802,7 @@ object LiteralTwinQueries {
         .agg(sum(col("value").cast("decimal(18,2)")).as("d"))
       val w = Window.orderBy(col("time"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.select(col("time"),
+      daily.select(col("time").cast("date").as("time"),
         (col("d").cast("double") / 1000000.0).as("daily"),
         (sum(col("d")).over(w).cast("double") / 1000000.0).as("cumulative"))
     },
@@ -1284,7 +1286,10 @@ object LiteralTwinQueries {
           col("ts") > lit("1997-01-01").cast("timestamp"))
         .select(col("ts").as("time"),
           (col("value").cast("decimal(18,2)") * micro).as("v"))
-        .select(col("time"), sum(col("v")).over(w).as("bought_back"))
+        // pinned output width: Spark's window-SUM widens (26,8)→(36,8) while
+        // DuckDB widens to (38,8); both sides final-cast to DECIMAL(38,8)
+        .select(col("time"),
+          sum(col("v")).over(w).cast("decimal(38,8)").as("bought_back"))
         .orderBy(col("time").asc, col("bought_back").asc)
     },
     // get_revenue, clause-for-clause (tr_profit.rs:195-209): the
@@ -1296,7 +1301,10 @@ object LiteralTwinQueries {
       val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
       Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
-        .agg((sum(col("value").cast("decimal(18,2)")) * micro).as("revenue"))
+        // pinned output width (both sides final-cast to DECIMAL(38,8);
+        // Spark's multiply widening gives (36,8), DuckDB's (35,8))
+        .agg((sum(col("value").cast("decimal(18,2)")) * micro)
+          .cast("decimal(38,8)").as("revenue"))
     },
     // get_pnl_over_time, clause-for-clause (ls_state.rs:537-624): the
     // hourly unrealized-PnL series for one position — every CTE of the
@@ -1763,7 +1771,7 @@ object LiteralTwinQueries {
       Tables.events(s, dir)
         .filter(col("event_type") === "view")
         .agg((sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)") * micro)
-          .as("distributed"))
+          .cast("decimal(38,8)").as("distributed"))
     },
     // get_borrow_apr_with_window, clause-for-clause (ls_opening.rs:337-377):
     // the APR page — interest permille / 10.0 for one pool (pinned pool 7)
@@ -2029,11 +2037,13 @@ object LiteralTwinQueries {
           col("l_shipdate") > lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .agg(
-          sum(col("l_discount").cast("decimal(18,2)")).as("prev_margin_stable"),
-          sum(col("l_linenumber").cast("decimal(18,2)")).as("prev_interest_stable"),
-          sum(col("l_tax").cast("decimal(18,2)")).as("current_margin_stable"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("current_interest_stable"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("principal_stable"))
+          // pinned output width: both sides final-cast to DECIMAL(38,2)
+          // (Spark widens SUM(18,2) to (28,2), DuckDB to (38,2))
+          sum(col("l_discount").cast("decimal(18,2)")).cast("decimal(38,2)").as("prev_margin_stable"),
+          sum(col("l_linenumber").cast("decimal(18,2)")).cast("decimal(38,2)").as("prev_interest_stable"),
+          sum(col("l_tax").cast("decimal(18,2)")).cast("decimal(38,2)").as("current_margin_stable"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("current_interest_stable"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("principal_stable"))
     },
     // count, clause-for-clause (ls_opening.rs:194-213): the per-interval
     // openings counter feeding PL_State (half-open window: > from AND <= to).
@@ -2265,7 +2275,7 @@ object LiteralTwinQueries {
         |    o.ls_loan_amnt / POWER(10, cr_asset.decimal_digits) AS received_amount,
         |    CASE WHEN o.ls_asset_symbol IN (0, 13) THEN 'USDC'
         |         ELSE CAST(o.ls_asset_symbol AS VARCHAR) END AS received_currency,
-        |    0.0 AS fee_amount, 'USDC' AS fee_currency, 'margin trading' AS label,
+        |    CAST(0.0 AS DOUBLE) AS fee_amount, 'USDC' AS fee_currency, 'margin trading' AS label,
         |    CASE WHEN o.pos_type = 'Short'
         |           THEN CONCAT(COALESCE(o.short_symbol, 'Unknown'), ' short opening')
         |         ELSE CONCAT(CAST(o.ls_asset_symbol AS VARCHAR), ' long opening')
@@ -2282,7 +2292,7 @@ object LiteralTwinQueries {
         |         ELSE CAST(o.ls_asset_symbol AS VARCHAR) END AS sent_currency,
         |    COALESCE(c.total_collect_normalized, 0.0) AS received_amount,
         |    'USDC' AS received_currency,
-        |    0.0 AS fee_amount, 'USDC' AS fee_currency, 'margin trading' AS label,
+        |    CAST(0.0 AS DOUBLE) AS fee_amount, 'USDC' AS fee_currency, 'margin trading' AS label,
         |    CASE WHEN COALESCE(c.total_collect_normalized, 0.0) > 0
         |         THEN CASE WHEN o.pos_type = 'Short'
         |                THEN CONCAT(COALESCE(o.short_symbol, 'Unknown'), ' short closing')
@@ -2952,13 +2962,13 @@ object LiteralTwinQueries {
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type,
         |    CAST(value AS DECIMAL(18,2)) * CAST('0.000001' AS DECIMAL(7,6)) AS v
         |  FROM events)
-        |SELECT ts AS "time", SUM(v) OVER (ORDER BY ts) AS bought_back
+        |SELECT ts AS "time", CAST(SUM(v) OVER (ORDER BY ts) AS DECIMAL(38,8)) AS bought_back
         |FROM ev
         |WHERE event_type = 'purchase' AND ts > TIMESTAMP '1997-01-01'
         |ORDER BY "time" ASC, bought_back ASC""".stripMargin,
     "q_lit_revenue_total" ->
-      """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |  * CAST('0.000001' AS DECIMAL(7,6)) AS revenue
+      """SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS revenue
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q_lit_pnl_over_time" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
@@ -3377,8 +3387,8 @@ object LiteralTwinQueries {
         |JOIN pc ON pc.pool_id = o_custkey
         |GROUP BY o_orderkey, o_orderkey % 25, o_totalprice, pc.lpn_decimals""".stripMargin,
     "q_lit_rewards_distributed" ->
-      """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |  * CAST('0.000001' AS DECIMAL(7,6)) AS distributed
+      """SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS distributed
         |FROM events WHERE event_type = 'view'""".stripMargin,
     "q_lit_borrow_apr" ->
       """SELECT apr FROM (
@@ -3590,11 +3600,11 @@ object LiteralTwinQueries {
         |OFFSET 10 LIMIT 40""".stripMargin,
     "q_lit_repayment_sums" ->
       """SELECT
-        |  SUM(CAST(l_discount AS DECIMAL(18,2))) AS prev_margin_stable,
-        |  SUM(CAST(l_linenumber AS DECIMAL(18,2))) AS prev_interest_stable,
-        |  SUM(CAST(l_tax AS DECIMAL(18,2))) AS current_margin_stable,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS current_interest_stable,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS principal_stable
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS prev_margin_stable,
+        |  CAST(SUM(CAST(l_linenumber AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS prev_interest_stable,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS current_margin_stable,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS current_interest_stable,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS principal_stable
         |FROM lineitem
         |WHERE l_returnflag = 'R'
         |  AND l_shipdate > TIMESTAMP '1996-01-01'

@@ -84,7 +84,8 @@ object PipelineQueries {
         .withColumn("state", sum(coalesce(col("purchase_vol"), lit(0).cast("decimal(18,2)")) -
           coalesce(col("error_vol"), lit(0).cast("decimal(18,2)"))).over(cum))
         .withColumn("prev_state", lag(col("state"), 1).over(w))
-        .select(col("day"), col("n_purchases"), col("n_signups"), col("n_errors"), col("n_active"),
+        .select(col("day").cast("date").as("day"),
+          col("n_purchases"), col("n_signups"), col("n_errors"), col("n_active"),
           col("purchase_vol").cast("double").as("purchase_vol"),
           col("signup_vol").cast("double").as("signup_vol"),
           col("error_vol").cast("double").as("error_vol"),
@@ -266,7 +267,7 @@ object PipelineQueries {
       """SELECT list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
         |  count(*) AS n_objects,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |  max(octet_length(encode(text))) AS max_bytes
+        |  CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -134,7 +134,7 @@ object ScalarQueries {
         |FROM orders WHERE o_orderkey < 500""".stripMargin,
     "q_s_array_notall" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
-        |SELECT doc_id, len(ws) AS n_tokens FROM w
+        |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tokens FROM w
         |WHERE NOT list_contains(ws, 'the')""".stripMargin,
     "q_b12_json_props" ->
       s"""WITH $evCte
