@@ -29,9 +29,13 @@ object LiteralTwinQueries {
 
   /** Bit-deterministic half-up round: floor(x·10ⁿ+0.5)/10ⁿ in pure double —
     * identical IEEE op sequence in Spark and DuckDB (native double ROUND
-    * implementations diverge on near-tie magnitudes). Safe only when the
-    * rounded value cannot sit on an exact .5 tie (see the PLANS.md rnd-site
-    * audit); terms that can tie use the exact-decimal helpers below instead.
+    * implementations diverge on near-tie magnitudes). After the r6 purge the
+    * ONLY remaining call sites are true ratios (pnl%, liquidation price,
+    * bucket percent — quotients with data-dependent denominators that no
+    * finite decimal can represent) and the POWER(·,365) daily-compounding
+    * legs (transcendental — libm-bound on both engines regardless). Every
+    * divisor-normalization ("amount / 10^d", "amount / m") rounds through
+    * the exact-decimal helpers below on BOTH the Spark and the oracle side.
     */
   private def rnd(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val p = math.pow(10.0, n)
@@ -39,15 +43,21 @@ object LiteralTwinQueries {
   }
 
   /** Exact-decimal 6dp half-up round of a micro-unit (×10⁶) decimal term:
-    * round half-up to an integer, scale back by the exact literal 10⁻⁶. Both
-    * engines round decimals half-up (away from zero; all amounts here are
-    * positive) and multiply decimals exactly at these widths, so no IEEE
-    * near-tie exists for a different libm/FMA build to break — the fix for
-    * the r4 `q_lit_wallet_tx_volume` driver-only hash flap (exact .5 ties in
-    * `floor(x·1e6+0.5)` double arithmetic).
+    * floor(x + 0.5) to an integer in pure decimal, scale back by the exact
+    * literal 10⁻⁶. Decimal multiplies/adds are exact at these widths, so no
+    * IEEE near-tie exists for a different libm/FMA build to break — the fix
+    * for the r4 `q_lit_wallet_tx_volume` driver-only hash flap (exact .5
+    * ties in `floor(x·1e6+0.5)` double arithmetic). floor(x+0.5) rather
+    * than round(x, 0): micro terms DO land on exact .5 (scale-2 amount ×
+    * 10¹ divisor), and while Spark pins decimal ROUND to HALF_UP, DuckDB's
+    * decimal round tie behavior is an implementation detail that has
+    * changed across releases — decimal floor is truncation toward −∞ in
+    * every version of both engines (amounts here are positive, so
+    * floor(x+0.5) IS half-up).
     */
   private def microRound6(micro: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (round(micro, 0).cast("decimal(20,0)") *
+    (floor(micro + lit(new java.math.BigDecimal("0.5")).cast("decimal(1,1)"))
+      .cast("decimal(20,0)") *
       lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)"))
       .cast("decimal(28,6)")
 
@@ -73,6 +83,38 @@ object LiteralTwinQueries {
       .when(m === 4, d("250000.000000"))
       .otherwise(lit(null).cast("decimal(13,6)"))   // = the NULLIF(m, 0) guard
   }
+
+  /** 10⁻ᵈ (d ∈ 1..5) as an exact scale-8 decimal: turns the reference's
+    * `amount / POWER(10, d)` pinned to ::numeric(38,8) into one exact
+    * multiply. Amounts are 2dp, so the product's true scale is 2+d ≤ 7 and
+    * the final (20,8) cast is lossless — the 8dp "round" is an identity,
+    * now computed with zero double ops.
+    */
+  private def pow10inv8(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def l(sv: String) = lit(new java.math.BigDecimal(sv)).cast("decimal(9,8)")
+    when(d === 1, l("0.10000000")).when(d === 2, l("0.01000000"))
+      .when(d === 3, l("0.00100000")).when(d === 4, l("0.00010000"))
+      .when(d === 5, l("0.00001000"))
+      .otherwise(lit(null).cast("decimal(9,8)"))
+  }
+
+  /** Oracle-SQL twin of [[microRecip]]: 10⁶/m as the same exact decimal
+    * literals, for interpolation into oracleSql entries.
+    */
+  private def recipSql(expr: String): String =
+    s"""(CASE CAST($expr AS INT)
+       |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+       |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+       |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+       |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END)""".stripMargin
+
+  /** Oracle-SQL twin of [[microRound6]]: floor(micro + 0.5) in exact
+    * decimal, scaled back by the exact 10⁻⁶ literal.
+    */
+  private def microSql(inner: String): String =
+    s"""CAST(CAST(floor($inner
+       |      + 0.5) AS DECIMAL(20,0))
+       |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))""".stripMargin
 
   /** pool_config role (shared by the positions and realized-PnL twins):
     * customer plays the pool dim — Long/Short/NULL position type from the
@@ -488,11 +530,9 @@ object LiteralTwinQueries {
     "q_lit_total_tx_value" -> { (s, dir) =>
       val pcDf = broadcast(poolConfig(s, dir))
       def cr(role: String) = currencyRegistry(s, dir, role)
-      def vol(c: org.apache.spark.sql.Column) = rnd(c, 6).cast("decimal(28,6)").as("volume")
-      // registry-digit legs round in exact micro-unit decimals (tie-capable
-      // at digits=5 — see the PLANS.md rnd audit); the events leg divides by
-      // 1..3 only (scale ≤ 3 or thirds: provably tie-free) and keeps the
-      // double rnd
+      // every leg rounds in exact micro-unit decimals — the events leg's
+      // 1..3 divisor is provably tie-free in double too, but the twin
+      // convention is zero double ops in any rounded term
       val openedLeases = lsOpening(s, dir)
         .join(pcDf, col("ls_loan_pool_id") === col("pool_id"))
         .join(cr("cl"), col("ls_cltr_symbol") === col("cl_ticker"))
@@ -504,7 +544,8 @@ object LiteralTwinQueries {
       def lpFlow(eventType: String) = Tables.events(s, dir)
         .filter(col("event_type") === eventType)
         .join(pcDf, col("user_id") === col("pool_id"))
-        .select(vol(col("value") / nullif(col("stable_currency_decimals"), lit(0.0))))
+        .select(microRound6(col("value").cast("decimal(20,2)") *
+          microRecip(nullif(col("stable_currency_decimals"), lit(0.0)))).as("volume"))
       def lsPay(flag: String, role: String) = Tables.lineitem(s, dir)
         .filter(col("l_returnflag") === flag)
         .join(cr(role), pmod(col("l_partkey"), lit(25)) === col(s"${role}_ticker"))
@@ -566,8 +607,8 @@ object LiteralTwinQueries {
           date_trunc("month", col("ls_timestamp")).as("date"),
           microRound6(col("ls_cltr_amnt_stable").cast("decimal(20,2)") *
             pow10micro(col("cl_decimal_digits"))).as("down_payment_amount"),
-          rnd(col("ls_loan_amnt") / col("lpn_decimals"), 6)
-            .cast("decimal(28,6)").as("loan_amount"))
+          microRound6(col("ls_loan_amnt").cast("decimal(20,2)") *
+            microRecip(col("lpn_decimals"))).as("loan_amount"))
       base.groupBy(col("date"))
         .agg((sum(col("down_payment_amount")) + sum(col("loan_amount")))
           .cast("double").as("amount"))
@@ -665,7 +706,8 @@ object LiteralTwinQueries {
     // decimal in the final SUM−SUM).
     "q_lit_realized_pnl_total" -> { (s, dir) =>
       def cr(role: String) = currencyRegistry(s, dir, role)
-      val dec38 = (c: org.apache.spark.sql.Column) => rnd(c, 8).cast("decimal(20,8)")
+      def dec38(amt: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+        (amt.cast("decimal(20,2)") * pow10inv8(d)).cast("decimal(20,8)")
       val openings = lsOpening(s, dir)
         .filter(pmod(col("ls_address_id"), lit(100)) === 7)
         .select(col("ls_contract_id"), col("ls_cltr_symbol"), col("ls_cltr_amnt_stable"))
@@ -677,7 +719,7 @@ object LiteralTwinQueries {
         .join(openIds, col(s"${out}_contract_id") === col("ls_contract_id"), "left_semi")
         .join(cr(role), col("sym") === col(s"${role}_ticker"))
         .groupBy(col(s"${out}_contract_id"))
-        .agg(sum(dec38(col("amt") / pow(lit(10.0), col(s"${role}_decimal_digits"))))
+        .agg(sum(dec38(col("amt"), col(s"${role}_decimal_digits")))
           .as(s"${out}_total"))
       val repayments = paySum("R", "pay", "rp")
       val collects = paySum("A", "col", "cl")
@@ -689,7 +731,7 @@ object LiteralTwinQueries {
         .join(collects, col("ls_contract_id") === col("cl_contract_id"), "left")
         .join(closing, col("ls_contract_id") === col("ct_contract_id"))
         .select(
-          (dec38(col("ls_cltr_amnt_stable") / pow(lit(10.0), col("cltr_decimal_digits"))) +
+          (dec38(col("ls_cltr_amnt_stable"), col("cltr_decimal_digits")) +
             coalesce(col("rp_total"), lit(0).cast("decimal(20,8)"))).as("sent_open_usdc"),
           coalesce(col("cl_total"), lit(0).cast("decimal(20,8)")).as("received_close_usdc"))
       flows.agg((sum(col("received_close_usdc")) - sum(col("sent_open_usdc")))
@@ -748,22 +790,28 @@ object LiteralTwinQueries {
         .select(col("lp_pool").as("pu_pool"),
           when(col("tvl") > 0, col("borrowed_st") / col("tvl"))
             .otherwise(lit(0.0)).as("utilization_rate"))
+      // margin constants as exact scale-1 decimals: the weighted term
+      // (interest‰/10 − margin)·principal is then a pure decimal product
+      // of true scale 3 — the reference's 6dp round is an identity on it
+      def mlit(sv: String) = lit(new java.math.BigDecimal(sv)).cast("decimal(2,1)")
       val margin =
         when(col("protocol_label").isin("proto-3", "proto-5"),
-          when(col("ls_timestamp") >= lit("1997-06-01").cast("timestamp"), lit(8.0))
-            .otherwise(lit(4.0)))
-          .when(col("lpn_symbol").isin(3, 7), lit(2.5))
-          .when(col("lpn_symbol") === 11, lit(4.0))
-          .when(col("lpn_symbol").isin(15, 19), lit(2.0))
-          .otherwise(lit(4.0))
+          when(col("ls_timestamp") >= lit("1997-06-01").cast("timestamp"), mlit("8.0"))
+            .otherwise(mlit("4.0")))
+          .when(col("lpn_symbol").isin(3, 7), mlit("2.5"))
+          .when(col("lpn_symbol") === 11, mlit("4.0"))
+          .when(col("lpn_symbol").isin(15, 19), mlit("2.0"))
+          .otherwise(mlit("4.0"))
       val avgInterest = lsState
         .crossJoin(broadcast(latestLsAgg))
         .join(lsOpening(s, dir), col("st_contract") === col("ls_contract_id"))
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
         .filter(col("st_ts") === col("ls_max_ts"))
         .groupBy(col("ls_loan_pool_id"))
-        .agg((sum(rnd((col("ls_interest") / 10.0 - margin) * col("st_principal"), 6)
-          .cast("decimal(28,6)")).cast("double") /
+        .agg((sum(((col("ls_interest").cast("decimal(5,0)") *
+            lit(new java.math.BigDecimal("0.1")).cast("decimal(2,1)") - margin) *
+            col("st_principal").cast("decimal(20,2)")).cast("decimal(28,6)"))
+          .cast("double") /
           nullif(sum(col("st_principal").cast("decimal(18,2)")).cast("double"), lit(0.0)))
           .as("avg_net_interest"))
         .select(col("ls_loan_pool_id").as("ai_pool"), col("avg_net_interest"))
@@ -813,7 +861,7 @@ object LiteralTwinQueries {
     // their own registry divisor, UNION ALL, one SUM. Wallet cohort
     // o_custkey%100=7 as in the realized-PnL twin. Every rounded per-row
     // term is pure decimal arithmetic in MICRO-units (amount ×10^(6−d) /
-    // ×(10⁶/m) via exact literals, round(·,0) half-up, ×10⁻⁶) — no double
+    // ×(10⁶/m) via exact literals, floor(· + 0.5) half-up, ×10⁻⁶) — no double
     // anywhere in a rounded term, so the r4 driver-only near-tie hash flap
     // cannot recur; the scalar stays DECIMAL (ulp rule, see
     // q_lit_total_tx_value).
@@ -866,9 +914,9 @@ object LiteralTwinQueries {
           col("r_contract") === col("ls_contract_id"))
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
         .groupBy(col("r_contract"), col("stable_currency_decimals"))
-        .agg(rnd(sum(col("pay").cast("decimal(18,2)")).cast("double") /
-          col("stable_currency_decimals"), 6)
-          .cast("decimal(28,6)").as("total_repaid_usdc"))
+        .agg(microRound6(sum(col("pay").cast("decimal(18,2)")).cast("decimal(24,2)") *
+          microRecip(col("stable_currency_decimals")))
+          .as("total_repaid_usdc"))
         .select(col("r_contract"), col("total_repaid_usdc"))
       val collects = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
         .select(col("l_orderkey").as("c_contract"), col("l_extendedprice").as("amt"),
@@ -920,9 +968,9 @@ object LiteralTwinQueries {
           col("r_contract") === col("ls_contract_id"))
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
         .groupBy(col("r_contract"), col("stable_currency_decimals"))
-        .agg(rnd(sum(col("pay").cast("decimal(18,2)")).cast("double") /
-          col("stable_currency_decimals"), 6)
-          .cast("decimal(28,6)").as("total_repaid_usdc"))
+        .agg(microRound6(sum(col("pay").cast("decimal(18,2)")).cast("decimal(24,2)") *
+          microRecip(col("stable_currency_decimals")))
+          .as("total_repaid_usdc"))
         .select(col("r_contract"), col("total_repaid_usdc"))
       val collects = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
         .select(col("l_orderkey").as("c_contract"), col("l_extendedprice").as("amt"),
@@ -1043,13 +1091,16 @@ object LiteralTwinQueries {
         .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
         .select(
-          (col("st_principal_stable") / col("lpn_decimals")).as("loan_in_stables"),
+          // exact micro-unit quotient (×10⁶); filter and 6dp round both
+          // read this decimal, so no double leg survives
+          (col("st_principal_stable").cast("decimal(20,2)") *
+            microRecip(col("lpn_decimals"))).as("loan_micro"),
           when(col("position_type") === "Short",
             concat(col("lpn_symbol").cast("string"), lit(" (Short)")))
             .otherwise(col("ls_asset_symbol").cast("string")).as("asset_type"))
-      opened.filter(col("loan_in_stables") > 0)
+      opened.filter(col("loan_micro") > 0)
         .groupBy(col("asset_type"))
-        .agg(sum(rnd(col("loan_in_stables"), 6).cast("decimal(28,6)"))
+        .agg(sum(microRound6(col("loan_micro")))
           .cast("double").as("value"))
         .select(col("asset_type").as("symbol"), col("value"))
         .orderBy(col("value").asc)
@@ -1070,18 +1121,22 @@ object LiteralTwinQueries {
         .filter(col("st_timestamp") === col("max_ts") && col("st_principal_stable") > 0)
         .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"))
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
-        .select((col("st_principal_stable") / col("lpn_decimals")).as("loan"))
+        // exact micro-unit quotient; the bucket CASE compares in micro
+        // units (bounds ×10⁶) so the whole ladder is decimal-exact
+        .select((col("st_principal_stable").cast("decimal(20,2)") *
+          microRecip(col("lpn_decimals"))).as("loan"))
       val lc = col("loan")
+      val M = 1000000L
       loans.select(
-          when(lc < 1000, lit("0-0.999k"))
-            .when(lc.between(1000, 1999), lit("1-1.9k"))
-            .when(lc.between(2000, 4999), lit("2-4.9k"))
-            .when(lc.between(5000, 9999), lit("5-9.9k"))
-            .when(lc.between(10000, 14999), lit("10-14.9k"))
-            .when(lc >= 15000, lit("15k+")).as("loan_category"), lc)
+          when(lc < 1000 * M, lit("0-0.999k"))
+            .when(lc.between(1000 * M, 1999 * M), lit("1-1.9k"))
+            .when(lc.between(2000 * M, 4999 * M), lit("2-4.9k"))
+            .when(lc.between(5000 * M, 9999 * M), lit("5-9.9k"))
+            .when(lc.between(10000 * M, 14999 * M), lit("10-14.9k"))
+            .when(lc >= 15000 * M, lit("15k+")).as("loan_category"), lc)
         .groupBy(col("loan_category"))
         .agg(count(col("loan")).as("loan_count"),
-          sum(rnd(lc, 6).cast("decimal(28,6)")).cast("double").as("loan_size"))
+          sum(microRound6(lc)).cast("double").as("loan_size"))
     },
     // get_lease_value_stats, clause-for-clause (ls_state.rs:761-797):
     // Latest_States DISTINCT ON (contract) restricted to the global max
@@ -1109,11 +1164,16 @@ object LiteralTwinQueries {
         .join(cr("lv"), col("ls_asset_symbol") === col("lv_ticker"))
         .filter(col("st_amnt_stable") > 0)
         .select(col("ls_asset_symbol").as("asset"),
-          (col("st_amnt_stable") / pow(lit(10.0), col("lv_decimal_digits"))).as("lease_value"))
+          // micro units for the exact 6dp-round sum; the max output stays a
+          // unit double via ONE exact-decimal→double conversion
+          (col("st_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("lv_decimal_digits"))).as("lease_micro"))
         .groupBy(col("asset"))
-        .agg((sum(rnd(col("lease_value"), 6).cast("decimal(28,6)")).cast("double") /
+        .agg((sum(microRound6(col("lease_micro"))).cast("double") /
           count(lit(1)).cast("double")).as("avg_value"),
-          max(col("lease_value")).as("max_value"))
+          (max(col("lease_micro")) *
+            lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)"))
+            .cast("double").as("max_value"))
     },
     // get_leased_assets_total, clause-for-clause (ls_opening.rs:399-447):
     // the latest-snapshot Opened CTE with both LEFT dim joins, the
@@ -1136,9 +1196,10 @@ object LiteralTwinQueries {
         .select(
           when(col("position_type") === "Short", concat(col("label"), lit(" (Short)")))
             .otherwise(col("ls_asset_symbol").cast("string")).as("asset"),
-          (col("st_amnt_stable") / pow(lit(10.0), col("lt_decimal_digits"))).as("lease_value"))
+          (col("st_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("lt_decimal_digits"))).as("lease_micro"))
         .groupBy(col("asset"))
-        .agg(sum(rnd(col("lease_value"), 6).cast("decimal(28,6)"))
+        .agg(sum(microRound6(col("lease_micro")))
           .cast("double").as("loan"))
         .orderBy(col("loan").desc)
     },
@@ -1152,9 +1213,10 @@ object LiteralTwinQueries {
         .select(
           when(col("position_type") === "Short", concat(col("label"), lit(" (Short)")))
             .otherwise(col("ls_asset_symbol").cast("string")).as("asset"),
-          (col("ls_loan_amnt") / col("lpn_decimals")).as("granted"))
+          (col("ls_loan_amnt").cast("decimal(20,2)") *
+            microRecip(col("lpn_decimals"))).as("granted_micro"))
         .groupBy(col("asset"))
-        .agg(sum(rnd(col("granted"), 6).cast("decimal(28,6)"))
+        .agg(sum(microRound6(col("granted_micro")))
           .cast("double").as("loan"))
         .orderBy(col("loan").asc)
     },
@@ -1180,9 +1242,10 @@ object LiteralTwinQueries {
           when(col("position_type") === "Short",
             concat(col("lpn_symbol").cast("string"), lit(" (Short)")))
             .otherwise(col("ls_asset_symbol").cast("string")).as("token"),
-          (col("st_amnt_stable") / pow(lit(10.0), col("op_decimal_digits"))).as("lease_value"))
+          (col("st_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("op_decimal_digits"))).as("lease_micro"))
         .groupBy(col("token"))
-        .agg(sum(rnd(col("lease_value"), 6).cast("decimal(28,6)"))
+        .agg(sum(microRound6(col("lease_micro")))
           .cast("double").as("market_value"))
         .orderBy(col("market_value").desc)
     },
@@ -1357,16 +1420,20 @@ object LiteralTwinQueries {
         .filter(col("l_returnflag") === "R" && pmod(col("l_orderkey"), lit(500)) === 17)
         .select(col("l_orderkey").as("nr_contract"),
           date_trunc("hour", col("l_shipdate")).as("rep_hour"),
-          (col("l_extendedprice") + col("l_quantity") + col("l_tax") +
-            col("l_linenumber") + col("l_discount")).as("rep_raw"))
+          (col("l_extendedprice").cast("decimal(18,2)") +
+            col("l_quantity").cast("decimal(18,2)") +
+            col("l_tax").cast("decimal(18,2)") +
+            col("l_linenumber").cast("decimal(18,2)") +
+            col("l_discount").cast("decimal(18,2)")).as("rep_raw"))
         .join(opening, col("nr_contract") === col("ls_contract_id"))
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
         .select(col("nr_contract"), col("rep_hour"),
-          (col("rep_raw") / col("lpn_decimals")).as("rep_value"))
+          (col("rep_raw").cast("decimal(20,2)") *
+            microRecip(col("lpn_decimals"))).as("rep_micro"))
       val repaySummary = leaseHours
         .join(normRepay, col("rep_hour") <= col("hour"), "left")
         .groupBy(col("hour"), col("nr_contract"))
-        .agg(sum(rnd(col("rep_value"), 6).cast("decimal(28,6)"))
+        .agg(sum(microRound6(col("rep_micro")))
           .cast("double").as("cumulative_repayment"))
         .select(col("hour").as("rs_hour"), col("nr_contract").as("rs_contract"),
           col("cumulative_repayment"))
@@ -1449,8 +1516,8 @@ object LiteralTwinQueries {
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
         .groupBy(col("date"))
         .agg(coalesce(
-          sum(rnd(col("cl_principal") / col("stable_currency_decimals"), 6)
-            .cast("decimal(28,6)")),
+          sum(microRound6(col("cl_principal").cast("decimal(20,2)") *
+            microRecip(col("stable_currency_decimals")))),
           lit(0).cast("decimal(38,6)")).cast("double").as("closed_loans"))
         .select(col("date").as("closed_date"), col("closed_loans"))
       val dailyOpened = dateSeries
@@ -1458,8 +1525,8 @@ object LiteralTwinQueries {
         .join(pcB, col("ls_loan_pool_id") === col("pool_id"), "left")
         .groupBy(col("date"))
         .agg(coalesce(
-          sum(rnd(col("ls_loan_amnt") / col("lpn_decimals"), 6)
-            .cast("decimal(28,6)")),
+          sum(microRound6(col("ls_loan_amnt").cast("decimal(20,2)") *
+            microRecip(col("lpn_decimals")))),
           lit(0).cast("decimal(38,6)")).cast("double").as("opened_loans"))
         .select(col("date").as("opened_date"), col("opened_loans"))
       dailyClosed
@@ -1612,8 +1679,8 @@ object LiteralTwinQueries {
         .join(stateTs, col(pool) === col("g_pool") && col("f_ts") <= col("g_ts"),
           "left_semi")
         .groupBy(col(pool))
-        .agg(sum(col("f_stable").cast("decimal(18,2)")).cast("double").as(st),
-          sum(col("f_asset").cast("decimal(18,2)")).cast("double").as(as_))
+        .agg(sum(col("f_stable").cast("decimal(18,2)")).cast("decimal(24,2)").as(st),
+          sum(col("f_asset").cast("decimal(18,2)")).cast("decimal(24,2)").as(as_))
       val deposits = flowSums(col("l_linestatus") === "O",
         "d_pool", "deposited_stable", "deposited_asset")
       val withdrawals = flowSums(
@@ -1631,17 +1698,27 @@ object LiteralTwinQueries {
         .join(broadcast(longProtocols), col("mp_protocol") === col("lp_protocol"))
         .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
         .select(col("mp_symbol"), col("mp_price"))
+      // exact micro-unit earnings (×10⁶); the Short branch multiplies the
+      // asset residual by the 2dp price BEFORE the reciprocal so every
+      // intermediate stays within precision 38 — exact decimal multiplies
+      // commute, so the reordering vs the reference's /m·price is lossless
+      val dep0 = lit(0).cast("decimal(24,2)")
+      val netStable = col("lender_stable").cast("decimal(18,2)") -
+        (coalesce(col("deposited_stable"), dep0) -
+          coalesce(col("withdrawn_stable"), dep0))
+      val netAsset = col("lender_asset").cast("decimal(18,2)") -
+        (coalesce(col("deposited_asset"), dep0) -
+          coalesce(col("withdrawn_asset"), dep0))
       val earnings =
         when(col("position_type") === "Long",
-          (col("lender_stable") -
-            (coalesce(col("deposited_stable"), lit(0.0)) -
-              coalesce(col("withdrawn_stable"), lit(0.0)))) / col("lpn_decimals"))
+          (netStable.cast("decimal(24,2)") * microRecip(col("lpn_decimals")))
+            .cast("decimal(36,10)"))
           .when(col("position_type") === "Short",
-            (col("lender_asset") -
-              (coalesce(col("deposited_asset"), lit(0.0)) -
-                coalesce(col("withdrawn_asset"), lit(0.0)))) / col("lpn_decimals") *
-              coalesce(col("mp_price"), lit(0.0)))
-          .otherwise(lit(0.0))
+            ((netAsset.cast("decimal(20,2)") *
+              coalesce(col("mp_price").cast("decimal(9,2)"),
+                lit(0).cast("decimal(9,2)"))).cast("decimal(22,4)") *
+              microRecip(col("lpn_decimals"))).cast("decimal(36,10)"))
+          .otherwise(lit(0).cast("decimal(36,10)"))
       pcAll.filter(col("is_active"))
         .join(lenderStates, col("pool_id") === col("ls_pool"))
         .join(deposits, col("pool_id") === col("d_pool"), "left")
@@ -1649,7 +1726,7 @@ object LiteralTwinQueries {
         .join(latestPrices, col("lpn_symbol").cast("bigint") === col("mp_symbol") &&
           col("position_type") === "Short", "left")
         .agg(coalesce(
-          sum(rnd(greatest(earnings, lit(0.0)), 6).cast("decimal(28,6)")),
+          sum(microRound6(greatest(earnings, lit(0).cast("decimal(36,10)")))),
           lit(0).cast("decimal(38,6)")).as("total_earnings_in_stable"))
     },
     // get_min_max_from_range, clause-for-clause (mp_asset.rs:40-60): the
@@ -1702,10 +1779,9 @@ object LiteralTwinQueries {
           when(col("position_type") === "Short",
             concat(col("lpn_symbol").cast("string"), lit(" (Short)")))
             .otherwise(col("ls_asset_symbol").cast("string")).as("token"),
-          (col("st_amnt_stable") / pow(lit(10.0), col("ov_decimal_digits")))
-            .as("lease_value"))
-        .agg(sum(rnd(col("lease_value"), 6).cast("decimal(28,6)"))
-          .as("open_position_value"))
+          microRound6(col("st_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("ov_decimal_digits"))).as("lease_value"))
+        .agg(sum(col("lease_value")).as("open_position_value"))
     },
     // get_open_interest, clause-for-clause (ls_state.rs:404-458): the same
     // Opened chain WITHOUT the amnt > 0 filter (the reference drops it
@@ -1795,7 +1871,8 @@ object LiteralTwinQueries {
         .join(broadcast(poolConfig(s, dir)), col("pool_id") === col("ls_loan_pool_id"))
         .groupBy(col("ls_loan_pool_id"))
         .agg(coalesce(
-          sum(rnd(col("ls_loan_amnt") / col("lpn_decimals"), 6).cast("decimal(28,6)")),
+          sum(microRound6(col("ls_loan_amnt").cast("decimal(20,2)") *
+            microRecip(col("lpn_decimals")))),
           lit(0).cast("decimal(38,6)")).cast("double").as("loan"))
         .select(col("ls_loan_pool_id").as("protocol"), col("loan"))
     },
@@ -1813,8 +1890,8 @@ object LiteralTwinQueries {
           col("st_contract_id") === col("ls_contract_id"))
         .join(currencyRegistry(s, dir, "pv"), col("ls_asset_symbol") === col("pv_ticker"))
         .groupBy(col("time"))
-        .agg(sum(rnd(col("st_amnt_stable") / pow(lit(10.0), col("pv_decimal_digits")), 6)
-          .cast("decimal(28,6)")).cast("double").as("amount"))
+        .agg(sum(microRound6(col("st_amnt_stable").cast("decimal(20,2)") *
+          pow10micro(col("pv_decimal_digits")))).cast("double").as("amount"))
         .orderBy(col("time").asc)
     },
     // get_debt_value, clause-for-clause (ls_opening.rs:946-978): the debt
@@ -1824,14 +1901,17 @@ object LiteralTwinQueries {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
         .select(col("l_orderkey").as("st_contract_id"), col("l_shipdate").as("time"),
-          (col("l_extendedprice") + col("l_discount") + col("l_tax") +
-            col("l_linenumber") + col("l_quantity")).as("debt"))
+          (col("l_extendedprice").cast("decimal(18,2)") +
+            col("l_discount").cast("decimal(18,2)") +
+            col("l_tax").cast("decimal(18,2)") +
+            col("l_linenumber").cast("decimal(18,2)") +
+            col("l_quantity").cast("decimal(18,2)")).as("debt"))
         .join(lsOpening(s, dir).filter(pmod(col("ls_address_id"), lit(100)) === 7),
           col("st_contract_id") === col("ls_contract_id"))
         .join(broadcast(poolConfig(s, dir)), col("pool_id") === col("ls_loan_pool_id"))
         .groupBy(col("time"))
-        .agg(sum(rnd(col("debt") / col("lpn_decimals"), 6)
-          .cast("decimal(28,6)")).cast("double").as("amount"))
+        .agg(sum(microRound6(col("debt").cast("decimal(20,2)") *
+          microRecip(col("lpn_decimals")))).cast("double").as("amount"))
         .orderBy(col("time").asc)
     },
     // get_historically_liquidated, clause-for-clause
@@ -1920,8 +2000,8 @@ object LiteralTwinQueries {
         .filter(col("st_ts") === col("max_ts"))
         .join(lsOpening(s, dir), col("st_contract_id") === col("ls_contract_id"), "left")
         .join(currencyRegistry(s, dir, "tv"), col("ls_asset_symbol") === col("tv_ticker"))
-        .select(rnd(col("st_amnt_stable") / pow(lit(10.0), col("tv_decimal_digits")), 6)
-          .cast("decimal(28,6)").as("lease_value"))
+        .select(microRound6(col("st_amnt_stable").cast("decimal(20,2)") *
+          pow10micro(col("tv_decimal_digits"))).as("lease_value"))
       val wP = Window.partitionBy(col("lp_pool"))
         .orderBy(col("lp_ts").desc, col("tvl").desc, col("borrowed_st").desc)
       val poolAvail = Tables.lineitem(s, dir)
@@ -1931,8 +2011,9 @@ object LiteralTwinQueries {
         .filter(col("lp_pool").isin(2, 7, 11, 19))
         .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
         .join(broadcast(poolConfig(s, dir)), col("lp_pool") === col("pool_id"))
-        .select(rnd((col("tvl") - col("borrowed_st")) / col("lpn_decimals"), 6)
-          .cast("decimal(28,6)").as("available_assets"))
+        .select(microRound6(
+          (col("tvl").cast("decimal(20,2)") - col("borrowed_st").cast("decimal(20,2)")) *
+            microRecip(col("lpn_decimals"))).as("available_assets"))
       val leaseSum = leaseValue.agg(sum(col("lease_value")).as("total_lease_value"))
       val availSum = poolAvail.agg(coalesce(sum(col("available_assets")),
         lit(0).cast("decimal(38,6)")).as("total_available"))
@@ -1977,7 +2058,12 @@ object LiteralTwinQueries {
         .join(cr("wc"), col("c_symbol") === col("wc_ticker"))
         .groupBy(col("c_contract"), col("c_symbol"), col("wc_decimal_digits"))
         .agg(
-          (sum(col("c_amount")) / pow(lit(10.0), col("wc_decimal_digits")))
+          // exact-decimal sum, ONE cast to double, ONE IEEE division by an
+          // integer-exact 10^d (the decimal(6,0) round-trip kills any
+          // 1-ulp libm POWER error) — no multi-op double rounding left for
+          // a different build to flip
+          (sum(col("c_amount").cast("decimal(18,2)")).cast("double") /
+            pow(lit(10.0), col("wc_decimal_digits")).cast("decimal(6,0)").cast("double"))
             .as("amount_lpn_units"),
           microRound6(sum(col("c_amount_stable").cast("decimal(18,2)"))
             .cast("decimal(20,2)") * pow10micro(col("wc_decimal_digits")))
@@ -2069,10 +2155,10 @@ object LiteralTwinQueries {
       .filter(where)
       .groupBy(col("lp_ts"))
       .agg(
-        sum(rnd(col("tvl") / col("lpn_decimals"), 6).cast("decimal(28,6)"))
-          .cast("double").as("supplied"),
-        sum(rnd(col("borrowed_st") / col("lpn_decimals"), 6).cast("decimal(28,6)"))
-          .cast("double").as("borrowed"))
+        sum(microRound6(col("tvl").cast("decimal(20,2)") *
+          microRecip(col("lpn_decimals")))).cast("double").as("supplied"),
+        sum(microRound6(col("borrowed_st").cast("decimal(20,2)") *
+          microRecip(col("lpn_decimals")))).cast("double").as("borrowed"))
       .select(col("lp_ts").as("timestamp"), col("supplied"), col("borrowed"))
       .orderBy(col("timestamp").desc)
   }
@@ -2236,8 +2322,8 @@ object LiteralTwinQueries {
         |  GROUP BY l_orderkey, o.stable_currency_decimals),
         |collects AS (
         |  SELECT l_orderkey AS c_contract_id,
-        |    CAST(SUM(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE)
         |      AS total_collect_normalized
         |  FROM lineitem c JOIN cr ON cr.ticker = c.l_partkey % 25
@@ -2350,15 +2436,15 @@ object LiteralTwinQueries {
         |  WHERE lps.lp_ts = la.pool_max_ts),
         |avg_interest_per_pool AS (
         |  SELECT o.ls_loan_pool_id AS ai_pool,
-        |    CAST(SUM(CAST(floor((o.ls_interest / 10.0 -
+        |    CAST(SUM(CAST((CAST(o.ls_interest AS DECIMAL(5,0)) * CAST('0.1' AS DECIMAL(2,1)) -
         |        CASE WHEN pc.protocol_label IN ('proto-3', 'proto-5')
         |               THEN CASE WHEN o.ls_timestamp >= TIMESTAMP '1997-06-01'
-        |                         THEN 8.0 ELSE 4.0 END
-        |             WHEN pc.lpn_symbol IN (3, 7) THEN 2.5
-        |             WHEN pc.lpn_symbol = 11 THEN 4.0
-        |             WHEN pc.lpn_symbol IN (15, 19) THEN 2.0
-        |             ELSE 4.0 END) * s.st_principal
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) /
+        |                         THEN CAST('8.0' AS DECIMAL(2,1)) ELSE CAST('4.0' AS DECIMAL(2,1)) END
+        |             WHEN pc.lpn_symbol IN (3, 7) THEN CAST('2.5' AS DECIMAL(2,1))
+        |             WHEN pc.lpn_symbol = 11 THEN CAST('4.0' AS DECIMAL(2,1))
+        |             WHEN pc.lpn_symbol IN (15, 19) THEN CAST('2.0' AS DECIMAL(2,1))
+        |             ELSE CAST('4.0' AS DECIMAL(2,1)) END) * CAST(s.st_principal AS DECIMAL(20,2))
+        |      AS DECIMAL(28,6))) AS DOUBLE) /
         |    NULLIF(CAST(SUM(CAST(s.st_principal AS DECIMAL(18,2))) AS DOUBLE), 0.0)
         |      AS avg_net_interest
         |  FROM ls_state s
@@ -2398,24 +2484,39 @@ object LiteralTwinQueries {
         |  FROM orders WHERE o_custkey % 100 = 7),
         |repayments AS (
         |  SELECT l_orderkey AS rp_contract_id,
-        |    SUM(CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
-        |      * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(20,8))) AS rp_total
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * (CASE cr.decimal_digits
+        |          WHEN 1 THEN CAST('0.10000000' AS DECIMAL(9,8))
+        |          WHEN 2 THEN CAST('0.01000000' AS DECIMAL(9,8))
+        |          WHEN 3 THEN CAST('0.00100000' AS DECIMAL(9,8))
+        |          WHEN 4 THEN CAST('0.00010000' AS DECIMAL(9,8))
+        |          ELSE CAST('0.00001000' AS DECIMAL(9,8)) END) AS DECIMAL(20,8))) AS rp_total
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'R'
         |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
         |  GROUP BY l_orderkey),
         |collects AS (
         |  SELECT l_orderkey AS cl_contract_id,
-        |    SUM(CAST(floor(l_extendedprice / POWER(10, cr.decimal_digits)
-        |      * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(20,8))) AS cl_total
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * (CASE cr.decimal_digits
+        |          WHEN 1 THEN CAST('0.10000000' AS DECIMAL(9,8))
+        |          WHEN 2 THEN CAST('0.01000000' AS DECIMAL(9,8))
+        |          WHEN 3 THEN CAST('0.00100000' AS DECIMAL(9,8))
+        |          WHEN 4 THEN CAST('0.00010000' AS DECIMAL(9,8))
+        |          ELSE CAST('0.00001000' AS DECIMAL(9,8)) END) AS DECIMAL(20,8))) AS cl_total
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'A'
         |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
         |  GROUP BY l_orderkey),
         |position_flows AS (
         |  SELECT
-        |    CAST(floor(o.ls_cltr_amnt_stable / POWER(10, cr_cltr.decimal_digits)
-        |      * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(20,8))
+        |    CAST(CAST(o.ls_cltr_amnt_stable AS DECIMAL(20,2))
+        |      * (CASE cr_cltr.decimal_digits
+        |          WHEN 1 THEN CAST('0.10000000' AS DECIMAL(9,8))
+        |          WHEN 2 THEN CAST('0.01000000' AS DECIMAL(9,8))
+        |          WHEN 3 THEN CAST('0.00100000' AS DECIMAL(9,8))
+        |          WHEN 4 THEN CAST('0.00010000' AS DECIMAL(9,8))
+        |          ELSE CAST('0.00001000' AS DECIMAL(9,8)) END) AS DECIMAL(20,8))
         |      + COALESCE(r.rp_total, CAST(0 AS DECIMAL(20,8))) AS sent_open_usdc,
         |    COALESCE(c.cl_total, CAST(0 AS DECIMAL(20,8))) AS received_close_usdc
         |  FROM openings o
@@ -2480,7 +2581,7 @@ object LiteralTwinQueries {
         |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
         |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
         |opened_leases AS (
-        |  SELECT CAST(CAST(round(
+        |  SELECT CAST(CAST(floor(
         |      CAST(o_totalprice AS DECIMAL(20,2))
         |        * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0))
         |      + CAST(o_totalprice AS DECIMAL(20,2))
@@ -2488,31 +2589,41 @@ object LiteralTwinQueries {
         |            WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
         |            WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
         |            WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
-        |            WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END),
-        |      0) AS DECIMAL(20,0))
+        |            WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |      + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS volume
         |  FROM orders
         |  JOIN pc ON o_custkey = pc.pool_id
         |  JOIN cr ON cr.ticker = o_custkey % 25),
         |lp_deposits AS (
-        |  SELECT CAST(floor(value / NULLIF(pc.stable_currency_decimals, 0.0)
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
+        |  SELECT CAST(CAST(floor(CAST(value AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.stable_currency_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST(NULL AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS volume
         |  FROM events JOIN pc ON user_id = pc.pool_id
         |  WHERE event_type = 'purchase'),
         |lp_withdrawals AS (
-        |  SELECT CAST(floor(value / NULLIF(pc.stable_currency_decimals, 0.0)
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS volume
+        |  SELECT CAST(CAST(floor(CAST(value AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.stable_currency_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST(NULL AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS volume
         |  FROM events JOIN pc ON user_id = pc.pool_id
         |  WHERE event_type = 'signup'),
         |ls_close AS (
-        |  SELECT CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |  SELECT CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS volume
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'A'),
         |ls_repayment AS (
-        |  SELECT CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |  SELECT CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS volume
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'R')
@@ -2552,11 +2663,16 @@ object LiteralTwinQueries {
         |    CASE WHEN pc.position_type = 'Short' THEN pc.label
         |         ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS leased_asset,
         |    date_trunc('month', o_orderdate) AS "date",
-        |    CAST(CAST(round(CAST(o_totalprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS down_payment_amount,
-        |    CAST(floor(o_totalprice / pc.lpn_decimals
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS loan_amount
+        |    CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS loan_amount
         |  FROM orders
         |  LEFT JOIN pc ON o_custkey = pc.pool_id
         |  LEFT JOIN cr ON cr.ticker = o_custkey % 25)
@@ -2593,21 +2709,21 @@ object LiteralTwinQueries {
         |  JOIN cr ON cr.ticker = o_custkey % 25
         |  WHERE o_custkey % 100 = 7),
         |repayments AS (
-        |  SELECT CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |  SELECT CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS vol
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'R'
         |    AND l_orderkey IN (SELECT contract_id FROM openings)),
         |closes AS (
-        |  SELECT CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |  SELECT CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS vol
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'A'
         |    AND l_orderkey IN (SELECT contract_id FROM openings))
         |SELECT SUM(vol) AS tx_volume FROM (
-        |  SELECT CAST(CAST(round(down_payment_usdc + loan_usdc, 0) AS DECIMAL(20,0))
+        |  SELECT CAST(CAST(floor(down_payment_usdc + loan_usdc + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS vol FROM openings
         |  UNION ALL SELECT vol FROM repayments
         |  UNION ALL SELECT vol FROM closes) x""".stripMargin,
@@ -2622,9 +2738,12 @@ object LiteralTwinQueries {
         |  FROM orders WHERE o_custkey % 100 = 7),
         |repayments AS (
         |  SELECT l_orderkey AS r_contract,
-        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |        / pc.stable_currency_decimals * 1000000.0 + 0.5) / 1000000.0
-        |      AS DECIMAL(28,6)) AS total_repaid_usdc
+        |    CAST(CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+        |        * (CASE CAST(pc.stable_currency_decimals AS INT)
+        |            WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |            WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |            ELSE CAST('333333.333333' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS total_repaid_usdc
         |  FROM lineitem
         |  JOIN openings o ON o.contract_id = l_orderkey
         |  JOIN pc ON pc.pool_id = o.loan_pool_id
@@ -2632,8 +2751,8 @@ object LiteralTwinQueries {
         |  GROUP BY l_orderkey, pc.stable_currency_decimals),
         |collects AS (
         |  SELECT l_orderkey AS c_contract,
-        |    SUM(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |        * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |        * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |        * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS total_collected_usdc
         |  FROM lineitem
         |  JOIN cr ON cr.ticker = l_partkey % 25
@@ -2642,8 +2761,8 @@ object LiteralTwinQueries {
         |  GROUP BY l_orderkey),
         |finalized AS (
         |  SELECT COALESCE(c.total_collected_usdc, CAST(0 AS DECIMAL(28,6)))
-        |    - (CAST(CAST(round(CAST(o.cltr_amnt_stable AS DECIMAL(20,2))
-        |          * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    - (CAST(CAST(floor(CAST(o.cltr_amnt_stable AS DECIMAL(20,2))
+        |          * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |          * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))
         |       + COALESCE(r.total_repaid_usdc, CAST(0 AS DECIMAL(28,6)))) AS pnl
         |  FROM openings o
@@ -2672,9 +2791,12 @@ object LiteralTwinQueries {
         |  FROM orders WHERE o_custkey % 100 = 7),
         |repayments AS (
         |  SELECT l_orderkey AS r_contract,
-        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |        / pc.stable_currency_decimals * 1000000.0 + 0.5) / 1000000.0
-        |      AS DECIMAL(28,6)) AS total_repaid_usdc
+        |    CAST(CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+        |        * (CASE CAST(pc.stable_currency_decimals AS INT)
+        |            WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |            WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |            ELSE CAST('333333.333333' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS total_repaid_usdc
         |  FROM lineitem
         |  JOIN openings o ON o.contract_id = l_orderkey
         |  JOIN pc ON pc.pool_id = o.loan_pool_id
@@ -2682,8 +2804,8 @@ object LiteralTwinQueries {
         |  GROUP BY l_orderkey, pc.stable_currency_decimals),
         |collects AS (
         |  SELECT l_orderkey AS c_contract,
-        |    SUM(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |        * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |        * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |        * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS total_collected_usdc
         |  FROM lineitem
         |  JOIN cr ON cr.ticker = l_partkey % 25
@@ -2692,13 +2814,13 @@ object LiteralTwinQueries {
         |  GROUP BY l_orderkey),
         |finalized AS (
         |  SELECT
-        |    CAST(CAST(CAST(round(CAST(o.cltr_amnt_stable AS DECIMAL(20,2))
-        |          * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(CAST(CAST(floor(CAST(o.cltr_amnt_stable AS DECIMAL(20,2))
+        |          * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |          * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))
         |      + COALESCE(r.total_repaid_usdc, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS sent_usdc,
         |    CAST(COALESCE(c.total_collected_usdc, CAST(0 AS DECIMAL(28,6)))
-        |      - (CAST(CAST(round(CAST(o.cltr_amnt_stable AS DECIMAL(20,2))
-        |            * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |      - (CAST(CAST(floor(CAST(o.cltr_amnt_stable AS DECIMAL(20,2))
+        |            * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |            * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))
         |         + COALESCE(r.total_repaid_usdc, CAST(0 AS DECIMAL(28,6))))
         |      AS DOUBLE) AS realized_pnl_usdc
@@ -2792,36 +2914,46 @@ object LiteralTwinQueries {
         |  SELECT CASE WHEN pc.position_type = 'Short'
         |              THEN CAST(pc.lpn_symbol AS VARCHAR) || ' (Short)'
         |              ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset_type,
-        |    s.l_extendedprice / pc.lpn_decimals AS loan_in_stables
+        |    CAST(s.l_extendedprice AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) AS loan_micro
         |  FROM lineitem s CROSS JOIN la
         |  JOIN orders ON s.l_orderkey = o_orderkey
         |  LEFT JOIN pc ON pc.pool_id = o_custkey
         |  WHERE s.l_shipdate = la.max_ts)
         |SELECT asset_type AS symbol,
-        |  CAST(SUM(CAST(floor(loan_in_stables * 1000000.0 + 0.5) / 1000000.0
-        |    AS DECIMAL(28,6))) AS DOUBLE) AS value
-        |FROM opened WHERE loan_in_stables > 0
+        |  CAST(SUM(CAST(CAST(floor(loan_micro + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS value
+        |FROM opened WHERE loan_micro > 0
         |GROUP BY asset_type ORDER BY value ASC""".stripMargin,
     "q_lit_position_buckets" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
         |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
         |la AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
         |opened_loans AS (
-        |  SELECT s.l_extendedprice / pc.lpn_decimals AS loan
+        |  SELECT CAST(s.l_extendedprice AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) AS loan
         |  FROM lineitem s CROSS JOIN la
         |  JOIN orders ON s.l_orderkey = o_orderkey
         |  LEFT JOIN pc ON pc.pool_id = o_custkey
         |  WHERE s.l_shipdate = la.max_ts AND s.l_extendedprice > 0)
         |SELECT CASE
-        |    WHEN loan < 1000 THEN '0-0.999k'
-        |    WHEN loan BETWEEN 1000 AND 1999 THEN '1-1.9k'
-        |    WHEN loan BETWEEN 2000 AND 4999 THEN '2-4.9k'
-        |    WHEN loan BETWEEN 5000 AND 9999 THEN '5-9.9k'
-        |    WHEN loan BETWEEN 10000 AND 14999 THEN '10-14.9k'
-        |    WHEN loan >= 15000 THEN '15k+' END AS loan_category,
+        |    WHEN loan < 1000000000 THEN '0-0.999k'
+        |    WHEN loan BETWEEN 1000000000 AND 1999000000 THEN '1-1.9k'
+        |    WHEN loan BETWEEN 2000000000 AND 4999000000 THEN '2-4.9k'
+        |    WHEN loan BETWEEN 5000000000 AND 9999000000 THEN '5-9.9k'
+        |    WHEN loan BETWEEN 10000000000 AND 14999000000 THEN '10-14.9k'
+        |    WHEN loan >= 15000000000 THEN '15k+' END AS loan_category,
         |  COUNT(loan) AS loan_count,
-        |  CAST(SUM(CAST(floor(loan * 1000000.0 + 0.5) / 1000000.0
-        |    AS DECIMAL(28,6))) AS DOUBLE) AS loan_size
+        |  CAST(SUM(CAST(CAST(floor(loan + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS loan_size
         |FROM opened_loans GROUP BY loan_category""".stripMargin,
     "q_lit_lease_value_stats" ->
       """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
@@ -2837,15 +2969,17 @@ object LiteralTwinQueries {
         |  WHERE rn = 1),
         |js AS (
         |  SELECT o_orderkey % 25 AS asset,
-        |    st_amnt_stable / POWER(10, cr.decimal_digits) AS lease_value
+        |    CAST(st_amnt_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) AS lease_micro
         |  FROM latest
         |  JOIN orders ON st_contract_id = o_orderkey
         |  JOIN cr ON cr.ticker = o_orderkey % 25
         |  WHERE st_amnt_stable > 0)
         |SELECT asset,
-        |  CAST(SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
-        |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value,
-        |  MAX(lease_value) AS max_value
+        |  CAST(SUM(CAST(CAST(floor(lease_micro + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+        |  CAST(MAX(lease_micro) * CAST('0.000001' AS DECIMAL(7,6)) AS DOUBLE) AS max_value
         |FROM js GROUP BY asset""".stripMargin,
     "q_lit_leased_assets_total" ->
       """WITH pc AS (SELECT c_custkey AS pool_id, c_name AS label,
@@ -2860,15 +2994,16 @@ object LiteralTwinQueries {
         |  SELECT CASE WHEN pc.position_type = 'Short'
         |              THEN pc.label || ' (Short)'
         |              ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset,
-        |    s.l_quantity / POWER(10, cr.decimal_digits) AS lease_value
+        |    CAST(s.l_quantity AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) AS lease_micro
         |  FROM lineitem s CROSS JOIN la
         |  JOIN orders ON s.l_orderkey = o_orderkey
         |  LEFT JOIN pc ON pc.pool_id = o_custkey
         |  LEFT JOIN cr ON cr.ticker = o_orderkey % 25
         |  WHERE s.l_shipdate = la.max_ts AND s.l_quantity > 0)
         |SELECT asset,
-        |  CAST(SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
-        |    AS DECIMAL(28,6))) AS DOUBLE) AS loan
+        |  CAST(SUM(CAST(CAST(floor(lease_micro + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS loan
         |FROM opened GROUP BY asset ORDER BY loan DESC""".stripMargin,
     "q_lit_loans_granted" ->
       """WITH pc AS (SELECT c_custkey AS pool_id, c_name AS label,
@@ -2880,8 +3015,13 @@ object LiteralTwinQueries {
         |SELECT CASE WHEN pc.position_type = 'Short'
         |           THEN pc.label || ' (Short)'
         |           ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset,
-        |  CAST(SUM(CAST(floor(o_totalprice / pc.lpn_decimals * 1000000.0 + 0.5)
-        |    / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS loan
+        |  CAST(SUM(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS loan
         |FROM orders JOIN pc ON pc.pool_id = o_custkey
         |GROUP BY 1 ORDER BY loan ASC""".stripMargin,
     "q_lit_open_positions_by_token" ->
@@ -2898,15 +3038,16 @@ object LiteralTwinQueries {
         |  SELECT CASE WHEN pc.position_type = 'Short'
         |              THEN CAST(pc.lpn_symbol AS VARCHAR) || ' (Short)'
         |              ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS token,
-        |    s.l_quantity / POWER(10, cr.decimal_digits) AS lease_value
+        |    CAST(s.l_quantity AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) AS lease_micro
         |  FROM lineitem s CROSS JOIN la
         |  JOIN orders ON s.l_orderkey = o_orderkey
         |  LEFT JOIN pc ON pc.pool_id = o_custkey
         |  LEFT JOIN cr ON cr.ticker = o_orderkey % 25
         |  WHERE s.l_shipdate = la.max_ts AND s.l_quantity > 0)
         |SELECT token,
-        |  CAST(SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
-        |    AS DECIMAL(28,6))) AS DOUBLE) AS market_value
+        |  CAST(SUM(CAST(CAST(floor(lease_micro + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS market_value
         |FROM opened GROUP BY token ORDER BY market_value DESC""".stripMargin,
     "q_lit_historically_opened" ->
       """WITH pc AS (SELECT c_custkey AS pool_id, c_name AS label,
@@ -3012,16 +3153,22 @@ object LiteralTwinQueries {
         |norm_repay AS (
         |  SELECT l_orderkey AS nr_contract,
         |    date_trunc('hour', l_shipdate) AS rep_hour,
-        |    (l_extendedprice + l_quantity + l_tax + l_linenumber + l_discount)
-        |      / pc.lpn_decimals AS rep_value
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_quantity AS DECIMAL(18,2))
+        |      + CAST(l_tax AS DECIMAL(18,2)) + CAST(l_linenumber AS DECIMAL(18,2))
+        |      + CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) AS rep_micro
         |  FROM lineitem
         |  JOIN o ON l_orderkey = o.ls_contract_id
         |  JOIN pc ON o.ls_loan_pool_id = pc.pool_id
         |  WHERE l_returnflag = 'R' AND l_orderkey % 500 = 17),
         |repay_summary AS (
         |  SELECT h."hour" AS rs_hour, nr.nr_contract AS rs_contract,
-        |    CAST(SUM(CAST(floor(nr.rep_value * 1000000.0 + 0.5) / 1000000.0
-        |      AS DECIMAL(28,6))) AS DOUBLE) AS cumulative_repayment
+        |    CAST(SUM(CAST(CAST(floor(nr.rep_micro + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS cumulative_repayment
         |  FROM lease_hours h
         |  LEFT JOIN norm_repay nr ON nr.rep_hour <= h."hour"
         |  GROUP BY h."hour", nr.nr_contract)
@@ -3098,8 +3245,12 @@ object LiteralTwinQueries {
         |    o_custkey AS ls_loan_pool_id FROM orders),
         |daily_closed AS (
         |  SELECT ds."date" AS closed_date,
-        |    CAST(COALESCE(SUM(CAST(floor(cl.cl_principal / pc.stable_currency_decimals
-        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |    CAST(COALESCE(SUM(CAST(CAST(floor(CAST(cl.cl_principal AS DECIMAL(20,2))
+        |        * (CASE CAST(pc.stable_currency_decimals AS INT)
+        |            WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |            WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |            ELSE CAST('333333.333333' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |        * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))),
         |      CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS closed_loans
         |  FROM date_series ds
         |  LEFT JOIN close_loans cl ON CAST(cl.cl_ts AS DATE) = ds."date"
@@ -3108,8 +3259,13 @@ object LiteralTwinQueries {
         |  GROUP BY ds."date"),
         |daily_opened AS (
         |  SELECT ds."date" AS opened_date,
-        |    CAST(COALESCE(SUM(CAST(floor(lo.ls_loan_amnt / pc.lpn_decimals
-        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |    CAST(COALESCE(SUM(CAST(CAST(floor(CAST(lo.ls_loan_amnt AS DECIMAL(20,2))
+        |        * (CASE CAST(pc.lpn_decimals AS INT)
+        |            WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |            WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |            WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |            ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |        * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))),
         |      CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS opened_loans
         |  FROM date_series ds
         |  LEFT JOIN fo lo ON CAST(lo.ls_timestamp AS DATE) = ds."date"
@@ -3191,7 +3347,7 @@ object LiteralTwinQueries {
         |  WHERE l_returnflag = 'R'
         |    AND l_orderkey IN (SELECT ls_contract_id FROM address_contracts)
         |  GROUP BY l_orderkey, pc.stable_currency_decimals)
-        |SELECT SUM(CAST(CAST(round(
+        |SELECT SUM(CAST(CAST(floor(
         |    CAST(s.st_amnt_stable AS DECIMAL(20,2))
         |      * CAST(POWER(10, 6 - cr_asset.decimal_digits) AS DECIMAL(6,0))
         |  - CAST(s.st_principal_stable AS DECIMAL(20,2))
@@ -3210,8 +3366,8 @@ object LiteralTwinQueries {
         |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
         |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
         |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
-        |  - COALESCE(rp.total_repayment_micro, CAST(0 AS DECIMAL(34,8))),
-        |  0) AS DECIMAL(20,0))
+        |  - COALESCE(rp.total_repayment_micro, CAST(0 AS DECIMAL(34,8)))
+        |  + 0.5) AS DECIMAL(20,0))
         |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS total_pnl
         |FROM latest_states s
         |JOIN o ON s.st_contract_id = o.ls_contract_id
@@ -3241,8 +3397,8 @@ object LiteralTwinQueries {
         |    l_quantity DESC),
         |deposits AS (
         |  SELECT l_partkey % 25 AS d_pool,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS deposited_stable,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS deposited_asset
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS deposited_stable,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS deposited_asset
         |  FROM lineitem d
         |  WHERE l_linestatus = 'O' AND l_suppkey % 100 = 7
         |    AND EXISTS (SELECT 1 FROM latest_lender_state ls
@@ -3250,8 +3406,8 @@ object LiteralTwinQueries {
         |  GROUP BY l_partkey % 25),
         |withdrawals AS (
         |  SELECT l_partkey % 25 AS w_pool,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS withdrawn_stable,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS withdrawn_asset
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS withdrawn_stable,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS withdrawn_asset
         |  FROM lineitem w
         |  WHERE l_linestatus = 'F' AND l_returnflag = 'R' AND l_suppkey % 100 = 7
         |    AND EXISTS (SELECT 1 FROM latest_lender_state ls
@@ -3271,14 +3427,28 @@ object LiteralTwinQueries {
         |  SELECT ap.pool_id,
         |    CASE
         |      WHEN ap.position_type = 'Long' THEN
-        |        (ls.lender_stable - (COALESCE(dep.deposited_stable, 0)
-        |          - COALESCE(wdr.withdrawn_stable, 0))) / ap.lpn_decimals
+        |        CAST(CAST(CAST(ls.lender_stable AS DECIMAL(18,2))
+        |          - (COALESCE(dep.deposited_stable, CAST(0 AS DECIMAL(24,2)))
+        |             - COALESCE(wdr.withdrawn_stable, CAST(0 AS DECIMAL(24,2))))
+        |          AS DECIMAL(24,2))
+        |        * (CASE CAST(ap.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) AS DECIMAL(36,10))
         |      WHEN ap.position_type = 'Short' THEN
-        |        (ls.lender_asset - (COALESCE(dep.deposited_asset, 0)
-        |          - COALESCE(wdr.withdrawn_asset, 0))) / ap.lpn_decimals
-        |          * COALESCE(lp.mp_price, 0)
-        |      ELSE 0
-        |    END AS earnings_in_stable
+        |        CAST(CAST(CAST(CAST(ls.lender_asset AS DECIMAL(18,2))
+        |          - (COALESCE(dep.deposited_asset, CAST(0 AS DECIMAL(24,2)))
+        |             - COALESCE(wdr.withdrawn_asset, CAST(0 AS DECIMAL(24,2))))
+        |          AS DECIMAL(20,2))
+        |        * CAST(COALESCE(lp.mp_price, 0) AS DECIMAL(9,2)) AS DECIMAL(22,4))
+        |        * (CASE CAST(ap.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) AS DECIMAL(36,10))
+        |      ELSE CAST(0 AS DECIMAL(36,10))
+        |    END AS earnings_micro
         |  FROM pc ap
         |  JOIN latest_lender_state ls ON ap.pool_id = ls.ls_pool
         |  LEFT JOIN deposits dep ON ap.pool_id = dep.d_pool
@@ -3286,8 +3456,9 @@ object LiteralTwinQueries {
         |  LEFT JOIN latest_prices lp
         |    ON ap.lpn_symbol = lp.mp_symbol AND ap.position_type = 'Short'
         |  WHERE ap.is_active)
-        |SELECT COALESCE(SUM(CAST(floor(GREATEST(earnings_in_stable, 0)
-        |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |SELECT COALESCE(SUM(CAST(CAST(floor(GREATEST(earnings_micro, CAST(0 AS DECIMAL(36,10)))
+        |    + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))),
         |  CAST(0 AS DECIMAL(38,6))) AS total_earnings_in_stable
         |FROM pool_earnings""".stripMargin,
     "q_lit_price_range" ->
@@ -3328,10 +3499,11 @@ object LiteralTwinQueries {
         |  WHERE s.l_shipdate = la.max_ts AND s.l_quantity > 0),
         |lease_value_table AS (
         |  SELECT token,
-        |    st_amnt_stable / POWER(10, asset_decimals) AS lease_value
+        |    CAST(CAST(floor(CAST(st_amnt_stable AS DECIMAL(20,2))
+        |        * CAST(POWER(10, 6 - asset_decimals) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS lease_value
         |  FROM opened)
-        |SELECT SUM(CAST(floor(lease_value * 1000000.0 + 0.5) / 1000000.0
-        |  AS DECIMAL(28,6))) AS open_position_value
+        |SELECT SUM(lease_value) AS open_position_value
         |FROM lease_value_table""".stripMargin,
     "q_lit_open_interest" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
@@ -3353,8 +3525,8 @@ object LiteralTwinQueries {
         |  LEFT JOIN pc ON o.o_custkey = pc.pool_id
         |  LEFT JOIN cr ON cr.ticker = o.o_orderkey % 25
         |  WHERE s.l_shipdate = la.max_ts)
-        |SELECT SUM(CAST(CAST(round(CAST(interest AS DECIMAL(20,2))
-        |    * CAST(POWER(10, 6 - asset_decimals) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |SELECT SUM(CAST(CAST(floor(CAST(interest AS DECIMAL(20,2))
+        |    * CAST(POWER(10, 6 - asset_decimals) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS open_interest
         |FROM opened""".stripMargin,
     "q_lit_historically_repaid" ->
@@ -3374,8 +3546,8 @@ object LiteralTwinQueries {
         |SELECT o_orderkey AS contract_id,
         |  o_orderkey % 25 AS symbol,
         |  o_totalprice / pc.lpn_decimals AS loan,
-        |  CAST(COALESCE(SUM(CAST(CAST(round(CAST(cl.cl_amnt_stable AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |  CAST(COALESCE(SUM(CAST(CAST(floor(CAST(cl.cl_amnt_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))),
         |    CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS total_repaid,
         |  MAX(CASE WHEN cl.cl_loan_close THEN cl.cl_ts END) AS close_timestamp,
@@ -3400,8 +3572,13 @@ object LiteralTwinQueries {
       """WITH pc AS (SELECT c_custkey AS pool_id,
         |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer)
         |SELECT o_custkey AS protocol,
-        |  CAST(COALESCE(SUM(CAST(floor(o_totalprice / pc.lpn_decimals
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+        |  CAST(COALESCE(SUM(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))),
         |    CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS loan
         |FROM orders JOIN pc ON pc.pool_id = o_custkey
         |GROUP BY o_custkey""".stripMargin,
@@ -3409,8 +3586,9 @@ object LiteralTwinQueries {
       """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
         |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation)
         |SELECT l_shipdate AS "time",
-        |  CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE) / POWER(10, cr.decimal_digits)
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS amount
+        |  CAST(SUM(CAST(CAST(floor(CAST(l_quantity AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS amount
         |FROM lineitem
         |JOIN orders ON o_orderkey = l_orderkey AND o_custkey % 100 = 7
         |JOIN cr ON cr.ticker = o_orderkey % 25
@@ -3421,9 +3599,16 @@ object LiteralTwinQueries {
       """WITH pc AS (SELECT c_custkey AS pool_id,
         |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer)
         |SELECT l_shipdate AS "time",
-        |  CAST(SUM(CAST(floor((l_extendedprice + l_discount + l_tax
-        |      + l_linenumber + l_quantity) / pc.lpn_decimals
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS amount
+        |  CAST(SUM(CAST(CAST(floor(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      + CAST(l_discount AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))
+        |      + CAST(l_linenumber AS DECIMAL(18,2)) + CAST(l_quantity AS DECIMAL(18,2))
+        |      AS DECIMAL(20,2))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS amount
         |FROM lineitem
         |JOIN orders ON o_orderkey = l_orderkey AND o_custkey % 100 = 7
         |JOIN pc ON pc.pool_id = o_custkey
@@ -3445,8 +3630,8 @@ object LiteralTwinQueries {
         |    CASE WHEN pc.position_type = 'Short' THEN CONCAT(pc.label, ' (Short)')
         |         ELSE CAST(o_orderkey % 25 AS VARCHAR) END AS asset,
         |    o_totalprice / pc.lpn_decimals AS loan,
-        |    CAST(CAST(round(CAST(lsl.l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(CAST(floor(CAST(lsl.l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS liq_amount
         |  FROM orders
         |  LEFT JOIN (SELECT l_orderkey, l_extendedprice FROM lineitem
@@ -3465,8 +3650,8 @@ object LiteralTwinQueries {
         |    o_orderkey % 25 AS asset_symbol
         |  FROM orders
         |  WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1997-01-01')
-        |SELECT SUM(CAST(CAST(round(CAST(c.c_pnl AS DECIMAL(20,2))
-        |    * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |SELECT SUM(CAST(CAST(floor(CAST(c.c_pnl AS DECIMAL(20,2))
+        |    * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)))
         |    AS total_adjusted_stable_amount
         |FROM closings c
@@ -3490,15 +3675,23 @@ object LiteralTwinQueries {
         |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
         |latest_aggregation AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
         |lease_value AS (
-        |  SELECT CAST(floor(CAST(s.l_quantity AS DOUBLE) / POWER(10, cr.decimal_digits)
-        |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS lease_value
+        |  SELECT CAST(CAST(floor(CAST(s.l_quantity AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS lease_value
         |  FROM lineitem s
         |  LEFT JOIN orders o ON o.o_orderkey = s.l_orderkey
         |  JOIN cr ON cr.ticker = o.o_orderkey % 25
         |  WHERE s.l_shipdate = (SELECT max_ts FROM latest_aggregation)),
         |pool_available AS (
-        |  SELECT CAST(floor((lps.tvl - lps.borrowed_st) / pc.lpn_decimals
-        |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS available_assets
+        |  SELECT CAST(CAST(floor(
+        |      (CAST(lps.tvl AS DECIMAL(20,2)) - CAST(lps.borrowed_st AS DECIMAL(20,2)))
+        |      * (CASE CAST(pc.lpn_decimals AS INT)
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |      + 0.5) AS DECIMAL(20,0))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS available_assets
         |  FROM (
         |    SELECT DISTINCT ON (lp_pool) lp_pool, lp_ts, tvl, borrowed_st
         |    FROM (SELECT l_partkey % 25 AS lp_pool, l_shipdate AS lp_ts,
@@ -3525,8 +3718,8 @@ object LiteralTwinQueries {
         |    o_orderdate AS opening_date,
         |    o_orderkey % 25 AS leased_asset,
         |    o_custkey % 25 AS down_payment_asset,
-        |    CAST(CAST(round(CAST(o_totalprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS down_payment_stable,
         |    COALESCE(CAST(pc.lpn_symbol AS VARCHAR), 'USDC_NOBLE') AS lpn_symbol
         |  FROM orders
@@ -3535,9 +3728,11 @@ object LiteralTwinQueries {
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
         |collects_by_symbol AS (
         |  SELECT l_orderkey AS c_contract, l_partkey % 25 AS c_symbol,
-        |    SUM(l_quantity) / POWER(10, cr.decimal_digits) AS amount_lpn_units,
-        |    CAST(CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(CAST(POWER(10, cr.decimal_digits) AS DECIMAL(6,0)) AS DOUBLE)
+        |      AS amount_lpn_units,
+        |    CAST(CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS amount_stable
         |  FROM lineitem
         |  JOIN cr ON cr.ticker = l_partkey % 25
@@ -3556,8 +3751,8 @@ object LiteralTwinQueries {
         |    AND o_orderkey IN (SELECT o_contract FROM openings)),
         |repays AS (
         |  SELECT l_orderkey AS rep_contract,
-        |    CAST(SUM(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
         |      AS rep_stable,
         |    COUNT(*) AS rep_events
@@ -3567,8 +3762,8 @@ object LiteralTwinQueries {
         |  GROUP BY l_orderkey),
         |liqs AS (
         |  SELECT l_orderkey AS lq_contract,
-        |    CAST(SUM(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)), 0) AS DECIMAL(20,0))
+        |    CAST(SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
         |      AS lq_stable,
         |    COUNT(*) AS lq_events
@@ -3626,10 +3821,20 @@ object LiteralTwinQueries {
        |    CAST(l_extendedprice AS DOUBLE) AS tvl,
        |    CAST(l_quantity AS DOUBLE) AS borrowed_st FROM lineitem)
        |SELECT lp_ts AS "timestamp",
-       |  CAST(SUM(CAST(floor(tvl / pc.lpn_decimals * 1000000.0 + 0.5) / 1000000.0
-       |    AS DECIMAL(28,6))) AS DOUBLE) AS supplied,
-       |  CAST(SUM(CAST(floor(borrowed_st / pc.lpn_decimals * 1000000.0 + 0.5) / 1000000.0
-       |    AS DECIMAL(28,6))) AS DOUBLE) AS borrowed
+       |  CAST(SUM(CAST(CAST(floor(CAST(tvl AS DECIMAL(20,2))
+       |      * (CASE CAST(pc.lpn_decimals AS INT)
+       |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+       |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+       |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+       |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+       |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS supplied,
+       |  CAST(SUM(CAST(CAST(floor(CAST(borrowed_st AS DECIMAL(20,2))
+       |      * (CASE CAST(pc.lpn_decimals AS INT)
+       |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+       |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+       |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+       |          ELSE CAST('250000.000000' AS DECIMAL(13,6)) END) + 0.5) AS DECIMAL(20,0))
+       |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DOUBLE) AS borrowed
        |FROM lps JOIN pc ON lp_pool = pc.pool_id
        |WHERE $where
        |GROUP BY lp_ts
