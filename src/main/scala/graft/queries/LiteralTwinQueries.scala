@@ -179,6 +179,124 @@ object LiteralTwinQueries {
         coalesce(nullif(col("c_mktsegment"), lit("")), lit("Long")).as("position_type"),
         (col("c_nationkey") + 1).cast("double").as("stable_decimals"))
 
+  /** Shared ledger body of get_realized_pnl_by_wallet and its
+    * `_with_window` variant (ls_opening.rs:1683-1793, 1795-1915): identical
+    * CTE chain; the variants differ only in the openings time WHERE and the
+    * page suffix.
+    */
+  private def realizedPnlWalletLedger(s: SparkSession, dir: String,
+      timeWhere: org.apache.spark.sql.Column): DataFrame = {
+      // all stable legs pinned to DECIMAL(28,6): additions then stay under
+      // precision 38 on BOTH engines (DuckDB addition width is hard-capped)
+      val dec0 = lit(0).cast("decimal(28,6)")
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val openings = lsOpening(s, dir)
+        .filter(timeWhere)
+        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("wd"), col("ls_cltr_symbol") === col("wd_ticker"))
+        .select(col("ls_contract_id").as("o_contract"),
+          col("ls_address_id").as("user"),
+          col("ls_timestamp").as("opening_date"),
+          col("ls_asset_symbol").as("leased_asset"),
+          col("ls_cltr_symbol").as("down_payment_asset"),
+          microRound6(col("ls_cltr_amnt_stable").cast("decimal(20,2)") *
+            pow10micro(col("wd_decimal_digits"))).as("down_payment_stable"),
+          coalesce(col("lpn_symbol").cast("string"), lit("USDC_NOBLE")).as("lpn_symbol"))
+      val openIds = openings.select(col("o_contract"))
+      val collectsBySymbol = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey").as("c_contract"),
+          pmod(col("l_partkey"), lit(25)).as("c_symbol"),
+          col("l_quantity").as("c_amount"), col("l_extendedprice").as("c_amount_stable"))
+        .join(openIds, col("c_contract") === col("o_contract"), "left_semi")
+        .join(cr("wc"), col("c_symbol") === col("wc_ticker"))
+        .groupBy(col("c_contract"), col("c_symbol"), col("wc_decimal_digits"))
+        .agg(
+          // exact-decimal sum, ONE cast to double, ONE IEEE division by an
+          // integer-exact 10^d (the decimal(6,0) round-trip kills any
+          // 1-ulp libm POWER error) — no multi-op double rounding left for
+          // a different build to flip
+          (sum(col("c_amount").cast("decimal(18,2)")).cast("double") /
+            pow(lit(10.0), col("wc_decimal_digits")).cast("decimal(6,0)").cast("double"))
+            .as("amount_lpn_units"),
+          microRound6(sum(col("c_amount_stable").cast("decimal(18,2)"))
+            .cast("decimal(20,2)") * pow10micro(col("wc_decimal_digits")))
+            .as("amount_stable"))
+      val collects = collectsBySymbol
+        .groupBy(col("c_contract"))
+        .agg(min(col("c_symbol")).as("returned_lpn"),
+          min_by(col("amount_lpn_units"), col("c_symbol"))
+            .as("returned_amount_lpn_units"),
+          sum(col("amount_stable")).cast("decimal(28,6)").as("returned_amount_stable"))
+      val loanClose = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("lc_contract"), col("o_orderdate").as("close_ts"))
+        .join(openIds, col("lc_contract") === col("o_contract"), "left_semi")
+      def paySum(flag: String, role: String, out: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as(s"${out}_contract"),
+          col("l_extendedprice").as("pay"), pmod(col("l_partkey"), lit(25)).as("sym"))
+        .join(openIds, col(s"${out}_contract") === col("o_contract"), "left_semi")
+        .join(cr(role), col("sym") === col(s"${role}_ticker"))
+        .groupBy(col(s"${out}_contract"))
+        .agg(sum(microRound6(col("pay").cast("decimal(20,2)") *
+          pow10micro(col(s"${role}_decimal_digits")))).cast("decimal(28,6)")
+          .as(s"${out}_stable"),
+          count(lit(1)).as(s"${out}_events"))
+      val repays = paySum("R", "wr", "rep")
+      val liqs = paySum("N", "wq", "lq")
+      openings
+        .join(loanClose, col("o_contract") === col("lc_contract"))
+        .join(collects, col("o_contract") === col("c_contract"), "left")
+        .join(repays, col("o_contract") === col("rep_contract"), "left")
+        .join(liqs, col("o_contract") === col("lq_contract"), "left")
+        .select(col("o_contract").as("contract_id"), col("user"),
+          col("leased_asset"), col("down_payment_asset"), col("opening_date"),
+          col("close_ts").as("close_timestamp"),
+          col("down_payment_stable"),
+          coalesce(col("rep_stable"), dec0).as("manual_repayments_stable"),
+          (col("down_payment_stable") + coalesce(col("rep_stable"), dec0))
+            .as("total_outflow_stable"),
+          coalesce(col("lq_stable"), dec0).as("liquidations_stable"),
+          coalesce(col("lq_events"), lit(0L)).as("liquidation_events"),
+          col("returned_lpn"), col("returned_amount_lpn_units"),
+          coalesce(col("returned_amount_stable"), dec0).as("returned_amount_stable"),
+          (coalesce(col("returned_amount_stable"), dec0) -
+            (col("down_payment_stable") + coalesce(col("rep_stable"), dec0)))
+            .as("realized_pnl_stable"))
+        .orderBy(col("close_timestamp").desc, col("contract_id").desc)
+  }
+
+  /** Shared body of get_liquidations and get_liquidations_with_window
+    * (ls_liquidation.rs:100-158, 160-209): identical SELECT; the variants
+    * differ only in the dynamic time WHERE on the liquidation timestamp.
+    */
+  private def liquidationsLedger(s: SparkSession, dir: String,
+      timeWhere: org.apache.spark.sql.Column): DataFrame = {
+      val liq = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "N" && timeWhere)
+        .select(col("l_shipdate").as("timestamp"),
+          pmod(col("l_partkey"), lit(25)).as("ticker"),
+          col("l_orderkey").as("contract_id"),
+          col("l_linestatus").as("transaction_type"),
+          col("l_extendedprice").as("payment_stable"),
+          (col("l_linestatus") === "F").as("closed_loan"),
+          col("l_quantity").as("liquidation_price"))
+      liq
+        .join(lsOpening(s, dir), col("contract_id") === col("ls_contract_id"), "left")
+        .join(currencyRegistry(s, dir, "ld"), col("ls_cltr_symbol") === col("ld_ticker"))
+        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
+        .select(col("timestamp"), col("ticker"), col("contract_id"),
+          col("ls_address_id").as("user"), col("transaction_type"),
+          (col("payment_stable") / col("stable_currency_decimals")).as("liquidation_amount"),
+          col("closed_loan"),
+          (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("ld_decimal_digits")))
+            .as("down_payment"),
+          (col("ls_loan_amnt") / col("lpn_decimals")).as("loan"),
+          col("liquidation_price"))
+        .orderBy(col("timestamp").desc, col("contract_id").desc,
+          col("ticker").desc, col("liquidation_amount").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // get_interest_events page, clause-for-clause (ls_repayment.rs:414-477):
     // ContractInfo ⋈ each of three event CTEs, the
@@ -1027,30 +1145,16 @@ object LiteralTwinQueries {
     // (payment = l_extendedprice, liquidation price = l_quantity,
     // loan_close = l_linestatus='F').
     "q_lit_liquidations" -> { (s, dir) =>
-      val cutoff = lit("1997-06-01").cast("timestamp")
-      val liq = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === "N" && col("l_shipdate") >= cutoff)
-        .select(col("l_shipdate").as("timestamp"),
-          pmod(col("l_partkey"), lit(25)).as("ticker"),
-          col("l_orderkey").as("contract_id"),
-          col("l_linestatus").as("transaction_type"),
-          col("l_extendedprice").as("payment_stable"),
-          (col("l_linestatus") === "F").as("closed_loan"),
-          col("l_quantity").as("liquidation_price"))
-      liq
-        .join(lsOpening(s, dir), col("contract_id") === col("ls_contract_id"), "left")
-        .join(currencyRegistry(s, dir, "ld"), col("ls_cltr_symbol") === col("ld_ticker"))
-        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
-        .select(col("timestamp"), col("ticker"), col("contract_id"),
-          col("ls_address_id").as("user"), col("transaction_type"),
-          (col("payment_stable") / col("stable_currency_decimals")).as("liquidation_amount"),
-          col("closed_loan"),
-          (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("ld_decimal_digits")))
-            .as("down_payment"),
-          (col("ls_loan_amnt") / col("lpn_decimals")).as("loan"),
-          col("liquidation_price"))
-        .orderBy(col("timestamp").desc, col("contract_id").desc,
-          col("ticker").desc, col("liquidation_amount").desc)
+      liquidationsLedger(s, dir,
+        col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
+    },
+    // get_liquidations_with_window, clause-for-clause
+    // (ls_liquidation.rs:160-209): the same export with the dual time
+    // cursor (months -> fixed >= cutoff per P3, from -> strict >).
+    "q_lit_liquidations_window" -> { (s, dir) =>
+      liquidationsLedger(s, dir,
+        col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") > lit("1997-09-01").cast("timestamp"))
     },
     // get_historical_lenders_with_window, clause-for-clause
     // (lp_deposit.rs:138-190): the Deposit ∪ Withdraw tagged union with the
@@ -1861,6 +1965,19 @@ object LiteralTwinQueries {
         .orderBy(col("ls_timestamp").desc, col("apr").desc)
         .select(col("apr"))
     },
+    // get_borrow_apr_with_window, clause-for-clause (ls_opening.rs:337-377):
+    // the same APR page under the DUAL dynamic cursor — the months branch
+    // (NOW()-months -> fixed >= cutoff per P3) AND the from branch
+    // (strict >) both present, exercising the two-condition WHERE builder.
+    "q_lit_borrow_apr_window" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .filter(col("ls_loan_pool_id") === 7 &&
+          col("ls_timestamp") >= lit("1997-01-01").cast("timestamp") &&
+          col("ls_timestamp") > lit("1996-06-01").cast("timestamp"))
+        .select((col("ls_interest") / 10.0).as("apr"), col("ls_timestamp"))
+        .orderBy(col("ls_timestamp").desc, col("apr").desc)
+        .select(col("apr"))
+    },
     // get_borrowed_by_protocols, clause-for-clause (ls_opening.rs:635-657):
     // one grouped query for every pool — COALESCE(SUM(loan/lpn_decimals),0)
     // per pool (divisors 1..4, tie-free → 6dp-round + exact-decimal sum).
@@ -2032,85 +2149,18 @@ object LiteralTwinQueries {
     // close-desc OFFSET 10 LIMIT 40 page (contract tiebreak). All rounded
     // legs exact-decimal; stable columns stay DECIMAL.
     "q_lit_realized_pnl_wallet" -> { (s, dir) =>
-      // all stable legs pinned to DECIMAL(28,6): additions then stay under
-      // precision 38 on BOTH engines (DuckDB addition width is hard-capped)
-      val dec0 = lit(0).cast("decimal(28,6)")
-      def cr(role: String) = currencyRegistry(s, dir, role)
-      val openings = lsOpening(s, dir)
-        .filter(col("ls_timestamp") >= lit("1996-01-01").cast("timestamp"))
-        .join(broadcast(poolConfig(s, dir)), col("ls_loan_pool_id") === col("pool_id"))
-        .join(cr("wd"), col("ls_cltr_symbol") === col("wd_ticker"))
-        .select(col("ls_contract_id").as("o_contract"),
-          col("ls_address_id").as("user"),
-          col("ls_timestamp").as("opening_date"),
-          col("ls_asset_symbol").as("leased_asset"),
-          col("ls_cltr_symbol").as("down_payment_asset"),
-          microRound6(col("ls_cltr_amnt_stable").cast("decimal(20,2)") *
-            pow10micro(col("wd_decimal_digits"))).as("down_payment_stable"),
-          coalesce(col("lpn_symbol").cast("string"), lit("USDC_NOBLE")).as("lpn_symbol"))
-      val openIds = openings.select(col("o_contract"))
-      val collectsBySymbol = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === "A")
-        .select(col("l_orderkey").as("c_contract"),
-          pmod(col("l_partkey"), lit(25)).as("c_symbol"),
-          col("l_quantity").as("c_amount"), col("l_extendedprice").as("c_amount_stable"))
-        .join(openIds, col("c_contract") === col("o_contract"), "left_semi")
-        .join(cr("wc"), col("c_symbol") === col("wc_ticker"))
-        .groupBy(col("c_contract"), col("c_symbol"), col("wc_decimal_digits"))
-        .agg(
-          // exact-decimal sum, ONE cast to double, ONE IEEE division by an
-          // integer-exact 10^d (the decimal(6,0) round-trip kills any
-          // 1-ulp libm POWER error) — no multi-op double rounding left for
-          // a different build to flip
-          (sum(col("c_amount").cast("decimal(18,2)")).cast("double") /
-            pow(lit(10.0), col("wc_decimal_digits")).cast("decimal(6,0)").cast("double"))
-            .as("amount_lpn_units"),
-          microRound6(sum(col("c_amount_stable").cast("decimal(18,2)"))
-            .cast("decimal(20,2)") * pow10micro(col("wc_decimal_digits")))
-            .as("amount_stable"))
-      val collects = collectsBySymbol
-        .groupBy(col("c_contract"))
-        .agg(min(col("c_symbol")).as("returned_lpn"),
-          min_by(col("amount_lpn_units"), col("c_symbol"))
-            .as("returned_amount_lpn_units"),
-          sum(col("amount_stable")).cast("decimal(28,6)").as("returned_amount_stable"))
-      val loanClose = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey").as("lc_contract"), col("o_orderdate").as("close_ts"))
-        .join(openIds, col("lc_contract") === col("o_contract"), "left_semi")
-      def paySum(flag: String, role: String, out: String) = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === flag)
-        .select(col("l_orderkey").as(s"${out}_contract"),
-          col("l_extendedprice").as("pay"), pmod(col("l_partkey"), lit(25)).as("sym"))
-        .join(openIds, col(s"${out}_contract") === col("o_contract"), "left_semi")
-        .join(cr(role), col("sym") === col(s"${role}_ticker"))
-        .groupBy(col(s"${out}_contract"))
-        .agg(sum(microRound6(col("pay").cast("decimal(20,2)") *
-          pow10micro(col(s"${role}_decimal_digits")))).cast("decimal(28,6)")
-          .as(s"${out}_stable"),
-          count(lit(1)).as(s"${out}_events"))
-      val repays = paySum("R", "wr", "rep")
-      val liqs = paySum("N", "wq", "lq")
-      openings
-        .join(loanClose, col("o_contract") === col("lc_contract"))
-        .join(collects, col("o_contract") === col("c_contract"), "left")
-        .join(repays, col("o_contract") === col("rep_contract"), "left")
-        .join(liqs, col("o_contract") === col("lq_contract"), "left")
-        .select(col("o_contract").as("contract_id"), col("user"),
-          col("leased_asset"), col("down_payment_asset"), col("opening_date"),
-          col("close_ts").as("close_timestamp"),
-          col("down_payment_stable"),
-          coalesce(col("rep_stable"), dec0).as("manual_repayments_stable"),
-          (col("down_payment_stable") + coalesce(col("rep_stable"), dec0))
-            .as("total_outflow_stable"),
-          coalesce(col("lq_stable"), dec0).as("liquidations_stable"),
-          coalesce(col("lq_events"), lit(0L)).as("liquidation_events"),
-          col("returned_lpn"), col("returned_amount_lpn_units"),
-          coalesce(col("returned_amount_stable"), dec0).as("returned_amount_stable"),
-          (coalesce(col("returned_amount_stable"), dec0) -
-            (col("down_payment_stable") + coalesce(col("rep_stable"), dec0)))
-            .as("realized_pnl_stable"))
-        .orderBy(col("close_timestamp").desc, col("contract_id").desc)
+      realizedPnlWalletLedger(s, dir,
+        col("ls_timestamp") >= lit("1996-01-01").cast("timestamp"))
         .offset(10).limit(40)
+    },
+    // get_realized_pnl_by_wallet_with_window, clause-for-clause
+    // (ls_opening.rs:1795-1915): the same ledger with the dynamic dual time
+    // cursor (months -> fixed >= cutoff per P3, from -> strict >) and no
+    // pagination.
+    "q_lit_realized_pnl_wallet_window" -> { (s, dir) =>
+      realizedPnlWalletLedger(s, dir,
+        col("ls_timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("ls_timestamp") > lit("1996-09-01").cast("timestamp"))
     },
     // get_sum, clause-for-clause (ls_repayment.rs:127-183): the PL_State
     // input contract — FIVE separate column SUMs over the OPEN interval
@@ -2176,6 +2226,123 @@ object LiteralTwinQueries {
        |  '$tag' AS event_type
        |FROM lineitem JOIN ci ON l_orderkey = ci_contract_id
        |WHERE l_returnflag = '$flag' AND l_shipdate > TIMESTAMP '1997-01-01')""".stripMargin
+
+  private def liquidationsSql(timeWhere: String): String =
+    s"""WITH pc AS (SELECT c_custkey AS pool_id,
+        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
+        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |liq AS (
+        |  SELECT l_shipdate AS "timestamp", l_partkey % 25 AS ticker,
+        |    l_orderkey AS contract_id, l_linestatus AS transaction_type,
+        |    l_extendedprice AS payment_stable, l_linestatus = 'F' AS closed_loan,
+        |    l_quantity AS liquidation_price
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'N' AND $timeWhere),
+        |o AS (
+        |  SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |    o_custkey % 25 AS ls_cltr_symbol, o_totalprice AS ls_cltr_amnt_stable,
+        |    o_totalprice AS ls_loan_amnt, o_custkey AS ls_loan_pool_id
+        |  FROM orders)
+        |SELECT liq."timestamp", liq.ticker, liq.contract_id,
+        |  o.ls_address_id AS "user", liq.transaction_type,
+        |  liq.payment_stable / pc.stable_currency_decimals AS liquidation_amount,
+        |  liq.closed_loan,
+        |  o.ls_cltr_amnt_stable / POWER(10, cr.decimal_digits) AS down_payment,
+        |  o.ls_loan_amnt / pc.lpn_decimals AS loan,
+        |  liq.liquidation_price
+        |FROM liq
+        |LEFT JOIN o ON o.ls_contract_id = liq.contract_id
+        |JOIN cr ON cr.ticker = o.ls_cltr_symbol
+        |JOIN pc ON pc.pool_id = o.ls_loan_pool_id
+        |ORDER BY liq."timestamp" DESC, liq.contract_id DESC, liq.ticker DESC,
+        |  liquidation_amount DESC""".stripMargin
+
+  private def realizedPnlWalletSql(timeWhere: String, page: String): String =
+    s"""WITH pc AS (SELECT c_custkey AS pool_id,
+        |    c_nationkey AS lpn_symbol FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |openings AS (
+        |  SELECT o_orderkey AS o_contract, o_custkey AS "user",
+        |    o_orderdate AS opening_date,
+        |    o_orderkey % 25 AS leased_asset,
+        |    o_custkey % 25 AS down_payment_asset,
+        |    CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS down_payment_stable,
+        |    COALESCE(CAST(pc.lpn_symbol AS VARCHAR), 'USDC_NOBLE') AS lpn_symbol
+        |  FROM orders
+        |  JOIN pc ON o_custkey = pc.pool_id
+        |  JOIN cr ON cr.ticker = o_custkey % 25
+        |  WHERE $timeWhere),
+        |collects_by_symbol AS (
+        |  SELECT l_orderkey AS c_contract, l_partkey % 25 AS c_symbol,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(CAST(POWER(10, cr.decimal_digits) AS DECIMAL(6,0)) AS DOUBLE)
+        |      AS amount_lpn_units,
+        |    CAST(CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS amount_stable
+        |  FROM lineitem
+        |  JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'A'
+        |    AND l_orderkey IN (SELECT o_contract FROM openings)
+        |  GROUP BY l_orderkey, l_partkey % 25, cr.decimal_digits),
+        |collects AS (
+        |  SELECT c_contract,
+        |    (list(c_symbol ORDER BY c_symbol))[1] AS returned_lpn,
+        |    (list(amount_lpn_units ORDER BY c_symbol))[1] AS returned_amount_lpn_units,
+        |    CAST(SUM(amount_stable) AS DECIMAL(28,6)) AS returned_amount_stable
+        |  FROM collects_by_symbol GROUP BY c_contract),
+        |loan_close AS (
+        |  SELECT o_orderkey AS lc_contract, o_orderdate AS close_ts
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |    AND o_orderkey IN (SELECT o_contract FROM openings)),
+        |repays AS (
+        |  SELECT l_orderkey AS rep_contract,
+        |    CAST(SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
+        |      AS rep_stable,
+        |    COUNT(*) AS rep_events
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'R'
+        |    AND l_orderkey IN (SELECT o_contract FROM openings)
+        |  GROUP BY l_orderkey),
+        |liqs AS (
+        |  SELECT l_orderkey AS lq_contract,
+        |    CAST(SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
+        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
+        |      AS lq_stable,
+        |    COUNT(*) AS lq_events
+        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
+        |  WHERE l_returnflag = 'N'
+        |    AND l_orderkey IN (SELECT o_contract FROM openings)
+        |  GROUP BY l_orderkey)
+        |SELECT o.o_contract AS contract_id, o."user", o.leased_asset,
+        |  o.down_payment_asset, o.opening_date,
+        |  lc.close_ts AS close_timestamp,
+        |  o.down_payment_stable,
+        |  COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))) AS manual_repayments_stable,
+        |  o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6)))
+        |    AS total_outflow_stable,
+        |  COALESCE(l.lq_stable, CAST(0 AS DECIMAL(28,6))) AS liquidations_stable,
+        |  COALESCE(l.lq_events, 0) AS liquidation_events,
+        |  c.returned_lpn, c.returned_amount_lpn_units,
+        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
+        |    AS returned_amount_stable,
+        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
+        |    - (o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))))
+        |    AS realized_pnl_stable
+        |FROM openings o
+        |JOIN loan_close lc ON lc.lc_contract = o.o_contract
+        |LEFT JOIN collects c ON c.c_contract = o.o_contract
+        |LEFT JOIN repays r ON r.rep_contract = o.o_contract
+        |LEFT JOIN liqs l ON l.lq_contract = o.o_contract
+        |ORDER BY lc.close_ts DESC, o.o_contract DESC$page""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_lit_interest_page" ->
@@ -2853,36 +3020,10 @@ object LiteralTwinQueries {
         |CROSS JOIN tot t
         |ORDER BY b.ord""".stripMargin,
     "q_lit_liquidations" ->
-      """WITH pc AS (SELECT c_custkey AS pool_id,
-        |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals,
-        |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals FROM customer),
-        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
-        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
-        |liq AS (
-        |  SELECT l_shipdate AS "timestamp", l_partkey % 25 AS ticker,
-        |    l_orderkey AS contract_id, l_linestatus AS transaction_type,
-        |    l_extendedprice AS payment_stable, l_linestatus = 'F' AS closed_loan,
-        |    l_quantity AS liquidation_price
-        |  FROM lineitem
-        |  WHERE l_returnflag = 'N' AND l_shipdate >= TIMESTAMP '1997-06-01'),
-        |o AS (
-        |  SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
-        |    o_custkey % 25 AS ls_cltr_symbol, o_totalprice AS ls_cltr_amnt_stable,
-        |    o_totalprice AS ls_loan_amnt, o_custkey AS ls_loan_pool_id
-        |  FROM orders)
-        |SELECT liq."timestamp", liq.ticker, liq.contract_id,
-        |  o.ls_address_id AS "user", liq.transaction_type,
-        |  liq.payment_stable / pc.stable_currency_decimals AS liquidation_amount,
-        |  liq.closed_loan,
-        |  o.ls_cltr_amnt_stable / POWER(10, cr.decimal_digits) AS down_payment,
-        |  o.ls_loan_amnt / pc.lpn_decimals AS loan,
-        |  liq.liquidation_price
-        |FROM liq
-        |LEFT JOIN o ON o.ls_contract_id = liq.contract_id
-        |JOIN cr ON cr.ticker = o.ls_cltr_symbol
-        |JOIN pc ON pc.pool_id = o.ls_loan_pool_id
-        |ORDER BY liq."timestamp" DESC, liq.contract_id DESC, liq.ticker DESC,
-        |  liquidation_amount DESC""".stripMargin,
+      liquidationsSql("l_shipdate >= TIMESTAMP '1997-06-01'"),
+    "q_lit_liquidations_window" ->
+      liquidationsSql(
+        "l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate > TIMESTAMP '1997-09-01'"),
     "q_lit_lender_history" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, user_id, event_type, value FROM events),
         |pc AS (SELECT c_custkey AS pool_id,
@@ -3568,6 +3709,13 @@ object LiteralTwinQueries {
         |  FROM orders
         |  WHERE o_custkey = 7 AND o_orderdate > TIMESTAMP '1996-06-01'
         |  ORDER BY o_orderdate DESC, apr DESC) t""".stripMargin,
+    "q_lit_borrow_apr_window" ->
+      """SELECT apr FROM (
+        |  SELECT o_orderkey % 200 / 10.0 AS apr, o_orderdate
+        |  FROM orders
+        |  WHERE o_custkey = 7 AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate > TIMESTAMP '1996-06-01'
+        |  ORDER BY o_orderdate DESC, apr DESC) t""".stripMargin,
     "q_lit_borrowed_by_protocols" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
         |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer)
@@ -3709,90 +3857,12 @@ object LiteralTwinQueries {
         |SELECT (SELECT total_lease_value FROM lease_value_sum)
         |  + (SELECT total_available FROM pool_available_sum) AS tvl""".stripMargin,
     "q_lit_realized_pnl_wallet" ->
-      """WITH pc AS (SELECT c_custkey AS pool_id,
-        |    c_nationkey AS lpn_symbol FROM customer),
-        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
-        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
-        |openings AS (
-        |  SELECT o_orderkey AS o_contract, o_custkey AS "user",
-        |    o_orderdate AS opening_date,
-        |    o_orderkey % 25 AS leased_asset,
-        |    o_custkey % 25 AS down_payment_asset,
-        |    CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
-        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS down_payment_stable,
-        |    COALESCE(CAST(pc.lpn_symbol AS VARCHAR), 'USDC_NOBLE') AS lpn_symbol
-        |  FROM orders
-        |  JOIN pc ON o_custkey = pc.pool_id
-        |  JOIN cr ON cr.ticker = o_custkey % 25
-        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
-        |collects_by_symbol AS (
-        |  SELECT l_orderkey AS c_contract, l_partkey % 25 AS c_symbol,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |      / CAST(CAST(POWER(10, cr.decimal_digits) AS DECIMAL(6,0)) AS DOUBLE)
-        |      AS amount_lpn_units,
-        |    CAST(CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
-        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS amount_stable
-        |  FROM lineitem
-        |  JOIN cr ON cr.ticker = l_partkey % 25
-        |  WHERE l_returnflag = 'A'
-        |    AND l_orderkey IN (SELECT o_contract FROM openings)
-        |  GROUP BY l_orderkey, l_partkey % 25, cr.decimal_digits),
-        |collects AS (
-        |  SELECT c_contract,
-        |    (list(c_symbol ORDER BY c_symbol))[1] AS returned_lpn,
-        |    (list(amount_lpn_units ORDER BY c_symbol))[1] AS returned_amount_lpn_units,
-        |    CAST(SUM(amount_stable) AS DECIMAL(28,6)) AS returned_amount_stable
-        |  FROM collects_by_symbol GROUP BY c_contract),
-        |loan_close AS (
-        |  SELECT o_orderkey AS lc_contract, o_orderdate AS close_ts
-        |  FROM orders WHERE o_orderstatus = 'F'
-        |    AND o_orderkey IN (SELECT o_contract FROM openings)),
-        |repays AS (
-        |  SELECT l_orderkey AS rep_contract,
-        |    CAST(SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
-        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
-        |      AS rep_stable,
-        |    COUNT(*) AS rep_events
-        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
-        |  WHERE l_returnflag = 'R'
-        |    AND l_orderkey IN (SELECT o_contract FROM openings)
-        |  GROUP BY l_orderkey),
-        |liqs AS (
-        |  SELECT l_orderkey AS lq_contract,
-        |    CAST(SUM(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(20,2))
-        |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
-        |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS DECIMAL(28,6))
-        |      AS lq_stable,
-        |    COUNT(*) AS lq_events
-        |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
-        |  WHERE l_returnflag = 'N'
-        |    AND l_orderkey IN (SELECT o_contract FROM openings)
-        |  GROUP BY l_orderkey)
-        |SELECT o.o_contract AS contract_id, o."user", o.leased_asset,
-        |  o.down_payment_asset, o.opening_date,
-        |  lc.close_ts AS close_timestamp,
-        |  o.down_payment_stable,
-        |  COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))) AS manual_repayments_stable,
-        |  o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6)))
-        |    AS total_outflow_stable,
-        |  COALESCE(l.lq_stable, CAST(0 AS DECIMAL(28,6))) AS liquidations_stable,
-        |  COALESCE(l.lq_events, 0) AS liquidation_events,
-        |  c.returned_lpn, c.returned_amount_lpn_units,
-        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
-        |    AS returned_amount_stable,
-        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
-        |    - (o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))))
-        |    AS realized_pnl_stable
-        |FROM openings o
-        |JOIN loan_close lc ON lc.lc_contract = o.o_contract
-        |LEFT JOIN collects c ON c.c_contract = o.o_contract
-        |LEFT JOIN repays r ON r.rep_contract = o.o_contract
-        |LEFT JOIN liqs l ON l.lq_contract = o.o_contract
-        |ORDER BY lc.close_ts DESC, o.o_contract DESC
-        |OFFSET 10 LIMIT 40""".stripMargin,
+      realizedPnlWalletSql("o_orderdate >= TIMESTAMP '1996-01-01'",
+        "\n        |OFFSET 10 LIMIT 40"),
+    "q_lit_realized_pnl_wallet_window" ->
+      realizedPnlWalletSql(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate > TIMESTAMP '1996-09-01'",
+        ""),
     "q_lit_repayment_sums" ->
       """SELECT
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS prev_margin_stable,
