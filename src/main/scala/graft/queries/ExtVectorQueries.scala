@@ -16,13 +16,19 @@ object ExtVectorQueries {
   /** Corpus row count from the parquet footers — NO Spark job (a plain
     * `df.count()` at plan-build time ran a full count job every time the
     * LSH entry was even constructed, e.g. per PlanGuardSpec plan census).
-    * Footer record counts are exact; memoized per directory.
+    * Footer record counts are exact; memoized per (directory, mtime) so a
+    * rewritten embeddings.parquet invalidates the cached count. Listing is
+    * single-level (Spark's own flat layout); a partition-nested table
+    * would need a recursive walk here.
     */
-  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def embeddingCount(s: SparkSession, dir: String): Long =
-    corpusCounts.getOrElseUpdate(dir, {
-      val conf = s.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  private def embeddingCount(s: SparkSession, dir: String): Long = {
+    val conf0 = s.sessionState.newHadoopConf()
+    val root0 = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val mtime = root0.getFileSystem(conf0).getFileStatus(root0).getModificationTime
+    corpusCounts.getOrElseUpdate((dir, mtime), {
+      val conf = conf0
+      val root = root0
       val fs = root.getFileSystem(conf)
       val files =
         if (fs.getFileStatus(root).isDirectory)
@@ -35,6 +41,7 @@ object ExtVectorQueries {
         try r.getRecordCount finally r.close()
       }.sum
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for the query subset

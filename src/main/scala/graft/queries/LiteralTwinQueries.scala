@@ -2084,6 +2084,76 @@ object LiteralTwinQueries {
       Tables.orders(s, dir).select(col("o_orderkey").as("id"))
         .orderBy(col("id").desc).limit(1)
     },
+    // block.get_one, clause-for-clause (block.rs:98-109): the point SELECT
+    // by primary key (bound $1 -> pinned id 77).
+    "q_lit_block_one" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") === 77)
+        .select(col("o_orderkey").as("id"), col("o_orderdate").as("created_at"))
+    },
+    // block.count, clause-for-clause (block.rs:110-120): the corpus COUNT(1).
+    "q_lit_block_count" -> { (s, dir) =>
+      Tables.orders(s, dir).agg(count(lit(1)).as("n_blocks"))
+    },
+    // block.is_synced_to_block, clause-for-clause (block.rs:122-133): the
+    // SQL half of the sync check - COUNT(1) WHERE id <= $1 (pinned 750;
+    // the id==count equality happens app-side in the reference).
+    "q_lit_block_synced_count" -> { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 750)
+        .agg(count(lit(1)).as("n_synced"))
+    },
+    // action_history.get_last_by_type, clause-for-clause
+    // (action_history.rs:26-40): newest row for one action type (ORDER BY
+    // created_at DESC LIMIT 1; bound type -> pinned 'signup'). events.ts is
+    // ns-precision, so created_at is second-truncated on output and the
+    // sort carries the value-deterministic payload tiebreak (SURVEY S7.4#5).
+    "q_lit_action_last" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("id"), col("event_type").as("action_type"),
+          date_trunc("second", col("ts")).as("created_at"))
+        .orderBy(col("created_at").desc, col("id").desc).limit(1)
+    },
+    // action_history.get_last_by_type_before, clause-for-clause
+    // (action_history.rs:41-56): the same argmax under a created_at < $2
+    // cursor (pinned 1997-06-01).
+    "q_lit_action_last_before" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "signup" &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .select(col("event_id").as("id"), col("event_type").as("action_type"),
+          date_trunc("second", col("ts")).as("created_at"))
+        .orderBy(col("created_at").desc, col("id").desc).limit(1)
+    },
+    // lp_withdraw.count_closed, clause-for-clause (lp_withdraw.rs:89-108):
+    // COUNT over the half-open window with the deposit-close flag
+    // (LP_Withdraw -> lineitem R-flag rows, close = linestatus F).
+    "q_lit_withdraw_count_closed" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F" &&
+          col("l_shipdate") > lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") <= lit("1998-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n_closed"))
+    },
+    // lp_withdraw.get_amnt_stable, clause-for-clause (lp_withdraw.rs:
+    // 109-131): SUM(amnt_stable) over the same half-open window; exact
+    // decimal out, width pinned on both sides (ulp rule).
+    "q_lit_withdraw_sum" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") > lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") <= lit("1998-01-01").cast("timestamp"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("withdrawn_stable"))
+    },
+    // lp_withdraw.get_by_tx, clause-for-clause (lp_withdraw.rs:132-145):
+    // the point lookup by unique string key (Tx_Hash -> customer name).
+    "q_lit_withdraw_by_tx" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_name") === "Customer#000000007")
+        .select(col("c_custkey").as("id"), col("c_name").as("tx_hash"),
+          col("c_mktsegment").as("segment"))
+    },
     // get_price_by_date (protocol variant), clause-for-clause
     // (mp_asset.rs:125-150): the first price AT-OR-AFTER a date —
     // `ts >= $3 ORDER BY ts ASC LIMIT 1` for (symbol, protocol), the
@@ -3809,6 +3879,40 @@ object LiteralTwinQueries {
       """SELECT o_orderkey AS id FROM orders ORDER BY id ASC LIMIT 1""".stripMargin,
     "q_lit_last_block" ->
       """SELECT o_orderkey AS id FROM orders ORDER BY id DESC LIMIT 1""".stripMargin,
+    "q_lit_block_one" ->
+      """SELECT o_orderkey AS id, o_orderdate AS created_at
+        |FROM orders WHERE o_orderkey = 77""".stripMargin,
+    "q_lit_block_count" ->
+      """SELECT COUNT(1) AS n_blocks FROM orders""".stripMargin,
+    "q_lit_block_synced_count" ->
+      """SELECT COUNT(1) AS n_synced FROM orders WHERE o_orderkey <= 750""".stripMargin,
+    "q_lit_action_last" ->
+      """SELECT event_id AS id, event_type AS action_type,
+        |  date_trunc('second', ts) AS created_at
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY date_trunc('second', ts) DESC, event_id DESC LIMIT 1""".stripMargin,
+    "q_lit_action_last_before" ->
+      """SELECT event_id AS id, event_type AS action_type,
+        |  date_trunc('second', ts) AS created_at
+        |FROM events
+        |WHERE event_type = 'signup'
+        |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-15'
+        |ORDER BY date_trunc('second', ts) DESC, event_id DESC LIMIT 1""".stripMargin,
+    "q_lit_withdraw_count_closed" ->
+      """SELECT COUNT(1) AS n_closed FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_lit_withdraw_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |  AS withdrawn_stable
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_lit_withdraw_by_tx" ->
+      """SELECT c_custkey AS id, c_name AS tx_hash, c_mktsegment AS segment
+        |FROM customer WHERE c_name = 'Customer#000000007'""".stripMargin,
     "q_lit_price_asof" ->
       """SELECT CAST(l_extendedprice AS DOUBLE) AS mp_price
         |FROM lineitem
