@@ -55,7 +55,7 @@ object LiteralTwinQueries {
     * every version of both engines (amounts here are positive, so
     * floor(x+0.5) IS half-up).
     */
-  private def microRound6(micro: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def microRound6(micro: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (floor(micro + lit(new java.math.BigDecimal("0.5")).cast("decimal(1,1)"))
       .cast("decimal(20,0)") *
       lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)"))
@@ -65,7 +65,7 @@ object LiteralTwinQueries {
     * reference's `amount / POWER(10, decimal_digits)` into a micro-unit
     * multiply with no division.
     */
-  private def pow10micro(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def pow10micro(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pow(lit(10.0), lit(6) - d).cast("decimal(6,0)")
 
   /** 10⁶/m as an exact-width decimal for the small-integer pool divisor
@@ -75,7 +75,7 @@ object LiteralTwinQueries {
     * still agree bit-for-bit (the ≤2·10⁻⁷ USDC deviation from the true
     * quotient is a pinned semantic of the twin, recorded in PLANS.md).
     */
-  private def microRecip(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def microRecip(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def d(sv: String) = lit(new java.math.BigDecimal(sv)).cast("decimal(13,6)")
     when(m === 1, d("1000000.000000"))
       .when(m === 2, d("500000.000000"))
@@ -90,7 +90,7 @@ object LiteralTwinQueries {
     * the final (20,8) cast is lossless — the 8dp "round" is an identity,
     * now computed with zero double ops.
     */
-  private def pow10inv8(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def pow10inv8(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def l(sv: String) = lit(new java.math.BigDecimal(sv)).cast("decimal(9,8)")
     when(d === 1, l("0.10000000")).when(d === 2, l("0.01000000"))
       .when(d === 3, l("0.00100000")).when(d === 4, l("0.00010000"))

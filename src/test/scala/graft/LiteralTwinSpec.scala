@@ -113,4 +113,41 @@ class LiteralTwinSpec extends SparkSpec {
     assert(months.sorted.toSeq == months.toSeq && months.distinct.length == months.length)
     assert(rows.forall(_.getLong(1) > 0), "a reported month has at least one wallet")
   }
+
+  test("microRound6 is exact half-up, including exact .5 micro ties") {
+    // the r6 determinism contract: floor(x + 0.5) in pure decimal must
+    // agree with BigDecimal HALF_UP at scale 6 for positive amounts —
+    // especially ON the exact half-micro ties that double floor(x·1e6+0.5)
+    // and version-dependent decimal ROUND both get wrong
+    import spark.implicits._
+    val micros = Seq("2.5", "3.5", "1000000.5", "0.5", "7.4999999", "7.5000001",
+      "123456789.5", "0.0")
+    val df = micros.toDF("m")
+      .select(col("m").cast("decimal(36,10)").as("micro"))
+      .select(col("micro"),
+        LiteralTwinQueries.microRound6(col("micro")).as("r"))
+    val got = df.collect().map(r => (r.getDecimal(0), r.getDecimal(1))).toMap
+    got.foreach { case (micro, r) =>
+      val expect = micro
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .multiply(new java.math.BigDecimal("0.000001"))
+        .setScale(6)
+      assert(r.compareTo(expect) == 0,
+        s"microRound6($micro) = $r, want $expect (HALF_UP)")
+    }
+  }
+
+  test("_with_window twins are tighter-cursor subsets of their base twins") {
+    // liquidations: window predicate strictly tightens the base's WHERE
+    val base = run("q_lit_liquidations")
+    val win = run("q_lit_liquidations_window")
+    assert(win.count() <= base.count() && win.count() > 0)
+    assert(win.exceptAll(base).count() == 0,
+      "every window row must appear in the base export")
+    // borrow APR: same page under the dual cursor
+    val aprBase = run("q_lit_borrow_apr")
+    val aprWin = run("q_lit_borrow_apr_window")
+    assert(aprWin.count() <= aprBase.count(),
+      "the months bound can only drop rows from the from-cursored page")
+  }
 }
