@@ -2154,6 +2154,67 @@ object LiteralTwinQueries {
         .select(col("c_custkey").as("id"), col("c_name").as("tx_hash"),
           col("c_mktsegment").as("segment"))
     },
+    // ls_close_position.get_by_contract, clause-for-clause
+    // (ls_close_position.rs:89-104): every close event for one contract
+    // (bound $1 -> pinned 77). Close events -> A-flag lineitem rows.
+    "q_lit_close_by_contract" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "A" && col("l_orderkey") === 77)
+        .select(col("l_orderkey").as("contract_id"),
+          col("l_shipdate").as("close_ts"),
+          col("l_extendedprice").as("amnt_stable"),
+          (col("l_linestatus") === "F").as("loan_close"),
+          col("l_linenumber").as("line"))
+        .orderBy(col("close_ts").asc, col("line").asc, col("amnt_stable").asc)
+    },
+    // ls_close_position.get_closed_by_contract, clause-for-clause
+    // (ls_close_position.rs:106-119): the same point read restricted to the
+    // loan-close row.
+    "q_lit_closed_close_by_contract" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "A" && col("l_orderkey") === 77 &&
+          col("l_linestatus") === "F")
+        .select(col("l_orderkey").as("contract_id"),
+          col("l_shipdate").as("close_ts"),
+          col("l_extendedprice").as("amnt_stable"),
+          col("l_linenumber").as("line"))
+        .orderBy(col("close_ts").asc, col("line").asc, col("amnt_stable").asc)
+    },
+    // protocol_registry.get_active, clause-for-clause
+    // (protocol_registry.rs): the active-dim listing, name-sorted.
+    "q_lit_protocol_active" -> { (s, dir) =>
+      poolConfig(s, dir)
+        .filter(col("is_active"))
+        .select(col("label").as("protocol_name"),
+          col("protocol").as("network"), col("pool_id").as("lpp_contract"))
+        .orderBy(col("protocol_name").asc)
+    },
+    // protocol_registry.get_by_name, clause-for-clause: dim point read by
+    // unique name key.
+    "q_lit_protocol_by_name" -> { (s, dir) =>
+      poolConfig(s, dir)
+        .filter(col("label") === "Customer#000000011")
+        .select(col("label").as("protocol_name"),
+          col("protocol").as("network"), col("pool_id").as("lpp_contract"))
+    },
+    // protocol_registry.count_by_status, clause-for-clause: the
+    // active/deprecated counter pair as one conditional aggregate.
+    "q_lit_protocol_count_by_status" -> { (s, dir) =>
+      poolConfig(s, dir).agg(
+        count(when(col("is_active"), 1)).as("n_active"),
+        count(when(!col("is_active"), 1)).as("n_deprecated"))
+    },
+    // currency_protocol.get_by_ticker, clause-for-clause
+    // (currency_protocol.rs): per-protocol currency rows for one ticker,
+    // protocol-sorted (nation plays the currency, region the group).
+    "q_lit_currency_by_ticker" -> { (s, dir) =>
+      Tables.nation(s, dir)
+        .filter(col("n_nationkey") === 7)
+        .select(col("n_nationkey").cast("bigint").as("ticker"),
+          col("n_name").as("protocol"),
+          col("n_regionkey").as("group"))
+        .orderBy(col("protocol").asc)
+    },
     // get_price_by_date (protocol variant), clause-for-clause
     // (mp_asset.rs:125-150): the first price AT-OR-AFTER a date —
     // `ts >= $3 ORDER BY ts ASC LIMIT 1` for (symbol, protocol), the
@@ -3913,6 +3974,36 @@ object LiteralTwinQueries {
     "q_lit_withdraw_by_tx" ->
       """SELECT c_custkey AS id, c_name AS tx_hash, c_mktsegment AS segment
         |FROM customer WHERE c_name = 'Customer#000000007'""".stripMargin,
+    "q_lit_close_by_contract" ->
+      """SELECT l_orderkey AS contract_id, l_shipdate AS close_ts,
+        |  l_extendedprice AS amnt_stable, l_linestatus = 'F' AS loan_close,
+        |  l_linenumber AS line
+        |FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey = 77
+        |ORDER BY close_ts ASC, line ASC, amnt_stable ASC""".stripMargin,
+    "q_lit_closed_close_by_contract" ->
+      """SELECT l_orderkey AS contract_id, l_shipdate AS close_ts,
+        |  l_extendedprice AS amnt_stable, l_linenumber AS line
+        |FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_orderkey = 77 AND l_linestatus = 'F'
+        |ORDER BY close_ts ASC, line ASC, amnt_stable ASC""".stripMargin,
+    "q_lit_protocol_active" ->
+      """SELECT c_name AS protocol_name,
+        |  CAST(c_custkey % 7 AS BIGINT) AS network, c_custkey AS lpp_contract
+        |FROM customer WHERE c_acctbal > 0
+        |ORDER BY protocol_name ASC""".stripMargin,
+    "q_lit_protocol_by_name" ->
+      """SELECT c_name AS protocol_name,
+        |  CAST(c_custkey % 7 AS BIGINT) AS network, c_custkey AS lpp_contract
+        |FROM customer WHERE c_name = 'Customer#000000011'""".stripMargin,
+    "q_lit_protocol_count_by_status" ->
+      """SELECT count(CASE WHEN c_acctbal > 0 THEN 1 END) AS n_active,
+        |  count(CASE WHEN NOT (c_acctbal > 0) THEN 1 END) AS n_deprecated
+        |FROM customer""".stripMargin,
+    "q_lit_currency_by_ticker" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS ticker, n_name AS protocol,
+        |  n_regionkey AS "group"
+        |FROM nation WHERE n_nationkey = 7
+        |ORDER BY protocol ASC""".stripMargin,
     "q_lit_price_asof" ->
       """SELECT CAST(l_extendedprice AS DOUBLE) AS mp_price
         |FROM lineitem
