@@ -2215,6 +2215,52 @@ object LiteralTwinQueries {
           col("n_regionkey").as("group"))
         .orderBy(col("protocol").asc)
     },
+    // get_buyback_total, clause-for-clause (tr_profit.rs:176-193): the
+    // SUM(amnt_nls)/10^6 treasury scalar — the NLS sibling of
+    // q_lit_revenue_total (both TR_Profit columns map onto the purchase
+    // value; the endpoints differ in which column they sum). Exact decimal
+    // out, width pinned on both sides.
+    "q_lit_buyback_total" -> { (s, dir) =>
+      val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)") * micro)
+          .cast("decimal(38,8)").as("bought_back_total"))
+    },
+    // get_incentives_pool, clause-for-clause (tr_state.rs:97-112): the
+    // latest treasury snapshot's amnt/10^6 — ORDER BY ts DESC LIMIT 1 over
+    // TR_State (-> click events), exact decimal multiply, value tiebreak.
+    "q_lit_incentives_pool" -> { (s, dir) =>
+      val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(date_trunc("second", col("ts")).as("tr_ts"),
+          col("event_id"), col("value"))
+        .orderBy(col("tr_ts").desc, col("event_id").desc)
+        .limit(1)
+        .select((col("value").cast("decimal(18,2)") * micro)
+          .cast("decimal(25,8)").as("incentives_pool"))
+    },
+    // raw_message.get, clause-for-clause (raw_message.rs:43-118): the
+    // /api/txs wallet page with the full dynamic WHERE in its combine=true
+    // branch — (from = $addr OR to = $addr) AND (type ANY($filters) OR
+    // (type = MsgExecuteContract AND to ANY($earn_tos))) — newest-first
+    // OFFSET/LIMIT page. Roles: from = user_id, to = event_id % 97,
+    // type = event_type (earn type -> 'click'); pins: addr 7, filters
+    // {purchase, signup}, earn tos {3, 5}, page OFFSET 5 LIMIT 25.
+    "q_lit_txs_page" -> { (s, dir) =>
+      val to = pmod(col("event_id"), lit(97))
+      Tables.events(s, dir)
+        .filter((col("user_id") === 7 || to === 7) &&
+          (col("event_type").isin("purchase", "signup") ||
+            (col("event_type") === "click" && to.isin(3, 5))))
+        .select(col("event_id").as("id"), col("user_id").as("from"),
+          to.as("to"), col("event_type").as("type"),
+          date_trunc("second", col("ts")).as("created_at"),
+          col("value"))
+        .orderBy(col("created_at").desc, col("id").desc)
+        .offset(5).limit(25)
+    },
     // get_price_by_date (protocol variant), clause-for-clause
     // (mp_asset.rs:125-150): the first price AT-OR-AFTER a date —
     // `ts >= $3 ORDER BY ts ASC LIMIT 1` for (symbol, protocol), the
@@ -4004,6 +4050,27 @@ object LiteralTwinQueries {
         |  n_regionkey AS "group"
         |FROM nation WHERE n_nationkey = 7
         |ORDER BY protocol ASC""".stripMargin,
+    "q_lit_buyback_total" ->
+      """SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS bought_back_total
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_lit_incentives_pool" ->
+      """SELECT CAST(CAST(value AS DECIMAL(18,2))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(25,8)) AS incentives_pool
+        |FROM events
+        |WHERE event_type = 'click'
+        |ORDER BY date_trunc('second', ts) DESC, event_id DESC
+        |LIMIT 1""".stripMargin,
+    "q_lit_txs_page" ->
+      """SELECT id, "from", "to", "type", created_at, value FROM (
+        |  SELECT event_id AS id, user_id AS "from", event_id % 97 AS "to",
+        |    event_type AS "type", date_trunc('second', ts) AS created_at, value
+        |  FROM events
+        |  WHERE (user_id = 7 OR event_id % 97 = 7)
+        |    AND (event_type IN ('purchase', 'signup')
+        |         OR (event_type = 'click' AND event_id % 97 IN (3, 5)))
+        |  ORDER BY created_at DESC, id DESC
+        |  OFFSET 5 LIMIT 25) t""".stripMargin,
     "q_lit_price_asof" ->
       """SELECT CAST(l_extendedprice AS DOUBLE) AS mp_price
         |FROM lineitem
