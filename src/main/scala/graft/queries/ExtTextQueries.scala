@@ -42,6 +42,35 @@ object ExtTextQueries {
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextOps.langIdFromTokens(col("toks"), lexicons).as("lang_pred"))
     },
+    // End-to-end pretraining-data pipeline: stage tokens once, score
+    // quality and language, FILTER (quality >= 0.5, known language), exact
+    // content-dedup on the order-invariant fingerprint (DISTINCT ON (fp)
+    // keeping the lowest doc_id), then per-language corpus accounting.
+    // Composes the four oracle-green primitives above into the shape a
+    // 100 TB corpus-prep job runs: one scan, one narrow shuffle for the
+    // dedup window, one for the final rollup. Quality sums go through
+    // DECIMAL so the rollup is shuffle-order-independent.
+    "q_x_pipeline_e2e" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+          TextOps.fingerprintMd5(col("text")).as("fp"))
+        .select(col("doc_id"), col("fp"),
+          TextOps.tokenCountFromTokens(col("toks")).as("n_tokens"),
+          TextOps.qualityScoreFromTokens(col("toks"), stopwords).as("quality"),
+          TextOps.langIdFromTokens(col("toks"), lexicons).as("lang_pred"))
+        .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      val kept = staged
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+        .filter(col("rk") === 1)
+      kept.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          (sum(col("quality").cast("decimal(9,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_quality"))
+        .orderBy(col("lang_pred").asc)
+    },
     // Order-invariant document fingerprint (md5 of sorted token multiset).
     "q_x_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -169,6 +198,40 @@ object ExtTextQueries {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_x_pipeline_e2e" ->
+      s"""WITH $wCte,
+         |f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(ws), ' ')) AS fp,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n,
+         |  len(list_distinct(ws))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS diversity,
+         |  len(list_filter(ws, t -> t IN ('the','a')))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS stop,
+         |  len(list_filter(ws, t -> t IN ('der','die','das'))) AS s_de,
+         |  len(list_filter(ws, t -> t IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(ws, t -> t IN ('el','la','de'))) AS s_es,
+         |  len(list_filter(ws, t -> t IN ('le','les','une'))) AS s_fr,
+         |  len(list_filter(ws, t -> t IN ('de5','shi4','le5'))) AS s_zh
+         |FROM w),
+         |scored AS (SELECT doc_id, fp, n,
+         |  round(least(n / 50.0, 1.0) * 0.4 + coalesce(diversity, 0.0) * 0.4 +
+         |        least(coalesce(stop, 0.0) * 5.0, 1.0) * 0.2, 6) AS quality,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM f),
+         |filtered AS (SELECT * FROM scored
+         |  WHERE quality >= 0.5 AND lang_pred <> 'und'),
+         |kept AS (SELECT DISTINCT ON (fp) fp, doc_id, n, quality, lang_pred
+         |  FROM filtered ORDER BY fp, doc_id ASC)
+         |SELECT lang_pred, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CAST(quality AS DECIMAL(9,6))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+         |FROM kept GROUP BY lang_pred ORDER BY lang_pred ASC""".stripMargin,
     "q_x_fingerprint_rolling" -> {
       // Rabin-Karp powers B^(k-1-j) mod 2^61-1 for B=1000003, k=8 — the same
       // constants the native kernel derives (NativeKernels.winnow).
