@@ -22,12 +22,12 @@ object SparkEntry {
       AggQueries.queries ++ WindowSetQueries.queries ++
       ScalarQueries.queries ++ DerivationQueries.queries ++
       ExtTextQueries.queries ++ ExtVectorQueries.queries ++ PipelineQueries.queries ++
-      LiteralTwinQueries.queries
+      LiteralTwinQueries.queries ++ ProbeQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ FilterQueries.oracleSql ++ JoinQueries.oracleSql ++
       AggQueries.oracleSql ++ WindowSetQueries.oracleSql ++
       ScalarQueries.oracleSql ++ DerivationQueries.oracleSql ++
       ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      LiteralTwinQueries.oracleSql
+      LiteralTwinQueries.oracleSql ++ ProbeQueries.oracleSql
 }

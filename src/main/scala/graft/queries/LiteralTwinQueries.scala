@@ -101,7 +101,7 @@ object LiteralTwinQueries {
   /** Oracle-SQL twin of [[microRecip]]: 10⁶/m as the same exact decimal
     * literals, for interpolation into oracleSql entries.
     */
-  private def recipSql(expr: String): String =
+  private[queries] def recipSql(expr: String): String =
     s"""(CASE CAST($expr AS INT)
        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
@@ -111,7 +111,7 @@ object LiteralTwinQueries {
   /** Oracle-SQL twin of [[microRound6]]: floor(micro + 0.5) in exact
     * decimal, scaled back by the exact 10⁻⁶ literal.
     */
-  private def microSql(inner: String): String =
+  private[queries] def microSql(inner: String): String =
     s"""CAST(CAST(floor($inner
        |      + 0.5) AS DECIMAL(20,0))
        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))""".stripMargin
@@ -122,7 +122,7 @@ object LiteralTwinQueries {
     * per-pool decimal divisors from the nation key, protocol from a key
     * cohort, label (the reference's short-display symbol) from the name.
     */
-  private def poolConfig(s: SparkSession, dir: String): DataFrame =
+  private[queries] def poolConfig(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(
       col("c_custkey").as("pool_id"),
       when(col("c_mktsegment") === "MACHINERY", lit(null).cast("string"))
@@ -143,13 +143,13 @@ object LiteralTwinQueries {
   /** currency_registry role, columns prefixed per join alias: nation plays
     * the registry (ticker = nation key, decimal_digits = region key + 1).
     */
-  private def currencyRegistry(s: SparkSession, dir: String, role: String): DataFrame =
+  private[queries] def currencyRegistry(s: SparkSession, dir: String, role: String): DataFrame =
     broadcast(Tables.nation(s, dir).select(
       col("n_nationkey").cast("bigint").as(s"${role}_ticker"),
       (col("n_regionkey") + 1).cast("int").as(s"${role}_decimal_digits")))
 
   /** LS_Opening role: orders, with derived symbol keys into the registry. */
-  private def lsOpening(s: SparkSession, dir: String): DataFrame =
+  private[queries] def lsOpening(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(
       col("o_orderkey").as("ls_contract_id"),
       col("o_custkey").as("ls_address_id"),
@@ -184,7 +184,7 @@ object LiteralTwinQueries {
     * CTE chain; the variants differ only in the openings time WHERE and the
     * page suffix.
     */
-  private def realizedPnlWalletLedger(s: SparkSession, dir: String,
+  private[queries] def realizedPnlWalletLedger(s: SparkSession, dir: String,
       timeWhere: org.apache.spark.sql.Column): DataFrame = {
       // all stable legs pinned to DECIMAL(28,6): additions then stay under
       // precision 38 on BOTH engines (DuckDB addition width is hard-capped)
@@ -212,12 +212,15 @@ object LiteralTwinQueries {
         .join(cr("wc"), col("c_symbol") === col("wc_ticker"))
         .groupBy(col("c_contract"), col("c_symbol"), col("wc_decimal_digits"))
         .agg(
-          // exact-decimal sum, ONE cast to double, ONE IEEE division by an
-          // integer-exact 10^d (the decimal(6,0) round-trip kills any
-          // 1-ulp libm POWER error) — no multi-op double rounding left for
-          // a different build to flip
-          (sum(col("c_amount").cast("decimal(18,2)")).cast("double") /
-            pow(lit(10.0), col("wc_decimal_digits")).cast("decimal(6,0)").cast("double"))
+          // exact DECIMAL end-to-end (r7, VERDICT r6 #2): the r6 form cast
+          // the sum to double and divided by 10^d — the one decimal→double
+          // conversion left in a red-family twin, and DuckDB's conversion
+          // algorithm is a build detail that has changed across releases.
+          // Amounts are 2dp so sum × 10⁻ᵈ has true scale 2+d ≤ 7 and the
+          // (28,8) pin is lossless on both engines (Spark multiply (30,10),
+          // DuckDB (29,10) — both under precision 38).
+          (sum(col("c_amount").cast("decimal(18,2)")).cast("decimal(20,2)") *
+            pow10inv8(col("wc_decimal_digits"))).cast("decimal(28,8)")
             .as("amount_lpn_units"),
           microRound6(sum(col("c_amount_stable").cast("decimal(18,2)"))
             .cast("decimal(20,2)") * pow10micro(col("wc_decimal_digits")))
@@ -2116,7 +2119,7 @@ object LiteralTwinQueries {
     },
     // action_history.get_last_by_type_before, clause-for-clause
     // (action_history.rs:41-56): the same argmax under a created_at < $2
-    // cursor (pinned 1997-06-01).
+    // cursor (pinned 2024-01-15).
     "q_lit_action_last_before" -> { (s, dir) =>
       Tables.events(s, dir)
         .filter(col("event_type") === "signup" &&
@@ -2436,7 +2439,7 @@ object LiteralTwinQueries {
         |ORDER BY liq."timestamp" DESC, liq.contract_id DESC, liq.ticker DESC,
         |  liquidation_amount DESC""".stripMargin
 
-  private def realizedPnlWalletSql(timeWhere: String, page: String): String =
+  private[queries] def realizedPnlWalletSql(timeWhere: String, page: String): String =
     s"""WITH pc AS (SELECT c_custkey AS pool_id,
         |    c_nationkey AS lpn_symbol FROM customer),
         |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
@@ -2456,8 +2459,14 @@ object LiteralTwinQueries {
         |  WHERE $timeWhere),
         |collects_by_symbol AS (
         |  SELECT l_orderkey AS c_contract, l_partkey % 25 AS c_symbol,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |      / CAST(CAST(POWER(10, cr.decimal_digits) AS DECIMAL(6,0)) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(20,2))
+        |      * (CASE cr.decimal_digits
+        |          WHEN 1 THEN CAST('0.10000000' AS DECIMAL(9,8))
+        |          WHEN 2 THEN CAST('0.01000000' AS DECIMAL(9,8))
+        |          WHEN 3 THEN CAST('0.00100000' AS DECIMAL(9,8))
+        |          WHEN 4 THEN CAST('0.00010000' AS DECIMAL(9,8))
+        |          WHEN 5 THEN CAST('0.00001000' AS DECIMAL(9,8))
+        |          ELSE CAST(NULL AS DECIMAL(9,8)) END) AS DECIMAL(28,8))
         |      AS amount_lpn_units,
         |    CAST(CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
         |      * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
@@ -2834,7 +2843,8 @@ object LiteralTwinQueries {
         |          WHEN 2 THEN CAST('0.01000000' AS DECIMAL(9,8))
         |          WHEN 3 THEN CAST('0.00100000' AS DECIMAL(9,8))
         |          WHEN 4 THEN CAST('0.00010000' AS DECIMAL(9,8))
-        |          ELSE CAST('0.00001000' AS DECIMAL(9,8)) END) AS DECIMAL(20,8))) AS rp_total
+        |          WHEN 5 THEN CAST('0.00001000' AS DECIMAL(9,8))
+        |          ELSE CAST(NULL AS DECIMAL(9,8)) END) AS DECIMAL(20,8))) AS rp_total
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'R'
         |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
@@ -2847,7 +2857,8 @@ object LiteralTwinQueries {
         |          WHEN 2 THEN CAST('0.01000000' AS DECIMAL(9,8))
         |          WHEN 3 THEN CAST('0.00100000' AS DECIMAL(9,8))
         |          WHEN 4 THEN CAST('0.00010000' AS DECIMAL(9,8))
-        |          ELSE CAST('0.00001000' AS DECIMAL(9,8)) END) AS DECIMAL(20,8))) AS cl_total
+        |          WHEN 5 THEN CAST('0.00001000' AS DECIMAL(9,8))
+        |          ELSE CAST(NULL AS DECIMAL(9,8)) END) AS DECIMAL(20,8))) AS cl_total
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'A'
         |    AND EXISTS (SELECT 1 FROM openings o WHERE o.ls_contract_id = l_orderkey)
@@ -2860,7 +2871,8 @@ object LiteralTwinQueries {
         |          WHEN 2 THEN CAST('0.01000000' AS DECIMAL(9,8))
         |          WHEN 3 THEN CAST('0.00100000' AS DECIMAL(9,8))
         |          WHEN 4 THEN CAST('0.00010000' AS DECIMAL(9,8))
-        |          ELSE CAST('0.00001000' AS DECIMAL(9,8)) END) AS DECIMAL(20,8))
+        |          WHEN 5 THEN CAST('0.00001000' AS DECIMAL(9,8))
+        |          ELSE CAST(NULL AS DECIMAL(9,8)) END) AS DECIMAL(20,8))
         |      + COALESCE(r.rp_total, CAST(0 AS DECIMAL(20,8))) AS sent_open_usdc,
         |    COALESCE(c.cl_total, CAST(0 AS DECIMAL(20,8))) AS received_close_usdc
         |  FROM openings o
