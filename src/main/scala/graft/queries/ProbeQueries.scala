@@ -370,7 +370,28 @@ object ProbeQueries {
           sum(col("realized_pnl_stable")).cast("decimal(38,6)").as("pnl_sum"),
           sum(col("returned_amount_lpn_units")).cast("decimal(38,8)").as("lpn_sum"))
     },
-    "q_probe_pnl_clone" -> LiteralTwinQueries.queries("q_lit_realized_pnl_wallet")
+    "q_probe_pnl_clone" -> LiteralTwinQueries.queries("q_lit_realized_pnl_wallet"),
+    // ------------------------------------------------------------------
+    // Type control: pinned CONSTANTS in every red output type — no table
+    // data, no arithmetic. Red here ⇒ the driver's hash canonicalizes
+    // these decimal types differently per se; green ⇒ type handling is
+    // clean and any red family row implicates its VALUES' computation.
+    // Magnitudes mirror the red scalars (incl. trailing zeros, a zero
+    // with scale, a negative, and a sub-float64-precision 38,8 value).
+    // ------------------------------------------------------------------
+    "q_probe_const_types" -> { (s, _) =>
+      import s.implicits._
+      Seq(1).toDF("one").select(
+        dec("261501.52098000", "decimal(38,8)").as("d38_8"),
+        dec("184749971.55", "decimal(38,2)").as("d38_2"),
+        dec("20893331.915740", "decimal(38,6)").as("d38_6"),
+        dec("33.69000000", "decimal(25,8)").as("d25_8"),
+        dec("0.000000", "decimal(28,6)").as("d28_6_zero"),
+        dec("-12345.678900", "decimal(28,6)").as("d28_6_neg"),
+        dec("12345678901234567.89012345", "decimal(38,8)").as("d38_8_wide"),
+        lit(42L).as("i64"),
+        lit(0.1).as("dbl"))
+    }
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -559,6 +580,16 @@ object ProbeQueries {
          |  CAST(SUM(returned_amount_lpn_units) AS DECIMAL(38,8)) AS lpn_sum
          |FROM (${LiteralTwinQueries.realizedPnlWalletSql(
                "o_orderdate >= TIMESTAMP '1996-01-01'", "")}) t""".stripMargin,
-    "q_probe_pnl_clone" -> LiteralTwinQueries.oracleSql("q_lit_realized_pnl_wallet")
+    "q_probe_pnl_clone" -> LiteralTwinQueries.oracleSql("q_lit_realized_pnl_wallet"),
+    "q_probe_const_types" ->
+      """SELECT CAST('261501.52098000' AS DECIMAL(38,8)) AS d38_8,
+        |  CAST('184749971.55' AS DECIMAL(38,2)) AS d38_2,
+        |  CAST('20893331.915740' AS DECIMAL(38,6)) AS d38_6,
+        |  CAST('33.69000000' AS DECIMAL(25,8)) AS d25_8,
+        |  CAST('0.000000' AS DECIMAL(28,6)) AS d28_6_zero,
+        |  CAST('-12345.678900' AS DECIMAL(28,6)) AS d28_6_neg,
+        |  CAST('12345678901234567.89012345' AS DECIMAL(38,8)) AS d38_8_wide,
+        |  CAST(42 AS BIGINT) AS i64,
+        |  CAST(0.1 AS DOUBLE) AS dbl""".stripMargin
   )
 }
