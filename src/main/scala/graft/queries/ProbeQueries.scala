@@ -379,6 +379,18 @@ object ProbeQueries {
     // Magnitudes mirror the red scalars (incl. trailing zeros, a zero
     // with scale, a negative, and a sub-float64-precision 38,8 value).
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // Control-of-the-control: clones of currently-GREEN twins under new
+    // names. If the driver red-flags these while their originals stay
+    // green, the "new registry name in round N" mechanism itself is
+    // implicated (e.g. per-name state warmed only for old names) and the
+    // red-family clone verdicts must be read in that light. Chosen as the
+    // green siblings structurally closest to red families: total_tx_value
+    // (micro-floor union scalar next to wallet_tx_volume) and
+    // withdraw_sum (plain decimal SUM next to repayment_sums).
+    // ------------------------------------------------------------------
+    "q_probe_green_clone_txv" -> LiteralTwinQueries.queries("q_lit_total_tx_value"),
+    "q_probe_green_clone_wsum" -> LiteralTwinQueries.queries("q_lit_withdraw_sum"),
     "q_probe_const_types" -> { (s, _) =>
       import s.implicits._
       Seq(1).toDF("one").select(
@@ -581,6 +593,8 @@ object ProbeQueries {
          |FROM (${LiteralTwinQueries.realizedPnlWalletSql(
                "o_orderdate >= TIMESTAMP '1996-01-01'", "")}) t""".stripMargin,
     "q_probe_pnl_clone" -> LiteralTwinQueries.oracleSql("q_lit_realized_pnl_wallet"),
+    "q_probe_green_clone_txv" -> LiteralTwinQueries.oracleSql("q_lit_total_tx_value"),
+    "q_probe_green_clone_wsum" -> LiteralTwinQueries.oracleSql("q_lit_withdraw_sum"),
     "q_probe_const_types" ->
       """SELECT CAST('261501.52098000' AS DECIMAL(38,8)) AS d38_8,
         |  CAST('184749971.55' AS DECIMAL(38,2)) AS d38_2,

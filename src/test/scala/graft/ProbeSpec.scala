@@ -24,7 +24,10 @@ class ProbeSpec extends AnyFunSuite {
     "q_probe_rev_s3_clone" -> "q_lit_revenue_total",
     "q_probe_rep_clone"    -> "q_lit_repayment_sums",
     "q_probe_tvl_clone"    -> "q_lit_tvl",
-    "q_probe_pnl_clone"    -> "q_lit_realized_pnl_wallet")
+    "q_probe_pnl_clone"    -> "q_lit_realized_pnl_wallet",
+    // green-twin control clones (control-of-the-control)
+    "q_probe_green_clone_txv"  -> "q_lit_total_tx_value",
+    "q_probe_green_clone_wsum" -> "q_lit_withdraw_sum")
 
   test("clone controls are the original twins verbatim (lambda identity + oracle text)") {
     clonePairs.foreach { case (clone, orig) =>
