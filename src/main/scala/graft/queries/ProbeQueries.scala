@@ -50,6 +50,12 @@ import graft.sources.Tables
   *     both sides): green while the decimal original is red ⇒ the driver's
   *     hash canonicalizes DECIMAL cells differently than pyarrow; red ⇒ the
   *     value itself differs.
+  *   - `green_clone_*` (clones of currently-GREEN twins): red ⇒ the
+  *     new-name mechanism itself is suspect and every clone verdict must
+  *     be reinterpreted; green ⇒ the red-family clone verdicts are sound.
+  *   - `const_types` (pinned literals in every red output type, no data):
+  *     red ⇒ hash canonicalization of the types per se; green ⇒ any family
+  *     red implicates computed values, not types.
   *
   * The stage cut points intentionally pin output widths on both sides
   * (DECIMAL(38,x) / BIGINT) per the r6 width conventions, so every probe is
