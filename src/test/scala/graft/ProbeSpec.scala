@@ -3,7 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.{LiteralTwinQueries, ProbeQueries}
 
-/** Integrity guard for the r7 differential probe battery (ProbeQueries).
+/** Static integrity guard for the r7 differential probe battery
+  * (ProbeQueries); the numeric decomposition identities live in
+  * [[ProbeConsistencySpec]].
   *
   * The probes are an EXPERIMENT run through the driver's correctness
   * ledger; their evidentiary value depends on invariants that ordinary
