@@ -175,6 +175,10 @@ object ProbeQueries {
       Tables.events(s, dir).filter(col("event_type") === "view")
         .agg(sum(centsOf(col("value"))).as("cents"))
     },
+    "q_probe_rwd_s1" -> { (s, dir) =>
+      Tables.events(s, dir).filter(col("event_type") === "view")
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("s1"))
+    },
     // ------------------------------------------------------------------
     // BUY family: the windowed cumulative (q_lit_buyback).
     // ------------------------------------------------------------------
@@ -438,6 +442,9 @@ object ProbeQueries {
     "q_probe_rwd_cents" ->
       s"""SELECT CAST(SUM(${centsSql("value")}) AS BIGINT) AS cents
          |FROM events WHERE event_type = 'view'""".stripMargin,
+    "q_probe_rwd_s1" ->
+      """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s1
+        |FROM events WHERE event_type = 'view'""".stripMargin,
     "q_probe_buy_total" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type, value
         |  FROM events)

@@ -32,6 +32,14 @@ class ProbeConsistencySpec extends SparkSpec {
       s"twin revenue=$revenue must be s2×1e-6 exactly")
   }
 
+  test("RWD: cents probe == 100 × the view-family sum stage; stage ×1e-6 == the twin") {
+    val cents = probe("q_probe_rwd_cents").collect()(0).getAs[Long]("cents")
+    val s1 = bd(probe("q_probe_rwd_s1"), "s1")
+    assert(BigDecimal(cents) == s1 * 100)
+    val distributed = bd(twin("q_lit_rewards_distributed"), "distributed")
+    assert(distributed == s1 * BigDecimal("0.000001"))
+  }
+
   test("TVL: micro-BIGINT probe == 1e6 × the lease-leg decimal sum; legs sum to the twin") {
     val micro = probe("q_probe_tvl_micro_bigint").collect()(0).getAs[Long]("micro_units")
     val leaseSum = bd(probe("q_probe_tvl_lease_sum"), "total_lease_value")
