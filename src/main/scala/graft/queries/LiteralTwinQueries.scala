@@ -252,20 +252,28 @@ object LiteralTwinQueries {
         .join(collects, col("o_contract") === col("c_contract"), "left")
         .join(repays, col("o_contract") === col("rep_contract"), "left")
         .join(liqs, col("o_contract") === col("lq_contract"), "left")
+        // every money column: exact decimal arithmetic above, DOUBLE out
+        // (export contract — the driver hash mangles decimal cells with
+        // trailing fractional zeros / sub-1-at-scale-8, both of which this
+        // ledger structurally produces: COALESCE-0 legs and (28,8) LPN units)
         .select(col("o_contract").as("contract_id"), col("user"),
           col("leased_asset"), col("down_payment_asset"), col("opening_date"),
           col("close_ts").as("close_timestamp"),
-          col("down_payment_stable"),
-          coalesce(col("rep_stable"), dec0).as("manual_repayments_stable"),
+          col("down_payment_stable").cast("double").as("down_payment_stable"),
+          coalesce(col("rep_stable"), dec0).cast("double")
+            .as("manual_repayments_stable"),
           (col("down_payment_stable") + coalesce(col("rep_stable"), dec0))
-            .as("total_outflow_stable"),
-          coalesce(col("lq_stable"), dec0).as("liquidations_stable"),
+            .cast("double").as("total_outflow_stable"),
+          coalesce(col("lq_stable"), dec0).cast("double").as("liquidations_stable"),
           coalesce(col("lq_events"), lit(0L)).as("liquidation_events"),
-          col("returned_lpn"), col("returned_amount_lpn_units"),
-          coalesce(col("returned_amount_stable"), dec0).as("returned_amount_stable"),
+          col("returned_lpn"),
+          col("returned_amount_lpn_units").cast("double")
+            .as("returned_amount_lpn_units"),
+          coalesce(col("returned_amount_stable"), dec0).cast("double")
+            .as("returned_amount_stable"),
           (coalesce(col("returned_amount_stable"), dec0) -
             (col("down_payment_stable") + coalesce(col("rep_stable"), dec0)))
-            .as("realized_pnl_stable"))
+            .cast("double").as("realized_pnl_stable"))
         .orderBy(col("close_timestamp").desc, col("contract_id").desc)
   }
 
@@ -1011,7 +1019,8 @@ object LiteralTwinQueries {
         .select(microRound6(col("down_payment_usdc") + col("loan_usdc")).as("vol"))
         .unionByName(legVol("R", "vp"))
         .unionByName(legVol("A", "vc"))
-        .agg(sum(col("vol")).as("tx_volume"))
+        // exact decimal sum, DOUBLE out (export contract)
+        .agg(sum(col("vol")).cast("double").as("tx_volume"))
     },
     // get_win_rate, clause-for-clause (raw_message.rs:174-241): the wallet
     // win-percentage scalar — openings (no dims), repayments grouped per
@@ -1445,8 +1454,11 @@ object LiteralTwinQueries {
     // ORDER BY timestamp with the default RANGE frame (peers share the
     // cumulative), `timestamp > $from` cursor, oldest first. TR_Profit →
     // purchase events as in the profit-series twin. The /10⁶ is the exact
-    // decimal 10⁻⁶ multiply (no double division), and the scalar chain stays
-    // DECIMAL end-to-end (ulp rule).
+    // decimal 10⁻⁶ multiply (no double division); the cumulative stays
+    // DECIMAL through the window sum and the OUTPUT is that exact decimal
+    // final-cast DOUBLE (export contract — the reference API emits JSON
+    // floats; both engines cast the identical (38,8) value, so the doubles
+    // are bit-equal).
     "q_lit_buyback" -> { (s, dir) =>
       val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
       val w = Window.orderBy(col("time"))
@@ -1456,10 +1468,12 @@ object LiteralTwinQueries {
           col("ts") > lit("1997-01-01").cast("timestamp"))
         .select(col("ts").as("time"),
           (col("value").cast("decimal(18,2)") * micro).as("v"))
-        // pinned output width: Spark's window-SUM widens (26,8)→(36,8) while
-        // DuckDB widens to (38,8); both sides final-cast to DECIMAL(38,8)
+        // pinned intermediate width: Spark's window-SUM widens (26,8)→(36,8)
+        // while DuckDB widens to (38,8); both sides pin DECIMAL(38,8), THEN
+        // cast the identical exact value to DOUBLE
         .select(col("time"),
-          sum(col("v")).over(w).cast("decimal(38,8)").as("bought_back"))
+          sum(col("v")).over(w).cast("decimal(38,8)").cast("double")
+            .as("bought_back"))
         .orderBy(col("time").asc, col("bought_back").asc)
     },
     // get_revenue, clause-for-clause (tr_profit.rs:195-209): the
@@ -1471,10 +1485,11 @@ object LiteralTwinQueries {
       val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
       Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
-        // pinned output width (both sides final-cast to DECIMAL(38,8);
-        // Spark's multiply widening gives (36,8), DuckDB's (35,8))
+        // pinned intermediate width (both sides DECIMAL(38,8); Spark's
+        // multiply widening gives (36,8), DuckDB's (35,8)), then the exact
+        // value final-cast DOUBLE (export contract)
         .agg((sum(col("value").cast("decimal(18,2)")) * micro)
-          .cast("decimal(38,8)").as("revenue"))
+          .cast("decimal(38,8)").cast("double").as("revenue"))
     },
     // get_pnl_over_time, clause-for-clause (ls_state.rs:537-624): the
     // hourly unrealized-PnL series for one position — every CTE of the
@@ -1888,7 +1903,8 @@ object LiteralTwinQueries {
             .otherwise(col("ls_asset_symbol").cast("string")).as("token"),
           microRound6(col("st_amnt_stable").cast("decimal(20,2)") *
             pow10micro(col("ov_decimal_digits"))).as("lease_value"))
-        .agg(sum(col("lease_value")).as("open_position_value"))
+        // exact decimal sum, DOUBLE out (export contract)
+        .agg(sum(col("lease_value")).cast("double").as("open_position_value"))
     },
     // get_open_interest, clause-for-clause (ls_state.rs:404-458): the same
     // Opened chain WITHOUT the amnt > 0 filter (the reference drops it
@@ -1948,13 +1964,13 @@ object LiteralTwinQueries {
     },
     // get_distributed, clause-for-clause (tr_rewards_distribution.rs:
     // 127-150): SUM(rewards amnt_nls)/10⁶ — TR_Rewards_Distribution → view
-    // events; exact decimal end-to-end (ulp rule).
+    // events; exact decimal internally, DOUBLE out (export contract).
     "q_lit_rewards_distributed" -> { (s, dir) =>
       val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
       Tables.events(s, dir)
         .filter(col("event_type") === "view")
         .agg((sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)") * micro)
-          .cast("decimal(38,8)").as("distributed"))
+          .cast("decimal(38,8)").cast("double").as("distributed"))
     },
     // get_borrow_apr_with_window, clause-for-clause (ls_opening.rs:337-377):
     // the APR page — interest permille / 10.0 for one pool (pinned pool 7)
@@ -2222,17 +2238,18 @@ object LiteralTwinQueries {
     // SUM(amnt_nls)/10^6 treasury scalar — the NLS sibling of
     // q_lit_revenue_total (both TR_Profit columns map onto the purchase
     // value; the endpoints differ in which column they sum). Exact decimal
-    // out, width pinned on both sides.
+    // internally (width pinned on both sides), DOUBLE out (export contract).
     "q_lit_buyback_total" -> { (s, dir) =>
       val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
       Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .agg((sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)") * micro)
-          .cast("decimal(38,8)").as("bought_back_total"))
+          .cast("decimal(38,8)").cast("double").as("bought_back_total"))
     },
     // get_incentives_pool, clause-for-clause (tr_state.rs:97-112): the
     // latest treasury snapshot's amnt/10^6 — ORDER BY ts DESC LIMIT 1 over
-    // TR_State (-> click events), exact decimal multiply, value tiebreak.
+    // TR_State (-> click events), exact decimal multiply, value tiebreak;
+    // DOUBLE out (export contract).
     "q_lit_incentives_pool" -> { (s, dir) =>
       val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
       Tables.events(s, dir)
@@ -2242,7 +2259,7 @@ object LiteralTwinQueries {
         .orderBy(col("tr_ts").desc, col("event_id").desc)
         .limit(1)
         .select((col("value").cast("decimal(18,2)") * micro)
-          .cast("decimal(25,8)").as("incentives_pool"))
+          .cast("decimal(25,8)").cast("double").as("incentives_pool"))
     },
     // raw_message.get, clause-for-clause (raw_message.rs:43-118): the
     // /api/txs wallet page with the full dynamic WHERE in its combine=true
@@ -2315,7 +2332,10 @@ object LiteralTwinQueries {
       val availSum = poolAvail.agg(coalesce(sum(col("available_assets")),
         lit(0).cast("decimal(38,6)")).as("total_available"))
       leaseSum.crossJoin(broadcast(availSum))
-        .select((col("total_lease_value") + col("total_available")).as("tvl"))
+        // exact decimal addition, DOUBLE out (export contract); an empty
+        // lease set still yields NULL (no COALESCE — the original's quirk)
+        .select((col("total_lease_value") + col("total_available"))
+          .cast("double").as("tvl"))
     },
     // get_realized_pnl_by_wallet, clause-for-clause (ls_opening.rs:
     // 1683-1793): the wallet accounting page over the loan-collect path —
@@ -2346,20 +2366,28 @@ object LiteralTwinQueries {
     // input contract — FIVE separate column SUMs over the OPEN interval
     // (> from AND < to; the openings counter below uses half-open — the
     // reference mixes them and the twins preserve each). Exact decimal sums
-    // (ulp rule).
+    // internally; the output carries each sum TWICE per the export
+    // contract — as DOUBLE (display) and as a BIGINT cent count (the exact
+    // integer 1e-2 units PL_State consumes: exactness is contractual here,
+    // and a 2dp sum is always an exact cent integer).
     "q_lit_repayment_sums" -> { (s, dir) =>
+      val cents100 = lit(new java.math.BigDecimal("100")).cast("decimal(3,0)")
+      def leg(c: String, out: String) = Seq(
+        sum(col(c).cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double").as(out),
+        sum((col(c).cast("decimal(18,2)") * cents100).cast("long"))
+          .as(s"${out.stripSuffix("_stable")}_cents"))
+      val legs =
+        leg("l_discount", "prev_margin_stable") ++
+          leg("l_linenumber", "prev_interest_stable") ++
+          leg("l_tax", "current_margin_stable") ++
+          leg("l_quantity", "current_interest_stable") ++
+          leg("l_extendedprice", "principal_stable")
       Tables.lineitem(s, dir)
         .filter(col("l_returnflag") === "R" &&
           col("l_shipdate") > lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .agg(
-          // pinned output width: both sides final-cast to DECIMAL(38,2)
-          // (Spark widens SUM(18,2) to (28,2), DuckDB to (38,2))
-          sum(col("l_discount").cast("decimal(18,2)")).cast("decimal(38,2)").as("prev_margin_stable"),
-          sum(col("l_linenumber").cast("decimal(18,2)")).cast("decimal(38,2)").as("prev_interest_stable"),
-          sum(col("l_tax").cast("decimal(18,2)")).cast("decimal(38,2)").as("current_margin_stable"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("current_interest_stable"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("principal_stable"))
+        .agg(legs.head, legs.tail: _*)
     },
     // count, clause-for-clause (ls_opening.rs:194-213): the per-interval
     // openings counter feeding PL_State (half-open window: > from AND <= to).
@@ -2511,18 +2539,21 @@ object LiteralTwinQueries {
         |SELECT o.o_contract AS contract_id, o."user", o.leased_asset,
         |  o.down_payment_asset, o.opening_date,
         |  lc.close_ts AS close_timestamp,
-        |  o.down_payment_stable,
-        |  COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))) AS manual_repayments_stable,
-        |  o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6)))
-        |    AS total_outflow_stable,
-        |  COALESCE(l.lq_stable, CAST(0 AS DECIMAL(28,6))) AS liquidations_stable,
+        |  CAST(o.down_payment_stable AS DOUBLE) AS down_payment_stable,
+        |  CAST(COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS manual_repayments_stable,
+        |  CAST(o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS total_outflow_stable,
+        |  CAST(COALESCE(l.lq_stable, CAST(0 AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS liquidations_stable,
         |  COALESCE(l.lq_events, 0) AS liquidation_events,
-        |  c.returned_lpn, c.returned_amount_lpn_units,
-        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
+        |  c.returned_lpn,
+        |  CAST(c.returned_amount_lpn_units AS DOUBLE) AS returned_amount_lpn_units,
+        |  CAST(COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6))) AS DOUBLE)
         |    AS returned_amount_stable,
-        |  COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
+        |  CAST(COALESCE(c.returned_amount_stable, CAST(0 AS DECIMAL(28,6)))
         |    - (o.down_payment_stable + COALESCE(r.rep_stable, CAST(0 AS DECIMAL(28,6))))
-        |    AS realized_pnl_stable
+        |    AS DOUBLE) AS realized_pnl_stable
         |FROM openings o
         |JOIN loan_close lc ON lc.lc_contract = o.o_contract
         |LEFT JOIN collects c ON c.c_contract = o.o_contract
@@ -3078,7 +3109,7 @@ object LiteralTwinQueries {
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'A'
         |    AND l_orderkey IN (SELECT contract_id FROM openings))
-        |SELECT SUM(vol) AS tx_volume FROM (
+        |SELECT CAST(SUM(vol) AS DOUBLE) AS tx_volume FROM (
         |  SELECT CAST(CAST(floor(down_payment_usdc + loan_usdc + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS vol FROM openings
         |  UNION ALL SELECT vol FROM repayments
@@ -3433,13 +3464,14 @@ object LiteralTwinQueries {
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type,
         |    CAST(value AS DECIMAL(18,2)) * CAST('0.000001' AS DECIMAL(7,6)) AS v
         |  FROM events)
-        |SELECT ts AS "time", CAST(SUM(v) OVER (ORDER BY ts) AS DECIMAL(38,8)) AS bought_back
+        |SELECT ts AS "time",
+        |  CAST(CAST(SUM(v) OVER (ORDER BY ts) AS DECIMAL(38,8)) AS DOUBLE) AS bought_back
         |FROM ev
         |WHERE event_type = 'purchase' AND ts > TIMESTAMP '1997-01-01'
         |ORDER BY "time" ASC, bought_back ASC""".stripMargin,
     "q_lit_revenue_total" ->
-      """SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS revenue
+      """SELECT CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q_lit_pnl_over_time" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
@@ -3833,7 +3865,7 @@ object LiteralTwinQueries {
         |        * CAST(POWER(10, 6 - asset_decimals) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS lease_value
         |  FROM opened)
-        |SELECT SUM(lease_value) AS open_position_value
+        |SELECT CAST(SUM(lease_value) AS DOUBLE) AS open_position_value
         |FROM lease_value_table""".stripMargin,
     "q_lit_open_interest" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
@@ -3889,8 +3921,8 @@ object LiteralTwinQueries {
         |JOIN pc ON pc.pool_id = o_custkey
         |GROUP BY o_orderkey, o_orderkey % 25, o_totalprice, pc.lpn_decimals""".stripMargin,
     "q_lit_rewards_distributed" ->
-      """SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS distributed
+      """SELECT CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS DOUBLE) AS distributed
         |FROM events WHERE event_type = 'view'""".stripMargin,
     "q_lit_borrow_apr" ->
       """SELECT apr FROM (
@@ -4063,12 +4095,12 @@ object LiteralTwinQueries {
         |FROM nation WHERE n_nationkey = 7
         |ORDER BY protocol ASC""".stripMargin,
     "q_lit_buyback_total" ->
-      """SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS bought_back_total
+      """SELECT CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(38,8)) AS DOUBLE) AS bought_back_total
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q_lit_incentives_pool" ->
-      """SELECT CAST(CAST(value AS DECIMAL(18,2))
-        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(25,8)) AS incentives_pool
+      """SELECT CAST(CAST(CAST(value AS DECIMAL(18,2))
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(25,8)) AS DOUBLE) AS incentives_pool
         |FROM events
         |WHERE event_type = 'click'
         |ORDER BY date_trunc('second', ts) DESC, event_id DESC
@@ -4128,8 +4160,8 @@ object LiteralTwinQueries {
         |pool_available_sum AS (
         |  SELECT COALESCE(SUM(available_assets), CAST(0 AS DECIMAL(38,6)))
         |    AS total_available FROM pool_available)
-        |SELECT (SELECT total_lease_value FROM lease_value_sum)
-        |  + (SELECT total_available FROM pool_available_sum) AS tvl""".stripMargin,
+        |SELECT CAST((SELECT total_lease_value FROM lease_value_sum)
+        |  + (SELECT total_available FROM pool_available_sum) AS DOUBLE) AS tvl""".stripMargin,
     "q_lit_realized_pnl_wallet" ->
       realizedPnlWalletSql("o_orderdate >= TIMESTAMP '1996-01-01'",
         "\n        |OFFSET 10 LIMIT 40"),
@@ -4139,11 +4171,16 @@ object LiteralTwinQueries {
         ""),
     "q_lit_repayment_sums" ->
       """SELECT
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS prev_margin_stable,
-        |  CAST(SUM(CAST(l_linenumber AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS prev_interest_stable,
-        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS current_margin_stable,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS current_interest_stable,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS principal_stable
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS prev_margin_stable,
+        |  CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS prev_margin_cents,
+        |  CAST(CAST(SUM(CAST(l_linenumber AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS prev_interest_stable,
+        |  CAST(SUM(CAST(CAST(l_linenumber AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS prev_interest_cents,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS current_margin_stable,
+        |  CAST(SUM(CAST(CAST(l_tax AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS current_margin_cents,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS current_interest_stable,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS current_interest_cents,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS principal_stable,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS principal_cents
         |FROM lineitem
         |WHERE l_returnflag = 'R'
         |  AND l_shipdate > TIMESTAMP '1996-01-01'

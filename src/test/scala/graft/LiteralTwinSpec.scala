@@ -82,7 +82,7 @@ class LiteralTwinSpec extends SparkSpec {
   test("buyback running total is monotone non-decreasing in time order") {
     val rows = run("q_lit_buyback").collect()
     assert(rows.nonEmpty)
-    val vals = rows.map(_.getDecimal(1).doubleValue())
+    val vals = rows.map(_.getDouble(1))
     assert(vals.zip(vals.tail).forall { case (a, b) => b >= a },
       "amounts are positive, so the cumulative sum must never decrease")
   }

@@ -1,70 +1,61 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{LiteralTwinQueries, ProbeQueries}
+import org.apache.spark.sql.types.DecimalType
+import graft.queries.ProbeQueries
 
-/** Static integrity guard for the r7 differential probe battery
-  * (ProbeQueries); the numeric decomposition identities live in
-  * [[ProbeConsistencySpec]].
+/** Integrity guard for the r8 boundary-probe set (ProbeQueries): five
+  * single-column constant queries that pin WHICH decimal cell classes the
+  * driver's hash mis-canonicalizes (trailing-fractional-zero at scale /
+  * sub-1 at scale 8 — the r7 correlation, zero exceptions over 37 queries).
   *
-  * The probes are an EXPERIMENT run through the driver's correctness
-  * ledger; their evidentiary value depends on invariants that ordinary
-  * refactoring could silently break:
-  *
-  *  - the `_clone` controls must be the original twin VERBATIM — same
-  *    Scala function object, same oracle SQL string. If a later edit to a
-  *    twin re-bound only one side, a clone-vs-original verdict difference
-  *    would measure builder drift, not driver caching.
-  *  - every probe must carry an oracle (a rows-only probe bisects
-  *    nothing).
-  *  - probes must not silently disappear from the registry (name
-  *    collisions on a Map merge).
+  * Their evidentiary value needs three invariants: each probe emits exactly
+  * the declared constant at the declared DECIMAL type (a drifted type or
+  * value would measure builder error, not the driver hash); every probe is
+  * oracled; and none is lost or shadowed in the registry merge.
   */
-class ProbeSpec extends AnyFunSuite {
+class ProbeSpec extends SparkSpec {
 
-  private val clonePairs = Seq(
-    "q_probe_rev_s3_clone" -> "q_lit_revenue_total",
-    "q_probe_rep_clone"    -> "q_lit_repayment_sums",
-    "q_probe_tvl_clone"    -> "q_lit_tvl",
-    "q_probe_pnl_clone"    -> "q_lit_realized_pnl_wallet",
-    // green-twin control clones (control-of-the-control)
-    "q_probe_green_clone_txv"  -> "q_lit_total_tx_value",
-    "q_probe_green_clone_wsum" -> "q_lit_withdraw_sum")
+  // name -> (expected value text, expected precision, expected scale)
+  private val expected = Map(
+    "q_probe_const_tz38_2"    -> ("23830.00", 38, 2),
+    "q_probe_const_nz38_2"    -> ("23830.01", 38, 2),
+    "q_probe_const_sub1_38_8" -> ("0.09545577", 38, 8),
+    "q_probe_const_ge1_38_8"  -> ("9.54555777", 38, 8),
+    "q_probe_const_sub1_18_2" -> ("0.01", 18, 2))
 
-  test("clone controls are the original twins verbatim (lambda identity + oracle text)") {
-    clonePairs.foreach { case (clone, orig) =>
-      assert(ProbeQueries.queries(clone) eq LiteralTwinQueries.queries(orig),
-        s"$clone must be the SAME function object as $orig")
-      assert(ProbeQueries.oracleSql(clone) == LiteralTwinQueries.oracleSql(orig),
-        s"$clone oracle SQL must be byte-identical to $orig's")
+  test("each boundary probe emits its pinned constant at its pinned decimal type") {
+    expected.foreach { case (name, (text, p, sc)) =>
+      val df = ProbeQueries.queries(name)(spark, sfDir)
+      val schema = df.schema
+      assert(schema.length == 1 && schema.head.name == "v",
+        s"$name must emit the single column 'v'")
+      schema.head.dataType match {
+        case d: DecimalType =>
+          assert(d.precision == p && d.scale == sc,
+            s"$name must be DECIMAL($p,$sc), got DECIMAL(${d.precision},${d.scale})")
+        case other => fail(s"$name must be decimal-typed, got $other")
+      }
+      val rows = df.collect()
+      assert(rows.length == 1)
+      val got = rows(0).getAs[java.math.BigDecimal]("v")
+      assert(got.compareTo(new java.math.BigDecimal(text)) == 0,
+        s"$name must emit $text, got $got")
+      // the oracle pins the same literal and type on the DuckDB side
+      val sql = ProbeQueries.oracleSql(name)
+      assert(sql.contains(s"'$text'") && sql.contains(s"DECIMAL($p,$sc)"),
+        s"$name oracle must carry the same literal and type: $sql")
     }
   }
 
-  test("every probe is oracled and reaches the merged registry") {
+  test("every probe is oracled and reaches the merged registry unshadowed") {
     val probes = ProbeQueries.queries.keySet
-    assert(probes.forall(_.startsWith("q_probe_")))
+    assert(probes == expected.keySet, "probe set drifted from this spec")
     assert(ProbeQueries.oracleSql.keySet == probes,
       "every probe needs an oracle: " + (probes -- ProbeQueries.oracleSql.keySet))
     val merged = SparkEntry.queries.keySet
     assert(probes.subsetOf(merged),
       "probes lost in registry merge: " + (probes -- merged))
-    // no probe name may shadow (or be shadowed by) a non-probe entry
     assert(SparkEntry.queries.size ==
-      ProbeQueries.queries.size +
-        (SparkEntry.queries.keySet -- probes).size)
-  }
-
-  test("dbl/str shadows derive from the clone's family oracle text") {
-    // the DOUBLE/VARCHAR controls must wrap the ORIGINAL oracle verbatim,
-    // so a red/green split between them and the original isolates the
-    // output type, not a second-copy arithmetic drift
-    assert(ProbeQueries.oracleSql("q_probe_rev_dbl")
-      .contains(LiteralTwinQueries.oracleSql("q_lit_revenue_total")))
-    assert(ProbeQueries.oracleSql("q_probe_rev_str")
-      .contains(LiteralTwinQueries.oracleSql("q_lit_revenue_total")))
-    assert(ProbeQueries.oracleSql("q_probe_tvl_dbl")
-      .contains(LiteralTwinQueries.oracleSql("q_lit_tvl")))
-    assert(ProbeQueries.oracleSql("q_probe_rep_dbl")
-      .contains(LiteralTwinQueries.oracleSql("q_lit_repayment_sums")))
+      ProbeQueries.queries.size + (SparkEntry.queries.keySet -- probes).size)
   }
 }
