@@ -116,6 +116,35 @@ object LiteralTwinQueries {
        |      + 0.5) AS DECIMAL(20,0))
        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))""".stripMargin
 
+  /** Export-contract shadow of a 6dp decimal money scalar: the exact
+    * integer count of 10⁻⁶ units as BIGINT. Hash-safe (no decimal type in
+    * the output) and magnitude-safe: exact for values up to ~9.2e12
+    * stable units, far past any endpoint scalar at sf100. The (26,6)
+    * operand pin keeps the ×10⁶ multiply within precision 38 under BOTH
+    * engines' widening rules (Spark p+8, DuckDB p+7).
+    */
+  private[graft] def microUnitsLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c.cast("decimal(26,6)") *
+      lit(new java.math.BigDecimal("1000000")).cast("decimal(7,0)")).cast("long")
+
+  /** Engine-identical DOUBLE display value, derived from the BIGINT micro
+    * units rather than cast straight from the decimal: int64→double and
+    * the ÷10⁶ each round once, identically, on any IEEE engine. A direct
+    * decimal→double cast does NOT once the unscaled value passes 2^53 —
+    * DuckDB goes int128→double then ÷10⁶ (two roundings) where Spark's
+    * BigDecimal.doubleValue rounds once; observed as a 1-ulp split on the
+    * tx-value/total-supplied scalars at sf0.1 (…066185 vs …066180).
+    */
+  private[graft] def microUnitsDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    microUnitsLong(c).cast("double") / 1000000.0
+
+  /** Oracle-SQL twins of [[microUnitsLong]] / [[microUnitsDouble]]. */
+  private[queries] def microUnitsLongSql(expr: String): String =
+    s"CAST(CAST($expr AS DECIMAL(26,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)"
+
+  private[queries] def microUnitsDoubleSql(expr: String): String =
+    s"CAST(${microUnitsLongSql(expr)} AS DOUBLE) / 1000000.0"
+
   /** pool_config role (shared by the positions and realized-PnL twins):
     * customer plays the pool dim — Long/Short/NULL position type from the
     * market segment (so COALESCE defaults and both CASE branches fire),
@@ -354,12 +383,14 @@ object LiteralTwinQueries {
           (col("s_nationkey") + 1).cast("double").as("lpn_decimals"))
         .withColumn("rank", rank().over(w))
         .filter(col("rank") === 1)
-        // emitted as the exact DECIMAL(38,6): the scalar exceeds ~1e10 at
-        // sf1, where its unscaled value passes 2^53 and DuckDB's
-        // decimal→double cast (int128→double, then ÷10⁶) double-rounds —
-        // one ulp off Spark's single-rounded BigDecimal.doubleValue
+        // export contract, magnitude-safe form: this scalar exceeds ~1e10
+        // at sf1, where its unscaled value passes 2^53 and a direct
+        // decimal→double cast double-rounds on DuckDB — so emit the exact
+        // BIGINT micro units plus the DOUBLE derived from them
         .agg(sum(round(col("tvl") / col("lpn_decimals"), 6).cast("decimal(28,6)"))
-          .as("total_supplied"))
+          .as("ts_dec"))
+        .select(microUnitsLong(col("ts_dec")).as("total_supplied_micro"),
+          microUnitsDouble(col("ts_dec")).as("total_supplied"))
     },
     // get_all_positions, clause-for-clause (ls_state.rs:946-1083) — the
     // reference's most-executed page. Every CTE of the original appears
@@ -685,11 +716,14 @@ object LiteralTwinQueries {
         .unionByName(lpFlow("signup"))
         .unionByName(lsPay("A", "cp"))
         .unionByName(lsPay("R", "rp"))
-        // exact DECIMAL(38,6) out: at sf0.1 the scalar is ~2.5e10, whose
-        // unscaled value (×10⁶) exceeds 2^53 — DuckDB's decimal→double cast
-        // double-rounds there and lands one ulp off Spark's (observed:
-        // …066185 vs …066180 for the exact …066183)
-        .agg(sum(col("volume")).as("tx_value"))
+        // export contract, magnitude-safe form: at sf0.1 the scalar is
+        // ~2.5e10, whose unscaled value (×10⁶) exceeds 2^53 — a direct
+        // decimal→double cast double-rounds on DuckDB (observed …066185 vs
+        // …066180 for the exact …066183), so emit BIGINT micro units plus
+        // the DOUBLE derived from them
+        .agg(sum(col("volume")).as("txv_dec"))
+        .select(microUnitsLong(col("txv_dec")).as("tx_value_micro"),
+          microUnitsDouble(col("txv_dec")).as("tx_value"))
     },
     // get_lease_history, clause-for-clause (ls_opening.rs:824-881): three
     // tagged branches (repay / market-close / liquidation) with NULL-padded
@@ -1762,7 +1796,11 @@ object LiteralTwinQueries {
         .join(cr("pcr"), col("ls_cltr_symbol") === col("pcr_ticker"))
         .join(cr("pl"), col("lpn_symbol").cast("bigint") === col("pl_ticker"))
         .join(repayments, col("st_contract_id") === col("r_contract"), "left")
-        .agg(sum(microRound6(pnlMicro)).as("total_pnl"))
+        .agg(sum(microRound6(pnlMicro)).as("pnl_dec"))
+        // export contract (can be negative; micro-BIGINT + derived DOUBLE
+        // are sign-transparent)
+        .select(microUnitsLong(col("pnl_dec")).as("total_pnl_micro"),
+          microUnitsDouble(col("pnl_dec")).as("total_pnl"))
     },
     // get_earnings, clause-for-clause (lp_pool_state.rs:312-392): the
     // lender-earnings scalar — LatestLenderState DISTINCT ON (pool) for the
@@ -1849,7 +1887,10 @@ object LiteralTwinQueries {
           col("position_type") === "Short", "left")
         .agg(coalesce(
           sum(microRound6(greatest(earnings, lit(0).cast("decimal(36,10)")))),
-          lit(0).cast("decimal(38,6)")).as("total_earnings_in_stable"))
+          lit(0).cast("decimal(38,6)")).as("earn_dec"))
+        // export contract
+        .select(microUnitsLong(col("earn_dec")).as("total_earnings_micro"),
+          microUnitsDouble(col("earn_dec")).as("total_earnings_in_stable"))
     },
     // get_min_max_from_range, clause-for-clause (mp_asset.rs:40-60): the
     // closed-range MIN/MAX price pair for one symbol (pinned symbol 7,
@@ -1925,7 +1966,10 @@ object LiteralTwinQueries {
         .join(currencyRegistry(s, dir, "oi"),
           col("ls_asset_symbol") === col("oi_ticker"), "left")
         .agg(sum(microRound6(col("interest").cast("decimal(20,2)") *
-          pow10micro(col("oi_decimal_digits")))).as("open_interest"))
+          pow10micro(col("oi_decimal_digits")))).as("oi_dec"))
+        // export contract
+        .select(microUnitsLong(col("oi_dec")).as("open_interest_micro"),
+          microUnitsDouble(col("oi_dec")).as("open_interest"))
     },
     // get_historically_repaid, clause-for-clause (ls_repayment.rs:219-296):
     // Closed_Loans (close-position ∪ repayment with the loan_close flag and
@@ -2090,7 +2134,10 @@ object LiteralTwinQueries {
         .join(lsOpening(s, dir), col("c_contract") === col("ls_contract_id"), "left")
         .join(currencyRegistry(s, dir, "ps"), col("ls_asset_symbol") === col("ps_ticker"))
         .agg(sum(microRound6(col("c_pnl").cast("decimal(20,2)") *
-          pow10micro(col("ps_decimal_digits")))).as("total_adjusted_stable_amount"))
+          pow10micro(col("ps_decimal_digits")))).as("pnls_dec"))
+        // export contract
+        .select(microUnitsLong(col("pnls_dec")).as("total_adjusted_micro"),
+          microUnitsDouble(col("pnls_dec")).as("total_adjusted_stable_amount"))
     },
     // get_first_block / get_last_block, clause-for-clause (block.rs:76-97):
     // ORDER BY id ASC/DESC LIMIT 1 over the synced-heights table (orders
@@ -2158,12 +2205,18 @@ object LiteralTwinQueries {
     // 109-131): SUM(amnt_stable) over the same half-open window; exact
     // decimal out, width pinned on both sides (ulp rule).
     "q_lit_withdraw_sum" -> { (s, dir) =>
+      // export contract: DOUBLE display + BIGINT cents (a 2dp sum is an
+      // exact cent integer), same convention as q_lit_repayment_sums
+      val cents100 = lit(new java.math.BigDecimal("100")).cast("decimal(3,0)")
       Tables.lineitem(s, dir)
         .filter(col("l_returnflag") === "R" &&
           col("l_shipdate") > lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") <= lit("1998-01-01").cast("timestamp"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("withdrawn_stable"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("double").as("withdrawn_stable"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * cents100)
+            .cast("long")).as("withdrawn_cents"))
     },
     // lp_withdraw.get_by_tx, clause-for-clause (lp_withdraw.rs:132-145):
     // the point lookup by unique string key (Tx_Hash -> customer name).
@@ -2575,13 +2628,17 @@ object LiteralTwinQueries {
          |  e.loan_interest_repaid DESC, e.margin_interest_repaid DESC
          |OFFSET 20 LIMIT 50""".stripMargin,
     "q_lit_total_supplied" ->
-      """WITH ranked AS (
+      s"""WITH ranked AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS tvl,
         |    CAST(s_nationkey + 1 AS DOUBLE) AS lpn_decimals,
         |    RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate DESC) AS rank
-        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
-        |SELECT sum(CAST(round(tvl / lpn_decimals, 6) AS DECIMAL(28,6))) AS total_supplied
-        |FROM ranked WHERE rank = 1""".stripMargin,
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |supplied AS (
+        |  SELECT sum(CAST(round(tvl / lpn_decimals, 6) AS DECIMAL(28,6))) AS ts_dec
+        |  FROM ranked WHERE rank = 1)
+        |SELECT ${microUnitsLongSql("ts_dec")} AS total_supplied_micro,
+        |  ${microUnitsDoubleSql("ts_dec")} AS total_supplied
+        |FROM supplied""".stripMargin,
     "q_lit_positions" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
         |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
@@ -2962,7 +3019,7 @@ object LiteralTwinQueries {
         |GROUP BY 1
         |ORDER BY price_ts DESC""".stripMargin,
     "q_lit_total_tx_value" ->
-      """WITH pc AS (SELECT c_custkey AS pool_id,
+      s"""WITH pc AS (SELECT c_custkey AS pool_id,
         |    CAST(c_nationkey % 3 + 1 AS DOUBLE) AS stable_currency_decimals
         |  FROM customer),
         |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
@@ -3014,12 +3071,15 @@ object LiteralTwinQueries {
         |      * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS volume
         |  FROM lineitem JOIN cr ON cr.ticker = l_partkey % 25
         |  WHERE l_returnflag = 'R')
-        |SELECT SUM(volume) AS tx_value
+        |, txv AS (SELECT SUM(volume) AS txv_dec
         |FROM (SELECT volume FROM opened_leases
         |  UNION ALL SELECT volume FROM lp_deposits
         |  UNION ALL SELECT volume FROM lp_withdrawals
         |  UNION ALL SELECT volume FROM ls_close
-        |  UNION ALL SELECT volume FROM ls_repayment) combined""".stripMargin,
+        |  UNION ALL SELECT volume FROM ls_repayment) combined)
+        |SELECT ${microUnitsLongSql("txv_dec")} AS tx_value_micro,
+        |  ${microUnitsDoubleSql("txv_dec")} AS tx_value
+        |FROM txv""".stripMargin,
     "q_lit_lease_history" ->
       """SELECT * FROM (
         |  SELECT l_partkey % 25 AS symbol, l_extendedprice AS amount,
@@ -3664,7 +3724,7 @@ object LiteralTwinQueries {
         |  * 1000000.0 + 0.5) / 1000000.0 AS percent
         |FROM apr_calc""".stripMargin,
     "q_lit_unrealized_pnl_addr" ->
-      """WITH pc AS (SELECT c_custkey AS pool_id,
+      s"""WITH pc AS (SELECT c_custkey AS pool_id,
         |    c_nationkey AS lpn_symbol,
         |    CAST(c_nationkey % 4 + 1 AS INT) AS lpn_decimals,
         |    CAST(c_nationkey % 3 + 1 AS INT) AS stable_currency_decimals
@@ -3708,8 +3768,8 @@ object LiteralTwinQueries {
         |  JOIN pc ON pc.pool_id = o.ls_loan_pool_id
         |  WHERE l_returnflag = 'R'
         |    AND l_orderkey IN (SELECT ls_contract_id FROM address_contracts)
-        |  GROUP BY l_orderkey, pc.stable_currency_decimals)
-        |SELECT SUM(CAST(CAST(floor(
+        |  GROUP BY l_orderkey, pc.stable_currency_decimals),
+        |pnl AS (SELECT SUM(CAST(CAST(floor(
         |    CAST(s.st_amnt_stable AS DECIMAL(20,2))
         |      * CAST(POWER(10, 6 - cr_asset.decimal_digits) AS DECIMAL(6,0))
         |  - CAST(s.st_principal_stable AS DECIMAL(20,2))
@@ -3730,16 +3790,19 @@ object LiteralTwinQueries {
         |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
         |  - COALESCE(rp.total_repayment_micro, CAST(0 AS DECIMAL(34,8)))
         |  + 0.5) AS DECIMAL(20,0))
-        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS total_pnl
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS pnl_dec
         |FROM latest_states s
         |JOIN o ON s.st_contract_id = o.ls_contract_id
         |JOIN pc ON o.ls_loan_pool_id = pc.pool_id
         |JOIN cr cr_asset ON cr_asset.ticker = o.ls_asset_symbol
         |JOIN cr cr_cltr ON cr_cltr.ticker = o.ls_cltr_symbol
         |JOIN cr cr_lpn ON cr_lpn.ticker = pc.lpn_symbol
-        |LEFT JOIN repayments rp ON s.st_contract_id = rp.r_contract""".stripMargin,
+        |LEFT JOIN repayments rp ON s.st_contract_id = rp.r_contract)
+        |SELECT ${microUnitsLongSql("pnl_dec")} AS total_pnl_micro,
+        |  ${microUnitsDoubleSql("pnl_dec")} AS total_pnl
+        |FROM pnl""".stripMargin,
     "q_lit_earnings" ->
-      """WITH pc AS (SELECT c_custkey AS pool_id,
+      s"""WITH pc AS (SELECT c_custkey AS pool_id,
         |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
         |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
         |         ELSE 'Short' END AS position_type,
@@ -3817,12 +3880,16 @@ object LiteralTwinQueries {
         |  LEFT JOIN withdrawals wdr ON ap.pool_id = wdr.w_pool
         |  LEFT JOIN latest_prices lp
         |    ON ap.lpn_symbol = lp.mp_symbol AND ap.position_type = 'Short'
-        |  WHERE ap.is_active)
-        |SELECT COALESCE(SUM(CAST(CAST(floor(GREATEST(earnings_micro, CAST(0 AS DECIMAL(36,10)))
+        |  WHERE ap.is_active),
+        |earn AS (
+        |  SELECT COALESCE(SUM(CAST(CAST(floor(GREATEST(earnings_micro, CAST(0 AS DECIMAL(36,10)))
         |    + 0.5) AS DECIMAL(20,0))
         |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))),
-        |  CAST(0 AS DECIMAL(38,6))) AS total_earnings_in_stable
-        |FROM pool_earnings""".stripMargin,
+        |  CAST(0 AS DECIMAL(38,6))) AS earn_dec
+        |  FROM pool_earnings)
+        |SELECT ${microUnitsLongSql("earn_dec")} AS total_earnings_micro,
+        |  ${microUnitsDoubleSql("earn_dec")} AS total_earnings_in_stable
+        |FROM earn""".stripMargin,
     "q_lit_price_range" ->
       """SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS min_price,
         |  MAX(CAST(l_extendedprice AS DOUBLE)) AS max_price
@@ -3868,7 +3935,7 @@ object LiteralTwinQueries {
         |SELECT CAST(SUM(lease_value) AS DOUBLE) AS open_position_value
         |FROM lease_value_table""".stripMargin,
     "q_lit_open_interest" ->
-      """WITH pc AS (SELECT c_custkey AS pool_id,
+      s"""WITH pc AS (SELECT c_custkey AS pool_id,
         |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
         |         WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Long'
         |         ELSE 'Short' END AS position_type,
@@ -3886,11 +3953,15 @@ object LiteralTwinQueries {
         |  JOIN orders o ON o.o_orderkey = s.l_orderkey
         |  LEFT JOIN pc ON o.o_custkey = pc.pool_id
         |  LEFT JOIN cr ON cr.ticker = o.o_orderkey % 25
-        |  WHERE s.l_shipdate = la.max_ts)
-        |SELECT SUM(CAST(CAST(floor(CAST(interest AS DECIMAL(20,2))
+        |  WHERE s.l_shipdate = la.max_ts),
+        |oi AS (
+        |  SELECT SUM(CAST(CAST(floor(CAST(interest AS DECIMAL(20,2))
         |    * CAST(POWER(10, 6 - asset_decimals) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
-        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS open_interest
-        |FROM opened""".stripMargin,
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS oi_dec
+        |  FROM opened)
+        |SELECT ${microUnitsLongSql("oi_dec")} AS open_interest_micro,
+        |  ${microUnitsDoubleSql("oi_dec")} AS open_interest
+        |FROM oi""".stripMargin,
     "q_lit_historically_repaid" ->
       """WITH pc AS (SELECT c_custkey AS pool_id,
         |    CAST(c_nationkey % 4 + 1 AS DOUBLE) AS lpn_decimals FROM customer),
@@ -4012,20 +4083,23 @@ object LiteralTwinQueries {
         |FROM liquidation_amounts
         |GROUP BY ls_contract_id, asset, loan""".stripMargin,
     "q_lit_realized_pnl_stats" ->
-      """WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+      s"""WITH cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
         |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
         |closings AS (
         |  SELECT o_orderkey AS c_contract, o_totalprice AS c_pnl,
         |    o_orderkey % 25 AS asset_symbol
         |  FROM orders
-        |  WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1997-01-01')
-        |SELECT SUM(CAST(CAST(floor(CAST(c.c_pnl AS DECIMAL(20,2))
+        |  WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1997-01-01'),
+        |pnls AS (
+        |  SELECT SUM(CAST(CAST(floor(CAST(c.c_pnl AS DECIMAL(20,2))
         |    * CAST(POWER(10, 6 - cr.decimal_digits) AS DECIMAL(6,0)) + 0.5) AS DECIMAL(20,0))
-        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6)))
-        |    AS total_adjusted_stable_amount
-        |FROM closings c
-        |LEFT JOIN orders o ON c.c_contract = o.o_orderkey
-        |JOIN cr ON cr.ticker = o.o_orderkey % 25""".stripMargin,
+        |    * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS pnls_dec
+        |  FROM closings c
+        |  LEFT JOIN orders o ON c.c_contract = o.o_orderkey
+        |  JOIN cr ON cr.ticker = o.o_orderkey % 25)
+        |SELECT ${microUnitsLongSql("pnls_dec")} AS total_adjusted_micro,
+        |  ${microUnitsDoubleSql("pnls_dec")} AS total_adjusted_stable_amount
+        |FROM pnls""".stripMargin,
     "q_lit_first_block" ->
       """SELECT o_orderkey AS id FROM orders ORDER BY id ASC LIMIT 1""".stripMargin,
     "q_lit_last_block" ->
@@ -4055,8 +4129,10 @@ object LiteralTwinQueries {
         |  AND l_shipdate > TIMESTAMP '1996-01-01'
         |  AND l_shipdate <= TIMESTAMP '1998-01-01'""".stripMargin,
     "q_lit_withdraw_sum" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        |  AS withdrawn_stable
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS withdrawn_stable,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS withdrawn_cents
         |FROM lineitem
         |WHERE l_returnflag = 'R'
         |  AND l_shipdate > TIMESTAMP '1996-01-01'
