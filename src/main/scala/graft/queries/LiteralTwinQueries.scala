@@ -232,55 +232,82 @@ object LiteralTwinQueries {
             pow10micro(col("wd_decimal_digits"))).as("down_payment_stable"),
           coalesce(col("lpn_symbol").cast("string"), lit("USDC_NOBLE")).as("lpn_symbol"))
       val openIds = openings.select(col("o_contract"))
-      val collectsBySymbol = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === "A")
-        .select(col("l_orderkey").as("c_contract"),
-          pmod(col("l_partkey"), lit(25)).as("c_symbol"),
-          col("l_quantity").as("c_amount"), col("l_extendedprice").as("c_amount_stable"))
-        .join(openIds, col("c_contract") === col("o_contract"), "left_semi")
-        .join(cr("wc"), col("c_symbol") === col("wc_ticker"))
-        .groupBy(col("c_contract"), col("c_symbol"), col("wc_decimal_digits"))
-        .agg(
-          // exact DECIMAL end-to-end (r7, VERDICT r6 #2): the r6 form cast
-          // the sum to double and divided by 10^d — the one decimal→double
-          // conversion left in a red-family twin, and DuckDB's conversion
-          // algorithm is a build detail that has changed across releases.
-          // Amounts are 2dp so sum × 10⁻ᵈ has true scale 2+d ≤ 7 and the
-          // (28,8) pin is lossless on both engines (Spark multiply (30,10),
-          // DuckDB (29,10) — both under precision 38).
-          (sum(col("c_amount").cast("decimal(18,2)")).cast("decimal(20,2)") *
-            pow10inv8(col("wc_decimal_digits"))).cast("decimal(28,8)")
-            .as("amount_lpn_units"),
-          microRound6(sum(col("c_amount_stable").cast("decimal(18,2)"))
-            .cast("decimal(20,2)") * pow10micro(col("wc_decimal_digits")))
-            .as("amount_stable"))
-      val collects = collectsBySymbol
-        .groupBy(col("c_contract"))
-        .agg(min(col("c_symbol")).as("returned_lpn"),
-          min_by(col("amount_lpn_units"), col("c_symbol"))
-            .as("returned_amount_lpn_units"),
-          sum(col("amount_stable")).cast("decimal(28,6)").as("returned_amount_stable"))
       val loanClose = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("lc_contract"), col("o_orderdate").as("close_ts"))
         .join(openIds, col("lc_contract") === col("o_contract"), "left_semi")
-      def paySum(flag: String, role: String, out: String) = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === flag)
-        .select(col("l_orderkey").as(s"${out}_contract"),
-          col("l_extendedprice").as("pay"), pmod(col("l_partkey"), lit(25)).as("sym"))
-        .join(openIds, col(s"${out}_contract") === col("o_contract"), "left_semi")
-        .join(cr(role), col("sym") === col(s"${role}_ticker"))
-        .groupBy(col(s"${out}_contract"))
-        .agg(sum(microRound6(col("pay").cast("decimal(20,2)") *
-          pow10micro(col(s"${role}_decimal_digits")))).cast("decimal(28,6)")
-          .as(s"${out}_stable"),
-          count(lit(1)).as(s"${out}_events"))
-      val repays = paySum("R", "wr", "rep")
-      val liqs = paySum("N", "wq", "lq")
+      // Fused event scan (r8, the VERDICT r6 #7 sketch): the collect (A),
+      // repay (R) and liquidation (N) legs previously each scanned
+      // lineitem, semi-joined the wallet's contracts, joined the registry
+      // and aggregated — 3 scans + 3 shuffle chains. One filtered scan +
+      // one conditional aggregation computes all three leg families; the
+      // per-(contract, symbol) partials then finish per contract in a
+      // second (much smaller) aggregation. Values are bit-identical: all
+      // legs are exact decimals and exact decimal addition is associative,
+      // so summing per-symbol partials before the per-contract sum cannot
+      // change a cell.
+      //
+      // Per-leg arithmetic, unchanged from the unfused form:
+      //  - collects stay exact DECIMAL end-to-end (r7, VERDICT r6 #2):
+      //    amounts are 2dp so sum × 10⁻ᵈ has true scale 2+d ≤ 7 and the
+      //    (28,8) pin is lossless on both engines (Spark multiply (30,10),
+      //    DuckDB (29,10) — both under precision 38);
+      //  - repay/liq legs round per ROW (microRound6) then sum, collects
+      //    sum per (contract, symbol) then round — the reference's order,
+      //    preserved per leg inside the conditional aggregates.
+      val flagRows = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R", "N"))
+        .select(col("l_orderkey").as("f_contract"),
+          col("l_returnflag").as("f_flag"),
+          pmod(col("l_partkey"), lit(25)).as("f_symbol"),
+          col("l_quantity").as("f_amount"),
+          col("l_extendedprice").as("f_pay"))
+        .join(openIds, col("f_contract") === col("o_contract"), "left_semi")
+        .join(cr("wc"), col("f_symbol") === col("wc_ticker"))
+      val perSymbol = flagRows
+        .groupBy(col("f_contract"), col("f_symbol"), col("wc_decimal_digits"))
+        .agg(
+          sum(when(col("f_flag") === "A", col("f_amount").cast("decimal(18,2)")))
+            .as("a_amount_sum"),
+          sum(when(col("f_flag") === "A", col("f_pay").cast("decimal(18,2)")))
+            .as("a_stable_sum"),
+          sum(when(col("f_flag") === "R", microRound6(col("f_pay").cast("decimal(20,2)") *
+            pow10micro(col("wc_decimal_digits"))))).as("rep_part"),
+          sum(when(col("f_flag") === "R", 1L).otherwise(0L)).as("rep_n"),
+          sum(when(col("f_flag") === "N", microRound6(col("f_pay").cast("decimal(20,2)") *
+            pow10micro(col("wc_decimal_digits"))))).as("lq_part"),
+          sum(when(col("f_flag") === "N", 1L).otherwise(0L)).as("lq_n"))
+        .select(col("f_contract"), col("f_symbol"),
+          // a (contract, symbol) group belongs to the collect family only
+          // if it has A rows — null sums keep non-A groups out, exactly as
+          // the unfused per-flag scans did
+          when(col("a_amount_sum").isNotNull,
+            (col("a_amount_sum").cast("decimal(20,2)") *
+              pow10inv8(col("wc_decimal_digits"))).cast("decimal(28,8)"))
+            .as("amount_lpn_units"),
+          when(col("a_stable_sum").isNotNull,
+            microRound6(col("a_stable_sum").cast("decimal(20,2)") *
+              pow10micro(col("wc_decimal_digits")))).as("amount_stable"),
+          // the ARRAY_AGG[1] first-symbol pick (A8) must range over collect
+          // symbols only; symbols are 0..24, so 1000 is a clean +∞ sentinel
+          // and min_by stays deterministic (real keys are unique per group,
+          // sentinel rows all carry null lpn units)
+          when(col("a_amount_sum").isNotNull, col("f_symbol"))
+            .otherwise(lit(1000)).as("a_symbol_key"),
+          col("rep_part"), col("rep_n"), col("lq_part"), col("lq_n"))
+      val perContract = perSymbol
+        .groupBy(col("f_contract"))
+        .agg(
+          min(when(col("a_symbol_key") < 1000, col("a_symbol_key"))).as("returned_lpn"),
+          min_by(col("amount_lpn_units"), col("a_symbol_key"))
+            .as("returned_amount_lpn_units"),
+          sum(col("amount_stable")).cast("decimal(28,6)").as("returned_amount_stable"),
+          sum(col("rep_part")).cast("decimal(28,6)").as("rep_stable"),
+          sum(col("rep_n")).as("rep_events"),
+          sum(col("lq_part")).cast("decimal(28,6)").as("lq_stable"),
+          sum(col("lq_n")).as("lq_events"))
       openings
         .join(loanClose, col("o_contract") === col("lc_contract"))
-        .join(collects, col("o_contract") === col("c_contract"), "left")
-        .join(repays, col("o_contract") === col("rep_contract"), "left")
-        .join(liqs, col("o_contract") === col("lq_contract"), "left")
+        .join(perContract, col("o_contract") === col("f_contract"), "left")
         // every money column: exact decimal arithmetic above, DOUBLE out
         // (export contract — the driver hash mangles decimal cells with
         // trailing fractional zeros / sub-1-at-scale-8, both of which this
