@@ -232,9 +232,11 @@ object LiteralTwinQueries {
             pow10micro(col("wd_decimal_digits"))).as("down_payment_stable"),
           coalesce(col("lpn_symbol").cast("string"), lit("USDC_NOBLE")).as("lpn_symbol"))
       val openIds = openings.select(col("o_contract"))
+      // no cohort semi-join here: loanClose INNER-joins openings on the
+      // same key below, so a pre-filter would only recompute the openings
+      // dimension chain a third time for rows the join drops anyway
       val loanClose = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("lc_contract"), col("o_orderdate").as("close_ts"))
-        .join(openIds, col("lc_contract") === col("o_contract"), "left_semi")
       // Fused event scan (r8, the VERDICT r6 #7 sketch): the collect (A),
       // repay (R) and liquidation (N) legs previously each scanned
       // lineitem, semi-joined the wallet's contracts, joined the registry
