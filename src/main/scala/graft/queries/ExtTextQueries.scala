@@ -120,6 +120,15 @@ object ExtTextQueries {
     "q_x_dedup_ngram" -> { (s, dir) =>
       Dedup.nearDupPairsCharNgram(Tables.documents(s, dir), "doc_id", "text",
         n = 5, threshold = 0.5, numHashes = 16, rowsPerBand = 4)
+    },
+    // Duplicate-cluster resolution: the minhash near-dup pairs collapsed to
+    // connected components (hash-min label propagation) — (doc, cluster
+    // representative, cluster size). The oracle replays the full pair
+    // pipeline and closes it transitively with a recursive CTE.
+    "q_x_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.nearDupPairsMinHash(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6)
+      Dedup.duplicateClusters(pairs, "a", "b")
     }
   )
 
@@ -341,6 +350,37 @@ object ExtTextQueries {
          |        len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) AS ngram_jaccard
          |FROM cand JOIN g x ON x.doc_id = a JOIN g y ON y.doc_id = b
          |WHERE round(len(list_intersect(x.gs, y.gs))::DOUBLE /
-         |            len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) >= 0.5""".stripMargin
+         |            len(list_distinct(list_concat(x.gs, y.gs)))::DOUBLE, 3) >= 0.5""".stripMargin,
+    // the minhash pair pipeline (same CTEs as q_x_dedup_minhash) closed
+    // transitively: min-label flooding as a recursive CTE, component id =
+    // min reachable node id — exactly the hash-min fixpoint the Spark side
+    // converges to
+    "q_x_dedup_clusters" ->
+      s"""WITH RECURSIVE $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w),
+         |pr AS (SELECT a, b
+         |  FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
+         |  WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |              len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6),
+         |nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr),
+         |edges AS (SELECT a AS src, b AS dst FROM pr
+         |          UNION SELECT b AS src, a AS dst FROM pr),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+         |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cl""".stripMargin
   )
 }

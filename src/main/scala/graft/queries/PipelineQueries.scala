@@ -163,6 +163,59 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_objects"),
           sum(length(col("payload"))).as("total_bytes"),
           max(length(col("payload"))).as("max_bytes"))
+    },
+    // B13 raw-tx codec, end-to-end: build a cosmos-TxRaw-shaped message per
+    // event row with the wire-format encoders (TxBody{repeated Any, memo} +
+    // AuthInfo{Fee{repeated Coin, gas}} + repeated signatures — the layout
+    // event_dispatch.rs:246-279 walks), then recover every field from the
+    // single `tx` binary with the decode walkers. The oracle is the
+    // roundtrip identity: a plain SELECT of the source columns — any
+    // encode/decode asymmetry (tag layout, varint continuation, length
+    // framing, repeated-field order, nested descent) breaks the hash.
+    "q_x_proto_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.graft.natives._
+      val any1 = concat(
+        protoEncBytes(col("event_type").cast("binary"), 1),
+        protoEncBytes(col("props").cast("binary"), 2))
+      val any2 = protoEncBytes(lit("graft.event.Marker").cast("binary"), 1)
+      val body = concat(
+        protoEncBytes(any1, 1),
+        protoEncBytes(any2, 1),
+        protoEncBytes(col("props").cast("binary"), 2))
+      val coin = concat(
+        protoEncBytes(lit("unls").cast("binary"), 1),
+        protoEncVarint(col("event_id"), 2))
+      val fee = concat(
+        protoEncBytes(coin, 1),
+        protoEncVarint(col("user_id") + lit(100000L), 2))
+      val auth = protoEncBytes(fee, 1)
+      val tx = concat(
+        protoEncBytes(body, 1),
+        protoEncBytes(auth, 2),
+        protoEncBytes(unhex(md5(col("props"))), 3),
+        protoEncBytes(unhex(md5(col("event_type"))), 3))
+      Tables.events(s, dir)
+        .select(col("event_id"), tx.as("tx"))
+        .select(col("event_id"),
+          protoBytes(col("tx"), 1).as("body"),
+          protoBytes(col("tx"), 2).as("auth"),
+          protoBytesAll(col("tx"), 3).as("sigs"))
+        .select(col("event_id"),
+          protoBytesAll(col("body"), 1).as("msgs"),
+          protoBytes(col("body"), 2).as("memo_b"),
+          protoBytes(col("auth"), 1).as("fee"),
+          col("sigs"))
+        .select(col("event_id"),
+          protoBytes(element_at(col("msgs"), 1), 1).cast("string").as("type_url"),
+          protoBytes(element_at(col("msgs"), 1), 2).cast("string").as("msg_value"),
+          col("memo_b").cast("string").as("memo"),
+          protoBytes(element_at(protoBytesAll(col("fee"), 1), 1), 1)
+            .cast("string").as("denom"),
+          protoVarint(element_at(protoBytesAll(col("fee"), 1), 1), 2).as("amount"),
+          protoVarint(col("fee"), 2).as("gas_limit"),
+          size(col("msgs")).as("n_msgs"),
+          size(col("sigs")).as("n_sigs"),
+          lower(hex(element_at(col("sigs"), 1))).as("sig1_hex"))
     }
   )
 
@@ -268,6 +321,19 @@ object PipelineQueries {
         |  count(*) AS n_objects,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+    // roundtrip identity: decode(encode(row)) must equal the source columns
+    "q_x_proto_roundtrip" ->
+      """SELECT event_id,
+        |  event_type AS type_url,
+        |  props AS msg_value,
+        |  props AS memo,
+        |  'unls' AS denom,
+        |  event_id AS amount,
+        |  user_id + 100000 AS gas_limit,
+        |  2 AS n_msgs,
+        |  2 AS n_sigs,
+        |  md5(props) AS sig1_hex
+        |FROM events""".stripMargin
   )
 }

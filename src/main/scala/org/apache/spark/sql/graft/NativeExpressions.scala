@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
@@ -114,6 +114,30 @@ object natives {
     */
   def protoBytes(bin: Column, fieldNo: Int): Column =
     ExpressionUtils.column(ProtoBytesField(ExpressionUtils.expression(bin), fieldNo))
+
+  /** EVERY length-delimited occurrence of `fieldNo` in wire order —
+    * `array<binary>` (protobuf repeated fields are just repeated tags; the
+    * cosmos `TxBody.messages` field the reference iterates in
+    * `event_dispatch.rs:246-279` is one). Empty array when absent, null on
+    * malformed input.
+    */
+  def protoBytesAll(bin: Column, fieldNo: Int): Column =
+    ExpressionUtils.column(ProtoBytesAllField(ExpressionUtils.expression(bin), fieldNo))
+
+  /** Encode `fieldNo` as a varint (wire type 0) field — tag + zig-zag-free
+    * two's-complement varint, the proto3 int64/uint64 encoding. Concat
+    * encoded fields to build a message; field order is the canonical
+    * ascending-tag layout only if the caller concats in that order.
+    */
+  def protoEncVarint(v: Column, fieldNo: Int): Column =
+    ExpressionUtils.column(ProtoEncodeVarint(ExpressionUtils.expression(v), fieldNo))
+
+  /** Encode `fieldNo` as a length-delimited (wire type 2) field — tag +
+    * length varint + raw bytes. Feed a string cast to binary for text
+    * fields, or an already-encoded message for nesting.
+    */
+  def protoEncBytes(b: Column, fieldNo: Int): Column =
+    ExpressionUtils.column(ProtoEncodeBytes(ExpressionUtils.expression(b), fieldNo))
 }
 
 /** Winnowing (rolling-hash) document fingerprint — one pass, O(n) per doc,
@@ -234,6 +258,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[ProtoBytesField].getName, "proto_bytes"),
       (exprs: Seq[Expression]) =>
         ProtoBytesField(exprs(0), literalFieldNo("proto_bytes", exprs))))
+    e.injectFunction((FunctionIdentifier("proto_bytes_all"),
+      new ExpressionInfo(classOf[ProtoBytesAllField].getName, "proto_bytes_all"),
+      (exprs: Seq[Expression]) =>
+        ProtoBytesAllField(exprs(0), literalFieldNo("proto_bytes_all", exprs))))
+    e.injectFunction((FunctionIdentifier("proto_enc_varint"),
+      new ExpressionInfo(classOf[ProtoEncodeVarint].getName, "proto_enc_varint"),
+      (exprs: Seq[Expression]) =>
+        ProtoEncodeVarint(exprs(0), literalFieldNo("proto_enc_varint", exprs))))
+    e.injectFunction((FunctionIdentifier("proto_enc_bytes"),
+      new ExpressionInfo(classOf[ProtoEncodeBytes].getName, "proto_enc_bytes"),
+      (exprs: Seq[Expression]) =>
+        ProtoEncodeBytes(exprs(0), literalFieldNo("proto_enc_bytes", exprs))))
   }
 }
 
@@ -419,6 +455,65 @@ case class ProtoBytesField(child: Expression, fieldNo: Int)
          |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): ProtoBytesField =
+    copy(child = newChild)
+}
+
+/** All length-delimited occurrences of field `fieldNo` in wire order —
+  * repeated-field decode (cosmos `TxBody.messages`, `Fee.amount`,
+  * `TxRaw.signatures`). Empty array when the field is absent (a valid
+  * message with zero occurrences), null only on malformed wire data.
+  */
+case class ProtoBytesAllField(child: Expression, fieldNo: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.protoBytesAll(input.asInstanceOf[Array[Byte]], fieldNo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("protoBytesAll")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $v =
+         |  org.apache.spark.sql.graft.NativeKernels.protoBytesAll($c, $fieldNo);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ProtoBytesAllField =
+    copy(child = newChild)
+}
+
+/** Wire-type-0 field encoder: tag varint + value varint (proto3
+  * int64/uint64 layout — negatives take the canonical 10-byte form).
+  * Together with [[ProtoEncodeBytes]] this closes the B13 codec: the same
+  * engine that decodes raw tx bytes can produce them, so the decode tier is
+  * testable end-to-end with no generated classes.
+  */
+case class ProtoEncodeVarint(child: Expression, fieldNo: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.protoEncVarint(fieldNo, input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.NativeKernels.protoEncVarint($fieldNo, $c)")
+  override protected def withNewChildInternal(newChild: Expression): ProtoEncodeVarint =
+    copy(child = newChild)
+}
+
+/** Wire-type-2 field encoder: tag varint + length varint + raw bytes.
+  * Nest messages by encoding the inner message first and feeding its bytes
+  * back through another ProtoEncodeBytes.
+  */
+case class ProtoEncodeBytes(child: Expression, fieldNo: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.protoEncBytes(fieldNo, input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.NativeKernels.protoEncBytes($fieldNo, $c)")
+  override protected def withNewChildInternal(newChild: Expression): ProtoEncodeBytes =
     copy(child = newChild)
 }
 
@@ -792,6 +887,73 @@ object NativeKernels {
 
   def protoBytes(b: Array[Byte], fieldNo: Int): Array[Byte] =
     protoWalk(b, fieldNo, 2).asInstanceOf[Array[Byte]]
+
+  /** Every length-delimited occurrence of `fieldNo`, wire order. Unlike
+    * protoWalk this cannot early-return on a hit, so malformed data after a
+    * valid occurrence still nulls the whole decode — the strict choice:
+    * partial reads of a corrupt message are worse than no read.
+    */
+  def protoBytesAll(b: Array[Byte], fieldNo: Int): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < b.length) {
+      val (key, p1) = readVarint(b, pos)
+      if (p1 < 0) return null
+      val field = (key >>> 3).toInt
+      val wire = (key & 7).toInt
+      pos = p1
+      wire match {
+        case 0 =>
+          val (_, p2) = readVarint(b, pos)
+          if (p2 < 0) return null
+          pos = p2
+        case 1 => pos += 8
+        case 2 =>
+          val (len, p2) = readVarint(b, pos)
+          if (p2 < 0 || len < 0 || p2 + len > b.length) return null
+          if (field == fieldNo) out += java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)
+          pos = p2 + len.toInt
+        case 5 => pos += 4
+        case _ => return null
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Two's-complement varint (proto3 int64): 1-10 bytes, negatives always
+    * 10 (the sign bits ride the high continuation groups).
+    */
+  private def varintBytes(v0: Long): Array[Byte] = {
+    val buf = new Array[Byte](10)
+    var v = v0
+    var i = 0
+    while ((v & ~0x7FL) != 0L) {
+      buf(i) = ((v & 0x7FL) | 0x80L).toByte
+      v >>>= 7
+      i += 1
+    }
+    buf(i) = v.toByte
+    java.util.Arrays.copyOf(buf, i + 1)
+  }
+
+  def protoEncVarint(fieldNo: Int, v: Long): Array[Byte] = {
+    val tag = varintBytes((fieldNo.toLong << 3) | 0L)
+    val body = varintBytes(v)
+    val out = new Array[Byte](tag.length + body.length)
+    System.arraycopy(tag, 0, out, 0, tag.length)
+    System.arraycopy(body, 0, out, tag.length, body.length)
+    out
+  }
+
+  def protoEncBytes(fieldNo: Int, b: Array[Byte]): Array[Byte] = {
+    val tag = varintBytes((fieldNo.toLong << 3) | 2L)
+    val len = varintBytes(b.length.toLong)
+    val out = new Array[Byte](tag.length + len.length + b.length)
+    System.arraycopy(tag, 0, out, 0, tag.length)
+    System.arraycopy(len, 0, out, tag.length, len.length)
+    System.arraycopy(b, 0, out, tag.length + len.length, b.length)
+    out
+  }
 
   def sortedIntersect(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()

@@ -127,6 +127,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._1 == 0L), "cap must link cluster members to the bucket-min hub")
   }
 
+  test("duplicateClusters resolves chains, stars, cycles, and separate components") {
+    // component A: a 4-node chain 1-2-3-4 (diameter 3 — needs >1 round);
+    // component B: a star around 10; component C: a triangle cycle with a
+    // redundant reverse edge and a self-loop — all must collapse to min-id
+    // labels with correct sizes
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),           // chain (mixed edge direction)
+      (10L, 11L), (10L, 12L), (10L, 13L),     // star
+      (20L, 21L), (21L, 22L), (22L, 20L),     // cycle
+      (20L, 22L),                             // reverse duplicate of an edge
+      (30L, 30L)                              // self-loop: singleton cluster
+    ).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs, "a", "b")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 4L), (11L, 10L, 4L), (12L, 10L, 4L), (13L, 10L, 4L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L),
+      (30L, 30L, 1L))
+    assert(got == want)
+  }
+
+  test("duplicateClusters fails loudly when maxIter is below the diameter") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, "a", "b", maxIter = 2)
+    }
+    // and converges with room: 6-chain diameter is 5
+    val ok = Dedup.duplicateClusters(chain, "a", "b", maxIter = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ok == (1L to 6L).map(n => (n, 1L, 6L)).toSet)
+  }
+
   test("hot-bucket guard in simhash banding caps identical-sketch clusters") {
     val cluster = (0L until 1200L).map(i => (i, base))
     val big = spark.createDataFrame(cluster :+

@@ -59,6 +59,48 @@ class NativeExprSpec extends SparkSpec {
     assert(new String(two.getAs[Array[Byte]](2)) == "testing")
   }
 
+  test("proto encoders emit canonical wire bytes; repeated + roundtrip") {
+    // canonical layouts from the protobuf encoding spec: field1 varint 150
+    // = 08 96 01; field2 bytes "testing" = 12 07 74..67
+    val enc = Seq(1).toDF("one").select(
+      natives.protoEncVarint(lit(150L), 1).as("v"),
+      natives.protoEncBytes(lit("testing").cast("binary"), 2).as("b")).head()
+    assert(enc.getAs[Array[Byte]](0).toSeq ==
+      Seq(0x08, 0x96.toByte, 0x01).map(_.toByte))
+    assert(enc.getAs[Array[Byte]](1).toSeq ==
+      (Seq(0x12, 0x07).map(_.toByte) ++ "testing".getBytes.toSeq))
+
+    // varint edges roundtrip through the decoder: 0, Long.MaxValue, and a
+    // negative (the canonical 10-byte two's-complement form)
+    val edges = Seq((0L, Long.MaxValue, -1L)).toDF("z", "mx", "neg")
+    val msg = org.apache.spark.sql.functions.concat(
+      natives.protoEncVarint($"z", 1),
+      natives.protoEncVarint($"mx", 2),
+      natives.protoEncVarint($"neg", 3))
+    val rt = edges.select(
+      natives.protoVarint(msg, 1).as("z"),
+      natives.protoVarint(msg, 2).as("mx"),
+      natives.protoVarint(msg, 3).as("neg")).head()
+    assert(rt.getLong(0) == 0L && rt.getLong(1) == Long.MaxValue && rt.getLong(2) == -1L)
+
+    // repeated fields: all occurrences in wire order; absent → empty; a
+    // non-target varint field between occurrences is skipped
+    val rep = Seq(1).toDF("one").select(org.apache.spark.sql.functions.concat(
+      natives.protoEncBytes(lit("a").cast("binary"), 4),
+      natives.protoEncVarint(lit(7L), 5),
+      natives.protoEncBytes(lit("bb").cast("binary"), 4),
+      natives.protoEncBytes(lit("ccc").cast("binary"), 4)).as("m"))
+    val all = rep.select(
+      natives.protoBytesAll($"m", 4).cast("array<string>").as("hits"),
+      natives.protoBytesAll($"m", 9).as("absent")).head()
+    assert(all.getSeq[String](0) == Seq("a", "bb", "ccc"))
+    assert(all.getSeq[Array[Byte]](1).isEmpty, "absent repeated field is [], not null")
+
+    // malformed input nulls the whole repeated decode even after a valid hit
+    val bad = Seq(Tuple1(Array[Byte](0x22, 0x01, 'x', 0x08, 0x96.toByte))).toDF("m")
+    assert(bad.select(natives.protoBytesAll($"m", 4)).head().isNullAt(0))
+  }
+
   test("simhash64 matches a reference computation") {
     val hashes = Seq(0x0F0FL, 0x00FFL, 0x0FF0L)
     def ref(hs: Seq[Long]): Long = {
