@@ -57,8 +57,16 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
     }
 
+    // Optional isolation filter (comma-separated names) for re-measuring a
+    // single query without the 70+-query sweep around it; absent → full
+    // registry, the driver contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
     timeOne("q1_agg") // warmup: JIT, codegen cache, parquet footers
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
+    val results = names.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm"}""")

@@ -730,21 +730,26 @@ object LiteralTwinQueries {
             pow10micro(col("cl_decimal_digits")) +
             col("ls_loan_amnt").cast("decimal(20,2)") *
               microRecip(col("stable_currency_decimals"))).as("volume"))
-      def lpFlow(eventType: String) = Tables.events(s, dir)
-        .filter(col("event_type") === eventType)
+      // Scan fusion (the r8 wallet-ledger shape): the reference's four flow
+      // CTEs (deposits, withdrawals, closes, repayments) pair up into two
+      // scans because each pair's per-row volume formula is identical and
+      // the registry dim is role-agnostic — UNION ALL of two equal-projection
+      // legs ≡ one leg with an IN filter. 5 scans → 3; the scalar SUM over
+      // exact decimals is multiset-order-independent, so the result is
+      // bit-identical to the per-CTE form.
+      val lpFlows = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
         .join(pcDf, col("user_id") === col("pool_id"))
         .select(microRound6(col("value").cast("decimal(20,2)") *
           microRecip(nullif(col("stable_currency_decimals"), lit(0.0)))).as("volume"))
-      def lsPay(flag: String, role: String) = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === flag)
-        .join(cr(role), pmod(col("l_partkey"), lit(25)) === col(s"${role}_ticker"))
+      val lsPays = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .join(cr("pay"), pmod(col("l_partkey"), lit(25)) === col("pay_ticker"))
         .select(microRound6(col("l_extendedprice").cast("decimal(20,2)") *
-          pow10micro(col(s"${role}_decimal_digits"))).as("volume"))
+          pow10micro(col("pay_decimal_digits"))).as("volume"))
       openedLeases
-        .unionByName(lpFlow("purchase"))
-        .unionByName(lpFlow("signup"))
-        .unionByName(lsPay("A", "cp"))
-        .unionByName(lsPay("R", "rp"))
+        .unionByName(lpFlows)
+        .unionByName(lsPays)
         // export contract, magnitude-safe form: at sf0.1 the scalar is
         // ~2.5e10, whose unscaled value (×10⁶) exceeds 2^53 — a direct
         // decimal→double cast double-rounds on DuckDB (observed …066185 vs
