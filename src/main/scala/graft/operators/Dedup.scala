@@ -131,10 +131,19 @@ object Dedup {
     * extraction) would otherwise re-run the signature pipeline each. The
     * count of capped buckets is published via `observe` as
     * `lsh_hot_buckets` for pipeline monitoring.
+    *
+    * `failOnOverCap = true` replaces star substitution with a runtime
+    * `raise_error` on the first over-cap bucket row: for a consumer whose
+    * downstream contract assumes all-pairs semantics (e.g. an oracle that
+    * replays the pipeline uncapped, or a transitive-closure clustering where
+    * one weak hub edge can split a whole component), the cap silently
+    * triggering is a correctness event, not a degradation — this makes it
+    * loud instead.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
@@ -156,8 +165,21 @@ object Dedup {
     val r = small.select(col(idCol).as("b"), col("band"), col("bh"))
     val allPairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b"))
-    val starPairs = bands.filter(col("__sz") > maxBucketSize && col(idCol) =!= col("__mn"))
-      .select(col("__mn").as("a"), col(idCol).as("b"))
+    val overCap = bands.filter(col("__sz") > maxBucketSize)
+    val starPairs =
+      if (failOnOverCap)
+        // the when-condition forces raise_error to evaluate per over-cap row
+        // (a bare unused error column would be pruned); zero over-cap rows →
+        // nothing evaluates, nothing throws
+        overCap.select(
+          when(raise_error(concat(
+            lit(s"lshCandidatePairs: bucket exceeded maxBucketSize=$maxBucketSize (size="),
+            col("__sz").cast("string"), lit(") with failOnOverCap set"))).isNull,
+            col(idCol)).as("a"),
+          col(idCol).as("b"))
+      else
+        overCap.filter(col(idCol) =!= col("__mn"))
+          .select(col("__mn").as("a"), col(idCol).as("b"))
     allPairs.unionByName(starPairs).distinct()
   }
 
@@ -197,13 +219,14 @@ object Dedup {
   def nearDupPairsMinHash(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.6,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
     val sig = minHashSignature(docs, idCol, textCol, numHashes, shingleN)
     // candidate pairs are tiny but referenced twice by the verifier (for the
     // semi-join filter and the pair join) — materialize once so the whole
     // signature pipeline doesn't re-run per reference
-    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
-      .localCheckpoint()
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucketSize,
+      failOnOverCap).localCheckpoint()
     jaccardOnPairs(pairs, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
@@ -325,11 +348,12 @@ object Dedup {
   def nearDupPairsCharNgram(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
       numHashes: Int = 16, rowsPerBand: Int = 4,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
     val sig = minHashSignatureCharNgram(docs, idCol, textCol, numHashes, n)
     // pairs are tiny but referenced twice by the verifier — materialize once
-    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
-      .localCheckpoint()
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucketSize,
+      failOnOverCap).localCheckpoint()
     val candIds = pairs.select(col("a").as("__id"))
       .unionByName(pairs.select(col("b").as("__id"))).distinct()
     val grams = docs.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
@@ -352,9 +376,12 @@ object Dedup {
     * family — Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): every node starts as its own label and each round
     * adopts the min label among itself and its neighbors, so the component's
-    * min id floods outward one hop per round — fixpoint after `diameter`
-    * rounds, detected distributively (an any-label-shrank aggregate, no
-    * driver-side data). Near-dup graphs are dense blobs with tiny diameters
+    * min id floods outward one hop per round — labels stabilize after
+    * `diameter` rounds and the fixpoint is OBSERVED one round later (the
+    * detecting round's no-change propagation is itself the proof), so
+    * `maxIter` must be ≥ diameter + 1. Detection is distributed (an
+    * any-label-shrank aggregate, no driver-side data). Near-dup graphs are
+    * dense blobs with tiny diameters
     * (the LSH star-guard caps them at 2 hops), so 3-4 rounds is typical;
     * each round is two key-shuffles (join on dst, groupBy node), every
     * intermediate is localCheckpoint'd to keep the lineage flat, and labels

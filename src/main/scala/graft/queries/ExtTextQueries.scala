@@ -99,9 +99,13 @@ object ExtTextQueries {
         .select(col("lang"), col("source"), col("doc_id").as("kept_id"))
     },
     // MinHash + LSH banding + exact-Jaccard verify (full near-dup pipeline).
+    // failOnOverCap: the DuckDB oracle replays the pipeline UNCAPPED, so the
+    // star-guard silently triggering would be a pair-level parity break —
+    // fail loudly instead if the corpus ever grows a >1024 bucket.
     "q_x_dedup_minhash" -> { (s, dir) =>
       Dedup.nearDupPairsMinHash(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6)
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
+        failOnOverCap = true)
     },
     // SimHash 64-bit sketch per doc (bit-parity checked against the oracle).
     "q_x_simhash_sketch" -> { (s, dir) =>
@@ -119,15 +123,20 @@ object ExtTextQueries {
     // bit-for-bit (like q_x_dedup_simhash / q_x_dedup_minhash).
     "q_x_dedup_ngram" -> { (s, dir) =>
       Dedup.nearDupPairsCharNgram(Tables.documents(s, dir), "doc_id", "text",
-        n = 5, threshold = 0.5, numHashes = 16, rowsPerBand = 4)
+        n = 5, threshold = 0.5, numHashes = 16, rowsPerBand = 4,
+        failOnOverCap = true)
     },
     // Duplicate-cluster resolution: the minhash near-dup pairs collapsed to
     // connected components (hash-min label propagation) — (doc, cluster
     // representative, cluster size). The oracle replays the full pair
-    // pipeline and closes it transitively with a recursive CTE.
+    // pipeline and closes it transitively with a recursive CTE — UNCAPPED,
+    // so failOnOverCap: at pair level a capped-bucket mismatch costs one
+    // pair, but transitive closure amplifies a lost hub edge to a split
+    // component; the parity assumption must fail loudly, not drift.
     "q_x_dedup_clusters" -> { (s, dir) =>
       val pairs = Dedup.nearDupPairsMinHash(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6)
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
+        failOnOverCap = true)
       Dedup.duplicateClusters(pairs, "a", "b")
     }
   )

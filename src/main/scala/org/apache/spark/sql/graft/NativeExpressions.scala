@@ -907,13 +907,21 @@ object NativeKernels {
           val (_, p2) = readVarint(b, pos)
           if (p2 < 0) return null
           pos = p2
-        case 1 => pos += 8
+        case 1 =>
+          // bounds-checked, unlike protoWalk's skip: there an overshoot
+          // falls out of the loop into the not-found null, here it would
+          // return the partial occurrence array and break the strict
+          // malformed-nulls-the-decode contract above
+          if (pos + 8 > b.length) return null
+          pos += 8
         case 2 =>
           val (len, p2) = readVarint(b, pos)
           if (p2 < 0 || len < 0 || p2 + len > b.length) return null
           if (field == fieldNo) out += java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)
           pos = p2 + len.toInt
-        case 5 => pos += 4
+        case 5 =>
+          if (pos + 4 > b.length) return null
+          pos += 4
         case _ => return null
       }
     }

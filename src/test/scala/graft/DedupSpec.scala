@@ -127,6 +127,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._1 == 0L), "cap must link cluster members to the bucket-min hub")
   }
 
+  test("failOnOverCap raises on a hot bucket instead of star-substituting") {
+    // the registry's oracled dedup entries run in this mode: their DuckDB
+    // oracles replay the pipeline UNCAPPED, so a silently-capped bucket is a
+    // parity break (amplified to a split component by transitive closure) —
+    // it must throw, not degrade
+    val cluster = (0L until 1200L).map(i => (i, base))
+    val big = spark.createDataFrame(cluster).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.nearDupPairsMinHash(big, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.5,
+        failOnOverCap = true).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxBucketSize"), s"expected over-cap raise, got: $msgs")
+    // under the cap the mode is a no-op: same pairs with and without it
+    val loud = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.5,
+      failOnOverCap = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val plain = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(loud == plain)
+  }
+
   test("duplicateClusters resolves chains, stars, cycles, and separate components") {
     // component A: a 4-node chain 1-2-3-4 (diameter 3 — needs >1 round);
     // component B: a star around 10; component C: a triangle cycle with a

@@ -99,6 +99,18 @@ class NativeExprSpec extends SparkSpec {
     // malformed input nulls the whole repeated decode even after a valid hit
     val bad = Seq(Tuple1(Array[Byte](0x22, 0x01, 'x', 0x08, 0x96.toByte))).toDF("m")
     assert(bad.select(natives.protoBytesAll($"m", 4)).head().isNullAt(0))
+
+    // truncation mid-FIXED-field after a valid hit: a fixed64 tag with only
+    // four trailing bytes (and a fixed32 tag with one) must also null the
+    // decode, not return the partial occurrence array (ADVICE r8)
+    val truncF64 = Array[Byte](0x22, 0x01, 'x', 0x09, 1, 2, 3, 4)
+    val truncF32 = Array[Byte](0x22, 0x01, 'x', 0x2D, 1)
+    val tf = Seq((truncF64, truncF32)).toDF("f64", "f32")
+    val tr = tf.select(
+      natives.protoBytesAll($"f64", 4).as("a"),
+      natives.protoBytesAll($"f32", 4).as("b")).head()
+    assert(tr.isNullAt(0), "truncated fixed64 must null the decode")
+    assert(tr.isNullAt(1), "truncated fixed32 must null the decode")
   }
 
   test("simhash64 matches a reference computation") {
