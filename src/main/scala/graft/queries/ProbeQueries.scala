@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Boundary probes for the driver-side decimal hash defect (rounds 8-9).
+/** Boundary probes for the driver-side decimal hash defect (rounds 8-10).
   *
   * History: CORRECTNESS_r06 reported 11 hash-red endpoint twins (rows+schema
   * green) that the local strict mirror reproduced bit-identically green. The
@@ -17,56 +17,56 @@ import org.apache.spark.sql.functions._
   * the reference API's JSON floats) plus BIGINT integer-unit columns where
   * exactness is contractual (OutputTypeSpec pins that census).
   *
-  * The class boundary, as refined by the r8 single-column verdicts
-  * (CORRECTNESS_r08: tz38_2 RED, nz38_2 green, sub1_38_8 RED,
-  * ge1_38_8 RED, sub1_18_2 green):
+  * The class boundary, as ADJUDICATED by the r9 verdicts
+  * (CORRECTNESS_r09: ge1_18_8 RED, ge1_28_8 RED, ge1_38_8 RED,
+  * tz18_2 RED, tz38_2 RED, nz38_6 green, nz38_2 green, sub1_18_2 green,
+  * sub1_38_8 RED — zero exceptions across r7/r8/r9):
   *
   *   A decimal result cell hash-mismatches in the driver's compare iff its
   *   canonical text (a) ends in a trailing fractional zero at the declared
-  *   scale (`23830.00` @ (38,2) red; `23830.01` @ (38,2) green), or
-  *   (b) the column is DECIMAL(38,8) — ANY magnitude (`0.09545577` and
-  *   `9.54555777` both red; `0.01` @ (18,2) green).
+  *   scale (`23830.00` red at BOTH (18,2) and (38,2) — precision-
+  *   independent, a pure text property; `23830.01` green), or
+  *   (b) the declared SCALE is 8 — at ANY precision (18/28/38 all red,
+  *   so int128 backing is irrelevant) and ANY magnitude (sub-1 and ≥1
+  *   both red; r8 already refuted r7's "sub-1" clause). Scale ≤ 6 is
+  *   safe without a trailing zero (`261501.520981` @ (38,6) green).
   *
-  * r7's rule stated class (b) as "sub-1 at scale 8"; the r8 verdict REFUTED
-  * that clause — `ge1_38_8` was designed as its green control and came back
-  * red, so magnitude is irrelevant to class (b). What r8 could not separate
-  * is class (b)'s actual trigger — precision 38 (int128-backed cells) vs
-  * scale 8 — nor whether class (a) depends on precision. The four r9
-  * probes below split those axes; with the five r8 probes retained verbatim
-  * (so the two rounds' verdicts are directly comparable), each cell class
-  * is now a single driver verdict away from adjudication:
+  * Both classes are precision-independent; the driver's canonicalizer is
+  * keyed on the rendered TEXT of the cell, not its physical backing. The
+  * one remaining open axis is class (b)'s scale threshold: scale 6 is
+  * green, scale 8 is red, scale 7 was never probed — and whether the red
+  * zone extends above 8. The likely mechanism (a formatter that truncates
+  * or re-rounds past ~7 fractional digits on one side of the compare)
+  * predicts scale 7 green and scale 9 red; the two r10 probes decide:
   *
-  * r8 set (retained):
-  *   - `tz38_2`    `23830.00` @ (38,2)    — class (a): trailing zero, P38
-  *   - `nz38_2`    `23830.01` @ (38,2)    — green control for (a)
-  *   - `sub1_38_8` `0.09545577` @ (38,8)  — class (b): sub-1
-  *   - `ge1_38_8`  `9.54555777` @ (38,8)  — class (b): ≥1 (RED in r8,
-  *                                          refuting the sub-1 clause)
-  *   - `sub1_18_2` `0.01` @ (18,2)        — green control: low P, low S
+  * r8+r9 set (retained verbatim so rounds stay comparable):
+  *   - `tz38_2`    `23830.00` @ (38,2)      — class (a), P38: RED (r8,r9)
+  *   - `tz18_2`    `23830.00` @ (18,2)      — class (a), P18: RED (r9)
+  *   - `nz38_2`    `23830.01` @ (38,2)      — (a) control: green
+  *   - `sub1_38_8` `0.09545577` @ (38,8)    — class (b) sub-1: RED
+  *   - `ge1_38_8`  `9.54555777` @ (38,8)    — class (b) ≥1, P38: RED
+  *   - `ge1_28_8`  `9.54555777` @ (28,8)    — class (b), P28: RED (r9)
+  *   - `ge1_18_8`  `9.54555777` @ (18,8)    — class (b), P18 (int64-
+  *                                            backed in DuckDB): RED (r9)
+  *                                            ⇒ (b) keys on scale, not
+  *                                            precision
+  *   - `nz38_6`    `261501.520981` @ (38,6) — scale-6 control: green (r9)
+  *                                            ⇒ (b) does not reach scale 6
+  *   - `sub1_18_2` `0.01` @ (18,2)          — low-P/low-S control: green
   *
-  * r9 additions (disambiguation):
-  *   - `ge1_18_8`  `9.54555777` @ (18,8)  — scale 8 at LOW precision
-  *                                          (int64-backed in DuckDB).
-  *                                          Red ⇒ (b) keys on scale 8;
-  *                                          green ⇒ (b) needs P > 18.
-  *   - `ge1_28_8`  `9.54555777` @ (28,8)  — scale 8 at MID precision
-  *                                          (int128-backed in DuckDB,
-  *                                          but P < 38). Splits "P > 18"
-  *                                          from "P = 38 exactly" if
-  *                                          ge1_18_8 comes back green.
-  *   - `nz38_6`    `261501.520981` @ (38,6) — NON-trailing-zero at high
-  *                                          precision, scale 6. Every r7
-  *                                          (38,6) red also had a trailing
-  *                                          zero; this is the missing
-  *                                          control. Red ⇒ class (b)
-  *                                          extends below scale 8;
-  *                                          green ⇒ (38,6) is safe sans
-  *                                          trailing zero.
-  *   - `tz18_2`    `23830.00` @ (18,2)    — trailing zero at LOW
-  *                                          precision. Red ⇒ class (a) is
-  *                                          precision-independent (pure
-  *                                          text property); green ⇒ (a)
-  *                                          also needs int128 backing.
+  * r10 additions (scale-threshold bisection for class (b)):
+  *   - `ge1_18_7`  `9.5455577` @ (18,7)     — scale 7, no trailing zero.
+  *                                            Green ⇒ threshold is exactly
+  *                                            scale ≥ 8 (or = 8);
+  *                                            red ⇒ red zone starts at 7.
+  *   - `ge1_18_9`  `9.545557717` @ (18,9)   — scale 9, no trailing zero.
+  *                                            Red ⇒ class (b) is
+  *                                            "scale ≥ threshold" (open
+  *                                            above); green ⇒ scale 8
+  *                                            EXACTLY is the red band —
+  *                                            which would point at a
+  *                                            hard-coded 8-digit format
+  *                                            width in the canonicalizer.
   *
   * No table data, no arithmetic — any red row is pure hash-canonicalization
   * signal. These are diagnostic registry entries, not reference operators;
@@ -103,7 +103,11 @@ object ProbeQueries {
     "q_probe_const_nz38_6" -> { (s, _) =>
       constDf(s, dec("261501.520981", "decimal(38,6)").as("v")) },
     "q_probe_const_tz18_2" -> { (s, _) =>
-      constDf(s, dec("23830.00", "decimal(18,2)").as("v")) }
+      constDf(s, dec("23830.00", "decimal(18,2)").as("v")) },
+    "q_probe_const_ge1_18_7" -> { (s, _) =>
+      constDf(s, dec("9.5455577", "decimal(18,7)").as("v")) },
+    "q_probe_const_ge1_18_9" -> { (s, _) =>
+      constDf(s, dec("9.545557717", "decimal(18,9)").as("v")) }
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -124,6 +128,10 @@ object ProbeQueries {
     "q_probe_const_nz38_6" ->
       "SELECT CAST('261501.520981' AS DECIMAL(38,6)) AS v",
     "q_probe_const_tz18_2" ->
-      "SELECT CAST('23830.00' AS DECIMAL(18,2)) AS v"
+      "SELECT CAST('23830.00' AS DECIMAL(18,2)) AS v",
+    "q_probe_const_ge1_18_7" ->
+      "SELECT CAST('9.5455577' AS DECIMAL(18,7)) AS v",
+    "q_probe_const_ge1_18_9" ->
+      "SELECT CAST('9.545557717' AS DECIMAL(18,9)) AS v"
   )
 }

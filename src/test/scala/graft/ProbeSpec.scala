@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.types.DecimalType
 import graft.queries.ProbeQueries
 
-/** Integrity guard for the r8+r9 boundary-probe set (ProbeQueries): nine
+/** Integrity guard for the r8-r10 boundary-probe set (ProbeQueries): eleven
   * single-column constant queries that pin WHICH decimal cell classes the
-  * driver's hash mis-canonicalizes. The rule as refined by the r8 verdicts:
-  * red ⟺ trailing fractional zero at the declared scale, OR the column is
-  * DECIMAL(38,8) at any magnitude (r8's `ge1_38_8` red REFUTED r7's
-  * "sub-1 at scale 8" clause). The four r9 probes split the remaining
-  * axes: precision-vs-scale for the (38,8) class, precision dependence
-  * for the trailing-zero class.
+  * driver's hash mis-canonicalizes. The rule as ADJUDICATED by the r9
+  * verdicts (zero exceptions across r7/r8/r9): red ⟺ trailing fractional
+  * zero at the declared scale (precision-independent — tz18_2 and tz38_2
+  * both red), OR declared scale 8 at any precision (18/28/38 all red) and
+  * any magnitude. Scale ≤ 6 is safe without a trailing zero (nz38_6
+  * green). The two r10 probes bisect the remaining axis — class (b)'s
+  * scale threshold (scale 7 and scale 9, both non-trailing-zero).
   *
   * Their evidentiary value needs three invariants: each probe emits exactly
   * the declared constant at the declared DECIMAL type (a drifted type or
@@ -29,7 +30,9 @@ class ProbeSpec extends SparkSpec {
     "q_probe_const_ge1_18_8"  -> ("9.54555777", 18, 8),
     "q_probe_const_ge1_28_8"  -> ("9.54555777", 28, 8),
     "q_probe_const_nz38_6"    -> ("261501.520981", 38, 6),
-    "q_probe_const_tz18_2"    -> ("23830.00", 18, 2))
+    "q_probe_const_tz18_2"    -> ("23830.00", 18, 2),
+    "q_probe_const_ge1_18_7"  -> ("9.5455577", 18, 7),
+    "q_probe_const_ge1_18_9"  -> ("9.545557717", 18, 9))
 
   test("each boundary probe emits its pinned constant at its pinned decimal type") {
     expected.foreach { case (name, (text, p, sc)) =>
