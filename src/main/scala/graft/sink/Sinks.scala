@@ -176,18 +176,22 @@ object Sinks {
     }
   }
 
-  /** CSV export with header (reference csv_response.rs, K7). */
+  /** K7 bulk path: distributed CSV export with header — for whole-table
+    * extracts too large for a response body. The serving-edge twin (the
+    * reference's `?format=csv` attachment, exact RFC 4180 cell semantics)
+    * is [[graft.serve.Responses.toCsvResponse]].
+    */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
-  /** K6 JSON response sink: render a result as a JSON array string for an
-    * HTTP handler (reference: actix Json responses over DAO rows). A
+  /** K6 JSON response sink — body of
+    * [[graft.serve.Responses.toJsonResponse]], kept as a String helper. A
     * response body is driver-side by nature, so the row count is clamped
     * first — pair with [[graft.serve.TimeWindowParams.clampLimit]] for the
     * request-facing cap.
     */
   def toJsonResponse(df: DataFrame, maxRows: Int = 100): String =
-    df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+    graft.serve.Responses.toJsonResponse(df, maxRows).body
 
   /** Definitive table-existence check via JDBC metadata (connection errors
     * propagate; only true absence returns false). Handles schema-qualified
