@@ -103,6 +103,77 @@ object TextOps {
   def langId(text: Column, lexicons: Map[String, Seq[String]]): Column =
     langIdFromTokens(tokens(text), lexicons)
 
+  /** Token bigram array ("a b", "b c", …); <2 tokens (including the blank
+    * text [""] artifact) yields the empty array. Built from `slice` +
+    * `zip_with`, so it stays in whole-stage codegen.
+    */
+  def bigramsFromTokens(toks: Column): Column =
+    when(tokenCountFromTokens(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+
+  /** Gopher-style document-quality signals (Rae et al. 2021 §A1.1 rule
+    * family) over PRE-MATERIALIZED token/bigram/line arrays — stage all
+    * three in one projection so the splits run once per row:
+    *
+    *  - mean_word_len: non-whitespace chars / tokens (null for empty docs)
+    *  - dup_bigram_frac: fraction of token bigrams that repeat
+    *  - top_bigram_frac: fraction of tokens covered by the most frequent
+    *    bigram (2·count/n, the repetition detector with the most signal on
+    *    short corpora)
+    *  - dup_line_frac / bullet_line_frac / ellipsis_line_frac: the
+    *    line-shape rules (duplicate lines, bullet starts, ellipsis ends)
+    *  - alpha_word_frac: words containing at least one ASCII letter
+    *  - symbol_word_ratio: ('#' + '…'-as-"..." occurrences) per word
+    *
+    * All ratios are ratios of per-row ints rounded at 6dp, so Spark and a
+    * SQL oracle compute bit-identical doubles (no sum-order dependence).
+    * top_bigram_frac is O(distinct·n) per row via transform+filter — fine
+    * for document-sized arrays, still codegen'd, no shuffle anywhere.
+    */
+  def gopherFeatures(text: Column, toks: Column, bg: Column, lines: Column): Seq[(String, Column)] = {
+    val n = tokenCountFromTokens(toks)
+    val nD = nullif(n.cast("double"), lit(0.0))
+    val nb = size(bg).cast("double")
+    val nl = size(lines).cast("double")
+    val hashCount = length(text) - length(translate(text, "#", ""))
+    val ellipsisCount = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "mean_word_len" ->
+        round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nD, 6),
+      "dup_bigram_frac" -> round(when(nb === 0, lit(0.0)).otherwise(
+        (nb - size(array_distinct(bg)).cast("double")) / nb), 6),
+      "top_bigram_frac" -> round(when(nb === 0, lit(0.0)).otherwise(
+        lit(2.0) * array_max(transform(array_distinct(bg),
+          x => size(filter(bg, y => y === x)))).cast("double") / n.cast("double")), 6),
+      "dup_line_frac" ->
+        round((nl - size(array_distinct(lines)).cast("double")) / nl, 6),
+      "bullet_line_frac" -> round(size(filter(lines,
+        l => ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
+          ltrim(l).startsWith("• "))).cast("double") / nl, 6),
+      "ellipsis_line_frac" -> round(size(filter(lines,
+        l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double") / nl, 6),
+      "alpha_word_frac" -> round(when(n === 0, lit(0.0)).otherwise(
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n.cast("double")), 6),
+      "symbol_word_ratio" -> round(when(n === 0, lit(0.0)).otherwise(
+        (hashCount + ellipsisCount).cast("double") / nD), 6)
+    )
+  }
+
+  /** The Gopher keep/drop verdict over [[gopherFeatures]] output columns:
+    * length in [10, 100k] tokens, mean word length in [3, 10], few
+    * duplicate lines, no dominant bigram, mostly alphabetic words.
+    */
+  def gopherPass(f: Map[String, Column]): Column =
+    (f("n_tokens").between(10, 100000) &&
+      f("mean_word_len").between(3, 10) &&
+      f("dup_line_frac") <= 0.3 &&
+      f("top_bigram_frac") <= 0.18 &&
+      f("alpha_word_frac") >= 0.8).cast("int")
+
   /** Document fingerprint: md5 over the sorted token multiset — invariant to
     * word order, catches shuffle-duplicates that exact-text hashing misses.
     */

@@ -138,6 +138,21 @@ object ExtTextQueries {
         numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
         failOnOverCap = true)
       Dedup.duplicateClusters(pairs, "a", "b")
+    },
+    // Gopher-style quality signals (Rae et al. 2021 rule family): token/
+    // bigram/line arrays staged once, then nine per-row repetition and
+    // shape features plus the keep/drop verdict. Narrow map over the scan —
+    // no shuffle, the corpus-filtering front door of a 100 TB pipeline.
+    "q_x_gopher_quality" -> { (s, dir) =>
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"), col("toks"),
+          TextOps.bigramsFromTokens(col("toks")).as("bg"),
+          split(col("text"), "\n").as("ls"))
+      val feats = TextOps.gopherFeatures(col("text"), col("toks"), col("bg"), col("ls"))
+      val withFeats = staged.select(col("doc_id") +: feats.map { case (nm, c) => c.as(nm) }: _*)
+      withFeats.select(col("*"),
+        TextOps.gopherPass(feats.map { case (nm, _) => nm -> col(nm) }.toMap).as("gopher_pass"))
     }
   )
 
@@ -390,6 +405,51 @@ object ExtTextQueries {
          |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
          |SELECT node AS doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM cl""".stripMargin
+         |FROM cl""".stripMargin,
+
+    // Gopher quality signals: same staged token/bigram/line arrays, ratios
+    // of per-row ints rounded at 6dp (lateral aliases feed gopher_pass).
+    "q_x_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, text, t,
+        |    CASE WHEN len(t) < 2 THEN []
+        |         ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END AS b,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) / nullif(len(t), 0), 6)
+        |    AS mean_word_len,
+        |  round(CASE WHEN len(b) = 0 THEN 0.0
+        |             ELSE (len(b) - len(list_distinct(b))) / len(b) END, 6) AS dup_bigram_frac,
+        |  round(CASE WHEN len(b) = 0 THEN 0.0
+        |             ELSE 2.0 * list_max(list_transform(list_distinct(b),
+        |                    x -> len(list_filter(b, y -> y = x)))) / len(t) END, 6)
+        |    AS top_bigram_frac,
+        |  round((len(ls) - len(list_distinct(ls))) / len(ls), 6) AS dup_line_frac,
+        |  round(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+        |          OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• ')))
+        |        / len(ls), 6) AS bullet_line_frac,
+        |  round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+        |          OR ends_with(rtrim(l), '…'))) / len(ls), 6) AS ellipsis_line_frac,
+        |  round(CASE WHEN len(t) = 0 THEN 0.0
+        |             ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / len(t)
+        |        END, 6) AS alpha_word_frac,
+        |  round(CASE WHEN len(t) = 0 THEN 0.0
+        |             ELSE ((length(text) - length(translate(text, '#', '')))
+        |                   + (length(text) - length(replace(text, '...', ''))) / 3) / len(t)
+        |        END, 6) AS symbol_word_ratio,
+        |  CAST(len(t) BETWEEN 10 AND 100000
+        |       AND mean_word_len BETWEEN 3 AND 10
+        |       AND dup_line_frac <= 0.3
+        |       AND top_bigram_frac <= 0.18
+        |       AND alpha_word_frac >= 0.8 AS INT) AS gopher_pass
+        |FROM bg""".stripMargin
   )
 }

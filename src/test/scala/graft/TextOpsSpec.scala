@@ -37,4 +37,54 @@ class TextOpsSpec extends SparkSpec {
     val got = predict(Seq("w7 x7 w3", "nothing here"), lex20)
     assert(got == Seq("l07", "und"))
   }
+
+  private def gopherRows(texts: Seq[String]) = {
+    val staged = texts.toDF("text")
+      .select($"text", TextOps.tokens($"text").as("toks"))
+      .select($"text", $"toks", TextOps.bigramsFromTokens($"toks").as("bg"),
+        split($"text", "\n").as("ls"))
+    val feats = TextOps.gopherFeatures($"text", $"toks", $"bg", $"ls")
+    staged.select(feats.map { case (n, c) => c.as(n) }: _*).collect()
+  }
+
+  test("gopherFeatures: line-shape rules on multi-line text (hand-computed)") {
+    // 5 lines: two identical, one bullet, one ellipsis-ended, one plain —
+    // the line features the single-line synthetic corpus can't exercise.
+    val doc = "same line\nsame line\n- bullet item\ntrailing off...\nplain end"
+    val r = gopherRows(Seq(doc)).head
+    assert(r.getAs[Double]("dup_line_frac") == 0.2)      // 1 dup of 5
+    assert(r.getAs[Double]("bullet_line_frac") == 0.2)   // 1 of 5
+    assert(r.getAs[Double]("ellipsis_line_frac") == 0.2) // 1 of 5
+    // "..." also counts toward symbol ratio: 1 occurrence / 11 tokens
+    // (the bullet dash is itself a token under the whitespace tokenizer)
+    assert(r.getAs[Long]("n_tokens") == 11L)
+    assert(r.getAs[Double]("symbol_word_ratio") == 0.090909)
+  }
+
+  test("gopherFeatures: repetition and word-shape signals (hand-computed)") {
+    // "spam ham spam ham spam": bigrams = [sh, hs, sh, hs] → dup 2/4,
+    // top bigram "spam ham" ×2 covers 2*2/5 tokens; mean word len
+    // (4+3+4+3+4)/5; all words alphabetic.
+    val r = gopherRows(Seq("spam ham spam ham spam")).head
+    assert(r.getAs[Double]("dup_bigram_frac") == 0.5)
+    assert(r.getAs[Double]("top_bigram_frac") == 0.8)
+    assert(r.getAs[Double]("mean_word_len") == 3.6)
+    assert(r.getAs[Double]("alpha_word_frac") == 1.0)
+    // numeric-only words fail the alpha rule: 2 of 4
+    val r2 = gopherRows(Seq("only 99 of 100")).head
+    assert(r2.getAs[Double]("alpha_word_frac") == 0.5)
+  }
+
+  test("gopherFeatures: degenerate docs (empty, one word) stay null-safe") {
+    val rows = gopherRows(Seq("", "word"))
+    val empty = rows(0)
+    assert(empty.getAs[Long]("n_tokens") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
+    assert(empty.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(empty.getAs[Double]("top_bigram_frac") == 0.0)
+    val one = rows(1)
+    assert(one.getAs[Long]("n_tokens") == 1L)
+    assert(one.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(one.getAs[Double]("mean_word_len") == 4.0)
+  }
 }
