@@ -51,6 +51,28 @@ object StreamJobs {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus-prep front door: the batch pipeline's quality gate +
+    * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
+    * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The
+    * fingerprint dedup state is bounded by the watermark horizon — at
+    * firehose scale the state store holds one md5 per distinct document
+    * seen inside the horizon, not the corpus; replayed or reshuffled
+    * boilerplate inside the horizon drops exactly, and cross-horizon
+    * dedup is the idempotent batch sink's job downstream
+    * ([[graft.sink.Sinks.appendDedupParquet]] on the same fingerprint).
+    */
+  def corpusPrepStream(docs: DataFrame, stopwords: Seq[String],
+      minQuality: Double = 0.5, horizon: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("ingest_ts"),
+        graft.operators.TextOps.qualityScoreFromTokens(col("toks"), stopwords).as("quality"),
+        graft.operators.TextOps.fingerprintMd5(col("text")).as("fp"))
+      .filter(col("quality") >= minQuality)
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-stream interval join: each purchase joined to the views of the
     * same user in the preceding hour — the streaming form of the batch as-of
     * enrichment (J5/B2). Watermarks bound both sides' state; late views past

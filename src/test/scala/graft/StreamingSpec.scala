@@ -47,6 +47,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 100)
   }
 
+  test("streaming corpus prep: quality gate + content dedup across replays") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_corpus_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // base doc (12 distinct tokens incl. one stopword → quality ≈ 0.579),
+    // a word-order shuffle of it (same sorted-token fingerprint), a
+    // low-quality repetition doc, and one distinct good doc
+    val base = "the quick brown fox jumps over lazy dogs near riverbank at dawn"
+    val shuffled = "dawn at riverbank near dogs lazy over jumps fox brown quick the"
+    val junk = "x x x x"
+    val other = "a calm harbor holds twelve bright ships before morning tide arrives"
+    val b1 = Seq((1L, base), (2L, shuffled), (3L, junk)).toDF("doc_id", "text")
+      .withColumn("ingest_ts", lit(t0))
+    val b2 = Seq((4L, base), (5L, other)).toDF("doc_id", "text")
+      .withColumn("ingest_ts", lit(t0))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(
+      spark.read.parquet(src).schema).parquet(src)
+    val q = StreamJobs.corpusPrepStream(stream, stopwords = Seq("the", "a"))
+      .writeStream.outputMode("append").format("memory").queryName("corpus").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("corpus").select("doc_id", "fp").collect()
+    // junk fails the quality gate; base/shuffled/replayed-base share one
+    // fingerprint → exactly one survivor of {1,2,4}, plus doc 5
+    assert(out.length == 2, s"got ${out.mkString(", ")}")
+    assert(out.map(_.getString(1)).distinct.length == 2)
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.contains(5L) && ids.exists(Set(1L, 2L, 4L)), s"ids were $ids")
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals") {
     val src = stageEvents()
     val out = StreamJobs.userSessions(spark, StreamJobs.fileEventStream(spark, src))
