@@ -21,6 +21,26 @@ object TextOps {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** BPE-ish pretokenizer pattern (the GPT-2 pretokenizer family):
+    * contraction suffixes, space-prefixed letter runs, digit runs, and
+    * punctuation runs. Deliberately lookahead-free — the original GPT-2
+    * pattern's `\s+(?!\S)` tail needs negative lookahead, which RE2-based
+    * SQL engines reject — so Java regex and RE2 tokenize identically and
+    * the count is oracle-checkable. Whitespace-only spans are not emitted.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish pretokenization: every match of [[BpePattern]], in order
+    * (" don" keeps its leading space — byte-level BPE's convention).
+    * Empty text yields the empty array, so no blank-guard is needed.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Token count under the BPE-ish pretokenizer. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** 64-bit signed hash = first 8 md5 bytes — the one hash both our engine
     * and common SQL engines compute bit-identically (DuckDB:
     * CAST('0x'||substr(md5(x),1,16) AS UBIGINT) reinterpreted signed).

@@ -22,10 +22,13 @@ object ExtTextQueries {
     "zh" -> Seq("de5", "shi4", "le5"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token counting (whitespace tokenizer) per doc.
+    // Token counting per doc: whitespace tokenizer + the BPE-ish
+    // pretokenizer (lookahead-free GPT-2 pattern, identical under Java
+    // regex and RE2 so the count is oracled exactly).
     "q_x_token_count" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("int").as("n_bpe_tokens"),
           length(col("text")).as("n_chars_measured"))
     },
     // Quality scoring: length/diversity/stopword composite in [0,1]. The
@@ -193,6 +196,9 @@ object ExtTextQueries {
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+        |    AS INTEGER) AS n_bpe_tokens,
         |  CAST(length(text) AS INTEGER) AS n_chars_measured
         |FROM documents""".stripMargin,
     // blank-text guard mirrors Spark's tokenCount: split('') yields [''] in

@@ -38,6 +38,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq("l07", "und"))
   }
 
+  test("bpeTokens: GPT-2-style pretokenization of contractions, runs, punctuation") {
+    val r = Seq("I don't like 42 apples, really!", "").toDF("text")
+      .select(TextOps.bpeTokens($"text").as("t"), TextOps.bpeTokenCount($"text").as("n"))
+      .collect()
+    assert(r(0).getSeq[String](0) ==
+      Seq("I", " don", "'t", " like", " 42", " apples", ",", " really", "!"))
+    assert(r(0).getInt(1) == 9)
+    assert(r(1).getInt(1) == 0)
+  }
+
   private def gopherRows(texts: Seq[String]) = {
     val staged = texts.toDF("text")
       .select($"text", TextOps.tokens($"text").as("toks"))
