@@ -105,25 +105,30 @@ object PipelineQueries {
     // (per ship date) and the open-position set.
     "q_e2e_earn_apr" -> { (s, dir) => {
       val dec = (c: String) => col(c).cast("decimal(18,2)")
-      // A6 numerator: rate = discount as a percentage, flat 1% margin (the
-      // reference's per-protocol margin CASE collapses to a constant on this
-      // schema). Lossless decimal scales: (18,2)*(18,0)-(18,2) stays scale 2,
-      // ×(18,2) → scale 4.
-      val netRate = dec("l_discount") * lit(100).cast("decimal(18,0)") -
-        lit(1).cast("decimal(18,2)")
+      // Exact integer-unit arithmetic on the hot path: cents for prices,
+      // scale-2 units for the net rate (= discount% − flat 1% margin), so
+      // the (pool, day) pre-aggregate — which barely reduces (≈0.9 groups
+      // per row on this schema) — sums LONGs instead of 128-bit decimals.
+      // Every downstream double is derived from the exact integer with one
+      // correctly-rounded division by a power of ten, which equals the
+      // former decimal→double cast bit-for-bit while the integer stays
+      // under 2^53 (max here: Σ netRateU·priceU ≤ ~1e16). Magnitude
+      // headroom to 2^63 is ~600× this SF per pool; ANSI mode (Spark 4
+      // default) makes a long-sum overflow loud, not a silent wrap.
+      val priceU = (dec("l_extendedprice") * 100).cast("long")
+      val netRateU = (dec("l_discount") * 10000).cast("long") - 100
       // ONE fact scan: the (pool, day) pre-aggregate carries both the state
       // series (tvl/borrowed) AND the weighted-net-interest partial sum, so
       // the W5 latest row and the A6 all-history weighted average both come
-      // from re-aggregating this tiny pre-agg per pool — no second lineitem
-      // scan. Decimal sums re-aggregate exactly (sum of per-day sums == sum
-      // of rows at the same scale), so the result is hash-identical to the
-      // former two-scan form.
+      // from re-aggregating this pre-agg per pool — no second lineitem
+      // scan. Integer sums re-aggregate exactly (sum of per-day sums ==
+      // sum of rows), so the result is hash-identical to the decimal form.
       val st = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"), col("l_shipdate"))
         .agg(
-          sum(dec("l_extendedprice")).as("tvl"),
-          sum(when(col("l_returnflag") === "R", dec("l_extendedprice"))).as("borrowed"),
-          sum((netRate * dec("l_extendedprice")).cast("decimal(30,4)")).as("wsum"))
+          sum(priceU).as("tvl_u"),
+          sum(when(col("l_returnflag") === "R", priceU)).as("borrowed_u"),
+          sum(netRateU * priceU).as("wsum_u"))
       // W5 via scalar max_by pairs — primitive agg buffers keep the re-agg in
       // HashAggregate (a struct payload would demote it to SortAggregate);
       // (pool, day) is unique so the day order is tie-free and both max_by
@@ -131,18 +136,18 @@ object PipelineQueries {
       val perPool = st
         .groupBy(col("l_suppkey"))
         .agg(
-          max_by(col("tvl"), col("l_shipdate")).as("latest_tvl"),
-          max_by(col("borrowed"), col("l_shipdate")).as("latest_borrowed"),
-          (sum(col("wsum")).cast("double") /
-            nullif(sum(col("tvl")).cast("double"), lit(0.0))).as("avg_net_interest"))
+          max_by(col("tvl_u"), col("l_shipdate")).as("latest_tvl_u"),
+          max_by(col("borrowed_u"), col("l_shipdate")).as("latest_borrowed_u"),
+          ((sum(col("wsum_u")).cast("double") / 1e4) /
+            nullif(sum(col("tvl_u")).cast("double") / 1e2, lit(0.0))).as("avg_net_interest"))
       val base = perPool
         .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("l_suppkey"), col("s_name").as("protocol"),
-          (coalesce(col("latest_borrowed").cast("double"), lit(0.0)) /
-            nullif(col("latest_tvl").cast("double"), lit(0.0))).as("util_rate"),
-          col("latest_tvl").cast("double").as("supplied"),
-          coalesce(col("latest_borrowed").cast("double"), lit(0.0)).as("borrowed"),
+          (coalesce(col("latest_borrowed_u").cast("double") / 1e2, lit(0.0)) /
+            nullif(col("latest_tvl_u").cast("double") / 1e2, lit(0.0))).as("util_rate"),
+          (col("latest_tvl_u").cast("double") / 1e2).as("supplied"),
+          coalesce(col("latest_borrowed_u").cast("double") / 1e2, lit(0.0)).as("borrowed"),
           col("avg_net_interest"))
       base
         .withColumn("apr_simple",
