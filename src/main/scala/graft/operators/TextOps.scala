@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -208,6 +208,52 @@ object TextOps {
       f("dup_line_frac") <= 0.3 &&
       f("top_bigram_frac") <= 0.18 &&
       f("alpha_word_frac") >= 0.8).cast("int")
+
+  /** Corpus term statistics — the word-count shape: explode tokens, one
+    * shuffle keyed on the term. Hot terms (stopwords) are the canonical
+    * skewed key; partial aggregation absorbs them (each map task emits one
+    * partial row per term, so the reduce side sees O(tasks) rows per hot
+    * term, not O(occurrences)). doc_freq rides the same shuffle via an
+    * exact two-level distinct (doc,term) pre-agg — no second scan.
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy(col("term"))
+      .agg(sum(col("tc")).as("term_count"), count(lit(1)).as("doc_freq"))
+
+  /** Per-document top-k terms by tf-idf. Deliberately ln-free: score =
+    * (tc·N) / (n_tokens·df) — tf times a LINEAR inverse document
+    * frequency — so the score is a ratio of exact integers and both
+    * engines produce the identical double (a log-idf's libm `ln` is not
+    * bit-specified across engines; linear idf preserves the ranking on a
+    * single corpus since N is constant and x ↦ a/x is monotone). Ranking
+    * is total: (score desc, term asc). N arrives via the J4
+    * broadcast-scalar pattern, not a driver round-trip.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tc = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tc"))
+    val withTotals = tc.withColumn("n_tokens", sum(col("tc")).over(Window.partitionBy(col("doc_id"))))
+    val df = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    withTotals
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tc") * col("n_docs")).cast("double") /
+          (col("n_tokens") * col("df")).cast("double"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
 
   /** Document fingerprint: md5 over the sorted token multiset — invariant to
     * word order, catches shuffle-duplicates that exact-text hashing misses.

@@ -156,6 +156,19 @@ object ExtTextQueries {
       val withFeats = staged.select(col("doc_id") +: feats.map { case (nm, c) => c.as(nm) }: _*)
       withFeats.select(col("*"),
         TextOps.gopherPass(feats.map { case (nm, _) => nm -> col(nm) }.toMap).as("gopher_pass"))
+    },
+    // Corpus term stats, top-50 by count: the word-count shuffle with the
+    // deterministic (count desc, term asc) cut so the LIMIT boundary can't
+    // flap on ties.
+    "q_x_term_freq" -> { (s, dir) =>
+      TextOps.termStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("term_count").desc, col("term").asc)
+        .limit(50)
+    },
+    // Per-doc top-3 terms by exact-rational tf-idf (linear idf — see
+    // TextOps.tfIdfTopTerms for why ln is deliberately avoided).
+    "q_x_tfidf_top" -> { (s, dir) =>
+      TextOps.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
     }
   )
 
@@ -456,6 +469,35 @@ object ExtTextQueries {
         |       AND dup_line_frac <= 0.3
         |       AND top_bigram_frac <= 0.18
         |       AND alpha_word_frac >= 0.8 AS INT) AS gopher_pass
-        |FROM bg""".stripMargin
+        |FROM bg""".stripMargin,
+
+    "q_x_term_freq" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), f AS (
+        |  SELECT term, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+        |  FROM t WHERE term <> '' GROUP BY term)
+        |SELECT term, term_count, doc_freq FROM f
+        |ORDER BY term_count DESC, term ASC LIMIT 50""".stripMargin,
+
+    "q_x_tfidf_top" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS tc FROM t WHERE term <> '' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, term, tc,
+        |          sum(tc) OVER (PARTITION BY doc_id) AS n_tokens FROM tc),
+        |df AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tot.doc_id, tot.term,
+        |        round((tc * n_docs)::DOUBLE / (n_tokens * df)::DOUBLE, 6) AS score
+        |      FROM tot JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, term ASC) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+        |FROM r WHERE rank <= 3""".stripMargin
   )
 }
