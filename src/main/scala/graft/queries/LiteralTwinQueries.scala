@@ -610,65 +610,62 @@ object LiteralTwinQueries {
           col("stable_currency_decimals"))
         .localCheckpoint()
       val openIds = openings.select(col("ls_contract_id"))
-      def leg(flag: String) = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === flag)
-      // repayments: Σ payment / stable decimals per contract
-      val repayments = leg("R")
-        .select(col("l_orderkey").as("r_contract_id"),
-          col("l_extendedprice").as("pay"))
-        .join(openings.select(col("ls_contract_id"), col("stable_currency_decimals")),
-          col("r_contract_id") === col("ls_contract_id"))
-        .groupBy(col("r_contract_id"), col("stable_currency_decimals"))
-        .agg((sum(col("pay").cast("decimal(18,2)")).cast("double") /
-          col("stable_currency_decimals")).as("total_repaid_stable"))
-        .select(col("r_contract_id"), col("total_repaid_stable"))
-      // collects: Σ amount / POWER(10, registry digits) per contract
-      val collects = leg("A")
-        .select(col("l_orderkey").as("c_contract_id"),
+      // ONE lineitem scan (the r8 wallet-ledger fusion shape): all six
+      // per-contract legs of the original — repayments (R), collects (A),
+      // liquidations (N, status F), and the three close-tx MAX tables
+      // (R/A/N, status F) — are keyed by l_orderkey and cohort-restricted,
+      // so one isin(R,A,N) scan + one cohort semi-join + the broadcast
+      // registry join (complete dim: c_symbol ∈ 0..24 always hits, so the
+      // inner join is row-preserving) + ONE conditional aggregation
+      // produce every per-contract column the original computed with six
+      // scans and six shuffle chains. Each conditional sum/max ranges over
+      // exactly the original leg's row set, and the collect sum's exact
+      // 6dp micro-decimals are multiset-order-independent — every
+      // aggregate is bit-identical to the per-leg form.
+      val statusF = col("status") === "F"
+      val perContract = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("R", "A", "N"))
+        .select(col("l_orderkey").as("k_contract_id"),
+          col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
           col("l_extendedprice").as("amt"),
-          pmod(col("l_partkey"), lit(25)).as("c_symbol"))
-        .join(openIds, col("c_contract_id") === col("ls_contract_id"), "left_semi")
+          pmod(col("l_partkey"), lit(25)).as("c_symbol"),
+          col("l_partkey").cast("string").as("tx"))
+        .join(openIds, col("k_contract_id") === col("ls_contract_id"), "left_semi")
         .join(cr("col"), col("c_symbol") === col("col_ticker"))
-        .groupBy(col("c_contract_id"))
-        .agg(sum(microRound6(col("amt").cast("decimal(20,2)") *
-          pow10micro(col("col_decimal_digits"))))
-          .cast("double").as("total_collect_normalized"))
-      // liqs: fully liquidated contracts
-      val liqs = leg("N").filter(col("l_linestatus") === "F")
-        .select(col("l_orderkey").as("lq_contract_id"))
-        .join(openIds, col("lq_contract_id") === col("ls_contract_id"), "left_semi")
+        .groupBy(col("k_contract_id"))
+        .agg(
+          sum(when(col("flag") === "R", col("amt").cast("decimal(18,2)")))
+            .as("repaid_sum"),
+          sum(when(col("flag") === "A", microRound6(col("amt").cast("decimal(20,2)") *
+            pow10micro(col("col_decimal_digits")))))
+            .cast("double").as("total_collect_normalized"),
+          max(when(col("flag") === "A", lit(1))).as("has_collect"),
+          max(when(col("flag") === "N" && statusF, lit(1))).as("has_liq"),
+          max(when(col("flag") === "R" && statusF, col("tx"))).as("rct_tx"),
+          max(when(col("flag") === "A" && statusF, col("tx"))).as("cpt_tx"),
+          max(when(col("flag") === "N" && statusF, col("tx"))).as("lqt_tx"))
       // closing timestamps: one per contract
       val closingTs = Tables.orders(s, dir)
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("ct_contract_id"), col("o_orderdate").as("close_ts"))
-      // the three close-tx-hash candidate tables
-      def closeTx(flag: String, prefix: String) = leg(flag)
-        .filter(col("l_linestatus") === "F")
-        .select(col("l_orderkey").as(s"${prefix}_contract_id"),
-          col("l_partkey").cast("string").as("tx"))
-        .join(openIds, col(s"${prefix}_contract_id") === col("ls_contract_id"), "left_semi")
-        .groupBy(col(s"${prefix}_contract_id"))
-        .agg(max(col("tx")).as(s"${prefix}_tx"))
-      val rct = closeTx("R", "rct")
-      val cpt = closeTx("A", "cpt")
-      val lqt = closeTx("N", "lqt")
-      // closable: EXISTS collects OR EXISTS liqs
-      val closableIds = collects.select(col("c_contract_id").as("id"))
-        .unionByName(liqs.select(col("lq_contract_id").as("id"))).distinct()
+      // closable: EXISTS collects OR EXISTS liqs, with every per-contract
+      // aggregate already attached (contracts with no R/A/N rows at all
+      // can't be closable, so the inner join loses nothing)
       val closable = openings
-        .join(closableIds, col("ls_contract_id") === col("id"), "left_semi")
+        .join(perContract, col("ls_contract_id") === col("k_contract_id"))
+        .filter(col("has_collect") === 1 || col("has_liq") === 1)
         .localCheckpoint()
       val isUsdc = col("ls_asset_symbol").isin(usdcSet: _*)
       val assetStr = col("ls_asset_symbol").cast("string")
       val openingRows = closable
-        .join(repayments, col("ls_contract_id") === col("r_contract_id"), "left")
         .join(cr("cl2"), col("ls_cltr_symbol") === col("cl2_ticker"))
         .join(cr("as2"), col("ls_asset_symbol") === col("as2_ticker"))
         .select(
           col("ls_timestamp").as("date"),
           col("ls_contract_id").as("position_id"),
           (col("ls_cltr_amnt_stable") / pow(lit(10.0), col("cl2_decimal_digits")) +
-            coalesce(col("total_repaid_stable"), lit(0.0))).as("sent_amount"),
+            coalesce(col("repaid_sum").cast("double") /
+              col("stable_currency_decimals"), lit(0.0))).as("sent_amount"),
           lit("USDC").as("sent_currency"),
           (col("ls_loan_amnt") / pow(lit(10.0), col("as2_decimal_digits"))).as("received_amount"),
           when(isUsdc, lit("USDC")).otherwise(assetStr).as("received_currency"),
@@ -681,10 +678,6 @@ object LiteralTwinQueries {
           col("open_tx_hash").as("tx_hash"))
       val closingRows = closable
         .join(closingTs, col("ls_contract_id") === col("ct_contract_id"))
-        .join(collects, col("ls_contract_id") === col("c_contract_id"), "left")
-        .join(rct, col("ls_contract_id") === col("rct_contract_id"), "left")
-        .join(cpt, col("ls_contract_id") === col("cpt_contract_id"), "left")
-        .join(lqt, col("ls_contract_id") === col("lqt_contract_id"), "left")
         .join(cr("as3"), col("ls_asset_symbol") === col("as3_ticker"))
         .select(
           col("close_ts").as("date"),
