@@ -129,4 +129,29 @@ object Ops {
     */
   def dateScaffold(df: DataFrame, startExpr: Column, endExpr: Column, colName: String): DataFrame =
     df.select(explode(sequence(startExpr, endExpr, expr("interval 1 day"))).as(colName))
+
+  /** Distributed global LEAD over a DISTINCT numeric key column — the
+    * scale-safe form of `lead(k) OVER (ORDER BY k)`, whose empty PARTITION
+    * BY otherwise collapses the whole table into one window partition
+    * (Spark's own WindowExec warning). Keys are range-bucketed
+    * (`floor(k / bucket)`), each bucket's lead runs as a normal
+    * partitioned window, and each bucket's LAST row takes the next
+    * non-empty bucket's first key from a per-bucket aggregate — the only
+    * unpartitioned window runs over that aggregate, one row per non-empty
+    * bucket, tiny at any table size. Output: the input plus
+    * `next_<keyCol>` (null for the global maximum), identical to the
+    * single-partition form for distinct keys.
+    */
+  def leadGlobal(df: DataFrame, keyCol: String, bucket: Long = 1L << 16): DataFrame = {
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(keyCol))
+    val within = df.withColumn("__b", floor(col(keyCol) / bucket))
+      .withColumn("__next", lead(col(keyCol), 1).over(wIn))
+    val handoff = within.groupBy(col("__b"))
+      .agg(min(col(keyCol)).as("__first"))
+      .withColumn("__next_first", lead(col("__first"), 1).over(Window.orderBy(col("__b"))))
+      .select(col("__b"), col("__next_first"))
+    within.join(handoff, Seq("__b"), "left")
+      .withColumn(s"next_$keyCol", coalesce(col("__next"), col("__next_first")))
+      .drop("__b", "__next", "__next_first")
+  }
 }

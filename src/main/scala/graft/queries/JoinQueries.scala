@@ -139,17 +139,17 @@ object JoinQueries {
     // J11/W1: gap detection via LEAD — synthesize gaps by dropping every
     // orderkey divisible by 100 (reference: missing block ranges block.rs:29-74).
     "q_j11_gap_lead" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val present = Tables.orders(s, dir)
         .filter(col("o_orderkey") % 100 =!= 0)
         .select(col("o_orderkey"))
-      // Global-order window: fine for a bookkeeping table of synced ids (the
-      // reference scans the last 100k blocks); for a 100 TB fact use the
-      // range-partitioned anti-join form instead (SURVEY S4).
-      present
-        .withColumn("next_key", lead(col("o_orderkey"), 1).over(Window.orderBy(col("o_orderkey"))))
-        .filter(col("next_key") > col("o_orderkey") + 1)
-        .select((col("o_orderkey") + 1).as("gap_start"), (col("next_key") - 1).as("gap_end"))
+      // Distributed LEAD (Ops.leadGlobal): range-bucketed windows + a tiny
+      // per-bucket handoff replace the single-partition global window, so
+      // the gap scan stays shuffle-parallel at any table size (the range
+      // anti-join twin below is the S4 repair form over the same gaps).
+      graft.functions.Ops.leadGlobal(present, "o_orderkey")
+        .filter(col("next_o_orderkey") > col("o_orderkey") + 1)
+        .select((col("o_orderkey") + 1).as("gap_start"),
+          (col("next_o_orderkey") - 1).as("gap_end"))
     },
     // S4/J11 scale form: missing ids via range anti-join — spark.range is a
     // partitioned generator and the anti-join shuffles on the id, so there is

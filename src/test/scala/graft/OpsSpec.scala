@@ -46,4 +46,20 @@ class OpsSpec extends SparkSpec {
     val days = Ops.dateScaffold(bounds, col("lo"), col("hi"), "day")
     assert(days.count() == 5)
   }
+
+  test("leadGlobal equals the single-partition global lead (distinct keys)") {
+    import org.apache.spark.sql.expressions.Window
+    // keys engineered around a small bucket: consecutive pairs straddling
+    // bucket boundaries (7,8), (15,16), whole empty buckets between 16 and
+    // 40, a gap inside a bucket (3→7), and a lone global max
+    val keys = Seq(1L, 2L, 3L, 7L, 8L, 15L, 16L, 40L, 41L, 99L)
+    val df = keys.toDF("k").repartition(4)
+    val got = Ops.leadGlobal(df, "k", bucket = 8)
+      .select($"k", $"next_k").as[(Long, Option[Long])].collect().toMap
+    val want = df
+      .withColumn("next_k", lead($"k", 1).over(Window.orderBy($"k")))
+      .select($"k", $"next_k").as[(Long, Option[Long])].collect().toMap
+    assert(got == want)
+    assert(got(99L).isEmpty && got(16L).contains(40L) && got(7L).contains(8L))
+  }
 }
