@@ -80,11 +80,18 @@ object AggQueries {
     // A6: weighted average with NULLIF divide-guard
     // (reference: net-interest lp_pool_state.rs:474-495).
     "q_a6_weighted_avg" -> { (s, dir) =>
+      // Integer-unit weighted sum (the earn-APR pattern): priceU·qtyU is a
+      // scale-4 LONG (≤ ~3e13 per pool — 2^53-safe), so the 128-bit
+      // decimal sum becomes a long sum and every double derives from the
+      // exact integer by one correctly-rounded power-of-ten division —
+      // bit-identical to the decimal form.
+      val qtyU = (dec("l_quantity") * 100).cast("long")
+      val priceU = (dec("l_extendedprice") * 100).cast("long")
       Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"))
         .agg(
-          (sum((dec("l_extendedprice") * dec("l_quantity")).cast("decimal(30,4)")).cast("double") /
-            nullif(sum(dec("l_quantity")).cast("double"), lit(0.0))).as("weighted_avg_price"),
+          ((sum(priceU * qtyU).cast("double") / 1e4) /
+            nullif(sum(qtyU).cast("double") / 1e2, lit(0.0))).as("weighted_avg_price"),
           count(lit(1)).as("n_lines"))
     },
     // A7+U8: bucketed histogram with a static bucket dimension LEFT JOINed so

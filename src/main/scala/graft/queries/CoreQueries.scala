@@ -27,13 +27,21 @@ object CoreQueries {
     // A2 hash aggregation (reference: ls_opening.rs:379-397 leased-assets) —
     // TPC-H Q1 shape: group lineitem by flag/status, exact sums + counts.
     "q1_agg" -> { (s, dir) =>
+      // Exact integer-unit sums (the earn-APR pattern): cents for qty/
+      // price/discount keep every aggregate a LONG sum — order-independent
+      // like the decimal form, 128-bit-free. Unscaled magnitudes stay far
+      // under 2^53 (disc-price ≤ ~6e14 even single-group), so the final
+      // power-of-ten division equals the former decimal→double cast
+      // bit-for-bit; ANSI mode makes a would-be overflow loud.
+      val qtyU = (dec("l_quantity") * 100).cast("long")
+      val priceU = (dec("l_extendedprice") * 100).cast("long")
+      val discU = (dec("l_discount") * 100).cast("long")
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity")).cast("double").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
-            .cast("double").as("sum_disc_price"),
+          (sum(qtyU).cast("double") / 1e2).as("sum_qty"),
+          (sum(priceU).cast("double") / 1e2).as("sum_base_price"),
+          (sum(priceU * (lit(100L) - discU)).cast("double") / 1e4).as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
     }

@@ -22,13 +22,20 @@ object JoinQueries {
     // J1: fact ⋈ broadcast dim with decimal normalization
     // (reference: LS_Opening ⋈ pool_config ls_opening.rs:385-388).
     "q_j1_broadcast_dim" -> { (s, dir) =>
+      // Exact integer units on the hot sum (the earn-APR pattern): cents
+      // for qty/price/discount, so revenue = Σ priceU·(100−discU) is a
+      // LONG sum at scale 4 (≤ ~6e14 unscaled even single-group — far
+      // under 2^53, so the final power-of-ten division equals the former
+      // decimal→double cast bit-for-bit; ANSI makes overflow loud).
+      val qtyU = (dec("l_quantity") * 100).cast("long")
+      val priceU = (dec("l_extendedprice") * 100).cast("long")
+      val discU = (dec("l_discount") * 100).cast("long")
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          sum(dec("l_quantity")).cast("double").as("sum_qty"),
-          sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)"))
-            .cast("double").as("revenue"),
+          (sum(qtyU).cast("double") / 1e2).as("sum_qty"),
+          (sum(priceU * (lit(100L) - discU)).cast("double") / 1e4).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
     // J2: left outer join keeping zero-activity keys
