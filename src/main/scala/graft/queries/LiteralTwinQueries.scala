@@ -1678,14 +1678,18 @@ object LiteralTwinQueries {
       val cutoff = lit("1996-06-01").cast("timestamp")
       val pcB = broadcast(poolConfig(s, dir))
       val opening = lsOpening(s, dir).filter(col("ls_timestamp") > cutoff)
-      def leg(flag: String) = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === flag && col("l_shipdate") > cutoff)
+        .localCheckpoint()
+      // Scan fusion (the r9 tx-value lemma): the three close legs project
+      // identically, so UNION ALL of A/R/N ≡ one isin-filtered scan; and
+      // min/max over the per-leg extrema union ≡ min/max over the fused
+      // frame (nulls from an empty leg never win a min/max). 6 lineitem
+      // scans → 1, materialized once for both consumers.
+      val closeLoans = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R", "N") && col("l_shipdate") > cutoff)
         .select(col("l_orderkey").as("cl_contract"), col("l_shipdate").as("cl_ts"),
           col("l_extendedprice").as("cl_principal"))
-      val closeLoans = leg("A").unionByName(leg("R")).unionByName(leg("N"))
-      val extrema = leg("A").agg(min(col("cl_ts")).as("lo"), max(col("cl_ts")).as("hi"))
-        .unionByName(leg("R").agg(min(col("cl_ts")).as("lo"), max(col("cl_ts")).as("hi")))
-        .unionByName(leg("N").agg(min(col("cl_ts")).as("lo"), max(col("cl_ts")).as("hi")))
+        .localCheckpoint()
+      val extrema = closeLoans.agg(min(col("cl_ts")).as("lo"), max(col("cl_ts")).as("hi"))
         .unionByName(opening.agg(min(col("ls_timestamp")).as("lo"),
           max(col("ls_timestamp")).as("hi")))
       val dateSeries = extrema
