@@ -1861,22 +1861,34 @@ object LiteralTwinQueries {
           col("l_quantity").as("lender_asset"))
         .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1).drop("rn")
       val stateTs = lenderStates.select(col("ls_pool").as("g_pool"), col("ls_ts").as("g_ts"))
-      def flowSums(cond: org.apache.spark.sql.Column, pool: String,
-          st: String, as_ : String) = Tables.lineitem(s, dir)
-        .filter(cond && pmod(col("l_suppkey"), lit(100)) === 7)
-        .select(pmod(col("l_partkey"), lit(25)).as(pool),
+      // Scan fusion (the r9 tx-value lemma, conditional-agg form): the
+      // deposit (status O) and withdrawal (status F + flag R) legs are
+      // disjoint filters over the same cohort with identical projections
+      // and the same semi-join + per-pool grouping, so one IN-style scan
+      // with four conditional sums replaces two scans and two shuffle
+      // chains. Each conditional sum ranges over exactly the original
+      // leg's rows; a pool with only one leg gets nulls on the other —
+      // the same nulls the former second left join produced.
+      val flows = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_suppkey"), lit(100)) === 7 &&
+          (col("l_linestatus") === "O" ||
+            (col("l_linestatus") === "F" && col("l_returnflag") === "R")))
+        .select(pmod(col("l_partkey"), lit(25)).as("f_pool"),
           col("l_shipdate").as("f_ts"),
-          col("l_extendedprice").as("f_stable"), col("l_quantity").as("f_asset"))
-        .join(stateTs, col(pool) === col("g_pool") && col("f_ts") <= col("g_ts"),
+          col("l_extendedprice").as("f_stable"), col("l_quantity").as("f_asset"),
+          (col("l_linestatus") === "O").as("is_dep"))
+        .join(stateTs, col("f_pool") === col("g_pool") && col("f_ts") <= col("g_ts"),
           "left_semi")
-        .groupBy(col(pool))
-        .agg(sum(col("f_stable").cast("decimal(18,2)")).cast("decimal(24,2)").as(st),
-          sum(col("f_asset").cast("decimal(18,2)")).cast("decimal(24,2)").as(as_))
-      val deposits = flowSums(col("l_linestatus") === "O",
-        "d_pool", "deposited_stable", "deposited_asset")
-      val withdrawals = flowSums(
-        col("l_linestatus") === "F" && col("l_returnflag") === "R",
-        "w_pool", "withdrawn_stable", "withdrawn_asset")
+        .groupBy(col("f_pool"))
+        .agg(
+          sum(when(col("is_dep"), col("f_stable").cast("decimal(18,2)")))
+            .cast("decimal(24,2)").as("deposited_stable"),
+          sum(when(col("is_dep"), col("f_asset").cast("decimal(18,2)")))
+            .cast("decimal(24,2)").as("deposited_asset"),
+          sum(when(!col("is_dep"), col("f_stable").cast("decimal(18,2)")))
+            .cast("decimal(24,2)").as("withdrawn_stable"),
+          sum(when(!col("is_dep"), col("f_asset").cast("decimal(18,2)")))
+            .cast("decimal(24,2)").as("withdrawn_asset"))
       val longProtocols = pcAll
         .filter(col("position_type") === "Long" && col("is_active"))
         .select(col("protocol").as("lp_protocol")).distinct()
@@ -1912,8 +1924,7 @@ object LiteralTwinQueries {
           .otherwise(lit(0).cast("decimal(36,10)"))
       pcAll.filter(col("is_active"))
         .join(lenderStates, col("pool_id") === col("ls_pool"))
-        .join(deposits, col("pool_id") === col("d_pool"), "left")
-        .join(withdrawals, col("pool_id") === col("w_pool"), "left")
+        .join(flows, col("pool_id") === col("f_pool"), "left")
         .join(latestPrices, col("lpn_symbol").cast("bigint") === col("mp_symbol") &&
           col("position_type") === "Short", "left")
         .agg(coalesce(
@@ -2011,13 +2022,14 @@ object LiteralTwinQueries {
     // (micro-decimal: the /10^d legs are tie-capable), the A5 conditional
     // MAX close timestamp, and the yes/no closed flag.
     "q_lit_historically_repaid" -> { (s, dir) =>
-      def cl(flag: String) = Tables.lineitem(s, dir)
-        .filter(col("l_returnflag") === flag)
+      // Scan fusion (the r9 tx-value lemma): the A and R legs project
+      // identically, so their UNION ALL is one isin-filtered scan.
+      val closedLoans = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R"))
         .select(col("l_orderkey").as("cl_contract"), col("l_shipdate").as("cl_ts"),
           col("l_extendedprice").as("cl_amnt_stable"),
           (col("l_linestatus") === "F").as("cl_loan_close"),
           pmod(col("l_partkey"), lit(25)).as("cl_amount_symbol"))
-      val closedLoans = cl("A").unionByName(cl("R"))
       lsOpening(s, dir)
         .join(closedLoans, col("ls_contract_id") === col("cl_contract"), "left")
         .join(currencyRegistry(s, dir, "hr"),
