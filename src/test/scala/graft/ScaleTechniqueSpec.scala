@@ -22,6 +22,45 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // One hot key dominates the left side; with broadcast disabled the
+    // sort-merge join would put the whole hot partition on one task. AQE's
+    // OptimizeSkewedJoin must split it — the final adaptive plan marks the
+    // join skew=true. Thresholds are forced low so the ~MB-scale test data
+    // trips the same code path a skewed 100 TB key set would.
+    val prev = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = (1 to 200000).map(i => (1L, s"payload_$i"))
+      val rest = (1 to 2000).map(i => (i.toLong % 97 + 2, s"p$i"))
+      val fact = (hot ++ rest).toDF("k", "v").repartition(8)
+      val dim = (1L to 100L).map(k => (k, s"name$k")).toDF("k", "name")
+      val joined = fact.join(dim, Seq("k"))
+      // drive THIS QueryExecution (count() would plan a separate one and
+      // leave joined's adaptive plan unexecuted / non-final)
+      assert(joined.collect().length == 202000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the join skew=true:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // managed tables land in ./spark-warehouse (static conf); DROP TABLE
     // below removes the files
