@@ -34,9 +34,18 @@ object Responses {
 
   private val NeedsQuote = Array(',', '"', '\n', '\r')
 
-  /** RFC 4180 necessary-quoting of one cell; null → empty field. */
+  /** RFC 4180 necessary-quoting of one cell; null → empty field.
+    * Timestamps render RFC 3339 UTC (`2024-01-01T00:00:00Z`) — the
+    * reference serializes chrono `DateTime<Utc>` via serde, not the JDBC
+    * `yyyy-MM-dd HH:mm:ss.f` form `Timestamp.toString` would give.
+    */
   private[serve] def csvCell(v: Any): String = {
-    val s = if (v == null) "" else v.toString
+    val s = v match {
+      case null => ""
+      case t: java.sql.Timestamp => t.toInstant.toString
+      case i: java.time.Instant => i.toString
+      case other => other.toString
+    }
     if (s.exists(NeedsQuote.contains(_)))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s

@@ -50,6 +50,13 @@ class ResponseSpec extends SparkSpec {
     assert(Responses.toCsvResponse(df, "h.csv").body.startsWith("\"a,b\",c\n"))
   }
 
+  test("timestamp cells render RFC 3339 UTC, not the JDBC toString form") {
+    val df = Seq(Tuple1("2024-03-05 06:07:08")).toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val body = Responses.toCsvResponse(df, "t.csv").body
+    assert(body == "ts\n2024-03-05T06:07:08Z\n", s"body was: $body")
+  }
+
   test("toJsonResponse: valid JSON array that round-trips through Spark's reader") {
     val resp = Responses.toJsonResponse(sample, maxRows = 10)
     assert(resp.contentType == "application/json")
