@@ -86,6 +86,26 @@ object ExtVectorQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.annIvf(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 6)
+    },
+    // Int8 symmetric quantization audit — the 4× storage path for a
+    // 100 TB embedding table. Per vector: q_i = ⌊v_i·127/max|v| + ½⌋
+    // (floor(x+.5) on BOTH engines — round()'s half-rule is not
+    // bit-specified cross-engine), emitted as exact integer checksums
+    // plus the 6dp scale so the driver hash pins the whole codebook.
+    // Float→double promotion is exact and the fold is per-row, so every
+    // column is deterministic. Narrow map, no shuffle.
+    "q_x_embed_quant" -> { (s, dir) =>
+      val vec = col("embedding")
+      val m = array_max(transform(vec, x => abs(x)))
+      val qv = when(m === 0, transform(vec, _ => lit(0L)))
+        .otherwise(transform(vec, x => floor(x * lit(127.0) / m + lit(0.5)).cast("long")))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), size(vec).as("n_dims"),
+          round(m.cast("double"), 6).as("max_abs"), qv.as("qv"))
+        .select(col("vec_id"), col("n_dims"), col("max_abs"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+          array_max(col("qv")).as("q_max"))
     }
   )
 
@@ -103,6 +123,25 @@ object ExtVectorQueries {
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""".stripMargin
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
+
+    "q_x_embed_quant" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding AS vec,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS m
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, len(vec) AS n_dims, m,
+        |    CASE WHEN m = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(vec,
+        |                x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS qv
+        |  FROM base
+        |)
+        |SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+        |  round(CAST(m AS DOUBLE), 6) AS max_abs,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS BIGINT) AS q_l1,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+        |FROM q""".stripMargin
   )
 }
