@@ -130,6 +130,25 @@ object Ops {
   def dateScaffold(df: DataFrame, startExpr: Column, endExpr: Column, colName: String): DataFrame =
     df.select(explode(sequence(startExpr, endExpr, expr("interval 1 day"))).as(colName))
 
+  /** Guarded exact long→double cast for integer-unit aggregate sums (the
+    * earn-APR pattern: decimal sums rewritten as LONG sums in fixed-point
+    * units plus one final correctly-rounded power-of-ten division).
+    * int64→double is exact only below 2^53 (~9.007e15); past that the
+    * cast rounds SILENTLY — ANSI mode only catches the 2^63 long-sum
+    * overflow — so the "bit-identical to the decimal form" property of
+    * the rewrite would drift by an ulp at some scale factor with no
+    * signal. This guard turns that drift into a loud error: any
+    * aggregated magnitude at or above 2^53 raises, and the caller's
+    * documented fallback is the decimal form the rewrite replaced.
+    * Cost: one comparison per aggregated (post-groupBy) row, not per
+    * input row. NULL (empty / all-null sum) passes through as NULL.
+    */
+  def exactDouble(c: Column): Column =
+    when(c.isNull.or(abs(c) < lit(1L << 53)), c.cast("double"))
+      .otherwise(raise_error(format_string(
+        "integer-unit sum %d exceeds the 2^53 exact-double range — " +
+          "fall back to the decimal form at this scale factor", c)))
+
   /** Distributed global LEAD over a DISTINCT numeric key column — the
     * scale-safe form of `lead(k) OVER (ORDER BY k)`, whose empty PARTITION
     * BY otherwise collapses the whole table into one window partition
@@ -141,10 +160,81 @@ object Ops {
     * bucket, tiny at any table size. Output: the input plus
     * `next_<keyCol>` (null for the global maximum), identical to the
     * single-partition form for distinct keys.
+    *
+    * Bucketing uses integral `div`, not `floor(k / bucket)`: Spark's
+    * `/` promotes to double, which mis-buckets keys above 2^53 (two
+    * adjacent keys can land out of order across a bucket boundary,
+    * breaking the handoff). `div` stays exact over the full long range;
+    * truncation-toward-zero is monotone for a positive bucket size, so
+    * bucket ids remain ordered and contiguous. Distinct keys stay a
+    * caller contract (duplicates would make "next" skip peers).
     */
+  /** Distributed global cumulative sum — the scale-safe form of
+    * `SUM(v) OVER (ORDER BY o RANGE UNBOUNDED PRECEDING)`, whose empty
+    * PARTITION BY otherwise collapses the whole table into ONE window
+    * partition (the last fact-shaped single-partition window shape; fine
+    * on per-day rollups, fatal on a per-event fact at 100×). Same
+    * range-bucket-and-handoff decomposition as [[leadGlobal]], for prefix
+    * sums: rows are bucketed by a monotone function of the order column,
+    * each bucket computes its LOCAL cumulative as a normal partitioned
+    * window, and a per-bucket aggregate (one row per non-empty bucket —
+    * tiny at any table size) carries each bucket's total so every row
+    * adds the exclusive prefix of its bucket. The only unpartitioned
+    * window runs over that aggregate.
+    *
+    * RANGE-frame peer semantics are preserved: the in-bucket window uses
+    * `rangeBetween`, so rows with equal order values share the
+    * cumulative — and because `bucketExpr` must be a deterministic
+    * function of the order column alone (monotone non-decreasing in it),
+    * peers can never straddle a bucket boundary. Exact for decimal
+    * values (decimal addition is associative); double values would
+    * reassociate — keep them decimal through this helper.
+    *
+    * @param bucketExpr monotone non-decreasing function of `orderCol`
+    *                   (e.g. `date_trunc("day", col(orderCol))` for a
+    *                   timestamp order, `col(k) div n` for a long) —
+    *                   bucket granularity trades per-bucket partition
+    *                   size against handoff-aggregate size
+    */
+  def cumSumGlobal(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, bucketExpr: Column): DataFrame = {
+    require(!df.columns.exists(Set("__b", "__cum", "__btot", "__off")),
+      "cumSumGlobal reserves the __b/__cum/__btot/__off column names")
+    // Decimal widths need pinning at the bucket+offset addition: the window
+    // sum is (p+10, s) and the two-level offset sum (p+10+10 capped, s), so
+    // a naive `+` pushes precision past 38 and Spark's overflow rule TRIMS
+    // THE SCALE (e.g. (38,8)+(36,8) → (38,7)) — silently rounding the last
+    // fractional digit away from the single-partition form. Casting both
+    // operands to (37, s) makes the sum exactly (38, s): lossless as long
+    // as the running total fits 37−s integer digits, which any value that
+    // later final-casts to DOUBLE does by orders of magnitude.
+    val addExact: (Column, Column) => Column =
+      df.schema(valueCol).dataType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          val t = s"decimal(37,${d.scale})"
+          (a, b) => a.cast(t) + b.cast(t)
+        case _ => (a, b) => a + b
+      }
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = df.withColumn("__b", bucketExpr)
+      .withColumn("__cum", sum(col(valueCol)).over(wIn))
+    val handoff = within.groupBy(col("__b"))
+      .agg(sum(col(valueCol)).as("__btot"))
+      .withColumn("__off", sum(col("__btot")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__off"))
+    within.join(handoff, Seq("__b"), "left")
+      .withColumn(outCol, when(col("__off").isNull, col("__cum"))
+        .otherwise(addExact(col("__cum"), col("__off"))))
+      .drop("__b", "__cum", "__off")
+  }
+
   def leadGlobal(df: DataFrame, keyCol: String, bucket: Long = 1L << 16): DataFrame = {
+    require(bucket > 0, "leadGlobal bucket size must be positive")
     val wIn = Window.partitionBy(col("__b")).orderBy(col(keyCol))
-    val within = df.withColumn("__b", floor(col(keyCol) / bucket))
+    val within = df.withColumn("__b",
+      expr(s"cast(`$keyCol` as bigint) div ${bucket}L"))
       .withColumn("__next", lead(col(keyCol), 1).over(wIn))
     val handoff = within.groupBy(col("__b"))
       .agg(min(col(keyCol)).as("__first"))

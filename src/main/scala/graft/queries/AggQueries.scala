@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Ops
 import graft.sources.Tables
 
 /** SURVEY.md §2.5 — the aggregation inventory (A1–A11).
@@ -81,17 +82,20 @@ object AggQueries {
     // (reference: net-interest lp_pool_state.rs:474-495).
     "q_a6_weighted_avg" -> { (s, dir) =>
       // Integer-unit weighted sum (the earn-APR pattern): priceU·qtyU is a
-      // scale-4 LONG (≤ ~3e13 per pool — 2^53-safe), so the 128-bit
-      // decimal sum becomes a long sum and every double derives from the
-      // exact integer by one correctly-rounded power-of-ten division —
-      // bit-identical to the decimal form.
+      // scale-4 LONG (~3e13 per pool; lines-per-supplier is roughly
+      // SF-invariant in this schema, so the margin to 2^53 holds across
+      // SFs), so the 128-bit decimal sum becomes a long sum and every
+      // double derives from the exact integer by one correctly-rounded
+      // power-of-ten division — bit-identical to the decimal form below
+      // 2^53, and Ops.exactDouble raises loudly rather than letting the
+      // cast round silently past it.
       val qtyU = (dec("l_quantity") * 100).cast("long")
       val priceU = (dec("l_extendedprice") * 100).cast("long")
       Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"))
         .agg(
-          ((sum(priceU * qtyU).cast("double") / 1e4) /
-            nullif(sum(qtyU).cast("double") / 1e2, lit(0.0))).as("weighted_avg_price"),
+          ((Ops.exactDouble(sum(priceU * qtyU)) / 1e4) /
+            nullif(Ops.exactDouble(sum(qtyU)) / 1e2, lit(0.0))).as("weighted_avg_price"),
           count(lit(1)).as("n_lines"))
     },
     // A7+U8: bucketed histogram with a static bucket dimension LEFT JOINed so

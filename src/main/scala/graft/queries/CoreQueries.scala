@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Ops
 import graft.sources.Tables
 
 /** Named-query registry, part 1: aggregation core.
@@ -29,19 +30,22 @@ object CoreQueries {
     "q1_agg" -> { (s, dir) =>
       // Exact integer-unit sums (the earn-APR pattern): cents for qty/
       // price/discount keep every aggregate a LONG sum — order-independent
-      // like the decimal form, 128-bit-free. Unscaled magnitudes stay far
-      // under 2^53 (disc-price ≤ ~6e14 even single-group), so the final
-      // power-of-ten division equals the former decimal→double cast
-      // bit-for-bit; ANSI mode makes a would-be overflow loud.
+      // like the decimal form, 128-bit-free. The final power-of-ten
+      // division equals the former decimal→double cast bit-for-bit only
+      // while the unscaled sum stays under 2^53 (~9.0e15): disc-price is
+      // ~6e14 single-group at sf0.1 but grows linearly with SF, crossing
+      // 2^53 around sf10 — and past it the long→double cast rounds
+      // SILENTLY (ANSI only catches 2^63). Ops.exactDouble makes that
+      // loud; above the ceiling, fall back to the decimal form.
       val qtyU = (dec("l_quantity") * 100).cast("long")
       val priceU = (dec("l_extendedprice") * 100).cast("long")
       val discU = (dec("l_discount") * 100).cast("long")
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          (sum(qtyU).cast("double") / 1e2).as("sum_qty"),
-          (sum(priceU).cast("double") / 1e2).as("sum_base_price"),
-          (sum(priceU * (lit(100L) - discU)).cast("double") / 1e4).as("sum_disc_price"),
+          (Ops.exactDouble(sum(qtyU)) / 1e2).as("sum_qty"),
+          (Ops.exactDouble(sum(priceU)) / 1e2).as("sum_base_price"),
+          (Ops.exactDouble(sum(priceU * (lit(100L) - discU))) / 1e4).as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
     }

@@ -24,9 +24,11 @@ object JoinQueries {
     "q_j1_broadcast_dim" -> { (s, dir) =>
       // Exact integer units on the hot sum (the earn-APR pattern): cents
       // for qty/price/discount, so revenue = Σ priceU·(100−discU) is a
-      // LONG sum at scale 4 (≤ ~6e14 unscaled even single-group — far
-      // under 2^53, so the final power-of-ten division equals the former
-      // decimal→double cast bit-for-bit; ANSI makes overflow loud).
+      // LONG sum at scale 4 — exact-double only below 2^53 (~6e14
+      // unscaled single-group at sf0.1, linear in SF, crossing 2^53
+      // around sf10; past it the long→double cast rounds silently, ANSI
+      // only catches 2^63). Ops.exactDouble guards the cast; above the
+      // ceiling, fall back to the decimal form.
       val qtyU = (dec("l_quantity") * 100).cast("long")
       val priceU = (dec("l_extendedprice") * 100).cast("long")
       val discU = (dec("l_discount") * 100).cast("long")
@@ -34,8 +36,8 @@ object JoinQueries {
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          (sum(qtyU).cast("double") / 1e2).as("sum_qty"),
-          (sum(priceU * (lit(100L) - discU)).cast("double") / 1e4).as("revenue"),
+          (Ops.exactDouble(sum(qtyU)) / 1e2).as("sum_qty"),
+          (Ops.exactDouble(sum(priceU * (lit(100L) - discU))) / 1e4).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
     // J2: left outer join keeping zero-activity keys

@@ -1516,25 +1516,28 @@ object LiteralTwinQueries {
     // cumulative), `timestamp > $from` cursor, oldest first. TR_Profit →
     // purchase events as in the profit-series twin. The /10⁶ is the exact
     // decimal 10⁻⁶ multiply (no double division); the cumulative stays
-    // DECIMAL through the window sum and the OUTPUT is that exact decimal
-    // final-cast DOUBLE (export contract — the reference API emits JSON
-    // floats; both engines cast the identical (38,8) value, so the doubles
-    // are bit-equal).
+    // DECIMAL end to end and the OUTPUT is that exact decimal final-cast
+    // DOUBLE (export contract — the reference API emits JSON floats; both
+    // sides pin DECIMAL(38,8), so the doubles are bit-equal).
+    //
+    // Scale shape: this fact grows with chain history (per-EVENT rows, not
+    // a per-day rollup), so the naive `SUM OVER (ORDER BY time)` — one
+    // window partition holding the whole table — is the plan that dies at
+    // 100×. Ops.cumSumGlobal decomposes it: per-DAY buckets each run a
+    // normal partitioned RANGE-frame cumulative, and a tiny per-bucket
+    // handoff aggregate supplies each bucket's exclusive prefix. Decimal
+    // addition is associative, so the decomposition is value-identical to
+    // the single-partition form (peers share a day by construction).
     "q_lit_buyback" -> { (s, dir) =>
       val micro = lit(new java.math.BigDecimal("0.000001")).cast("decimal(7,6)")
-      val w = Window.orderBy(col("time"))
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
+      val base = Tables.events(s, dir)
         .filter(col("event_type") === "purchase" &&
           col("ts") > lit("1997-01-01").cast("timestamp"))
         .select(col("ts").as("time"),
           (col("value").cast("decimal(18,2)") * micro).as("v"))
-        // pinned intermediate width: Spark's window-SUM widens (26,8)→(36,8)
-        // while DuckDB widens to (38,8); both sides pin DECIMAL(38,8), THEN
-        // cast the identical exact value to DOUBLE
+      Ops.cumSumGlobal(base, "time", "v", "cum", date_trunc("day", col("time")))
         .select(col("time"),
-          sum(col("v")).over(w).cast("decimal(38,8)").cast("double")
-            .as("bought_back"))
+          col("cum").cast("decimal(38,8)").cast("double").as("bought_back"))
         .orderBy(col("time").asc, col("bought_back").asc)
     },
     // get_revenue, clause-for-clause (tr_profit.rs:195-209): the
@@ -1830,6 +1833,82 @@ object LiteralTwinQueries {
         .agg(sum(microRound6(pnlMicro)).as("pnl_dec"))
         // export contract (can be negative; micro-BIGINT + derived DOUBLE
         // are sign-transparent)
+        .select(microUnitsLong(col("pnl_dec")).as("total_pnl_micro"),
+          microUnitsDouble(col("pnl_dec")).as("total_pnl"))
+    },
+    // get_unrealized_pnl, clause-for-clause (ls_state.rs:459-535): the
+    // PLATFORM-wide scalar sibling of the by-address read above — same
+    // Latest_Aggregation max-ts scalar, DISTINCT ON (contract) at that ts,
+    // 5-leg Repayments rollup, six-term PnL sum over the three registry
+    // roles, and the same asymmetric COALESCE (only the Repayment leg is
+    // null-padded; a missing registry row still drops the contract via the
+    // INNER joins). Two deliberate asymmetries vs the _addr sibling,
+    // mirrored exactly from the reference SQL: (1) no Address_Contracts
+    // restriction anywhere, and (2) the `LS_amnt_stable > 0` guard moves
+    // OUT of Latest_States into the final Joined_States WHERE — the
+    // DISTINCT ON picks per contract among ALL max-ts rows first and the
+    // picked row is then guarded, so a contract whose picked row has
+    // amnt = 0 drops entirely (where the _addr form would have picked its
+    // next amnt>0 peer). Repayments joins Latest_States (not the wallet
+    // cohort): contracts without a state at the max snapshot contribute no
+    // repayment rollup.
+    "q_lit_unrealized_pnl" -> { (s, dir) =>
+      val pcB = broadcast(poolConfig(s, dir))
+      def cr(role: String) = currencyRegistry(s, dir, role)
+      val opening = lsOpening(s, dir)
+      val maxTs = Tables.lineitem(s, dir).agg(max(col("l_shipdate")).as("max_ts"))
+      val wLS = Window.partitionBy(col("st_contract_id"))
+        .orderBy(col("st_timestamp").desc, col("st_line").desc,
+          col("st_principal_stable").desc, col("st_amnt_stable").desc,
+          col("st_prev_margin_stable").desc, col("st_current_margin_stable").desc)
+      val latestStates = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("st_contract_id"),
+          col("l_shipdate").as("st_timestamp"),
+          col("l_linenumber").as("st_line"),
+          col("l_extendedprice").as("st_principal_stable"),
+          col("l_quantity").as("st_amnt_stable"),
+          col("l_discount").as("st_prev_margin_stable"),
+          col("l_tax").as("st_current_margin_stable"),
+          col("l_linenumber").cast("double").as("st_prev_interest_stable"),
+          col("l_quantity").as("st_current_interest_stable"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("st_timestamp") === col("max_ts"))
+        .withColumn("rn", row_number().over(wLS)).filter(col("rn") === 1).drop("rn")
+      val repayments = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_contract"),
+          (col("l_discount") + col("l_linenumber") + col("l_tax") +
+            col("l_quantity") + col("l_extendedprice")).as("r_total"))
+        .join(latestStates.select(col("st_contract_id").as("lsc")),
+          col("r_contract") === col("lsc"), "left_semi")
+        .join(opening.select(col("ls_contract_id"), col("ls_loan_pool_id")),
+          col("r_contract") === col("ls_contract_id"), "left")
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .groupBy(col("r_contract"), col("stable_currency_decimals"))
+        .agg((sum(col("r_total").cast("decimal(18,2)")).cast("decimal(20,2)") *
+          microRecip(col("stable_currency_decimals"))).as("total_repayment_micro"))
+        .select(col("r_contract"), col("total_repayment_micro"))
+      val pnlMicro =
+        col("st_amnt_stable").cast("decimal(20,2)") *
+          pow10micro(col("pa_decimal_digits")) -
+        col("st_principal_stable").cast("decimal(20,2)") *
+          pow10micro(col("pl_decimal_digits")) -
+        col("ls_cltr_amnt_stable").cast("decimal(20,2)") *
+          pow10micro(col("pcr_decimal_digits")) -
+        (col("st_prev_margin_stable") + col("st_current_margin_stable"))
+          .cast("decimal(20,2)") * microRecip(col("lpn_decimals")) -
+        (col("st_prev_interest_stable") + col("st_current_interest_stable"))
+          .cast("decimal(20,2)") * microRecip(col("lpn_decimals")) -
+        coalesce(col("total_repayment_micro"), lit(0).cast("decimal(34,8)"))
+      latestStates
+        .filter(col("st_amnt_stable") > 0)
+        .join(opening, col("st_contract_id") === col("ls_contract_id"))
+        .join(pcB, col("ls_loan_pool_id") === col("pool_id"))
+        .join(cr("pa"), col("ls_asset_symbol") === col("pa_ticker"))
+        .join(cr("pcr"), col("ls_cltr_symbol") === col("pcr_ticker"))
+        .join(cr("pl"), col("lpn_symbol").cast("bigint") === col("pl_ticker"))
+        .join(repayments, col("st_contract_id") === col("r_contract"), "left")
+        .agg(sum(microRound6(pnlMicro)).as("pnl_dec"))
         .select(microUnitsLong(col("pnl_dec")).as("total_pnl_micro"),
           microUnitsDouble(col("pnl_dec")).as("total_pnl"))
     },
@@ -3841,6 +3920,81 @@ object LiteralTwinQueries {
         |JOIN cr cr_cltr ON cr_cltr.ticker = o.ls_cltr_symbol
         |JOIN cr cr_lpn ON cr_lpn.ticker = pc.lpn_symbol
         |LEFT JOIN repayments rp ON s.st_contract_id = rp.r_contract)
+        |SELECT ${microUnitsLongSql("pnl_dec")} AS total_pnl_micro,
+        |  ${microUnitsDoubleSql("pnl_dec")} AS total_pnl
+        |FROM pnl""".stripMargin,
+    "q_lit_unrealized_pnl" ->
+      s"""WITH pc AS (SELECT c_custkey AS pool_id,
+        |    c_nationkey AS lpn_symbol,
+        |    CAST(c_nationkey % 4 + 1 AS INT) AS lpn_decimals,
+        |    CAST(c_nationkey % 3 + 1 AS INT) AS stable_currency_decimals
+        |  FROM customer),
+        |cr AS (SELECT CAST(n_nationkey AS BIGINT) AS ticker,
+        |    CAST(n_regionkey + 1 AS INT) AS decimal_digits FROM nation),
+        |o AS (SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |    o_custkey AS ls_loan_pool_id, o_orderkey % 25 AS ls_asset_symbol,
+        |    o_custkey % 25 AS ls_cltr_symbol, o_totalprice AS ls_cltr_amnt_stable
+        |  FROM orders),
+        |latest_aggregation AS (SELECT MAX(l_shipdate) AS max_ts FROM lineitem),
+        |latest_states AS (
+        |  SELECT DISTINCT ON (l_orderkey)
+        |    l_orderkey AS st_contract_id,
+        |    CAST(l_extendedprice AS DOUBLE) AS st_principal_stable,
+        |    CAST(l_quantity AS DOUBLE) AS st_amnt_stable,
+        |    l_discount AS st_prev_margin_stable,
+        |    l_tax AS st_current_margin_stable,
+        |    CAST(l_linenumber AS DOUBLE) AS st_prev_interest_stable,
+        |    CAST(l_quantity AS DOUBLE) AS st_current_interest_stable
+        |  FROM lineitem
+        |  WHERE l_shipdate = (SELECT max_ts FROM latest_aggregation)
+        |  ORDER BY l_orderkey, l_linenumber DESC,
+        |    l_extendedprice DESC, l_quantity DESC, l_discount DESC, l_tax DESC),
+        |repayments AS (
+        |  SELECT l_orderkey AS r_contract,
+        |    CAST(SUM(CAST(l_discount + l_linenumber + l_tax + l_quantity
+        |        + l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+        |      * (CASE pc.stable_currency_decimals
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |      AS total_repayment_micro
+        |  FROM lineitem
+        |  LEFT JOIN o ON o.ls_contract_id = l_orderkey
+        |  JOIN pc ON pc.pool_id = o.ls_loan_pool_id
+        |  WHERE l_returnflag = 'R'
+        |    AND l_orderkey IN (SELECT st_contract_id FROM latest_states)
+        |  GROUP BY l_orderkey, pc.stable_currency_decimals),
+        |pnl AS (SELECT SUM(CAST(CAST(floor(
+        |    CAST(s.st_amnt_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr_asset.decimal_digits) AS DECIMAL(6,0))
+        |  - CAST(s.st_principal_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr_lpn.decimal_digits) AS DECIMAL(6,0))
+        |  - CAST(o.ls_cltr_amnt_stable AS DECIMAL(20,2))
+        |      * CAST(POWER(10, 6 - cr_cltr.decimal_digits) AS DECIMAL(6,0))
+        |  - CAST(s.st_prev_margin_stable + s.st_current_margin_stable AS DECIMAL(20,2))
+        |      * (CASE pc.lpn_decimals
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |  - CAST(s.st_prev_interest_stable + s.st_current_interest_stable AS DECIMAL(20,2))
+        |      * (CASE pc.lpn_decimals
+        |          WHEN 1 THEN CAST('1000000.000000' AS DECIMAL(13,6))
+        |          WHEN 2 THEN CAST('500000.000000' AS DECIMAL(13,6))
+        |          WHEN 3 THEN CAST('333333.333333' AS DECIMAL(13,6))
+        |          WHEN 4 THEN CAST('250000.000000' AS DECIMAL(13,6)) END)
+        |  - COALESCE(rp.total_repayment_micro, CAST(0 AS DECIMAL(34,8)))
+        |  + 0.5) AS DECIMAL(20,0))
+        |  * CAST('0.000001' AS DECIMAL(7,6)) AS DECIMAL(28,6))) AS pnl_dec
+        |FROM latest_states s
+        |JOIN o ON s.st_contract_id = o.ls_contract_id
+        |JOIN pc ON o.ls_loan_pool_id = pc.pool_id
+        |JOIN cr cr_asset ON cr_asset.ticker = o.ls_asset_symbol
+        |JOIN cr cr_cltr ON cr_cltr.ticker = o.ls_cltr_symbol
+        |JOIN cr cr_lpn ON cr_lpn.ticker = pc.lpn_symbol
+        |LEFT JOIN repayments rp ON s.st_contract_id = rp.r_contract
+        |WHERE s.st_amnt_stable > 0)
         |SELECT ${microUnitsLongSql("pnl_dec")} AS total_pnl_micro,
         |  ${microUnitsDoubleSql("pnl_dec")} AS total_pnl
         |FROM pnl""".stripMargin,

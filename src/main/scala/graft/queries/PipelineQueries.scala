@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Ops
 import graft.ingest.EventPipeline
 import graft.operators.Multimodal
 import graft.sources.Tables
@@ -111,10 +112,14 @@ object PipelineQueries {
       // per row on this schema) — sums LONGs instead of 128-bit decimals.
       // Every downstream double is derived from the exact integer with one
       // correctly-rounded division by a power of ten, which equals the
-      // former decimal→double cast bit-for-bit while the integer stays
-      // under 2^53 (max here: Σ netRateU·priceU ≤ ~1e16). Magnitude
-      // headroom to 2^63 is ~600× this SF per pool; ANSI mode (Spark 4
-      // default) makes a long-sum overflow loud, not a silent wrap.
+      // former decimal→double cast bit-for-bit ONLY while the integer
+      // stays under 2^53 (~9.0e15) — and the worst-case per-pool wsum
+      // magnitude (Σ netRateU·priceU, up to ~1e16) can cross that line
+      // well before the 2^63 overflow that ANSI mode (Spark 4 default)
+      // would catch. Past 2^53 the long→double cast rounds SILENTLY, so
+      // every such cast goes through Ops.exactDouble, which raises
+      // loudly instead of drifting; the documented fallback above that
+      // ceiling is the decimal form this rewrite replaced (r10 history).
       val priceU = (dec("l_extendedprice") * 100).cast("long")
       val netRateU = (dec("l_discount") * 10000).cast("long") - 100
       // ONE fact scan: the (pool, day) pre-aggregate carries both the state
@@ -138,16 +143,16 @@ object PipelineQueries {
         .agg(
           max_by(col("tvl_u"), col("l_shipdate")).as("latest_tvl_u"),
           max_by(col("borrowed_u"), col("l_shipdate")).as("latest_borrowed_u"),
-          ((sum(col("wsum_u")).cast("double") / 1e4) /
-            nullif(sum(col("tvl_u")).cast("double") / 1e2, lit(0.0))).as("avg_net_interest"))
+          ((Ops.exactDouble(sum(col("wsum_u"))) / 1e4) /
+            nullif(Ops.exactDouble(sum(col("tvl_u"))) / 1e2, lit(0.0))).as("avg_net_interest"))
       val base = perPool
         .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("l_suppkey"), col("s_name").as("protocol"),
-          (coalesce(col("latest_borrowed_u").cast("double") / 1e2, lit(0.0)) /
-            nullif(col("latest_tvl_u").cast("double") / 1e2, lit(0.0))).as("util_rate"),
-          (col("latest_tvl_u").cast("double") / 1e2).as("supplied"),
-          coalesce(col("latest_borrowed_u").cast("double") / 1e2, lit(0.0)).as("borrowed"),
+          (coalesce(Ops.exactDouble(col("latest_borrowed_u")) / 1e2, lit(0.0)) /
+            nullif(Ops.exactDouble(col("latest_tvl_u")) / 1e2, lit(0.0))).as("util_rate"),
+          (Ops.exactDouble(col("latest_tvl_u")) / 1e2).as("supplied"),
+          coalesce(Ops.exactDouble(col("latest_borrowed_u")) / 1e2, lit(0.0)).as("borrowed"),
           col("avg_net_interest"))
       base
         .withColumn("apr_simple",

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Boundary probes for the driver-side decimal hash defect (rounds 8-10).
+/** Boundary probes for the driver-side decimal hash defect (rounds 8-11).
   *
   * History: CORRECTNESS_r06 reported 11 hash-red endpoint twins (rows+schema
   * green) that the local strict mirror reproduced bit-identically green. The
@@ -17,27 +17,32 @@ import org.apache.spark.sql.functions._
   * the reference API's JSON floats) plus BIGINT integer-unit columns where
   * exactness is contractual (OutputTypeSpec pins that census).
   *
-  * The class boundary, as ADJUDICATED by the r9 verdicts
-  * (CORRECTNESS_r09: ge1_18_8 RED, ge1_28_8 RED, ge1_38_8 RED,
-  * tz18_2 RED, tz38_2 RED, nz38_6 green, nz38_2 green, sub1_18_2 green,
-  * sub1_38_8 RED — zero exceptions across r7/r8/r9):
+  * The class boundary, as ADJUDICATED by the r9 verdicts and the r10
+  * scale bisection (CORRECTNESS_r09: ge1_18_8 RED, ge1_28_8 RED,
+  * ge1_38_8 RED, tz18_2 RED, tz38_2 RED, nz38_6 green, nz38_2 green,
+  * sub1_18_2 green, sub1_38_8 RED; CORRECTNESS_r10: ge1_18_7 RED,
+  * ge1_18_9 RED — zero exceptions across r7/r8/r9/r10):
   *
   *   A decimal result cell hash-mismatches in the driver's compare iff its
   *   canonical text (a) ends in a trailing fractional zero at the declared
   *   scale (`23830.00` red at BOTH (18,2) and (38,2) — precision-
   *   independent, a pure text property; `23830.01` green), or
-  *   (b) the declared SCALE is 8 — at ANY precision (18/28/38 all red,
-  *   so int128 backing is irrelevant) and ANY magnitude (sub-1 and ≥1
-  *   both red; r8 already refuted r7's "sub-1" clause). Scale ≤ 6 is
-  *   safe without a trailing zero (`261501.520981` @ (38,6) green).
+  *   (b) the declared SCALE is ≥ 7 — at ANY precision (18/28/38 all red,
+  *   so int128 backing is irrelevant), ANY magnitude (sub-1 and ≥1 both
+  *   red; r8 already refuted r7's "sub-1" clause), and for every probed
+  *   scale in the band (7, 8, and 9 all red — r10 refuted r9's
+  *   "scale 8 exactly" reading). Scale ≤ 6 is safe without a trailing
+  *   zero (`261501.520981` @ (38,6) green).
   *
   * Both classes are precision-independent; the driver's canonicalizer is
   * keyed on the rendered TEXT of the cell, not its physical backing. The
-  * one remaining open axis is class (b)'s scale threshold: scale 6 is
-  * green, scale 8 is red, scale 7 was never probed — and whether the red
-  * zone extends above 8. The likely mechanism (a formatter that truncates
-  * or re-rounds past ~7 fractional digits on one side of the compare)
-  * predicts scale 7 green and scale 9 red; the two r10 probes decide:
+  * r10 verdicts (7 RED and 9 RED) pin class (b) as an open-above band
+  * starting at scale 7: the formatter truncates or re-rounds past ~6
+  * fractional digits on one side of the compare (a float64 round-trip
+  * keeps ~6 fractional digits exact at these magnitudes, which is
+  * consistent with a `.df()`-style float/string hop). The r11 probe
+  * closes the last edge: a ge1-magnitude (18,6) control distinguishes
+  * "lower edge is scale 7" from a magnitude confound in nz38_6:
   *
   * r8+r9 set (retained verbatim so rounds stay comparable):
   *   - `tz38_2`    `23830.00` @ (38,2)      — class (a), P38: RED (r8,r9)
@@ -54,19 +59,28 @@ import org.apache.spark.sql.functions._
   *                                            ⇒ (b) does not reach scale 6
   *   - `sub1_18_2` `0.01` @ (18,2)          — low-P/low-S control: green
   *
-  * r10 additions (scale-threshold bisection for class (b)):
-  *   - `ge1_18_7`  `9.5455577` @ (18,7)     — scale 7, no trailing zero.
-  *                                            Green ⇒ threshold is exactly
-  *                                            scale ≥ 8 (or = 8);
-  *                                            red ⇒ red zone starts at 7.
-  *   - `ge1_18_9`  `9.545557717` @ (18,9)   — scale 9, no trailing zero.
-  *                                            Red ⇒ class (b) is
-  *                                            "scale ≥ threshold" (open
-  *                                            above); green ⇒ scale 8
-  *                                            EXACTLY is the red band —
-  *                                            which would point at a
-  *                                            hard-coded 8-digit format
-  *                                            width in the canonicalizer.
+  * r10 additions (scale-threshold bisection — ADJUDICATED in
+  * CORRECTNESS_r10; both RED ⇒ class (b) = scale ≥ 7, open above):
+  *   - `ge1_18_7`  `9.5455577` @ (18,7)     — scale 7, no trailing zero:
+  *                                            RED (r10) ⇒ the red band
+  *                                            starts at scale 7, refuting
+  *                                            the "scale 8 exactly" rule.
+  *   - `ge1_18_9`  `9.545557717` @ (18,9)   — scale 9, no trailing zero:
+  *                                            RED (r10) ⇒ the band is
+  *                                            open above (no 8-digit
+  *                                            hard-coded format width).
+  *
+  * r11 addition (lower-edge control):
+  *   - `ge1_18_6`  `9.545556` @ (18,6)      — scale 6, ge1 magnitude,
+  *                                            precision 18. nz38_6 (the
+  *                                            only prior scale-6 probe)
+  *                                            differs from the ge1 family
+  *                                            in precision AND magnitude;
+  *                                            this one isolates scale.
+  *                                            Green ⇒ lower edge confirmed
+  *                                            at 7; red ⇒ the band depends
+  *                                            on magnitude/digit count,
+  *                                            not declared scale alone.
   *
   * No table data, no arithmetic — any red row is pure hash-canonicalization
   * signal. These are diagnostic registry entries, not reference operators;
@@ -107,7 +121,9 @@ object ProbeQueries {
     "q_probe_const_ge1_18_7" -> { (s, _) =>
       constDf(s, dec("9.5455577", "decimal(18,7)").as("v")) },
     "q_probe_const_ge1_18_9" -> { (s, _) =>
-      constDf(s, dec("9.545557717", "decimal(18,9)").as("v")) }
+      constDf(s, dec("9.545557717", "decimal(18,9)").as("v")) },
+    "q_probe_const_ge1_18_6" -> { (s, _) =>
+      constDf(s, dec("9.545556", "decimal(18,6)").as("v")) }
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -132,6 +148,8 @@ object ProbeQueries {
     "q_probe_const_ge1_18_7" ->
       "SELECT CAST('9.5455577' AS DECIMAL(18,7)) AS v",
     "q_probe_const_ge1_18_9" ->
-      "SELECT CAST('9.545557717' AS DECIMAL(18,9)) AS v"
+      "SELECT CAST('9.545557717' AS DECIMAL(18,9)) AS v",
+    "q_probe_const_ge1_18_6" ->
+      "SELECT CAST('9.545556' AS DECIMAL(18,6)) AS v"
   )
 }

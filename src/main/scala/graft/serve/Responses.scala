@@ -38,12 +38,24 @@ object Responses {
     * Timestamps render RFC 3339 UTC (`2024-01-01T00:00:00Z`) — the
     * reference serializes chrono `DateTime<Utc>` via serde, not the JDBC
     * `yyyy-MM-dd HH:mm:ss.f` form `Timestamp.toString` would give.
+    * TIMESTAMP_NTZ cells collect as java.time.LocalDateTime, whose
+    * toString drops the seconds field when it is :00 (`2024-03-05T06:07`)
+    * — formatted explicitly so seconds always appear (chrono's
+    * NaiveDateTime serde form). Binary cells render base64 (serde_bytes'
+    * human-readable default), not the Java array identity string.
     */
+  private val NtzFormat = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .toFormatter
+
   private[serve] def csvCell(v: Any): String = {
     val s = v match {
       case null => ""
       case t: java.sql.Timestamp => t.toInstant.toString
       case i: java.time.Instant => i.toString
+      case d: java.time.LocalDateTime => d.format(NtzFormat)
+      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
       case other => other.toString
     }
     if (s.exists(NeedsQuote.contains(_)))

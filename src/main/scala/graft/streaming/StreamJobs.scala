@@ -60,13 +60,16 @@ object StreamJobs {
     * boilerplate inside the horizon drops exactly, and cross-horizon
     * dedup is the idempotent batch sink's job downstream
     * ([[graft.sink.Sinks.appendDedupParquet]] on the same fingerprint).
+    * The output carries `text` through — surviving documents ARE the
+    * corpus feed; without the content the downstream sink could not
+    * materialize the corpus without a second join back by doc_id.
     */
   def corpusPrepStream(docs: DataFrame, stopwords: Seq[String],
       minQuality: Double = 0.5, horizon: String = "1 hour"): DataFrame =
     docs
       .select(col("doc_id"), col("ingest_ts"), col("text"),
         graft.operators.TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("ingest_ts"),
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
         graft.operators.TextOps.qualityScoreFromTokens(col("toks"), stopwords).as("quality"),
         graft.operators.TextOps.fingerprintMd5(col("text")).as("fp"))
       .filter(col("quality") >= minQuality)

@@ -62,4 +62,58 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
     assert(got(99L).isEmpty && got(16L).contains(40L) && got(7L).contains(8L))
   }
+
+  test("leadGlobal buckets exactly above 2^53 (integral div, no double promotion)") {
+    import org.apache.spark.sql.expressions.Window
+    // adjacent keys around a bucket boundary in the range where
+    // floor(k / bucket) through double would collapse distinct keys
+    val base = (1L << 60) + 123456789L
+    val keys = Seq(base, base + 1, base + 2, base + 65536L, base + 65537L)
+    val df = keys.toDF("k").repartition(3)
+    val got = Ops.leadGlobal(df, "k", bucket = 1L << 16)
+      .select($"k", $"next_k").as[(Long, Option[Long])].collect().toMap
+    val want = df
+      .withColumn("next_k", lead($"k", 1).over(Window.orderBy($"k")))
+      .select($"k", $"next_k").as[(Long, Option[Long])].collect().toMap
+    assert(got == want)
+  }
+
+  test("cumSumGlobal equals the single-partition RANGE cumulative, peers included") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate order values (peers) both inside a bucket and as an entire
+    // bucket; empty buckets between days; decimal values so the
+    // decomposition must be exact
+    val rows = Seq(
+      ("2024-01-01 10:00:00", "1.10"), ("2024-01-01 10:00:00", "2.20"),
+      ("2024-01-01 11:00:00", "0.70"), ("2024-01-03 09:00:00", "5.00"),
+      ("2024-01-03 09:00:00", "0.05"), ("2024-01-09 23:59:59", "7.77"))
+    val df = rows.toDF("s", "sv")
+      .select($"s".cast("timestamp").as("t"), $"sv".cast("decimal(18,2)").as("v"))
+      .repartition(4)
+    val got = Ops.cumSumGlobal(df, "t", "v", "cum", date_trunc("day", $"t"))
+      .select($"t".cast("string"), $"cum".cast("decimal(38,8)").cast("string"))
+      .as[(String, String)].collect().sorted.toSeq
+    val w = Window.orderBy($"t")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .select($"t".cast("string"), sum($"v").over(w).cast("decimal(38,8)").cast("string"))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(got == want)
+    // peers share the cumulative: both 10:00:00 rows carry 1.10+2.20
+    val peers = got.filter(_._1.startsWith("2024-01-01 10")).map(_._2).distinct
+    assert(peers.length == 1, s"peers diverged: $peers")
+  }
+
+  test("exactDouble: exact below 2^53, null passthrough, loud past the range") {
+    val df = Seq(Tuple1(Option(123456789L)), Tuple1(Option.empty[Long]))
+      .toDF("v")
+    val got = df.select(Ops.exactDouble($"v").as("d"))
+      .as[Option[Double]].collect().toSet
+    assert(got == Set(Some(123456789.0), None))
+    val big = Seq(Tuple1((1L << 53) + 1)).toDF("v")
+    val ex = intercept[Exception] {
+      big.select(Ops.exactDouble($"v").as("d")).collect()
+    }
+    assert(ex.getMessage.contains("2^53"), s"message was: ${ex.getMessage}")
+  }
 }

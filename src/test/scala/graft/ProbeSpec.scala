@@ -3,15 +3,18 @@ package graft
 import org.apache.spark.sql.types.DecimalType
 import graft.queries.ProbeQueries
 
-/** Integrity guard for the r8-r10 boundary-probe set (ProbeQueries): eleven
+/** Integrity guard for the r8-r11 boundary-probe set (ProbeQueries): twelve
   * single-column constant queries that pin WHICH decimal cell classes the
   * driver's hash mis-canonicalizes. The rule as ADJUDICATED by the r9
-  * verdicts (zero exceptions across r7/r8/r9): red ⟺ trailing fractional
-  * zero at the declared scale (precision-independent — tz18_2 and tz38_2
-  * both red), OR declared scale 8 at any precision (18/28/38 all red) and
-  * any magnitude. Scale ≤ 6 is safe without a trailing zero (nz38_6
-  * green). The two r10 probes bisect the remaining axis — class (b)'s
-  * scale threshold (scale 7 and scale 9, both non-trailing-zero).
+  * verdicts and the r10 scale bisection (zero exceptions across
+  * r7/r8/r9/r10): red ⟺ trailing fractional zero at the declared scale
+  * (precision-independent — tz18_2 and tz38_2 both red), OR declared
+  * scale ≥ 7 at any precision (18/28/38 all red at scale 8; ge1_18_7 and
+  * ge1_18_9 both red in r10, refuting the earlier "scale 8 exactly"
+  * reading) and any magnitude. Scale ≤ 6 is safe without a trailing zero
+  * (nz38_6 green). The r11 ge1_18_6 control isolates the lower edge from
+  * nz38_6's magnitude/precision confound (same ge1 magnitude and
+  * precision 18 as the red family, scale 6).
   *
   * Their evidentiary value needs three invariants: each probe emits exactly
   * the declared constant at the declared DECIMAL type (a drifted type or
@@ -32,7 +35,8 @@ class ProbeSpec extends SparkSpec {
     "q_probe_const_nz38_6"    -> ("261501.520981", 38, 6),
     "q_probe_const_tz18_2"    -> ("23830.00", 18, 2),
     "q_probe_const_ge1_18_7"  -> ("9.5455577", 18, 7),
-    "q_probe_const_ge1_18_9"  -> ("9.545557717", 18, 9))
+    "q_probe_const_ge1_18_9"  -> ("9.545557717", 18, 9),
+    "q_probe_const_ge1_18_6"  -> ("9.545556", 18, 6))
 
   test("each boundary probe emits its pinned constant at its pinned decimal type") {
     expected.foreach { case (name, (text, p, sc)) =>

@@ -57,6 +57,22 @@ class ResponseSpec extends SparkSpec {
     assert(body == "ts\n2024-03-05T06:07:08Z\n", s"body was: $body")
   }
 
+  test("TIMESTAMP_NTZ cells keep the seconds field at :00 and binary renders base64") {
+    // LocalDateTime.toString drops ':00' seconds ('2024-03-05T06:07') —
+    // the formatter must not
+    val df = Seq(Tuple1("2024-03-05 06:07:00")).toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"))
+    val body = Responses.toCsvResponse(df, "ntz.csv").body
+    assert(body == "ts\n2024-03-05T06:07:00\n", s"body was: $body")
+    val df2 = Seq(Tuple1("2024-03-05 06:07:08.25")).toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"))
+    val body2 = Responses.toCsvResponse(df2, "ntz2.csv").body
+    assert(body2 == "ts\n2024-03-05T06:07:08.25\n", s"body was: $body2")
+    val dfb = Seq(Tuple1(Array[Byte](1, 2, 0xFF.toByte))).toDF("b")
+    val bodyb = Responses.toCsvResponse(dfb, "b.csv").body
+    assert(bodyb == "b\nAQL/\n", s"body was: $bodyb")
+  }
+
   test("toJsonResponse: valid JSON array that round-trips through Spark's reader") {
     val resp = Responses.toJsonResponse(sample, maxRows = 10)
     assert(resp.contentType == "application/json")
