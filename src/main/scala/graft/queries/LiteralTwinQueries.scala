@@ -2374,6 +2374,47 @@ object LiteralTwinQueries {
           col("l_linenumber").as("line"))
         .orderBy(col("close_ts").asc, col("line").asc, col("amnt_stable").asc)
     },
+    // ls_opening.get, clause-for-clause (ls_opening.rs:579-592): the lease
+    // point read — `SELECT * FROM LS_Opening WHERE LS_contract_id = $1`,
+    // every column of the opening row (the handler feeds it straight to the
+    // /ls-opening response). Bound id → pinned contract 77 (the close-read
+    // twins' contract). Single row; the ORDER BY is vacuous but keeps the
+    // output deterministic under the driver's sorted compare.
+    "q_lit_lease_get" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .filter(col("ls_contract_id") === 77)
+        .orderBy(col("ls_contract_id").asc)
+    },
+    // ls_opening.get_leases, clause-for-clause (ls_opening.rs:659-686): the
+    // IN-list batch read the position pages use to hydrate a set of
+    // openings in one round trip — `WHERE LS_contract_id IN ($1..$n)`,
+    // all columns. Bound list → pinned {7, 77, 777, 7777, 14777} (all
+    // present from sf0.01 up — the order keys are dense 0..N).
+    "q_lit_leases_in" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .filter(col("ls_contract_id").isin(7, 77, 777, 7777, 14777))
+        .orderBy(col("ls_contract_id").asc)
+    },
+    // ls_opening.get_leases_addresses, clause-for-clause
+    // (ls_opening.rs:748-778): the /leases-search endpoint — the wallet's
+    // contracts with an optional substring search over the contract id
+    // text (`$2 IS NULL OR LS_contract_id::text ILIKE '%'||$2||'%'`),
+    // newest-opening first, OFFSET/LIMIT page, contract-id column out.
+    // Pins: wallet → the mod-10 = 7 address cohort (mass — the bound
+    // address is an equality in the original; the cohort keeps the page
+    // populated at sf0.01), search $2 → '42' (the non-null branch, the
+    // endpoint's distinctive clause; the NULL branch degenerates to the
+    // plain wallet page), OFFSET 5 LIMIT 20. LS_timestamp DESC carries
+    // the value-deterministic contract-id tiebreak (SURVEY §7.4#5 —
+    // opening dates tie within a wallet cohort).
+    "q_lit_leases_search" -> { (s, dir) =>
+      lsOpening(s, dir)
+        .filter(pmod(col("ls_address_id"), lit(10)) === 7 &&
+          col("ls_contract_id").cast("string").ilike("%42%"))
+        .orderBy(col("ls_timestamp").desc, col("ls_contract_id").desc)
+        .offset(5).limit(20)
+        .select(col("ls_contract_id"))
+    },
     // protocol_registry.get_active, clause-for-clause
     // (protocol_registry.rs): the active-dim listing, name-sorted.
     "q_lit_protocol_active" -> { (s, dir) =>
@@ -4349,6 +4390,36 @@ object LiteralTwinQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'A' AND l_orderkey = 77 AND l_linestatus = 'F'
         |ORDER BY close_ts ASC, line ASC, amnt_stable ASC""".stripMargin,
+    "q_lit_lease_get" ->
+      """SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |  o_orderdate AS ls_timestamp,
+        |  o_orderkey % 25 AS ls_asset_symbol, o_custkey % 25 AS ls_cltr_symbol,
+        |  o_totalprice AS ls_cltr_amnt_stable, o_totalprice AS ls_loan_amnt,
+        |  o_custkey AS ls_loan_pool_id, o_orderpriority AS open_tx_hash,
+        |  o_orderstatus AS ls_status, o_orderkey % 200 AS ls_interest,
+        |  o_totalprice AS ls_lpn_loan_amnt,
+        |  CAST(o_orderkey % 4 + 1 AS DOUBLE) AS ls_lpn_decimals
+        |FROM orders WHERE o_orderkey = 77
+        |ORDER BY ls_contract_id ASC""".stripMargin,
+    "q_lit_leases_in" ->
+      """SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |  o_orderdate AS ls_timestamp,
+        |  o_orderkey % 25 AS ls_asset_symbol, o_custkey % 25 AS ls_cltr_symbol,
+        |  o_totalprice AS ls_cltr_amnt_stable, o_totalprice AS ls_loan_amnt,
+        |  o_custkey AS ls_loan_pool_id, o_orderpriority AS open_tx_hash,
+        |  o_orderstatus AS ls_status, o_orderkey % 200 AS ls_interest,
+        |  o_totalprice AS ls_lpn_loan_amnt,
+        |  CAST(o_orderkey % 4 + 1 AS DOUBLE) AS ls_lpn_decimals
+        |FROM orders WHERE o_orderkey IN (7, 77, 777, 7777, 14777)
+        |ORDER BY ls_contract_id ASC""".stripMargin,
+    "q_lit_leases_search" ->
+      """SELECT ls_contract_id FROM (
+        |  SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,
+        |    o_orderdate AS ls_timestamp FROM orders) a
+        |WHERE ls_address_id % 10 = 7
+        |  AND CAST(ls_contract_id AS VARCHAR) ILIKE '%' || '42' || '%'
+        |ORDER BY ls_timestamp DESC, ls_contract_id DESC
+        |OFFSET 5 LIMIT 20""".stripMargin,
     "q_lit_protocol_active" ->
       """SELECT c_name AS protocol_name,
         |  CAST(c_custkey % 7 AS BIGINT) AS network, c_custkey AS lpp_contract
