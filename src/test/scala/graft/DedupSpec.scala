@@ -217,6 +217,30 @@ class DedupSpec extends SparkSpec {
     assert(got.length == want.size && got.toSet == want)
   }
 
+  test("duplicateClusters: a diameter-30 long-chain corpus converges correctly") {
+    // The adversarial shape for hash-min propagation (one hop per round):
+    // 2,000 parallel 31-node chains (62k nodes, diameter 30) — the r10
+    // verdict's decision corpus for whether the large-star/small-star
+    // round-halving variant is needed. Convergence must take exactly
+    // diameter+1 rounds and stay correct; the wall-clock of this worst
+    // case (vs the ~3 rounds of real near-dup blobs) is the measured basis
+    // for the keep-hash-min decision recorded in PLANS.md.
+    val chains = (0 until 2000).flatMap { c =>
+      val b = c * 1000L
+      (0L until 30L).map(i => (b + i, b + i + 1))
+    }
+    val t0 = System.nanoTime()
+    val got = Dedup.duplicateClusters(chains.toDF("a", "b"), "a", "b", maxIter = 32)
+      .as[(Long, Long, Long)].collect()
+    info(f"diameter-30 corpus (62k nodes): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(got.length == 2000 * 31)
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.size == 2000)
+    assert(byCluster.forall { case (cid, members) =>
+      cid % 1000 == 0 && members.length == 31 && members.forall(_._3 == 31L)
+    })
+  }
+
   test("hot-bucket guard in simhash banding caps identical-sketch clusters") {
     val cluster = (0L until 1200L).map(i => (i, base))
     val big = spark.createDataFrame(cluster :+
