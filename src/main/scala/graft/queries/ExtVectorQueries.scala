@@ -73,6 +73,43 @@ object ExtVectorQueries {
       Similarity.nearDupPairsCosineLsh(emb, "vec_id", "embedding",
         threshold = 0.25, numPlanes = Similarity.autoPlanes(embeddingCount(s, dir)))
     },
+    // Oracle-ANCHORED LSH diagnostic: the same bucket→candidate→exact-verify
+    // pipeline as q_x_embed_neardup_lsh, but with COORDINATE hyperplanes
+    // (bucket bit p = sign of component d_p) instead of random-projection
+    // planes — a legitimate (if weaker) member of the same hyperplane LSH
+    // family whose bucketing DuckDB can replay EXACTLY: a single float
+    // compared against zero has no summation-order rounding, where a
+    // 64-term random-projection dot product near zero could flip a sign
+    // bit between engines' fold orders. Two 6-bit tables over disjoint
+    // coordinate sets, candidates deduped across tables, exact cosine
+    // verify at the same 0.25 threshold. This pins the full LSH pipeline
+    // shape (bucket → same-bucket pairs → dedup → verify) under the
+    // driver hash; the auto-sized random-projection variant stays the
+    // production scale path, recall-specced against brute force.
+    "q_x_embed_neardup_lsh_exact" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      def bucket(coords: Seq[Int]): org.apache.spark.sql.Column =
+        coords.zipWithIndex.map { case (d, p) =>
+          when(col("embedding").getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+      def pairsFor(coords: Seq[Int]): DataFrame = {
+        val b = emb.select(col("vec_id").as("id"), bucket(coords).as("bv"))
+        b.select(col("id").as("a"), col("bv"))
+          .join(b.select(col("id").as("b"), col("bv")), Seq("bv"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+      }
+      val cand = pairsFor(Seq(0, 9, 18, 27, 36, 45))
+        .unionByName(pairsFor(Seq(4, 13, 22, 31, 40, 49)))
+        .distinct()
+      import org.apache.spark.sql.graft.natives.cosineSim
+      val ea = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
+      val eb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
+      cand.join(ea, Seq("a")).join(eb, Seq("b"))
+        .select(col("a"), col("b"), cosineSim(col("__ea"), col("__eb")).as("cs"))
+        .filter(col("cs") >= 0.25)
+        .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
+    },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).
     "q_x_ann_lsh" -> { (s, dir) =>
@@ -125,6 +162,32 @@ object ExtVectorQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
 
+    "q_x_embed_neardup_lsh_exact" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |b0 AS (SELECT vec_id,
+        |    CAST(v[1] > 0 AS INT) + 2*CAST(v[10] > 0 AS INT)
+        |  + 4*CAST(v[19] > 0 AS INT) + 8*CAST(v[28] > 0 AS INT)
+        |  + 16*CAST(v[37] > 0 AS INT) + 32*CAST(v[46] > 0 AS INT) AS bv
+        |  FROM e),
+        |b1 AS (SELECT vec_id,
+        |    CAST(v[5] > 0 AS INT) + 2*CAST(v[14] > 0 AS INT)
+        |  + 4*CAST(v[23] > 0 AS INT) + 8*CAST(v[32] > 0 AS INT)
+        |  + 16*CAST(v[41] > 0 AS INT) + 32*CAST(v[50] > 0 AS INT) AS bv
+        |  FROM e),
+        |cand AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM b0 l JOIN b0 r ON l.bv = r.bv AND l.vec_id < r.vec_id
+        |  UNION
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM b1 l JOIN b1 r ON l.bv = r.bv AND l.vec_id < r.vec_id)
+        |SELECT a, b,
+        |  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM cand
+        |JOIN embeddings ea ON ea.vec_id = cand.a
+        |JOIN embeddings eb ON eb.vec_id = cand.b
+        |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |  CAST(eb.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
     "q_x_embed_quant" ->
       """WITH base AS (
         |  SELECT vec_id, embedding AS vec,
