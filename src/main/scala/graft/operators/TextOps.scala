@@ -134,6 +134,48 @@ object TextOps {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
 
+  /** Sliding word n-grams of a token array, space-joined — the unit of the
+    * benchmark-overlap decontamination screen (exact n-gram hits, the
+    * GPT-3 appendix-C / PaLM 13-gram family of checks). Fewer than n
+    * tokens (including the blank-text [""] artifact) yields the empty
+    * array — guarded because `sequence(0, negative)` would DESCEND, not
+    * return empty. Pure built-ins: stays in whole-stage codegen.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train-test decontamination report: every corpus doc sharing at least
+    * one exact word n-gram with any benchmark doc, with the per-doc count
+    * of distinct matched grams and the lowest contaminating benchmark id
+    * (value-deterministic — a doc can hit several benchmark docs).
+    * Dropping the flagged docs is then a left-anti join on this report.
+    *
+    * 100 TB shape: the benchmark side is small by construction (eval sets,
+    * not corpora) — its distinct-gram table broadcasts, so the corpus side
+    * is a narrow explode + broadcast-hash join with NO corpus-sized
+    * shuffle; the only shuffle is the groupBy over the MATCHED subset,
+    * which is benchmark-bounded. Grams are deduped per doc BEFORE the
+    * explode (array_distinct) so the join fan-out is bounded by distinct
+    * grams, and matched_grams means "distinct benchmark grams hit".
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "doc_id", n: Int = 8): DataFrame = {
+    val bg = bench
+      .select(col(benchIdCol).as("__bid"),
+        explode(array_distinct(wordNgrams(tokens(col(textCol)), n))).as("__gram"))
+      .groupBy(col("__gram")).agg(min(col("__bid")).as("__bid"))
+    val cg = corpus
+      .select(col(idCol),
+        explode(array_distinct(wordNgrams(tokens(col(textCol)), n))).as("__gram"))
+    cg.join(broadcast(bg), Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_grams"), min(col("__bid")).as("bench_ref"))
+  }
+
   /** Longest equal-run in a SORTED string array — equals the max element
     * frequency, in one O(n) aggregate pass over the sort instead of the
     * O(distinct·n) transform+filter nested scan (which measured 1.35 s of

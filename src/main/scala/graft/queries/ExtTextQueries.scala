@@ -169,6 +169,18 @@ object ExtTextQueries {
     // TextOps.tfIdfTopTerms for why ln is deliberately avoided).
     "q_x_tfidf_top" -> { (s, dir) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+    },
+    // Train-test decontamination (the GPT-3 appendix-C 8-gram screen):
+    // the mod-7 doc cohort plays the benchmark/eval set, the rest the
+    // training corpus; report = corpus docs sharing any exact 8-gram with
+    // a benchmark doc (distinct-gram hit count + lowest contaminating
+    // bench id). The benchmark gram table broadcasts — no corpus-sized
+    // shuffle; see TextOps.contaminationReport.
+    "q_x_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 3),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3), n = 8)
     }
   )
 
@@ -498,6 +510,24 @@ object ExtTextQueries {
         |                           ORDER BY score DESC, term ASC) AS rank
         |      FROM s)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
-        |FROM r WHERE rank <= 3""".stripMargin
+        |FROM r WHERE rank <= 3""".stripMargin,
+    // blank/short docs: range(len-7) is empty below 8 tokens in DuckDB,
+    // mirroring the Spark-side wordNgrams guard
+    "q_x_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |grams AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(ws) - 7),
+        |      i -> array_to_string(ws[i+1:i+8], ' '))) AS gs
+        |  FROM toks),
+        |bench AS (SELECT gram, min(doc_id) AS bid
+        |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 3)
+        |  GROUP BY gram),
+        |corpus AS (SELECT doc_id, unnest(gs) AS gram
+        |  FROM grams WHERE doc_id % 7 <> 3)
+        |SELECT c.doc_id, count(*) AS matched_grams, min(b.bid) AS bench_ref
+        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id""".stripMargin
   )
 }

@@ -97,4 +97,34 @@ class TextOpsSpec extends SparkSpec {
     assert(one.getAs[Double]("top_bigram_frac") == 0.0)
     assert(one.getAs[Double]("mean_word_len") == 4.0)
   }
+
+  test("wordNgrams: sliding grams, short/blank guard") {
+    import graft.operators.TextOps
+    val got = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextOps.wordNgrams(TextOps.tokens(col("text")), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("contaminationReport flags exact n-gram overlap with the lowest bench ref") {
+    import graft.operators.TextOps
+    // bench docs 100 & 101 share the gram "one two three" (doc 100 is the
+    // lower ref); corpus doc 1 contains it twice (distinct grams count
+    // once per gram), doc 2 hits two distinct bench grams, doc 3 is
+    // clean, doc 4 is too short to form a trigram
+    val bench = Seq(
+      (100L, "one two three four"),
+      (101L, "zero one two three")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "say one two three and one two three again"),
+      (2L, "one two three plus two three four here"),
+      (3L, "nothing shared at all in this document"),
+      (4L, "one two")).toDF("doc_id", "text")
+    val rows = TextOps.contaminationReport(corpus, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: "one two three" (once, distinct) -> bench 100;
+    // doc 2: "one two three" + "two three four" -> 2 grams, min ref 100
+    assert(rows == Set((1L, 1L, 100L), (2L, 2L, 100L)), s"got $rows")
+  }
 }
