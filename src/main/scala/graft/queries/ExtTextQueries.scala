@@ -170,6 +170,30 @@ object ExtTextQueries {
     "q_x_tfidf_top" -> { (s, dir) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
     },
+    // Deterministic stratified corpus sampling (domain-mixing weights):
+    // per-language keep rates in basis points from a broadcast mixing dim
+    // (the S7 config pattern), keep decision = md5 of the salted doc id
+    // mod 10^4 under the stratum rate — content-independent, seedless,
+    // and bit-reproducible across engines, runs, and cluster sizes (the
+    // property a resumable 100 TB mixing job needs: re-running any
+    // partition keeps exactly the same docs; `rand()` sampling cannot
+    // promise that). Rollup per (lang, source): totals, kept, kept chars.
+    "q_x_corpus_sample" -> { (s, dir) =>
+      import s.implicits._
+      val rates = Seq(("en", 8000), ("es", 5000), ("fr", 5000), ("de", 3000), ("zh", 2000))
+        .toDF("r_lang", "rate_bp")
+      Tables.documents(s, dir)
+        .join(broadcast(rates), col("lang") === col("r_lang"), "left")
+        .withColumn("rate", coalesce(col("rate_bp"), lit(1000)))
+        .withColumn("keep",
+          pmod(TextOps.md5Long64(concat(lit("sample:"), col("doc_id").cast("string"))),
+            lit(10000L)) < col("rate"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+          max(col("rate")).cast("int").as("rate_bp"))
+    },
     // Train-test decontamination (the GPT-3 appendix-C 8-gram screen):
     // the mod-7 doc cohort plays the benchmark/eval set, the rest the
     // training corpus; report = corpus docs sharing any exact 8-gram with
@@ -511,6 +535,25 @@ object ExtTextQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    // signed reinterpretation of the UBIGINT md5 prefix matches
+    // md5Long64; ((h % m) + m) % m matches Spark's pmod on negatives
+    "q_x_corpus_sample" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM documents),
+        |hh AS (SELECT *, CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(u AS BIGINT) END AS hsig FROM h),
+        |r AS (SELECT *,
+        |    CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 5000 WHEN 'fr' THEN 5000
+        |      WHEN 'de' THEN 3000 WHEN 'zh' THEN 2000 ELSE 1000 END AS rate,
+        |    ((hsig % 10000) + 10000) % 10000 AS bucket FROM hh)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(max(rate) AS INT) AS rate_bp
+        |FROM r GROUP BY lang, source""".stripMargin,
     // blank/short docs: range(len-7) is empty below 8 tokens in DuckDB,
     // mirroring the Spark-side wordNgrams guard
     "q_x_decontaminate" ->
