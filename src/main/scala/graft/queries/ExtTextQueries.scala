@@ -194,6 +194,22 @@ object ExtTextQueries {
           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
           max(col("rate")).cast("int").as("rate_bp"))
     },
+    // Per-source document cap (the C4-style per-domain cap, keeping a
+    // corpus from being dominated by one crawl source): top-K docs per
+    // source under a deterministic total order (longest first, doc id as
+    // the tiebreak), emitted with their rank so the downstream filter is
+    // rank <= K. One shuffle on source; the rank window streams inside
+    // the window operator (the W5 top-1 pattern generalized to top-K).
+    "q_x_source_cap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+    },
     // Train-test decontamination (the GPT-3 appendix-C 8-gram screen):
     // the mod-7 doc cohort plays the benchmark/eval set, the rest the
     // training corpus; report = corpus docs sharing any exact 8-gram with
@@ -535,6 +551,13 @@ object ExtTextQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    "q_x_source_cap" ->
+      """SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
     // signed reinterpretation of the UBIGINT md5 prefix matches
     // md5Long64; ((h % m) + m) % m matches Spark's pmod on negatives
     "q_x_corpus_sample" ->
