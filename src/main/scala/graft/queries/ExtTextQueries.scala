@@ -194,6 +194,28 @@ object ExtTextQueries {
           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
           max(col("rate")).cast("int").as("rate_bp"))
     },
+    // Sequence packing (concat-and-chunk): documents concatenated in
+    // doc-id order and split into fixed 2048-token training sequences;
+    // each doc reports its running token total and the pack its last
+    // token lands in. The running total is the per-EVENT global prefix
+    // sum shape — fatal as a single-partition window at corpus scale —
+    // so it runs on Ops.cumSumGlobal (id-range buckets + the tiny
+    // handoff aggregate), the same decomposition that cleared
+    // q_lit_buyback. LONG sums are exact, so the decomposition is
+    // value-identical to the naive window.
+    "q_x_seq_pack" -> { (s, dir) =>
+      val budget = 2048L
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Ops
+        .cumSumGlobal(base, "doc_id", "n_tokens", "cum_tokens",
+          expr("doc_id div 1024"))
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+          when(col("n_tokens") === 0, lit(null).cast("long"))
+            .otherwise(expr(s"(cum_tokens - 1) div $budget"))
+            .as("pack_id"))
+    },
     // Per-source document cap (the C4-style per-domain cap, keeping a
     // corpus from being dominated by one crawl source): top-K docs per
     // source under a deterministic total order (longest first, doc id as
@@ -551,6 +573,18 @@ object ExtTextQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    "q_x_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |       ELSE CAST((cum - 1) // 2048 AS BIGINT) END AS pack_id
+        |FROM c""".stripMargin,
     "q_x_source_cap" ->
       """SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars,
