@@ -621,13 +621,16 @@ object ExtTextQueries {
         |    list_distinct(list_transform(range(len(ws) - 7),
         |      i -> array_to_string(ws[i+1:i+8], ' '))) AS gs
         |  FROM toks),
-        |bench AS (SELECT gram, min(doc_id) AS bid
-        |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 3)
-        |  GROUP BY gram),
-        |corpus AS (SELECT doc_id, unnest(gs) AS gram
-        |  FROM grams WHERE doc_id % 7 <> 3)
+        |bench AS (SELECT u, min(doc_id) AS bid FROM (
+        |    SELECT doc_id,
+        |      CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+        |    FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 3))
+        |  GROUP BY u),
+        |corpus AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+        |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 <> 3))
         |SELECT c.doc_id, count(*) AS matched_grams, min(b.bid) AS bench_ref
-        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |FROM corpus c JOIN bench b ON c.u = b.u
         |GROUP BY c.doc_id""".stripMargin
   )
 }
