@@ -626,7 +626,7 @@ object ExtTextQueries {
         |      CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
         |    FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 3))
         |  GROUP BY u),
-        |corpus AS (SELECT doc_id,
+        |corpus AS (SELECT DISTINCT doc_id,
         |    CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
         |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 <> 3))
         |SELECT c.doc_id, count(*) AS matched_grams, min(b.bid) AS bench_ref
