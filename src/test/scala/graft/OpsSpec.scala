@@ -104,6 +104,16 @@ class OpsSpec extends SparkSpec {
     assert(peers.length == 1, s"peers diverged: $peers")
   }
 
+  test("cumSumGlobal: empty input and single row stay well-formed") {
+    val empty = Seq.empty[(java.sql.Timestamp, java.math.BigDecimal)].toDF("t", "v")
+    assert(Ops.cumSumGlobal(empty, "t", "v", "cum", date_trunc("day", $"t")).count() == 0)
+    val one = Seq(("2024-01-01 00:00:00", "1.50")).toDF("s", "sv")
+      .select($"s".cast("timestamp").as("t"), $"sv".cast("decimal(18,2)").as("v"))
+    val got = Ops.cumSumGlobal(one, "t", "v", "cum", date_trunc("day", $"t"))
+      .select($"cum".cast("string")).as[String].collect()
+    assert(got.toSeq == Seq("1.50"))
+  }
+
   test("exactDouble: exact below 2^53, null passthrough, loud past the range") {
     val df = Seq(Tuple1(Option(123456789L)), Tuple1(Option.empty[Long]))
       .toDF("v")
