@@ -202,7 +202,11 @@ object ExtTextQueries {
     // so it runs on Ops.cumSumGlobal (id-range buckets + the tiny
     // handoff aggregate), the same decomposition that cleared
     // q_lit_buyback. LONG sums are exact, so the decomposition is
-    // value-identical to the naive window.
+    // value-identical to the naive window. Bucket 1024 keeps the handoff
+    // at N/1024 rows — one window partition of ~10M rows even at a
+    // 10B-doc corpus; past that, the same decomposition applies
+    // recursively to the handoff itself (buckets-of-buckets) before the
+    // per-bucket windows ever become the problem.
     "q_x_seq_pack" -> { (s, dir) =>
       val budget = 2048L
       val base = Tables.documents(s, dir)
