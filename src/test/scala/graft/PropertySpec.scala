@@ -122,6 +122,58 @@ class PropertySpec extends SparkSpec {
       "one-pass SimHash must be bit-identical to the exploded pipeline")
   }
 
+  test("property: cumSumGlobal equals the single-partition cumulative on random data") {
+    val gen: Gen[List[(Long, String)]] = Gen.listOfN(60,
+      for {
+        ts <- Gen.choose(0L, 50L)            // coarse → frequent RANGE peers
+        cents <- Gen.choose(-99999L, 99999L) // negatives exercise sign paths
+      } yield (ts * 86400000L + (ts % 7) * 3600000L, s"${cents / 100}.${math.abs(cents % 100)}"))
+    for (seed <- 1 to 10) {
+      val rows = sample(gen, seed.toLong)
+      val df = rows.toDF("ms", "sv")
+        .select(timestamp_millis($"ms").as("t"), $"sv".cast("decimal(18,2)").as("v"))
+        .repartition(5)
+      val got = Ops.cumSumGlobal(df, "t", "v", "cum", date_trunc("day", $"t"))
+        .select($"t".cast("string"), $"cum".cast("decimal(38,8)").cast("string"))
+        .as[(String, String)].collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.select($"t".cast("string"),
+          sum($"v").over(w).cast("decimal(38,8)").cast("string"))
+        .as[(String, String)].collect().sorted.toSeq
+      assert(got == want, s"seed $seed diverged")
+    }
+  }
+
+  test("property: contaminationReport equals the naive n-gram set intersection") {
+    val word: Gen[String] = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl")
+    val docGen: Gen[String] = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen: Gen[List[String]] = Gen.listOfN(12, docGen)
+    for (seed <- 1 to 10) {
+      val corpusDocs = sample(corpusGen, seed.toLong)
+      val benchDocs = sample(corpusGen, seed + 5000L)
+      val corpus = corpusDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bench = benchDocs.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val n = 3
+      def grams(t: String): Set[Seq[String]] = {
+        val toks = t.trim.split("\\s+").toSeq
+        if (toks.size < n) Set.empty else toks.sliding(n).map(_.toSeq).toSet
+      }
+      val benchGrams = benchDocs.zipWithIndex
+        .flatMap { case (t, i) => grams(t).map(g => g -> (100L + i)) }
+        .groupBy(_._1).map { case (g, hits) => g -> hits.map(_._2).min }
+      val want = corpusDocs.zipWithIndex.flatMap { case (t, i) =>
+        val hits = grams(t).flatMap(g => benchGrams.get(g).map(g -> _))
+        if (hits.isEmpty) None
+        else Some((i.toLong, hits.size.toLong, hits.map(_._2).min))
+      }.toSet
+      val got = graft.operators.TextOps.contaminationReport(corpus, bench, n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
   test("time-window params parse with reference contract") {
     import graft.serve.TimeWindowParams._
     assert(parse(Some("3m"), None) == Months(3))
