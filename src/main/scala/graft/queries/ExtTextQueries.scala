@@ -194,6 +194,62 @@ object ExtTextQueries {
           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
           max(col("rate")).cast("int").as("rate_bp"))
     },
+    // The flagship corpus-prep composition: every pipeline stage in ONE
+    // Catalyst plan — quality gate + language filter (narrow maps), exact
+    // content dedup (DISTINCT ON fp), train-test decontamination (the
+    // mod-7 hold-out cohort leaves the corpus AND screens it via the
+    // broadcast 8-gram table), deterministic stratified sampling by
+    // predicted language, and the per-source cap — finishing in a
+    // per-language corpus accounting rollup. Stage order is the
+    // production order (cheap narrow filters first, the broadcast screen
+    // before the shuffling cap) and every stage reuses the oracle-proven
+    // primitive it composes.
+    "q_x_corpus_full" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val staged = docs
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          TextOps.tokens(col("text")).as("toks"),
+          TextOps.fingerprintMd5(col("text")).as("fp"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"), col("fp"),
+          TextOps.tokenCountFromTokens(col("toks")).as("n_tokens"),
+          TextOps.qualityScoreFromTokens(col("toks"), stopwords).as("quality"),
+          TextOps.langIdFromTokens(col("toks"), lexicons).as("lang_pred"))
+        .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      val deduped = staged
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+        .filter(col("rk") === 1).drop("rk")
+      // the eval cohort is held out of the corpus and screens it; the
+      // benchmark side is the RAW cohort (an eval set is contaminating
+      // whatever its quality score is)
+      val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val corpus0 = deduped.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      val clean = corpus0.join(
+        TextOps.contaminationReport(corpus0, bench, n = 8).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val sampled = clean.filter(
+        pmod(TextOps.md5Long64(concat(lit("sample:"), col("doc_id").cast("string"))),
+          lit(10000L)) <
+          when(col("lang_pred") === "en", 8000)
+            .when(col("lang_pred").isin("es", "fr"), 5000)
+            .when(col("lang_pred") === "de", 3000).otherwise(2000))
+      // cap per (source, language), not per source alone: a global cap
+      // lets the dominant language crowd every slot. (On this synthetic
+      // corpus the en-stopword quality gate leaves en only — same as
+      // q_x_pipeline_e2e — so the rollup is one row either way; the cap
+      // grain is the design point.)
+      val capped = sampled
+        .withColumn("srk", row_number().over(
+          Window.partitionBy(col("source"), col("lang_pred"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("srk") <= 5)
+      capped.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang_pred").asc)
+    },
     // Sequence packing (concat-and-chunk): documents concatenated in
     // doc-id order and split into fixed 2048-token training sequences;
     // each doc reports its running token total and the pack its last
@@ -577,6 +633,75 @@ object ExtTextQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    "q_x_corpus_full" ->
+      s"""WITH $wCte,
+         |f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(ws), ' ')) AS fp,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n,
+         |  len(list_distinct(ws))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS diversity,
+         |  len(list_filter(ws, t -> t IN ('the','a')))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS stop,
+         |  len(list_filter(ws, t -> t IN ('der','die','das'))) AS s_de,
+         |  len(list_filter(ws, t -> t IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(ws, t -> t IN ('el','la','de'))) AS s_es,
+         |  len(list_filter(ws, t -> t IN ('le','les','une'))) AS s_fr,
+         |  len(list_filter(ws, t -> t IN ('de5','shi4','le5'))) AS s_zh
+         |FROM w),
+         |scored AS (SELECT doc_id, fp, n,
+         |  round(least(n / 50.0, 1.0) * 0.4 + coalesce(diversity, 0.0) * 0.4 +
+         |        least(coalesce(stop, 0.0) * 5.0, 1.0) * 0.2, 6) AS quality,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM f),
+         |filtered AS (SELECT * FROM scored
+         |  WHERE quality >= 0.5 AND lang_pred <> 'und'),
+         |kept AS (SELECT DISTINCT ON (fp) fp, doc_id, n, quality, lang_pred
+         |  FROM filtered ORDER BY fp, doc_id ASC),
+         |grams AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 7),
+         |      i -> array_to_string(ws[i+1:i+8], ' '))) AS gs
+         |  FROM w),
+         |bench AS (SELECT u, min(doc_id) AS bid FROM (
+         |    SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+         |    FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 3))
+         |  GROUP BY u),
+         |corpus0 AS (SELECT * FROM kept WHERE doc_id % 7 <> 3),
+         |flagged AS (SELECT DISTINCT c.doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+         |    FROM (SELECT doc_id, unnest(gs) AS gram FROM grams
+         |          WHERE doc_id IN (SELECT doc_id FROM corpus0))) c
+         |  JOIN bench b ON c.u = b.u),
+         |clean AS (SELECT * FROM corpus0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |hh AS (SELECT doc_id,
+         |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+         |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |         ELSE CAST(u AS BIGINT) END AS hsig FROM (
+         |    SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 16))
+         |        AS UBIGINT) AS u
+         |    FROM clean)),
+         |sampled AS (SELECT c.* FROM clean c JOIN hh ON c.doc_id = hh.doc_id
+         |  WHERE ((hh.hsig % 10000) + 10000) % 10000 <
+         |    CASE c.lang_pred WHEN 'en' THEN 8000 WHEN 'es' THEN 5000
+         |      WHEN 'fr' THEN 5000 WHEN 'de' THEN 3000 ELSE 2000 END),
+         |src AS (SELECT s.*, d.source, d.n_chars
+         |  FROM sampled s JOIN documents d ON d.doc_id = s.doc_id),
+         |capped AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source, lang_pred
+         |        ORDER BY n_chars DESC, doc_id ASC) AS srk
+         |    FROM src) WHERE srk <= 5)
+         |SELECT lang_pred, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM capped GROUP BY lang_pred ORDER BY lang_pred ASC""".stripMargin,
     "q_x_seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
