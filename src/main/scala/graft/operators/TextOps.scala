@@ -323,4 +323,55 @@ object TextOps {
     */
   def fingerprintRolling(text: Column, k: Int = 8, window: Int = 16): Column =
     org.apache.spark.sql.graft.natives.winnowFingerprint(text, k, window)
+
+  /** PII scrub patterns (the C4/Dolma-style redaction family: emails,
+    * NANP-shaped phone numbers, IPv4 addresses). Deliberately restricted to
+    * the Java-regex ∩ RE2 dialect — no lookaround, no backreferences, and
+    * quantifier structures whose leftmost match is unambiguous — so a
+    * backtracking engine and a leftmost-longest engine (RE2-based SQL
+    * oracles) find byte-identical matches and the scrub is hash-checkable.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-category PII match counts (audit signal, computed pre-scrub). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))))
+
+  /** Redact PII with typed placeholders. Email runs first (its local part
+    * may contain digits a later pass would half-eat); phone and IPv4 cannot
+    * overlap each other (dashes vs dots), so the remaining order is free.
+    * Pure regexp_replace chain — narrow, codegen'd, no shuffle.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Non-overlapping k-token chunks ("pseudo-sentences") of a token array,
+    * each rendered back to a string; the tail chunk may be shorter. Blank
+    * text (whose split is [""]) yields the empty chunk list, matching the
+    * tokenCountFromTokens guard. Narrow per-row transform.
+    */
+  def tokenChunks(toks: Column, k: Int): Column = {
+    val n = tokenCountFromTokens(toks)
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((n - lit(1)) / lit(k)).cast("int")),
+        i => array_join(slice(toks, i * lit(k) + lit(1), lit(k)), " ")))
+  }
+
+  /** Order-preserving first-occurrence dedup of an array — the
+    * intra-document repetition-removal kernel (keep chunk i iff its first
+    * occurrence is at i). Quadratic in the per-document chunk count, which
+    * is bounded by document length — a per-row cost, invariant to corpus
+    * size, and it stays inside whole-stage codegen.
+    */
+  def dedupKeepFirst(arr: Column): Column =
+    filter(arr, (x, i) => array_position(arr, x) === (i + lit(1)).cast("long"))
 }

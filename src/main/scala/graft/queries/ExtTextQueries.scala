@@ -303,6 +303,71 @@ object ExtTextQueries {
       TextOps.contaminationReport(
         docs.filter(pmod(col("doc_id"), lit(7)) =!= 3),
         docs.filter(pmod(col("doc_id"), lit(7)) === 3), n = 8)
+    },
+    // PII redaction (the C4/Dolma scrub): emails, NANP-shaped phones, IPv4s
+    // → typed placeholders, with pre-scrub per-category match counts as the
+    // audit signal. The synthetic corpus carries no organic PII, so each doc
+    // deterministically injects one of each (derived from its id; even ids
+    // get a second email so the counts are non-constant) — the scrub then
+    // has real work whose counts and redacted text the oracle replays
+    // byte-for-byte (patterns live in the Java-regex ∩ RE2 dialect —
+    // TextOps.EmailPattern et al.). Narrow map, no shuffle.
+    "q_x_pii_scrub" -> { (s, dir) =>
+      val injected = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.2."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".99"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" cc admin@test.org")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), injected.as("txt"))
+        .select(col("doc_id") +:
+          TextOps.piiCounts(col("txt")).map { case (n, c) => c.as(n) } :+
+          md5(TextOps.piiScrub(col("txt"))).as("clean_digest"): _*)
+    },
+    // Intra-document repetition removal: 2-token pseudo-sentence chunks,
+    // first occurrence kept, document rebuilt (digest compared). The
+    // quadratic keep-first kernel is per-row work bounded by doc length —
+    // corpus-size-invariant, fully codegen'd, zero shuffles.
+    "q_x_chunk_dedup" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenChunks(TextOps.tokens(col("text")), 2).as("chunks"))
+        .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+          TextOps.dedupKeepFirst(col("chunks")).as("kept"))
+        .select(col("doc_id"), col("n_chunks"),
+          size(col("kept")).as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("clean_digest"))
+    },
+    // Cross-document boilerplate removal (the RefinedWeb/CCNet move): a
+    // 3-token chunk appearing in ≥5 DISTINCT documents is boilerplate
+    // (nav text, license banners) and is cut from EVERY document, order
+    // preserved. Plan shape for 100 TB: one shuffle for the chunk-frequency
+    // aggregate, whose ≥threshold survivor set is heavy-hitter-small at any
+    // corpus size → broadcast anti-join back onto the exploded chunks; the
+    // rebuild aggregates on doc_id, and the final left join restores docs
+    // whose every chunk was boilerplate (and blank docs) with an
+    // empty-corpus digest instead of dropping them.
+    "q_x_boilerplate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val chunked = docs.select(col("doc_id"),
+        TextOps.tokenChunks(TextOps.tokens(col("text")), 3).as("chunks"))
+      val exploded = chunked.select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      val frequent = exploded.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 5).select(col("chunk"))
+      val kept = exploded.join(broadcast(frequent), Seq("chunk"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+              x => x.getField("chunk")), " ")).as("clean_digest"))
+      chunked.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
     }
   )
 
@@ -760,6 +825,65 @@ object ExtTextQueries {
         |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 <> 3))
         |SELECT c.doc_id, count(*) AS matched_grams, min(b.bid) AS bench_ref
         |FROM corpus c JOIN bench b ON c.u = b.u
-        |GROUP BY c.doc_id""".stripMargin
+        |GROUP BY c.doc_id""".stripMargin,
+    // regexp_replace needs the explicit 'g' flag here (Spark replaces all
+    // occurrences by default); patterns are the shared Java∩RE2 dialect
+    "q_x_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' reach user' || doc_id || '@example.com or +1-555-' ||
+        |  lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |  ' at 10.2.' || (doc_id % 256) || '.99' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' cc admin@test.org' ELSE '' END AS txt
+        | FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS clean_digest
+        |FROM inj""".stripMargin,
+    // list slices clamp at the array end in both engines, so the tail
+    // chunk shortens identically; blank text guards to [] like the Spark
+    // tokenChunks blank guard
+    "q_x_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |  ELSE [array_to_string(ws[(i-1)*2+1:(i-1)*2+2], ' ')
+        |        for i in generate_series(1, (len(ws)+1)//2)] END AS chunks
+        | FROM w),
+        |k AS (SELECT doc_id, chunks,
+        |  [chunks[i] for i in generate_series(1, len(chunks))
+        |   if list_position(chunks, chunks[i]) = i] AS kept
+        | FROM c)
+        |SELECT doc_id, CAST(len(chunks) AS INT) AS n_chunks,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  md5(array_to_string(kept, ' ')) AS clean_digest
+        |FROM k""".stripMargin,
+    // the recursive unnest flattens {pos, chunk} structs so string_agg can
+    // rebuild in document order; the final LEFT JOIN restores all-boilerplate
+    // and blank docs with the empty digest, mirroring the Spark plan
+    "q_x_boilerplate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |  ELSE [array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ')
+        |        for i in generate_series(1, (len(ws)+2)//3)] END AS chunks
+        | FROM w),
+        |e AS (SELECT doc_id, unnest([{'pos': i, 'chunk': chunks[i]}
+        |    for i in generate_series(1, len(chunks))], recursive := true) FROM c),
+        |f AS (SELECT chunk FROM (SELECT chunk, count(DISTINCT doc_id) AS nd
+        |    FROM e GROUP BY 1) WHERE nd >= 5),
+        |k AS (SELECT e.doc_id, e.pos, e.chunk FROM e
+        |  LEFT JOIN f ON e.chunk = f.chunk WHERE f.chunk IS NULL),
+        |a AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |   md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_digest
+        | FROM k GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.chunks) AS INT) AS n_chunks,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.clean_digest, md5('')) AS clean_digest
+        |FROM c LEFT JOIN a USING (doc_id)""".stripMargin
   )
 }

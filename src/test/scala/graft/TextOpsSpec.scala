@@ -127,4 +127,43 @@ class TextOpsSpec extends SparkSpec {
     // doc 2: "one two three" + "two three four" -> 2 grams, min ref 100
     assert(rows == Set((1L, 1L, 100L), (2L, 2L, 100L)), s"got $rows")
   }
+
+  test("piiScrub redacts emails/phones/IPv4s and piiCounts counts them pre-scrub") {
+    val df = Seq(
+      "write bob.smith+x@mail.co or call +1-555-0199 from 10.2.3.4 ok",
+      "two mails a@b.io c@d.org and bare 555-123-4567",
+      "no pii here at all",
+      "").toDF("text")
+    val cols = TextOps.piiCounts($"text").map { case (n, c) => c.as(n) } :+
+      TextOps.piiScrub($"text").as("clean")
+    val r = df.select(cols: _*).collect()
+    assert((r(0).getInt(0), r(0).getInt(1), r(0).getInt(2)) == ((1, 1, 1)))
+    assert(r(0).getString(3) == "write <EMAIL> or call <PHONE> from <IP> ok")
+    assert((r(1).getInt(0), r(1).getInt(1)) == ((2, 1)))
+    assert(r(1).getString(3) == "two mails <EMAIL> <EMAIL> and bare <PHONE>")
+    assert(r(2).getString(3) == "no pii here at all")
+    assert(r(3).getString(3) == "")
+    // version numbers must NOT trip the IPv4 rule (word-boundary + 4 octets)
+    val v = Seq("release 1.2.3 and 1.2.3.4.5 here").toDF("text")
+      .select(TextOps.piiScrub($"text")).head().getString(0)
+    assert(v.contains("1.2.3 "), v)
+  }
+
+  test("tokenChunks: non-overlapping k-chunks with short tail; blank -> empty") {
+    val got = Seq("a b c d e", "a b", "a", "").toDF("text")
+      .select(TextOps.tokenChunks(TextOps.tokens($"text"), 2).as("c"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b", "c d", "e"))
+    assert(got(1) == Seq("a b"))
+    assert(got(2) == Seq("a"))
+    assert(got(3).isEmpty)
+  }
+
+  test("dedupKeepFirst keeps first occurrences in order") {
+    val got = Seq(Seq("x", "y", "x", "z", "y", "x"), Seq.empty[String])
+      .toDF("a").select(TextOps.dedupKeepFirst($"a").as("k"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("x", "y", "z"))
+    assert(got(1).isEmpty)
+  }
 }
