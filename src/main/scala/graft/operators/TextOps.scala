@@ -356,7 +356,11 @@ object TextOps {
   /** Non-overlapping k-token chunks ("pseudo-sentences") of a token array,
     * each rendered back to a string; the tail chunk may be shorter. Blank
     * text (whose split is [""]) yields the empty chunk list, matching the
-    * tokenCountFromTokens guard. Narrow per-row transform.
+    * tokenCountFromTokens guard. Narrow per-row transform. PASS A STAGED
+    * token column (an attribute, not the split expression): a transform
+    * lambda re-evaluates its free subexpressions per ELEMENT, so an inlined
+    * split would re-tokenize the document once per chunk — measured 3-4×
+    * on the chunk-dedup path.
     */
   def tokenChunks(toks: Column, k: Int): Column = {
     val n = tokenCountFromTokens(toks)
@@ -364,6 +368,30 @@ object TextOps {
       .otherwise(transform(
         sequence(lit(0), floor((n - lit(1)) / lit(k)).cast("int")),
         i => array_join(slice(toks, i * lit(k) + lit(1), lit(k)), " ")))
+  }
+
+  /** One row per non-overlapping k-token chunk: (idCol, pos, chunk) with
+    * pos the 0-based chunk index. The corpus-scale form of [[tokenChunks]]
+    * + posexplode — but deliberately NOT built that way: exploding a
+    * higher-order-function chunk array makes the planner push a
+    * `size(chunks) > 0` guard below the Generate that INLINES the whole
+    * chunk-building transform (split re-run per chunk, interpreted) into a
+    * Filter — measured ~10× on the boilerplate path. Here the Generate
+    * explodes only a chunk-INDEX sequence derived from a staged token
+    * count, and each chunk string is built after the Generate with plain
+    * slice + array_join — regular codegen expressions, one split per
+    * document. Blank documents produce no rows (restore them with a left
+    * join on the id if the consumer needs the full document set).
+    */
+  def chunkRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val st = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), tokenCountFromTokens(col("toks")).as("n"))
+    val idx = when(col("n") === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), floor((col("n") - lit(1)) / lit(k)).cast("int")))
+    st.select(col(idCol), col("toks"), explode(idx).as("pos"))
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("toks"), col("pos") * lit(k) + lit(1), lit(k)), " ").as("chunk"))
   }
 
   /** Order-preserving first-occurrence dedup of an array — the

@@ -142,6 +142,24 @@ object ExtTextQueries {
         failOnOverCap = true)
       Dedup.duplicateClusters(pairs, "a", "b")
     },
+    // The end state of the near-dup arc: the post-dedup corpus. Per
+    // component the hash-min representative (cluster_id = min member id,
+    // by construction of duplicateClusters) survives carrying the member
+    // count; every unclustered doc survives as its own singleton. The
+    // cluster table is near-dup-members-only — tiny next to the corpus —
+    // so the resolve join broadcasts at scale; survivors stream out of
+    // the left join with no extra shuffle.
+    "q_x_dedup_survivors" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
+        failOnOverCap = true)
+      val clusters = Dedup.duplicateClusters(pairs, "a", "b")
+      docs.select(col("doc_id"))
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"), coalesce(col("cluster_size"), lit(1L)).as("n_merged"))
+    },
     // Gopher-style quality signals (Rae et al. 2021 rule family): token/
     // bigram/line arrays staged once, then nine per-row repetition and
     // shape features plus the keep/drop verdict. Narrow map over the scan —
@@ -331,8 +349,8 @@ object ExtTextQueries {
     // corpus-size-invariant, fully codegen'd, zero shuffles.
     "q_x_chunk_dedup" -> { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextOps.tokenChunks(TextOps.tokens(col("text")), 2).as("chunks"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.tokenChunks(col("toks"), 2).as("chunks"))
         .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
           TextOps.dedupKeepFirst(col("chunks")).as("kept"))
         .select(col("doc_id"), col("n_chunks"),
@@ -342,30 +360,40 @@ object ExtTextQueries {
     // Cross-document boilerplate removal (the RefinedWeb/CCNet move): a
     // 3-token chunk appearing in ≥5 DISTINCT documents is boilerplate
     // (nav text, license banners) and is cut from EVERY document, order
-    // preserved. Plan shape for 100 TB: one shuffle for the chunk-frequency
-    // aggregate, whose ≥threshold survivor set is heavy-hitter-small at any
-    // corpus size → broadcast anti-join back onto the exploded chunks; the
-    // rebuild aggregates on doc_id, and the final left join restores docs
-    // whose every chunk was boilerplate (and blank docs) with an
-    // empty-corpus digest instead of dropping them.
+    // preserved. Plan shape for 100 TB: chunk rows via the codegen'd
+    // explode-index kernel (TextOps.chunkRows — the naive chunk-array
+    // posexplode re-tokenized per chunk inside a pushed-down Generate
+    // guard, ~10× slower); ONE chunk-keyed shuffle for the doc-frequency
+    // aggregate (countDistinct partial-aggregates map-side, so hot
+    // boilerplate chunks don't skew — the window/collect_set alternative
+    // is a skew bomb on exactly the chunks this query exists to find);
+    // the ≥threshold survivor set is heavy-hitter-small at any corpus
+    // size → broadcast flag-join back onto the chunk rows, so ONE
+    // doc-keyed aggregate computes total, kept count, and the
+    // order-preserved rebuild digest together; the final left join (off a
+    // doc_id-only column-pruned scan) restores blank docs, and
+    // all-boilerplate docs fall out of the same aggregate with the
+    // empty-corpus digest.
     "q_x_boilerplate" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val chunked = docs.select(col("doc_id"),
-        TextOps.tokenChunks(TextOps.tokens(col("text")), 3).as("chunks"))
-      val exploded = chunked.select(col("doc_id"),
-        posexplode(col("chunks")).as(Seq("pos", "chunk")))
-      val frequent = exploded.groupBy(col("chunk"))
+      val chunks = TextOps.chunkRows(docs, "doc_id", "text", 3)
+      val frequent = chunks.groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 5).select(col("chunk"))
-      val kept = exploded.join(broadcast(frequent), Seq("chunk"), "left_anti")
-      val rebuilt = kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_kept"),
+        .filter(col("nd") >= 5)
+        .select(col("chunk"), lit(true).as("boiler"))
+      val flagged = chunks.join(broadcast(frequent), Seq("chunk"), "left")
+      val rebuilt = flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_chunks"),
+          count(when(col("boiler").isNull, 1)).cast("int").as("n_kept"),
           md5(array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            transform(
+              array_sort(collect_list(
+                when(col("boiler").isNull, struct(col("pos"), col("chunk"))))),
               x => x.getField("chunk")), " ")).as("clean_digest"))
-      chunked.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+      docs.select(col("doc_id"))
         .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chunks"),
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0)).as("n_chunks"),
           coalesce(col("n_kept"), lit(0)).as("n_kept"),
           coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
     }
@@ -402,6 +430,40 @@ object ExtTextQueries {
        |mins AS (SELECT doc_id, seed, min(h) AS mh FROM hsig GROUP BY 1, 2),
        |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mins GROUP BY doc_id)""".stripMargin
   }
+
+  /** The full minhash→LSH→verify→transitive-closure chain (shared by the
+    * cluster and survivor oracles): min-label flooding as a recursive CTE,
+    * component id = min reachable node id — exactly the hash-min fixpoint
+    * the Spark side converges to. Yields `cls(doc_id, cluster_id,
+    * cluster_size)`, clustered docs only.
+    */
+  private def clusterChainCtes: String =
+    s"""$wCte,
+       |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+       |sh0 AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+       |  FROM sh),
+       |$minhashChainCtes,
+       |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+       |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w),
+       |pr AS (SELECT a, b
+       |  FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
+       |  WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+       |              len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6),
+       |nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr),
+       |edges AS (SELECT a AS src, b AS dst FROM pr
+       |          UNION SELECT b AS src, a AS dst FROM pr),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+       |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+       |cls AS (SELECT node AS doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cl)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_x_token_count" ->
@@ -598,32 +660,16 @@ object ExtTextQueries {
     // min reachable node id — exactly the hash-min fixpoint the Spark side
     // converges to
     "q_x_dedup_clusters" ->
-      s"""WITH RECURSIVE $wCte,
-         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
-         |sh0 AS (SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
-         |  FROM sh),
-         |$minhashChainCtes,
-         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
-         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w),
-         |pr AS (SELECT a, b
-         |  FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
-         |  WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
-         |              len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6),
-         |nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr),
-         |edges AS (SELECT a AS src, b AS dst FROM pr
-         |          UNION SELECT b AS src, a AS dst FROM pr),
-         |reach(node, lab) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
-         |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
-         |SELECT node AS doc_id, cluster_id,
-         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM cl""".stripMargin,
+      s"""WITH RECURSIVE $clusterChainCtes
+         |SELECT doc_id, cluster_id, cluster_size FROM cls""".stripMargin,
+    // the same transitive closure, resolved to the post-dedup corpus: the
+    // hash-min representative (cluster_id = min member id) survives for
+    // each component, every unclustered doc survives as its own singleton
+    "q_x_dedup_survivors" ->
+      s"""WITH RECURSIVE $clusterChainCtes
+         |SELECT d.doc_id, coalesce(c.cluster_size, 1) AS n_merged
+         |FROM documents d LEFT JOIN cls c ON d.doc_id = c.doc_id
+         |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
 
     // Gopher quality signals: same staged token/bigram/line arrays, ratios
     // of per-row ints rounded at 6dp (lateral aliases feed gopher_pass).

@@ -159,6 +159,13 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3).isEmpty)
   }
 
+  test("chunkRows: one row per chunk with 0-based pos; blank docs emit none") {
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.chunkRows(docs, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e"), (3L, 0, "x")))
+  }
+
   test("dedupKeepFirst keeps first occurrences in order") {
     val got = Seq(Seq("x", "y", "x", "z", "y", "x"), Seq.empty[String])
       .toDF("a").select(TextOps.dedupKeepFirst($"a").as("k"))
