@@ -394,6 +394,37 @@ object TextOps {
         array_join(slice(col("toks"), col("pos") * lit(k) + lit(1), lit(k)), " ").as("chunk"))
   }
 
+  /** URL canonicalization (the crawl-dedup normalizer): lowercase scheme
+    * and host, strip the scheme-default port (:443 for https, :80 for
+    * http), drop the fragment, strip trailing slashes from the path, drop
+    * `utm_*` tracking parameters, and sort the surviving query parameters
+    * bytewise. Two raw URLs that differ only in these presentation details
+    * canonicalize to the same string, so URL-level dedup is an exact
+    * groupBy on the output — no fuzzy matching needed. Every regex is
+    * ANCHORED (at most one match), so Spark's replace-all and an oracle's
+    * replace-first agree; patterns live in the Java-regex ∩ RE2 dialect
+    * and parameter sort order is bytewise in both engines. Pure built-in
+    * expressions — narrow, codegen'd, no shuffle.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val pathQuery = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(pathQuery, "^([^?]*)", 1), "/+$", "")
+    val query = when(pathQuery.contains("?"),
+      regexp_replace(pathQuery, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !(p.startsWith("utm_") || p === ""))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
   /** Order-preserving first-occurrence dedup of an array — the
     * intra-document repetition-removal kernel (keep chunk i iff its first
     * occurrence is at i). Quadratic in the per-document chunk count, which

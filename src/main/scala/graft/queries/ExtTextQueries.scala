@@ -396,8 +396,134 @@ object ExtTextQueries {
           coalesce(col("n_chunks"), lit(0)).as("n_chunks"),
           coalesce(col("n_kept"), lit(0)).as("n_kept"),
           coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+    },
+    // URL canonicalization + dedup (the crawl-frontier move): raw URLs
+    // folded to canonical form (case, default ports, fragments, trailing
+    // slashes, utm_* tracking params, param order — TextOps.urlNormalize),
+    // then exact dedup per canonical URL keeping the lowest doc id. The
+    // synthetic corpus carries no URL column, so each doc injects a
+    // deterministic messy URL derived from (source, doc_id) — six
+    // independent presentation axes vary by doc id residues while the
+    // canonical form depends only on (source, doc_id mod 17), so the fold
+    // does real work (~15 raw docs and 2+ raw FORMS per canonical URL).
+    // Normalization is a narrow codegen'd map; the dedup is one
+    // canonical-URL-keyed shuffle — the exact-dedup shape.
+    "q_x_url_dedup" -> { (s, dir) =>
+      val id = col("doc_id")
+      val rawUrl = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(pmod(id, lit(3)) === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(pmod(id, lit(4)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/a/"), pmod(id, lit(17)).cast("string"),
+        when(pmod(id, lit(5)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(2)) === 0, lit("?b=2&a=1&utm_source=feed"))
+          .otherwise(lit("?a=1&utm_campaign=x&b=2")),
+        when(pmod(id, lit(6)) === 0, lit("#sec")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrl.as("raw_url"))
+        .select(col("doc_id"), col("raw_url"),
+          TextOps.urlNormalize(col("raw_url")).as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("kept_doc_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_url")).as("n_raw_forms"))
+    },
+    // Incremental corpus dedup, Bloom-accelerated: the already-ingested
+    // cohort (doc_id ≡ 0 mod 3) is "yesterday's corpus"; the incoming rest
+    // is admitted iff its content key (md5 of the first 4 tokens — a
+    // prefix fingerprint with real cross-cohort collisions on this corpus)
+    // is not already present. The old cohort's keys are folded into a
+    // Bloom sketch ONCE (memoized per dir+mtime, built by Spark's own
+    // distributive BloomFilterAggregate); most incoming rows pass the
+    // narrow might-contain filter as definitely-new with NO shuffle, and
+    // only the maybe sliver pays the exact anti-join — so the result is
+    // EXACT (oracle-checkable) while the scale win survives: a daily crawl
+    // that is 99% new shuffles 1% of itself. See Dedup.antiJoinBloom.
+    "q_x_bloom_dedup" -> { (s, dir) =>
+      val fpCol = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), fpCol.as("prefix_fp"))
+      val old = keyed.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val incoming = keyed.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      Dedup.antiJoinBloom(incoming, old, "prefix_fp", docBloom(s, dir))
+        .select(col("doc_id"), col("prefix_fp"))
+    },
+    // Unigram-likelihood quality bucketing (the CCNet head/middle/tail
+    // move, with the LM made exact-rational so it oracles): the corpus
+    // trains its own unigram model (term counts, one partial-agg-absorbed
+    // shuffle), the top-16 terms become the broadcast vocabulary (tail
+    // terms are OOV at probability 0 — the vocab-cutoff every real LM
+    // applies, and what keeps the probe join BROADCAST at any corpus
+    // size), and each doc scores sum(tf(term))/(n_tokens·total) — the
+    // arithmetic-mean unigram likelihood. A mean-LOG-prob (true
+    // perplexity) ranks almost identically but rides libm's ln, which is
+    // not bit-specified across engines; the mean-prob form is a ratio of
+    // exact longs, so the double is bit-identical and unrounded. Buckets
+    // are per-language likelihood thirds via ntile(3) over a total order
+    // (deterministic). Zero-token docs carry no signal and are excluded.
+    // 100 TB note: the ntile sorts within one language partition; the
+    // production path computes the two cut points on a sample
+    // (approx_percentile), broadcasts them, and buckets with a narrow
+    // map — the ntile form is the oracle-checkable twin of that plan.
+    "q_x_unigram_bucket" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      val vocab = counts.orderBy(col("tf").desc, col("term").asc).limit(16)
+      val total = counts.agg(sum(col("tf")).as("n_total"))
+      val perDoc = toks
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("tf"), lit(0L))).as("hit_mass"))
+      perDoc.crossJoin(broadcast(total))
+        .withColumn("likelihood", col("hit_mass").cast("double") /
+          (col("n_tokens") * col("n_total")).cast("double"))
+        .withColumn("bucket_id", ntile(3).over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("likelihood").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("likelihood"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            col("bucket_id")).as("bucket"))
     }
   )
+
+  /** Memoized Bloom sketch over the old cohort's prefix fingerprints —
+    * built once per (dir, documents mtime), KB-sized, held like the
+    * broadcast scalar it is. Sized from the parquet footer count (no count
+    * job at plan-build time — the embeddingCount lesson).
+    */
+  private val docBlooms =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Array[Byte]]]
+  private def docBloom(s: SparkSession, dir: String): Option[Array[Byte]] = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = root.getFileSystem(conf)
+    val mtime = fs.getFileStatus(root).getModificationTime
+    docBlooms.getOrElseUpdate((dir, mtime), {
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(root)
+      val nDocs = files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+      val fpCol = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))
+      val old = Tables.documents(s, dir)
+        .select(col("doc_id"), fpCol.as("prefix_fp"))
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.buildKeyBloom(old, "prefix_fp",
+        expectedItems = (nDocs / 3 + 1).max(1024L), fpp = 0.01)
+    })
+  }
 
   private val wCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM documents)"""
@@ -930,6 +1056,77 @@ object ExtTextQueries {
         |SELECT c.doc_id, CAST(len(c.chunks) AS INT) AS n_chunks,
         |  coalesce(a.n_kept, 0) AS n_kept,
         |  coalesce(a.clean_digest, md5('')) AS clean_digest
-        |FROM c LEFT JOIN a USING (doc_id)""".stripMargin
+        |FROM c LEFT JOIN a USING (doc_id)""".stripMargin,
+    // same injected messy URL, same anchored-regex normalization chain —
+    // every pattern matches at most once, so Spark's replace-all and
+    // DuckDB's replace-first agree; param sort is bytewise in both
+    "q_x_url_dedup" ->
+      """WITH u0 AS (SELECT doc_id,
+        |  (CASE WHEN doc_id%2=0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id%3=0 THEN upper(source) ELSE source END) || '.Example.COM' ||
+        |  (CASE WHEN doc_id%4=0 THEN ':443' ELSE '' END) ||
+        |  '/a/' || CAST(doc_id%17 AS VARCHAR) ||
+        |  (CASE WHEN doc_id%5=0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id%2=0 THEN '?b=2&a=1&utm_source=feed'
+        |        ELSE '?a=1&utm_campaign=x&b=2' END) ||
+        |  (CASE WHEN doc_id%6=0 THEN '#sec' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS nf FROM u0),
+        |n2 AS (SELECT doc_id, raw_url,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n1),
+        |n3 AS (SELECT doc_id, raw_url, scheme,
+        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM n2),
+        |n4 AS (SELECT doc_id, raw_url, scheme,
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       ELSE hostport END AS host,
+        |  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+        |  CASE WHEN contains(pathq, '?')
+        |       THEN regexp_replace(pathq, '^[^?]*\?', '') ELSE '' END AS q
+        |  FROM n3),
+        |n5 AS (SELECT doc_id, raw_url, scheme, host, path,
+        |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |    p -> NOT (starts_with(p, 'utm_') OR p = ''))), '&') AS qs
+        |  FROM n4),
+        |urls AS (SELECT doc_id, raw_url,
+        |  scheme || '://' || host || path ||
+        |  (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url FROM n5)
+        |SELECT url, min(doc_id) AS kept_doc_id, count(*) AS n_docs,
+        |  count(DISTINCT raw_url) AS n_raw_forms
+        |FROM urls GROUP BY url""".stripMargin,
+    // the Bloom sketch only PRUNES (no false negatives) and every maybe is
+    // exactly verified, so the oracle is the plain anti-join
+    "q_x_bloom_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:4], ' ')) AS prefix_fp
+        |  FROM documents),
+        |old AS (SELECT prefix_fp FROM f WHERE doc_id % 3 = 0)
+        |SELECT doc_id, prefix_fp FROM f n
+        |WHERE doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM old o WHERE o.prefix_fp = n.prefix_fp)""".stripMargin,
+    // the likelihood is a ratio of exact integers (HUGEINT sums here, long
+    // sums in Spark — both exact, both convert to the identical double far
+    // below 2^53 at these SFs), so it is emitted unrounded
+    "q_x_unigram_bucket" ->
+      """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(ws) AS term FROM w),
+        |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        |counts AS (SELECT term, count(*) AS tf FROM tok2 GROUP BY term),
+        |vocab AS (SELECT term, tf FROM counts ORDER BY tf DESC, term ASC LIMIT 16),
+        |total AS (SELECT sum(tf) AS n_total FROM counts),
+        |perdoc AS (SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+        |    sum(coalesce(v.tf, 0)) AS hit_mass
+        |  FROM tok2 t LEFT JOIN vocab v USING (term) GROUP BY t.doc_id, t.lang),
+        |scored AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(hit_mass AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE) AS likelihood
+        |  FROM perdoc CROSS JOIN total),
+        |b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY likelihood DESC, doc_id ASC) AS bucket_id FROM scored)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, likelihood,
+        |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM b""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 
 /** Extension operators: similarity search over the embeddings table.
@@ -110,6 +110,43 @@ object ExtVectorQueries {
         .filter(col("cs") >= 0.25)
         .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
     },
+    // SemDedup (Abbas et al. 2023): partition the embedding space into
+    // cells, find near-duplicate pairs WITHIN each cell (exact cosine ≥
+    // threshold), close them transitively, and keep one representative
+    // per semantic cluster — the post-dedup corpus with per-survivor
+    // merge counts. Cell assignment here is the deterministic
+    // coordinate-sign quantizer (6 bits over disjoint coordinates — the
+    // same family q_x_embed_neardup_lsh_exact pins) so DuckDB replays
+    // the whole pipeline including the recursive-CTE closure; the
+    // production assignment is the IVF codebook (Similarity.annIvf's
+    // Lloyd centroids) — a drop-in for the cell column, same plan shape
+    // downstream. Scale shape: within-cell pairing is the banded-LSH
+    // candidate pattern (quadratic only inside a cell; plane count
+    // auto-scales via Similarity.autoPlanes in production, star-guard
+    // semantics as in Dedup); closure is hash-min label propagation
+    // (diameter-bounded); the survivor resolve join broadcasts because
+    // the cluster table is near-dup-members-only.
+    "q_x_semdedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cellCol = Seq(0, 9, 18, 27, 36, 45).zipWithIndex.map { case (d, p) =>
+        when(col("embedding").getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val cells = emb.select(col("vec_id"), cellCol.as("cell"))
+      val cand = cells.select(col("vec_id").as("a"), col("cell"))
+        .join(cells.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
+        .filter(col("a") < col("b"))
+      import org.apache.spark.sql.graft.natives.cosineSim
+      val ea = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
+      val eb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
+      val pairs = cand.join(ea, Seq("a")).join(eb, Seq("b"))
+        .filter(cosineSim(col("__ea"), col("__eb")) >= 0.25)
+        .select(col("a"), col("b"))
+      val clusters = Dedup.duplicateClusters(pairs, "a", "b", idCol = "vec_id")
+      cells.join(broadcast(clusters), Seq("vec_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("vec_id"))
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("cluster_size"), lit(1L)).as("n_merged"))
+    },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).
     "q_x_ann_lsh" -> { (s, dir) =>
@@ -161,6 +198,37 @@ object ExtVectorQueries {
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
+
+    // full pipeline replay: sign-quantized cells → within-cell exact-cosine
+    // pairs → recursive-CTE transitive closure (min-label flooding, the
+    // hash-min fixpoint) → survivors = component representatives + singletons
+    "q_x_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |c AS (SELECT vec_id,
+        |    CAST(v[1] > 0 AS INT) + 2*CAST(v[10] > 0 AS INT)
+        |  + 4*CAST(v[19] > 0 AS INT) + 8*CAST(v[28] > 0 AS INT)
+        |  + 16*CAST(v[37] > 0 AS INT) + 32*CAST(v[46] > 0 AS INT) AS cell
+        |  FROM e),
+        |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM c x JOIN c y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  JOIN e ea ON ea.vec_id = x.vec_id
+        |  JOIN e eb ON eb.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(CAST(ea.v AS DOUBLE[]),
+        |    CAST(eb.v AS DOUBLE[])) >= 0.25),
+        |nodes AS (SELECT a AS node FROM pr UNION SELECT b FROM pr),
+        |edges AS (SELECT a AS src, b AS dst FROM pr
+        |          UNION SELECT b AS src, a AS dst FROM pr),
+        |reach(node, lab) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.node),
+        |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+        |cls AS (SELECT node AS vec_id, cluster_id,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM cl)
+        |SELECT c.vec_id, c.cell, coalesce(cls.cluster_size, 1) AS n_merged
+        |FROM c LEFT JOIN cls ON c.vec_id = cls.vec_id
+        |WHERE cls.cluster_id IS NULL OR cls.cluster_id = c.vec_id""".stripMargin,
 
     "q_x_embed_neardup_lsh_exact" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -138,6 +138,31 @@ object natives {
     */
   def protoEncBytes(b: Column, fieldNo: Int): Column =
     ExpressionUtils.column(ProtoEncodeBytes(ExpressionUtils.expression(b), fieldNo))
+
+  /** Bloom-filter sketch aggregate over a LONG hash column (feed
+    * `xxhash64(key)`), emitted as the serialized sketch bytes. This is
+    * Spark's own `BloomFilterAggregate` — the sketch behind runtime join
+    * filtering — exposed as a Column so the incremental-dedup path can
+    * build a key-membership sketch distributively (partial sketches
+    * OR-merge map-side; the final sketch is numBits/8 bytes regardless of
+    * corpus size).
+    */
+  def bloomAgg(hash: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(hash),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomAgg]] sketch: false ⇒ definitely
+    * absent, true ⇒ maybe present (verify exactly downstream). The sketch
+    * side must be a plan-time constant (`lit(bytes)`) — the same constraint
+    * Spark's InjectRuntimeFilter satisfies with a scalar subquery.
+    */
+  def bloomMightContain(bloom: Column, hash: Column): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(hash)))
 }
 
 /** Winnowing (rolling-hash) document fingerprint — one pass, O(n) per doc,

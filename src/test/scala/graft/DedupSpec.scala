@@ -303,4 +303,69 @@ class DedupSpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"ivf recall $recall too low")
   }
+
+  test("bloom incremental dedup: exact result, no false negatives, sane FPP") {
+    val old = (0 until 1000).map(i => f"key$i%04d").toDF("key")
+    val incoming = (500 until 1500).map(i => f"key$i%04d").toDF("key")
+    val bloom = Dedup.buildKeyBloom(old, "key", expectedItems = 1000, fpp = 0.01)
+    assert(bloom.isDefined && bloom.get.length < 4096,
+      "sketch should be KB-sized for 1k keys at 1% fpp")
+    // exact survivors regardless of sketch FPP
+    val got = Dedup.antiJoinBloom(incoming, old, "key", bloom)
+      .as[String].collect().toSet
+    assert(got == (1000 until 1500).map(i => f"key$i%04d").toSet)
+    // no false negatives: every genuinely-present key must read "maybe"
+    import org.apache.spark.sql.graft.natives
+    val maybe = incoming
+      .filter(natives.bloomMightContain(lit(bloom.get), xxhash64($"key")))
+      .as[String].collect().toSet
+    assert((500 until 1000).map(i => f"key$i%04d").toSet.subsetOf(maybe))
+    // FPP sanity on the 500 truly-new keys (1% nominal; allow 10x slack)
+    val falsePos = maybe.count(_.drop(3).toInt >= 1000)
+    assert(falsePos <= 50, s"bloom false-positive count off the rails: $falsePos/500")
+  }
+
+  test("bloom incremental dedup: empty history means everything is new") {
+    val incoming = (0 until 10).map(i => s"k$i").toDF("key")
+    assert(Dedup.buildKeyBloom(incoming.limit(0), "key", expectedItems = 10).isEmpty)
+    assert(Dedup.antiJoinBloom(incoming, incoming.limit(0), "key", None).count() == 10)
+  }
+
+  test("semdedup survivors match a naive union-find over the exact pairs") {
+    // replay the q_x_semdedup pipeline pieces on the sf corpus and check the
+    // survivor set against a driver-side union-find over the same exact
+    // within-cell cosine pairs
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cellCol = Seq(0, 9, 18, 27, 36, 45).zipWithIndex.map { case (d, p) =>
+      when(col("embedding").getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val cells = emb.select(col("vec_id"), cellCol.as("cell"))
+    import org.apache.spark.sql.graft.natives.cosineSim
+    val pairs = cells.select(col("vec_id").as("a"), col("cell"))
+      .join(cells.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("__ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("__eb")), Seq("b"))
+      .filter(cosineSim(col("__ea"), col("__eb")) >= 0.25)
+      .select("a", "b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    val allIds = cells.select("vec_id").as[Long].collect().toSet
+    val wantSurvivors = allIds.filter(id => find(id) == id)
+    val clusters = Dedup.duplicateClusters(pairs.toSeq.toDF("a", "b"), "a", "b",
+      idCol = "vec_id")
+    val gotSurvivors = cells
+      .join(broadcast(clusters), Seq("vec_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotSurvivors == wantSurvivors)
+    assert(pairs.nonEmpty, "fixture must exercise the near-dup path")
+  }
 }

@@ -173,4 +173,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0) == Seq("x", "y", "z"))
     assert(got(1).isEmpty)
   }
+
+  test("urlNormalize folds every presentation axis and nothing else") {
+    val got = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?b=2&a=1&utm_source=x#frag",
+      "https://www.example.com/a/b?a=1&b=2",   // already canonical twin of ^
+      "http://Host.org:80/x",                  // http default port stripped
+      "http://host.org:8080/x",                // non-default port KEPT
+      "https://h.io:80/y",                     // :80 is NOT https' default
+      "https://h.io/p/?utm_campaign=only",     // all-tracking query drops
+      "ftp://Mixed.Case/z/")                   // unknown scheme: no port rule
+      .toDF("u").select(TextOps.urlNormalize($"u")).as[String].collect()
+    assert(got(0) == "https://www.example.com/a/b?a=1&b=2")
+    assert(got(1) == got(0))
+    assert(got(2) == "http://host.org/x")
+    assert(got(3) == "http://host.org:8080/x")
+    assert(got(4) == "https://h.io:80/y")
+    assert(got(5) == "https://h.io/p")
+    assert(got(6) == "ftp://mixed.case/z")
+  }
 }
