@@ -478,4 +478,65 @@ object Dedup {
         .join(oldKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       definitelyNew.unionByName(verified)
   }
+
+  /** Exact duplicate-SPAN removal (the ExactSubstr move of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", word-gram
+    * form): any word n-gram occurring ≥2 times ANYWHERE in the corpus —
+    * across documents or repeated within one — is cut from EVERY document,
+    * a token being cut when any duplicated gram's n-token window covers it.
+    * (That is the published semantics: the suffix-array implementation
+    * removes all copies of a duplicated substring, which can hollow out
+    * heavily-templated documents — by design.) Production uses n≈50 BPE
+    * tokens; n is a parameter here.
+    *
+    * Distributed shape (the suffix array is inherently single-machine; the
+    * scalable equivalent is gram-frequency counting):
+    *   1. one narrow pass emits (doc, pos, gramHash64) via posexplode of
+    *      the position-ordered [[org.apache.spark.sql.graft.natives.shingleHashesOrdered]]
+    *      kernel — O(total tokens) rows, no gram strings materialized;
+    *   2. one gram-keyed shuffle counts occurrences (partial aggregation
+    *      absorbs hot boilerplate grams — the skewed keys are exactly the
+    *      duplicated ones, and map-side combine collapses them per task);
+    *   3. the duplicated-gram set joins back to the instances (AQE picks
+    *      broadcast when the dup set is small; gram hashes are uniform so
+    *      the sort-merge fallback has no skew) and one doc-keyed shuffle
+    *      collects each doc's duplicated start positions;
+    *   4. a per-row rebuild keeps tokens covered by no duplicated window —
+    *      per-row cost O(tokens · dupStarts), bounded by document length,
+    *      corpus-size-invariant (the chunk-dedup precedent).
+    *
+    * The dup key is the 64-bit md5 prefix of the space-joined gram (the
+    * decontamination contract): both engines hash identically, so the
+    * semantics are exact-by-construction at the hash level; a cross-gram
+    * collision (~1e-15 per pair) would merely cut one extra span.
+    *
+    * Output: one row per input doc — n_tokens (raw whitespace split; blank
+    * docs count their [""] artifact like the oracle's regexp_split),
+    * n_dup_grams (this doc's duplicated gram instances), n_kept, and the
+    * md5 digest of the space-rejoined surviving tokens.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.natives.shingleHashesOrdered
+    val grams = docs.select(col(idCol),
+        posexplode(shingleHashesOrdered(col(textCol), n)).as(Seq("__pos", "__g")))
+    val dup = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("__g"))
+    val dupStarts = grams.join(dup, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    docs.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), tokens(col(textCol)).as("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(col(idCol), col("__toks"), col("__starts"),
+        transform(
+          filter(sequence(lit(0), size(col("__toks")) - 1),
+            p => !exists(col("__starts"), s => p >= s && p <= s + lit(n - 1))),
+          p => element_at(col("__toks"), p + 1)).as("__kept"))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        size(col("__starts")).as("n_dup_grams"),
+        size(col("__kept")).as("n_kept"),
+        md5(array_join(col("__kept"), " ")).as("clean_digest"))
+  }
 }

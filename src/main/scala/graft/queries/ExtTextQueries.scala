@@ -441,6 +441,18 @@ object ExtTextQueries {
     // only the maybe sliver pays the exact anti-join — so the result is
     // EXACT (oracle-checkable) while the scale win survives: a daily crawl
     // that is 99% new shuffles 1% of itself. See Dedup.antiJoinBloom.
+    // Exact duplicate-SPAN removal (ExactSubstr, Lee et al. 2021, word-gram
+    // form): any word 8-gram occurring twice anywhere in the corpus —
+    // cross-doc or repeated within one doc — is cut from every document
+    // (the published remove-all-copies semantics; production uses n≈50 BPE
+    // tokens, the suffix array's distributed equivalent being this
+    // gram-frequency count). One narrow posexplode of the position-ordered
+    // shingle kernel, one gram-keyed count shuffle (partial agg absorbs the
+    // hot boilerplate grams), one join back + doc-keyed start-list collect,
+    // then a per-row O(len·dups) rebuild. See Dedup.removeDuplicateSpans.
+    "q_x_substr_dedup" -> { (s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), n = 8)
+    },
     "q_x_bloom_dedup" -> { (s, dir) =>
       val fpCol = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))
       val keyed = Tables.documents(s, dir)
@@ -1096,6 +1108,31 @@ object ExtTextQueries {
         |SELECT url, min(doc_id) AS kept_doc_id, count(*) AS n_docs,
         |  count(DISTINCT raw_url) AS n_raw_forms
         |FROM urls GROUP BY url""".stripMargin,
+    // dup key = the decontamination md5-64 prefix contract (both engines
+    // hash the identical space-joined gram); generate_series(1, len-7) is
+    // empty below 8 tokens, mirroring the kernel's short-doc guard, and
+    // array_to_string of an empty kept list is NULL in DuckDB — coalesced
+    // to '' to match Spark's array_join
+    "q_x_substr_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest([{pos: i-1, gram: array_to_string(ws[i:i+7], ' ')}
+        |    for i in generate_series(1, len(ws)-7)], recursive := true) FROM toks),
+        |h AS (SELECT doc_id, pos,
+        |    CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u FROM g),
+        |dup AS (SELECT u FROM h GROUP BY u HAVING count(*) >= 2),
+        |st AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |  FROM h WHERE u IN (SELECT u FROM dup) GROUP BY doc_id),
+        |r AS (SELECT t.doc_id, t.ws, coalesce(s.starts, []) AS starts
+        |  FROM toks t LEFT JOIN st s USING (doc_id)),
+        |k AS (SELECT doc_id, ws, starts,
+        |  [ws[p] for p in generate_series(1, len(ws))
+        |   if len(list_filter(starts, s -> p-1 >= s AND p-1 <= s+7)) = 0] AS kept
+        |  FROM r)
+        |SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        |  CAST(len(starts) AS INT) AS n_dup_grams,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_digest
+        |FROM k""".stripMargin,
     // the Bloom sketch only PRUNES (no false negatives) and every maybe is
     // exactly verified, so the oracle is the plain anti-join
     "q_x_bloom_dedup" ->

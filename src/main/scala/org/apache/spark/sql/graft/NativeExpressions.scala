@@ -94,6 +94,15 @@ object natives {
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
 
+  /** Position-ordered (duplicates kept) md5-derived word n-gram shingle
+    * hashes — element i is the shingle starting at token i. The positional
+    * twin of [[shingleHashes]]: `posexplode` of this array yields
+    * (position, gram-hash) pairs straight from the one-pass kernel, which
+    * is what span-level operators (exact duplicate-span removal) need.
+    */
+  def shingleHashesOrdered(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashesOrdered(ExpressionUtils.expression(text), n))
+
   /** 64-bit SimHash straight from text in one pass (tokenize → md5 per
     * token → ±1 bit votes). Same result as explode+collect_list+simhash64
     * without the shuffle.
@@ -261,6 +270,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(n > 0, s"shingle_hashes: n must be positive, got $n")
         ShingleHashes(exprs.head, n)
       }))
+    e.injectFunction((FunctionIdentifier("shingle_hashes_ordered"),
+      new ExpressionInfo(classOf[ShingleHashesOrdered].getName, "shingle_hashes_ordered"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "shingle_hashes_ordered(text, n) takes exactly 2 arguments")
+        val n = literalInt("shingle_hashes_ordered", "n", exprs(1))
+        require(n > 0, s"shingle_hashes_ordered: n must be positive, got $n")
+        ShingleHashesOrdered(exprs.head, n)
+      }))
     e.injectFunction((FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (exprs: Seq[Expression]) => {
@@ -407,6 +424,23 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Position-ordered md5-derived hashes of word n-gram shingles (see
+  * [[natives.shingleHashesOrdered]]): element i = shingle starting at token
+  * i, duplicates kept. Non-null: shingle-less short docs yield an empty
+  * array.
+  */
+case class ShingleHashesOrdered(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.shingleHashesOrdered(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.shingleHashesOrdered($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesOrdered =
     copy(child = newChild)
 }
 
@@ -794,10 +828,23 @@ object NativeKernels {
     * with [[sortedIntersect]] for exact shingle Jaccard.
     */
   def shingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int):
-      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sortDistinct(shingleHashArray(s, n)))
+
+  /** Position-ordered md5-derived hashes of word n-gram shingles — element
+    * i is the shingle STARTING at token i, duplicates kept. The positional
+    * twin of [[shingleHashes]] for span-level operators (duplicate-span
+    * removal needs to map a duplicated gram back to the token range it
+    * covers, which the sorted-distinct form erases).
+    */
+  def shingleHashesOrdered(s: org.apache.spark.unsafe.types.UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(shingleHashArray(s, n))
+
+  private def shingleHashArray(s: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
     val toks = tokensOf(s)
-    if (toks.length < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (toks.length < n) return Array.empty[Long]
     val hs = new Array[Long](toks.length - n + 1)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -814,7 +861,7 @@ object NativeKernels {
       hs(i) = md5LongBytes(bytes, 0, bytes.length)
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(sortDistinct(hs))
+    hs
   }
 
   /** Sort + in-place dedupe; returns the (possibly shorter) array. */

@@ -368,4 +368,32 @@ class DedupSpec extends SparkSpec {
     assert(gotSurvivors == wantSurvivors)
     assert(pairs.nonEmpty, "fixture must exercise the near-dup path")
   }
+
+  test("duplicate-span removal: cross-doc, within-doc, and clean docs behave per ExactSubstr") {
+    // n=3: "x1 x2 x3" is shared by docs 10 and 11 (cut from BOTH — the
+    // remove-all-copies semantics); doc 12 repeats its own "r1 r2 r3"
+    // twice (both occurrences cut); doc 13 shares nothing; doc 14 is too
+    // short for any 3-gram (untouched).
+    val corpus = Seq(
+      (10L, "a1 a2 x1 x2 x3 a3 a4"),
+      (11L, "b1 x1 x2 x3 b2 b3 b4"),
+      (12L, "r1 r2 r3 q1 r1 r2 r3 q2"),
+      (13L, "c1 c2 c3 c4 c5"),
+      (14L, "d1 d2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(corpus, n = 3)
+      .select("doc_id", "n_tokens", "n_dup_grams", "n_kept")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((7, 1, 4)))  // x1 x2 x3 cut, a1 a2 a3 a4 kept
+    assert(got(11L) == ((7, 1, 4)))  // cut from the second copy too
+    assert(got(12L) == ((8, 2, 2)))  // both self-repeats cut; q1 q2 kept
+    assert(got(13L) == ((5, 0, 5)))  // untouched
+    assert(got(14L) == ((2, 0, 2)))  // too short to carry a gram
+    // digest equals md5 of the space-joined surviving tokens
+    val dig = Dedup.removeDuplicateSpans(corpus, n = 3)
+      .filter($"doc_id" === 10L).select("clean_digest").as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("a1 a2 a3 a4".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(dig == want)
+  }
 }

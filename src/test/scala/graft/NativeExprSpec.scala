@@ -173,4 +173,28 @@ class NativeExprSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(nativeGr == builtGr)
   }
+
+  test("shingleHashesOrdered: position-ordered, duplicates kept, sortDistinct = shingleHashes") {
+    val df = (fuzzDocs :+ "a b c a b c a b c").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // element i must be md5Long of the gram STARTING at token i (built-in replay)
+    val native = df.select($"id", natives.shingleHashesOrdered($"t", 3).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val built = df.select($"id",
+      transform(
+        when(size(graft.operators.TextOps.tokens($"t")) >= 3,
+          sequence(lit(0), size(graft.operators.TextOps.tokens($"t")) - 3))
+          .otherwise(array().cast("array<int>")),
+        i => natives.md5Long(concat_ws(" ",
+          slice(graft.operators.TextOps.tokens($"t"), i + 1, lit(3))))).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == built)
+    // and its sorted-distinct collapse is exactly shingleHashes
+    val sorted = df.select($"id",
+      array_sort(array_distinct(natives.shingleHashesOrdered($"t", 3))).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sh = df.select($"id", natives.shingleHashes($"t", 3).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sorted == sh)
+  }
 }
