@@ -433,4 +433,75 @@ object TextOps {
     */
   def dedupKeepFirst(arr: Column): Column =
     filter(arr, (x, i) => array_position(arr, x) === (i + lit(1)).cast("long"))
+
+  /** One BPE merge pass over a symbol array: scan left to right, replace
+    * every adjacent (a, b) with the fused symbol. A left fold replicates
+    * the scan exactly — the fused a+b can never itself match `a` (it is
+    * strictly longer), so a just-merged symbol never re-merges as the left
+    * part within the same pass. The size guard is a separate WHEN branch
+    * (CaseWhen evaluates lazily) so `element_at(acc, -1)` never touches an
+    * empty accumulator under ANSI.
+    */
+  def bpeMergePass(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .when(element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn the
+    * first k merge rules from the corpus. Classic shape — words become
+    * character-symbol sequences weighted by word frequency; each round
+    * counts adjacent symbol pairs (weighted, every adjacent position),
+    * fuses the most frequent pair (ties broken lexicographically on
+    * (left, right) so the result is deterministic), and rewrites the word
+    * table with [[bpeMergePass]].
+    *
+    * 100 TB shape: the ONLY corpus-sized work is the initial word count
+    * (one shuffle, partial agg absorbs Zipf skew). Every round after that
+    * operates on the DISTINCT-WORD table — vocabulary-sized (Heaps' law:
+    * ~1M rows for a web corpus), independent of corpus size — and the
+    * driver receives exactly ONE row per round (the argmax pair), the
+    * Lloyd-iteration precedent from IVF. k rounds = k vocab-table passes,
+    * inherent to BPE's sequential-merge definition.
+    *
+    * Output: (step, left_sym, right_sym, merged, pair_count) for the k
+    * learned merges, in order (fewer if the corpus runs out of pairs).
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String = "text", k: Int = 6): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val words0 = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var cur = words0
+      var step = 1
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val top = cur
+          .select(col("freq"), explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(0), size(col("syms")) - 2),
+              i => struct(element_at(col("syms"), i + 1).as("l"),
+                element_at(col("syms"), i + 2).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((step, l, r, l + r, c))
+          cur = cur.select(bpeMergePass(col("syms"), l, r).as("syms"), col("freq"))
+          step += 1
+        }
+      }
+      merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+    } finally words0.unpersist()
+  }
 }

@@ -453,6 +453,16 @@ object ExtTextQueries {
     "q_x_substr_dedup" -> { (s, dir) =>
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), n = 8)
     },
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first 6
+    // merge rules from the corpus — word-frequency table once (the only
+    // corpus-sized shuffle), then 6 rounds of weighted adjacent-pair
+    // counting + argmax + merge over the vocabulary-sized word table.
+    // Deterministic: ties break lexicographically on (left, right). See
+    // TextOps.bpeTrainMerges; the oracle replays all 6 rounds with
+    // list_reduce folds.
+    "q_x_bpe_train" -> { (s, dir) =>
+      TextOps.bpeTrainMerges(Tables.documents(s, dir), k = 6)
+    },
     "q_x_bloom_dedup" -> { (s, dir) =>
       val fpCol = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))
       val keyed = Tables.documents(s, dir)
@@ -549,6 +559,42 @@ object ExtTextQueries {
     * truth with the native kernels); wrapping `<< n` equals mask-then-shift
     * on UBIGINT (masks are 2^(64-n)-1).
     */
+  /** The BPE-training oracle, generated for k rounds: w0 = the character-
+    * split word-frequency table, then per round i a pair count (every
+    * adjacent position, frequency-weighted), a deterministic argmax
+    * (cnt DESC, left ASC, right ASC), and a merged word table via a
+    * list_reduce fold over single-element lists (DuckDB 1.x list_reduce
+    * seeds from the first element, so the element type must already be
+    * LIST; the fold replicates the left-to-right merge scan exactly —
+    * see TextOps.bpeMergePass).
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT l, r, sum(freq) AS cnt FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r, freq
+         |    FROM w${i - 1}, unnest(generate_series(1, len(syms)-1)) AS t(i))
+         |  GROUP BY l, r),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT list_reduce([[s] for s in syms],
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.l AND x[1] = m$i.r
+         |                THEN list_slice(acc, 1, len(acc)-1) || [m$i.l || m$i.r]
+         |                ELSE acc || x END) AS syms, freq
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map { i =>
+      s"SELECT CAST($i AS INT) AS step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT regexp_split_to_array(w, '') AS syms, count(*) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   private def minhashChainCtes: String = {
     val seeds = graft.operators.Dedup.seedConstants(16).zipWithIndex
       .map { case (c, i) =>
@@ -1133,6 +1179,7 @@ object ExtTextQueries {
         |  CAST(len(kept) AS INT) AS n_kept,
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_digest
         |FROM k""".stripMargin,
+    "q_x_bpe_train" -> bpeTrainOracle(6),
     // the Bloom sketch only PRUNES (no false negatives) and every maybe is
     // exactly verified, so the oracle is the plain anti-join
     "q_x_bloom_dedup" ->

@@ -192,4 +192,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(5) == "https://h.io/p")
     assert(got(6) == "ftp://mixed.case/z")
   }
+
+  test("bpeMergePass replicates the left-to-right merge scan") {
+    val df = Seq("aaab", "abab", "ba", "a").toDF("w")
+      .select(split($"w", "").as("syms"))
+    val got = df.select(TextOps.bpeMergePass($"syms", "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    // "aaa b": scan merges positions 1-2 then can't reuse the fused token
+    assert(got == Seq(Seq("aa", "a", "b"), Seq("a", "b", "a", "b"),
+      Seq("b", "a"), Seq("a")))
+    val ab = df.select(TextOps.bpeMergePass($"syms", "a", "b").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(ab == Seq(Seq("a", "a", "ab"), Seq("ab", "ab"), Seq("b", "a"), Seq("a")))
+  }
+
+  test("bpeTrainMerges learns hand-checkable merges in frequency-then-lex order") {
+    // "ab" appears in: abc x3, ab x2 -> pair (a,b) weight 5; (b,c) weight 3;
+    // after merge 1, (ab,c) weight 3 beats (d,d) weight 2
+    val docs = Seq((1L, "abc abc ab dd"), (2L, "abc ab dd")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainMerges(docs, k = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "c", "abc", 3L),
+      (3, "d", "d", "dd", 2L)))
+  }
 }
