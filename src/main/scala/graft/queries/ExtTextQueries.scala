@@ -463,6 +463,80 @@ object ExtTextQueries {
     "q_x_bpe_train" -> { (s, dir) =>
       TextOps.bpeTrainMerges(Tables.documents(s, dir), k = 6)
     },
+    // Deterministic training-order shuffle + sharding: every epoch-shuffle
+    // in a training pipeline needs a reproducible global permutation.
+    // Sort key = md5-64 of (doc_id ":" salt) — seedless, resumable,
+    // identical on any cluster size (rand() is none of those); shard =
+    // pmod(key, nShards) (2^64 ≡ 0 mod 8, so the unsigned-mod oracle
+    // agrees); in-shard position via one keyed window. nShards is the
+    // scale knob: pick ~corpus/250 MB so each shard's window stays
+    // bounded — shard count grows with the corpus, per-shard work doesn't.
+    "q_x_corpus_shuffle" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val skey = TextOps.md5Long64(concat(col("doc_id").cast("string"), lit(":42")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), skey.as("skey"),
+          pmod(skey, lit(8)).cast("int").as("shard"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("int"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("skey"))
+    },
+    // Inverted index build (the retrieval-serving structure): term →
+    // (df, total_tf, postings sorted by doc_id with per-doc tf). Two
+    // shuffles: (term, doc) tf count (partial agg absorbs Zipf skew),
+    // then term-keyed posting assembly. 100 TB note: ultra-high-df terms
+    // make corpus-sized posting lists — production pages them (posting
+    // blocks per term) and stop-lists df > ~50% of N; the structure here
+    // is the single-page form, df-thresholded to keep rows meaningful.
+    "q_x_inverted_index" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          sum(col("tf")).as("total_tf"),
+          sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+        .filter(col("df") >= 5)
+    },
+    // BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query,
+    // made bit-exact: with k1=6/5 and b=3/4 every per-term score clears
+    // to ONE integer ratio — idf·tfw = [(2N−2df+1)·22·tf·T] /
+    // [(2df+1)·(10·tf·T + 3·T + 9·dl·N)] (T = corpus tokens, dl = doc
+    // length; multiply through by 10·avgdl·N·2) — so both engines do the
+    // identical single double division, and the per-doc sum folds over
+    // term-ASC-sorted scores (order pinned, not shuffle-dependent).
+    // Corpus stats ride a broadcast one-row scalar (J4 pattern); the
+    // doc-term join is a narrow explode + term-keyed count. Top-10 by
+    // (score desc, doc_id) via TakeOrdered.
+    "q_x_bm25" -> { (s, dir) =>
+      val qTerms = Seq("spark", "stream", "window")
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term")).filter(col("term") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      val hits = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val df_ = hits.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val scored = hits
+        .join(broadcast(df_), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"),
+          (((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
+            lit(22) * col("tf") * col("t_tokens")).cast("double") /
+           ((lit(2) * col("df") + lit(1)) *
+            (lit(10) * col("tf") * col("t_tokens") + lit(3) * col("t_tokens") +
+             lit(9) * col("dl") * col("n_docs"))).cast("double")).as("score"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+          aggregate(sort_array(collect_list(struct(col("term"), col("score")))),
+            lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("n_terms_hit"), col("score"))
+    },
     "q_x_bloom_dedup" -> { (s, dir) =>
       val fpCol = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))
       val keyed = Tables.documents(s, dir)
@@ -1180,6 +1254,55 @@ object ExtTextQueries {
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_digest
         |FROM k""".stripMargin,
     "q_x_bpe_train" -> bpeTrainOracle(6),
+    // unsigned md5 prefix mod 8 ≡ Spark's signed pmod (2^64 ≡ 0 mod 8);
+    // ordering uses the signed reinterpretation so both engines sort alike
+    "q_x_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 16)) AS UBIGINT) AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(u AS BIGINT) END AS skey,
+        |  CAST(u % 8 AS INT) AS shard FROM k)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos,
+        |  doc_id, skey
+        |FROM s""".stripMargin,
+    "q_x_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term <> ''
+        |  GROUP BY term, doc_id)
+        |SELECT term, count(DISTINCT doc_id) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  list({'doc_id': doc_id, 'tf': tf} ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
+    // per-term score is ONE integer ratio (k1=6/5, b=3/4 cleared of
+    // fractions), per-doc sum folds over term-ASC scores via list_reduce
+    // (seeded by the first element; 0.0 + s ≡ s for positive doubles, so
+    // the fold equals Spark's zero-seeded aggregate bit-for-bit)
+    "q_x_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
+        |hits AS (SELECT term, doc_id, count(*) AS tf FROM tok2
+        |  WHERE term IN ('spark', 'stream', 'window') GROUP BY term, doc_id),
+        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+        |scored AS (SELECT h.doc_id, h.term,
+        |    CAST((2*s.n_docs - 2*d.df + 1) * 22 * h.tf * s.t_tokens AS DOUBLE) /
+        |    CAST((2*d.df + 1) * (10*h.tf*s.t_tokens + 3*s.t_tokens + 9*l.dl*s.n_docs) AS DOUBLE)
+        |      AS score
+        |  FROM hits h JOIN dfs d USING (term) JOIN dl l ON h.doc_id = l.doc_id
+        |  CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+        |    list_reduce(list(score ORDER BY term), (acc, x) -> acc + x) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, score FROM agg
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // the Bloom sketch only PRUNES (no false negatives) and every maybe is
     // exactly verified, so the oracle is the plain anti-join
     "q_x_bloom_dedup" ->
