@@ -499,6 +499,52 @@ object ExtTextQueries {
           sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
         .filter(col("df") >= 5)
     },
+    // Per-language token-length quantiles — the length-distribution
+    // diagnostic every corpus-curation pass starts from (and the cut-point
+    // feed for length filtering). EXACT percentile (Spark's `percentile`
+    // aggregate ≡ DuckDB quantile_cont: both interpolate at (n−1)p): on
+    // INTEGER inputs with quarter fractions the interpolation is exact in
+    // double, so the hash holds. 100 TB note: exact percentile sorts per
+    // group — per-language groups bound the sort; the production tier is
+    // approx_percentile (t-digest, mergeable partial aggs) with this as
+    // its oracled twin, the A4/HLL pattern.
+    "q_x_length_quantiles" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).as("n"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n, 0.25)").as("p25"),
+          expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.75)").as("p75"),
+          count(lit(1)).as("n_docs"))
+    },
+    // Overlapping strided token windows (size 8, stride 4) — the
+    // context-window split LLM pretraining and RAG indexing apply to long
+    // documents (each window overlaps the previous by size−stride tokens
+    // so no span loses context at a boundary). Explodes a window-INDEX
+    // sequence off the staged token count and builds each window after
+    // the Generate (the chunkRows lesson: never explode a HOF-built
+    // array), so the tokenizer runs once per doc and the whole stage is
+    // one codegen'd narrow pass.
+    "q_x_chunk_stride" -> { (s, dir) =>
+      val size_ = 8
+      val stride = 4
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          TextOps.tokenCountFromTokens(col("toks")).as("n"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(when(col("n") > 0,
+            sequence(lit(0), expr(s"((n + ${stride - 1}) div $stride) - 1")))
+            .otherwise(array().cast("array<int>"))).as(Seq("win_idx", "start")))
+        .select(col("doc_id"), col("win_idx"),
+          (col("start") * stride).cast("int").as("start_tok"),
+          slice(col("toks"), (col("start") * stride + 1).cast("int"), lit(size_)).as("win"))
+        .filter(size(col("win")) > 0)
+        .select(col("doc_id"), col("win_idx"), col("start_tok"),
+          size(col("win")).as("win_len"),
+          md5(array_join(col("win"), " ")).as("win_digest"))
+    },
     // BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query,
     // made bit-exact: with k1=6/5 and b=3/4 every per-term score clears
     // to ONE integer ratio — idf·tfw = [(2N−2df+1)·22·tf·T] /
@@ -1278,6 +1324,30 @@ object ExtTextQueries {
         |  CAST(sum(tf) AS BIGINT) AS total_tf,
         |  list({'doc_id': doc_id, 'tf': tf} ORDER BY doc_id) AS postings
         |FROM tf GROUP BY term HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
+    // Spark's exact `percentile` ≡ quantile_cont (both interpolate at
+    // (n−1)p); integer inputs + quarter fractions → exact doubles
+    "q_x_length_quantiles" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n
+        |  FROM documents)
+        |SELECT lang, quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.5) AS p50,
+        |  quantile_cont(n, 0.75) AS p75, count(*) AS n_docs
+        |FROM t GROUP BY lang""".stripMargin,
+    // list slices clamp at the array end in both engines (short tail
+    // window); the blank-doc token-count guard mirrors tokenCountFromTokens
+    "q_x_chunk_stride" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n FROM w),
+        |e AS (SELECT doc_id, ws,
+        |    unnest([{win_idx: i, start_tok: i*4} for i in generate_series(0, (n+3)//4 - 1)],
+        |      recursive := true)
+        |  FROM c WHERE n > 0)
+        |SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+        |  CAST(start_tok AS INT) AS start_tok,
+        |  CAST(len(ws[start_tok+1:start_tok+8]) AS INT) AS win_len,
+        |  md5(array_to_string(ws[start_tok+1:start_tok+8], ' ')) AS win_digest
+        |FROM e""".stripMargin,
     // per-term score is ONE integer ratio (k1=6/5, b=3/4 cleared of
     // fractions), per-doc sum folds over term-ASC scores via list_reduce
     // (seeded by the first element; 0.0 + s ≡ s for positive doubles, so
