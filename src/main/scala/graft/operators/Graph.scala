@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond the label-flooding connected components
+  * in [[Dedup.duplicateClusters]]. PageRank is the classic link-graph
+  * quality signal (crawl prioritization / page-quality filtering descends
+  * from it); here it runs over any edge list as a lazily-composed iterative
+  * dataflow — no driver-side collect anywhere in the loop.
+  */
+object Graph {
+
+  /** PageRank over a DIRECTED edge list (pass both directions for an
+    * undirected graph — which also removes dangling nodes, since every
+    * node then has out-degree ≥ 1). Damping 0.85, teleport to the
+    * edge-node set, `iters` fixed iterations from a uniform start.
+    *
+    * Determinism contract (what makes this oracle-checkable): each node's
+    * incoming contributions are summed by folding over the SOURCE-sorted
+    * list — the sum order is pinned by data, not by shuffle arrival, so
+    * the result is bit-identical across partitionings, cluster sizes, and
+    * engines. Production can swap the fold for a plain `sum` (one less
+    * per-node buffer; last-ulp nondeterminism) — the plan shape is
+    * otherwise identical.
+    *
+    * Scale shape: per iteration one join of ranks to edges on src (both
+    * sides hash-partitioned on the same key — the exchange is reused) and
+    * one dst-keyed aggregate. The per-node buffer is bounded by in-degree;
+    * web-scale hubs would page this (or use the plain-sum tier). The whole
+    * `iters`-round loop composes into ONE lazy plan; production
+    * checkpoints every ~5 rounds to cap lineage.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    // materialize the edge list once — the iterations reference it 2·iters
+    // times, and without the checkpoint each reference re-executes the
+    // caller's whole edge-derivation subtree (measured 4.8 s → 2.6 s at
+    // sf0.1 for the trading-graph query, whose edges are a distinct over
+    // a fact join)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // NOT checkpointed: both join sides read the checkpointed e, so the
+    // recomputed join is cheaper than eagerly materializing its output
+    // (measured 3.8 s vs 5.8 s at sf0.1)
+    val withDeg = e.join(deg, Seq("src"))
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(withDeg, col("node") === col("src"))
+        .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy(col("dst"))
+        .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        .crossJoin(broadcast(nDf))
+        .select(col("dst").as("node"),
+          (lit(1.0 - damping) / col("n") + lit(damping) * col("s")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -545,6 +545,29 @@ object ExtTextQueries {
           size(col("win")).as("win_len"),
           md5(array_join(col("win"), " ")).as("win_digest"))
     },
+    // PageRank (damping 0.85, 3 iterations) over the customer↔supplier
+    // trading graph (distinct pairs from lineitem⋈orders, symmetrized; node
+    // ids namespaced even/odd) — the link-graph centrality family behind
+    // crawl-quality signals, run as a lazily-composed iterative dataflow
+    // with NO driver action in the loop. Bit-exact determinism comes from
+    // folding each node's contributions in SOURCE-sorted order (see
+    // Graph.pageRank); the oracle replays all 3 rounds with the identical
+    // double expression tree (every literal cast to DOUBLE — DuckDB's bare
+    // 0.85 is a DECIMAL and 1.0−0.85 ≠ double 0.15's neighbor).
+    "q_x_pagerank" -> { (s, dir) =>
+      val pairs = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("su"))
+        .distinct()
+      val sym = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .union(pairs.select(col("su").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
+        .select(when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+          col("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    },
     // BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query,
     // made bit-exact: with k1=6/5 and b=3/4 every per-term score clears
     // to ONE integer ratio — idf·tfw = [(2N−2df+1)·22·tf·T] /
@@ -1348,6 +1371,33 @@ object ExtTextQueries {
         |  CAST(len(ws[start_tok+1:start_tok+8]) AS INT) AS win_len,
         |  md5(array_to_string(ws[start_tok+1:start_tok+8], ' ')) AS win_digest
         |FROM e""".stripMargin,
+    // every literal CAST to DOUBLE (bare 0.85/1.0 are DECIMALs in DuckDB);
+    // the (1.0-0.85) teleport mirrors the Scala-side double subtraction;
+    // list_reduce's first-element seed ≡ Spark's 0.0 seed on positive terms
+    "q_x_pagerank" -> {
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT e.dst, e.src, r.rank / e.deg AS c
+           |  FROM r${i - 1} r JOIN e ON r.node = e.src),
+           |r$i AS (SELECT dst AS node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * list_reduce(list(c ORDER BY src), (a, b) -> a + b)
+           |      AS rank
+           |  FROM c$i, nn GROUP BY dst, nn.n)""".stripMargin
+      s"""WITH pr0 AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS su
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ed AS (SELECT c AS src, su AS dst FROM pr0
+         |  UNION ALL SELECT su AS src, c AS dst FROM pr0),
+         |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |e AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+         |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM dg, nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  node, rank
+         |FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+    },
     // per-term score is ONE integer ratio (k1=6/5, b=3/4 cleared of
     // fractions), per-doc sum folds over term-ASC scores via list_reduce
     // (seeded by the first element; 0.0 + s ≡ s for positive doubles, so

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches a naive driver-side power iteration") {
+    // small undirected graph: a 4-cycle with a chord plus a pendant pair
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 4) {
+      rank = nodes.map { v =>
+        // sum in source-sorted order — the operator's determinism contract
+        val s = adj(v).sorted.foldLeft(0.0)((acc, u) => acc + rank(u) / adj(u).size)
+        v -> ((1.0 - 0.85) / n + 0.85 * s)
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (v, r) => assert(r == rank(v), s"node $v: $r vs ${rank(v)}") }
+    // ranks form a probability-ish distribution (sums to ~1 on a graph
+    // with no dangling nodes)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the chorded nodes (1, 3) outrank the plain cycle nodes (2, 4)
+    assert(got(1L) > got(2L) && got(3L) > got(4L))
+  }
+
+  test("pageRank is bit-identical across repartitionings") {
+    val r = new scala.util.Random(7)
+    val edges0 = (1 to 400).map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = (edges0 ++ edges0.map(_.swap)).distinct
+    val a = Graph.pageRank(sym.toDF("src", "dst").repartition(1), "src", "dst", 3)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(sym.toDF("src", "dst").repartition(13), "src", "dst", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+}
