@@ -147,6 +147,33 @@ object WindowSetQueries {
     },
     // U6: two-sided ledger with tags, kept as rows (reference: deposits ∪
     // withdrawals lp_deposit.rs:161-190).
+    // Batch sessionization (the classic gap-based form): per user, a new
+    // session starts when >30 min separate consecutive events; session id
+    // = running count of session starts. One user-keyed shuffle carries
+    // both windows (the LAG gap probe and the running sum share the same
+    // partitioning + ordering, so Catalyst plans ONE Exchange + one
+    // WindowExec pair); the per-session rollup reuses the partitioning.
+    // Sessionizes on second-truncated timestamps so the ns-precision
+    // source (Spark truncates, DuckDB keeps — TESTDATA gotcha) can't
+    // flip a gap at the 30-minute boundary; event_id breaks same-second
+    // ties deterministically.
+    "q_x_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts"))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("is_new",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(wRun).cast("int"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_sec"))
+    },
     "q_u6_ledger" -> { (s, dir) =>
       val e = ev(s, dir)
       val dep = e.filter(col("event_type") === "signup")
@@ -184,6 +211,22 @@ object WindowSetQueries {
          |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
          |FROM hourly""".stripMargin,
+    // epoch() on second-truncated timestamps is integral, so the gap
+    // comparison and duration arithmetic are exact in both engines
+    "q_x_sessionize" ->
+      s"""WITH $evCte,
+         |e2 AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM ev),
+         |g AS (SELECT *, epoch(ts) - epoch(lag(ts) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s FROM e2),
+         |sg AS (SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new
+         |  FROM g),
+         |sess AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         |    AS session_id FROM sg)
+         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_sec
+         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q_o1_pagination" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10 OFFSET 20""".stripMargin,
