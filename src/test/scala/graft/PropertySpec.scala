@@ -210,6 +210,79 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](catchUpDelaySeconds(0, None, now))
   }
 
+  test("property: removeDuplicateSpans equals the naive gram-count reference") {
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc: Gen[String] = Gen.choose(0, 9)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen: Gen[List[String]] = Gen.listOfN(12, doc)
+    val n = 3
+    for (seed <- 1 to 8) {
+      val texts = sample(corpusGen, 9000 + seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+      // naive reference: count every gram instance corpus-wide, cut every
+      // token covered by a duplicated gram's window
+      val toks = texts.map(_.trim.split("\\s+").toSeq)
+      val allGrams = toks.flatMap(ws =>
+        if (ws.length < n || (ws.length == 1 && ws.head.isEmpty)) Nil
+        else ws.sliding(n).map(_.mkString(" ")).toSeq)
+      val counts = allGrams.groupBy(identity).view.mapValues(_.size).toMap
+      val want = toks.zipWithIndex.map { case (ws, id) =>
+        val starts =
+          if (ws.length < n || (ws.length == 1 && ws.head.isEmpty)) Seq.empty[Int]
+          else (0 to ws.length - n).filter(s => counts(ws.slice(s, s + n).mkString(" ")) >= 2)
+        val kept = ws.indices.filterNot(p => starts.exists(s => p >= s && p <= s + n - 1))
+        id.toLong -> ((ws.length, starts.length, kept.length))
+      }.toMap
+
+      val got = graft.operators.Dedup.removeDuplicateSpans(docs, n = n)
+        .select("doc_id", "n_tokens", "n_dup_grams", "n_kept")
+        .as[(Long, Int, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("property: gap-based sessionization equals Spark's native session_window") {
+    // the q_x_sessionize rule (new session when gap > 1800 s) is exactly
+    // session_window with a 1801 s gap: session_window merges while
+    // diff < gap (interval end exclusive), so gap = 1801 keeps diff ≤ 1800
+    // together — the bridge to the streaming-capable native operator.
+    val evGen: Gen[List[(Int, Long)]] = Gen.listOfN(80,
+      for {
+        user <- Gen.choose(0, 3)
+        t <- Gen.choose(0L, 20000L)
+      } yield (user, t))
+    for (seed <- 1 to 6) {
+      val rows = sample(evGen, 7000 + seed).distinct
+      val df = rows.zipWithIndex.map { case ((u, t), i) =>
+        (u.toLong, i.toLong, new java.sql.Timestamp(t * 1000)) }
+        .toDF("user_id", "event_id", "ts")
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val batch = df
+        .withColumn("gap_s",
+          unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+        .withColumn("is_new", when($"gap_s".isNull || $"gap_s" > 1800, 1).otherwise(0))
+        .withColumn("sid", sum($"is_new").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"ts").as("s"), max($"ts").as("e"), count(lit(1)).as("n"))
+        .select($"user_id", $"s", $"e", $"n")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+
+      val native = df
+        .groupBy(session_window($"ts", "1801 seconds"), $"user_id")
+        .agg(min($"ts").as("s"), max($"ts").as("e"), count(lit(1)).as("n"))
+        .select($"user_id", $"s", $"e", $"n")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+
+      assert(batch == native, s"seed $seed")
+    }
+  }
+
   test("json response sink renders clamped rows as a JSON array") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
