@@ -468,6 +468,22 @@ object TextOps {
     * Output: (step, left_sym, right_sym, merged, pair_count) for the k
     * learned merges, in order (fewer if the corpus runs out of pairs).
     */
+  /** Apply learned BPE merges: tokenize text into words, split each word
+    * into character symbols, then run every merge rule in training order
+    * ([[bpeMergePass]] chained — BPE application is defined as replaying
+    * the merge sequence). Returns the flat token array. Empty words are
+    * filtered first (a blank doc encodes to zero tokens — and the char
+    * split of "" diverges between engines, so neither side may fold it).
+    * Narrow, codegen'd, no shuffle: the merges arrive as a driver-side
+    * list (they are vocabulary metadata, broadcast-sized by construction).
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val wordSyms = transform(filter(tokens(text), w => w =!= ""), w => split(w, ""))
+    flatten(merges.foldLeft(wordSyms) { case (acc, (a, b)) =>
+      transform(acc, ws => bpeMergePass(ws, a, b))
+    })
+  }
+
   def bpeTrainMerges(docs: DataFrame, textCol: String = "text", k: Int = 6,
       vocabPartitions: Int = 4): DataFrame = {
     val sp = docs.sparkSession

@@ -463,6 +463,41 @@ object ExtTextQueries {
     "q_x_bpe_train" -> { (s, dir) =>
       TextOps.bpeTrainMerges(Tables.documents(s, dir), k = 6)
     },
+    // BPE tokenizer APPLICATION — the train→apply round trip: learn the
+    // 6 merges from the corpus (q_x_bpe_train's exact path), then encode
+    // every document by replaying the merge sequence per word and report
+    // the per-doc BPE token count + token-stream digest. The merges are
+    // vocabulary metadata (driver-side list, broadcast-sized by
+    // construction); the encode itself is a narrow codegen'd map. The
+    // oracle replays training AND encoding through the same CTE chain.
+    "q_x_bpe_encode" -> { (s, dir) =>
+      val merges = TextOps.bpeTrainMerges(Tables.documents(s, dir), k = 6)
+        .orderBy(col("step"))
+        .select(col("left_sym"), col("right_sym"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      // Encode each DISTINCT word once (the merge-fold chain is interpreted
+      // HOF work — running it per word OCCURRENCE measured 9.3 s at sf0.1;
+      // per VOCAB word it is 1.4 s), broadcast the encoded vocabulary back
+      // onto the occurrence stream, and reassemble per doc in position
+      // order. This is also the 100 TB shape: encode the vocabulary, not
+      // the corpus. The left join restores blank docs at zero tokens.
+      val docs = Tables.documents(s, dir)
+      val words = docs.select(col("doc_id"),
+        posexplode(filter(TextOps.tokens(col("text")), w => w =!= ""))
+          .as(Seq("pos", "w")))
+      val vocab = words.select(col("w")).distinct()
+        .withColumn("enc", TextOps.bpeEncode(col("w"), merges))
+      val perDoc = words.join(broadcast(vocab), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("enc")))),
+          x => x.getField("enc"))).as("toks"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(size(col("toks")), lit(0)).as("n_bpe_tokens"),
+          md5(coalesce(array_join(col("toks"), " "), lit(""))).as("tok_digest"))
+    },
     // Deterministic training-order shuffle + sharding: every epoch-shuffle
     // in a training pipeline needs a reproducible global permutation.
     // Sort key = md5-64 of (doc_id ":" salt) — seedless, resumable,
@@ -711,7 +746,11 @@ object ExtTextQueries {
     * LIST; the fold replicates the left-to-right merge scan exactly —
     * see TextOps.bpeMergePass).
     */
-  private def bpeTrainOracle(k: Int): String = {
+  /** The k training rounds as a WITH-chain (shared by the train and encode
+    * oracles): w0 = char-split word-frequency table, then per round a pair
+    * count, the deterministic argmax m_i, and the merged word table w_i.
+    */
+  private def bpeRoundsCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT l, r, sum(freq) AS cnt FROM (
@@ -726,16 +765,45 @@ object ExtTextQueries {
          |                ELSE acc || x END) AS syms, freq
          |  FROM w${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT regexp_split_to_array(w, '') AS syms, count(*) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
     val sel = (1 to k).map { i =>
       s"SELECT CAST($i AS INT) AS step, l AS left_sym, r AS right_sym, " +
         s"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i"
     }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT regexp_split_to_array(w, '') AS syms, count(*) AS freq
-       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY w),
-       |$rounds
+    s"""WITH ${bpeRoundsCtes(k)}
        |$sel""".stripMargin
+  }
+
+  /** The encode oracle: replay training (shared CTEs), then re-tokenize
+    * every document with the learned merges — per word the same
+    * single-element-list fold as training, chained once per round.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"""d$i AS (SELECT doc_id,
+         |  list_transform(wls, tl -> list_reduce([[s] for s in tl],
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.l AND x[1] = m$i.r
+         |                THEN list_slice(acc, 1, len(acc)-1) || [m$i.l || m$i.r]
+         |                ELSE acc || x END)) AS wls
+         |  FROM d${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeRoundsCtes(k)},
+       |d0 AS (SELECT doc_id,
+       |    list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''),
+       |      w -> regexp_split_to_array(w, '')) AS wls
+       |  FROM documents),
+       |$stages,
+       |f AS (SELECT doc_id, flatten(wls) AS toks FROM d$k)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
+       |  md5(coalesce(array_to_string(toks, ' '), '')) AS tok_digest
+       |FROM f""".stripMargin
   }
 
   private def minhashChainCtes: String = {
@@ -1323,6 +1391,7 @@ object ExtTextQueries {
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_digest
         |FROM k""".stripMargin,
     "q_x_bpe_train" -> bpeTrainOracle(6),
+    "q_x_bpe_encode" -> bpeEncodeOracle(6),
     // unsigned md5 prefix mod 8 ≡ Spark's signed pmod (2^64 ≡ 0 mod 8);
     // ordering uses the signed reinterpretation so both engines sort alike
     "q_x_corpus_shuffle" ->

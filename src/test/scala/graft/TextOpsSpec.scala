@@ -206,6 +206,15 @@ class TextOpsSpec extends SparkSpec {
     assert(ab == Seq(Seq("a", "a", "ab"), Seq("ab", "ab"), Seq("b", "a"), Seq("a")))
   }
 
+  test("bpeEncode replays merges in order; later merges consume earlier fusions") {
+    val df = Seq("abc ab dd", "", "c").toDF("t")
+    // merges (a,b) then (ab,c): "abc" -> [ab, c] -> [abc]; "ab" -> [ab];
+    // "dd" untouched; blank doc encodes to zero tokens
+    val got = df.select(TextOps.bpeEncode($"t", Seq(("a", "b"), ("ab", "c"))).as("e"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("abc", "ab", "d", "d"), Seq(), Seq("c")))
+  }
+
   test("bpeTrainMerges learns hand-checkable merges in frequency-then-lex order") {
     // "ab" appears in: abc x3, ab x2 -> pair (a,b) weight 5; (b,c) weight 3;
     // after merge 1, (ab,c) weight 3 beats (d,d) weight 2
