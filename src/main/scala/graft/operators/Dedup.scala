@@ -479,6 +479,21 @@ object Dedup {
       definitelyNew.unionByName(verified)
   }
 
+  /** Post-dedup survivor resolve — the one representative per duplicate
+    * cluster plus every singleton, with the merge count. `clusters` is
+    * [[duplicateClusters]] output (near-dup members ONLY, so the join
+    * broadcasts at any corpus size); the representative is the hash-min
+    * cluster_id itself. Keeps every column of `df` and appends
+    * `n_merged` (1 for singletons). One place pins the representative
+    * rule for the doc and embedding pipelines and their specs.
+    */
+  def survivors(df: DataFrame, clusters: DataFrame, idCol: String): DataFrame =
+    df.join(broadcast(clusters), Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+      .withColumn("n_merged", coalesce(col("cluster_size"), lit(1L)))
+      .drop("cluster_size")
+
   /** Exact duplicate-SPAN removal (the ExactSubstr move of Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better", word-gram
     * form): any word n-gram occurring ≥2 times ANYWHERE in the corpus —

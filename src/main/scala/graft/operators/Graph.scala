@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** PageRank over a DIRECTED edge list (pass both directions for an
-    * undirected graph — which also removes dangling nodes, since every
-    * node then has out-degree ≥ 1). Damping 0.85, teleport to the
-    * edge-node set, `iters` fixed iterations from a uniform start.
+    * undirected graph). Damping 0.85, teleport over the full node set
+    * (src ∪ dst), `iters` fixed iterations from a uniform start. Nodes
+    * with no in-edges keep their teleport share every round (the
+    * all-nodes left join below — without it a source-only node would
+    * vanish after round 1). Dangling-node mass (out-degree 0) is DROPPED,
+    * the common simplification: ranks then sum to < 1 on graphs with
+    * sinks; symmetrized input has no sinks and sums to 1.
     *
     * Determinism contract (what makes this oracle-checkable): each node's
     * incoming contributions are summed by folding over the SOURCE-sorted
@@ -45,18 +49,22 @@ object Graph {
     // recomputed join is cheaper than eagerly materializing its output
     // (measured 3.8 s vs 5.8 s at sf0.1)
     val withDeg = e.join(deg, Seq("src"))
-    val nDf = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.crossJoin(broadcast(nDf))
-      .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
       val contribs = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
-      ranks = contribs.groupBy(col("dst"))
+      val sums = contribs.groupBy(col("dst"))
         .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
           lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
         .crossJoin(broadcast(nDf))
-        .select(col("dst").as("node"),
-          (lit(1.0 - damping) / col("n") + lit(damping) * col("s")).as("rank"))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
     }
     ranks
   }

@@ -136,6 +136,18 @@ object Similarity {
     * hash of (seed, p, d) mapped to [-1, 1]. Pure driver-side doubles — the
     * planes are data-independent literals in the plan.
     */
+  /** Deterministic coordinate-sign quantizer: bit p of the cell id is the
+    * sign of coordinate `coords(p)`. The oracle-anchorable cell assignment
+    * (no random-projection dot product whose fold order could flip a
+    * near-zero sign between engines) shared by the exact-LSH twin, the
+    * SemDedup cell stage, and their specs; the production assignment is
+    * the IVF codebook.
+    */
+  def signCells(emb: Column, coords: Seq[Int]): Column =
+    coords.zipWithIndex.map { case (d, p) =>
+      when(emb.getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     Array.tabulate(numPlanes, dim) { (p, d) =>
       // splitmix64-style scramble: deterministic, platform-independent

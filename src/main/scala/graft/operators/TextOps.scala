@@ -134,15 +134,19 @@ object TextOps {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
 
-  /** Sliding word n-grams of a token array, space-joined — the unit of the
-    * benchmark-overlap decontamination screen (exact n-gram hits, the
-    * GPT-3 appendix-C / PaLM 13-gram family of checks). Fewer than n
-    * tokens (including the blank-text [""] artifact) yields the empty
-    * array — guarded because `sequence(0, negative)` would DESCEND, not
-    * return empty. Pure built-ins: stays in whole-stage codegen.
+  /** Sliding word n-grams of a token array, space-joined — the built-ins
+    * reference formulation of the shingle the native `shingle_hashes`
+    * kernel computes (the decontamination/dedup hot paths use the kernel;
+    * this stays as the composable Column form and the parity anchor).
+    * Fewer than n tokens yields the empty array — guarded because
+    * `sequence(0, negative)` would DESCEND, not return empty — and the
+    * blank-text [""] artifact is guarded explicitly (at n=1 it would
+    * otherwise pass the size check and emit [""] as a gram). Pure
+    * built-ins: stays in whole-stage codegen.
     */
   def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
+    when(size(toks) >= n &&
+        !(size(toks) === 1 && element_at(toks, 1) === ""),
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
@@ -521,7 +525,12 @@ object TextOps {
         else {
           val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((step, l, r, l + r, c))
+          // localCheckpoint keeps each round ONE merge pass over the vocab
+          // table — a lazy chain replays all i-1 prior passes inside round
+          // i's count (O(k²) passes total, and the merge fold is
+          // interpreted HOF work, the expensive kind to replay)
           cur = cur.select(bpeMergePass(col("syms"), l, r).as("syms"), col("freq"))
+            .localCheckpoint()
           step += 1
         }
       }

@@ -155,10 +155,7 @@ object ExtTextQueries {
         numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
         failOnOverCap = true)
       val clusters = Dedup.duplicateClusters(pairs, "a", "b")
-      docs.select(col("doc_id"))
-        .join(broadcast(clusters), Seq("doc_id"), "left")
-        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-        .select(col("doc_id"), coalesce(col("cluster_size"), lit(1L)).as("n_merged"))
+      Dedup.survivors(docs.select(col("doc_id")), clusters, "doc_id")
     },
     // Gopher-style quality signals (Rae et al. 2021 rule family): token/
     // bigram/line arrays staged once, then nine per-row repetition and
@@ -430,17 +427,6 @@ object ExtTextQueries {
           count(lit(1)).as("n_docs"),
           countDistinct(col("raw_url")).as("n_raw_forms"))
     },
-    // Incremental corpus dedup, Bloom-accelerated: the already-ingested
-    // cohort (doc_id ≡ 0 mod 3) is "yesterday's corpus"; the incoming rest
-    // is admitted iff its content key (md5 of the first 4 tokens — a
-    // prefix fingerprint with real cross-cohort collisions on this corpus)
-    // is not already present. The old cohort's keys are folded into a
-    // Bloom sketch ONCE (memoized per dir+mtime, built by Spark's own
-    // distributive BloomFilterAggregate); most incoming rows pass the
-    // narrow might-contain filter as definitely-new with NO shuffle, and
-    // only the maybe sliver pays the exact anti-join — so the result is
-    // EXACT (oracle-checkable) while the scale win survives: a daily crawl
-    // that is 99% new shuffles 1% of itself. See Dedup.antiJoinBloom.
     // Exact duplicate-SPAN removal (ExactSubstr, Lee et al. 2021, word-gram
     // form): any word 8-gram occurring twice anywhere in the corpus —
     // cross-doc or repeated within one doc — is cut from every document
@@ -545,8 +531,7 @@ object ExtTextQueries {
     // its oracled twin, the A4/HLL pattern.
     "q_x_length_quantiles" -> { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("lang"),
-          size(split(trim(col("text")), "\\s+")).as("n"))
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("n"))
         .groupBy(col("lang"))
         .agg(expr("percentile(n, 0.25)").as("p25"),
           expr("percentile(n, 0.5)").as("p50"),
@@ -641,6 +626,17 @@ object ExtTextQueries {
         .limit(10)
         .select(col("doc_id"), col("n_terms_hit"), col("score"))
     },
+    // Incremental corpus dedup, Bloom-accelerated: the already-ingested
+    // cohort (doc_id ≡ 0 mod 3) is "yesterday's corpus"; the incoming rest
+    // is admitted iff its content key (md5 of the first 4 tokens — a
+    // prefix fingerprint with real cross-cohort collisions on this corpus)
+    // is not already present. The old cohort's keys are folded into a
+    // Bloom sketch ONCE (memoized per dir+mtime, built by Spark's own
+    // distributive BloomFilterAggregate); most incoming rows pass the
+    // narrow might-contain filter as definitely-new with NO shuffle, and
+    // only the maybe sliver pays the exact anti-join — so the result is
+    // EXACT (oracle-checkable) while the scale win survives: a daily crawl
+    // that is 99% new shuffles 1% of itself. See Dedup.antiJoinBloom.
     "q_x_bloom_dedup" -> { (s, dir) =>
       val fpCol = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))
       val keyed = Tables.documents(s, dir)
@@ -703,19 +699,9 @@ object ExtTextQueries {
   private def docBloom(s: SparkSession, dir: String): Option[Array[Byte]] = {
     val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = root.getFileSystem(conf)
-    val mtime = fs.getFileStatus(root).getModificationTime
+    val mtime = root.getFileSystem(conf).getFileStatus(root).getModificationTime
     docBlooms.getOrElseUpdate((dir, mtime), {
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        else Seq(root)
-      val nDocs = files.map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+      val nDocs = Tables.parquetRecordCount(s, s"$dir/documents.parquet")
       val fpCol = md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4)))
       val old = Tables.documents(s, dir)
         .select(col("doc_id"), fpCol.as("prefix_fp"))
@@ -783,16 +769,22 @@ object ExtTextQueries {
 
   /** The encode oracle: replay training (shared CTEs), then re-tokenize
     * every document with the learned merges — per word the same
-    * single-element-list fold as training, chained once per round.
+    * single-element-list fold as training, chained once per round. Each
+    * stage LEFT-joins its merge row on TRUE rather than cross-joining:
+    * if a training round exhausts (no pair left), the empty m_i must
+    * pass documents through unchanged — a cross join would collapse
+    * every downstream stage to zero rows while the Spark side encodes
+    * with the merges learned so far.
     */
   private def bpeEncodeOracle(k: Int): String = {
     val stages = (1 to k).map { i =>
       s"""d$i AS (SELECT doc_id,
-         |  list_transform(wls, tl -> list_reduce([[s] for s in tl],
+         |  CASE WHEN m$i.l IS NULL THEN wls
+         |  ELSE list_transform(wls, tl -> list_reduce([[s] for s in tl],
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.l AND x[1] = m$i.r
          |                THEN list_slice(acc, 1, len(acc)-1) || [m$i.l || m$i.r]
-         |                ELSE acc || x END)) AS wls
-         |  FROM d${i - 1}, m$i)""".stripMargin
+         |                ELSE acc || x END)) END AS wls
+         |  FROM d${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${bpeRoundsCtes(k)},
        |d0 AS (SELECT doc_id,
@@ -1417,10 +1409,12 @@ object ExtTextQueries {
         |  list({'doc_id': doc_id, 'tf': tf} ORDER BY doc_id) AS postings
         |FROM tf GROUP BY term HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
     // Spark's exact `percentile` ≡ quantile_cont (both interpolate at
-    // (n−1)p); integer inputs + quarter fractions → exact doubles
+    // (n−1)p); integer inputs + quarter fractions → exact doubles; blank
+    // docs count 0 tokens (the tokenCount guard), not their [""] artifact
     "q_x_length_quantiles" ->
       """WITH t AS (SELECT lang,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n
         |  FROM documents)
         |SELECT lang, quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.5) AS p50,
         |  quantile_cont(n, 0.75) AS p75, count(*) AS n_docs

@@ -16,32 +16,10 @@ object ExtVectorQueries {
   /** Corpus row count from the parquet footers — NO Spark job (a plain
     * `df.count()` at plan-build time ran a full count job every time the
     * LSH entry was even constructed, e.g. per PlanGuardSpec plan census).
-    * Footer record counts are exact; memoized per (directory, mtime) so a
-    * rewritten embeddings.parquet invalidates the cached count. Listing is
-    * single-level (Spark's own flat layout); a partition-nested table
-    * would need a recursive walk here.
+    * Shared memoized implementation: [[Tables.parquetRecordCount]].
     */
-  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
-  private def embeddingCount(s: SparkSession, dir: String): Long = {
-    val conf0 = s.sessionState.newHadoopConf()
-    val root0 = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val mtime = root0.getFileSystem(conf0).getFileStatus(root0).getModificationTime
-    corpusCounts.getOrElseUpdate((dir, mtime), {
-      val conf = conf0
-      val root = root0
-      val fs = root.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        else Seq(root)
-      files.map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
-    })
-  }
+  private def embeddingCount(s: SparkSession, dir: String): Long =
+    Tables.parquetRecordCount(s, s"$dir/embeddings.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for the query subset
@@ -88,12 +66,9 @@ object ExtVectorQueries {
     // production scale path, recall-specced against brute force.
     "q_x_embed_neardup_lsh_exact" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      def bucket(coords: Seq[Int]): org.apache.spark.sql.Column =
-        coords.zipWithIndex.map { case (d, p) =>
-          when(col("embedding").getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
-        }.reduce(_ + _)
       def pairsFor(coords: Seq[Int]): DataFrame = {
-        val b = emb.select(col("vec_id").as("id"), bucket(coords).as("bv"))
+        val b = emb.select(col("vec_id").as("id"),
+          Similarity.signCells(col("embedding"), coords).as("bv"))
         b.select(col("id").as("a"), col("bv"))
           .join(b.select(col("id").as("b"), col("bv")), Seq("bv"))
           .filter(col("a") < col("b"))
@@ -128,10 +103,8 @@ object ExtVectorQueries {
     // the cluster table is near-dup-members-only.
     "q_x_semdedup" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cellCol = Seq(0, 9, 18, 27, 36, 45).zipWithIndex.map { case (d, p) =>
-        when(col("embedding").getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val cells = emb.select(col("vec_id"), cellCol.as("cell"))
+      val cells = emb.select(col("vec_id"),
+        Similarity.signCells(col("embedding"), Seq(0, 9, 18, 27, 36, 45)).as("cell"))
       val cand = cells.select(col("vec_id").as("a"), col("cell"))
         .join(cells.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
         .filter(col("a") < col("b"))
@@ -142,10 +115,7 @@ object ExtVectorQueries {
         .filter(cosineSim(col("__ea"), col("__eb")) >= 0.25)
         .select(col("a"), col("b"))
       val clusters = Dedup.duplicateClusters(pairs, "a", "b", idCol = "vec_id")
-      cells.join(broadcast(clusters), Seq("vec_id"), "left")
-        .filter(col("cluster_id").isNull || col("cluster_id") === col("vec_id"))
-        .select(col("vec_id"), col("cell"),
-          coalesce(col("cluster_size"), lit(1L)).as("n_merged"))
+      Dedup.survivors(cells, clusters, "vec_id")
     },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).

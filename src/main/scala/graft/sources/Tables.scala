@@ -20,6 +20,32 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parquet-footer record count for a table file or directory, memoized
+    * per (path, mtime) — sizing sketches and plan choices must not run a
+    * count JOB at plan-build time. Listing is single-level (Spark's own
+    * flat layout); a partition-nested table would need a recursive walk.
+    */
+  private val footerCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  def parquetRecordCount(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val mtime = fs.getFileStatus(root).getModificationTime
+    footerCounts.getOrElseUpdate((path, mtime), {
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(root)
+      files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -336,10 +336,8 @@ class DedupSpec extends SparkSpec {
     // survivor set against a driver-side union-find over the same exact
     // within-cell cosine pairs
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val cellCol = Seq(0, 9, 18, 27, 36, 45).zipWithIndex.map { case (d, p) =>
-      when(col("embedding").getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val cells = emb.select(col("vec_id"), cellCol.as("cell"))
+    val cells = emb.select(col("vec_id"),
+      Similarity.signCells(col("embedding"), Seq(0, 9, 18, 27, 36, 45)).as("cell"))
     import org.apache.spark.sql.graft.natives.cosineSim
     val pairs = cells.select(col("vec_id").as("a"), col("cell"))
       .join(cells.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
@@ -361,9 +359,7 @@ class DedupSpec extends SparkSpec {
     val wantSurvivors = allIds.filter(id => find(id) == id)
     val clusters = Dedup.duplicateClusters(pairs.toSeq.toDF("a", "b"), "a", "b",
       idCol = "vec_id")
-    val gotSurvivors = cells
-      .join(broadcast(clusters), Seq("vec_id"), "left")
-      .filter(col("cluster_id").isNull || col("cluster_id") === col("vec_id"))
+    val gotSurvivors = Dedup.survivors(cells, clusters, "vec_id")
       .select("vec_id").as[Long].collect().toSet
     assert(gotSurvivors == wantSurvivors)
     assert(pairs.nonEmpty, "fixture must exercise the near-dup path")

@@ -33,6 +33,17 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(3L) > got(4L))
   }
 
+  test("pageRank on a directed graph keeps source-only nodes and teleports over |V|") {
+    // 1 → 2: node 1 receives nothing but must keep its teleport share;
+    // n must be |V| = 2 (not the out-degree-node count); node 2's dangling
+    // mass is dropped by documented design
+    val got = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (1.0 - 0.85) / 2)
+    assert(got(2L) == (1.0 - 0.85) / 2 + 0.85 * 0.5)
+  }
+
   test("pageRank is bit-identical across repartitionings") {
     val r = new scala.util.Random(7)
     val edges0 = (1 to 400).map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
