@@ -166,6 +166,31 @@ object AggQueries {
       pos.unionByName(neg)
         .groupBy(col("user_id"))
         .agg(sum(col("amt")).cast("double").as("net_value"))
+    },
+    // Sample variance per event type, exact-rational: values become exact
+    // integer CENTS (the decimal(18,2) house cast × 100 → LONG), the
+    // textbook (n·Σc² − (Σc)²)/(n(n−1)) runs in DECIMAL(38,0) — the
+    // cross-products pass 2^63 around sf1 (n≈2·10⁴, Σc²≈2·10¹⁶ per
+    // group), where DuckDB is already in HUGEINT — and ONE final double
+    // division (÷10⁴ folded into the denominator) lands the result.
+    // stddev is deliberately NOT emitted: sqrt is libm, not
+    // bit-specified across engines; consumers take the root themselves.
+    // Shuffle shape: three plain sums with map-side partial aggregation —
+    // the mergeable-moments form (count/Σ/Σ²), same contract as
+    // approx-sketch tiers.
+    "q_x_variance" -> { (s, dir) =>
+      val cents = (dec("value") * 100).cast("long")
+      ev(s, dir)
+        .select(col("event_type"), cents.as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("n") > 1)
+        .select(col("event_type"), col("n"),
+          ((col("n").cast("decimal(38,0)") * col("s2").cast("decimal(38,0)") -
+            col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
+            .cast("double") /
+            (col("n") * (col("n") - 1) * 10000L).cast("double")).as("var_value"))
     }
   )
 
@@ -249,6 +274,16 @@ object AggQueries {
          |  UNION ALL
          |  SELECT user_id, -CAST(value AS DECIMAL(18,2)) AS amt FROM ev WHERE event_type = 'error')
          |SELECT user_id, CAST(sum(amt) AS DOUBLE) AS net_value
-         |FROM flows GROUP BY user_id""".stripMargin
+         |FROM flows GROUP BY user_id""".stripMargin,
+    // integer-cents moments; DuckDB's HUGEINT sums play Spark's
+    // DECIMAL(38,0) — both exact, both correctly rounded to double once
+    "q_x_variance" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM ev)
+         |SELECT event_type, count(*) AS n,
+         |  CAST(count(*) * sum(c*c) - sum(c)*sum(c) AS DOUBLE)
+         |    / CAST(count(*) * (count(*) - 1) * 10000 AS DOUBLE) AS var_value
+         |FROM c GROUP BY event_type HAVING count(*) > 1""".stripMargin
   )
 }

@@ -484,6 +484,41 @@ object ExtTextQueries {
           coalesce(size(col("toks")), lit(0)).as("n_bpe_tokens"),
           md5(coalesce(array_join(col("toks"), " "), lit(""))).as("tok_digest"))
     },
+    // ROLLUP (hierarchical subtotals): per-(lang, source) doc counts with
+    // per-lang subtotals and the grand total in one pass — Spark plans
+    // grouping sets as a single Expand + one aggregate, no re-scan per
+    // level. grouping_id disambiguates subtotal NULLs from data NULLs
+    // (bit order: first rollup column = MSB, mirrored explicitly in the
+    // oracle as 2·GROUPING(lang)+GROUPING(source)).
+    "q_x_rollup" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("chars"))
+    },
+    // CUBE: all four grouping sets of (lang, source) — adds the per-source
+    // marginals to the rollup. Same single-Expand plan shape.
+    "q_x_cube" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("chars"))
+    },
+    // PIVOT: per-source doc counts spread into one column per language.
+    // The value list is EXPLICIT (the scale-safe form — an unlisted pivot
+    // makes Spark run a distinct scan at plan time and caps at
+    // spark.sql.pivotMaxValues); absent combinations coalesce to 0 to
+    // match the oracle's conditional-aggregation formulation.
+    "q_x_pivot" -> { (s, dir) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+      p.select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+    },
     // Deterministic training-order shuffle + sharding: every epoch-shuffle
     // in a training pipeline needs a reproducible global permutation.
     // Sort key = md5-64 of (doc_id ":" salt) — seedless, resumable,
@@ -1384,6 +1419,24 @@ object ExtTextQueries {
         |FROM k""".stripMargin,
     "q_x_bpe_train" -> bpeTrainOracle(6),
     "q_x_bpe_encode" -> bpeEncodeOracle(6),
+    "q_x_rollup" ->
+      """SELECT lang, source, CAST(2*GROUPING(lang) + GROUPING(source) AS INT) AS gid,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_x_cube" ->
+      """SELECT lang, source, CAST(2*GROUPING(lang) + GROUPING(source) AS INT) AS gid,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+    // conditional aggregation is the engine-portable pivot formulation;
+    // count(CASE …) yields 0 for absent combos, matching the coalesce
+    "q_x_pivot" ->
+      """SELECT source,
+        |  count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+        |  count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+        |  count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+        |  count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
     // unsigned md5 prefix mod 8 ≡ Spark's signed pmod (2^64 ≡ 0 mod 8);
     // ordering uses the signed reinterpretation so both engines sort alike
     "q_x_corpus_shuffle" ->
