@@ -174,6 +174,35 @@ object WindowSetQueries {
           (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
             .as("duration_sec"))
     },
+    // Distribution-position window functions: percent_rank (=(rank−1)/(n−1))
+    // and cume_dist (=peers≤/n) of each event's value within its type —
+    // both are small-integer ratios, so the doubles are engine-identical;
+    // event_id makes the order total (ties on equal value break
+    // deterministically). One shuffle; both functions share the window.
+    "q_x_percent_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(dec("value"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_id"), col("event_type"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    },
+    // LOCF gap filling (last observation carried forward): the value is
+    // NULL on error events, and each user's series fills forward from the
+    // last non-null via IGNORE NULLS last_value — the time-series repair
+    // move (sensor dropouts, sparse price ticks). Leading NULLs (a user
+    // whose history starts with errors) stay NULL by definition. One
+    // user-keyed shuffle; second-truncated ts for ns-source parity.
+    "q_x_locf" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts"),
+          when(col("event_type") === "error", lit(null).cast("decimal(18,2)"))
+            .otherwise(dec("value")).as("v"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+    },
     "q_u6_ledger" -> { (s, dir) =>
       val e = ev(s, dir)
       val dep = e.filter(col("event_type") === "signup")
@@ -211,6 +240,24 @@ object WindowSetQueries {
          |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
          |FROM hourly""".stripMargin,
+    // (rank−1)/(n−1) and peers/n are exact small-integer ratios — the
+    // divisions land on identical doubles in both engines
+    "q_x_percent_rank" ->
+      s"""WITH $evCte,
+         |e2 AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM ev)
+         |SELECT event_id, event_type,
+         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         |FROM e2 WINDOW w AS (PARTITION BY event_type ORDER BY v, event_id)""".stripMargin,
+    "q_x_locf" ->
+      s"""WITH $evCte,
+         |e2 AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+         |    CASE WHEN event_type = 'error' THEN NULL
+         |    ELSE CAST(value AS DECIMAL(18,2)) END AS v
+         |  FROM ev)
+         |SELECT event_id, user_id, ts,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM e2""".stripMargin,
     // epoch() on second-truncated timestamps is integral, so the gap
     // comparison and duration arithmetic are exact in both engines
     "q_x_sessionize" ->
