@@ -52,11 +52,12 @@ object Ops {
       rightKey: String,
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Double] = None
   ): DataFrame = {
     val leftCols = left.columns
-    require(!(leftCols ++ valueCols).exists(Set("__k", "__ts", "__side", "__vals", "__picked")),
-      "asOfJoin reserves the __k/__ts/__side/__vals/__picked column names")
+    require(!(leftCols ++ valueCols).exists(Set("__k", "__ts", "__side", "__vals", "__picked", "__mts")),
+      "asOfJoin reserves the __k/__ts/__side/__vals/__picked/__mts column names")
     val clash = leftCols.toSet.intersect(valueCols.toSet)
     require(clash.isEmpty,
       s"asOfJoin value columns ${clash.mkString(", ")} collide with left columns — " +
@@ -68,15 +69,20 @@ object Ops {
     // last(ignoreNulls) picks the latest right ROW — a right row whose value
     // is genuinely NULL is attached as NULL rather than skipped for an older
     // non-null one (true as-of semantics; matches SQL ASOF JOIN oracles).
+    // The payload carries the matched right timestamp as __mts so the
+    // optional tolerance (merge_asof semantics: ONLY the nearest prior
+    // row counts — a too-old nearest match nulls out rather than falling
+    // back to an even older one) can be applied after the pick.
     val lProj = left.select(
       leftCols.map(col) ++
         Seq(lit(null).cast(org.apache.spark.sql.types.StructType(
-            valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))).as("__vals"),
+            valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)) :+
+              org.apache.spark.sql.types.StructField("__mts", right.schema(rightTs).dataType))).as("__vals"),
           col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(0).as("__side")): _*
     )
     val rProj = right.select(
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(struct(valueCols.map(col): _*).as("__vals"),
+        Seq(struct(valueCols.map(col) :+ col(rightTs).as("__mts"): _*).as("__vals"),
           col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(1).as("__side")): _*
     )
     val w = Window
@@ -88,9 +94,15 @@ object Ops {
         last(col("__vals"), ignoreNulls = true).over(w).as("__picked") :+
         col("__side")): _*
     )
+    val inTol = toleranceSeconds match {
+      case None => lit(true)
+      case Some(tol) =>
+        col("__picked").getField("__mts").cast("double") >=
+          col(leftTs).cast("double") - tol
+    }
     filled.filter(col("__side") === 0)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col("__picked").getField(c).as(c)): _*)
+        valueCols.map(c => when(inTol, col("__picked").getField(c)).as(c)): _*)
   }
 
   /** Skew-mitigating equi-join: the left (skewed fact) side gets a random

@@ -86,6 +86,25 @@ object JoinQueries {
       Ops.asOfJoin(purchases, views, "user_id", "v_user", "ts", "v_ts", Seq("view_value"))
         .select(col("event_id"), col("user_id"), col("purchase_value"), col("view_value"))
     },
+    // As-of join with TOLERANCE (pandas merge_asof parity): each purchase
+    // takes the latest prior view price only if it is ≤30 min stale —
+    // merge_asof semantics: a too-old NEAREST match nulls out rather than
+    // falling back further. Same one-shuffle union+window plan; the
+    // matched timestamp rides the carried payload. Second-truncated ts so
+    // the 1800 s boundary compare is engine-exact on the ns source.
+    "q_x_asof_tolerance" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("value").as("view_value"))
+      Ops.asOfJoin(purchases, views, "user_id", "v_user", "ts", "v_ts",
+        Seq("view_value"), toleranceSeconds = Some(1800.0))
+        .select(col("event_id"), col("user_id"), col("purchase_value"), col("view_value"))
+    },
     // J6: anti-join — keys with no counterpart
     // (reference: active leases via NOT EXISTS ×4, ls_state.rs:77-126).
     "q_j6_anti" -> { (s, dir) =>
@@ -216,6 +235,17 @@ object JoinQueries {
         |      FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN
         |     (SELECT user_id AS v_user, date_trunc('microseconds', ts) AS v_ts, value AS view_value
+        |      FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
+    // ASOF LEFT JOIN then null-out stale matches — exactly merge_asof's
+    // tolerance (only the nearest prior row is ever considered)
+    "q_x_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        |  CASE WHEN v.v_ts >= p.ts - INTERVAL 30 MINUTE THEN v.view_value END AS view_value
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id AS v_user, date_trunc('second', ts) AS v_ts, value AS view_value
         |      FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
     "q_j6_anti" ->

@@ -50,6 +50,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asOfJoin tolerance nulls the nearest match when stale, never falls back") {
+    // timestamps in MICROSECONDS (timestamp_micros), so tolerance 0.0005 s
+    // = 500 ticks of the generator's 0..1000 range
+    val tolTicks = 500L
+    for (seed <- 1 to 10) {
+      val leftRows = sample(rowsGen, seed)
+      val rightRows = sample(rowsGen, seed + 1000)
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+        .toDF("id", "k", "t", "v")
+        .select($"id", $"k", timestamp_micros($"t").as("t"), $"v")
+      val right = rightRows.toDF("rk", "rt", "price")
+        .select($"rk", timestamp_micros($"rt").as("rt"), $"price")
+      val got = Ops.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("price"),
+        toleranceSeconds = Some(tolTicks / 1e6))
+        .select($"id", $"price").as[(Long, Option[Double])].collect().toMap
+      leftRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+        val unambiguous = cands.isEmpty ||
+          cands.count(r => r._2 == cands.map(_._2).max) == 1
+        if (unambiguous) {
+          val expected = cands.sortBy(_._2).lastOption
+            .filter(r => t - r._2 <= tolTicks).map(_._3)
+          assert(got(i.toLong) == expected, s"seed $seed row $i")
+        }
+      }
+    }
+  }
+
   test("property: idempotent sink converges regardless of replay count") {
     for (replays <- 1 to 3) {
       val sink = Files.createTempDirectory("graft_prop_sink").toString + "/t"
