@@ -203,6 +203,40 @@ object WindowSetQueries {
         .select(col("event_id"), col("user_id"), col("ts"),
           last(col("v"), ignoreNulls = true).over(w).as("filled"))
     },
+    // Linear interpolation between surrounding observations — the LOCF
+    // sibling for numeric series: a NULL (error event) takes
+    // pv + (nv−pv)·(t−pt)/(nt−pt) from the nearest non-null neighbors on
+    // each side (IGNORE NULLS last/first over mirrored frames on ONE
+    // partitioning), edge rows fall back to the single available side,
+    // and a same-second neighbor pair guards the 0/0. All arithmetic is
+    // the identical double expression tree on both engines; timestamps
+    // second-truncated so (t−pt) is an exact integral double.
+    "q_x_interpolate" -> { (s, dir) =>
+      val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = when(col("v").isNotNull,
+        struct(col("ts").cast("double").as("t"), col("v").as("v")))
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(dec("value").cast("double")).as("v"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("v"),
+          last(obs, ignoreNulls = true).over(wPrev).as("p"),
+          first(obs, ignoreNulls = true).over(wNext).as("nx"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("p").isNull, col("nx").getField("v"))
+            .when(col("nx").isNull, col("p").getField("v"))
+            .when(col("nx").getField("t") === col("p").getField("t"),
+              col("p").getField("v"))
+            .otherwise(col("p").getField("v") +
+              (col("nx").getField("v") - col("p").getField("v")) *
+              ((col("ts").cast("double") - col("p").getField("t")) /
+                (col("nx").getField("t") - col("p").getField("t"))))
+            .as("filled"))
+    },
     "q_u6_ledger" -> { (s, dir) =>
       val e = ev(s, dir)
       val dep = e.filter(col("event_type") === "signup")
@@ -258,6 +292,31 @@ object WindowSetQueries {
          |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
          |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM e2""".stripMargin,
+    // second-truncated ts makes (t−pt) an exact integral double; the
+    // interpolation expression tree mirrors the Spark side operation for
+    // operation so the doubles are bit-identical
+    "q_x_interpolate" ->
+      s"""WITH $evCte,
+         |e2 AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+         |    CASE WHEN event_type = 'error' THEN NULL
+         |    ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS v
+         |  FROM ev),
+         |o AS (SELECT *, CASE WHEN v IS NOT NULL
+         |    THEN {t: CAST(epoch(ts) AS DOUBLE), v: v} END AS ob FROM e2),
+         |f AS (SELECT *,
+         |  last_value(ob IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |  first_value(ob IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+         |  FROM o)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN p IS NULL THEN nx.v
+         |       WHEN nx IS NULL THEN p.v
+         |       WHEN nx.t = p.t THEN p.v
+         |       ELSE p.v + (nx.v - p.v) *
+         |            ((CAST(epoch(ts) AS DOUBLE) - p.t) / (nx.t - p.t)) END AS filled
+         |FROM f""".stripMargin,
     // epoch() on second-truncated timestamps is integral, so the gap
     // comparison and duration arithmetic are exact in both engines
     "q_x_sessionize" ->
