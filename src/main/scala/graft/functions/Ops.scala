@@ -256,4 +256,44 @@ object Ops {
       .withColumn(s"next_$keyCol", coalesce(col("__next"), col("__next_first")))
       .drop("__b", "__next", "__next_first")
   }
+
+  /** Point-in-interval range join, bucketized. A naive
+    * `points.join(intervals, $"t" >= $"lo" && $"t" < $"hi")` has no equi
+    * key, so Spark plans BroadcastNestedLoopJoin — O(|points|·|intervals|)
+    * and a driver OOM once the interval side outgrows the broadcast
+    * threshold. The classic rewrite: pick a bucket width, explode each
+    * interval to every bucket it touches (⌈len/width⌉+1 rows — bounded
+    * when interval length is), map each point to its one bucket, and
+    * equi-join on the bucket with the exact predicate as a post-filter.
+    * The join becomes a plain shuffle hash/sort-merge join; each match is
+    * produced exactly once because a point's bucket intersects a matching
+    * interval's bucket range exactly once.
+    *
+    * `bucketWidth` trades fan-out for selectivity: ~the typical interval
+    * length is right (intervals explode to ~2 rows; a point's bucket
+    * holds few intervals). Columns `lo`/`hi` and the point's `tsCol` are
+    * compared as epoch-second doubles (timestamp or numeric both work);
+    * the interval is half-open [lo, hi).
+    */
+  def pointInIntervalJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidthSeconds: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidthSeconds > 0, "bucketWidthSeconds must be positive")
+    val w = bucketWidthSeconds
+    // floor, not cast-truncation: pre-1970 timestamps have negative epochs
+    val iv = intervals.withColumn("__b",
+      explode(sequence(
+        floor(col(loCol).cast("double") / w).cast("long"),
+        floor(col(hiCol).cast("double") / w).cast("long"))))
+    val pt = points.withColumn("__b",
+      floor(col(tsCol).cast("double") / w).cast("long"))
+    // equiKeys (shared column names, e.g. the entity id) join ALONGSIDE the
+    // bucket — a bucket-only key makes every interval collide with every
+    // concurrent point corpus-wide, the hot-key shape this helper exists
+    // to avoid
+    pt.join(iv, "__b" +: equiKeys)
+      .filter(col(tsCol).cast("double") >= col(loCol).cast("double") &&
+        col(tsCol).cast("double") < col(hiCol).cast("double"))
+      .drop("__b")
+  }
 }

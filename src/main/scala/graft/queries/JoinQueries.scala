@@ -105,6 +105,28 @@ object JoinQueries {
         Seq("view_value"), toleranceSeconds = Some(1800.0))
         .select(col("event_id"), col("user_id"), col("purchase_value"), col("view_value"))
     },
+    // Point-in-interval RANGE JOIN, bucketized (Ops.pointInIntervalJoin):
+    // every purchase landing inside an error-incident window ([error ts,
+    // +30 min), same user). The naive theta join has no equi key and
+    // plans BroadcastNestedLoopJoin — O(n·m) and broadcast-bound; the
+    // bucket rewrite (explode intervals to touched 30-min buckets,
+    // equi-join on bucket, exact post-filter) is a plain shuffle join.
+    // Match count per purchase can exceed 1 (overlapping incidents) —
+    // inner-join semantics, counted in the rollup.
+    "q_x_range_join" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val incidents = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+          col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Ops.pointInIntervalJoin(purchases, "ts", incidents, "lo", "hi", 1800L,
+        equiKeys = Seq("user_id"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_incidents"), min(col("incident_id")).as("first_incident"))
+    },
     // J6: anti-join — keys with no counterpart
     // (reference: active leases via NOT EXISTS ×4, ls_state.rs:77-126).
     "q_j6_anti" -> { (s, dir) =>
@@ -248,6 +270,18 @@ object JoinQueries {
         |     (SELECT user_id AS v_user, date_trunc('second', ts) AS v_ts, value AS view_value
         |      FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
+    // the portable formulation is the plain theta join; DuckDB's IEJoin
+    // handles it — the Spark side exists precisely because Spark's doesn't
+    "q_x_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts
+        |  FROM events),
+        |inc AS (SELECT event_id AS incident_id, user_id, ts AS lo,
+        |    ts + INTERVAL 30 MINUTE AS hi FROM e WHERE event_type = 'error'),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, count(*) AS n_incidents,
+        |  min(i.incident_id) AS first_incident
+        |FROM p JOIN inc i ON p.user_id = i.user_id AND p.ts >= i.lo AND p.ts < i.hi
+        |GROUP BY p.event_id, p.user_id""".stripMargin,
     "q_j6_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -29,4 +29,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"cartesian product planned by: ${offenders.mkString(", ")}")
   }
+
+  test("bucketized range join plans an equi join, never a nested loop") {
+    // the whole point of Ops.pointInIntervalJoin: the naive theta join
+    // plans BroadcastNestedLoopJoin; the bucket rewrite must not
+    val plan = SparkEntry.queries("q_x_range_join")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "range join should plan a hash or sort-merge equi join")
+  }
 }
