@@ -178,6 +178,27 @@ object AggQueries {
     // Shuffle shape: three plain sums with map-side partial aggregation —
     // the mergeable-moments form (count/Σ/Σ²), same contract as
     // approx-sketch tiers.
+    // 3σ outlier detection WITHOUT sqrt — the data-cleaning companion to
+    // q_x_variance: |x−μ| > 3σ is squared into the all-integer test
+    // (n−1)·(n·x−S1)² > 9·n·(n·S2−S1²) over exact cents, so the whole
+    // derivation is exact arithmetic end-to-end (sqrt is libm and never
+    // needed for a THRESHOLD decision). Group moments ride a broadcast
+    // join back onto the rows; DECIMAL(38,0) carries the ~10²⁵ cross
+    // terms (DuckDB: HUGEINT). Emits the outlier rows.
+    "q_x_outliers" -> { (s, dir) =>
+      val cents = (dec("value") * 100).cast("long")
+      val rows = ev(s, dir).select(col("event_id"), col("event_type"), cents.as("c"))
+      val moments = rows.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("n") > 1)
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val dev = d(col("n")) * d(col("c")) - d(col("s1"))
+      rows.join(broadcast(moments), Seq("event_type"))
+        .filter((d(col("n")) - 1) * dev * dev >
+          d(lit(9)) * d(col("n")) * (d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1"))))
+        .select(col("event_id"), col("event_type"), col("c").as("cents"))
+    },
     "q_x_variance" -> { (s, dir) =>
       val cents = (dec("value") * 100).cast("long")
       ev(s, dir)
@@ -275,6 +296,21 @@ object AggQueries {
          |  SELECT user_id, -CAST(value AS DECIMAL(18,2)) AS amt FROM ev WHERE event_type = 'error')
          |SELECT user_id, CAST(sum(amt) AS DOUBLE) AS net_value
          |FROM flows GROUP BY user_id""".stripMargin,
+    // the all-integer squared test; HUGEINT carries the ~10²⁵ cross terms
+    // (a bare BIGINT product would overflow-throw around n·S2)
+    "q_x_outliers" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id, event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM ev),
+         |m AS (SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c*c) AS s2
+         |  FROM c GROUP BY event_type HAVING count(*) > 1)
+         |SELECT c.event_id, c.event_type, c.c AS cents
+         |FROM c JOIN m USING (event_type)
+         |WHERE CAST(m.n - 1 AS HUGEINT)
+         |    * (CAST(m.n AS HUGEINT) * c.c - m.s1)
+         |    * (CAST(m.n AS HUGEINT) * c.c - m.s1)
+         |  > 9 * CAST(m.n AS HUGEINT)
+         |    * (CAST(m.n AS HUGEINT) * m.s2 - CAST(m.s1 AS HUGEINT) * m.s1)""".stripMargin,
     // integer-cents moments; DuckDB's HUGEINT sums play Spark's
     // DECIMAL(38,0) — both exact, both correctly rounded to double once
     "q_x_variance" ->
