@@ -201,7 +201,11 @@ object WindowSetQueries {
           when(col("event_type") === "error", lit(null).cast("decimal(18,2)"))
             .otherwise(dec("value")).as("v"))
         .select(col("event_id"), col("user_id"), col("ts"),
-          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+          // double at the boundary: decimal output columns are banned by
+          // the export contract (OutputTypeSpec — driver hash defect on
+          // trailing-zero decimal text); the carried decimal is exact,
+          // the cast is the last step
+          last(col("v"), ignoreNulls = true).over(w).cast("double").as("filled"))
     },
     // Linear interpolation between surrounding observations — the LOCF
     // sibling for numeric series: a NULL (error event) takes
@@ -289,8 +293,9 @@ object WindowSetQueries {
          |    ELSE CAST(value AS DECIMAL(18,2)) END AS v
          |  FROM ev)
          |SELECT event_id, user_id, ts,
-         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |  CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS filled
          |FROM e2""".stripMargin,
     // second-truncated ts makes (t−pt) an exact integral double; the
     // interpolation expression tree mirrors the Spark side operation for
