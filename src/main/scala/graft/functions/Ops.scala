@@ -94,11 +94,23 @@ object Ops {
         last(col("__vals"), ignoreNulls = true).over(w).as("__picked") :+
         col("__side")): _*
     )
+    // Timestamp columns compare in INTEGER MICROSECONDS: the double-domain
+    // form (mts >= t - tol) misclassifies a row exactly tol old whenever
+    // tol is not binary-representable (float rounding breaks merge_asof's
+    // inclusive boundary). Numeric ts columns subtract exactly in their
+    // own domain first, then compare against the double tolerance.
     val inTol = toleranceSeconds match {
       case None => lit(true)
       case Some(tol) =>
-        col("__picked").getField("__mts").cast("double") >=
-          col(leftTs).cast("double") - tol
+        val mts = col("__picked").getField("__mts")
+        left.schema(leftTs).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType |
+               _: org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(col(leftTs).cast("timestamp")) -
+              unix_micros(mts.cast("timestamp")) <= lit(math.round(tol * 1e6))
+          case _ =>
+            (col(leftTs).cast("double") - mts.cast("double")) <= lit(tol)
+        }
     }
     filled.filter(col("__side") === 0)
       .select(leftCols.map(col) ++
@@ -279,6 +291,12 @@ object Ops {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidthSeconds: Long, equiKeys: Seq[String] = Nil): DataFrame = {
     require(bucketWidthSeconds > 0, "bucketWidthSeconds must be positive")
+    require(!(points.columns ++ intervals.columns).contains("__b"),
+      "pointInIntervalJoin reserves the __b column name")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet) -- equiKeys
+    require(shared.isEmpty,
+      s"columns ${shared.mkString(", ")} exist on both sides but are not equiKeys — " +
+        "alias one side first (duplicate output names break downstream resolution)")
     val w = bucketWidthSeconds
     // floor, not cast-truncation: pre-1970 timestamps have negative epochs
     val iv = intervals.withColumn("__b",

@@ -185,33 +185,45 @@ object AggQueries {
     // needed for a THRESHOLD decision). Group moments ride a broadcast
     // join back onto the rows; DECIMAL(38,0) carries the ~10²⁵ cross
     // terms (DuckDB: HUGEINT). Emits the outlier rows.
+    // Exactness ceiling: the cross terms need ~n³·c² digits — (n−1)·dev²
+    // passes DECIMAL(38,0)/HUGEINT around 3·10⁹ rows PER GROUP (≈10¹²
+    // events over a few hundred types). Beyond that, divide the test
+    // through by n (rational) or take the double var from q_x_variance
+    // and the plain |x−μ| > 3σ — the exact-integer form is the
+    // oracle-checkable tier, not the only one.
     "q_x_outliers" -> { (s, dir) =>
       val cents = (dec("value") * 100).cast("long")
       val rows = ev(s, dir).select(col("event_id"), col("event_type"), cents.as("c"))
       val moments = rows.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-          sum(col("c") * col("c")).as("s2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
         .filter(col("n") > 1)
       def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val dev = d(col("n")) * d(col("c")) - d(col("s1"))
+      val dev = d(col("n")) * d(col("c")) - col("s1")
       rows.join(broadcast(moments), Seq("event_type"))
         .filter((d(col("n")) - 1) * dev * dev >
-          d(lit(9)) * d(col("n")) * (d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1"))))
+          d(lit(9)) * d(col("n")) * (d(col("n")) * col("s2") - col("s1") * col("s1")))
         .select(col("event_id"), col("event_type"), col("c").as("cents"))
     },
     "q_x_variance" -> { (s, dir) =>
       val cents = (dec("value") * 100).cast("long")
+      // moments accumulate in DECIMAL(38,0) (DuckDB: HUGEINT) — a LONG
+      // Σc² crosses 2^63 around 3·10⁹ rows per group, inside the design
+      // scale; the denominator likewise (n·(n−1)·10⁴ passes 2^63 at
+      // n≈3·10⁷)
       ev(s, dir)
         .select(col("event_type"), cents.as("c"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-          sum(col("c") * col("c")).as("s2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
         .filter(col("n") > 1)
         .select(col("event_type"), col("n"),
-          ((col("n").cast("decimal(38,0)") * col("s2").cast("decimal(38,0)") -
-            col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
-            .cast("double") /
-            (col("n") * (col("n") - 1) * 10000L).cast("double")).as("var_value"))
+          ((col("n").cast("decimal(38,0)") * col("s2") -
+            col("s1") * col("s1")).cast("double") /
+            (col("n").cast("decimal(38,0)") * (col("n") - 1) * 10000L)
+              .cast("double")).as("var_value"))
     }
   )
 
@@ -319,7 +331,7 @@ object AggQueries {
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM ev)
          |SELECT event_type, count(*) AS n,
          |  CAST(count(*) * sum(c*c) - sum(c)*sum(c) AS DOUBLE)
-         |    / CAST(count(*) * (count(*) - 1) * 10000 AS DOUBLE) AS var_value
+         |    / CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1) * 10000 AS DOUBLE) AS var_value
          |FROM c GROUP BY event_type HAVING count(*) > 1""".stripMargin
   )
 }

@@ -491,20 +491,12 @@ object ExtTextQueries {
     // (bit order: first rollup column = MSB, mirrored explicitly in the
     // oracle as 2·GROUPING(lang)+GROUPING(source)).
     "q_x_rollup" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .rollup(col("lang"), col("source"))
-        .agg(grouping_id().cast("int").as("gid"),
-          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
-        .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("chars"))
+      groupingSetsCounts(Tables.documents(s, dir).rollup(col("lang"), col("source")))
     },
     // CUBE: all four grouping sets of (lang, source) — adds the per-source
     // marginals to the rollup. Same single-Expand plan shape.
     "q_x_cube" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .cube(col("lang"), col("source"))
-        .agg(grouping_id().cast("int").as("gid"),
-          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
-        .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("chars"))
+      groupingSetsCounts(Tables.documents(s, dir).cube(col("lang"), col("source")))
     },
     // PIVOT: per-source doc counts spread into one column per language.
     // The value list is EXPLICIT (the scale-safe form — an unlisted pivot
@@ -758,6 +750,22 @@ object ExtTextQueries {
     * truth with the native kernels); wrapping `<< n` equals mask-then-shift
     * on UBIGINT (masks are 2^(64-n)-1).
     */
+  /** The shared aggregate body of the ROLLUP/CUBE queries — one place for
+    * the metric set and the grouping_id convention (first column = MSB).
+    */
+  private def groupingSetsCounts(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("chars"))
+
+  /** ROLLUP/CUBE oracle, parameterized on the grouping-set keyword. */
+  private def groupingSetsOracle(keyword: String): String =
+    s"""SELECT lang, source, CAST(2*GROUPING(lang) + GROUPING(source) AS INT) AS gid,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+       |FROM documents GROUP BY $keyword(lang, source)""".stripMargin
+
   /** The BPE-training oracle, generated for k rounds: w0 = the character-
     * split word-frequency table, then per round i a pair count (every
     * adjacent position, frequency-weighted), a deterministic argmax
@@ -1419,14 +1427,8 @@ object ExtTextQueries {
         |FROM k""".stripMargin,
     "q_x_bpe_train" -> bpeTrainOracle(6),
     "q_x_bpe_encode" -> bpeEncodeOracle(6),
-    "q_x_rollup" ->
-      """SELECT lang, source, CAST(2*GROUPING(lang) + GROUPING(source) AS INT) AS gid,
-        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
-    "q_x_cube" ->
-      """SELECT lang, source, CAST(2*GROUPING(lang) + GROUPING(source) AS INT) AS gid,
-        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+    "q_x_rollup" -> groupingSetsOracle("ROLLUP"),
+    "q_x_cube" -> groupingSetsOracle("CUBE"),
     // conditional aggregation is the engine-portable pivot formulation;
     // count(CASE …) yields 0 for absent combos, matching the coalesce
     "q_x_pivot" ->

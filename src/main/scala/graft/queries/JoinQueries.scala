@@ -98,9 +98,13 @@ object JoinQueries {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
           col("value").as("purchase_value"))
+      // second-truncation can create same-(user, second) view ties, which
+      // asOfJoin and the oracle's ASOF JOIN would each resolve arbitrarily
+      // — reduce to one deterministic tick per (user, second) first (the
+      // max-value rule, mirrored in the oracle)
       val views = e.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-          col("value").as("view_value"))
+        .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .agg(max(col("value")).as("view_value"))
       Ops.asOfJoin(purchases, views, "user_id", "v_user", "ts", "v_ts",
         Seq("view_value"), toleranceSeconds = Some(1800.0))
         .select(col("event_id"), col("user_id"), col("purchase_value"), col("view_value"))
@@ -267,8 +271,9 @@ object JoinQueries {
         |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts, value
         |      FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN
-        |     (SELECT user_id AS v_user, date_trunc('second', ts) AS v_ts, value AS view_value
-        |      FROM events WHERE event_type = 'view') v
+        |     (SELECT user_id AS v_user, date_trunc('second', ts) AS v_ts,
+        |        max(value) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
         |ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
     // the portable formulation is the plain theta join; DuckDB's IEJoin
     // handles it — the Spark side exists precisely because Spark's doesn't

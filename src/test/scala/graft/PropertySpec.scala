@@ -23,60 +23,75 @@ class PropertySpec extends SparkSpec {
       v <- Gen.choose(-100.0, 100.0)
     } yield (key, ts, v))
 
+  /** Shared as-of fixture: generated rows plus their micro-timestamp
+    * DataFrames; `checkUnambiguous` runs the naive latest-at-or-before
+    * reference per left row (ties on (key, ts) are order-dependent in
+    * every implementation, so only rows with a unique latest are checked)
+    * and hands (row, candidates) to the expectation.
+    */
+  private def asOfFixture(seed: Int) = {
+    val leftRows = sample(rowsGen, seed)
+    val rightRows = sample(rowsGen, seed + 1000)
+    val left = leftRows.zipWithIndex
+      .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+      .toDF("id", "k", "t", "v")
+      .select($"id", $"k", timestamp_micros($"t").as("t"), $"v")
+    val right = rightRows.toDF("rk", "rt", "price")
+      .select($"rk", timestamp_micros($"rt").as("rt"), $"price")
+    (leftRows, rightRows, left, right)
+  }
+
+  private def checkUnambiguous(seed: Int,
+      leftRows: List[(Int, Long, Double)], rightRows: List[(Int, Long, Double)],
+      got: Map[Long, Option[Double]])(
+      expected: (Long, List[(Int, Long, Double)]) => Option[Double]): Unit =
+    leftRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      val unambiguous = cands.isEmpty ||
+        cands.count(r => r._2 == cands.map(_._2).max) == 1
+      if (unambiguous)
+        assert(got(i.toLong) == expected(t, cands), s"seed $seed row $i")
+    }
+
   test("property: asOfJoin equals the naive per-row latest-at-or-before lookup") {
     for (seed <- 1 to 10) {
-      val leftRows = sample(rowsGen, seed)
-      val rightRows = sample(rowsGen, seed + 1000)
-      val left = leftRows.zipWithIndex
-        .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
-        .toDF("id", "k", "t", "v")
-        .select($"id", $"k", timestamp_micros($"t").as("t"), $"v")
-      val right = rightRows.toDF("rk", "rt", "price")
-        .select($"rk", timestamp_micros($"rt").as("rt"), $"price")
+      val (leftRows, rightRows, left, right) = asOfFixture(seed)
       val got = Ops.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("price"))
         .select($"id", $"price").as[(Long, Option[Double])].collect().toMap
-      // naive reference: for each left row, the max-ts right row with ts <= t;
-      // ties on (key, ts) are order-dependent in both implementations, so
-      // compare only rows whose naive answer is unambiguous
-      leftRows.zipWithIndex.foreach { case ((k, t, _), i) =>
-        val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
-        val unambiguous = cands.isEmpty ||
-          cands.count(r => r._2 == cands.map(_._2).max) == 1
-        if (unambiguous) {
-          val expected = if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3)
-          assert(got(i.toLong) == expected, s"seed $seed row $i")
-        }
+      checkUnambiguous(seed, leftRows, rightRows, got) { (_, cands) =>
+        if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3)
       }
     }
   }
 
   test("property: asOfJoin tolerance nulls the nearest match when stale, never falls back") {
     // timestamps in MICROSECONDS (timestamp_micros), so tolerance 0.0005 s
-    // = 500 ticks of the generator's 0..1000 range
+    // = 500 ticks of the generator's 0..1000 range — NOT binary-
+    // representable, which pins the integer-micros boundary compare (a
+    // double-domain compare drops matches exactly tolTicks old)
     val tolTicks = 500L
     for (seed <- 1 to 10) {
-      val leftRows = sample(rowsGen, seed)
-      val rightRows = sample(rowsGen, seed + 1000)
-      val left = leftRows.zipWithIndex
-        .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
-        .toDF("id", "k", "t", "v")
-        .select($"id", $"k", timestamp_micros($"t").as("t"), $"v")
-      val right = rightRows.toDF("rk", "rt", "price")
-        .select($"rk", timestamp_micros($"rt").as("rt"), $"price")
+      val (leftRows, rightRows, left, right) = asOfFixture(seed)
       val got = Ops.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("price"),
         toleranceSeconds = Some(tolTicks / 1e6))
         .select($"id", $"price").as[(Long, Option[Double])].collect().toMap
-      leftRows.zipWithIndex.foreach { case ((k, t, _), i) =>
-        val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
-        val unambiguous = cands.isEmpty ||
-          cands.count(r => r._2 == cands.map(_._2).max) == 1
-        if (unambiguous) {
-          val expected = cands.sortBy(_._2).lastOption
-            .filter(r => t - r._2 <= tolTicks).map(_._3)
-          assert(got(i.toLong) == expected, s"seed $seed row $i")
-        }
+      checkUnambiguous(seed, leftRows, rightRows, got) { (t, cands) =>
+        cands.sortBy(_._2).lastOption.filter(r => t - r._2 <= tolTicks).map(_._3)
       }
     }
+  }
+
+  test("asOfJoin tolerance boundary is inclusive at a non-representable tolerance") {
+    // gap == tolerance exactly: merge_asof keeps the match; the former
+    // double-domain compare (mts >= t − tol) dropped it
+    val left = Seq((1L, 1)).toDF("id", "k")
+      .select($"id", $"k", timestamp_micros(lit(501L)).as("t"))
+    val right = Seq((1, 7.0)).toDF("rk", "price")
+      .select($"rk", timestamp_micros(lit(1L)).as("rt"), $"price")
+    val got = Ops.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("price"),
+      toleranceSeconds = Some(0.0005))
+      .select($"price").as[Option[Double]].head()
+    assert(got.contains(7.0))
   }
 
   test("property: idempotent sink converges regardless of replay count") {
