@@ -51,6 +51,21 @@ object StreamJobs {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked streaming sessionization via the NATIVE session_window —
+    * the streaming tier of the batch gap-sessionizer (q_x_sessionize):
+    * a 1801 s session gap reproduces the batch `gap > 1800 ⇒ new session`
+    * rule exactly (session_window merges while diff < gap; PropertySpec
+    * pins the bridge). Append mode emits a session once the watermark
+    * passes its end — the batch pipeline reconciles the open tail.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "1801 seconds").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Streaming corpus-prep front door: the batch pipeline's quality gate +
     * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
     * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The

@@ -35,6 +35,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming session_window: closed sessions equal the batch sessionization") {
+    val src = stageEvents()
+    val q = StreamJobs.sessionCounts(StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("append").format("memory").queryName("sessions_sw").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessions_sw")
+    // append emits only watermark-closed sessions; every batch session
+    // ending at or before the latest emitted end must match exactly
+    val maxClosed = streamed.agg(max("session_end")).head().getTimestamp(0)
+    if (maxClosed != null) {
+      val batch = graft.sources.Tables.events(spark, sfDir)
+        .groupBy(session_window(col("ts"), "1801 seconds").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .filter(col("session_end") <= lit(maxClosed))
+      val s = streamed.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) -> r.getLong(3)).toMap
+      val b = batch.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) -> r.getLong(3)).toMap
+      assert(s == b, "closed streamed sessions must equal the batch session rollup")
+      assert(s.nonEmpty)
+    }
+  }
+
   test("stream dedup drops replayed event_ids") {
     val src = Files.createTempDirectory("graft_dup_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
