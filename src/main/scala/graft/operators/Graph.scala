@@ -24,9 +24,12 @@ object Graph {
     * incoming contributions are summed by folding over the SOURCE-sorted
     * list — the sum order is pinned by data, not by shuffle arrival, so
     * the result is bit-identical across partitionings, cluster sizes, and
-    * engines. Production can swap the fold for a plain `sum` (one less
-    * per-node buffer; last-ulp nondeterminism) — the plan shape is
-    * otherwise identical.
+    * engines. `exactFold = false` swaps the fold for a plain `sum` — the
+    * PRODUCTION tier at web scale, where a hub node's in-degree-sized
+    * sort buffer would page: plain sum is a streaming partial aggregate
+    * (map-side combine, O(1) state per node) at the price of last-ulp
+    * shuffle-order nondeterminism. Identical plan shape otherwise;
+    * GraphSpec pins the two tiers to ≤1e-12 rank disagreement.
     *
     * Scale shape: per iteration one join of ranks to edges on src (both
     * sides hash-partitioned on the same key — the exchange is reused) and
@@ -36,7 +39,8 @@ object Graph {
     * checkpoints every ~5 rounds to cap lineage.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      exactFold: Boolean = true): DataFrame = {
     // materialize the edge list once — the iterations reference it 2·iters
     // times, and without the checkpoint each reference re-executes the
     // caller's whole edge-derivation subtree (measured 4.8 s → 2.6 s at
@@ -57,9 +61,13 @@ object Graph {
     for (_ <- 1 to iters) {
       val contribs = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
-      val sums = contribs.groupBy(col("dst"))
-        .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+      val sums =
+        if (exactFold)
+          contribs.groupBy(col("dst"))
+            .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+              lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        else
+          contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(sums, col("node") === col("dst"), "left")
         .crossJoin(broadcast(nDf))
         .select(col("node"),

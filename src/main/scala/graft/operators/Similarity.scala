@@ -132,10 +132,6 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component d of plane p is a
-    * hash of (seed, p, d) mapped to [-1, 1]. Pure driver-side doubles — the
-    * planes are data-independent literals in the plan.
-    */
   /** Deterministic coordinate-sign quantizer: bit p of the cell id is the
     * sign of coordinate `coords(p)`. The oracle-anchorable cell assignment
     * (no random-projection dot product whose fold order could flip a
@@ -148,6 +144,51 @@ object Similarity {
       when(emb.getItem(d) > lit(0.0f), lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Star-guarded within-cell candidate pairing over a single cell column —
+    * the [[nearDupPairsCosineLsh]] hot-bucket machinery for a one-table
+    * bucketing (SemDedup's sign cells, an IVF codebook assignment): buckets
+    * of ≤ `maxBucketSize` members emit all unordered pairs (a < b); buckets
+    * over the cap switch to STAR pairs (bucket-min hub → every member) —
+    * linear fan-out instead of the O((n/cells)²) blowup a fixed cell space
+    * otherwise guarantees as the corpus grows. Each id lives in exactly ONE
+    * cell, so pairs are unique by construction — no `distinct()` shuffle
+    * (the multi-table LSH variant needs one; this path doesn't). The
+    * all-pairs self-join is salted (ids only) because a small fixed cell
+    * keyspace would cap shuffle parallelism; the annotated table is lazily
+    * localCheckpointed (materialized once at first action, shared by the
+    * pair-join sides and star extraction, but plan-build stays job-free for
+    * the registry census). Capped-bucket count rides `observe` as
+    * `cell_hot_buckets` — the cap silently firing is a recall event the
+    * pipeline monitor must see.
+    */
+  def cellCandidatePairs(cells: DataFrame, idCol: String, cellCol: String,
+      maxBucketSize: Int = 1024): DataFrame = {
+    val wC = Window.partitionBy(col("__cell"))
+    val b = cells.select(col(idCol).as("id"), col(cellCol).as("__cell"))
+      .withColumn("__sz", count(lit(1)).over(wC))
+      .withColumn("__mn", min(col("id")).over(wC))
+      .observe("cell_hot_buckets",
+        sum(when(col("__sz") > maxBucketSize && col("id") === col("__mn"), 1)
+          .otherwise(0)).as("n_capped_buckets"))
+      .localCheckpoint(eager = false)
+    val saltFactor = 16
+    val small = b.filter(col("__sz") <= maxBucketSize)
+    val l = small.select(col("id").as("a"), col("__cell"),
+      pmod(hash(col("id")), lit(saltFactor)).as("__s"))
+    val r = small.select(col("id").as("b"), col("__cell"))
+      .withColumn("__s", explode(sequence(lit(0), lit(saltFactor - 1))))
+    val allPairs = l.join(r.hint("shuffle_hash"), Seq("__cell", "__s"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val starPairs = b.filter(col("__sz") > maxBucketSize && col("id") =!= col("__mn"))
+      .select(col("__mn").as("a"), col("id").as("b"))
+    allPairs.unionByName(starPairs)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p is a
+    * hash of (seed, p, d) mapped to [-1, 1]. Pure driver-side doubles — the
+    * planes are data-independent literals in the plan.
+    */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     Array.tabulate(numPlanes, dim) { (p, d) =>
       // splitmix64-style scramble: deterministic, platform-independent

@@ -21,6 +21,29 @@ object TextOps {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Inverted index build (the retrieval-serving structure): term →
+    * (df, total_tf, postings sorted by doc_id with per-doc tf). This is
+    * the operator API — postings stay a real `array<struct<doc_id, tf>>`
+    * column (consumers page/merge it); the oracle-facing registry entry
+    * flattens it to a canonical string because array cells aren't
+    * hashable by the driver's pandas compare. Two shuffles: (term, doc)
+    * tf count (partial agg absorbs Zipf skew), then term-keyed posting
+    * assembly. 100 TB note: ultra-high-df terms make corpus-sized posting
+    * lists — production pages them (posting blocks per term) and
+    * stop-lists df > ~50% of N; this is the single-page form,
+    * df-thresholded to keep rows meaningful.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+      .filter(col("df") >= minDf)
+
   /** BPE-ish pretokenizer pattern (the GPT-2 pretokenizer family):
     * contraction suffixes, space-prefixed letter runs, digit runs, and
     * punctuation runs. Deliberately lookahead-free — the original GPT-2
@@ -453,6 +476,22 @@ object TextOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Apply learned BPE merges: tokenize text into words, split each word
+    * into character symbols, then run every merge rule in training order
+    * ([[bpeMergePass]] chained — BPE application is defined as replaying
+    * the merge sequence). Returns the flat token array. Empty words are
+    * filtered first (a blank doc encodes to zero tokens — and the char
+    * split of "" diverges between engines, so neither side may fold it).
+    * Narrow, codegen'd, no shuffle: the merges arrive as a driver-side
+    * list (they are vocabulary metadata, broadcast-sized by construction).
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val wordSyms = transform(filter(tokens(text), w => w =!= ""), w => split(w, ""))
+    flatten(merges.foldLeft(wordSyms) { case (acc, (a, b)) =>
+      transform(acc, ws => bpeMergePass(ws, a, b))
+    })
+  }
+
   /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn the
     * first k merge rules from the corpus. Classic shape — words become
     * character-symbol sequences weighted by word frequency; each round
@@ -472,22 +511,6 @@ object TextOps {
     * Output: (step, left_sym, right_sym, merged, pair_count) for the k
     * learned merges, in order (fewer if the corpus runs out of pairs).
     */
-  /** Apply learned BPE merges: tokenize text into words, split each word
-    * into character symbols, then run every merge rule in training order
-    * ([[bpeMergePass]] chained — BPE application is defined as replaying
-    * the merge sequence). Returns the flat token array. Empty words are
-    * filtered first (a blank doc encodes to zero tokens — and the char
-    * split of "" diverges between engines, so neither side may fold it).
-    * Narrow, codegen'd, no shuffle: the merges arrive as a driver-side
-    * list (they are vocabulary metadata, broadcast-sized by construction).
-    */
-  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
-    val wordSyms = transform(filter(tokens(text), w => w =!= ""), w => split(w, ""))
-    flatten(merges.foldLeft(wordSyms) { case (acc, (a, b)) =>
-      transform(acc, ws => bpeMergePass(ws, a, b))
-    })
-  }
-
   def bpeTrainMerges(docs: DataFrame, textCol: String = "text", k: Int = 6,
       vocabPartitions: Int = 4): DataFrame = {
     val sp = docs.sparkSession

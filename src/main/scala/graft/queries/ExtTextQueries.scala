@@ -529,23 +529,19 @@ object ExtTextQueries {
           Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("int"))
         .select(col("shard"), col("pos"), col("doc_id"), col("skey"))
     },
-    // Inverted index build (the retrieval-serving structure): term →
-    // (df, total_tf, postings sorted by doc_id with per-doc tf). Two
-    // shuffles: (term, doc) tf count (partial agg absorbs Zipf skew),
-    // then term-keyed posting assembly. 100 TB note: ultra-high-df terms
-    // make corpus-sized posting lists — production pages them (posting
-    // blocks per term) and stop-lists df > ~50% of N; the structure here
-    // is the single-page form, df-thresholded to keep rows meaningful.
+    // Inverted index build — TextOps.invertedIndex (the array-of-structs
+    // postings column IS the operator API); the registry entry flattens
+    // postings to the canonical "doc:tf;doc:tf" string because the
+    // driver's pandas canonicalizer cannot hash array cells (r11's one
+    // `err` row). sort_array on struct<doc_id, tf> orders by doc_id
+    // (first field; (term, doc_id) is unique so no tie), matching the
+    // oracle's string_agg(... ORDER BY doc_id).
     "q_x_inverted_index" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"),
-          sum(col("tf")).as("total_tf"),
-          sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
-        .filter(col("df") >= 5)
+      TextOps.invertedIndex(Tables.documents(s, dir), "doc_id", "text", minDf = 5)
+        .select(col("term"), col("df"), col("total_tf"),
+          array_join(transform(col("postings"),
+            p => concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ";").as("postings"))
     },
     // Per-language token-length quantiles — the length-distribution
     // diagnostic every corpus-curation pass starts from (and the cut-point
@@ -625,6 +621,15 @@ object ExtTextQueries {
     // Corpus stats ride a broadcast one-row scalar (J4 pattern); the
     // doc-term join is a narrow explode + term-keyed count. Top-10 by
     // (score desc, doc_id) via TakeOrdered.
+    // Exactness ceiling: the BIGINT numerator needs ≈44·N·tf·T < 2⁶³,
+    // i.e. N·tf·T ≲ 2·10¹⁷ — comfortable at the test SFs (N·T ≈ 10¹⁰)
+    // but a 100 TB corpus (N≈10¹¹ docs, T≈10¹³ tokens) wraps SILENTLY
+    // in non-ANSI Spark while DuckDB throws — divergent scores, not an
+    // error. Beyond the ceiling, hoist one factor to double before
+    // multiplying (cast t_tokens first): scores then differ from the
+    // integer-ratio form only in the last ulp, but the single-division
+    // bit-exactness guarantee is gone — the exact-integer form is the
+    // oracle-checkable tier, not the only one (the A4/HLL pattern).
     "q_x_bm25" -> { (s, dir) =>
       val qTerms = Seq("spark", "stream", "window")
       val docs = Tables.documents(s, dir)
@@ -1454,6 +1459,8 @@ object ExtTextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos,
         |  doc_id, skey
         |FROM s""".stripMargin,
+    // postings flattened to "doc:tf;doc:tf" ordered by doc_id — the
+    // hashable twin of the operator's array-of-structs form
     "q_x_inverted_index" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |  FROM documents),
@@ -1461,7 +1468,7 @@ object ExtTextQueries {
         |  GROUP BY term, doc_id)
         |SELECT term, count(DISTINCT doc_id) AS df,
         |  CAST(sum(tf) AS BIGINT) AS total_tf,
-        |  list({'doc_id': doc_id, 'tf': tf} ORDER BY doc_id) AS postings
+        |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY term HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
     // Spark's exact `percentile` ≡ quantile_cont (both interpolate at
     // (n−1)p); integer inputs + quarter fractions → exact doubles; blank

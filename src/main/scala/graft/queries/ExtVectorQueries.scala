@@ -95,19 +95,21 @@ object ExtVectorQueries {
     // the whole pipeline including the recursive-CTE closure; the
     // production assignment is the IVF codebook (Similarity.annIvf's
     // Lloyd centroids) — a drop-in for the cell column, same plan shape
-    // downstream. Scale shape: within-cell pairing is the banded-LSH
-    // candidate pattern (quadratic only inside a cell; plane count
-    // auto-scales via Similarity.autoPlanes in production, star-guard
-    // semantics as in Dedup); closure is hash-min label propagation
+    // downstream. Scale shape: within-cell pairing goes through the
+    // STAR-GUARDED Similarity.cellCandidatePairs (quadratic only inside a
+    // ≤1024-member cell, linear hub pairs above — the cap never fires at
+    // the test SFs, max cell 46 at sf0.1, so the DuckDB replay of the
+    // uncapped all-pairs form stays hash-exact; the `cell_hot_buckets`
+    // observe metric makes a firing cap loud at scale, where the fix is
+    // re-sizing the cell space — more sign bits per autoPlanes, or the
+    // IVF codebook); closure is hash-min label propagation
     // (diameter-bounded); the survivor resolve join broadcasts because
     // the cluster table is near-dup-members-only.
     "q_x_semdedup" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val cells = emb.select(col("vec_id"),
         Similarity.signCells(col("embedding"), Seq(0, 9, 18, 27, 36, 45)).as("cell"))
-      val cand = cells.select(col("vec_id").as("a"), col("cell"))
-        .join(cells.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
-        .filter(col("a") < col("b"))
+      val cand = Similarity.cellCandidatePairs(cells, "vec_id", "cell")
       import org.apache.spark.sql.graft.natives.cosineSim
       val ea = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
       val eb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))

@@ -2395,6 +2395,28 @@ object LiteralTwinQueries {
         .filter(col("ls_contract_id").isin(7, 77, 777, 7777, 14777))
         .orderBy(col("ls_contract_id").asc)
     },
+    // ls_loan_collect.get_all, clause-for-clause (ls_loan_collect.rs:68-74):
+    // `SELECT * FROM "LS_Loan_Collect"` — the backfill task's unfiltered
+    // full-table read (the one remaining SELECT in the DAO layer without a
+    // twin after r11). Mapping extends the event-table convention: the
+    // loan-collect rows are the l_returnflag='R' AND l_linestatus='O'
+    // lineitem slice (the R/A/N splits claim the repayment/close/
+    // liquidation tables; linestatus picks the unclaimed quadrant),
+    // contract = l_orderkey, symbol = l_partkey % 25, amount = l_quantity,
+    // amount_stable = l_extendedprice. The reference emits no ORDER BY
+    // (Vec order is Postgres heap order); the twin pins the full output
+    // tuple as the sort so both engines page deterministically
+    // (SURVEY §7.4#5).
+    "q_lit_loan_collect_all" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "O")
+        .select(col("l_orderkey").as("ls_contract_id"),
+          pmod(col("l_partkey"), lit(25)).as("ls_symbol"),
+          col("l_quantity").as("ls_amount"),
+          col("l_extendedprice").as("ls_amount_stable"))
+        .orderBy(col("ls_contract_id").asc, col("ls_symbol").asc,
+          col("ls_amount").asc, col("ls_amount_stable").asc)
+    },
     // ls_opening.get_leases_addresses, clause-for-clause
     // (ls_opening.rs:748-778): the /leases-search endpoint — the wallet's
     // contracts with an optional substring search over the contract id
@@ -4412,6 +4434,11 @@ object LiteralTwinQueries {
         |  CAST(o_orderkey % 4 + 1 AS DOUBLE) AS ls_lpn_decimals
         |FROM orders WHERE o_orderkey IN (7, 77, 777, 7777, 14777)
         |ORDER BY ls_contract_id ASC""".stripMargin,
+    "q_lit_loan_collect_all" ->
+      """SELECT l_orderkey AS ls_contract_id, l_partkey % 25 AS ls_symbol,
+        |  l_quantity AS ls_amount, l_extendedprice AS ls_amount_stable
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'O'
+        |ORDER BY ls_contract_id, ls_symbol, ls_amount, ls_amount_stable""".stripMargin,
     "q_lit_leases_search" ->
       """SELECT ls_contract_id FROM (
         |  SELECT o_orderkey AS ls_contract_id, o_custkey AS ls_address_id,

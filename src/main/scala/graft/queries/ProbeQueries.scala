@@ -70,17 +70,16 @@ import org.apache.spark.sql.functions._
   *                                            open above (no 8-digit
   *                                            hard-coded format width).
   *
-  * r11 addition (lower-edge control):
+  * r11 addition (lower-edge control — ADJUDICATED in CORRECTNESS_r11:
+  * GREEN ⇒ class (b)'s lower edge is confirmed at scale 7, keyed on
+  * declared scale alone; the probe ledger is final):
   *   - `ge1_18_6`  `9.545556` @ (18,6)      — scale 6, ge1 magnitude,
   *                                            precision 18. nz38_6 (the
   *                                            only prior scale-6 probe)
   *                                            differs from the ge1 family
   *                                            in precision AND magnitude;
-  *                                            this one isolates scale.
-  *                                            Green ⇒ lower edge confirmed
-  *                                            at 7; red ⇒ the band depends
-  *                                            on magnitude/digit count,
-  *                                            not declared scale alone.
+  *                                            this one isolates scale:
+  *                                            GREEN (r11).
   *
   * No table data, no arithmetic — any red row is pure hash-canonicalization
   * signal. These are diagnostic registry entries, not reference operators;

@@ -55,11 +55,17 @@ object StreamJobs {
     * the streaming tier of the batch gap-sessionizer (q_x_sessionize):
     * a 1801 s session gap reproduces the batch `gap > 1800 ⇒ new session`
     * rule exactly (session_window merges while diff < gap; PropertySpec
-    * pins the bridge). Append mode emits a session once the watermark
-    * passes its end — the batch pipeline reconciles the open tail.
+    * pins the bridge). Exactness requires the SAME clock granularity as
+    * the batch rule: q_x_sessionize second-truncates ts before the gap
+    * test, so the stream truncates too — on the raw ns-precision feed a
+    * boundary gap (1800.4 s raw → 1801 s truncated) would otherwise split
+    * in batch but merge in streaming. Append mode emits a session once
+    * the watermark passes its end — the batch pipeline reconciles the
+    * open tail.
     */
   def sessionCounts(events: DataFrame): DataFrame =
     events
+      .withColumn("ts", date_trunc("second", col("ts")))
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "1801 seconds").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

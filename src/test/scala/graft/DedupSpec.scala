@@ -392,4 +392,37 @@ class DedupSpec extends SparkSpec {
       .digest("a1 a2 a3 a4".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(dig == want)
   }
+
+  test("cellCandidatePairs: all-pairs under the cap, star pairs above it, fan-out bounded") {
+    // bucket A (cell 0): 5 members, cap 3 → STAR pairs only (hub = min id)
+    // bucket B (cell 1): 3 members, at cap → all 3 unordered pairs
+    // bucket C (cell 2): 1 member → nothing
+    val cells = (Seq(10L, 11L, 12L, 13L, 14L).map((_, 0)) ++
+      Seq(20L, 21L, 22L).map((_, 1)) ++ Seq(30L -> 2)).toDF("id", "cell")
+    val got = Similarity.cellCandidatePairs(cells, "id", "cell", maxBucketSize = 3)
+      .as[(Long, Long)].collect().toSet
+    val star = Set((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L))
+    val all = Set((20L, 21L), (20L, 22L), (21L, 22L))
+    assert(got == star ++ all)
+    // fan-out bound: an over-cap bucket of m emits m−1 pairs (linear),
+    // never m·(m−1)/2 — the guard's whole point
+    assert(got.count(_._1 == 10L) == 4)
+  }
+
+  test("cellCandidatePairs with the default cap replays the naive within-cell join on the sf corpus") {
+    // the q_x_semdedup contract: at test SFs no cell approaches 1024, so
+    // the guarded path must be pair-for-pair the uncapped self-join the
+    // DuckDB oracle replays
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cells = emb.select(col("vec_id"),
+      Similarity.signCells(col("embedding"), Seq(0, 9, 18, 27, 36, 45)).as("cell"))
+    val naive = cells.select(col("vec_id").as("a"), col("cell"))
+      .join(cells.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val guarded = Similarity.cellCandidatePairs(cells, "vec_id", "cell")
+      .as[(Long, Long)].collect().toSet
+    assert(guarded == naive)
+    assert(naive.nonEmpty, "fixture must exercise the candidate path")
+  }
 }

@@ -44,6 +44,25 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) == (1.0 - 0.85) / 2 + 0.85 * 0.5)
   }
 
+  test("plain-sum production tier agrees with the sorted-fold within 1e-12") {
+    // the web-scale escape hatch for hub in-degree buffers: identical plan
+    // shape, plain streaming sum instead of the source-sorted fold — rank
+    // differences are pure float reassociation, bounded far below any
+    // downstream threshold's resolution
+    val r = new scala.util.Random(11)
+    val edges0 = (1 to 600).map(_ => (r.nextInt(50).toLong, r.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = (edges0 ++ edges0.map(_.swap)).distinct.toDF("src", "dst")
+    val exact = Graph.pageRank(sym, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val plain = Graph.pageRank(sym, "src", "dst", iters = 4, exactFold = false)
+      .as[(Long, Double)].collect().toMap
+    assert(exact.keySet == plain.keySet)
+    exact.foreach { case (v, rk) =>
+      assert(math.abs(rk - plain(v)) <= 1e-12, s"node $v: $rk vs ${plain(v)}")
+    }
+  }
+
   test("pageRank is bit-identical across repartitionings") {
     val r = new scala.util.Random(7)
     val edges0 = (1 to 400).map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))

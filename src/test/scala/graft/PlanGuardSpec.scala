@@ -7,9 +7,14 @@ package graft
   * (or an optimizer regression) that quietly plans a cross product fails
   * here before it fails at 100 TB.
   *
-  * Plans are built (analyzed + physically planned), not executed — the only
-  * execution this spec triggers is the corpus-count job inside auto-sized
-  * LSH plane derivation, which is part of building that query's plan.
+  * Plans are built (analyzed + physically planned), not executed — with the
+  * known exceptions whose CONSTRUCTION runs real Spark jobs: the
+  * corpus-count job inside auto-sized LSH plane derivation (metadata-cheap,
+  * parquet footers), q_x_bpe_train / q_x_bpe_encode (BPE training's k
+  * driver rounds — one argmax collect + localCheckpoint each — happen at
+  * DataFrame build time), and q_x_pagerank (an eager edge localCheckpoint
+  * before the lazy iteration plan). The census therefore executes those
+  * queries' driver loops per run; everything else stays plan-only.
   */
 class PlanGuardSpec extends SparkSpec {
 

@@ -45,7 +45,11 @@ class StreamingSpec extends SparkSpec {
     // ending at or before the latest emitted end must match exactly
     val maxClosed = streamed.agg(max("session_end")).head().getTimestamp(0)
     if (maxClosed != null) {
+      // second-truncated like the stream (and like q_x_sessionize's gap
+      // rule — the stream truncates so a sub-second boundary gap can't
+      // split in batch but merge in streaming)
       val batch = graft.sources.Tables.events(spark, sfDir)
+        .withColumn("ts", date_trunc("second", col("ts")))
         .groupBy(session_window(col("ts"), "1801 seconds").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("session_start"),
