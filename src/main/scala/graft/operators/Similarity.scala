@@ -154,23 +154,27 @@ object Similarity {
     * cell, so pairs are unique by construction — no `distinct()` shuffle
     * (the multi-table LSH variant needs one; this path doesn't). The
     * all-pairs self-join is salted (ids only) because a small fixed cell
-    * keyspace would cap shuffle parallelism; the annotated table is lazily
-    * localCheckpointed (materialized once at first action, shared by the
-    * pair-join sides and star extraction, but plan-build stays job-free for
-    * the registry census). Capped-bucket count rides `observe` as
+    * keyspace would cap shuffle parallelism. Bucket size/min are computed
+    * as a per-cell AGGREGATE and broadcast back rather than a whole-table
+    * window (the LSH variant's shape): the stats table has one row per
+    * DISTINCT CELL, and the cell space is configuration-bounded by
+    * construction (2^signBits, or the IVF nCells) — never corpus-sized —
+    * so the broadcast always fits and the annotated table is cheap enough
+    * to recompute per consumer (narrow scan + broadcast join; no
+    * checkpoint, plan-build stays job-free for the registry census).
+    * Capped-bucket count rides `observe` on the stats aggregate as
     * `cell_hot_buckets` — the cap silently firing is a recall event the
     * pipeline monitor must see.
     */
   def cellCandidatePairs(cells: DataFrame, idCol: String, cellCol: String,
       maxBucketSize: Int = 1024): DataFrame = {
-    val wC = Window.partitionBy(col("__cell"))
-    val b = cells.select(col(idCol).as("id"), col(cellCol).as("__cell"))
-      .withColumn("__sz", count(lit(1)).over(wC))
-      .withColumn("__mn", min(col("id")).over(wC))
+    val ids = cells.select(col(idCol).as("id"), col(cellCol).as("__cell"))
+    val stats = ids.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__sz"), min(col("id")).as("__mn"))
       .observe("cell_hot_buckets",
-        sum(when(col("__sz") > maxBucketSize && col("id") === col("__mn"), 1)
-          .otherwise(0)).as("n_capped_buckets"))
-      .localCheckpoint(eager = false)
+        sum(when(col("__sz") > maxBucketSize, 1).otherwise(0))
+          .as("n_capped_buckets"))
+    val b = ids.join(broadcast(stats), Seq("__cell"))
     val saltFactor = 16
     val small = b.filter(col("__sz") <= maxBucketSize)
     val l = small.select(col("id").as("a"), col("__cell"),
