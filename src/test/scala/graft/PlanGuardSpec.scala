@@ -23,16 +23,25 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val bruteByDesign = Set("q_x_embed_neardup")
 
-  test("no registered query plans a CartesianProduct (outside brute baselines)") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (bruteByDesign(name)) None
-      else {
-        val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
-      }
+  test("no registered query plans a CartesianProduct or an unbounded-FOLLOWING frame") {
+    // two hazards in one plan pass: CartesianProduct (O(n·m) join), and
+    // ROWS/RANGE ... AND UNBOUNDED FOLLOWING window frames — Spark's
+    // UnboundedFollowingWindowFunctionFrame rescans current→end for EVERY
+    // row (O(n²) per partition; q_x_interpolate measured 6.7× time at 10×
+    // data before its rewrite). A following-frame lookup is always
+    // re-expressible as a running frame over the reversed sort when the
+    // sort key is a total order — so a planned one is a bug, not a choice.
+    val cartesian = Seq.newBuilder[String]
+    val following = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+      if (plan.contains("CartesianProduct") && !bruteByDesign(name)) cartesian += name
+      if (plan.contains("AND UNBOUNDED FOLLOWING")) following += name
     }
-    assert(offenders.isEmpty,
-      s"cartesian product planned by: ${offenders.mkString(", ")}")
+    assert(cartesian.result().isEmpty,
+      s"cartesian product planned by: ${cartesian.result().mkString(", ")}")
+    assert(following.result().isEmpty,
+      s"unbounded-following frame planned by: ${following.result().mkString(", ")}")
   }
 
   test("bucketized range join plans an equi join, never a nested loop") {
