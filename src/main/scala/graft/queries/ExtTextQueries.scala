@@ -561,6 +561,63 @@ object ExtTextQueries {
           expr("percentile(n, 0.75)").as("p75"),
           count(lit(1)).as("n_docs"))
     },
+    // The PRODUCTION tier of q_x_length_quantiles, made real: t-digest
+    // sketch quantiles (percentile_approx) — the partial sketches merge
+    // map-side, so the per-group sort the exact percentile pays never
+    // happens and group size stops mattering. The A4/HLL two-tier
+    // pattern: no oracle by design (sketch estimates are
+    // engine-specific); TextOpsSpec pins every estimate inside the exact
+    // ±5%-rank quantile band (accuracy 100 ⇒ rank error ≤ 1%).
+    "q_x_length_quantiles_approx" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("n"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile_approx(n, 0.25, 100)").as("p25"),
+          expr("percentile_approx(n, 0.5, 100)").as("p50"),
+          expr("percentile_approx(n, 0.75, 100)").as("p75"),
+          count(lit(1)).as("n_docs"))
+    },
+    // Tokenizer-prep vocabulary coverage cutoff: the smallest
+    // frequency-ranked vocabulary prefix covering 95% of corpus tokens —
+    // the vocab-size / OOV-rate trade study run before training any
+    // tokenizer. Rank order (tf DESC, term ASC) is a total order, so the
+    // cumulative is engine-independent. Scale shape: the term table is
+    // vocabulary-bounded (Heaps' law), but one global window is still the
+    // one shape that cannot scale out — so the prefix sum is BUCKETED
+    // (the Ops.cumSumGlobal decomposition): running sums inside
+    // (-tf, first-char) partitions plus a per-bucket handoff offset whose
+    // window runs over the BUCKET table (≤ #distinct-tf × alphabet rows —
+    // metadata-sized). Keep rule in exact integers: a term is in the
+    // prefix iff coverage BEFORE it is short of 95% ⇔ 20·(cum−tf) < 19·T;
+    // cov_bp = cum·10⁴ div T is exact BIGINT while T < 9·10¹⁴ (a corpus
+    // past that ceiling widens to DECIMAL — documented, not silent).
+    "q_x_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      val tot = tf.agg(sum(col("tf")).as("T"))
+      val withB = tf.withColumn("__b1", -col("tf"))
+        .withColumn("__b2", substring(col("term"), 1, 1))
+      val wIn = Window.partitionBy(col("__b1"), col("__b2"))
+        .orderBy(col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = withB.withColumn("__cum", sum(col("tf")).over(wIn))
+      val handoff = withB.groupBy(col("__b1"), col("__b2"))
+        .agg(sum(col("tf")).as("__btot"))
+        .withColumn("__off", sum(col("__btot")).over(
+          Window.orderBy(col("__b1"), col("__b2"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("__b1"), col("__b2"), col("__off"))
+      within.join(handoff, Seq("__b1", "__b2"), "left")
+        .select(col("term"), col("tf"),
+          (coalesce(col("__off"), lit(0L)) + col("__cum")).as("cum_tf"))
+        .crossJoin(broadcast(tot))
+        .filter((col("cum_tf") - col("tf")) * 20 < col("T") * 19)
+        .select(col("term"), col("tf"), col("cum_tf"),
+          expr("cum_tf * 10000 div T").as("cov_bp"))
+    },
     // Overlapping strided token windows (size 8, stride 4) — the
     // context-window split LLM pretraining and RAG indexing apply to long
     // documents (each window overlaps the previous by size−stride tokens
@@ -1473,6 +1530,19 @@ object ExtTextQueries {
     // Spark's exact `percentile` ≡ quantile_cont (both interpolate at
     // (n−1)p); integer inputs + quarter fractions → exact doubles; blank
     // docs count 0 tokens (the tokenCount guard), not their [""] artifact
+    // the cumulative's (tf DESC, term ASC) is a total order, and both
+    // engines compare strings byte-wise (UTF-8 preserves codepoint order),
+    // so the bucketed Spark decomposition replays exactly
+    "q_x_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT sum(tf) AS T FROM tf),
+        |c AS (SELECT term, tf, sum(tf) OVER (ORDER BY tf DESC, term ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf FROM tf)
+        |SELECT term, CAST(tf AS BIGINT) AS tf, CAST(cum_tf AS BIGINT) AS cum_tf,
+        |  CAST(cum_tf * 10000 // T AS BIGINT) AS cov_bp
+        |FROM c, tot WHERE (cum_tf - tf) * 20 < T * 19""".stripMargin,
     "q_x_length_quantiles" ->
       """WITH t AS (SELECT lang,
         |    CASE WHEN length(trim(text)) = 0 THEN 0

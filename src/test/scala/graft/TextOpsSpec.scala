@@ -226,4 +226,27 @@ class TextOpsSpec extends SparkSpec {
       (2, "ab", "c", "abc", 3L),
       (3, "d", "d", "dd", 2L)))
   }
+
+  test("t-digest quantile tier lands inside the exact ±5%-rank band per language") {
+    // the q_x_length_quantiles_approx error contract: percentile_approx at
+    // accuracy 100 guarantees rank error ≤ 1%; the spec allows ±5% rank,
+    // checked against the EXACT quantiles at q∓0.05 (the A4/HLL pattern —
+    // the sketch tier is bounded by its oracled exact twin, not hashed)
+    val approx = SparkEntry.queries("q_x_length_quantiles_approx")(spark, sfDir)
+      .select(col("lang"), col("p25").cast("double"), col("p50").cast("double"),
+        col("p75").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val bands = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), graft.operators.TextOps.tokenCount(col("text")).as("n"))
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.nonEmpty && approx.keySet == bands.keySet)
+    approx.foreach { case (lang, (p25, p50, p75)) =>
+      val b = bands(lang)
+      assert(b(0) <= p25 && p25 <= b(1), s"$lang p25=$p25 outside [${b(0)}, ${b(1)}]")
+      assert(b(2) <= p50 && p50 <= b(3), s"$lang p50=$p50 outside [${b(2)}, ${b(3)}]")
+      assert(b(4) <= p75 && p75 <= b(5), s"$lang p75=$p75 outside [${b(4)}, ${b(5)}]")
+    }
+  }
 }
