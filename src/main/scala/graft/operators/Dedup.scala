@@ -140,18 +140,27 @@ object Dedup {
     * triggering is a correctness event, not a degradation — this makes it
     * loud instead.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String,
-      numHashes: Int, rowsPerBand: Int,
-      maxBucketSize: Int = DefaultMaxBucketSize,
-      failOnOverCap: Boolean = false): DataFrame = {
+  /** Banded signature table: one row per (id, band index, band hash) —
+    * the shared front of [[lshCandidatePairs]] (self-join) and
+    * [[crossNearDupMinHash]] (cross-cohort join).
+    */
+  private def bandTable(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
       struct(lit(j).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }
-    val wB = Window.partitionBy(col("band"), col("bh"))
-    val bands = sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
+    val wB = Window.partitionBy(col("band"), col("bh"))
+    val bands = bandTable(sig, idCol, numHashes, rowsPerBand)
       .withColumn("__sz", count(lit(1)).over(wB))
       .withColumn("__mn", min(col(idCol)).over(wB))
       // one row per bucket carries id == min, so this counts capped buckets
@@ -228,6 +237,53 @@ object Dedup {
     val pairs = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucketSize,
       failOnOverCap).localCheckpoint()
     jaccardOnPairs(pairs, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup admission — the NEAR-DUP tier of the Bloom-exact
+    * incremental dedup ([[antiJoinBloom]]): which INCOMING docs are
+    * near-duplicates of the already-ingested corpus? Signatures for both
+    * cohorts, banded buckets joined NEW→OLD only — no new×new or old×old
+    * pairing (the standing corpus already deduped itself; intra-batch dedup
+    * is [[nearDupPairsMinHash]]'s job) — then exact word-shingle Jaccard on
+    * the candidates ([[jaccardOnPairs]] over the union corpus; ids must be
+    * globally unique across cohorts). Emits (a = incoming id, b = standing
+    * id, jaccard) for matches ≥ threshold — the rows a daily-crawl
+    * admission gate REJECTS; admitted = incoming anti-joined on `a`.
+    *
+    * Scale shape: a daily batch is small next to the standing corpus, so
+    * the banded join's cost is bounded by the NEW side's bucket membership,
+    * not the corpus. Hot-bucket guard on the OLD side (the corpus-sized
+    * cohort): an over-cap bucket collapses to its min-id hub — an incoming
+    * doc colliding with a near-identical mega-cluster still verifies
+    * against the cluster's hub — with the capped count on `observe` as
+    * `cross_lsh_hot_buckets` (inert below the cap, so the uncapped oracle
+    * replay stays exact at test SFs).
+    */
+  def crossNearDupMinHash(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.6,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val nb = bandTable(
+      minHashSignature(newDocs, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand)
+    val wB = Window.partitionBy(col("band"), col("bh"))
+    val ob = bandTable(
+      minHashSignature(oldDocs, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand)
+      .withColumn("__sz", count(lit(1)).over(wB))
+      .withColumn("__mn", min(col(idCol)).over(wB))
+      .observe("cross_lsh_hot_buckets",
+        sum(when(col("__sz") > maxBucketSize && col(idCol) === col("__mn"), 1)
+          .otherwise(0)).as("n_capped_buckets"))
+      .filter(col("__sz") <= maxBucketSize || col(idCol) === col("__mn"))
+      .select(col(idCol).as("b"), col("band"), col("bh"))
+    val pairs = nb.select(col(idCol).as("a"), col("band"), col("bh"))
+      .join(ob, Seq("band", "bh"))
+      .select(col("a"), col("b")).distinct()
+      .localCheckpoint()
+    jaccardOnPairs(pairs, newDocs.unionByName(oldDocs), idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
 

@@ -35,12 +35,18 @@ object Graph {
     * sides hash-partitioned on the same key — the exchange is reused) and
     * one dst-keyed aggregate. The per-node buffer is bounded by in-degree;
     * web-scale hubs would page this (or use the plain-sum tier). The whole
-    * `iters`-round loop composes into ONE lazy plan; production
-    * checkpoints every ~5 rounds to cap lineage.
+    * `iters`-round loop composes into ONE lazy plan by default;
+    * `checkpointEvery = k` materializes the rank table every k rounds
+    * (node-table-sized, tiny next to the edge joins) so a deep iteration
+    * count doesn't compound plan depth — Catalyst re-optimizes the whole
+    * lineage each action, and past ~10 unchecked rounds the PLANNING time
+    * (not the data) becomes the bottleneck. Ranks are bit-identical with
+    * or without checkpoints (GraphSpec pins it): a checkpoint replays the
+    * same deterministic computation, it just cuts where the plan starts.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85,
-      exactFold: Boolean = true): DataFrame = {
+      exactFold: Boolean = true, checkpointEvery: Int = 0): DataFrame = {
     // materialize the edge list once — the iterations reference it 2·iters
     // times, and without the checkpoint each reference re-executes the
     // caller's whole edge-derivation subtree (measured 4.8 s → 2.6 s at
@@ -58,7 +64,7 @@ object Graph {
     val nDf = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
       val sums =
@@ -73,6 +79,8 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

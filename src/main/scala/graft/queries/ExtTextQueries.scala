@@ -735,6 +735,23 @@ object ExtTextQueries {
       Dedup.antiJoinBloom(incoming, old, "prefix_fp", docBloom(s, dir))
         .select(col("doc_id"), col("prefix_fp"))
     },
+    // Incremental NEAR-dup admission — the near-dup tier of
+    // q_x_bloom_dedup's exact incremental path: yesterday's corpus
+    // (doc_id ≡ 0 mod 3, the bloom cohort) vs the incoming rest, banded
+    // MinHash buckets joined NEW→OLD only (no new×new or old×old pairs —
+    // the standing corpus already deduped itself), exact word-shingle
+    // Jaccard ≥ 0.6 verify. Emits the rejection list (new_id, old_id,
+    // jaccard); admission is the anti-join on new_id. The old-side
+    // hot-bucket hub guard (Dedup.crossNearDupMinHash) is inert at test
+    // SFs, so the oracle replays the pipeline uncapped and exact.
+    "q_x_incr_neardup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.crossNearDupMinHash(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text")
+        .select(col("a").as("new_id"), col("b").as("old_id"), col("jaccard"))
+    },
     // Unigram-likelihood quality bucketing (the CCNet head/middle/tail
     // move, with the LM made exact-rational so it oracles): the corpus
     // trains its own unigram model (term counts, one partial-agg-absorbed
@@ -1628,6 +1645,27 @@ object ExtTextQueries {
         |SELECT doc_id, prefix_fp FROM f n
         |WHERE doc_id % 3 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM old o WHERE o.prefix_fp = n.prefix_fp)""".stripMargin,
+    // the full minhash chain replayed once over ALL docs, then the banded
+    // join restricted to new×old — the uncapped twin of the guarded path
+    "q_x_incr_neardup" ->
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands n JOIN bands o ON n.j = o.j AND n.bh = o.bh
+         |  WHERE n.doc_id % 3 <> 0 AND o.doc_id % 3 = 0),
+         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w)
+         |SELECT new_id, old_id,
+         |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
+         |FROM cand JOIN shl x ON x.doc_id = new_id JOIN shl y ON y.doc_id = old_id
+         |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
     // the likelihood is a ratio of exact integers (HUGEINT sums here, long
     // sums in Spark — both exact, both convert to the identical double far
     // below 2^53 at these SFs), so it is emitted unrounded

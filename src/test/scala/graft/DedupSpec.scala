@@ -393,6 +393,33 @@ class DedupSpec extends SparkSpec {
     assert(dig == want)
   }
 
+  test("crossNearDupMinHash matches only new-against-old, never within a cohort") {
+    // doc 0 (old) ≈ doc 1 (new): cross match must surface. docs 2 and 4
+    // (both new) are near-identical: must NOT pair (intra-batch dedup is
+    // nearDupPairsMinHash's job). docs 3 and 6 (both old) likewise. doc 5
+    // is unrelated noise.
+    val variant = base.replace("dog", "cat")
+    val corpus = Seq(
+      (0L, base), (3L, "totally different standing text about mountains and " +
+        "glaciers carving stone valleys under slow winter light for ages"),
+      (6L, "totally different standing text about mountains and glaciers " +
+        "carving stone valleys under slow winter light for ages yes"),
+      (1L, variant), (2L, base + " extra"), (4L, base + " extra more"),
+      (5L, "completely unrelated short noise text with nothing shared here " +
+        "at all beyond plain everyday words arranged differently")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossNearDupMinHash(
+      corpus.filter($"doc_id" % 3 =!= 0), corpus.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 0L)) || got.contains((2L, 0L)),
+      s"expected a cross-cohort match against doc 0, got $got")
+    // every emitted pair is (new, old) — no intra-cohort pair can appear
+    got.foreach { case (a, b) =>
+      assert(a % 3 != 0 && b % 3 == 0, s"pair ($a, $b) is not new-against-old")
+    }
+  }
+
   test("cellCandidatePairs: all-pairs under the cap, star pairs above it, fan-out bounded") {
     // bucket A (cell 0): 5 members, cap 3 → STAR pairs only (hub = min id)
     // bucket B (cell 1): 3 members, at cap → all 3 unordered pairs

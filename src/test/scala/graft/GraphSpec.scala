@@ -63,6 +63,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed iteration is bit-identical to the single lazy plan") {
+    // checkpointEvery cuts plan lineage, not the computation: every k-th
+    // rank table is materialized and replayed, so deep iteration counts
+    // stop compounding Catalyst planning time with zero value drift
+    val r = new scala.util.Random(23)
+    val edges0 = (1 to 300).map(_ => (r.nextInt(30).toLong, r.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = (edges0 ++ edges0.map(_.swap)).distinct.toDF("src", "dst")
+    val lazyPlan = Graph.pageRank(sym, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val checked = Graph.pageRank(sym, "src", "dst", iters = 5, checkpointEvery = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(lazyPlan == checked)
+  }
+
   test("pageRank is bit-identical across repartitionings") {
     val r = new scala.util.Random(7)
     val edges0 = (1 to 400).map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
