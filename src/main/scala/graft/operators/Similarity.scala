@@ -219,6 +219,86 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  // per-cell unit centroids → one codebook row: cb = array<struct<cell, centroid>>
+  // (input carries cols `cell` and `__e`)
+  private def ivfToCodebook(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("__e")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+      .select(col("cell"), expr("transform(cs, s -> s.cx)").as("c"))
+      .select(col("cell"), expr(
+        "transform(c, x -> CAST(x / sqrt(greatest(" +
+          "aggregate(c, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v), 1e-30)) AS FLOAT))")
+        .as("centroid"))
+      .localCheckpoint()
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cb"))
+
+  // rank cells by dot against the broadcast codebook; keep the best `keep`
+  private def ivfAssignCells(df: DataFrame, embCol: String, id: Column,
+      keep: Int, codebook: DataFrame): DataFrame = {
+    // __e must be a real column before the explode expr references it
+    // (Generate cannot hold a lateral column alias)
+    val staged = df.select(id, col(embCol).as("__e"))
+    staged.crossJoin(broadcast(codebook))
+      .withColumn("sc",
+        explode(slice(array_sort(expr(
+          "transform(cb, s -> struct(-" +
+            "aggregate(zip_with(s.centroid, __e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)" +
+            " AS negdot, s.cell AS cell))")), 1, keep)))
+      .select(col(staged.columns.head), col("__e"), col("sc.cell").as("cell"))
+  }
+
+  /** The distributed IVF codebook alone: hash-seeded cells refined by
+    * `lloydIters` spherical k-means passes, carried as ONE broadcast row
+    * (see [[annIvf]] for the shape rationale).
+    */
+  def ivfCodebook(corpus: DataFrame, idCol: String, embCol: String,
+      nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
+    var codebook = ivfToCodebook(corpus.select(
+      pmod(hash(col(idCol)), lit(nCells)).as("cell"), col(embCol).as("__e")))
+    for (_ <- 1 to lloydIters)
+      codebook = ivfToCodebook(
+        ivfAssignCells(corpus, embCol, col(idCol).as("id"), 1, codebook)
+          .select(col("cell"), col("__e")))
+    codebook
+  }
+
+  /** One (id, cell) row per corpus vector — its nearest Lloyd centroid.
+    * This is the PRODUCTION cell assignment for [[semDedup]] (a data-adaptive
+    * drop-in for the oracle-anchorable [[signCells]] quantizer): cells track
+    * the actual embedding distribution, so near-duplicates co-locate with
+    * higher recall than fixed coordinate signs. Not bit-deterministic across
+    * partitionings (the centroid averages are shuffle-order doubles) — the
+    * sign-cell twin is the hash-checked tier, this one is spec-bounded.
+    */
+  def ivfCells(corpus: DataFrame, idCol: String, embCol: String,
+      nCells: Int = 16, dim: Int = 64, lloydIters: Int = 2): DataFrame = {
+    requireDim(corpus, embCol, dim, "ivfCells corpus")
+    ivfAssignCells(corpus, embCol, col(idCol).as(idCol), 1,
+      ivfCodebook(corpus, idCol, embCol, nCells, lloydIters))
+      .select(col(idCol), col("cell"))
+  }
+
+  /** SemDedup core (Abbas et al. 2023), shared by the sign-cell oracle twin
+    * and the IVF production tier: cells → star-guarded within-cell
+    * candidates ([[cellCandidatePairs]]) → exact cosine ≥ threshold →
+    * hash-min transitive closure → one survivor per semantic cluster
+    * (+ singletons), with per-survivor merge counts.
+    */
+  def semDedup(emb: DataFrame, cells: DataFrame, idCol: String, embCol: String,
+      threshold: Double, maxBucketSize: Int = 1024): DataFrame = {
+    val cand = cellCandidatePairs(cells, idCol, "cell", maxBucketSize)
+    val ea = emb.select(col(idCol).as("a"), col(embCol).as("__ea"))
+    val eb = emb.select(col(idCol).as("b"), col(embCol).as("__eb"))
+    val pairs = cand.join(ea, Seq("a")).join(eb, Seq("b"))
+      .filter(cosineSim(col("__ea"), col("__eb")) >= threshold)
+      .select(col("a"), col("b"))
+    val clusters = Dedup.duplicateClusters(pairs, "a", "b", idCol = idCol)
+    Dedup.survivors(cells, clusters, idCol)
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCells` cells by
     * nearest centroid, then search only the query's `nProbe` closest cells.
     *
@@ -240,43 +320,10 @@ object Similarity {
       lloydIters: Int = 2): DataFrame = {
     requireDim(corpus, embCol, dim, "annIvf corpus")
     requireDim(queries, embCol, dim, "annIvf queries")
-    // per-cell unit centroids → one codebook row: cb = array<struct<cell, centroid>>
-    def toCodebook(assigned: DataFrame): DataFrame =
-      assigned.select(col("cell"), posexplode(col("__e")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("cx"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
-        .select(col("cell"), expr("transform(cs, s -> s.cx)").as("c"))
-        .select(col("cell"), expr(
-          "transform(c, x -> CAST(x / sqrt(greatest(" +
-            "aggregate(c, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v), 1e-30)) AS FLOAT))")
-          .as("centroid"))
-        .localCheckpoint()
-        .agg(collect_list(struct(col("cell"), col("centroid"))).as("cb"))
-    // rank cells by dot against the broadcast codebook; keep the best `keep`
-    def assignCells(df: DataFrame, id: Column, keep: Int, codebook: DataFrame): DataFrame = {
-      // __e must be a real column before the explode expr references it
-      // (Generate cannot hold a lateral column alias)
-      val staged = df.select(id, col(embCol).as("__e"))
-      staged.crossJoin(broadcast(codebook))
-        .withColumn("sc",
-          explode(slice(array_sort(expr(
-            "transform(cb, s -> struct(-" +
-              "aggregate(zip_with(s.centroid, __e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)" +
-              " AS negdot, s.cell AS cell))")), 1, keep)))
-        .select(col(staged.columns.head), col("__e"), col("sc.cell").as("cell"))
-    }
-    // seed pass: cell = id hash; then Lloyd refinement
-    var codebook = toCodebook(corpus.select(
-      pmod(hash(col(idCol)), lit(nCells)).as("cell"), col(embCol).as("__e")))
-    for (_ <- 1 to lloydIters)
-      codebook = toCodebook(
-        assignCells(corpus, col(idCol).as("id"), 1, codebook)
-          .select(col("cell"), col("__e")))
-    val c = assignCells(corpus, col(idCol).as("neighbor_id"), 1, codebook)
+    val codebook = ivfCodebook(corpus, idCol, embCol, nCells, lloydIters)
+    val c = ivfAssignCells(corpus, embCol, col(idCol).as("neighbor_id"), 1, codebook)
       .withColumnRenamed("__e", "__ce")
-    val q = assignCells(queries, col(queryIdCol).as("query_id"), nProbe, codebook)
+    val q = ivfAssignCells(queries, embCol, col(queryIdCol).as("query_id"), nProbe, codebook)
       .withColumnRenamed("__e", "__qe")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id").asc)

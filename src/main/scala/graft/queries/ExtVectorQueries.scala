@@ -109,15 +109,21 @@ object ExtVectorQueries {
       val emb = Tables.embeddings(s, dir)
       val cells = emb.select(col("vec_id"),
         Similarity.signCells(col("embedding"), Seq(0, 9, 18, 27, 36, 45)).as("cell"))
-      val cand = Similarity.cellCandidatePairs(cells, "vec_id", "cell")
-      import org.apache.spark.sql.graft.natives.cosineSim
-      val ea = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
-      val eb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
-      val pairs = cand.join(ea, Seq("a")).join(eb, Seq("b"))
-        .filter(cosineSim(col("__ea"), col("__eb")) >= 0.25)
-        .select(col("a"), col("b"))
-      val clusters = Dedup.duplicateClusters(pairs, "a", "b", idCol = "vec_id")
-      Dedup.survivors(cells, clusters, "vec_id")
+      Similarity.semDedup(emb, cells, "vec_id", "embedding", threshold = 0.25)
+    },
+    // The PRODUCTION cell assignment of q_x_semdedup, made real: the same
+    // semDedup core over Similarity.ivfCells (Lloyd-refined codebook cells
+    // instead of fixed coordinate signs — data-adaptive, so near-dups
+    // co-locate with higher recall). No oracle by design: the centroid
+    // averages are shuffle-order doubles, so cell boundaries are not
+    // bit-replayable — the sign-cell twin above is the hash-checked tier;
+    // DedupSpec bounds this one (merged pairs ⊆ the exact cosine≥θ pair
+    // set by construction, survivors consistent with a union-find replay).
+    "q_x_semdedup_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semDedup(emb,
+        Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 16),
+        "vec_id", "embedding", threshold = 0.25)
     },
     // LSH-bucketed ANN (no oracle: recall-traded scale path; spec-tested
     // against the brute-force baseline).

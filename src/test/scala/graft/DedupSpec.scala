@@ -420,6 +420,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF-cell semdedup: valid assignment, precision-1 pairs, union-find-consistent survivors") {
+    // the production tier of q_x_semdedup — not bit-replayable (Lloyd
+    // centroids are shuffle-order doubles) so it is bounded instead of
+    // hashed: (1) every vector lands in exactly one in-range cell;
+    // (2) every merged pair is a TRUE near-dup (⊆ the exact cosine≥θ
+    // all-pairs set — precision 1 by construction, the verify filter);
+    // (3) the operator's survivors replay as a union-find over its own
+    // pair set (same consistency contract as the sign-cell twin's spec)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cells = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 8)
+      .localCheckpoint() // pin ONE codebook draw for all three assertions
+    val n = emb.count()
+    assert(cells.count() == n)
+    assert(cells.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    import org.apache.spark.sql.graft.natives.cosineSim
+    val pairs = Similarity.cellCandidatePairs(cells, "vec_id", "cell")
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("__ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("__eb")), Seq("b"))
+      .filter(cosineSim(col("__ea"), col("__eb")) >= 0.25)
+      .select("a", "b").as[(Long, Long)].collect()
+    val exact = Similarity.nearDupPairsCosine(emb, "vec_id", "embedding", 0.25)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty, "fixture must exercise the near-dup path")
+    assert(pairs.toSet.subsetOf(exact), "a merged pair failed the exact verify")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    val allIds = cells.select("vec_id").as[Long].collect().toSet
+    val wantSurvivors = allIds.filter(id => find(id) == id)
+    val gotSurvivors = Similarity.semDedup(emb, cells, "vec_id", "embedding", 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotSurvivors == wantSurvivors)
+  }
+
   test("cellCandidatePairs: all-pairs under the cap, star pairs above it, fan-out bounded") {
     // bucket A (cell 0): 5 members, cap 3 → STAR pairs only (hub = min id)
     // bucket B (cell 1): 3 members, at cap → all 3 unordered pairs

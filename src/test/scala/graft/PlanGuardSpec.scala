@@ -12,9 +12,11 @@ package graft
   * corpus-count job inside auto-sized LSH plane derivation (metadata-cheap,
   * parquet footers), q_x_bpe_train / q_x_bpe_encode (BPE training's k
   * driver rounds — one argmax collect + localCheckpoint each — happen at
-  * DataFrame build time), and q_x_pagerank (an eager edge localCheckpoint
-  * before the lazy iteration plan). The census therefore executes those
-  * queries' driver loops per run; everything else stays plan-only.
+  * DataFrame build time), q_x_pagerank (an eager edge localCheckpoint
+  * before the lazy iteration plan), and q_x_semdedup_ivf / q_x_ann_ivf
+  * (Lloyd codebook refinement localCheckpoints per iteration, plus the
+  * sampled dim probe). The census therefore executes those queries'
+  * driver loops per run; everything else stays plan-only.
   */
 class PlanGuardSpec extends SparkSpec {
 
