@@ -792,6 +792,45 @@ object ExtTextQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("likelihood"),
           element_at(array(lit("head"), lit("middle"), lit("tail")),
             col("bucket_id")).as("bucket"))
+    },
+    // Bigram-fluency LM scoring — the order-sensitive sibling of
+    // q_x_unigram_bucket's bag-of-words likelihood (a token-shuffled doc
+    // keeps its unigram score but collapses here — the fluency signal a
+    // CCNet-style quality gate actually wants). The corpus trains its own
+    // bigram model: P(w₂|w₁) = c(w₁w₂)/c(w₁·) with both counts over
+    // bigram-left positions — self-trained, so every document bigram is
+    // observed and no smoothing constant enters the arithmetic. Score =
+    // arithmetic mean of the per-position probabilities: each p is ONE
+    // exact-integer division (bit-identical both engines), and the
+    // per-doc sum folds over POSITION-sorted probabilities (order pinned
+    // by data, not shuffle; DuckDB's list_reduce seeds from the first
+    // element, which equals the 0.0-seeded fold exactly in IEEE). A mean
+    // LOG-prob (true perplexity) rides libm's ln — not bit-specified
+    // across engines — so the mean-prob form is the oracled tier, the
+    // BM25/unigram precedent. Scale shape: the count tables are
+    // vocabulary²-bounded (not corpus), the two probability joins are
+    // keyed shuffles with partial-agg Zipf absorption; the per-doc fold
+    // buffer is bounded by document length.
+    "q_x_bigram_fluency" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(filter(TextOps.tokens(col("text")), w => w =!= ""))
+            .as(Seq("pos", "term")))
+      val bg = toks
+        .withColumn("nxt", lead(col("term"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("nxt").isNotNull)
+      val c2 = bg.groupBy(col("term"), col("nxt")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      bg.join(c2, Seq("term", "nxt")).join(c1, Seq("term"))
+        .select(col("doc_id"), col("pos"),
+          (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          (aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+            lit(0.0), (acc, x) => acc + x.getField("p")) /
+            count(lit(1)).cast("double")).as("fluency"))
     }
   )
 
@@ -1687,6 +1726,23 @@ object ExtTextQueries {
         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, likelihood,
         |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    // each p is one exact-integer division; the per-doc fold is
+    // position-ordered (list_reduce seeds from the first element, which
+    // equals Spark's 0.0-seeded fold exactly: 0.0 + x ≡ x in IEEE)
+    "q_x_bigram_fluency" ->
+      s"""WITH $wCte,
+         |lf AS (SELECT doc_id, list_filter(ws, x -> x <> '') AS fs FROM w),
+         |bg AS (SELECT doc_id, i AS pos, fs[i] AS term, fs[i+1] AS nxt
+         |  FROM lf, unnest(generate_series(1, len(fs)-1)) AS t(i)),
+         |c2 AS (SELECT term, nxt, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT term, count(*) AS c1 FROM bg GROUP BY 1),
+         |p AS (SELECT doc_id, pos, CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+         |  FROM bg JOIN c2 USING (term, nxt) JOIN c1 USING (term)),
+         |f AS (SELECT doc_id, count(*) AS n, list(p ORDER BY pos) AS ps
+         |  FROM p GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS INT) AS n_bigrams,
+         |  list_reduce(ps, (a, x) -> a + x) / CAST(n AS DOUBLE) AS fluency
+         |FROM f""".stripMargin
   )
 }
