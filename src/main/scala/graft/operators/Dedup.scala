@@ -155,6 +155,16 @@ object Dedup {
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
+  /** (id, band, bh) straight from text — the MinHash banding front exposed
+    * for stream-static joins ([[graft.streaming.StreamJobs]]'s near-dup
+    * gate precomputes the standing corpus's bands with this): one narrow
+    * signature pass + a band explode, stateless and streaming-safe.
+    */
+  def textBands(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
+    bandTable(minHashSignature(docs, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand)
+
   def lshCandidatePairs(sig: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int,
       maxBucketSize: Int = DefaultMaxBucketSize,

@@ -97,6 +97,56 @@ object StreamJobs {
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming near-dup admission gate — the S-layer tier of
+    * [[graft.operators.Dedup.crossNearDupMinHash]]: each incoming document
+    * is MinHash-banded in ONE narrow pass (signature + shingle hashes
+    * computed together, bands exploded — stateless), bucket-joined against
+    * the STANDING corpus's precomputed band table (a stream-static
+    * equi-join, no stream-stream state), and band collisions are verified
+    * with the same exact word-shingle Jaccard as the batch operator (the
+    * incoming doc carries its own shingle hashes; the standing doc's
+    * attach via a second static join). Emits the REJECTION feed
+    * (doc_id, old_id, jaccard ≥ threshold) — admission is the batch
+    * sink's anti-join downstream, the corpusPrepStream stance. A pair
+    * colliding in several bands would emit once per band;
+    * `dropDuplicatesWithinWatermark` on (doc_id, old_id) collapses the
+    * replays with state bounded by the horizon, exactly like the
+    * fingerprint dedup above.
+    */
+  def nearDupGateStream(incoming: DataFrame, standing: DataFrame,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.6, horizon: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graft.natives.{minhashSig, shingleHashes, sortedIntersectCount}
+    val numBands = numHashes / rowsPerBand
+    val bandCol = explode(array((0 until numBands).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat_ws("|", (j * rowsPerBand until (j + 1) * rowsPerBand)
+          .map(i => element_at(col("__sig"), i + 1)): _*)).as("bh"))
+    }: _*))
+    val nb = incoming
+      .select(col("doc_id"), col("ingest_ts"),
+        minhashSig(col("text"), numHashes, shingleN).as("__sig"),
+        shingleHashes(col("text"), shingleN).as("__sa"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id"), col("ingest_ts"), col("__sa"), bandCol.as("b"))
+      .select(col("doc_id"), col("ingest_ts"), col("__sa"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    val ob = graft.operators.Dedup
+      .textBands(standing, "doc_id", "text", numHashes, rowsPerBand, shingleN)
+      .withColumnRenamed("doc_id", "old_id")
+    val osh = standing.select(col("doc_id").as("old_id"),
+      shingleHashes(col("text"), shingleN).as("__sb"))
+    nb.join(ob, Seq("band", "bh"))
+      .join(osh, Seq("old_id"))
+      .withColumn("common", sortedIntersectCount(col("__sa"), col("__sb")).cast("double"))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("__sa")) + size(col("__sb")) - col("common")).cast("double"), 3))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("doc_id", "old_id")
+      .select(col("doc_id"), col("old_id"), col("jaccard"), col("ingest_ts"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the views of the
     * same user in the preceding hour — the streaming form of the batch as-of
     * enrichment (J5/B2). Watermarks bound both sides' state; late views past

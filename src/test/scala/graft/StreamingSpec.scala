@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup gate equals the batch cross-corpus operator") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_gate_src").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val standing = docs.filter(pmod($"doc_id", lit(3)) === 0).select("doc_id", "text")
+    val incoming = docs.filter(pmod($"doc_id", lit(3)) =!= 0).select("doc_id", "text")
+    incoming.withColumn("ingest_ts", lit(t0))
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamJobs.nearDupGateStream(stream, standing, threshold = 0.3)
+      .writeStream.outputMode("append").format("memory").queryName("gate").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gate").select("doc_id", "old_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.crossNearDupMinHash(
+      incoming, standing, "doc_id", "text", threshold = 0.3)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch, "gate feed must equal the batch rejection list")
+    assert(streamed.nonEmpty, "fixture must exercise the near-dup path")
+  }
+
   test("stream dedup drops replayed event_ids") {
     val src = Files.createTempDirectory("graft_dup_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
