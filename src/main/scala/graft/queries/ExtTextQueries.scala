@@ -821,8 +821,15 @@ object ExtTextQueries {
         .withColumn("nxt", lead(col("term"), 1).over(
           Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
         .filter(col("nxt").isNotNull)
+      // The trained model is materialized ONCE (lazily — plan-build stays
+      // job-free for the registry census): c2 is vocab²-bounded, so the
+      // checkpoint is tiny, and without it Spark re-derives the count
+      // subtree per consumer (no cross-consumer CSE) — the naive form
+      // planned 3 corpus scans, this plans exactly 2 (train + score).
+      // c(w₁·) folds from the materialized bigram table, not the corpus.
       val c2 = bg.groupBy(col("term"), col("nxt")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(eager = false)
+      val c1 = c2.groupBy(col("term")).agg(sum(col("c2")).as("c1"))
       bg.join(c2, Seq("term", "nxt")).join(c1, Seq("term"))
         .select(col("doc_id"), col("pos"),
           (col("c2").cast("double") / col("c1").cast("double")).as("p"))
