@@ -93,9 +93,9 @@ object ExtVectorQueries {
     // coordinate-sign quantizer (6 bits over disjoint coordinates — the
     // same family q_x_embed_neardup_lsh_exact pins) so DuckDB replays
     // the whole pipeline including the recursive-CTE closure; the
-    // production assignment is the IVF codebook (Similarity.annIvf's
-    // Lloyd centroids) — a drop-in for the cell column, same plan shape
-    // downstream. Scale shape: within-cell pairing goes through the
+    // production assignment is the IVF codebook — real code, not prose:
+    // q_x_semdedup_ivf below runs this same Similarity.semDedup core over
+    // Similarity.ivfCells. Scale shape: within-cell pairing goes through the
     // STAR-GUARDED Similarity.cellCandidatePairs (quadratic only inside a
     // ≤1024-member cell, linear hub pairs above — the cap never fires at
     // the test SFs, max cell 46 at sf0.1, so the DuckDB replay of the
