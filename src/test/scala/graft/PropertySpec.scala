@@ -190,6 +190,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: vocab coverage's bucketed prefix sum equals a naive driver ranking") {
+    // the q_x_vocab_coverage decomposition ((-tf, first-char) partitions +
+    // handoff offsets) must equal the single global (tf DESC, term ASC)
+    // cumulative — including the exact-integer keep rule and cov_bp
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "zq")
+    val docGen: Gen[String] =
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (seed <- 1 to 5) {
+      val docs = sample(Gen.listOfN(30, docGen), seed.toLong).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val dir = Files.createTempDirectory(s"graft_vocab_$seed").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_x_vocab_coverage")(spark, dir)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val tf = docs.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = tf.values.sum
+      val ranked = tf.toSeq.sortBy { case (t, c) => (-c, t) }
+      var cum = 0L
+      val want = ranked.flatMap { case (t, c) =>
+        val before = cum; cum += c
+        if (before * 20 < total * 19) Some((t, c, cum, cum * 10000 / total)) else None
+      }.toSet
+      assert(got == want, s"seed $seed diverged")
+    }
+  }
+
+  test("property: bigram fluency equals a driver-side position-ordered naive scorer") {
+    // exact Double equality expected: same integer divisions, same
+    // position-ordered fold, same final division — identical IEEE sequence
+    val word: Gen[String] = Gen.oneOf("a", "b", "c", "d")
+    val docGen: Gen[String] =
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (seed <- 1 to 5) {
+      val docs = sample(Gen.listOfN(25, docGen), seed.toLong).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val dir = Files.createTempDirectory(s"graft_bigram_$seed").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_x_bigram_fluency")(spark, dir)
+        .as[(Long, Int, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+      val bgs = toks.flatMap { case (id, ws) =>
+        ws.zip(ws.drop(1)).zipWithIndex.map { case (p, i) => (id, i, p) } }
+      val c2 = bgs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val c1 = bgs.groupBy(_._3._1).view.mapValues(_.size.toLong).toMap
+      val want = bgs.groupBy(_._1).map { case (id, rows) =>
+        val ps = rows.sortBy(_._2).map(r => c2(r._3).toDouble / c1(r._3._1).toDouble)
+        id -> ((rows.size, ps.foldLeft(0.0)(_ + _) / rows.size.toDouble))
+      }
+      assert(got == want, s"seed $seed diverged")
+    }
+  }
+
   test("property: contaminationReport equals the naive n-gram set intersection") {
     val word: Gen[String] = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl")
     val docGen: Gen[String] = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
