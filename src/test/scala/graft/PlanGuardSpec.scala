@@ -13,10 +13,13 @@ package graft
   * parquet footers), q_x_bpe_train / q_x_bpe_encode (BPE training's k
   * driver rounds — one argmax collect + localCheckpoint each — happen at
   * DataFrame build time), q_x_pagerank (an eager edge localCheckpoint
-  * before the lazy iteration plan), and q_x_semdedup_ivf / q_x_ann_ivf
+  * before the lazy iteration plan), q_x_semdedup_ivf / q_x_ann_ivf
   * (Lloyd codebook refinement localCheckpoints per iteration, plus the
-  * sampled dim probe). The census therefore executes those queries'
-  * driver loops per run; everything else stays plan-only.
+  * sampled dim probe), and the MinHash candidate family (q_x_dedup_minhash
+  * / _ngram / _simhash, q_x_dedup_clusters / _survivors, q_x_incr_neardup,
+  * q_x_embed_neardup_lsh*: eager band/pair localCheckpoints shared by
+  * their multi-consumer verify stages). The census therefore executes
+  * those queries' driver loops per run; everything else stays plan-only.
   */
 class PlanGuardSpec extends SparkSpec {
 
