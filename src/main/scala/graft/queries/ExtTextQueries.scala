@@ -543,6 +543,39 @@ object ExtTextQueries {
             p => concat(p.getField("doc_id").cast("string"), lit(":"),
               p.getField("tf").cast("string"))), ";").as("postings"))
     },
+    // The PAGED inverted index — q_x_inverted_index's documented
+    // production form made real: postings split into fixed-size blocks
+    // (doc_id order preserved) with per-block skip metadata (block_len,
+    // block_max_tf — the block-max structure WAND-style retrieval skips
+    // on — and first_doc, the block seek key). THIS is the form that
+    // survives an ultra-high-df term at 100 TB: the single-page form
+    // must assemble one unbounded in-memory collect_list per term, while
+    // here the per-term work is a WINDOW (whose partition buffer SPILLS —
+    // ExternalAppendOnlyUnsafeRowArray — instead of growing one array
+    // value) and every final (term, block) reducer group is ≤ blockSize
+    // rows: the assembly bound comes from the structure, not the data.
+    // Both window functions share the one term-keyed Exchange. blockSize
+    // = 4 keeps blocks visible at test SFs; production ~128.
+    "q_x_inverted_index_blocks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .filter(col("df") >= 5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("doc_id"))) - 1)
+        .select(col("term"), expr("CAST(rk div 4 AS INT)").as("block_id"),
+          col("doc_id"), col("tf"))
+        .groupBy(col("term"), col("block_id"))
+        .agg(count(lit(1)).cast("int").as("block_len"),
+          max(col("tf")).as("block_max_tf"),
+          min(col("doc_id")).as("first_doc"),
+          array_join(transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ";").as("postings"))
+    },
     // Per-language token-length quantiles — the length-distribution
     // diagnostic every corpus-curation pass starts from (and the cut-point
     // feed for length filtering). EXACT percentile (Spark's `percentile`
@@ -1590,6 +1623,22 @@ object ExtTextQueries {
         |  CAST(sum(tf) AS BIGINT) AS total_tf,
         |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY term HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
+    // rk replays posexplode's 0-based position over the doc_id-sorted
+    // postings; rk // 4 is the same int division as Spark's `rk div 4`
+    "q_x_inverted_index_blocks" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tfs AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term <> ''
+        |  GROUP BY term, doc_id),
+        |d AS (SELECT term FROM tfs GROUP BY term HAVING count(DISTINCT doc_id) >= 5),
+        |r AS (SELECT t.term, t.doc_id, t.tf,
+        |    row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) - 1 AS rk
+        |  FROM tfs t JOIN d USING (term)),
+        |b AS (SELECT term, CAST(rk // 4 AS INT) AS block_id, doc_id, tf FROM r)
+        |SELECT term, block_id, CAST(count(*) AS INT) AS block_len,
+        |  CAST(max(tf) AS BIGINT) AS block_max_tf, min(doc_id) AS first_doc,
+        |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
+        |FROM b GROUP BY term, block_id""".stripMargin,
     // Spark's exact `percentile` ≡ quantile_cont (both interpolate at
     // (n−1)p); integer inputs + quarter fractions → exact doubles; blank
     // docs count 0 tokens (the tokenCount guard), not their [""] artifact

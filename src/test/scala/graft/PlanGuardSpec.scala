@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{count, first, lit}
+
 /** Global plan-hygiene census over the ENTIRE query registry: no registered
   * query may plan a CartesianProduct, except the explicitly-labeled brute
   * baselines whose all-pairs contract is the point. This is the guard the
@@ -36,17 +38,38 @@ class PlanGuardSpec extends SparkSpec {
     // data before its rewrite). A following-frame lookup is always
     // re-expressible as a running frame over the reversed sort when the
     // sort key is a total order — so a planned one is a bug, not a choice.
+    // A frame is the rescan form iff its UPPER bound is unboundedfollowing
+    // while the LOWER bound is anything but unboundedpreceding (the
+    // whole-partition (unboundedpreceding, unboundedfollowing) frame is
+    // the O(n) once-per-partition aggregate — benign). Matched on the
+    // physical plan's specifiedwindowframe(...) rendering; the detector
+    // itself is positively tested below.
+    val rescanFrame =
+      """specifiedwindowframe\([^,]+, (?!unboundedpreceding)[^,]+, unboundedfollowing""".r
     val cartesian = Seq.newBuilder[String]
     val following = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
       if (plan.contains("CartesianProduct") && !bruteByDesign(name)) cartesian += name
-      if (plan.contains("AND UNBOUNDED FOLLOWING")) following += name
+      if (rescanFrame.findFirstIn(plan).isDefined) following += name
     }
     assert(cartesian.result().isEmpty,
       s"cartesian product planned by: ${cartesian.result().mkString(", ")}")
     assert(following.result().isEmpty,
       s"unbounded-following frame planned by: ${following.result().mkString(", ")}")
+    // detector sanity: a genuine (currentRow, unboundedFollowing) frame
+    // must trip it, a whole-partition aggregate frame must not
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val tiny = Seq((1, 1)).toDF("k", "v")
+    val bad = tiny.withColumn("x", first($"v").over(
+      Window.partitionBy($"k").orderBy($"v")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .queryExecution.sparkPlan.toString
+    assert(rescanFrame.findFirstIn(bad).isDefined, "detector missed a rescan frame")
+    val ok = tiny.withColumn("x", count(lit(1)).over(Window.partitionBy($"k")))
+      .queryExecution.sparkPlan.toString
+    assert(rescanFrame.findFirstIn(ok).isEmpty, "detector flagged a whole-partition frame")
   }
 
   test("bucketized range join plans an equi join, never a nested loop") {
