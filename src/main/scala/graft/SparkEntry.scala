@@ -21,13 +21,13 @@ object SparkEntry {
     CoreQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
       AggQueries.queries ++ WindowSetQueries.queries ++
       ScalarQueries.queries ++ DerivationQueries.queries ++
-      ExtTextQueries.queries ++ ExtVectorQueries.queries ++ PipelineQueries.queries ++
+      ExtTextQueries.queries ++ ExtVectorQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries ++
       LiteralTwinQueries.queries ++ ProbeQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ FilterQueries.oracleSql ++ JoinQueries.oracleSql ++
       AggQueries.oracleSql ++ WindowSetQueries.oracleSql ++
       ScalarQueries.oracleSql ++ DerivationQueries.oracleSql ++
-      ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql ++ SketchQueries.oracleSql ++ PipelineQueries.oracleSql ++
       LiteralTwinQueries.oracleSql ++ ProbeQueries.oracleSql
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.sketches
+
+/** Frequency sketches over the corpus — the approximate-counting family
+  * sibling of the distinct (HLL), quantile (t-digest) and membership
+  * (Bloom) tiers already in the repo.
+  *
+  * Two formulations of the SAME count-min sketch, deliberately:
+  *
+  *  - [[cmsHeavyHitters]] is purely relational: a CMS is nothing but
+  *    `GROUP BY (row, bucket) COUNT(*)` over hashed buckets, so Spark's
+  *    map-side partial aggregation IS the sketch — per-partition hash-agg
+  *    state is bounded at depth·width entries regardless of corpus size,
+  *    and the shuffle moves ≤ depth·width rows per partition instead of
+  *    the vocabulary. No custom code in the hot path, whole-stage codegen
+  *    end to end.
+  *  - [[cmsRollup]] materializes per-group sketches as a STORED column
+  *    (CmsAgg → array<long>), then re-aggregates them (LongVectorSumAgg)
+  *    at a coarser grain without touching the raw corpus — the
+  *    pre-aggregated-cube shape a 100 TB pipeline stores daily and rolls
+  *    up monthly.
+  *
+  * Both use the md5-derived bucket hash (NativeKernels.cmsBucket), so every
+  * counter and estimate is an exact integer the DuckDB oracle replays —
+  * the approximate tier itself is hash-checkable.
+  *
+  * Estimate guarantees (standard CMS): est ≥ true count always (counters
+  * only ever add); est ≤ true + εN with probability 1−δ for width = e/ε,
+  * depth = ln(1/δ). SketchSpec pins both sides on the real corpus.
+  */
+object Sketches {
+
+  /** bucket_i(term) for the relational formulation — MUST stay in lockstep
+    * with NativeKernels.cmsBucket (spec-pinned in SketchSpec).
+    */
+  private def bucketCol(term: Column, i: Column, width: Int): Column =
+    pmod(TextOps.md5Long64(concat(lit("cms"), i.cast("string"), lit(":"), term)),
+      lit(width.toLong))
+
+  private def depthIndex(depth: Int): Column =
+    explode(array((0 until depth).map(lit): _*))
+
+  /** Top-k most frequent terms by CMS estimate, purely relational.
+    *
+    * Candidate terms are the distinct vocabulary (a dedup shuffle with
+    * map-side combine — strictly narrower than the counting shuffle it
+    * replaces, since no count column travels and duplicates die in the
+    * map). The counter table is ≤ depth·width rows by construction, so it
+    * broadcasts to the candidates regardless of corpus size.
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, depth: Int, width: Int,
+      k: Int): DataFrame = {
+    val terms = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val counters = terms
+      .select(col("term"), depthIndex(depth).as("i"))
+      .withColumn("bucket", bucketCol(col("term"), col("i"), width))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val candidates = terms.distinct()
+      .select(col("term"), depthIndex(depth).as("i"))
+      .withColumn("bucket", bucketCol(col("term"), col("i"), width))
+    candidates
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("term"))
+      .agg(min(col("c")).as("est_count"))
+      .orderBy(col("est_count").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Daily CMS sketches over `keyCol`, stored as counter vectors, rolled up
+    * to monthly by element-wise vector sum, then point-estimated for every
+    * distinct key. The daily grain never re-reads raw data for the monthly
+    * answer — the mergeable-sketch contract.
+    *
+    * The candidate set here is the key domain (event_type: configuration-
+    * bounded), broadcast onto the month×sketch rows.
+    */
+  def cmsRollup(events: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sketches.cmsSketch(col(keyCol), depth, width).as("sketch"))
+    val monthly = daily
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(sketches.longVectorSum(col("sketch")).as("msketch"))
+    val candidates = events.select(col(keyCol).as("key")).distinct()
+    // broadcast cross join: |candidates| is the key domain (single-digit
+    // for event_type), |monthly| is the month count — both tiny vs corpus
+    monthly
+      .crossJoin(broadcast(candidates))
+      .select(col("month"), col("key").as(keyCol),
+        sketches.cmsEstimate(col("msketch"), col("key"), depth, width).as("est_events"))
+  }
+
+  /** Daily DataSketches-HLL sketches over `keyCol` unioned to monthly
+    * distinct estimates — the stored-sketch tier of q_a4_monthly_active
+    * (approx_count_distinct answers one grain; stored HLL sketches answer
+    * EVERY coarser grain later without re-reading raw data). Register-max
+    * union is order-independent, so estimates are deterministic across
+    * partitionings. No SQL oracle (engine-private sketch state); the exact
+    * twin + SketchSpec error bound carry correctness.
+    */
+  def hllRollup(events: DataFrame, keyCol: String, lgK: Int = 12): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("sk"))
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Sketch-column queries: count-min frequency sketches (both fully
+  * DuckDB-oracled — the md5 bucket hash makes every counter and estimate a
+  * replayable integer) and the DataSketches HLL rollup tier (no oracle by
+  * design; exact twin q_a4_monthly_active + SketchSpec error bound).
+  *
+  * Reference anchor: the serve layer's pre-aggregated/materialized hot
+  * endpoints (SURVEY §2.12); sketch columns are the mergeable form of that
+  * pre-aggregation for counting questions at 100 TB.
+  */
+object SketchQueries {
+
+  private val Depth = 4
+  private val TopkWidth = 2048
+  private val RollupWidth = 256
+
+  private val evCte =
+    "ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** DuckDB replay of NativeKernels.cmsBucket: signed md5-prefix hash of
+    * the `u` column in scope, pmod width.
+    */
+  private def bucketSql(width: Int): String =
+    s"""((CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+       |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+       |       ELSE CAST(u AS BIGINT) END % $width) + $width) % $width""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-50 most frequent terms by count-min estimate — the relational CMS
+    // (GROUP BY hashed bucket = the sketch; map-side combine bounds partial
+    // state at depth×width). Exact-count twin: q_x_term_freq.
+    "q_x_cms_topk" -> { (s, dir) =>
+      Sketches.cmsHeavyHitters(Tables.documents(s, dir), "text",
+        depth = Depth, width = TopkWidth, k = 50)
+    },
+    // Stored daily CMS sketches rolled up to monthly estimates per
+    // event_type — sketch-as-a-column, merged WITHOUT re-reading raw rows.
+    "q_x_cms_rollup" -> { (s, dir) =>
+      Sketches.cmsRollup(Tables.events(s, dir), "event_type",
+        depth = Depth, width = RollupWidth)
+    },
+    // Daily HLL sketches unioned to monthly distinct-user estimates — the
+    // stored-sketch tier of q_a4_monthly_active (no oracle: DataSketches
+    // binary state is engine-private; SketchSpec bounds the error at 5%
+    // and pins daily-union ≡ direct-build).
+    "q_x_hll_rollup" -> { (s, dir) =>
+      Sketches.hllRollup(Tables.events(s, dir), "user_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_x_cms_topk" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
+         |tt AS (SELECT term FROM t WHERE term <> ''),
+         |d AS (SELECT unnest(range($Depth)) AS i),
+         |r AS (
+         |  SELECT term, i,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(i AS VARCHAR), ':', term)), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM tt CROSS JOIN d),
+         |rb AS (SELECT term, i, ${bucketSql(TopkWidth)} AS bucket FROM r),
+         |counters AS (SELECT i, bucket, count(*) AS c FROM rb GROUP BY i, bucket),
+         |cand AS (SELECT DISTINCT term FROM tt),
+         |cb AS (
+         |  SELECT term, i,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(i AS VARCHAR), ':', term)), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM cand CROSS JOIN d),
+         |cbb AS (SELECT term, i, ${bucketSql(TopkWidth)} AS bucket FROM cb),
+         |est AS (
+         |  SELECT cbb.term, min(counters.c) AS est_count
+         |  FROM cbb JOIN counters USING (i, bucket) GROUP BY cbb.term)
+         |SELECT term, est_count FROM est
+         |ORDER BY est_count DESC, term ASC LIMIT 50""".stripMargin,
+
+    "q_x_cms_rollup" ->
+      s"""WITH $evCte,
+         |d AS (SELECT unnest(range($Depth)) AS i),
+         |base AS (SELECT strftime(date_trunc('day', ts), '%Y-%m') AS month, event_type FROM ev),
+         |r AS (
+         |  SELECT month, event_type, i,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(i AS VARCHAR), ':', event_type)), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM base CROSS JOIN d),
+         |rb AS (SELECT month, i, ${bucketSql(RollupWidth)} AS bucket FROM r),
+         |counters AS (SELECT month, i, bucket, count(*) AS c FROM rb GROUP BY month, i, bucket),
+         |cand AS (SELECT DISTINCT event_type FROM ev),
+         |months AS (SELECT DISTINCT month FROM base),
+         |cb AS (
+         |  SELECT month, event_type, i,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(i AS VARCHAR), ':', event_type)), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM months CROSS JOIN cand CROSS JOIN d),
+         |cbb AS (SELECT month, event_type, i, ${bucketSql(RollupWidth)} AS bucket FROM cb)
+         |SELECT cbb.month, cbb.event_type,
+         |  min(coalesce(counters.c, 0)) AS est_events
+         |FROM cbb LEFT JOIN counters
+         |  ON cbb.month = counters.month AND cbb.i = counters.i AND cbb.bucket = counters.bucket
+         |GROUP BY cbb.month, cbb.event_type""".stripMargin
+  )
+}

@@ -312,6 +312,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[ProtoEncodeBytes].getName, "proto_enc_bytes"),
       (exprs: Seq[Expression]) =>
         ProtoEncodeBytes(exprs(0), literalFieldNo("proto_enc_bytes", exprs))))
+    // Sketch-column family (SketchExpressions.scala). The analyzer wraps a
+    // bare AggregateFunction in an AggregateExpression during resolution,
+    // so injecting the function constructor is enough for SQL use.
+    e.injectFunction((FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "cms_sketch(term, depth, width) takes exactly 3 arguments")
+        CmsAgg(exprs.head, literalInt("cms_sketch", "depth", exprs(1)),
+          literalInt("cms_sketch", "width", exprs(2)))
+      }))
+    e.injectFunction((FunctionIdentifier("long_vector_sum"),
+      new ExpressionInfo(classOf[LongVectorSumAgg].getName, "long_vector_sum"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "long_vector_sum(vec) takes exactly 1 argument")
+        LongVectorSumAgg(exprs.head)
+      }))
+    e.injectFunction((FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "cms_estimate(counters, term, depth, width) takes exactly 4 arguments")
+        CmsEstimate(exprs(0), exprs(1), literalInt("cms_estimate", "depth", exprs(2)),
+          literalInt("cms_estimate", "width", exprs(3)))
+      }))
   }
 }
 
@@ -590,6 +614,47 @@ object NativeKernels {
     ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
       ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
+  /** Count-min-sketch row hash: bucket_i(term) = pmod(md5Long64("cms<i>:" +
+    * term), width). The "cms"+i+":" prefix is pure ASCII, so the digest
+    * input equals the UTF-8 bytes of the concatenated string and DuckDB
+    * replays it verbatim as md5('cms' || CAST(i AS VARCHAR) || ':' || term)
+    * — the property that makes CMS counters (and therefore estimates)
+    * hash-checkable integers rather than engine-private sketch state.
+    * Prefixes for the practical depth range are built once.
+    */
+  private val cmsPrefixes: Array[Array[Byte]] =
+    Array.tabulate(16)(i =>
+      ("cms" + i + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def cmsBucket(term: org.apache.spark.unsafe.types.UTF8String, i: Int, width: Int): Int = {
+    val prefix =
+      if (i < cmsPrefixes.length) cmsPrefixes(i)
+      else ("cms" + i + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tb = term.getBytes
+    val buf = new Array[Byte](prefix.length + tb.length)
+    System.arraycopy(prefix, 0, buf, 0, prefix.length)
+    System.arraycopy(tb, 0, buf, prefix.length, tb.length)
+    val h = md5LongBytes(buf, 0, buf.length)
+    (((h % width) + width) % width).toInt
+  }
+
+  /** CMS point estimate: min over the depth rows of the counter each row
+    * hashes the term to. Counters are the row-major long array CmsAgg
+    * emits; a zero counter (term absent from the sketched stream AND no
+    * collision) correctly estimates 0.
+    */
+  def cmsEstimate(counters: ArrayData, term: org.apache.spark.unsafe.types.UTF8String,
+      depth: Int, width: Int): Long = {
+    var min = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = counters.getLong(i * width + cmsBucket(term, i, width))
+      if (c < min) min = c
+      i += 1
+    }
+    min
   }
 
   def simhash(arr: ArrayData): Long = {

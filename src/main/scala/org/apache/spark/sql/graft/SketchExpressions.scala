@@ -1,0 +1,213 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable sketch aggregates — the "sketch as a storable column" tier of
+  * the approximate family (HLL distinct: `approx_count_distinct` /
+  * `hll_sketch_agg`; quantiles: `percentile_approx`; membership: the Bloom
+  * gate in Dedup). These cover frequency: a count-min sketch is a fixed
+  * d×w grid of integer counters, so a 100 TB term-frequency question
+  * shuffles d·w longs per partition instead of the full vocabulary, and
+  * per-group sketches written to a table re-aggregate later (day → month)
+  * WITHOUT re-reading the raw corpus — the pre-aggregated-cube pattern.
+  *
+  * Unlike engine-private sketch binaries, these counters are plain integers
+  * under the repo's md5-derived hash family (NativeKernels.cmsBucket), so
+  * every stage — build, merge, estimate — is bit-replayable by the DuckDB
+  * oracle: the approximate tier itself is hash-checkable, not merely
+  * rows-only + spec-bounded.
+  *
+  * Reference behavior anchored: the reference caps result set sizes and
+  * pre-aggregates hot endpoints into materialized tables refreshed on a
+  * schedule (crates/etl-serve statement budget + the mv refresh tasks);
+  * sketch columns are the same pre-aggregation idea made mergeable.
+  */
+case class CmsAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  require(depth > 0 && width > 0, s"cms_sketch: depth/width must be positive, got ($depth, $width)")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val term = v.asInstanceOf[UTF8String]
+      var i = 0
+      while (i < depth) {
+        buffer(i * width + NativeKernels.cmsBucket(term, i, width)) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CmsAgg =
+    copy(child = newChildren.head)
+}
+
+/** Element-wise sum of long vectors — the MERGE of stored CMS sketches (and
+  * any other additive counter vector, e.g. histogram rows). Ragged inputs
+  * throw: silently zip-truncating two different-shaped sketches would
+  * corrupt every estimate downstream. NULL rows are skipped (a group with
+  * no sketch contributes nothing); an all-NULL group returns NULL.
+  */
+case class LongVectorSumAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_vector_sum"
+
+  // empty array = "no input seen yet" sentinel: the real vector length is
+  // only known from the first row, and serialize(null) has no encoding
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (buffer.isEmpty) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = arr.getLong(i); i += 1 }
+      out
+    } else {
+      require(buffer.length == n,
+        s"long_vector_sum: ragged input (${buffer.length} vs $n elements)")
+      var i = 0
+      while (i < n) { buffer(i) += arr.getLong(i); i += 1 }
+      buffer
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =
+    if (buffer.isEmpty) other
+    else if (other.isEmpty) buffer
+    else {
+      require(buffer.length == other.length,
+        s"long_vector_sum: ragged merge (${buffer.length} vs ${other.length} elements)")
+      var i = 0
+      while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongVectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongVectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): LongVectorSumAgg =
+    copy(child = newChildren.head)
+}
+
+/** CMS point estimate over a counters vector: min over the depth rows of
+  * counters[i·width + bucket_i(term)] — codegen'd via one static kernel
+  * call like the rest of the native family.
+  */
+case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(depth > 0 && width > 0,
+    s"cms_estimate: depth/width must be positive, got ($depth, $width)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(counters: Any, term: Any): Any =
+    NativeKernels.cmsEstimate(counters.asInstanceOf[ArrayData],
+      term.asInstanceOf[UTF8String], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"org.apache.spark.sql.graft.NativeKernels.cmsEstimate($c, $t, $depth, $width)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the sketch family (the aggregate siblings of
+  * [[natives]]).
+  */
+object sketches {
+  /** Per-group CMS counters (row-major depth×width array<long>). */
+  def cmsSketch(term: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(
+      CmsAgg(ExpressionUtils.expression(term), depth, width).toAggregateExpression())
+
+  /** Element-wise sum of long vectors — merges stored sketches. */
+  def longVectorSum(vec: Column): Column =
+    ExpressionUtils.column(
+      LongVectorSumAgg(ExpressionUtils.expression(vec)).toAggregateExpression())
+
+  /** Point estimate of `term`'s count from CMS counters. */
+  def cmsEstimate(counters: Column, term: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(CmsEstimate(
+      ExpressionUtils.expression(counters), ExpressionUtils.expression(term), depth, width))
+}

@@ -82,4 +82,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(shh == 2) // 'a b c', 'b c d'
   }
+
+  test("sketch aggregates are callable from SQL (analyzer wraps bare AggregateFunctions)") {
+    import spark.implicits._
+    Seq("x", "x", "y").toDF("t").createOrReplaceTempView("sk_terms")
+    // build + estimate round trip: estimates must reproduce exact counts at
+    // a width with no collisions for two terms
+    val est = spark.sql(
+      """SELECT t, cms_estimate(cms, t, 4, 64) AS est FROM sk_terms
+        |CROSS JOIN (SELECT cms_sketch(t, 4, 64) AS cms FROM sk_terms)
+        |GROUP BY t, cms ORDER BY t""".stripMargin)
+      .select($"t", $"est").as[(String, Long)].collect().toSeq
+    assert(est == Seq(("x", 2L), ("y", 1L)))
+    val vs = spark.sql(
+      """SELECT long_vector_sum(v) AS s FROM (
+        |  SELECT array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)) AS v
+        |  UNION ALL SELECT array(CAST(10 AS BIGINT), CAST(20 AS BIGINT)))""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(vs == Seq(11L, 22L))
+  }
 }
