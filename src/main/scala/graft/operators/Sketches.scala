@@ -30,6 +30,12 @@ import org.apache.spark.sql.graft.sketches
   * Estimate guarantees (standard CMS): est ≥ true count always (counters
   * only ever add); est ≤ true + εN with probability 1−δ for width = e/ε,
   * depth = ln(1/δ). SketchSpec pins both sides on the real corpus.
+  *
+  * Why CMS and not Misra-Gries/SpaceSaving: an MG summary's retained
+  * items and lower bounds depend on how the input was partitioned, so the
+  * same corpus gives different summaries at local[4] vs local[16] — it
+  * cannot meet the registry's bit-identical-across-parallelism census.
+  * CMS counters are plain sums: commutative, layout-blind, replayable.
   */
 object Sketches {
 

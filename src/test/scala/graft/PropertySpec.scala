@@ -273,6 +273,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: relational CMS equals a naive driver-side sketch under forced collisions") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen: Gen[String] = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen: Gen[List[String]] = Gen.listOfN(15, docGen)
+    val (depth, width) = (2, 4) // 8 terms into 2×4 buckets: collisions guaranteed
+    for (seed <- 1 to 10) {
+      val docs = sample(corpusGen, seed.toLong)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val exact = docs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, hits) => t -> hits.size.toLong }
+      val counters = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      exact.foreach { case (t, c) =>
+        (0 until depth).foreach { i =>
+          val b = org.apache.spark.sql.graft.NativeKernels
+            .cmsBucket(UTF8String.fromString(t), i, width)
+          counters((i, b)) = counters.getOrElse((i, b), 0L) + c
+        }
+      }
+      val want = exact.keySet.map { t =>
+        t -> (0 until depth).map { i =>
+          counters((i, org.apache.spark.sql.graft.NativeKernels
+            .cmsBucket(UTF8String.fromString(t), i, width)))
+        }.min
+      }.toMap
+      val got = graft.operators.Sketches
+        .cmsHeavyHitters(df, "text", depth, width, k = 1000)
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+      want.foreach { case (t, est) => assert(est >= exact(t), s"seed $seed undercount on $t") }
+    }
+  }
+
   test("time-window params parse with reference contract") {
     import graft.serve.TimeWindowParams._
     assert(parse(Some("3m"), None) == Months(3))
