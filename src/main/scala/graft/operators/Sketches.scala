@@ -102,6 +102,28 @@ object Sketches {
         sketches.cmsEstimate(col("msketch"), col("key"), depth, width).as("est_events"))
   }
 
+  /** Distinct-set ALGEBRA from two theta sketches built in one corpus pass:
+    * |A|, |B|, |A ∩ B|, |A \ B| for the key sets of two segments (e.g.
+    * "users who purchased" vs "users who clicked"). HLL sketches union but
+    * cannot intersect; theta sketches answer overlap questions from stored
+    * per-segment state. Below 2^lgK distinct keys the sketches are in
+    * exact mode and every output is the exact count (SketchSpec pins
+    * equality with the oracled exact twin q_x_set_overlap); estimation
+    * mode is the 100 TB path, where the same stored sketches keep
+    * answering every pairwise overlap without re-reading raw rows.
+    */
+  def thetaSetOverlap(events: DataFrame, keyCol: String, typeCol: String,
+      aType: String, bType: String, lgK: Int = 12): DataFrame =
+    events
+      .agg(
+        sketches.thetaSketch(when(col(typeCol) === aType, col(keyCol)), lgK).as("ska"),
+        sketches.thetaSketch(when(col(typeCol) === bType, col(keyCol)), lgK).as("skb"))
+      .select(
+        sketches.thetaEstimate(col("ska")).as("n_a"),
+        sketches.thetaEstimate(col("skb")).as("n_b"),
+        sketches.thetaIntersect(col("ska"), col("skb")).as("n_both"),
+        sketches.thetaDiff(col("ska"), col("skb")).as("n_a_only"))
+
   /** Daily DataSketches-HLL sketches over `keyCol` unioned to monthly
     * distinct estimates — the stored-sketch tier of q_a4_monthly_active
     * (approx_count_distinct answers one grain; stored HLL sketches answer

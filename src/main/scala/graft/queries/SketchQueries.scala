@@ -51,6 +51,27 @@ object SketchQueries {
     // and pins daily-union ≡ direct-build).
     "q_x_hll_rollup" -> { (s, dir) =>
       Sketches.hllRollup(Tables.events(s, dir), "user_id")
+    },
+    // Exact distinct-set overlap of two behavioral segments — the oracled
+    // twin of q_x_theta_sets (per-user flag rollup, then flag algebra).
+    "q_x_set_overlap" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("a"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("b"))
+        .agg(
+          sum(col("a")).as("n_a"),
+          sum(col("b")).as("n_b"),
+          sum(col("a") * col("b")).as("n_both"),
+          sum(col("a") * (lit(1) - col("b"))).as("n_a_only"))
+    },
+    // Theta-sketch set algebra over the same segments (no oracle:
+    // DataSketches state; at test cardinalities the sketches are in exact
+    // mode and SketchSpec pins equality with q_x_set_overlap).
+    "q_x_theta_sets" -> { (s, dir) =>
+      Sketches.thetaSetOverlap(Tables.events(s, dir), "user_id", "event_type",
+        aType = "purchase", bType = "click")
     }
   )
 
@@ -103,6 +124,18 @@ object SketchQueries {
          |  min(coalesce(counters.c, 0)) AS est_events
          |FROM cbb LEFT JOIN counters
          |  ON cbb.month = counters.month AND cbb.i = counters.i AND cbb.bucket = counters.bucket
-         |GROUP BY cbb.month, cbb.event_type""".stripMargin
+         |GROUP BY cbb.month, cbb.event_type""".stripMargin,
+
+    "q_x_set_overlap" ->
+      s"""WITH $evCte,
+         |f AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b
+         |  FROM ev GROUP BY user_id)
+         |SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         |  CAST(sum(a * b) AS BIGINT) AS n_both,
+         |  CAST(sum(a * (1 - b)) AS BIGINT) AS n_a_only
+         |FROM f""".stripMargin
   )
 }

@@ -336,6 +336,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         CmsEstimate(exprs(0), exprs(1), literalInt("cms_estimate", "depth", exprs(2)),
           literalInt("cms_estimate", "width", exprs(3)))
       }))
+    e.injectFunction((FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "theta_sketch(key, lgK) takes exactly 2 arguments")
+        ThetaSketchAgg(exprs.head, literalInt("theta_sketch", "lgK", exprs(1)))
+      }))
+    e.injectFunction((FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "theta_estimate(sketch) takes exactly 1 argument")
+        ThetaEstimate(exprs.head)
+      }))
+    e.injectFunction((FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName, "theta_intersect"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "theta_intersect(a, b) takes exactly 2 arguments")
+        ThetaIntersectEstimate(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("theta_diff"),
+      new ExpressionInfo(classOf[ThetaAnotBEstimate].getName, "theta_diff"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "theta_diff(a, b) takes exactly 2 arguments")
+        ThetaAnotBEstimate(exprs(0), exprs(1))
+      }))
   }
 }
 

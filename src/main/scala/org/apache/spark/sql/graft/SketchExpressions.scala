@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -192,6 +192,149 @@ case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: I
     copy(left = newLeft, right = newRight)
 }
 
+/** Static theta-sketch kernels (DataSketches, on the Spark classpath) —
+  * invoked from generated code like [[NativeKernels]].
+  */
+object ThetaKernels {
+  import org.apache.datasketches.memory.Memory
+  import org.apache.datasketches.theta.{SetOperation, Sketches => DsSketches}
+
+  def wrap(bytes: Array[Byte]): org.apache.datasketches.theta.CompactSketch =
+    DsSketches.wrapCompactSketch(Memory.wrap(bytes))
+
+  def estimate(bytes: Array[Byte]): Long =
+    Math.round(wrap(bytes).getEstimate)
+
+  def intersectEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val it = SetOperation.builder().buildIntersection()
+    it.intersect(wrap(a))
+    it.intersect(wrap(b))
+    Math.round(it.getResult.getEstimate)
+  }
+
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(wrap(a))
+    op.notB(wrap(b))
+    Math.round(op.getResult(true).getEstimate)
+  }
+}
+
+/** Theta-sketch distinct aggregate — the SET-ALGEBRA tier of the distinct
+  * family. HLL sketches (q_a4_approx_active / hllRollup) union but cannot
+  * intersect; theta sketches support union, intersection AND difference,
+  * answering "users who did BOTH X and Y" / "X but never Y" from stored
+  * per-segment sketches without re-reading raw rows. Emits the ordered
+  * compact-sketch bytes; pair with [[ThetaEstimate]] /
+  * [[ThetaIntersectEstimate]] / [[ThetaAnotBEstimate]].
+  *
+  * Determinism: a theta union is a pure function of the input VALUE SET
+  * and lgK (retained = the k lowest hashes under the min-theta rule), so
+  * results are partition-layout-invariant — SketchSpec pins it. Below
+  * 2^lgK distinct values the sketch is in exact mode and the estimate IS
+  * the exact count; estimation mode is the 100 TB path.
+  */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with ExpectsInputTypes {
+
+  import org.apache.datasketches.memory.Memory
+  import org.apache.datasketches.theta.{SetOperation, Union}
+
+  require(lgK >= 4 && lgK <= 26, s"theta_sketch: lgK out of range: $lgK")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(LongType, StringType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_sketch"
+
+  private def newUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): Union = newUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case l: java.lang.Long => buffer.update(l.longValue())
+      case s: UTF8String => buffer.update(s.getBytes)
+      case other => throw new IllegalStateException(
+        s"theta_sketch: unsupported input ${other.getClass}")
+    }
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult(true, null))
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult(true, null).toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult(true, null).toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ThetaSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Rounded distinct estimate of a compact theta sketch. */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    ThetaKernels.estimate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ThetaKernels.estimate($c)")
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(child = newChild)
+}
+
+/** Rounded |A ∩ B| estimate of two compact theta sketches. */
+case class ThetaIntersectEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaKernels.intersectEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.ThetaKernels.intersectEstimate($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ThetaIntersectEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rounded |A \ B| estimate of two compact theta sketches. */
+case class ThetaAnotBEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaKernels.aNotBEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.ThetaKernels.aNotBEstimate($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ThetaAnotBEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the sketch family (the aggregate siblings of
   * [[natives]]).
   */
@@ -210,4 +353,23 @@ object sketches {
   def cmsEstimate(counters: Column, term: Column, depth: Int, width: Int): Column =
     ExpressionUtils.column(CmsEstimate(
       ExpressionUtils.expression(counters), ExpressionUtils.expression(term), depth, width))
+
+  /** Per-group theta sketch (ordered compact bytes) over a long or string key. */
+  def thetaSketch(key: Column, lgK: Int = 12): Column =
+    ExpressionUtils.column(
+      ThetaSketchAgg(ExpressionUtils.expression(key), lgK).toAggregateExpression())
+
+  /** Rounded distinct estimate of a theta sketch. */
+  def thetaEstimate(sketch: Column): Column =
+    ExpressionUtils.column(ThetaEstimate(ExpressionUtils.expression(sketch)))
+
+  /** Rounded |A ∩ B| estimate — the set operation HLL cannot do. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    ExpressionUtils.column(ThetaIntersectEstimate(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Rounded |A \ B| estimate. */
+  def thetaDiff(a: Column, b: Column): Column =
+    ExpressionUtils.column(ThetaAnotBEstimate(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -100,5 +100,13 @@ class ExtensionsSpec extends AnyFunSuite {
         |  UNION ALL SELECT array(CAST(10 AS BIGINT), CAST(20 AS BIGINT)))""".stripMargin)
       .head().getSeq[Long](0)
     assert(vs == Seq(11L, 22L))
+    // theta set algebra from SQL: {1,2,3} vs {2,3,4} (exact mode)
+    val th = spark.sql(
+      """SELECT theta_estimate(a) AS na, theta_intersect(a, b) AS nb, theta_diff(a, b) AS nd
+        |FROM (SELECT theta_sketch(CAST(x AS BIGINT), 12) AS a,
+        |             theta_sketch(CAST(y AS BIGINT), 12) AS b
+        |      FROM VALUES (1, 2), (2, 3), (3, 4) AS t(x, y))""".stripMargin)
+      .head()
+    assert((th.getLong(0), th.getLong(1), th.getLong(2)) == ((3L, 2L, 1L)))
   }
 }

@@ -122,6 +122,30 @@ class SketchSpec extends SparkSpec {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("theta set algebra equals the exact overlap twin (exact mode below 2^lgK)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Sketches.thetaSetOverlap(ev, "user_id", "event_type", "purchase", "click")
+      .as[(Long, Long, Long, Long)].head()
+    val exact = ev.groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("a"),
+        max(when($"event_type" === "click", 1).otherwise(0)).as("b"))
+      .agg(sum($"a"), sum($"b"), sum($"a" * $"b"), sum($"a" * (lit(1) - $"b")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == exact)
+    // sanity: the algebra itself must be internally consistent
+    assert(got._3 + got._4 == got._1) // both + a_only = |A|
+  }
+
+  test("theta sketches are partition-count invariant (union is layout-blind)") {
+    val ev = Tables.events(spark, sfDir)
+    def bytes(parts: Int): Seq[Byte] =
+      ev.repartition(parts)
+        .agg(org.apache.spark.sql.graft.sketches.thetaSketch($"user_id", 12).as("sk"))
+        .as[Array[Byte]].head().toSeq
+    assert(bytes(1) == bytes(7))
+  }
+
   test("HLL rollup: monthly estimate within 5% of exact, daily-union ≡ direct build") {
     val ev = Tables.events(spark, sfDir)
     val est = Sketches.hllRollup(ev, "user_id")
