@@ -314,4 +314,34 @@ object Ops {
         col(tsCol).cast("double") < col(hiCol).cast("double"))
       .drop("__b")
   }
+
+  /** Top-k rows per group, scale-safe — the general-k sibling of
+    * [[latestPerKey]] (which the optimizer rewrites to max_by for k=1).
+    *
+    * A single `row_number() OVER (PARTITION BY group)` sorts EVERY group on
+    * one reducer: with few, corpus-sized groups (per-language sampling over
+    * 5 languages at 100 TB) that is a 5-reducer job. This runs a two-level
+    * tournament instead: rank within (group, salt) — `salts`× the
+    * parallelism, each cell spill-bounded — keep k per salted cell, then
+    * rank the ≤ salts·k survivors per group (a bounded input regardless of
+    * corpus size). ANY deterministic row partitioning preserves top-k
+    * (every global top-k row is top-k within whatever cell it lands in),
+    * so the salt is a hash of `saltCol` — pass a stable per-row value (the
+    * tiebreak id is ideal); results are then partition-layout invariant.
+    *
+    * Callers must pass a TOTAL order in `ord` (include a unique tiebreak
+    * column) — same contract as latestPerKey.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], ord: Seq[Column],
+      saltCol: Column, k: Int, salts: Int = 64): DataFrame = {
+    require(k > 0 && salts > 0, s"topKPerGroup: k and salts must be positive, got ($k, $salts)")
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltCol), lit(salts.toLong)))
+    val w1 = Window.partitionBy((groupCols.map(col) :+ col("__salt")): _*).orderBy(ord: _*)
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k).drop("__rn", "__salt")
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+    survivors.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -209,6 +209,22 @@ object ExtTextQueries {
           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
           max(col("rate")).cast("int").as("rate_bp"))
     },
+    // Deterministic fixed-k-per-group sample (eval-set carving: "exactly 5
+    // docs per language, reproducibly"): rank by the seedless md5 hash of
+    // the doc id, take k — content-independent and bit-reproducible like
+    // q_x_corpus_sample's rate-based cousin, but with an exact count
+    // guarantee per stratum. Runs through Ops.topKPerGroup's two-level
+    // salted tournament, so few corpus-sized groups never collapse onto
+    // single reducers; the oracle replays the same selection with one
+    // plain window (same result by the tournament's correctness argument).
+    "q_x_group_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("h",
+          TextOps.md5Long64(concat(lit("gs:"), col("doc_id").cast("string"))))
+      graft.functions.Ops.topKPerGroup(docs, Seq("lang"),
+          Seq(col("h").asc, col("doc_id").asc), col("doc_id"), k = 5, salts = 16)
+        .select(col("lang"), col("doc_id"), col("h"))
+    },
     // The flagship corpus-prep composition: every pipeline stage in ONE
     // Catalyst plan — quality gate + language filter (narrow maps), exact
     // content dedup (DISTINCT ON fp), train-test decontamination (the
@@ -1439,6 +1455,19 @@ object ExtTextQueries {
         |  CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
         |  CAST(max(rate) AS INT) AS rate_bp
         |FROM r GROUP BY lang, source""".stripMargin,
+    // one plain window replays the two-level tournament's selection
+    "q_x_group_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('gs:', CAST(doc_id AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM documents),
+        |hh AS (SELECT lang, doc_id, CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(u AS BIGINT) END AS h FROM h),
+        |r AS (SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+        |  FROM hh)
+        |SELECT lang, doc_id, h FROM r WHERE rn <= 5""".stripMargin,
     // blank/short docs: range(len-7) is empty below 8 tokens in DuckDB,
     // mirroring the Spark-side wordNgrams guard
     "q_x_decontaminate" ->

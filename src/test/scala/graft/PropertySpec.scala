@@ -306,6 +306,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: topKPerGroup tournament equals the naive single-window top-k") {
+    val rowGen: Gen[(Int, Long, Long)] = for {
+      g <- Gen.choose(0, 3)
+      v <- Gen.choose(0L, 50L)   // narrow range: force value ties across salts
+      id <- Gen.choose(0L, 100000L)
+    } yield (g, v, id)
+    for (seed <- 1 to 8) {
+      val rows = sample(Gen.listOfN(60, rowGen), seed.toLong)
+        .distinctBy(_._3) // id is the total-order tiebreak, keep it unique
+      val df = rows.toDF("g", "v", "id")
+      for (k <- Seq(1, 3, 7)) {
+        val got = Ops.topKPerGroup(df, Seq("g"),
+            Seq(col("v").desc, col("id").asc), col("id"), k = k, salts = 5)
+          .as[(Int, Long, Long)].collect().toSet
+        val want = rows.groupBy(_._1).values.flatMap { grp =>
+          grp.sortBy(r => (-r._2, r._3)).take(k)
+        }.toSet
+        assert(got == want, s"seed $seed k $k: got $got want $want")
+      }
+    }
+  }
+
   test("time-window params parse with reference contract") {
     import graft.serve.TimeWindowParams._
     assert(parse(Some("3m"), None) == Months(3))
