@@ -85,6 +85,25 @@ object StreamJobs {
     * corpus feed; without the content the downstream sink could not
     * materialize the corpus without a second join back by doc_id.
     */
+  /** Streaming sketch-column maintenance — the live tier of the batch
+    * sketch family (operators.Sketches): per-day CMS event-type counters
+    * and a theta user sketch, updated every micro-batch. The aggregate
+    * buffers serialize into the state store, so a restart resumes the
+    * sketches exactly; the emitted columns are the SAME mergeable vectors
+    * and compact bytes the batch cmsRollup / thetaSetOverlap consume, and
+    * because CMS counters are additive and theta unions layout-blind, the
+    * drained stream equals the batch build bit-for-bit (StreamingSpec).
+    */
+  def dailySketches(events: DataFrame, depth: Int = 4, width: Int = 256,
+      lgK: Int = 12): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        org.apache.spark.sql.graft.sketches
+          .cmsSketch(col("event_type"), depth, width).as("type_counts"),
+        org.apache.spark.sql.graft.sketches
+          .thetaSketch(col("user_id"), lgK).as("user_sketch"))
+
   def corpusPrepStream(docs: DataFrame, stopwords: Seq[String],
       minQuality: Double = 0.5, horizon: String = "1 hour"): DataFrame =
     docs

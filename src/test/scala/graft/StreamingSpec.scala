@@ -86,6 +86,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must exercise the near-dup path")
   }
 
+  test("streaming daily sketches equal the batch sketch columns after drain") {
+    val src = Files.createTempDirectory("graft_sketch_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src) // 3 micro-batches
+    val q = StreamJobs.dailySketches(StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("complete").format("memory").queryName("sketches").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Long], Seq[Byte])] =
+      df.collect().map(r => (r.getTimestamp(0).toString,
+        (r.getSeq[Long](1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    val got = canon(spark.table("sketches"))
+    val want = canon(StreamJobs.dailySketches(ev))
+    // CMS counters are additive and theta unions layout-blind, so the
+    // micro-batch merge order cannot show through: bit-equality, not ≈
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stream dedup drops replayed event_ids") {
     val src = Files.createTempDirectory("graft_dup_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
