@@ -22,6 +22,8 @@ object SparkEntry {
       AggQueries.queries ++ WindowSetQueries.queries ++
       ScalarQueries.queries ++ DerivationQueries.queries ++
       ExtTextQueries.queries ++ ExtVectorQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries ++
+      BehaviorQueries.queries ++ LayoutQueries.queries ++
+      GraphQueries.queries ++ ProfileQueries.queries ++
       LiteralTwinQueries.queries ++ ProbeQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -29,5 +31,7 @@ object SparkEntry {
       AggQueries.oracleSql ++ WindowSetQueries.oracleSql ++
       ScalarQueries.oracleSql ++ DerivationQueries.oracleSql ++
       ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql ++ SketchQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      BehaviorQueries.oracleSql ++ LayoutQueries.oracleSql ++
+      GraphQueries.oracleSql ++ ProfileQueries.oracleSql ++
       LiteralTwinQueries.oracleSql ++ ProbeQueries.oracleSql
 }

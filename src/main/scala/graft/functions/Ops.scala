@@ -344,4 +344,44 @@ object Ops {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Spread the low 16 bits of `v` so bit i lands at position 2i — the
+    * standard four-round magic-mask dilation. Input must already be
+    * BIGINT in [0, 65536); masks keep everything inside 32 bits so the
+    * arithmetic is sign-free and replayable as plain BIGINT ops in any
+    * engine.
+    */
+  private def spread16(v: Column): Column = {
+    val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (Z-order) interleave of two 16-bit dimensions: bit i of `x`
+    * goes to position 2i, bit i of `y` to 2i+1. The data-LAYOUT primitive
+    * behind multi-dimensional file skipping: sort (or repartitionByRange)
+    * a 100 TB table by the z-value before writing and every file's
+    * min/max footer stats become a tight bounding box in BOTH dimensions
+    * at once — a predicate on either column prunes files, where a plain
+    * lexicographic sort only serves its leading column. Pure codegen'd
+    * integer arithmetic (shift/and/or on BIGINT), no UDF, and exactly
+    * replayable in SQL — see the q_x_zorder oracle.
+    *
+    * Inputs are range-checked (0 ≤ v < 65536): an out-of-range coordinate
+    * would silently alias distant rows into the same z-cell, destroying
+    * the locality the caller is sorting for — raise instead. Callers with
+    * wider domains bucket first (divide or hash into 16 bits).
+    */
+  def mortonInterleave(x: Column, y: Column): Column = {
+    def checked(v: Column, name: String): Column = {
+      val lv = v.cast("bigint")
+      when(lv < 0 || lv > 0xFFFFL,
+        raise_error(concat(lit(s"mortonInterleave: $name out of [0, 65536): "),
+          lv.cast("string"))))
+        .otherwise(lv)
+    }
+    spread16(checked(x, "x"))
+      .bitwiseOR(shiftleft(spread16(checked(y, "y")), 1))
+  }
 }

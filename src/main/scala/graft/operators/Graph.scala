@@ -84,4 +84,65 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle census over an UNDIRECTED edge list: one row with
+    * node / edge / wedge / triangle counts and the global clustering
+    * coefficient (3·triangles / wedges) in integer basis points.
+    *
+    * Algorithm: degree orientation. Every edge is directed from its
+    * lower-(degree, id) endpoint to the higher one, making the edge set
+    * acyclic with out-degree ≤ O(√m) for ANY graph — the classic bound
+    * that tames hubs: a star's center (degree n) ORIENTS ALL EDGES INWARD
+    * and generates zero wedge candidates, where an id-ordered orientation
+    * would enumerate C(n,2) pairs on one reducer. Wedges u→v, u→w
+    * (v before w in orientation order) are generated by a self-join on
+    * the oriented source and closed into triangles by a LEFT SEMI join
+    * against the oriented edges on (v, w) — each triangle counted exactly
+    * once, from its minimum-(degree, id) corner. All three joins are
+    * key-partitioned shuffles (src, then (v, w)); nothing driver-side.
+    *
+    * Input edges may carry duplicates, self-loops, or both directions —
+    * normalized to distinct canonical id-ordered pairs first. Orientation
+    * key = degree·2³² + id packed in one BIGINT (requires non-negative
+    * ids < 2³¹ — checked), so "compare (degree, id) lexicographically"
+    * is a single long comparison in codegen.
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def chk(c: Column): Column = {
+      val v = c.cast("bigint")
+      when(v < 0 || v >= (1L << 31),
+        raise_error(concat(lit("triangleStats: node id out of [0, 2^31): "),
+          v.cast("string"))))
+        .otherwise(v)
+    }
+    val ce = edges
+      .select(chk(least(col(aCol), col(bCol))).as("a"),
+        chk(greatest(col(aCol), col(bCol))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = ce.select(col("a").as("n")).union(ce.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orientation key: (degree, id) packed into one comparable long
+    val key = (col("d") * (1L << 32)) + col("n")
+    val keyed = deg.select(col("n"), key.as("k"))
+    val oriented = ce
+      .join(keyed.withColumnRenamed("n", "a").withColumnRenamed("k", "ka"), "a")
+      .join(keyed.withColumnRenamed("n", "b").withColumnRenamed("k", "kb"), "b")
+      .select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kv"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+      .select(col("e1.v").as("u"), col("e2.v").as("v"))
+    val triangles = wedges
+      .join(oriented.select(col("u"), col("v")), Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = ce.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))))
+    base.crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("n_triangles * 3 * 10000 div n_wedges").as("clustering_bp"))
+  }
 }

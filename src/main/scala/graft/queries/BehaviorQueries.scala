@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Behavioral analytics over the event stream — the three classic
+  * product-analytics operators every event warehouse ends up hand-writing
+  * (the reference's events feed serves its protocol activity endpoints;
+  * these are the same shapes generalized: ordered funnels, cohort
+  * retention, and SCD2 dimension-history builds).
+  *
+  * All three are user-keyed: every shuffle in the module hashes on
+  * `user_id`, so at 100 TB each stage scales with the user population and
+  * consecutive user-keyed stages reuse one Exchange (Catalyst's
+  * EnsureRequirements sees the child already hash-partitioned on the key).
+  * No driver-side state anywhere.
+  */
+object BehaviorQueries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private val evCte =
+    "ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered conversion funnel view → click → purchase with a 7-day
+    // conversion window anchored at the first view: a user counts for
+    // step n only with a step-n event STRICTLY AFTER their step-(n−1)
+    // time and within the window. Implemented as a cascade of per-user
+    // min-timestamp aggregates — each stage is a user-keyed groupBy whose
+    // input is the previous stage joined back to the (filtered, pruned)
+    // event scan, so the whole funnel is a chain of user-hashed stages
+    // with map-side partial mins and no window over raw events. The
+    // per-step user sets shrink monotonically, so later stages get
+    // cheaper, not costlier. Conversion ratios in integer basis points
+    // (div) — exact, hash-stable.
+    "q_x_funnel" -> { (s, dir) =>
+      val e = ev(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val win = expr("INTERVAL 7 DAY")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t1") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("users_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("users_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("users_purchase"))))
+        .select(col("users_view"), col("users_click"), col("users_purchase"),
+          expr("users_click * 10000 div users_view").as("click_conv_bp"),
+          expr("users_purchase * 10000 div users_view").as("purchase_conv_bp"))
+    },
+    // Cohort retention: cohort = each user's first active day (any event),
+    // cell (cohort_day, offset_days) = users from that cohort active
+    // offset days later. Two shuffles total: one distinct over
+    // (user, day) — the activity grid, tiny next to raw events — and one
+    // user-partitioned whole-partition min window to attach the cohort
+    // day (the benign O(n)-per-partition frame, not a rescan). Within a
+    // cell a user contributes at most one activity row (one day = cohort
+    // + offset), so count(*) IS count(DISTINCT user_id) — stated here so
+    // the cheap form doesn't read as an error; the distinct expansion
+    // Spark would otherwise plan is pure waste.
+    "q_x_cohort_retention" -> { (s, dir) =>
+      val act = ev(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      act.withColumn("cohort_day",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("offset_days"))
+        .agg(count(lit(1)).as("users"))
+    },
+    // Trailing 7-day rolling aggregates at daily grain — a RANGE frame
+    // over the day NUMBER, not a ROWS frame: with gap days in a series,
+    // ROWS BETWEEN 6 PRECEDING spans whatever 7 rows exist (a calendar
+    // lie); RANGE BETWEEN 6 PRECEDING AND CURRENT ROW is the true
+    // trailing week. Day numbers anchor at the epoch — the anchor
+    // cancels in differences, so any fixed date works at any SF. The
+    // window partitions by event_type over the DAILY rollup (≤ one row
+    // per type×day — bounded regardless of raw volume; the rollup
+    // absorbs the 100 TB). DECIMAL sums, double only at the edge.
+    "q_x_rolling_7d" -> { (s, dir) =>
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("v"))
+        .withColumn("dn", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("n"),
+        col("v").cast("double").as("v"),
+        sum(col("n")).over(w).as("n_7d"),
+        sum(col("v")).over(w).cast("double").as("v_7d"))
+    },
+    // NTILE quartiles of purchase spenders WITHIN their market segment —
+    // partitioned on the dim attribute, so no global single-reducer sort
+    // (a global ntile is the one window shape that cannot scale; rank
+    // buckets within a partitioning key, or use percent_rank thresholds
+    // when a global split is truly required). Order (total DESC, user)
+    // is tie-free → deterministic bucket edges on both engines (NTILE's
+    // big-buckets-first split is SQL-standard).
+    "q_x_ntile" -> { (s, dir) =>
+      val totals = ev(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("tot"))
+      val seg = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("tot").desc, col("user_id"))
+      totals.join(broadcast(seg), "user_id")
+        .select(col("user_id"), col("c_mktsegment"),
+          col("tot").cast("double").as("total_value"),
+          ntile(4).over(w).as("quartile"))
+    },
+    // Robust (median/MAD) outlier detection per event type, made EXACT:
+    // medians computed positionally in integer cents via the
+    // doubled-median trick — med2 = middle value ×2 (odd count) or the
+    // two middles' sum (even), always an integer, never an interpolated
+    // double — so the outlier test |v − med| > 3·MAD clears to the
+    // integer comparison 2·dev2 > 3·mad4 (dev2 = 2|v−med|,
+    // mad4 = doubled median of dev2 = 4·MAD, all in cents) and the
+    // whole query is hash-exact. Two median passes = two type-keyed
+    // windows + two tiny broadcast joins back; the per-type partitions
+    // bound the sorts (5 types here; a high-cardinality group key is
+    // the production shape). The σ-scaled z-score variant is
+    // q_x_outliers; this one survives the 49%-corrupt group that wrecks
+    // a mean/σ rule.
+    "q_x_outliers_mad" -> { (s, dir) =>
+      val base = ev(s, dir).select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      def doubledMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(valCol), col("event_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+          .groupBy(col("event_type"))
+          .agg(expr(s"CASE WHEN count(*) = 1 THEN 2 * min($valCol) ELSE sum($valCol) END AS $out"))
+      }
+      val med = doubledMedian(base, "cents", "med2")
+      val dev = base.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+      val mad = doubledMedian(dev.select(col("event_type"), col("event_id"), col("dev2")),
+        "dev2", "mad4")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("dev2") * 2 > col("mad4") * 3)
+        .select(col("event_type"), col("event_id"), col("cents"),
+          col("dev2"), col("mad4"))
+    },
+    // SCD2 dimension-history build with change collapse: per user, the
+    // event-type stream is compacted to validity-interval versions — a
+    // new version opens only when the tracked attribute CHANGES (lag
+    // compare), valid_to = next version's valid_from (lead after the
+    // collapse), open interval = current. This is the dimension-table
+    // maintenance operator (SCD type 2) the reference's SCD-1 upsert sink
+    // (K5) is the destructive cousin of. One user-keyed Exchange: both
+    // windows and the filter share the same partitioning AND sort, so
+    // the collapse and the re-number plan as consecutive Window nodes
+    // over one sort. (ts, event_id) is a total order — deterministic.
+    "q_x_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("int"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_x_funnel" ->
+      s"""WITH $evCte,
+         |v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+         |  FROM ev e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+         |  GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS t3
+         |  FROM ev e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t1 + INTERVAL 7 DAY
+         |  GROUP BY 1)
+         |SELECT (SELECT count(*) FROM v) AS users_view,
+         |  (SELECT count(*) FROM c) AS users_click,
+         |  (SELECT count(*) FROM p) AS users_purchase,
+         |  (SELECT count(*) FROM c) * 10000 // (SELECT count(*) FROM v) AS click_conv_bp,
+         |  (SELECT count(*) FROM p) * 10000 // (SELECT count(*) FROM v) AS purchase_conv_bp""".stripMargin,
+    "q_x_cohort_retention" ->
+      s"""WITH $evCte,
+         |act AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM ev),
+         |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM act)
+         |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS offset_days,
+         |  count(*) AS users
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_x_rolling_7d" ->
+      s"""WITH $evCte,
+         |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+         |  FROM ev GROUP BY 1, 2),
+         |d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dn FROM daily)
+         |SELECT event_type, day, n, CAST(v AS DOUBLE) AS v,
+         |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+         |  CAST(sum(v) OVER w AS DOUBLE) AS v_7d
+         |FROM d2 WINDOW w AS (PARTITION BY event_type ORDER BY dn
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_x_ntile" ->
+      s"""WITH $evCte,
+         |t AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS tot
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT t.user_id, c.c_mktsegment, CAST(t.tot AS DOUBLE) AS total_value,
+         |  CAST(ntile(4) OVER (PARTITION BY c.c_mktsegment
+         |    ORDER BY t.tot DESC, t.user_id) AS INT) AS quartile
+         |FROM t JOIN customer c ON t.user_id = c.c_custkey""".stripMargin,
+    "q_x_outliers_mad" ->
+      s"""WITH $evCte,
+         |base AS (SELECT event_type, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM ev),
+         |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt FROM base),
+         |med AS (SELECT event_type,
+         |    CAST(CASE WHEN count(*) = 1 THEN 2 * min(cents) ELSE sum(cents) END AS BIGINT) AS med2
+         |  FROM r1 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1),
+         |dev AS (SELECT b.event_type, b.event_id, b.cents, abs(b.cents * 2 - m.med2) AS dev2
+         |  FROM base b JOIN med m ON b.event_type = m.event_type),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev2, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt FROM dev),
+         |mad AS (SELECT event_type,
+         |    CAST(CASE WHEN count(*) = 1 THEN 2 * min(dev2) ELSE sum(dev2) END AS BIGINT) AS mad4
+         |  FROM r2 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1)
+         |SELECT d.event_type, d.event_id, d.cents, d.dev2, m.mad4
+         |FROM dev d JOIN mad m ON d.event_type = m.event_type
+         |WHERE d.dev2 * 2 > m.mad4 * 3""".stripMargin,
+    "q_x_scd2" ->
+      s"""WITH $evCte,
+         |m AS (SELECT user_id, ts, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM ev),
+         |ch AS (SELECT user_id, ts, event_id, event_type FROM m
+         |  WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+         |  event_type AS state, ts AS valid_from, lead(ts) OVER w AS valid_to,
+         |  (lead(ts) OVER w IS NULL) AS is_current
+         |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Ops
+import graft.sources.Tables
+
+/** Physical-layout scale operators: Z-order clustering keys (the
+  * multi-dimensional file-skipping primitive) and the salted skew join.
+  *
+  * Neither changes WHAT is computed — both change WHERE rows land so the
+  * same logical answer arrives without a hot reducer (skew join) or
+  * without reading 100 TB for a two-predicate point query (Z-order).
+  * That makes both perfectly oracle-checkable: the z-value is exact
+  * integer arithmetic replayed in SQL, and the salted join's contract is
+  * row-set identity with the plain join.
+  */
+object LayoutQueries {
+
+  /** SQL replay of [[Ops.mortonInterleave]]'s four-round bit dilation —
+    * the same shift/and/or chain DuckDB evaluates on BIGINT.
+    */
+  private def spreadSql(v: String): String = {
+    val a = s"(($v | ($v << 8)) & 16711935)"
+    val b = s"(($a | ($a << 4)) & 252645135)"
+    val c = s"(($b | ($b << 2)) & 858993459)"
+    s"(($c | ($c << 1)) & 1431655765)"
+  }
+  private val zvalSql = s"(${spreadSql("x")} | (${spreadSql("y")} << 1))"
+
+  /** orders → (key, x = custkey, y = days since the start of the order
+    * date domain). Both dimensions fit 16 bits at the driver SFs
+    * (custkey ≤ 14 999 at sf0.1; the date span is ~2 400 days) and the
+    * expression range-checks, raising on overflow rather than aliasing
+    * distant rows into one z-cell. A wider production key domain buckets
+    * first (x = custkey >> k) per mortonInterleave's contract — the tile
+    * just gets coarser in that dimension.
+    */
+  private def orderZBase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_custkey").cast("bigint").as("x"),
+      datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1995-01-01")))
+        .cast("bigint").as("y"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order clustering key per order: zval interleaves (customer,
+    // order-day) bits so z-adjacent rows are near in BOTH dimensions.
+    // The write path this feeds: df.repartitionByRange(N, $"zval")
+    // .sortWithinPartitions("zval").write.parquet(...) — every output
+    // file's (o_custkey, o_orderdate) min/max footer stats then form a
+    // tight bounding box, and a scan filtered on EITHER column prunes
+    // files (a lexicographic sort serves only its leading column).
+    // The key itself is pure codegen'd integer arithmetic — this query
+    // oracle-checks that arithmetic bit-for-bit; zbucket (= zval >> 16,
+    // a 256×256-cell z-tile) is the file-grain the stats twin below
+    // aggregates to.
+    "q_x_zorder" -> { (s, dir) =>
+      orderZBase(s, dir)
+        .withColumn("zval", Ops.mortonInterleave(col("x"), col("y")))
+        .select(col("o_orderkey"), col("zval"),
+          shiftright(col("zval"), 16).as("zbucket"))
+    },
+    // The skipping-stats view of the same layout: per z-tile row counts
+    // and per-dimension min/max — exactly the footer statistics a
+    // z-sorted file of that tile would publish. The per-tile (max−min)
+    // spans are bounded by the tile cell (256 customers × 256 days)
+    // REGARDLESS of table size: at 100 TB the tiles get heavier, not
+    // wider, which is why z-order pruning survives scale-up. Asserted as
+    // a property in BehaviorLayoutSpec; hash-checked here.
+    "q_x_zorder_stats" -> { (s, dir) =>
+      orderZBase(s, dir)
+        .withColumn("zbucket",
+          shiftright(Ops.mortonInterleave(col("x"), col("y")), 16))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+          min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+    },
+    // Salted skew join (Ops.saltedJoin): events fact × customer dim on
+    // user_id with the fact side salted over 8 reducer cells and the dim
+    // replicated 8×. The contract — and what the oracle checks — is
+    // row-set identity with the plain join: salting moves rows, never
+    // makes or loses one. Use when a handful of hot keys dominate beyond
+    // what AQE's skew-join split handles (its splits still ship one hot
+    // key's dim row to one task's build side; salting pre-spreads the
+    // probe side). Aggregated to segment grain with an exact DECIMAL sum
+    // so the output is associative — identical under any placement.
+    "q_x_skew_join" -> { (s, dir) =>
+      val fact = Tables.events(s, dir)
+        .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Ops.saltedJoin(fact, dim, "user_id", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("total_value"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_x_zorder" ->
+      s"""WITH base AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (SELECT o_orderkey, $zvalSql AS zval FROM base)
+         |SELECT o_orderkey, zval, (zval >> 16) AS zbucket FROM z""".stripMargin,
+    "q_x_zorder_stats" ->
+      s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ($zvalSql >> 16) AS zbucket FROM base)
+         |SELECT zbucket, count(*) AS n,
+         |  min(x) AS min_cust, max(x) AS max_cust,
+         |  min(y) AS min_day, max(y) AS max_day
+         |FROM z GROUP BY 1""".stripMargin,
+    "q_x_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin
+  )
+}

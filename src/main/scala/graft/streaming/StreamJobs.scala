@@ -190,6 +190,51 @@ object StreamJobs {
   case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
 
+  case class Scd2State(state: String, sinceUs: Long, version: Int)
+  case class Scd2Closed(user_id: Long, version: Int, state: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming tier of the batch q_x_scd2 dimension-history build: per
+    * user, maintain the OPEN version (tracked attribute + since + version
+    * number) in the state store and emit a version row the moment the
+    * attribute CHANGES — closed versions stream out as they close, the
+    * open version is always the state entry. Under per-user event-time
+    * ordered arrival (the change-capture contract: a CDC feed delivers a
+    * key's changes in order), the emitted rows equal the batch build's
+    * closed versions exactly — StreamingSpec drains a 3-micro-batch
+    * ts-sliced stream and checks set equality against q_x_scd2.
+    *
+    * Out-of-order arrival WITHIN a micro-batch is absorbed (each batch's
+    * rows are sorted by (ts, event_id) before folding — the buffer is
+    * per-user-per-batch, bounded by the trigger interval, not history);
+    * out-of-order ACROSS batches is not — that is the batch tier's job
+    * (same reconciliation split as userSessions vs the batch rules).
+    */
+  def scd2Stream(spark: SparkSession, events: DataFrame): Dataset[Scd2Closed] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Scd2State]) => {
+          val ordered = rows.toArray.sortBy(r => (r._2, r._3))
+          val closed = Seq.newBuilder[Scd2Closed]
+          var cur = state.getOption
+          ordered.foreach { case (_, us, _, tpe) =>
+            cur match {
+              case None => cur = Some(Scd2State(tpe, us, 1))
+              case Some(c) if c.state != tpe =>
+                closed += Scd2Closed(user, c.version, c.state, c.sinceUs, us)
+                cur = Some(Scd2State(tpe, us, c.version + 1))
+              case _ => () // same attribute value — the run continues
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+        })
+  }
+
   /** Per-user running session state via flatMapGroupsWithState — the custom
     * stateful recurrence ("present in previous state or opened, not closed",
     * entities.md:183-186) in stream form. Emits an updated row per user per

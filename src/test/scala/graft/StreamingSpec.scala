@@ -104,6 +104,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming scd2: closed versions equal the batch history build") {
+    // three ts-ordered slices, mtimes forced sequential so the file source
+    // replays them in event-time order (the CDC ordered-arrival contract)
+    val src = Files.createTempDirectory("graft_scd2_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val n = ev.count()
+    val slices = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+    (0 until 3).foreach { i =>
+      slices.filter(col("rn") > i * n / 3 && col("rn") <= (i + 1) * n / 3)
+        .drop("rn").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(150) // distinct mtimes → file source replays slices in order
+    }
+    val q = StreamJobs.scd2Stream(spark, StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("append").format("memory").queryName("scd2").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("scd2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = graft.queries.BehaviorQueries.queries("q_x_scd2")(spark, sfDir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("version"), col("state"),
+        unix_micros(col("valid_from")), unix_micros(col("valid_to")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want, "streamed closed versions must equal the batch build")
+    assert(got.nonEmpty)
+  }
+
   test("stream dedup drops replayed event_ids") {
     val src = Files.createTempDirectory("graft_dup_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
