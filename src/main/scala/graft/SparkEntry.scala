@@ -23,7 +23,7 @@ object SparkEntry {
       ScalarQueries.queries ++ DerivationQueries.queries ++
       ExtTextQueries.queries ++ ExtVectorQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries ++
       BehaviorQueries.queries ++ LayoutQueries.queries ++
-      GraphQueries.queries ++ ProfileQueries.queries ++
+      GraphQueries.queries ++ ProfileQueries.queries ++ QualityQueries.queries ++
       LiteralTwinQueries.queries ++ ProbeQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -32,6 +32,6 @@ object SparkEntry {
       ScalarQueries.oracleSql ++ DerivationQueries.oracleSql ++
       ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql ++ SketchQueries.oracleSql ++ PipelineQueries.oracleSql ++
       BehaviorQueries.oracleSql ++ LayoutQueries.oracleSql ++
-      GraphQueries.oracleSql ++ ProfileQueries.oracleSql ++
+      GraphQueries.oracleSql ++ ProfileQueries.oracleSql ++ QualityQueries.oracleSql ++
       LiteralTwinQueries.oracleSql ++ ProbeQueries.oracleSql
 }

@@ -85,6 +85,58 @@ object Graph {
     ranks
   }
 
+  /** k-core decomposition over an UNDIRECTED edge list: repeatedly remove
+    * nodes of degree < k (each removal can drag neighbors below k — the
+    * cascade is the point) until fixpoint or `rounds` peels, then return
+    * the surviving nodes with their within-core degree.
+    *
+    * `rounds` is FIXED, which is what makes the operator oracle-checkable:
+    * peeling an already-stable core is a no-op, so "early-exit at
+    * fixpoint" and "always run R rounds" produce identical sets — the
+    * loop here exits early on a stable edge count (one driver-side scalar
+    * per round, the same bounded pattern as BPE training's per-round
+    * argmax), while the DuckDB oracle replays all R rounds unrolled;
+    * choose R ≥ the peel depth if fixpoint semantics are wanted
+    * (GraphSpec pins convergence on a cascade graph).
+    *
+    * Scale shape, per round: one node-keyed degree aggregate and two
+    * edge semi-joins — all keyed shuffles, edge-linear, no driver-side
+    * graph state. The edge set only SHRINKS, so rounds get cheaper. Each
+    * round's survivors are localCheckpointed: edges_{i+1} references
+    * edges_i three times (degree union + both semi-join probes), and an
+    * unchecked lazy composition would re-expand 3^rounds — the checkpoint
+    * makes each round's work linear in the current edge count. Input may
+    * carry duplicates / self-loops / both directions (normalized first,
+    * like [[triangleStats]]).
+    */
+  def kcore(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    var e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = e.count()
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
+      val keep = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = e.count()
+      stable = n2 == nEdges
+      nEdges = n2
+      r += 1
+    }
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Exact triangle census over an UNDIRECTED edge list: one row with
     * node / edge / wedge / triangle counts and the global clustering
     * coefficient (3·triangles / wedges) in integer basis points.

@@ -97,6 +97,32 @@ object BehaviorQueries {
         sum(col("n")).over(w).as("n_7d"),
         sum(col("v")).over(w).cast("double").as("v_7d"))
     },
+    // Rolling 7-day distinct active users (WAU) per day — EXACT sliding
+    // distinct, which no window function gives (distinct doesn't compose
+    // across frames: you cannot merge daily distinct counts). The scale
+    // form: collapse raw events to the (user, day) activity grid FIRST
+    // (the grid is orders of magnitude smaller than the event stream and
+    // absorbs the 100 TB), then each grid row contributes to its 7
+    // covering windows via a sequence-explode (bounded 7× expansion OF
+    // THE GRID, not the events), then one distinct-count per window day.
+    // Window days are clipped to days that actually appear (semi-join
+    // with the day set) so the output domain equals the oracle's. The
+    // approximate production tier at extreme scale: per-day HLL
+    // sketches + 7-way merge (sketch union IS sliding-window-safe —
+    // the q_x_hll_rollup machinery), traded exactly like A4.
+    "q_x_rolling_wau" -> { (s, dir) =>
+      val act = ev(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val contrib = act.select(col("user_id"),
+        explode(expr("sequence(day, day + interval 6 day, interval 1 day)"))
+          .as("wday"))
+      val days = act.select(col("day").as("wday")).distinct()
+      contrib.join(days, "wday")
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("wday").as("day"), col("wau"))
+    },
     // NTILE quartiles of purchase spenders WITHIN their market segment —
     // partitioned on the dim attribute, so no global single-reducer sort
     // (a global ntile is the one window shape that cannot scale; rank
@@ -150,6 +176,61 @@ object BehaviorQueries {
         .filter(col("dev2") * 2 > col("mad4") * 3)
         .select(col("event_type"), col("event_id"), col("cents"),
           col("dev2"), col("mad4"))
+    },
+    // First-order Markov transition matrix over each user's event stream:
+    // count (state → next-state) steps via a user-keyed LEAD, then the
+    // per-from-state row of the stochastic matrix in integer basis points.
+    // One user-keyed Exchange over three pruned columns carries the lead;
+    // the transition aggregate collapses to ≤ |types|² rows, so the
+    // row-probability window runs over a broadcast-sized frame — the raw
+    // volume is absorbed before anything global happens. Ordering is
+    // (µs-truncated ts, event_id) — total, so both engines walk identical
+    // sequences. prob_bp = n·10⁴ div row-total: exact integer.
+    "q_x_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_state"), col("next_type").as("to_state"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("from_state"))))
+        .select(col("from_state"), col("to_state"), col("n"),
+          expr("n * 10000 div row_total").as("prob_bp"))
+    },
+    // Market-basket association rules: brand pairs co-purchased within an
+    // order, with support/confidence/lift in exact integer basis points.
+    // The pair generator is an ORDERKEY-KEYED self-join over the distinct
+    // (order, brand) item set — per-basket expansion is bounded by the
+    // attribute's cardinality (≤ C(25,2) pairs per order regardless of
+    // line count), and both join sides share one hash partitioning, so
+    // the classic a-priori blowup never appears. Brand supports and the
+    // basket total are broadcast back (25 rows + 1 row). Support floor
+    // (≥10 baskets) mirrors a-priori pruning. Exactness ceiling like
+    // q_x_bm25: lift's BIGINT numerator needs c_ab·n_baskets·10⁴ < 2⁶³ —
+    // holds to ~10⁹ baskets; past that, hoist one factor to double.
+    "q_x_basket_lift" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+        .select(col("okey"), col("p_brand").as("brand"))
+        .distinct()
+      val singles = items.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+      val total = items.agg(countDistinct(col("okey")).as("n_baskets"))
+      items.as("x").join(items.as("y"), "okey")
+        .filter(col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 10)
+        .join(broadcast(singles.select(col("brand").as("brand_a"), col("c").as("c_a"))), "brand_a")
+        .join(broadcast(singles.select(col("brand").as("brand_b"), col("c").as("c_b"))), "brand_b")
+        .crossJoin(broadcast(total))
+        .select(col("brand_a"), col("brand_b"), col("c_ab"),
+          expr("c_ab * 10000 div n_baskets").as("support_bp"),
+          expr("c_ab * 10000 div c_a").as("confidence_bp"),
+          expr("c_ab * n_baskets * 10000 div (c_a * c_b)").as("lift_bp"))
     },
     // SCD2 dimension-history build with change collapse: per user, the
     // event-type stream is compacted to validity-interval versions — a
@@ -210,6 +291,15 @@ object BehaviorQueries {
          |  CAST(sum(v) OVER w AS DOUBLE) AS v_7d
          |FROM d2 WINDOW w AS (PARTITION BY event_type ORDER BY dn
          |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_x_rolling_wau" ->
+      s"""WITH $evCte,
+         |act AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         |  FROM ev),
+         |days AS (SELECT DISTINCT day FROM act)
+         |SELECT d.day, count(DISTINCT a.user_id) AS wau
+         |FROM days d JOIN act a
+         |  ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+         |GROUP BY 1""".stripMargin,
     "q_x_ntile" ->
       s"""WITH $evCte,
          |t AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS tot
@@ -237,6 +327,33 @@ object BehaviorQueries {
          |SELECT d.event_type, d.event_id, d.cents, d.dev2, m.mad4
          |FROM dev d JOIN mad m ON d.event_type = m.event_type
          |WHERE d.dev2 * 2 > m.mad4 * 3""".stripMargin,
+    "q_x_transitions" ->
+      s"""WITH $evCte,
+         |steps AS (SELECT event_type AS from_state,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+         |  FROM ev),
+         |m AS (SELECT from_state, to_state, count(*) AS n FROM steps
+         |  WHERE to_state IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_state, to_state, n,
+         |  n * 10000 // CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT)
+         |    AS prob_bp
+         |FROM m""".stripMargin,
+    "q_x_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |singles AS (SELECT brand, count(*) AS c FROM items GROUP BY 1),
+        |total AS (SELECT count(DISTINCT okey) AS n_baskets FROM items),
+        |pairs AS (SELECT x.brand AS brand_a, y.brand AS brand_b, count(*) AS c_ab
+        |  FROM items x JOIN items y ON x.okey = y.okey AND x.brand < y.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT p.brand_a, p.brand_b, p.c_ab,
+        |  p.c_ab * 10000 // t.n_baskets AS support_bp,
+        |  p.c_ab * 10000 // a.c AS confidence_bp,
+        |  p.c_ab * t.n_baskets * 10000 // (a.c * b.c) AS lift_bp
+        |FROM pairs p
+        |JOIN singles a ON p.brand_a = a.brand
+        |JOIN singles b ON p.brand_b = b.brand
+        |CROSS JOIN total t""".stripMargin,
     "q_x_scd2" ->
       s"""WITH $evCte,
          |m AS (SELECT user_id, ts, event_id, event_type,

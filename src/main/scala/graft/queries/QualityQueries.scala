@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality operators: the declarative constraint report (the
+  * Deequ-style "unit tests for data" every ingest gate runs before
+  * promoting a batch) and day-of-week seasonal anomaly detection over the
+  * event stream. Both REPORT violations rather than assert — the gate
+  * decision (fail the batch / quarantine rows) is the caller's, which is
+  * what keeps the operators pure queries.
+  */
+object QualityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Constraint report over the star schema: one row per declared
+    // constraint with checked/violation counts and the pass verdict.
+    // Execution shape, not a constraint-per-scan loop: the four
+    // single-column orders constraints (key uniqueness, null check,
+    // value domain, range) evaluate in ONE wide aggregate over ONE scan
+    // — each violation count is a conditional count, uniqueness is
+    // rows − countDistinct — then reshape to report rows. Referential
+    // integrity is the one constraint class that genuinely needs a
+    // second table: orders→customer probes a broadcast dim;
+    // lineitem→orders is the big-to-big LEFT ANTI, which shuffles both
+    // sides on the key ONCE and scales with the fact tables. Total:
+    // three scans of each fact table's constrained columns, zero
+    // driver-side iteration.
+    "q_x_dq_report" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def report(name: String, checked: Column, viol: Column): Column =
+        struct(lit(name).as("constraint_name"),
+          checked.as("n_checked"), viol.as("n_violations"))
+      val ordersWide = o.agg(
+        report("orders.o_orderkey.unique", count(lit(1)),
+          count(lit(1)) - countDistinct(col("o_orderkey"))).as("c1"),
+        report("orders.o_custkey.not_null", count(lit(1)),
+          count(when(col("o_custkey").isNull, lit(1)))).as("c2"),
+        report("orders.o_orderstatus.domain", count(lit(1)),
+          count(when(col("o_orderstatus").isNull ||
+            !col("o_orderstatus").isin("O", "F", "P"), lit(1)))).as("c3"),
+        report("orders.o_totalprice.positive", count(lit(1)),
+          count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0,
+            lit(1)))).as("c4"))
+        .select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"))).as("r"))
+        .select(col("r.*"))
+      val ordersRef = o.select(col("o_custkey")).join(
+        broadcast(Tables.customer(s, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("viol"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        .select(lit("orders.o_custkey.ref_customer").as("constraint_name"),
+          col("n").as("n_checked"), col("viol").as("n_violations"))
+      val li = Tables.lineitem(s, dir)
+      val liRef = li.select(col("l_orderkey")).join(
+        o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("viol"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n"))))
+        .select(lit("lineitem.l_orderkey.ref_orders").as("constraint_name"),
+          col("n").as("n_checked"), col("viol").as("n_violations"))
+      val liRange = li.agg(count(lit(1)).as("n_checked"),
+        count(when(col("l_quantity").isNull ||
+          col("l_quantity") < 1 || col("l_quantity") > 50, lit(1)))
+          .as("n_violations"))
+        .select(lit("lineitem.l_quantity.range_1_50").as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+      ordersWide.unionByName(ordersRef).unionByName(liRef).unionByName(liRange)
+        .withColumn("passed", col("n_violations") === 0)
+    },
+    // Day-of-week seasonal anomaly detection as a Poisson control chart:
+    // a daily count more than 2σ from its (event_type, weekday) seasonal
+    // mean μ (Poisson: σ = √μ) is flagged. A FIXED relative threshold
+    // would stop firing as volume grows (noise shrinks ∝ 1/√n — a 10%
+    // band that flags at sf0.01 is silent at 100 TB); the σ-scaled band
+    // adapts. The test never forms μ or σ: with t = the dow slice's
+    // total and d = its day count, "|n − t/d| > 2·√(t/d)" squares to the
+    // integer test (n·d − t)² > 4·d·t — exact, hash-stable. Exactness
+    // ceiling (the q_x_variance convention): the square needs
+    // |n·d − t| < 3·10⁹, ample headroom since n·d ≈ t cancels all but
+    // the fluctuation; past it, widen to DECIMAL. The
+    // daily rollup absorbs the raw volume (one shuffle); the ≤ 7·|types|
+    // seasonal table broadcasts back. The dow mean is the simplest
+    // seasonal baseline — same report shape as q_x_outliers (z-score)
+    // and q_x_outliers_mad (robust): three severity tiers of the same
+    // contract.
+    "q_x_seasonal_anomaly" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek(col("day")))
+      val seasonal = daily.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("n")).as("t"), count(lit(1)).as("d"))
+      daily.join(broadcast(seasonal), Seq("event_type", "dow"))
+        .filter((col("n") * col("d") - col("t")) * (col("n") * col("d") - col("t"))
+          > col("d") * col("t") * 4)
+        .select(col("event_type"), col("day"), col("dow"), col("n"),
+          col("t").as("dow_total"), col("d").as("dow_days"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_x_dq_report" ->
+      """SELECT r.*, (r.n_violations = 0) AS passed FROM (
+        |SELECT 'orders.o_orderkey.unique' AS constraint_name,
+        |  count(*) AS n_checked,
+        |  count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_custkey.not_null', count(*),
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_orderstatus.domain', count(*),
+        |  count(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |    OR o_orderstatus IS NULL THEN 1 END) FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_totalprice.positive', count(*),
+        |  count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_custkey.ref_customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey.ref_orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_quantity.range_1_50', count(*),
+        |  count(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |    THEN 1 END) FROM lineitem
+        |) r""".stripMargin,
+    "q_x_seasonal_anomaly" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS n FROM ev GROUP BY 1, 2),
+        |d2 AS (SELECT *, CAST(dayofweek(day) + 1 AS INT) AS dow FROM daily),
+        |seasonal AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS t,
+        |    count(*) AS d FROM d2 GROUP BY 1, 2)
+        |SELECT d2.event_type, d2.day, d2.dow, d2.n,
+        |  s.t AS dow_total, s.d AS dow_days
+        |FROM d2 JOIN seasonal s ON d2.event_type = s.event_type AND d2.dow = s.dow
+        |WHERE (d2.n * s.d - s.t) * (d2.n * s.d - s.t) > s.d * s.t * 4""".stripMargin
+  )
+}

@@ -259,6 +259,30 @@ object WindowSetQueries {
       val wd = e.filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id"), col("ts"), lit("out").as("kind"), col("value").as("amount"))
       dep.unionByName(wd)
+    },
+    // INTERSECT ALL — multiset semantics: each (user, day) row of the
+    // view activity grid survives min(view-multiplicity, click-
+    // multiplicity) times. Spark rewrites intersectAll into one
+    // full-width hash aggregate carrying both sides' counts plus a
+    // replicating generator (RewriteIntersectAll) — a single shuffle on
+    // the row key, the same cost class as the U-family unions; no
+    // driver-side set logic. Completes the bag-algebra trio the U
+    // entries started (UNION ALL / INTERSECT ALL / EXCEPT ALL).
+    "q_x_intersect_all" -> { (s, dir) =>
+      val e = ev(s, dir)
+      def grid(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      grid("view").intersectAll(grid("click"))
+    },
+    // EXCEPT ALL — the multiset complement: view-days minus click-days
+    // with multiplicity subtraction (a user with 3 views and 1 click on
+    // a day keeps 2 rows). Same single-shuffle rewrite class as
+    // intersectAll.
+    "q_x_except_all" -> { (s, dir) =>
+      val e = ev(s, dir)
+      def grid(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      grid("view").exceptAll(grid("click"))
     }
   )
 
@@ -414,6 +438,20 @@ object WindowSetQueries {
          |FROM ev WHERE event_type = 'signup'
          |UNION ALL
          |SELECT user_id, event_id, ts, 'out' AS kind, value AS amount
-         |FROM ev WHERE event_type = 'error'""".stripMargin
+         |FROM ev WHERE event_type = 'error'""".stripMargin,
+    "q_x_intersect_all" ->
+      s"""WITH $evCte
+         |SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         |FROM ev WHERE event_type = 'view'
+         |INTERSECT ALL
+         |SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         |FROM ev WHERE event_type = 'click'""".stripMargin,
+    "q_x_except_all" ->
+      s"""WITH $evCte
+         |SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         |FROM ev WHERE event_type = 'view'
+         |EXCEPT ALL
+         |SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         |FROM ev WHERE event_type = 'click'""".stripMargin
   )
 }

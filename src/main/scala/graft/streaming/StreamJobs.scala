@@ -190,6 +190,53 @@ object StreamJobs {
   case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = step not reached
+  case class FunnelConv(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** Streaming tier of the q_x_funnel ordered conversion funnel: per
+    * user, track the first view (t1), the first qualifying click
+    * (strictly after t1, within the 7-day window anchored at t1), and
+    * the first qualifying purchase — and emit ONE conversion row the
+    * moment the purchase lands. Under per-user event-time-ordered
+    * arrival, greedy first-match IS the batch cascade's min-timestamp
+    * semantics (the first qualifying event of an ordered stream is its
+    * minimum), so the emitted rows equal the batch funnel's converted
+    * users exactly — StreamingSpec drains a sliced stream and checks
+    * set equality against a naive driver replay. Within-batch disorder
+    * is absorbed by the per-user per-batch sort (bounded by the trigger
+    * interval), as in [[scd2Stream]]; state is three longs per user —
+    * O(users) store, no event history retained.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame): Dataset[FunnelConv] = {
+    import spark.implicits._
+    val winUs = 7L * 86400L * 1000000L
+    events.selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[FunnelState]) => {
+          val ordered = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelConv]
+          ordered.foreach { case (_, us, _, tpe) =>
+            if (st.t3 < 0) tpe match {
+              case "view" if st.t1 < 0 => st = st.copy(t1 = us)
+              case "click" if st.t1 >= 0 && st.t2 < 0 &&
+                  us > st.t1 && us <= st.t1 + winUs =>
+                st = st.copy(t2 = us)
+              case "purchase" if st.t2 >= 0 &&
+                  us > st.t2 && us <= st.t1 + winUs =>
+                st = st.copy(t3 = us)
+                out += FunnelConv(user, st.t1, st.t2, us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   case class Scd2State(state: String, sinceUs: Long, version: Int)
   case class Scd2Closed(user_id: Long, version: Int, state: String,
       valid_from_us: Long, valid_to_us: Long)

@@ -88,6 +88,22 @@ class BehaviorLayoutSpec extends SparkSpec {
     assert(row.getAs[Long]("click_conv_bp") == n2 * 10000 / n1)
   }
 
+  test("rolling 7-day WAU matches a driver sliding-window replay") {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val days = act.map(_._2).distinct
+    val want = days.map { d =>
+      d -> act.filter(a => a._2 <= d && a._2 > d - 7L * 86400000L)
+        .map(_._1).distinct.length.toLong
+    }.toMap
+    val got = BehaviorQueries.queries("q_x_rolling_wau")(spark, sfDir)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   // ---- SCD2 ----
 
   test("scd2 versions tile each user's timeline: adjacent intervals meet, states differ, one current") {

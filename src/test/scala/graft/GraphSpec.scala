@@ -89,4 +89,44 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a == b)
   }
+
+  test("kcore peels a cascade chain, keeps the clique, matches a driver replay") {
+    // K5 (every node degree 4) with a path 5-10-11-12 hanging off it:
+    // the 3-core must drop the whole path, but only via the CASCADE —
+    // node 10 has degree 2 only after 11 is gone, which needs 12 gone
+    // first. Messy input (dup edge, both directions, self-loop) on
+    // purpose, as for triangleStats.
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (k5 ++ chain ++ Seq((2L, 1L), (3L, 4L), (7L, 7L))).toDF("a", "b")
+    val got = Graph.kcore(edges, "a", "b", k = 3, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 5L).map(_ -> 4L).toMap,
+      s"3-core must be exactly the K5 with in-core degrees 4, got $got")
+
+    // driver replay of the peel on a random graph, any k
+    val r = new scala.util.Random(11)
+    val rand = (1 to 300).map(_ => (r.nextInt(60).toLong, r.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    var e = rand.toSet
+    var done = false
+    while (!done) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= 4).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      done = e2 == e
+      e = e2
+    }
+    val want = e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val got4 = Graph.kcore(rand.toDF("a", "b"), "a", "b", k = 4, rounds = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(got4 == want)
+
+    // k above the max degree peels to empty
+    assert(Graph.kcore(rand.toDF("a", "b"), "a", "b", k = 100, rounds = 8)
+      .count() == 0L)
+  }
 }

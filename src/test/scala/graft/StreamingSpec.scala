@@ -135,6 +135,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming funnel emits exactly the batch-converted users") {
+    val src = Files.createTempDirectory("graft_funnel_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val n = ev.count()
+    val slices = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+    (0 until 3).foreach { i =>
+      slices.filter(col("rn") > i * n / 3 && col("rn") <= (i + 1) * n / 3)
+        .drop("rn").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(150)
+    }
+    val q = StreamJobs.funnelStream(spark, StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("append").format("memory").queryName("funnel").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // naive driver replay of the ordered-funnel contract
+    val winUs = 7L * 86400L * 1000000L
+    val evs = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      for {
+        t1 <- s.find(_._4 == "view").map(_._2)
+        t2 <- s.find(e => e._4 == "click" && e._2 > t1 && e._2 <= t1 + winUs).map(_._2)
+        t3 <- s.find(e => e._4 == "purchase" && e._2 > t2 && e._2 <= t1 + winUs).map(_._2)
+      } yield (u, t1, t2, t3)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stream dedup drops replayed event_ids") {
     val src = Files.createTempDirectory("graft_dup_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
