@@ -85,6 +85,53 @@ object Graph {
     ranks
   }
 
+  /** Connected components over an UNDIRECTED edge list via hash-min label
+    * propagation: every node starts labeled with its own id; each round,
+    * a node's label drops to the minimum over itself and its neighbors;
+    * after ≥ diameter rounds every node carries its component's minimum
+    * id. `rounds` is FIXED — propagation at a fixpoint is a no-op, so a
+    * capped run and an exactly-R-round run agree (the [[kcore]]
+    * argument), which lets the DuckDB oracle replay the same R rounds as
+    * an unrolled CTE chain. Choose rounds ≥ the expected diameter.
+    *
+    * Scale shape, per round: two edge-keyed joins (one per direction)
+    * and one node-keyed min aggregate, all keyed shuffles; labels are
+    * localCheckpointed per round (each round references the previous
+    * labels three times — unchecked, the lazy plan re-expands 3^rounds).
+    * Hash-min is the diameter-bound tier; a web-scale high-diameter
+    * graph wants the large-star/small-star alternation (O(log n)
+    * rounds), the documented production escalation — same per-round
+    * join shape, different re-pointing rule. Input may carry
+    * duplicates / self-loops / both directions (normalized first).
+    *
+    * This is the relational-graph sibling of
+    * [[Dedup.duplicateClusters]]' label flooding (whose cluster ids the
+    * near-dup pipeline consumes); here the graph is arbitrary and the
+    * oracle independent.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .distinct()
+      .select(col("n"), col("n").as("lab"))
+    for (_ <- 1 to rounds) {
+      val viaA = e.join(labels.withColumnRenamed("n", "a"), "a")
+        .select(col("b").as("n"), col("lab"))
+      val viaB = e.join(labels.withColumnRenamed("n", "b"), "b")
+        .select(col("a").as("n"), col("lab"))
+      labels = labels.unionByName(viaA).unionByName(viaB)
+        .groupBy(col("n")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("n").as("node"), col("lab").as("component"))
+  }
+
   /** k-core decomposition over an UNDIRECTED edge list: repeatedly remove
     * nodes of degree < k (each removal can drag neighbors below k — the
     * cascade is the point) until fixpoint or `rounds` peels, then return

@@ -20,6 +20,22 @@ import graft.sources.Tables
 object BehaviorQueries {
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** Doubled median per `keyCol`: the middle value ×2 (odd count) or the
+    * two middles' sum (even) — always an integer for integer inputs,
+    * never an interpolated double, so median comparisons stay hash-exact
+    * (compare 2·x against med2, not x against med2/2). Positional over
+    * (valCol, tieCol); the per-key partitions bound the sorts.
+    */
+  private def doubledMedian(df: DataFrame, keyCol: String, valCol: String,
+      tieCol: String, out: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol), col(tieCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col(keyCol))
+      .agg(expr(s"CASE WHEN count(*) = 1 THEN 2 * min($valCol) ELSE sum($valCol) END AS $out"))
+  }
   private val evCte =
     "ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
 
@@ -97,6 +113,34 @@ object BehaviorQueries {
         sum(col("n")).over(w).as("n_7d"),
         sum(col("v")).over(w).cast("double").as("v_7d"))
     },
+    // Time-to-conversion distribution: per market segment, the EXACT
+    // median view→click lag (µs) across converting users, via the same
+    // doubled-median trick as q_x_outliers_mad (med2 = 2·median, always
+    // an integer — report lag_med_us = med2/2 only at a display edge,
+    // never in the comparison domain). Funnel stages reuse the
+    // q_x_funnel cascade (user-keyed min aggregates); the segment dim
+    // broadcasts; the median's per-segment sort is bounded by the
+    // (already tiny) converting-user set. n_users rides along from the
+    // same pass.
+    "q_x_conversion_lag" -> { (s, dir) =>
+      val e = ev(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val win = expr("INTERVAL 7 DAY")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      val lagSeg = c
+        .select(col("user_id"),
+          (unix_micros(col("t2")) - unix_micros(col("t1"))).as("lag_us"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))), "user_id")
+      val counts = lagSeg.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_users"))
+      doubledMedian(lagSeg, "c_mktsegment", "lag_us", "user_id", "med2_lag_us")
+        .join(broadcast(counts), "c_mktsegment")
+        .select(col("c_mktsegment"), col("n_users"), col("med2_lag_us"))
+    },
     // Rolling 7-day distinct active users (WAU) per day — EXACT sliding
     // distinct, which no window function gives (distinct doesn't compose
     // across frames: you cannot merge daily distinct counts). The scale
@@ -159,19 +203,11 @@ object BehaviorQueries {
     "q_x_outliers_mad" -> { (s, dir) =>
       val base = ev(s, dir).select(col("event_type"), col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
-      def doubledMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
-        val w = Window.partitionBy(col("event_type")).orderBy(col(valCol), col("event_id"))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-          .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
-          .groupBy(col("event_type"))
-          .agg(expr(s"CASE WHEN count(*) = 1 THEN 2 * min($valCol) ELSE sum($valCol) END AS $out"))
-      }
-      val med = doubledMedian(base, "cents", "med2")
+      val med = doubledMedian(base, "event_type", "cents", "event_id", "med2")
       val dev = base.join(broadcast(med), "event_type")
         .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
       val mad = doubledMedian(dev.select(col("event_type"), col("event_id"), col("dev2")),
-        "dev2", "mad4")
+        "event_type", "dev2", "event_id", "mad4")
       dev.join(broadcast(mad), "event_type")
         .filter(col("dev2") * 2 > col("mad4") * 3)
         .select(col("event_type"), col("event_id"), col("cents"),
@@ -291,6 +327,26 @@ object BehaviorQueries {
          |  CAST(sum(v) OVER w AS DOUBLE) AS v_7d
          |FROM d2 WINDOW w AS (PARTITION BY event_type ORDER BY dn
          |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_x_conversion_lag" ->
+      s"""WITH $evCte,
+         |v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+         |  FROM ev e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+         |  GROUP BY 1),
+         |lagseg AS (SELECT c.user_id, epoch_us(c.t2) - epoch_us(c.t1) AS lag_us,
+         |    cu.c_mktsegment
+         |  FROM c JOIN customer cu ON c.user_id = cu.c_custkey),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY lag_us, user_id) AS rn,
+         |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt FROM lagseg),
+         |med AS (SELECT c_mktsegment,
+         |    CAST(CASE WHEN count(*) = 1 THEN 2 * min(lag_us) ELSE sum(lag_us) END
+         |      AS BIGINT) AS med2_lag_us
+         |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1),
+         |cnts AS (SELECT c_mktsegment, count(*) AS n_users FROM lagseg GROUP BY 1)
+         |SELECT m.c_mktsegment, c.n_users, m.med2_lag_us
+         |FROM med m JOIN cnts c ON m.c_mktsegment = c.c_mktsegment""".stripMargin,
     "q_x_rolling_wau" ->
       s"""WITH $evCte,
          |act AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day

@@ -54,6 +54,28 @@ object ProfileQueries {
         .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
           col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
     },
+    // Equi-depth (equal-frequency) histogram of event values per type:
+    // NTILE(10) deciles over integer cents with per-decile count and
+    // exact [lo, hi] bounds — the complement of q_a7_histogram's
+    // equi-WIDTH buckets (fixed edges, skewed counts; equi-depth gives
+    // fixed counts, data-driven edges — what an optimizer's statistics
+    // or a fair SLA banding wants). Partitioned by event_type so no
+    // global single-reducer sort (the q_x_ntile rule); (cents,
+    // event_id) is tie-free, and NTILE's big-buckets-first split is
+    // SQL-standard on both engines. Production note at extreme
+    // per-group cardinality: approx_percentile edges (the
+    // length-quantiles trade) replace the positional sort.
+    "q_x_equidepth" -> { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+      base.withColumn("decile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+    },
     // UNPIVOT — melt the per-day wide event-type counts back to long
     // (day, event_type, n) rows via the stack generator: the exact
     // inverse of q_x_pivot's rotation, and the shape migrations need
@@ -94,6 +116,15 @@ object ProfileQueries {
       }
       rows.mkString("\nUNION ALL\n")
     },
+    "q_x_equidepth" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |base AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM ev),
+        |t AS (SELECT *, CAST(ntile(10) OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS INT) AS decile FROM base)
+        |SELECT event_type, decile, count(*) AS n,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q_x_unpivot" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type FROM events),
         |wide AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

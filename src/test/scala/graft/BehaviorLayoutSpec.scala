@@ -104,6 +104,57 @@ class BehaviorLayoutSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("conversion lag median matches a driver doubled-median replay") {
+    val winUs = 7L * 86400L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lags = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      for {
+        t1 <- es.filter(_._3 == "view").map(_._2).minOption
+        t2 <- es.filter(e => e._3 == "click" && e._2 > t1 && e._2 <= t1 + winUs)
+          .map(_._2).minOption
+        sg <- seg.get(u)
+      } yield (sg, u, t2 - t1)
+    }
+    def med2(xs: Seq[(Long, Long)]): Long = { // (lag, tiebreak user) pairs
+      val s = xs.sortBy(identity).map(_._1)
+      val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val want = lags.groupBy(_._1).map { case (sg, ls) =>
+      sg -> ((ls.length.toLong, med2(ls.map(l => (l._3, l._2)))))
+    }
+    val got = BehaviorQueries.queries("q_x_conversion_lag")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("equi-depth histogram: decile counts within 1, ordered non-overlapping bounds") {
+    val rows = graft.queries.ProfileQueries.queries("q_x_equidepth")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totals = Tables.events(spark, sfDir).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (tpe, ds0) =>
+      val ds = ds0.sortBy(_._2)
+      assert(ds.map(_._2).toSeq == (1 to 10), s"$tpe deciles not dense")
+      assert(ds.map(_._3).sum == totals(tpe), s"$tpe counts don't total")
+      assert(ds.map(_._3).max - ds.map(_._3).min <= 1,
+        s"$tpe equi-depth property violated")
+      ds.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$tpe bounds overlap-disordered")
+        case _ =>
+      }
+      ds.foreach(d => assert(d._4 <= d._5))
+    }
+    assert(rows.nonEmpty)
+  }
+
   // ---- SCD2 ----
 
   test("scd2 versions tile each user's timeline: adjacent intervals meet, states differ, one current") {

@@ -129,4 +129,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kcore(rand.toDF("a", "b"), "a", "b", k = 100, rounds = 8)
       .count() == 0L)
   }
+
+  test("connectedComponents labels every node with its component minimum") {
+    // two triangles bridged by a path, plus an isolated edge: 2 components
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (20L, 21L), (2L, 1L), (9L, 9L))
+      .toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b", rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 1L, 20L -> 20L, 21L -> 20L))
+
+    // random graph vs a driver union-find
+    val r = new scala.util.Random(23)
+    val rand = (1 to 120).map(_ => (r.nextInt(200).toLong, r.nextInt(200).toLong))
+      .filter(p => p._1 != p._2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val rt = find(p); parent(x) = rt; rt }
+    }
+    rand.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = parent.keys.toSeq.map(n => n -> find(n)).toMap
+    // rounds = 32 ≥ any diameter of a 200-node graph's giant component here
+    val gotR = Graph.connectedComponents(rand.toDF("a", "b"), "a", "b", rounds = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(gotR == want)
+  }
 }

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions.{count, first, lit}
   * parquet footers), q_x_bpe_train / q_x_bpe_encode (BPE training's k
   * driver rounds — one argmax collect + localCheckpoint each — happen at
   * DataFrame build time), q_x_pagerank (an eager edge localCheckpoint
-  * before the lazy iteration plan), q_x_kcore (per-peel-round
-  * localCheckpoint + edge-count scalar), q_x_semdedup_ivf / q_x_ann_ivf
+  * before the lazy iteration plan), q_x_kcore / q_x_concomp
+  * (per-round localCheckpoints), q_x_semdedup_ivf / q_x_ann_ivf
   * (Lloyd codebook refinement localCheckpoints per iteration, plus the
   * sampled dim probe), and the MinHash candidate family (q_x_dedup_minhash
   * / _ngram / _simhash, q_x_dedup_clusters / _survivors, q_x_incr_neardup,
