@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -268,6 +268,78 @@ object BehaviorQueries {
           expr("c_ab * 10000 div c_a").as("confidence_bp"),
           expr("c_ab * n_baskets * 10000 div (c_a * c_b)").as("lift_bp"))
     },
+    // RFM segmentation (recency / frequency / monetary) of purchasers,
+    // scored as quintiles WITHIN market segment — the partitioned form,
+    // per the q_x_ntile rule: a global NTILE is the one window shape
+    // that cannot scale (single-reducer sort); segment-relative scores
+    // partition the sort and are the defensible product semantics
+    // anyway (a whale in a small segment IS a 5). Recency anchors at
+    // the global max event day (one broadcast scalar), so scores are
+    // data-deterministic, not wall-clock-dependent. Monetary stays in
+    // integer cents; each NTILE order carries user_id so ties are
+    // total. rfm_code = r·100 + f·10 + m, the standard compact key.
+    "q_x_rfm" -> { (s, dir) =>
+      val p = ev(s, dir).filter(col("event_type") === "purchase")
+      val anchor = broadcast(p.agg(max(date_trunc("day", col("ts"))).as("anchor_day")))
+      val per = p.groupBy(col("user_id"))
+        .agg(max(date_trunc("day", col("ts"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("bigint")).as("cents"))
+        .crossJoin(anchor)
+        .withColumn("recency_days", datediff(col("anchor_day"), col("last_day")))
+      val seg = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      def q(orderCols: Seq[Column], out: String)(df: DataFrame): DataFrame =
+        df.withColumn(out, ntile(5).over(Window
+          .partitionBy(col("c_mktsegment")).orderBy(orderCols: _*)))
+      val scored = q(Seq(col("recency_days").asc, col("user_id").asc), "r_score")(
+        q(Seq(col("freq").desc, col("user_id").asc), "f_score")(
+          q(Seq(col("cents").desc, col("user_id").asc), "m_score")(
+            per.join(seg, "user_id"))))
+      scored.select(col("user_id"), col("c_mktsegment"),
+        col("recency_days"), col("freq"), col("cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
+    },
+    // Consecutive event-type trigram census per user — the path-analysis
+    // primitive ("which 3-step journeys dominate"): two LEADs on one
+    // user-keyed window (one Exchange + one sort carry both), then a
+    // ≤ |types|³ aggregate. The raw volume dies at the aggregate; no
+    // top-k needed since the output is bounded by type cardinality.
+    "q_x_path_trigrams" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+    },
+    // Inter-event gap distribution on a power-of-two (log₂) scale: per
+    // event type, bucket = ⌊log₂(gap_s)⌋ computed EXACTLY as
+    // length(bin(gap)) − 1 — integer string length, no floating log
+    // whose libm rounding could flip a 2ᵏ boundary between engines
+    // (gap 0 pins to bucket −1). Second-truncated ts (the ns-source
+    // rule) with event_id tiebreak; one user-keyed window Exchange,
+    // then a ≤ |types|·64 aggregate. Log-scale gap histograms are the
+    // standard burstiness/heartbeat diagnostic over event streams.
+    "q_x_gap_buckets" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_s").isNotNull)
+        .withColumn("bucket",
+          when(col("gap_s") === 0, lit(-1))
+            .otherwise(length(bin(col("gap_s"))) - 1).cast("int"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+    },
     // SCD2 dimension-history build with change collapse: per user, the
     // event-type stream is compacted to validity-interval versions — a
     // new version opens only when the tracked attribute CHANGES (lag
@@ -410,6 +482,52 @@ object BehaviorQueries {
         |JOIN singles a ON p.brand_a = a.brand
         |JOIN singles b ON p.brand_b = b.brand
         |CROSS JOIN total t""".stripMargin,
+    "q_x_rfm" ->
+      s"""WITH $evCte,
+         |p AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+         |anchor AS (SELECT CAST(max(date_trunc('day', ts)) AS TIMESTAMP) AS anchor_day FROM p),
+         |per AS (SELECT user_id,
+         |    CAST(max(date_trunc('day', ts)) AS TIMESTAMP) AS last_day,
+         |    count(*) AS freq,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+         |  FROM p GROUP BY 1),
+         |j AS (SELECT per.*, c.c_mktsegment,
+         |    CAST(date_diff('day', last_day, (SELECT anchor_day FROM anchor)) AS INT)
+         |      AS recency_days
+         |  FROM per JOIN customer c ON per.user_id = c.c_custkey),
+         |s AS (SELECT *,
+         |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+         |      ORDER BY recency_days ASC, user_id ASC) AS INT) AS r_score,
+         |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+         |      ORDER BY freq DESC, user_id ASC) AS INT) AS f_score,
+         |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+         |      ORDER BY cents DESC, user_id ASC) AS INT) AS m_score
+         |  FROM j)
+         |SELECT user_id, c_mktsegment, recency_days, freq, cents,
+         |  r_score, f_score, m_score,
+         |  r_score * 100 + f_score * 10 + m_score AS rfm_code FROM s""".stripMargin,
+    "q_x_path_trigrams" ->
+      s"""WITH $evCte,
+         |t AS (SELECT event_type AS step1,
+         |    lead(event_type, 1) OVER w AS step2,
+         |    lead(event_type, 2) OVER w AS step3
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT step1, step2, step3, count(*) AS n FROM t
+         |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+    "q_x_gap_buckets" ->
+      s"""WITH $evCte,
+         |g AS (SELECT event_type, event_id,
+         |    (epoch_us(date_trunc('second', ts))
+         |      - epoch_us(lag(date_trunc('second', ts)) OVER (PARTITION BY user_id
+         |        ORDER BY date_trunc('second', ts), event_id))) // 1000000 AS gap_s
+         |  FROM ev),
+         |b AS (SELECT event_type,
+         |    CAST(CASE WHEN gap_s = 0 THEN -1 ELSE length(bin(gap_s)) - 1 END AS INT)
+         |      AS bucket, gap_s
+         |  FROM g WHERE gap_s IS NOT NULL)
+         |SELECT event_type, bucket, count(*) AS n,
+         |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "q_x_scd2" ->
       s"""WITH $evCte,
          |m AS (SELECT user_id, ts, event_id, event_type,

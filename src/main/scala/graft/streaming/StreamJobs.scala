@@ -190,6 +190,38 @@ object StreamJobs {
   case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
 
+  case class TransitionStep(user_id: Long, from_state: String, to_state: String)
+
+  /** Streaming tier of the q_x_transitions Markov matrix: per user, the
+    * state store holds only the LAST seen event type; each arriving
+    * event emits one (from, to) step row. Downstream, the matrix is a
+    * plain streaming aggregate over the steps — counts after any drain
+    * equal the batch LEAD-based build under ordered arrival, because a
+    * sequence's consecutive pairs are exactly "previous, current" at
+    * each element (StreamingSpec pins count equality). Within-batch
+    * disorder absorbed by the per-user per-batch sort, as in
+    * [[scd2Stream]]; state is one string per user.
+    */
+  def transitionsStream(spark: SparkSession, events: DataFrame): Dataset[TransitionStep] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[String]) => {
+          val ordered = rows.toArray.sortBy(r => (r._2, r._3))
+          val out = Seq.newBuilder[TransitionStep]
+          var last = state.getOption
+          ordered.foreach { case (_, _, _, tpe) =>
+            last.foreach(prev => out += TransitionStep(user, prev, tpe))
+            last = Some(tpe)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = step not reached
   case class FunnelConv(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
 

@@ -183,6 +183,60 @@ class BehaviorLayoutSpec extends SparkSpec {
     }
   }
 
+  test("rfm scores are balanced quintiles per segment and the code decomposes") {
+    val rows = BehaviorQueries.queries("q_x_rfm")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[Int]("rfm_code") == rs * 100 + fs * 10 + ms)
+      assert(r.getAs[Int]("recency_days") >= 0)
+    }
+    // NTILE balance: within a segment, bucket sizes differ by ≤ 1 per dim
+    rows.groupBy(_.getString(1)).foreach { case (seg, rs) =>
+      Seq("r_score", "f_score", "m_score").foreach { dim =>
+        val sizes = rs.groupBy(_.getAs[Int](dim)).values.map(_.length)
+        assert(sizes.max - sizes.min <= 1, s"$seg/$dim quintiles unbalanced")
+      }
+    }
+  }
+
+  test("path trigrams match a driver sliding-triple replay") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).collect {
+        case Array(a, b, c) => (a, b, c)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = BehaviorQueries.queries("q_x_path_trigrams")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("gap buckets are exact power-of-two bands and count every gap") {
+    val rows = BehaviorQueries.queries("q_x_gap_buckets")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Int]("bucket"),
+        r.getAs[Long]("min_gap_s"), r.getAs[Long]("max_gap_s"))
+      if (b == -1) assert(lo == 0 && hi == 0)
+      else {
+        assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+          s"bucket $b bounds [$lo, $hi] escape [2^$b, 2^${b + 1})")
+      }
+    }
+    // every consecutive gap lands in exactly one bucket: totals match
+    val nGaps = Tables.events(spark, sfDir).count() -
+      Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nGaps)
+  }
+
   // ---- cohort retention ----
 
   test("cohort retention: offset-0 cell is the cohort size, cells sum to the activity grid") {

@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming transition steps aggregate to the batch Markov counts") {
+    val src = Files.createTempDirectory("graft_trans_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val n = ev.count()
+    val slices = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+    (0 until 3).foreach { i =>
+      slices.filter(col("rn") > i * n / 3 && col("rn") <= (i + 1) * n / 3)
+        .drop("rn").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(150)
+    }
+    val q = StreamJobs.transitionsStream(spark, StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("append").format("memory").queryName("trans").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("trans").groupBy(col("from_state"), col("to_state"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.queries.BehaviorQueries.queries("q_x_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stream dedup drops replayed event_ids") {
     val src = Files.createTempDirectory("graft_dup_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
