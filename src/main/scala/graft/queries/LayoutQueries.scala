@@ -54,7 +54,14 @@ object LayoutQueries {
     // The key itself is pure codegen'd integer arithmetic — this query
     // oracle-checks that arithmetic bit-for-bit; zbucket (= zval >> 16,
     // a 256×256-cell z-tile) is the file-grain the stats twin below
-    // aggregates to.
+    // aggregates to. One physical-type caveat is part of the recipe:
+    // store the date dimension as parquet DATE/int (stats-bearing,
+    // filter-matchable) — Spark TimestampType columns (INT96, or INT64
+    // with the NTZ annotation mismatch) never match the pushed rowgroup
+    // filter and NOTHING prunes however good the layout
+    // (BehaviorLayoutSpec measures the end-to-end skip: 187 of 1500
+    // rows read under a date-only predicate vs 1500 for the
+    // lexicographic layout).
     "q_x_zorder" -> { (s, dir) =>
       orderZBase(s, dir)
         .withColumn("zval", Ops.mortonInterleave(col("x"), col("y")))

@@ -69,6 +69,41 @@ object QualityQueries {
       ordersWide.unionByName(ordersRef).unionByName(liRef).unionByName(liRange)
         .withColumn("passed", col("n_violations") === 0)
     },
+    // Join-key skew diagnostic — the measurement that DECIDES between a
+    // plain shuffle join, AQE skew splitting, and Ops.saltedJoin: the
+    // top-10 heaviest keys with their corpus share and their ratio to
+    // the mean key load, both in exact basis points (share_bp =
+    // n·10⁴ div total; vs_mean_bp = n·n_keys·10⁴ div total — never
+    // forms the mean, same move as the seasonal chart). One key-keyed
+    // aggregate (map-side partial absorbs the raw volume), two
+    // broadcast scalars, top-10 by (n DESC, key) — deterministic.
+    "q_x_key_skew" -> { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(tot))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+        .select(col("user_id"), col("n"),
+          expr("n * 10000 div total").as("share_bp"),
+          expr("n * n_keys * 10000 div total").as("vs_mean_bp"))
+    },
+    // Per-stream freshness report: row count, newest event, and
+    // staleness behind the globally newest event — the lag column an
+    // ingest monitor alerts on (reference shape: the block-tail sync
+    // status endpoints). Second-truncated per the ns rule; one rollup
+    // plus one broadcast scalar.
+    "q_x_freshness" -> { (s, dir) =>
+      val perType = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(date_trunc("second", col("ts"))).as("newest"))
+      perType
+        .crossJoin(broadcast(perType.agg(max(col("newest")).as("global_newest"))))
+        .select(col("event_type"), col("n"), col("newest"),
+          (unix_timestamp(col("global_newest")) - unix_timestamp(col("newest")))
+            .as("staleness_s"))
+    },
     // Day-of-week seasonal anomaly detection as a Poisson control chart:
     // a daily count more than 2σ from its (event_type, weekday) seasonal
     // mean μ (Poisson: σ = √μ) is flagged. A FIXED relative threshold
@@ -132,6 +167,22 @@ object QualityQueries {
         |  count(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
         |    THEN 1 END) FROM lineitem
         |) r""".stripMargin,
+    "q_x_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+        |SELECT c.user_id, c.n,
+        |  c.n * 10000 // t.total AS share_bp,
+        |  c.n * t.n_keys * 10000 // t.total AS vs_mean_bp
+        |FROM c CROSS JOIN t
+        |ORDER BY c.n DESC, c.user_id LIMIT 10""".stripMargin,
+    "q_x_freshness" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |per AS (SELECT event_type, count(*) AS n,
+        |    max(date_trunc('second', ts)) AS newest FROM ev GROUP BY 1),
+        |g AS (SELECT max(newest) AS global_newest FROM per)
+        |SELECT per.event_type, per.n, per.newest,
+        |  (epoch_us(g.global_newest) - epoch_us(per.newest)) // 1000000 AS staleness_s
+        |FROM per CROSS JOIN g""".stripMargin,
     "q_x_seasonal_anomaly" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type FROM events),
         |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
