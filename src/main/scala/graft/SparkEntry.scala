@@ -24,6 +24,7 @@ object SparkEntry {
       ExtTextQueries.queries ++ ExtVectorQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries ++
       BehaviorQueries.queries ++ LayoutQueries.queries ++
       GraphQueries.queries ++ ProfileQueries.queries ++ QualityQueries.queries ++
+      TimeSeriesQueries.queries ++
       LiteralTwinQueries.queries ++ ProbeQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql ++ SketchQueries.oracleSql ++ PipelineQueries.oracleSql ++
       BehaviorQueries.oracleSql ++ LayoutQueries.oracleSql ++
       GraphQueries.oracleSql ++ ProfileQueries.oracleSql ++ QualityQueries.oracleSql ++
+      TimeSeriesQueries.oracleSql ++
       LiteralTwinQueries.oracleSql ++ ProbeQueries.oracleSql
 }

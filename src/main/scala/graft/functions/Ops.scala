@@ -345,6 +345,85 @@ object Ops {
       .drop("__rn")
   }
 
+  /** Per-key running aggregate (`sum` or `max`), scale-safe — the keyed
+    * sibling of [[cumSumGlobal]]. A plain
+    * `agg(v) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED PRECEDING)`
+    * sorts each key's ENTIRE history on one reducer: fine for thousands of
+    * small keys, fatal when a key is an instrument or a crawl source whose
+    * history alone is TBs. Same bucket-and-handoff decomposition: rows
+    * split into (key, bucket) cells — each a normal partitioned window —
+    * and a one-row-per-cell handoff aggregate carries the exclusive
+    * prefix (running sum or running max OVER buckets, per key) back onto
+    * every row. Both levels are spill-bounded by the bucket granularity,
+    * never by the key's total history.
+    *
+    * Contract (same as cumSumGlobal, per key): `orderCols` must be a
+    * TOTAL order within a key (include a unique tiebreak — the rows frame
+    * makes peers an error, not a semantic); `bucketExpr` must be a
+    * monotone non-decreasing function of the FIRST order column, so no
+    * row in a later bucket precedes any row of an earlier one. `sum`
+    * over decimals pins operand widths to (37, s) exactly as
+    * cumSumGlobal does (Spark's 38-cap otherwise TRIMS SCALE silently);
+    * `max` needs no width care (no arithmetic, just comparison).
+    */
+  def cumAggPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      valueCol: String, outCol: String, bucketExpr: Column, agg: String): DataFrame = {
+    require(Set("sum", "max").contains(agg), s"cumAggPerKey supports sum|max, got $agg")
+    require(!df.columns.exists(Set("__b", "__cum", "__btot", "__off")),
+      "cumAggPerKey reserves the __b/__cum/__btot/__off column names")
+    val aggFn: Column => Column = if (agg == "sum") sum else max
+    val combine: (Column, Column) => Column =
+      if (agg == "max") (a, b) => greatest(a, b)
+      else df.schema(valueCol).dataType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          val t = s"decimal(37,${d.scale})"
+          (a, b) => a.cast(t) + b.cast(t)
+        case _ => (a, b) => a + b
+      }
+    val wIn = Window.partitionBy((keyCols.map(col) :+ col("__b")): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = df.withColumn("__b", bucketExpr)
+      .withColumn("__cum", aggFn(col(valueCol)).over(wIn))
+    val handoff = within.groupBy((keyCols :+ "__b").map(col): _*)
+      .agg(aggFn(col(valueCol)).as("__btot"))
+      .withColumn("__off", aggFn(col("__btot")).over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select((keyCols :+ "__b").map(col) :+ col("__off"): _*)
+    within.join(handoff, keyCols :+ "__b", "left")
+      .withColumn(outCol, when(col("__off").isNull, col("__cum"))
+        .otherwise(combine(col("__cum"), col("__off"))))
+      .drop("__b", "__cum", "__off")
+  }
+
+  /** Per-key LAG(1), scale-safe — the keyed, multi-order sibling of
+    * [[leadGlobal]]. Within each (key, bucket) cell a normal lag window
+    * runs; each cell's LAST value (max_by over the total order — exact,
+    * no sort of the cell beyond the window's own) rides a one-row-per-cell
+    * handoff so the first row of the next bucket still sees its true
+    * predecessor. The very first row per key lags NULL, as plain lag
+    * would. Same contract as [[cumAggPerKey]]: total `orderCols`,
+    * `bucketExpr` monotone in the first of them.
+    */
+  def lagPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      valueCol: String, outCol: String, bucketExpr: Column): DataFrame = {
+    require(!df.columns.exists(Set("__b", "__lag", "__last", "__prev")),
+      "lagPerKey reserves the __b/__lag/__last/__prev column names")
+    val wIn = Window.partitionBy((keyCols.map(col) :+ col("__b")): _*)
+      .orderBy(orderCols: _*)
+    val within = df.withColumn("__b", bucketExpr)
+      .withColumn("__lag", lag(col(valueCol), 1).over(wIn))
+    val handoff = within.groupBy((keyCols :+ "__b").map(col): _*)
+      .agg(max_by(col(valueCol), struct(orderCols: _*)).as("__last"))
+      .withColumn("__prev", lag(col("__last"), 1).over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col("__b"))))
+      .select((keyCols :+ "__b").map(col) :+ col("__prev"): _*)
+    within.join(handoff, keyCols :+ "__b", "left")
+      .withColumn(outCol, coalesce(col("__lag"), col("__prev")))
+      .drop("__b", "__lag", "__prev")
+  }
+
   /** Spread the low 16 bits of `v` so bit i lands at position 2i — the
     * standard four-round magic-mask dilation. Input must already be
     * BIGINT in [0, 65536); masks keep everything inside 32 bits so the

@@ -114,6 +114,57 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("1.50"))
   }
 
+  test("cumAggPerKey(max|sum) equals the single-window per-key running agg on random data") {
+    import org.apache.spark.sql.expressions.Window
+    // seeded random rows over 3 keys / 12 days with repeated timestamps
+    // (the unique id column is the tiebreak), values negative and positive,
+    // whole empty day-buckets per key
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (1 to 300).map { i =>
+      val key = s"k${rnd.nextInt(3)}"
+      val day = 1 + rnd.nextInt(12)
+      val sec = rnd.nextInt(3) * 1800 // forced ts collisions
+      (i.toLong, key, f"2024-03-$day%02d 08:00:00", sec, (rnd.nextInt(4001) - 2000) / 100.0)
+    }
+    val df = rows.toDF("id", "k", "d", "sec", "dv")
+      .select($"id", $"k",
+        timestamp_seconds(unix_timestamp($"d".cast("timestamp")) + $"sec").as("t"),
+        $"dv".cast("decimal(18,2)").as("v"))
+      .repartition(5)
+    val wRef = Window.partitionBy($"k").orderBy($"t", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (agg <- Seq("max", "sum")) {
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (agg == "max") max else sum
+      val got = Ops.cumAggPerKey(df, Seq("k"), Seq($"t", $"id"), "v", "out",
+          date_trunc("day", $"t"), agg)
+        .select($"id", $"out".cast("decimal(38,2)").cast("string"))
+        .as[(Long, String)].collect().toMap
+      val want = df.select($"id", fn($"v").over(wRef).cast("decimal(38,2)").cast("string"))
+        .as[(Long, String)].collect().toMap
+      assert(got == want, s"cumAggPerKey($agg) diverged from the plain window")
+    }
+  }
+
+  test("lagPerKey equals the plain per-key lag, across bucket boundaries and gaps") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42L)
+    val rows = (1 to 250).map { i =>
+      (i.toLong, s"s${rnd.nextInt(4)}", rnd.nextLong(1L << 40).abs, rnd.nextInt(1000))
+    }
+    // bucket = key div 2^32: boundary-adjacent keys, empty buckets, and a
+    // non-timestamp order column all in one
+    val df = rows.toDF("id", "k", "ord", "v").repartition(6)
+    val got = Ops.lagPerKey(df, Seq("k"), Seq($"ord", $"id"), "v", "prev",
+        expr("ord div 4294967296"))
+      .select($"id", $"prev").as[(Long, Option[Int])].collect().toMap
+    val want = df
+      .withColumn("prev", lag($"v", 1).over(Window.partitionBy($"k").orderBy($"ord", $"id")))
+      .select($"id", $"prev").as[(Long, Option[Int])].collect().toMap
+    assert(got == want)
+    assert(got.values.count(_.isEmpty) == 4, "exactly one NULL lag per key")
+  }
+
   test("exactDouble: exact below 2^53, null passthrough, loud past the range") {
     val df = Seq(Tuple1(Option(123456789L)), Tuple1(Option.empty[Long]))
       .toDF("v")
