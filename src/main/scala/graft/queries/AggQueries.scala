@@ -224,6 +224,40 @@ object AggQueries {
             col("s1") * col("s1")).cast("double") /
             (col("n").cast("decimal(38,0)") * (col("n") - 1) * 10000L)
               .cast("double")).as("var_value"))
+    },
+    // Exact-moment OLS: covariance, regression slope and intercept of
+    // price-on-quantity per return flag — the q_x_variance convention
+    // extended to BIVARIATE moments (n, Σx, Σy, Σxy, Σx² in
+    // DECIMAL(38,0)/HUGEINT; sqrt-free, so correlation's denominator is
+    // deliberately NOT emitted — slope and covariance carry the same
+    // information without libm). The three outputs are IEEE doubles
+    // derived from exact integers by the identical expression tree on
+    // both engines; intercept reuses the slope SUBEXPRESSION, so the two
+    // divisions round once each, identically. One map-side-combinable
+    // aggregate over 3 groups — the mergeable-moments shuffle shape.
+    "q_x_regression" -> { (s, dir) =>
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("x"),
+          (dec("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x")) * col("y")).as("sxy"),
+          sum(d38(col("x")) * col("x")).as("sxx"))
+        .filter(col("n") > 1)
+        .select(Seq(col("l_returnflag"), col("n")) ++ {
+          val num = d38(col("n")) * col("sxy") - col("sx") * col("sy")
+          val slope = num.cast("double") /
+            (d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+          Seq(
+            (num.cast("double") /
+              (d38(col("n")) * (col("n") - 1)).cast("double")).as("cov_c"),
+            slope.as("slope_c_per_unit"),
+            ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+              col("n").cast("double")).as("intercept_c"))
+        }: _*)
     }
   )
 
@@ -332,6 +366,26 @@ object AggQueries {
          |SELECT event_type, count(*) AS n,
          |  CAST(count(*) * sum(c*c) - sum(c)*sum(c) AS DOUBLE)
          |    / CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1) * 10000 AS DOUBLE) AS var_value
-         |FROM c GROUP BY event_type HAVING count(*) > 1""".stripMargin
+         |FROM c GROUP BY event_type HAVING count(*) > 1""".stripMargin,
+    // bivariate moments in HUGEINT; the slope subexpression is repeated
+    // literally inside intercept so both engines round the same way twice
+    "q_x_regression" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cov_c,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_c_per_unit,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_c
+        |FROM m WHERE n > 1""".stripMargin
   )
 }

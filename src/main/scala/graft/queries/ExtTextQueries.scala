@@ -225,6 +225,37 @@ object ExtTextQueries {
           Seq(col("h").asc, col("doc_id").asc), col("doc_id"), k = 5, salts = 16)
         .select(col("lang"), col("doc_id"), col("h"))
     },
+    // Token-BUDGET mixture sampling (the Pile/DoReMi domain-weights move):
+    // each source gets share_bp of the total corpus char budget, and docs
+    // are admitted in deterministic seedless hash order until their
+    // source's budget is crossed — so the mixture is hit by CONTENT
+    // VOLUME, not doc count (q_x_source_cap's k-docs cap can't express
+    // "10% of tokens from code"). The per-source running char total runs
+    // through Ops.cumAggPerKey(sum) bucketed by the hash's top bits: no
+    // source's corpus ever sorts on one reducer, the exact shape that
+    // matters when one crawl source IS most of the corpus. Budgets are
+    // exact integer bp of the broadcast total; unlisted sources default
+    // to 300 bp.
+    "q_x_mixture_sample" -> { (s, dir) =>
+      import s.implicits._
+      val weights = Seq(("src0", 1500), ("src1", 1200), ("src2", 800))
+        .toDF("w_source", "share_bp")
+      val docs = Tables.documents(s, dir)
+        .join(broadcast(weights), col("source") === col("w_source"), "left")
+        .withColumn("share_bp", coalesce(col("share_bp"), lit(300)))
+        .withColumn("h",
+          TextOps.md5Long64(concat(lit("mix:"), col("doc_id").cast("string"))))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("share_bp"), col("h"))
+      val total = docs.agg(sum(col("n_chars")).as("t_chars"))
+      val cum = graft.functions.Ops.cumAggPerKey(
+        docs.crossJoin(broadcast(total)),
+        Seq("source"), Seq(col("h"), col("doc_id")),
+        "n_chars", "cum_chars", expr("shiftright(h, 52)"), "sum")
+      cum.withColumn("budget_chars", expr("t_chars * share_bp div 10000"))
+        .filter(col("cum_chars") <= col("budget_chars"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("cum_chars"), col("budget_chars"))
+    },
     // The flagship corpus-prep composition: every pipeline stage in ONE
     // Catalyst plan — quality gate + language filter (narrow maps), exact
     // content dedup (DISTINCT ON fp), train-test decontamination (the
@@ -1468,6 +1499,27 @@ object ExtTextQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
         |  FROM hh)
         |SELECT lang, doc_id, h FROM r WHERE rn <= 5""".stripMargin,
+    // one plain per-source window replays the bucketed prefix sum
+    "q_x_mixture_sample" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |         ELSE CAST(u AS BIGINT) END AS h FROM k),
+        |j AS (SELECT s.*,
+        |    CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 1200
+        |      WHEN 'src2' THEN 800 ELSE 300 END AS share_bp FROM s),
+        |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t_chars FROM documents),
+        |c AS (SELECT source, doc_id, n_chars, share_bp, t_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+        |  FROM j CROSS JOIN t)
+        |SELECT source, doc_id, n_chars, cum_chars,
+        |  t_chars * share_bp // 10000 AS budget_chars
+        |FROM c WHERE cum_chars <= t_chars * share_bp // 10000""".stripMargin,
     // blank/short docs: range(len-7) is empty below 8 tokens in DuckDB,
     // mirroring the Spark-side wordNgrams guard
     "q_x_decontaminate" ->

@@ -72,6 +72,30 @@ object SketchQueries {
     "q_x_theta_sets" -> { (s, dir) =>
       Sketches.thetaSetOverlap(Tables.events(s, dir), "user_id", "event_type",
         aType = "purchase", bType = "click")
+    },
+    // EXACT mergeable distinct counts via 64-bit bitmap words — the
+    // ClickHouse/Doris bitmap-index move, and the exact tier between
+    // q_a4_monthly_active (re-reads raw rows per window) and the HLL
+    // rollup (approximate): store per-(day, word) bitmaps where word w
+    // covers user ids [64w, 64w+64), count a day by summing popcounts,
+    // and roll ANY coarser window up by bit_or-ing stored words — never
+    // touching a raw row again, with zero error. State is |id space|/64
+    // bits per day (dense ids; sparse ids dictionary-encode first), every
+    // stage a map-side-combinable hash aggregate. The overall tier here
+    // IS the re-aggregation (bit_or over the daily words), so the oracle
+    // match proves the merge, not just the count.
+    "q_x_bitmap_rollup" -> { (s, dir) =>
+      val words = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"),
+          expr("shiftright(user_id, 6)").as("w"),
+          expr("shiftleft(1L, cast(pmod(user_id, 64) as int))").as("m"))
+        .groupBy(col("day"), col("w"))
+        .agg(bit_or(col("m")).as("word"))
+      val daily = words.groupBy(col("day"))
+        .agg(sum(bit_count(col("word")).cast("long")).as("active_users"))
+      val overall = words.groupBy(col("w")).agg(bit_or(col("word")).as("word"))
+        .agg(sum(bit_count(col("word")).cast("long")).as("overall_active"))
+      daily.crossJoin(broadcast(overall))
     }
   )
 
@@ -136,6 +160,15 @@ object SketchQueries {
          |SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
          |  CAST(sum(a * b) AS BIGINT) AS n_both,
          |  CAST(sum(a * (1 - b)) AS BIGINT) AS n_a_only
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+    // the oracle states the SEMANTIC (exact distinct per day + overall);
+    // the engine side reaches it purely through bitmap-word algebra
+    "q_x_bitmap_rollup" ->
+      s"""WITH $evCte,
+         |d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    count(DISTINCT user_id) AS active_users
+         |  FROM ev GROUP BY 1),
+         |o AS (SELECT count(DISTINCT user_id) AS overall_active FROM ev)
+         |SELECT day, active_users, overall_active FROM d CROSS JOIN o""".stripMargin
   )
 }

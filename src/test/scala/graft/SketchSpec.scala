@@ -164,4 +164,23 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(est == direct)
   }
+
+  test("bitmap words merge exactly across any partitioning (q_x_bitmap_rollup invariant)") {
+    // ids straddling word boundaries (63/64/65), a far word (2^20 range),
+    // and heavy duplication ACROSS the two slices — the case where a naive
+    // count-sum double-counts and only the bit_or merge stays exact
+    val a = Seq(0L, 1L, 63L, 64L, 65L, 1048576L, 1048577L)
+    val b = Seq(1L, 64L, 65L, 127L, 128L, 1048577L, 1048639L)
+    def words(ids: Seq[Long]) = ids.toDF("user_id")
+      .select(expr("shiftright(user_id, 6)").as("w"),
+        expr("shiftleft(1L, cast(pmod(user_id, 64) as int))").as("m"))
+      .groupBy($"w").agg(bit_or($"m").as("word"))
+    val merged = words(a).unionByName(words(b))
+      .groupBy($"w").agg(bit_or($"word").as("word"))
+      .agg(sum(bit_count($"word").cast("long"))).as[Long].head()
+    assert(merged == (a ++ b).distinct.size,
+      s"bitmap merge gave $merged, exact distinct is ${(a ++ b).distinct.size}")
+    // and the per-slice popcounts alone would NOT have been mergeable
+    assert(a.size + b.size > (a ++ b).distinct.size)
+  }
 }
