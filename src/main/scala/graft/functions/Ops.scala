@@ -315,6 +315,45 @@ object Ops {
       .drop("__b")
   }
 
+  /** Interval-overlap join, bucketized — the two-sided sibling of
+    * [[pointInIntervalJoin]]. `a JOIN b ON a.lo < b.hi AND b.lo < a.hi`
+    * (both half-open) has no equi key, so Spark plans
+    * BroadcastNestedLoopJoin — O(|a|·|b|). Rewrite: explode BOTH sides to
+    * every bucket their interval touches, equi-join on the bucket, keep
+    * the exact overlap predicate as a post-filter — and deduplicate with
+    * the responsibility rule: an overlapping pair shares every bucket in
+    * the overlap range, so only the FIRST common bucket
+    * (max(⌊a.lo/w⌋, ⌊b.lo/w⌋), which both sides provably explode to)
+    * emits the pair. Each side fans out ⌈len/w⌉+1 rows — bounded when
+    * interval lengths are; `bucketWidthSeconds` ≈ the typical interval
+    * length keeps fan-out ~2× and bucket occupancy low. `equiKeys` join
+    * alongside the bucket (a bucket-only key collides every concurrent
+    * interval corpus-wide).
+    */
+  def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      bucketWidthSeconds: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidthSeconds > 0, "bucketWidthSeconds must be positive")
+    require(!(a.columns ++ b.columns).contains("__b"),
+      "intervalOverlapJoin reserves the __b column name")
+    val shared = a.columns.toSet.intersect(b.columns.toSet) -- equiKeys
+    require(shared.isEmpty,
+      s"columns ${shared.mkString(", ")} exist on both sides but are not equiKeys — " +
+        "alias one side first")
+    val w = bucketWidthSeconds
+    def bucketed(df: DataFrame, lo: String, hi: String) = df.withColumn("__b",
+      explode(sequence(
+        floor(col(lo).cast("double") / w).cast("long"),
+        floor(col(hi).cast("double") / w).cast("long"))))
+    bucketed(a, aLo, aHi).join(bucketed(b, bLo, bHi), "__b" +: equiKeys)
+      .filter(col(aLo).cast("double") < col(bHi).cast("double") &&
+        col(bLo).cast("double") < col(aHi).cast("double"))
+      .filter(col("__b") === greatest(
+        floor(col(aLo).cast("double") / w).cast("long"),
+        floor(col(bLo).cast("double") / w).cast("long")))
+      .drop("__b")
+  }
+
   /** Top-k rows per group, scale-safe — the general-k sibling of
     * [[latestPerKey]] (which the optimizer rewrites to max_by for k=1).
     *

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Ops
 import graft.sources.Tables
 
 /** Data-quality operators: the declarative constraint report (the
@@ -104,6 +105,51 @@ object QualityQueries {
           (unix_timestamp(col("global_newest")) - unix_timestamp(col("newest")))
             .as("staleness_s"))
     },
+    // Incident impact: user sessions overlapping error-burst windows —
+    // composes three proven pieces. (1) the q_x_sessionize gap rule
+    // verbatim (30-min, second-truncated, event_id tiebreak); (2) burst
+    // windows = hours whose error count exceeds 1.25× the mean over
+    // error-bearing hours (exact integer test 4·n·n_hours > 5·total — no
+    // mean is ever formed), merged into maximal runs by the
+    // gaps-and-islands move (the only unpartitioned window runs over
+    // QUALIFYING HOURS — hour-grain rows, ~720/month at any corpus
+    // size); (3) the session×burst pairing through
+    // Ops.intervalOverlapJoin — bucketized, never BroadcastNestedLoop,
+    // the two-sided range join a plain inequality join can't scale.
+    "q_x_burst_sessions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = e
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("is_new",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .withColumn("s_hi_open", col("session_end") + expr("INTERVAL 1 SECOND"))
+      val hours = e.filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hours.agg(sum(col("n")).as("total"), count(lit(1)).as("n_hours"))
+      val bursts = hours.crossJoin(broadcast(stats))
+        .filter(col("n") * col("n_hours") * 4 > col("total") * 5)
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .withColumn("grp", expr("unix_timestamp(h) div 3600") - col("rn"))
+        .groupBy(col("grp"))
+        .agg(min(col("h")).as("burst_start"),
+          (max(col("h")) + expr("INTERVAL 1 HOUR")).as("burst_end"))
+        .select(col("burst_start"), col("burst_end"))
+      Ops.intervalOverlapJoin(sessions, "session_start", "s_hi_open",
+          bursts, "burst_start", "burst_end", bucketWidthSeconds = 3600L)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"),
+          col("burst_start"), col("burst_end"))
+    },
     // Day-of-week seasonal anomaly detection as a Poisson control chart:
     // a daily count more than 2σ from its (event_type, weekday) seasonal
     // mean μ (Poisson: σ = √μ) is flagged. A FIXED relative threshold
@@ -183,6 +229,33 @@ object QualityQueries {
         |SELECT per.event_type, per.n, per.newest,
         |  (epoch_us(g.global_newest) - epoch_us(per.newest)) // 1000000 AS staleness_s
         |FROM per CROSS JOIN g""".stripMargin,
+    // plain overlap join replays the bucketized responsibility-rule join;
+    // b.burst_start <= s.session_end ≡ the engine's b.lo < s_hi_open at
+    // second grain
+    "q_x_burst_sessions" ->
+      """WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type FROM events),
+        |e2 AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts FROM ev),
+        |g AS (SELECT *, epoch(ts) - epoch(lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s FROM e2),
+        |sg AS (SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |sess AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS session_id FROM sg),
+        |sessions AS (SELECT user_id, session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM sess GROUP BY 1, 2),
+        |eh AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM e2 WHERE event_type = 'error' GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_hours FROM eh),
+        |q AS (SELECT h FROM eh CROSS JOIN st WHERE n * n_hours * 4 > total * 5),
+        |i AS (SELECT h, CAST(epoch(h) AS BIGINT) // 3600
+        |    - row_number() OVER (ORDER BY h) AS grp FROM q),
+        |b AS (SELECT min(h) AS burst_start, max(h) + INTERVAL 1 HOUR AS burst_end
+        |  FROM i GROUP BY grp)
+        |SELECT user_id, session_id, session_start, session_end, burst_start, burst_end
+        |FROM sessions s JOIN b
+        |  ON s.session_start < b.burst_end AND b.burst_start <= s.session_end""".stripMargin,
     "q_x_seasonal_anomaly" ->
       """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type FROM events),
         |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

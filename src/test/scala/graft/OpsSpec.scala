@@ -165,6 +165,29 @@ class OpsSpec extends SparkSpec {
     assert(got.values.count(_.isEmpty) == 4, "exactly one NULL lag per key")
   }
 
+  test("intervalOverlapJoin equals the naive cross filter, each pair exactly once") {
+    // seeded random half-open intervals spanning 0–40 buckets of width 10,
+    // lengths 0–35 so many pairs share several buckets — the shape where a
+    // missing responsibility rule duplicates matches
+    val rnd = new scala.util.Random(7L)
+    val as = (1 to 80).map { i =>
+      val lo = rnd.nextInt(400).toDouble; (i.toLong, lo, lo + rnd.nextInt(36))
+    }
+    val bs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(400).toDouble; (i.toLong, lo, lo + rnd.nextInt(36))
+    }
+    val a = as.toDF("a_id", "a_lo", "a_hi").repartition(4)
+    val b = bs.toDF("b_id", "b_lo", "b_hi").repartition(3)
+    val got = Ops.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 10)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    val want = for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if alo < bhi && blo < ahi
+    } yield (ai, bi)
+    assert(got.sorted == want.sorted,
+      s"got ${got.size} pairs (${got.distinct.size} distinct), want ${want.size}")
+  }
+
   test("exactDouble: exact below 2^53, null passthrough, loud past the range") {
     val df = Seq(Tuple1(Option(123456789L)), Tuple1(Option.empty[Long]))
       .toDF("v")

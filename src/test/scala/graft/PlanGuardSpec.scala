@@ -83,4 +83,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       "range join should plan a hash or sort-merge equi join")
   }
+
+  test("interval-overlap join plans an equi join on the bucket key") {
+    // same guard for the two-sided form (Ops.intervalOverlapJoin): the
+    // session×burst pairing must ride the __b bucket equi key. The query
+    // also contains ONE one-row broadcast scalar cross (the burst
+    // threshold stats) — the documented acceptable BNLJ shape — so the
+    // assertion targets the interval join itself, not the whole plan.
+    val plan = SparkEntry.queries("q_x_burst_sessions")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val equiOnBucket = raw"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[__b".r
+    assert(equiOnBucket.findFirstIn(plan).isDefined,
+      s"interval pairing is not an equi join on __b:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      "only the one-row stats broadcast may nested-loop")
+  }
 }
