@@ -222,6 +222,50 @@ object StreamJobs {
         })
   }
 
+  case class TickState(peak: Long, maxDdBp: Long)
+  case class DrawdownRow(symbol: Long, peak_c: Long, max_drawdown_bp: Long)
+
+  /** Streaming tier of the q_x_drawdown tail-risk metric: per symbol, the
+    * state store holds ONLY (running peak cents, worst drawdown bp) — two
+    * longs, no tick history — and each micro-batch folds its ticks in
+    * event order and emits the symbol's updated row. Both stored numbers
+    * are monotone non-decreasing, so the latest emission per symbol IS
+    * the answer so far, and under per-symbol ordered arrival the drained
+    * final state equals the batch q_x_drawdown aggregate exactly
+    * (StreamingSpec pins it): the fold is the same left-to-right
+    * running-max recurrence the batch bucket-and-handoff window
+    * decomposes. Integer bp via Long division (truncation toward zero =
+    * Spark `div` on the non-negative operands); a zero peak yields no
+    * drawdown sample, mirroring the batch NULL-division skip.
+    * Within-batch disorder absorbed by the per-batch sort, as in
+    * [[transitionsStream]].
+    */
+  def drawdownStream(spark: SparkSession, events: DataFrame): Dataset[DrawdownRow] = {
+    import spark.implicits._
+    events.filter(col("event_type") === "view")
+      .selectExpr("pmod(user_id, 25) AS symbol", "unix_micros(ts) AS us",
+        "event_id", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS c")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (sym: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[TickState]) => {
+          val ordered = rows.toArray.sortBy(r => (r._2, r._3))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(TickState(Long.MinValue, 0L))
+            ordered.foreach { case (_, _, _, c) =>
+              val peak = math.max(st.peak, c)
+              val dd = if (peak > 0) math.max(st.maxDdBp, (peak - c) * 10000L / peak)
+                       else st.maxDdBp
+              st = TickState(peak, dd)
+            }
+            state.update(st)
+            Iterator(DrawdownRow(sym, st.peak, st.maxDdBp))
+          }
+        })
+  }
+
   case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = step not reached
   case class FunnelConv(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
 

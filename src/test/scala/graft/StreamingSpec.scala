@@ -194,6 +194,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming drawdown state drains to the batch q_x_drawdown aggregate") {
+    val src = Files.createTempDirectory("graft_dd_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val n = ev.count()
+    val slices = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+    (0 until 3).foreach { i =>
+      slices.filter(col("rn") > i * n / 3 && col("rn") <= (i + 1) * n / 3)
+        .drop("rn").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(150)
+    }
+    val q = StreamJobs.drawdownStream(spark, StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("update").format("memory").queryName("dd").start()
+    q.processAllAvailable(); q.stop()
+    // peak and worst-dd are monotone, so the per-symbol max over all
+    // update emissions is the final state
+    val got = spark.table("dd").groupBy(col("symbol"))
+      .agg(max(col("peak_c")).as("p"), max(col("max_drawdown_bp")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = graft.queries.TimeSeriesQueries.queries("q_x_drawdown")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("symbol") ->
+        (r.getAs[Long]("peak_c"), r.getAs[Long]("max_drawdown_bp"))).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.exists(_._2 > 0))
+  }
+
   test("stream dedup drops replayed event_ids") {
     val src = Files.createTempDirectory("graft_dup_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir).limit(100)
