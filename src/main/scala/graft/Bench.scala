@@ -48,10 +48,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def settle(): Unit = {
+      // drop leftover localCheckpoint blocks BEFORE the GC: a 255-query
+      // sweep otherwise accumulates the checkpoint-heavy queries' persisted
+      // RDDs in the block manager (the async ContextCleaner lags the
+      // sweep), squeezing execution memory for late-alphabet rows — the
+      // r12 ledger's q_x_pagerank read 11.5 s in-sweep vs 3.5 s isolated
+      // on identical data and code (A/B in PLANS.md). Each rep rebuilds
+      // its DataFrame from scratch, so nothing persisted is ever reused
+      // across reps — unpersisting is purely hermetic.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     def runOne(name: String): Double = {
       timeOne(name) // untimed warm-up rep: per-query codegen compile
       val ts = (1 to reps).map { _ =>
-        System.gc() // settle: don't bill the previous query's garbage here
+        settle() // don't bill the previous rep's blocks/garbage here
         timeOne(name)
       }
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)

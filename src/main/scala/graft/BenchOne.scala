@@ -18,7 +18,11 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args.tail) {
-      System.gc() // same settle as Bench: drop prior queries' checkpoint blocks
+      // same hermetic settle as Bench: drop prior queries' checkpoint
+      // blocks (synchronously — the async ContextCleaner lags), then GC
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

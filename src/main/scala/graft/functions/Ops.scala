@@ -173,26 +173,6 @@ object Ops {
         "integer-unit sum %d exceeds the 2^53 exact-double range — " +
           "fall back to the decimal form at this scale factor", c)))
 
-  /** Distributed global LEAD over a DISTINCT numeric key column — the
-    * scale-safe form of `lead(k) OVER (ORDER BY k)`, whose empty PARTITION
-    * BY otherwise collapses the whole table into one window partition
-    * (Spark's own WindowExec warning). Keys are range-bucketed
-    * (`floor(k / bucket)`), each bucket's lead runs as a normal
-    * partitioned window, and each bucket's LAST row takes the next
-    * non-empty bucket's first key from a per-bucket aggregate — the only
-    * unpartitioned window runs over that aggregate, one row per non-empty
-    * bucket, tiny at any table size. Output: the input plus
-    * `next_<keyCol>` (null for the global maximum), identical to the
-    * single-partition form for distinct keys.
-    *
-    * Bucketing uses integral `div`, not `floor(k / bucket)`: Spark's
-    * `/` promotes to double, which mis-buckets keys above 2^53 (two
-    * adjacent keys can land out of order across a bucket boundary,
-    * breaking the handoff). `div` stays exact over the full long range;
-    * truncation-toward-zero is monotone for a positive bucket size, so
-    * bucket ids remain ordered and contiguous. Distinct keys stay a
-    * caller contract (duplicates would make "next" skip peers).
-    */
   /** Distributed global cumulative sum — the scale-safe form of
     * `SUM(v) OVER (ORDER BY o RANGE UNBOUNDED PRECEDING)`, whose empty
     * PARTITION BY otherwise collapses the whole table into ONE window
@@ -254,6 +234,26 @@ object Ops {
       .drop("__b", "__cum", "__off")
   }
 
+  /** Distributed global LEAD over a DISTINCT numeric key column — the
+    * scale-safe form of `lead(k) OVER (ORDER BY k)`, whose empty PARTITION
+    * BY otherwise collapses the whole table into one window partition
+    * (Spark's own WindowExec warning). Keys are range-bucketed
+    * (`floor(k / bucket)`), each bucket's lead runs as a normal
+    * partitioned window, and each bucket's LAST row takes the next
+    * non-empty bucket's first key from a per-bucket aggregate — the only
+    * unpartitioned window runs over that aggregate, one row per non-empty
+    * bucket, tiny at any table size. Output: the input plus
+    * `next_<keyCol>` (null for the global maximum), identical to the
+    * single-partition form for distinct keys.
+    *
+    * Bucketing uses integral `div`, not `floor(k / bucket)`: Spark's
+    * `/` promotes to double, which mis-buckets keys above 2^53 (two
+    * adjacent keys can land out of order across a bucket boundary,
+    * breaking the handoff). `div` stays exact over the full long range;
+    * truncation-toward-zero is monotone for a positive bucket size, so
+    * bucket ids remain ordered and contiguous. Distinct keys stay a
+    * caller contract (duplicates would make "next" skip peers).
+    */
   def leadGlobal(df: DataFrame, keyCol: String, bucket: Long = 1L << 16): DataFrame = {
     require(bucket > 0, "leadGlobal bucket size must be positive")
     val wIn = Window.partitionBy(col("__b")).orderBy(col(keyCol))
@@ -411,13 +411,18 @@ object Ops {
     require(!df.columns.exists(Set("__b", "__cum", "__btot", "__off")),
       "cumAggPerKey reserves the __b/__cum/__btot/__off column names")
     val aggFn: Column => Column = if (agg == "sum") sum else max
+    // combine must be NULL-tolerant on the LEFT: a row whose within-bucket
+    // prefix is all NULL has __cum NULL, and the plain running window
+    // (sum/max both skip NULLs) would return the carried prefix there —
+    // greatest already skips NULLs; the sum path coalesces __cum to zero
+    // (the right side, __off, is non-NULL in this branch by the when())
     val combine: (Column, Column) => Column =
       if (agg == "max") (a, b) => greatest(a, b)
       else df.schema(valueCol).dataType match {
         case d: org.apache.spark.sql.types.DecimalType =>
           val t = s"decimal(37,${d.scale})"
-          (a, b) => a.cast(t) + b.cast(t)
-        case _ => (a, b) => a + b
+          (a, b) => coalesce(a.cast(t), lit(0).cast(t)) + b.cast(t)
+        case _ => (a, b) => coalesce(a, lit(0)) + b
       }
     val wIn = Window.partitionBy((keyCols.map(col) :+ col("__b")): _*)
       .orderBy(orderCols: _*)
@@ -442,25 +447,35 @@ object Ops {
     * no sort of the cell beyond the window's own) rides a one-row-per-cell
     * handoff so the first row of the next bucket still sees its true
     * predecessor. The very first row per key lags NULL, as plain lag
-    * would. Same contract as [[cumAggPerKey]]: total `orderCols`,
+    * would — and a NULLABLE `valueCol` is exact too: the substitution is
+    * gated on being the bucket's FIRST row (row_number, not
+    * lag-returned-NULL), so a genuinely-NULL mid-bucket predecessor stays
+    * NULL. Same contract as [[cumAggPerKey]]: total `orderCols`,
     * `bucketExpr` monotone in the first of them.
     */
   def lagPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
       valueCol: String, outCol: String, bucketExpr: Column): DataFrame = {
-    require(!df.columns.exists(Set("__b", "__lag", "__last", "__prev")),
-      "lagPerKey reserves the __b/__lag/__last/__prev column names")
+    require(!df.columns.exists(Set("__b", "__lag", "__rn", "__last", "__prev")),
+      "lagPerKey reserves the __b/__lag/__rn/__last/__prev column names")
     val wIn = Window.partitionBy((keyCols.map(col) :+ col("__b")): _*)
       .orderBy(orderCols: _*)
+    // the handoff substitution applies ONLY on each bucket's first row
+    // (gated on row_number, not on __lag being NULL — a nullable valueCol's
+    // genuinely-NULL mid-bucket predecessor must stay NULL), and the cell's
+    // last value rides inside a struct so max_by can hand a NULL value
+    // across the boundary instead of conflating it with "no previous cell"
     val within = df.withColumn("__b", bucketExpr)
       .withColumn("__lag", lag(col(valueCol), 1).over(wIn))
+      .withColumn("__rn", row_number().over(wIn))
     val handoff = within.groupBy((keyCols :+ "__b").map(col): _*)
-      .agg(max_by(col(valueCol), struct(orderCols: _*)).as("__last"))
+      .agg(max_by(struct(col(valueCol).as("v")), struct(orderCols: _*)).as("__last"))
       .withColumn("__prev", lag(col("__last"), 1).over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(col("__b"))))
       .select((keyCols :+ "__b").map(col) :+ col("__prev"): _*)
     within.join(handoff, keyCols :+ "__b", "left")
-      .withColumn(outCol, coalesce(col("__lag"), col("__prev")))
-      .drop("__b", "__lag", "__prev")
+      .withColumn(outCol,
+        when(col("__rn") === 1, col("__prev.v")).otherwise(col("__lag")))
+      .drop("__b", "__lag", "__rn", "__prev")
   }
 
   /** Spread the low 16 bits of `v` so bit i lands at position 2i — the

@@ -114,6 +114,31 @@ object Dedup {
     */
   val DefaultMaxBucketSize = 1024
 
+  /** Banded signature table: one row per (id, band index, band hash) —
+    * the shared front of [[lshCandidatePairs]] (self-join) and
+    * [[crossNearDupMinHash]] (cross-cohort join).
+    */
+  private def bandTable(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { j =>
+      val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** (id, band, bh) straight from text — the MinHash banding front exposed
+    * for stream-static joins ([[graft.streaming.StreamJobs]]'s near-dup
+    * gate precomputes the standing corpus's bands with this): one narrow
+    * signature pass + a band explode, stateless and streaming-safe.
+    */
+  def textBands(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
+    bandTable(minHashSignature(docs, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand)
+
   /** LSH banding: md5 each band of `rowsPerBand` signature values, bucket-join
     * on (band index, band hash), emit unordered candidate pairs (a < b).
     *
@@ -140,31 +165,6 @@ object Dedup {
     * triggering is a correctness event, not a degradation — this makes it
     * loud instead.
     */
-  /** Banded signature table: one row per (id, band index, band hash) —
-    * the shared front of [[lshCandidatePairs]] (self-join) and
-    * [[crossNearDupMinHash]] (cross-cohort join).
-    */
-  private def bandTable(sig: DataFrame, idCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bandStructs = (0 until numBands).map { j =>
-      val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
-      struct(lit(j).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
-    }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
-  }
-
-  /** (id, band, bh) straight from text — the MinHash banding front exposed
-    * for stream-static joins ([[graft.streaming.StreamJobs]]'s near-dup
-    * gate precomputes the standing corpus's bands with this): one narrow
-    * signature pass + a band explode, stateless and streaming-safe.
-    */
-  def textBands(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
-    bandTable(minHashSignature(docs, idCol, textCol, numHashes, shingleN),
-      idCol, numHashes, rowsPerBand)
-
   def lshCandidatePairs(sig: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int,
       maxBucketSize: Int = DefaultMaxBucketSize,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beyond the label-flooding connected components
@@ -16,9 +17,15 @@ object Graph {
     * (src ∪ dst), `iters` fixed iterations from a uniform start. Nodes
     * with no in-edges keep their teleport share every round (the
     * all-nodes left join below — without it a source-only node would
-    * vanish after round 1). Dangling-node mass (out-degree 0) is DROPPED,
-    * the common simplification: ranks then sum to < 1 on graphs with
-    * sinks; symmetrized input has no sinks and sums to 1.
+    * vanish after round 1). Dangling-node mass (out-degree 0) is DROPPED
+    * by default, the common simplification: ranks then sum to < 1 on
+    * graphs with sinks; symmetrized input has no sinks and sums to 1.
+    * `redistributeDanglingMass = true` switches to the full model — each
+    * round the total rank sitting on sinks is spread uniformly (scaled by
+    * damping, like any followed link), so ranks sum to 1 on ANY graph.
+    * The mass is one extra scalar aggregate per round (an anti-join of
+    * ranks against the out-degree table, broadcast back as a one-row
+    * cross) — no driver action, the loop stays one lazy dataflow.
     *
     * Determinism contract (what makes this oracle-checkable): each node's
     * incoming contributions are summed by folding over the SOURCE-sorted
@@ -46,7 +53,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85,
-      exactFold: Boolean = true, checkpointEvery: Int = 0): DataFrame = {
+      exactFold: Boolean = true, checkpointEvery: Int = 0,
+      redistributeDanglingMass: Boolean = false): DataFrame = {
     // materialize the edge list once — the iterations reference it 2·iters
     // times, and without the checkpoint each reference re-executes the
     // caller's whole edge-derivation subtree (measured 4.8 s → 2.6 s at
@@ -74,11 +82,27 @@ object Graph {
               lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
         else
           contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+      val base = nodes.join(sums, col("node") === col("dst"), "left")
         .crossJoin(broadcast(nDf))
-        .select(col("node"),
-          (lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      ranks =
+        if (redistributeDanglingMass) {
+          // total rank sitting on sinks this round: nodes absent from the
+          // out-degree table. The fold keeps the sum order data-pinned for
+          // the same bit-exactness argument as the per-node contributions.
+          val dangling = ranks.join(deg, col("node") === col("src"), "left_anti")
+            .agg(coalesce(
+              aggregate(sort_array(collect_list(struct(col("node"), col("rank")))),
+                lit(0.0), (acc, x) => acc + x.getField("rank")),
+              lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(1.0 - damping) / col("n") +
+                lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                  col("dm") / col("n"))).as("rank"))
+        } else
+          base.select(col("node"),
+            (lit(1.0 - damping) / col("n") +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
@@ -100,7 +124,7 @@ object Graph {
     * labels three times — unchecked, the lazy plan re-expands 3^rounds).
     * Hash-min is the diameter-bound tier; a web-scale high-diameter
     * graph wants the large-star/small-star alternation (O(log n)
-    * rounds), the documented production escalation — same per-round
+    * rounds) — implemented as [[connectedComponentsLS]], same per-round
     * join shape, different re-pointing rule. Input may carry
     * duplicates / self-loops / both directions (normalized first).
     *
@@ -130,6 +154,101 @@ object Graph {
         .localCheckpoint()
     }
     labels.select(col("n").as("node"), col("lab").as("component"))
+  }
+
+  /** One large-star round: every node re-points its STRICTLY LARGER
+    * neighbors at the minimum of its closed neighborhood. Emitted pairs
+    * (v, m) satisfy v > u ≥ m, so they arrive already big→small ordered
+    * and self-loop-free.
+    *
+    * Single-pass shape: the per-node minimum rides a whole-partition
+    * window (the benign O(n)-per-partition frame) instead of a
+    * groupBy + join-back — one shuffle, and the input is referenced
+    * exactly once past the direction union. NO dedup here: output
+    * multiplicity is bounded by input multiplicity (each undirected
+    * input row contributes from exactly one endpoint's perspective),
+    * and [[smallStar]]'s closing distinct collapses everything each
+    * round, so an extra shuffle per round buys nothing.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val both = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    both
+      .withColumn("m",
+        least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+  }
+
+  /** One small-star round: every node re-points its SMALLER-OR-EQUAL
+    * neighbors (and itself) at the minimum of that set. Operates on the
+    * big→small orientation, so the reduce key is the larger endpoint.
+    * Same single-pass window shape as [[largeStar]]; the (u, m)
+    * self-attachment is emitted per ROW via a 2-element explode (the
+    * closing distinct collapses the per-u duplicates along with
+    * everything else — this is the round's ONE dedup shuffle).
+    */
+  private def smallStar(e: DataFrame): DataFrame =
+    e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      .select(explode(array(col("v"), col("u"))).as("x"), col("m"))
+      .filter(col("x") =!= col("m"))
+      .select(col("x").as("a"), col("m").as("b"))
+      .distinct()
+
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation — the
+    * production escalation of [[connectedComponents]] for graphs whose
+    * diameter is unknown or large (a path graph of length 10⁶ converges
+    * here in ~O(log n) rounds where hash-min needs 10⁶). Per the
+    * two-phase algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC 2014): each round applies large-star
+    * (re-point larger neighbors at the neighborhood minimum) then
+    * small-star (re-point smaller neighbors at the minimum), shrinking
+    * tree heights multiplicatively until the edge set is a star forest,
+    * each star rooted at its component's minimum id — the SAME labels
+    * hash-min produces, so the two tiers oracle-check each other.
+    *
+    * Scale shape, per round: each star step is one node-keyed
+    * whole-partition-window shuffle (no join-back — the per-node minimum
+    * rides the window, and each step reads its input ONCE), plus
+    * small-star's closing distinct: three keyed shuffles a round,
+    * edge-linear, no driver-side graph state beyond the per-round
+    * convergence scalar (the kcore pattern). Only the composed round
+    * output is localCheckpointed — the single-reference chain needs no
+    * mid-round cut. Convergence = the round output equals its input
+    * (carried |prev| + count + one-sided EXCEPT, the EXCEPT only firing
+    * once counts agree); the alternation provably converges, `maxRounds`
+    * is a runaway backstop that raises rather than returning unconverged
+    * labels. Input may carry duplicates / self-loops / both directions
+    * (normalized first, like [[connectedComponents]]); isolated nodes
+    * (self-loop-only) drop with the self-loops, matching the hash-min
+    * tier.
+    */
+  def connectedComponentsLS(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    var e = edges
+      .select(greatest(col(aCol), col(bCol)).as("a"),
+        least(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val ss = smallStar(largeStar(e)).localCheckpoint()
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.except(e).isEmpty
+      e = ss
+      eCount = ssCount
+      r += 1
+    }
+    if (!converged)
+      sys.error(s"connectedComponentsLS: not converged after $maxRounds rounds")
+    e.select(col("a").as("node"), col("b").as("component"))
+      .union(e.select(col("b").as("node"), col("b").as("component")))
+      .distinct()
   }
 
   /** k-core decomposition over an UNDIRECTED edge list: repeatedly remove

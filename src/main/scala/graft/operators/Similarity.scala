@@ -64,6 +64,18 @@ object Similarity {
     }: _*))
   }
 
+  /** The SIZING RULE of [[nearDupPairsCosineLsh]] as code: numPlanes ≈
+    * log2(n / targetBucketSize), floored at 4. Callers that know only the
+    * corpus (not its size) should pass `df.count()` here rather than pin a
+    * plane count — a pinned count is quadratic the day the corpus grows past
+    * its sizing (measured: 10× corpus at numPlanes=5 ran 22× the time; auto
+    * re-sized it is linear). The count is one metadata-cheap job next to the
+    * pair join it protects.
+    */
+  def autoPlanes(corpusSize: Long, targetBucketSize: Int = 256): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+
   /** Scale path for embedding near-dup: multi-table hyperplane LSH — vectors
     * sharing a (table, bucket) become candidate pairs, verified with exact
     * cosine ≥ threshold. Probabilistic recall by construction — the
@@ -81,18 +93,6 @@ object Similarity {
     * The pairing self-join is salted (deterministically, ids only) because
     * the raw (t, bv) keyspace would cap shuffle parallelism.
     */
-  /** The SIZING RULE of [[nearDupPairsCosineLsh]] as code: numPlanes ≈
-    * log2(n / targetBucketSize), floored at 4. Callers that know only the
-    * corpus (not its size) should pass `df.count()` here rather than pin a
-    * plane count — a pinned count is quadratic the day the corpus grows past
-    * its sizing (measured: 10× corpus at numPlanes=5 ran 22× the time; auto
-    * re-sized it is linear). The count is one metadata-cheap job next to the
-    * pair join it protects.
-    */
-  def autoPlanes(corpusSize: Long, targetBucketSize: Int = 256): Int =
-    math.max(4, math.ceil(
-      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
-
   def nearDupPairsCosineLsh(embeddings: DataFrame, idCol: String, embCol: String,
       threshold: Double, numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
       dim: Int = 64, maxBucketSize: Int = 1024): DataFrame = {

@@ -29,10 +29,13 @@ object BehaviorQueries {
     */
   private def doubledMedian(df: DataFrame, keyCol: String, valCol: String,
       tieCol: String, out: String): DataFrame = {
+    require(!df.columns.exists(Set("__rn", "__cnt")),
+      "doubledMedian reserves the __rn/__cnt column names")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol), col(tieCol))
-    df.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(keyCol))))
-      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2") ||
+        col("__rn") === expr("(__cnt + 2) div 2"))
       .groupBy(col(keyCol))
       .agg(expr(s"CASE WHEN count(*) = 1 THEN 2 * min($valCol) ELSE sum($valCol) END AS $out"))
   }

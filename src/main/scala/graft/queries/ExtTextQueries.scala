@@ -948,13 +948,6 @@ object ExtTextQueries {
   private val shingleExpr =
     "list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)])"
 
-  /** Shared DuckDB CTE chain for the seeded md5+xorshift MinHash family:
-    * expects a CTE `sh0(doc_id, u0 UBIGINT)` (one row per shingle/gram hash)
-    * upstream, yields `sig(doc_id, sig)` — the 16-minima signature ordered by
-    * seed. Seed constants come from Dedup.seedConstants (single source of
-    * truth with the native kernels); wrapping `<< n` equals mask-then-shift
-    * on UBIGINT (masks are 2^(64-n)-1).
-    */
   /** The shared aggregate body of the ROLLUP/CUBE queries — one place for
     * the metric set and the grouping_id convention (first column = MSB).
     */
@@ -971,15 +964,6 @@ object ExtTextQueries {
        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
        |FROM documents GROUP BY $keyword(lang, source)""".stripMargin
 
-  /** The BPE-training oracle, generated for k rounds: w0 = the character-
-    * split word-frequency table, then per round i a pair count (every
-    * adjacent position, frequency-weighted), a deterministic argmax
-    * (cnt DESC, left ASC, right ASC), and a merged word table via a
-    * list_reduce fold over single-element lists (DuckDB 1.x list_reduce
-    * seeds from the first element, so the element type must already be
-    * LIST; the fold replicates the left-to-right merge scan exactly —
-    * see TextOps.bpeMergePass).
-    */
   /** The k training rounds as a WITH-chain (shared by the train and encode
     * oracles): w0 = char-split word-frequency table, then per round a pair
     * count, the deterministic argmax m_i, and the merged word table w_i.
@@ -1006,6 +990,15 @@ object ExtTextQueries {
        |$rounds""".stripMargin
   }
 
+  /** The BPE-training oracle, generated for k rounds: w0 = the character-
+    * split word-frequency table, then per round i a pair count (every
+    * adjacent position, frequency-weighted), a deterministic argmax
+    * (cnt DESC, left ASC, right ASC), and a merged word table via a
+    * list_reduce fold over single-element lists (DuckDB 1.x list_reduce
+    * seeds from the first element, so the element type must already be
+    * LIST; the fold replicates the left-to-right merge scan exactly —
+    * see TextOps.bpeMergePass).
+    */
   private def bpeTrainOracle(k: Int): String = {
     val sel = (1 to k).map { i =>
       s"SELECT CAST($i AS INT) AS step, l AS left_sym, r AS right_sym, " +
@@ -1046,6 +1039,13 @@ object ExtTextQueries {
        |FROM f""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain for the seeded md5+xorshift MinHash family:
+    * expects a CTE `sh0(doc_id, u0 UBIGINT)` (one row per shingle/gram hash)
+    * upstream, yields `sig(doc_id, sig)` — the 16-minima signature ordered by
+    * seed. Seed constants come from Dedup.seedConstants (single source of
+    * truth with the native kernels); wrapping `<< n` equals mask-then-shift
+    * on UBIGINT (masks are 2^(64-n)-1).
+    */
   private def minhashChainCtes: String = {
     val seeds = graft.operators.Dedup.seedConstants(16).zipWithIndex
       .map { case (c, i) =>

@@ -2361,6 +2361,32 @@ object LiteralTwinQueries {
           col("l_linenumber").as("line"))
         .orderBy(col("close_ts").asc, col("line").asc, col("amnt_stable").asc)
     },
+    // ls_closing.count, clause-for-clause (ls_closing.rs:57-74): COUNT(*)
+    // over the closing events in a bound half-open window
+    // (`LS_timestamp > $1 AND <= $2` → pinned 1996/1998, the house window).
+    // Closing events → A-flag lineitem rows, LS_timestamp → l_shipdate
+    // (the close_by_contract mapping). Closes the DAO read surface: this
+    // and lp_pool.get_all below were the last two untwinned SELECTs.
+    "q_lit_closing_count" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "A" &&
+          col("l_shipdate") > lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") <= lit("1998-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n_closings"))
+    },
+    // lp_pool.get_all, clause-for-clause (lp_pool.rs:24-29): the bare
+    // `SELECT * FROM LP_Pool` dimension read. LP_Pool → the supplier dim
+    // (LP_Pool_State is lineitem per supplier, so the pool registry IS the
+    // supplier table): pool id = s_suppkey, symbol = the mod-25 ticker
+    // space, status = the mod-2 active flag. No WHERE in the reference and
+    // Vec order is heap order — the twin pins the key sort (SURVEY §7.4#5).
+    "q_lit_pool_all" -> { (s, dir) =>
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("lp_pool_id"),
+          pmod(col("s_suppkey"), lit(25)).as("lp_symbol"),
+          pmod(col("s_suppkey"), lit(2)).cast("int").as("lp_status"))
+        .orderBy(col("lp_pool_id").asc)
+    },
     // ls_close_position.get_closed_by_contract, clause-for-clause
     // (ls_close_position.rs:106-119): the same point read restricted to the
     // loan-close row.
@@ -4406,6 +4432,15 @@ object LiteralTwinQueries {
         |  l_linenumber AS line
         |FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey = 77
         |ORDER BY close_ts ASC, line ASC, amnt_stable ASC""".stripMargin,
+    "q_lit_closing_count" ->
+      """SELECT COUNT(1) AS n_closings FROM lineitem
+        |WHERE l_returnflag = 'A'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_lit_pool_all" ->
+      """SELECT s_suppkey AS lp_pool_id, s_suppkey % 25 AS lp_symbol,
+        |  CAST(s_suppkey % 2 AS INT) AS lp_status
+        |FROM supplier ORDER BY lp_pool_id ASC""".stripMargin,
     "q_lit_closed_close_by_contract" ->
       """SELECT l_orderkey AS contract_id, l_shipdate AS close_ts,
         |  l_extendedprice AS amnt_stable, l_linenumber AS line

@@ -53,9 +53,12 @@ object StreamJobs {
 
   /** Watermarked streaming sessionization via the NATIVE session_window —
     * the streaming tier of the batch gap-sessionizer (q_x_sessionize):
-    * a 1801 s session gap reproduces the batch `gap > 1800 ⇒ new session`
-    * rule exactly (session_window merges while diff < gap; PropertySpec
-    * pins the bridge). Exactness requires the SAME clock granularity as
+    * a 1800 s session gap reproduces the batch `gap > 1800 ⇒ new session`
+    * rule exactly. session_window merges while diff ≤ gap — the window
+    * end TOUCHES inclusively (measured on Spark 4.1: diff 1800 at gap
+    * 1800 merges, diff 1801 splits; the PropertySpec bridge pins both
+    * boundaries), so gap must equal the batch rule's threshold, not
+    * threshold+1. Exactness also requires the SAME clock granularity as
     * the batch rule: q_x_sessionize second-truncates ts before the gap
     * test, so the stream truncates too — on the raw ns-precision feed a
     * boundary gap (1800.4 s raw → 1801 s truncated) would otherwise split
@@ -67,24 +70,11 @@ object StreamJobs {
     events
       .withColumn("ts", date_trunc("second", col("ts")))
       .withWatermark("ts", "2 hours")
-      .groupBy(session_window(col("ts"), "1801 seconds").as("sw"), col("user_id"))
+      .groupBy(session_window(col("ts"), "1800 seconds").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
-  /** Streaming corpus-prep front door: the batch pipeline's quality gate +
-    * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
-    * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The
-    * fingerprint dedup state is bounded by the watermark horizon — at
-    * firehose scale the state store holds one md5 per distinct document
-    * seen inside the horizon, not the corpus; replayed or reshuffled
-    * boilerplate inside the horizon drops exactly, and cross-horizon
-    * dedup is the idempotent batch sink's job downstream
-    * ([[graft.sink.Sinks.appendDedupParquet]] on the same fingerprint).
-    * The output carries `text` through — surviving documents ARE the
-    * corpus feed; without the content the downstream sink could not
-    * materialize the corpus without a second join back by doc_id.
-    */
   /** Streaming sketch-column maintenance — the live tier of the batch
     * sketch family (operators.Sketches): per-day CMS event-type counters
     * and a theta user sketch, updated every micro-batch. The aggregate
@@ -104,6 +94,19 @@ object StreamJobs {
         org.apache.spark.sql.graft.sketches
           .thetaSketch(col("user_id"), lgK).as("user_sketch"))
 
+  /** Streaming corpus-prep front door: the batch pipeline's quality gate +
+    * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
+    * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The
+    * fingerprint dedup state is bounded by the watermark horizon — at
+    * firehose scale the state store holds one md5 per distinct document
+    * seen inside the horizon, not the corpus; replayed or reshuffled
+    * boilerplate inside the horizon drops exactly, and cross-horizon
+    * dedup is the idempotent batch sink's job downstream
+    * ([[graft.sink.Sinks.appendDedupParquet]] on the same fingerprint).
+    * The output carries `text` through — surviving documents ARE the
+    * corpus feed; without the content the downstream sink could not
+    * materialize the corpus without a second join back by doc_id.
+    */
   def corpusPrepStream(docs: DataFrame, stopwords: Seq[String],
       minQuality: Double = 0.5, horizon: String = "1 hour"): DataFrame =
     docs

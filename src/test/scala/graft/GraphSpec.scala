@@ -158,4 +158,84 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(gotR == want)
   }
+
+  test("connectedComponentsLS labels equal hash-min on the random-graph replay") {
+    // the same messy fixed graph as the hash-min test (dup edge, both
+    // directions, self-loop) ...
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (20L, 21L), (2L, 1L), (9L, 9L))
+      .toDF("a", "b")
+    val got = Graph.connectedComponentsLS(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 1L, 20L -> 20L, 21L -> 20L))
+
+    // ... and the same random graph vs a driver union-find AND the
+    // hash-min tier — three independent algorithms, one labeling
+    val r = new scala.util.Random(23)
+    val rand = (1 to 120).map(_ => (r.nextInt(200).toLong, r.nextInt(200).toLong))
+      .filter(p => p._1 != p._2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val rt = find(p); parent(x) = rt; rt }
+    }
+    rand.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = parent.keys.toSeq.map(n => n -> find(n)).toMap
+    val gotLS = Graph.connectedComponentsLS(rand.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(gotLS == want)
+    val gotHM = Graph.connectedComponents(rand.toDF("a", "b"), "a", "b", rounds = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(gotLS == gotHM)
+  }
+
+  test("connectedComponentsLS converges where fixed-round hash-min falls short") {
+    // a 240-node path: diameter 239. Hash-min with 8 rounds propagates the
+    // minimum only 8 hops — provably wrong labels past hop 8 — while the
+    // star alternation's multiplicative height-shrinking converges well
+    // inside the 50-round backstop. This is the high-diameter case the
+    // production escalation exists for.
+    val path = (1L until 240L).map(i => (i, i + 1)).toDF("a", "b")
+    val gotLS = Graph.connectedComponentsLS(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(gotLS == (1L to 240L).map(_ -> 1L).toMap)
+    val gotHM8 = Graph.connectedComponents(path, "a", "b", rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(gotHM8 != gotLS, "8-round hash-min should NOT have converged at diameter 239")
+  }
+
+  test("pageRank with dangling-mass redistribution sums to 1 on a sink graph") {
+    // 1→2, 3→1, 3→2: node 2 is a sink. The default tier drops its mass
+    // (sum < 1); the full model redistributes it and matches a driver
+    // power iteration exactly (dangling fold in node-sorted order,
+    // mirroring the operator's determinism contract).
+    val edges = Seq((1L, 2L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val iters = 6
+    val got = Graph.pageRank(edges, "src", "dst", iters = iters,
+      redistributeDanglingMass = true).as[(Long, Double)].collect().toMap
+
+    val outs = Map(1L -> Seq(2L), 3L -> Seq(1L, 2L))
+    val ins = Map(1L -> Seq(3L), 2L -> Seq(1L, 3L), 3L -> Seq[Long]())
+    val nodes = Seq(1L, 2L, 3L)
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.sorted.filter(v => !outs.contains(v))
+        .foldLeft(0.0)((acc, v) => acc + rank(v))
+      rank = nodes.map { v =>
+        val s = ins(v).sorted.foldLeft(0.0)((acc, u) => acc + rank(u) / outs(u).size)
+        v -> ((1.0 - 0.85) / n + 0.85 * (s + dm / n))
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (v, r) => assert(r == rank(v), s"node $v: $r vs ${rank(v)}") }
+    assert(math.abs(got.values.sum - 1.0) <= 1e-12)
+    // and the default tier on the same graph indeed leaks the sink mass
+    val dropped = Graph.pageRank(edges, "src", "dst", iters = iters)
+      .as[(Long, Double)].collect().map(_._2).sum
+    assert(dropped < 1.0 - 1e-6)
+  }
 }

@@ -165,6 +165,49 @@ class OpsSpec extends SparkSpec {
     assert(got.values.count(_.isEmpty) == 4, "exactly one NULL lag per key")
   }
 
+  test("cumAggPerKey and lagPerKey stay exact on a NULLABLE value column") {
+    import org.apache.spark.sql.expressions.Window
+    // every hazard at once: a bucket whose prefix is all NULL (the sum
+    // path's NULL+off trap), a bucket ENDING in NULL (the lag handoff must
+    // carry a genuine NULL across the boundary, not the older non-NULL),
+    // and a mid-bucket NULL predecessor (must NOT be replaced by the
+    // previous bucket's last value)
+    val rnd = new scala.util.Random(1313L)
+    val rows = (1 to 240).map { i =>
+      val v = if (rnd.nextInt(3) == 0) None
+        else Some(((rnd.nextInt(2001) - 1000) / 100.0).toString)
+      (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(12).toLong * 100 + rnd.nextInt(100), v)
+    }
+    // decimal values: exact under the bucket decomposition's reassociation
+    // (the point here is NULL handling, not float addition order)
+    val df = rows.toDF("id", "k", "ord", "sv")
+      .withColumn("v", $"sv".cast("decimal(18,2)")).drop("sv")
+      .repartition(5)
+    val wRef = Window.partitionBy($"k").orderBy($"ord", $"id")
+    for (agg <- Seq("sum", "max")) {
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (agg == "max") max else sum
+      val got = Ops.cumAggPerKey(df, Seq("k"), Seq($"ord", $"id"), "v", "out",
+          expr("ord div 100"), agg)
+        .select($"id", $"out".cast("decimal(38,2)").cast("string"))
+        .as[(Long, Option[String])].collect().toMap
+      val want = df.withColumn("out", fn($"v").over(
+          wRef.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"id", $"out".cast("decimal(38,2)").cast("string"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(got == want, s"cumAggPerKey($agg) diverged on nullable values")
+    }
+    val gotLag = Ops.lagPerKey(df, Seq("k"), Seq($"ord", $"id"), "v", "prev",
+        expr("ord div 100"))
+      .select($"id", $"prev".cast("string")).as[(Long, Option[String])].collect().toMap
+    val wantLag = df.withColumn("prev", lag($"v", 1).over(wRef))
+      .select($"id", $"prev".cast("string")).as[(Long, Option[String])].collect().toMap
+    assert(gotLag == wantLag)
+    // the sample really exercised the trap: more NULL lags than the 3
+    // per-key leading ones means genuinely-NULL mid-series predecessors
+    assert(wantLag.values.count(_.isEmpty) > 3, "want mid-series NULL lags in the sample")
+  }
+
   test("intervalOverlapJoin equals the naive cross filter, each pair exactly once") {
     // seeded random half-open intervals spanning 0–40 buckets of width 10,
     // lengths 0–35 so many pairs share several buckets — the shape where a

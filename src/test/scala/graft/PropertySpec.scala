@@ -399,19 +399,37 @@ class PropertySpec extends SparkSpec {
 
   test("property: gap-based sessionization equals Spark's native session_window") {
     // the q_x_sessionize rule (new session when gap > 1800 s) is exactly
-    // session_window with a 1801 s gap: session_window merges while
-    // diff < gap (interval end exclusive), so gap = 1801 keeps diff ≤ 1800
-    // together — the bridge to the streaming-capable native operator.
+    // session_window with a 1800 s gap: session_window merges while
+    // diff ≤ gap — the window end touches INCLUSIVELY (diff 1800 at gap
+    // 1800 merges, 1801 splits; this test's pinned boundary pair proves
+    // the off-by-one a 1801 s gap would introduce) — the bridge to the
+    // streaming-capable native operator (StreamJobs.sessionCounts).
+    // Inputs carry SUB-SECOND timestamps and
+    // BOTH sides second-truncate first, exactly as both production paths
+    // do — on raw ns-precision a boundary gap (e.g. 1800.4 s raw → 1801 s
+    // truncated) splits under the batch rule but merges under a raw-clock
+    // session_window, so the equivalence is only true post-truncation;
+    // sampling only whole seconds would never exercise that edge.
     val evGen: Gen[List[(Int, Long)]] = Gen.listOfN(80,
       for {
         user <- Gen.choose(0, 3)
-        t <- Gen.choose(0L, 20000L)
-      } yield (user, t))
+        tMs <- Gen.choose(0L, 20000000L) // millisecond precision
+      } yield (user, tMs))
     for (seed <- 1 to 6) {
-      val rows = sample(evGen, 7000 + seed).distinct
-      val df = rows.zipWithIndex.map { case ((u, t), i) =>
-        (u.toLong, i.toLong, new java.sql.Timestamp(t * 1000)) }
-        .toDF("user_id", "event_id", "ts")
+      // pin BOTH boundary cases alongside the random sample. User 9:
+      // 100.9 s and 1901.3 s — a 1800.4 s raw gap that truncates to
+      // 100 s / 1901 s = a 1801 s gap → must SPLIT on both sides (and a
+      // raw-clock session_window would have merged it). User 8: exactly
+      // 1800 s truncated → must MERGE on both sides (and a 1801 s
+      // session_window gap would also merge 1801 — the off-by-one this
+      // pair disambiguates together with user 9).
+      val boundary = List((9, 100900L), (9, 100900L + 1800400L),
+        (8, 50000L), (8, 50000L + 1800000L))
+      val rows = (sample(evGen, 7000 + seed) ++ boundary).distinct
+      val df = rows.zipWithIndex.map { case ((u, tMs), i) =>
+        (u.toLong, i.toLong, new java.sql.Timestamp(tMs)) }
+        .toDF("user_id", "event_id", "raw_ts")
+        .withColumn("ts", date_trunc("second", $"raw_ts"))
 
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -428,12 +446,15 @@ class PropertySpec extends SparkSpec {
         .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
 
       val native = df
-        .groupBy(session_window($"ts", "1801 seconds"), $"user_id")
+        .groupBy(session_window($"ts", "1800 seconds"), $"user_id")
         .agg(min($"ts").as("s"), max($"ts").as("e"), count(lit(1)).as("n"))
         .select($"user_id", $"s", $"e", $"n")
         .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
 
       assert(batch == native, s"seed $seed")
+      // the pinned boundary pairs really did split / merge
+      assert(native.count(_._1 == 9L) == 2, s"seed $seed: 1801 s gap must split")
+      assert(native.count(_._1 == 8L) == 1, s"seed $seed: 1800 s gap must merge")
     }
   }
 

@@ -24,7 +24,7 @@ class RegistrySpec extends AnyFunSuite {
   )
 
   test("registry census: no entry silently dropped") {
-    assert(SparkEntry.queries.size == 255,
+    assert(SparkEntry.queries.size == 258,
       s"query registry changed size (${SparkEntry.queries.size}) — if intentional, " +
         "update this census AND the oracle accounting below")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - noOracleByDesign.size)
@@ -37,6 +37,16 @@ class RegistrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.size
     assert(doc.contains(s"$n entries") && doc.contains(s"$o DuckDB-oracled"),
       s"COVERAGE.md census line is stale — update it to '$n entries, $o DuckDB-oracled'")
+  }
+
+  test("README quotes the live census (doc-drift guard)") {
+    // README went stale once (said 220 at a 255 registry) — pin it the
+    // same way COVERAGE.md is pinned
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val n = SparkEntry.queries.size
+    assert(doc.contains(s"$n-query registry"),
+      s"README.md registry count is stale — update it to '$n-query registry'")
   }
 
   test("every query is oracle-checked or a declared approximate path") {

@@ -50,7 +50,7 @@ class StreamingSpec extends SparkSpec {
       // split in batch but merge in streaming)
       val batch = graft.sources.Tables.events(spark, sfDir)
         .withColumn("ts", date_trunc("second", col("ts")))
-        .groupBy(session_window(col("ts"), "1801 seconds").as("sw"), col("user_id"))
+        .groupBy(session_window(col("ts"), "1800 seconds").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))
