@@ -256,6 +256,80 @@ object ExtTextQueries {
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("cum_chars"), col("budget_chars"))
     },
+    // Train/val/test split, PRODUCTION tier: 80/10/10 by seedless md5
+    // bucket of the doc id — a NARROW map with zero shuffles before the
+    // rollup, so assignment is embarrassingly parallel, bit-reproducible
+    // across runs/partitionings/engines, and RESUMABLE (re-splitting any
+    // subset assigns identically — rand() cannot promise any of this).
+    // Proportions are exact only in expectation (binomial around 80%);
+    // the quota tier below trades one shuffle for exactness. Rollup per
+    // (lang, split) so the oracle hash pins every assignment via counts.
+    "q_x_split_hash" -> { (s, dir) =>
+      val b = pmod(TextOps.md5Long64(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(10000L))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"))
+    },
+    // Train/val/test split, EXACT-QUOTA tier, stratified per lang: rank
+    // docs within each stratum by the seedless hash (content-independent,
+    // reproducible), then cut at floor(n·0.8) / floor(n·0.9) — every
+    // stratum's split sizes are exact, not binomial. The within-stratum
+    // rank runs through Ops.cumAggPerKey bucketed by the hash's top bits,
+    // so a corpus-sized stratum (one language IS most of a web corpus)
+    // never sorts on a single reducer; the stratum totals are a broadcast
+    // one-row-per-lang aggregate. Same "split:" hash domain as
+    // q_x_split_hash: the two tiers agree on singleton ordering.
+    "q_x_split_quota" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("h",
+          TextOps.md5Long64(concat(lit("split:"), col("doc_id").cast("string"))))
+        .withColumn("one", lit(1L))
+      val ranked = graft.functions.Ops.cumAggPerKey(docs, Seq("lang"),
+        Seq(col("h"), col("doc_id")), "one", "rk", expr("shiftright(h, 52)"), "sum")
+      // stratum sizes from the narrow pre-rank scan, not the ranked plan —
+      // counting through `ranked` would replay the two-level window
+      val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      ranked.join(broadcast(totals), "lang")
+        .withColumn("split",
+          when(col("rk") <= expr("n_lang * 8000 div 10000"), "train")
+            .when(col("rk") <= expr("n_lang * 9000 div 10000"), "val")
+            .otherwise("test"))
+        .select(col("lang"), col("doc_id"), col("rk"), col("split"))
+    },
+    // LEAKAGE-SAFE split: near-duplicate documents must land in the SAME
+    // split (a test doc with a train near-twin inflates eval — the
+    // canonical train/test contamination vector that doc-id hashing
+    // cannot see). Split key = the doc's near-dup cluster id when it has
+    // one (the MinHash pair pipeline closed transitively —
+    // q_x_dedup_clusters' exact machinery, failOnOverCap for the same
+    // closure-amplification reason), else the doc id; every cluster then
+    // draws ONE hash and moves as a unit. The cluster table is
+    // dup-members-only — tiny next to the corpus, so the key-attach join
+    // broadcasts at scale. Rollup per split with the clustered-doc count
+    // (the docs whose assignment the naive tier could have leaked).
+    "q_x_split_safe" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
+        failOnOverCap = true)
+      val clusters = Dedup.duplicateClusters(pairs, "a", "b")
+      val keyed = docs.select(col("doc_id"), col("n_chars"))
+        .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+          Seq("doc_id"), "left")
+        .withColumn("skey", coalesce(col("cluster_id"), col("doc_id")))
+      val b = pmod(TextOps.md5Long64(
+        concat(lit("split:"), col("skey").cast("string"))), lit(10000L))
+      keyed
+        .withColumn("split",
+          when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"),
+          sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"))
+    },
     // The flagship corpus-prep composition: every pipeline stage in ONE
     // Catalyst plan — quality gate + language filter (narrow maps), exact
     // content dedup (DISTINCT ON fp), train-test decontamination (the
@@ -1305,6 +1379,27 @@ object ExtTextQueries {
          |SELECT d.doc_id, coalesce(c.cluster_size, 1) AS n_merged
          |FROM documents d LEFT JOIN cls c ON d.doc_id = c.doc_id
          |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
+    // the same transitive closure feeding the leakage-safe split: split
+    // key = cluster id when clustered else doc id, one md5 draw per key
+    "q_x_split_safe" ->
+      s"""WITH RECURSIVE $clusterChainCtes,
+         |k AS (SELECT d.doc_id, d.n_chars, c.cluster_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS skey
+         |  FROM documents d LEFT JOIN cls c ON d.doc_id = c.doc_id),
+         |kh AS (SELECT *,
+         |    CAST(concat('0x', substr(md5(concat('split:', CAST(skey AS VARCHAR))), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM k),
+         |khh AS (SELECT *, CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+         |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |       ELSE CAST(u AS BIGINT) END AS hsig FROM kh),
+         |kb AS (SELECT *, ((hsig % 10000) + 10000) % 10000 AS bk FROM khh)
+         |SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_tot,
+         |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered
+         |FROM kb GROUP BY 1""".stripMargin,
 
     // Gopher quality signals: same staged token/bigram/line arrays, ratios
     // of per-row ints rounded at 6dp (lateral aliases feed gopher_pass).
@@ -1486,6 +1581,35 @@ object ExtTextQueries {
         |  CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
         |  CAST(max(rate) AS INT) AS rate_bp
         |FROM r GROUP BY lang, source""".stripMargin,
+    "q_x_split_hash" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM documents),
+        |hh AS (SELECT lang, n_chars, CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(u AS BIGINT) END AS hsig FROM h),
+        |b AS (SELECT lang, n_chars, ((hsig % 10000) + 10000) % 10000 AS bk FROM hh)
+        |SELECT lang,
+        |  CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_tot
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_x_split_quota" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM documents),
+        |hh AS (SELECT lang, doc_id, CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(u AS BIGINT) END AS h FROM h),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang FROM hh)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk,
+        |  CASE WHEN rk <= n_lang * 8000 // 10000 THEN 'train'
+        |       WHEN rk <= n_lang * 9000 // 10000 THEN 'val' ELSE 'test' END AS split
+        |FROM r""".stripMargin,
     // one plain window replays the two-level tournament's selection
     "q_x_group_sample" ->
       """WITH h AS (SELECT lang, doc_id,

@@ -46,9 +46,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_dedup_minhash", "q_x_dedup_ngram", "q_x_dedup_simhash",
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_incr_neardup",
     "q_x_embed_neardup_lsh",
-    // semdedup survivor selection rides duplicateClusters' per-round
-    // label-flooding checkpoints
-    "q_x_semdedup",
+    // semdedup survivor selection and the leakage-safe split ride
+    // duplicateClusters' per-round label-flooding checkpoints
+    "q_x_semdedup", "q_x_split_safe",
     // data-dependent scalars pulled at build: the gap-repair range
     // generator needs min/max bounds; bigram fluency collects the tiny
     // vocab-merge list

@@ -84,4 +84,46 @@ class ScaleTechniqueSpec extends SparkSpec {
     spark.sql("DROP TABLE li_bucketed")
     spark.sql("DROP TABLE o_bucketed")
   }
+
+  test("quota split is exact per stratum; leakage-safe split never straddles a pair") {
+    // quota exactness: every lang's train/val/test sizes are exactly
+    // floor(n·0.8) / floor(n·0.9)−floor(n·0.8) / the rest — the property
+    // the hash tier only has in expectation
+    val quota = SparkEntry.queries("q_x_split_quota")(spark, sfDir)
+      .groupBy($"lang", $"split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perLang = quota.keys.map(_._1).toSet
+    assert(perLang.nonEmpty)
+    perLang.foreach { lang =>
+      val n = quota.filter(_._1._1 == lang).values.sum
+      val train = quota.getOrElse((lang, "train"), 0L)
+      val vl = quota.getOrElse((lang, "val"), 0L)
+      assert(train == n * 8000 / 10000, s"$lang train quota")
+      assert(vl == n * 9000 / 10000 - n * 8000 / 10000, s"$lang val quota")
+    }
+
+    // leakage safety: recompute the near-dup pairs and the cluster-keyed
+    // assignment exactly as q_x_split_safe does, then assert NO pair has
+    // its two ends in different splits — the invariant that doc-id
+    // hashing breaks (same pairs, per-doc draws) whenever a cluster's
+    // members straddle a bucket boundary
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val pairs = graft.operators.Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6)
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs, "a", "b")
+    val keyed = docs.select($"doc_id")
+      .join(clusters.select($"doc_id", $"cluster_id"), Seq("doc_id"), "left")
+      .withColumn("skey", coalesce($"cluster_id", $"doc_id"))
+      .withColumn("b", pmod(graft.operators.TextOps.md5Long64(
+        concat(lit("split:"), $"skey".cast("string"))), lit(10000L)))
+      .withColumn("split",
+        when($"b" < 8000, "train").when($"b" < 9000, "val").otherwise("test"))
+      .select($"doc_id", $"split")
+    val straddling = pairs
+      .join(keyed.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")
+      .join(keyed.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), "b")
+      .filter($"sa" =!= $"sb")
+    assert(straddling.isEmpty, "a near-dup pair straddles splits")
+    assert(pairs.count() > 0, "the invariant needs pairs to bite on")
+  }
 }
