@@ -109,6 +109,96 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: the teleport distribution concentrates on a
+    * SEED set instead of all nodes — ranks then measure proximity to the
+    * seeds (the "related entities" / crawl-frontier-prioritization form)
+    * rather than global centrality. Same loop shape, determinism contract
+    * (source-sorted contribution fold), and dangling simplification as
+    * [[pageRank]]; the teleport term is `(1−d)/|S|` on seed nodes and 0
+    * elsewhere, attached as a broadcast-joined flag (the seed set is
+    * query-metadata-sized by definition). Seeds not present in the graph
+    * are ignored (they could never receive or emit mass); the start
+    * vector is uniform over the retained seeds, so on a sink-free graph
+    * ranks sum to 1 every round.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 3, damping: Double = 0.85,
+      exactFold: Boolean = true): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, Seq("src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("is_seed", lit(true))
+      .localCheckpoint()
+    val nsDf = sd.agg(count(lit(1)).as("ns"))
+    val seeded = nodes.join(broadcast(sd), Seq("node"), "left")
+      .crossJoin(broadcast(nsDf))
+      .select(col("node"),
+        when(col("is_seed"), lit(1.0) / col("ns")).otherwise(lit(0.0)).as("tele"))
+      .localCheckpoint()
+    var ranks = seeded.select(col("node"), col("tele").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(withDeg, col("node") === col("src"))
+        .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+      val sums =
+        if (exactFold)
+          contribs.groupBy(col("dst"))
+            .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+              lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        else
+          contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = seeded.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("tele") +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** Approximate k-hop neighborhood sizes — HyperBall (Boldi & Vigna 2013)
+    * with theta sketches in place of HyperLogLog counters: each node
+    * carries a BOUNDED sketch of its ball, and one hop is "my ball ∪ my
+    * neighbors' balls" — an edge join plus a node-keyed sketch-union
+    * aggregate ([[org.apache.spark.sql.graft.sketches.thetaUnion]]), both
+    * keyed shuffles. Exact distinct k-hop per node materializes Σ·deg^k
+    * pairs — quadratic on dense graphs — while this is edge-linear per
+    * round with O(2^lgK) state per node, the canonical
+    * sketch-instead-of-set scale move. Below 2^lgK distinct members a
+    * theta sketch is still in EXACT mode, so small-ball estimates are
+    * exact counts (the spec pins it); past it they carry the standard
+    * theta error. Balls include the node itself. Input may carry
+    * duplicates / self-loops / both directions (normalized first).
+    * Returns (node, n_reach) after `hops` rounds.
+    */
+  def neighborhoodReach(edges: DataFrame, aCol: String, bCol: String,
+      hops: Int, lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.sketches.{thetaEstimate, thetaSketch, thetaUnion}
+    val e0 = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val e = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var balls = e.select(col("src").as("node")).distinct()
+      .groupBy(col("node")).agg(thetaSketch(col("node"), lgK).as("sk"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val fromNbr = e.join(balls.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("sk"))
+      balls = balls.unionByName(fromNbr)
+        .groupBy(col("node")).agg(thetaUnion(col("sk"), lgK).as("sk"))
+        .localCheckpoint()
+    }
+    balls.select(col("node"), thetaEstimate(col("sk")).as("n_reach"))
+  }
+
   /** Connected components over an UNDIRECTED edge list via hash-min label
     * propagation: every node starts labeled with its own id; each round,
     * a node's label drops to the minimum over itself and its neighbors;

@@ -822,6 +822,28 @@ object ExtTextQueries {
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
     },
+    // PERSONALIZED PageRank over the same trading graph: teleport
+    // concentrated on a seed cohort (customers with custkey % 100 = 7 →
+    // even node ids ≡ 14 mod 200), so ranks measure proximity to the
+    // seeds — the "related entities" / crawl-frontier form — instead of
+    // global centrality. Same determinism contract as q_x_pagerank
+    // (source-sorted fold, every oracle literal cast to DOUBLE); the
+    // teleport flag rides a broadcast join of the metadata-sized seed
+    // set. Top-20 by (rank DESC, node ASC).
+    "q_x_ppr" -> { (s, dir) =>
+      val pairs = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("su"))
+        .distinct()
+      val sym = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .union(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val seeds = pairs.filter(pmod(col("c"), lit(200)) === 14)
+        .select(col("c").as("node")).distinct()
+      graft.operators.Graph.personalizedPageRank(sym, "src", "dst",
+          seeds, "node", iters = 3)
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    },
     // BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query,
     // made bit-exact: with k1=6/5 and b=3/4 every per-term score clears
     // to ONE integer ratio — idf·tfw = [(2N−2df+1)·22·tf·T] /
@@ -1908,6 +1930,40 @@ object ExtTextQueries {
          |${iter(3)}
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
          |  node, rank
+         |FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+    },
+    // the pagerank replay with the teleport concentrated on the seed
+    // cohort: (1−d)·tele instead of (1−d)/n, tele = 1/|S| on seeds else
+    // 0; the start vector IS tele (full mass on seeds). Every node of the
+    // symmetrized graph has in-edges, so the per-round GROUP BY dst
+    // covers the node set exactly as the Spark left join does.
+    "q_x_ppr" -> {
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT e.dst, e.src, r.rank / e.deg AS c
+           |  FROM r${i - 1} r JOIN e ON r.node = e.src),
+           |r$i AS (SELECT c$i.dst AS node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+           |      + CAST(0.85 AS DOUBLE) * list_reduce(list(c ORDER BY src), (a, b) -> a + b)
+           |      AS rank
+           |  FROM c$i JOIN t ON t.node = c$i.dst GROUP BY c$i.dst, t.tele)""".stripMargin
+      s"""WITH pr0 AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS su
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ed AS (SELECT c AS src, su AS dst FROM pr0
+         |  UNION ALL SELECT su AS src, c AS dst FROM pr0),
+         |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |e AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+         |sd AS (SELECT DISTINCT c AS node FROM pr0 WHERE c % 200 = 14),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd),
+         |t AS (SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN CAST(1.0 AS DOUBLE) / ns.ns
+         |         ELSE CAST(0.0 AS DOUBLE) END AS tele
+         |  FROM (SELECT DISTINCT src AS node FROM ed) n
+         |  LEFT JOIN sd s ON s.node = n.node, ns),
+         |r0 AS (SELECT node, tele AS rank FROM t),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, rank
          |FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
     },
     // per-term score is ONE integer ratio (k1=6/5, b=3/4 cleared of

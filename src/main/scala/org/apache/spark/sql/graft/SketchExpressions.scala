@@ -294,6 +294,67 @@ case class ThetaSketchAgg(
     copy(child = newChildren.head)
 }
 
+/** Union of STORED compact theta sketches (binary column → one merged
+  * sketch) — the re-aggregation sibling of [[ThetaSketchAgg]]: a day table
+  * of sketch columns rolls up to months, and a node table of neighborhood
+  * sketches propagates one hop, WITHOUT touching raw keys again. Same
+  * Union buffer, so drained/streamed/batch sketches merge bit-identically;
+  * NULL inputs are skipped (an empty group yields the empty sketch).
+  */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with ExpectsInputTypes {
+
+  import org.apache.datasketches.memory.Memory
+  import org.apache.datasketches.theta.{SetOperation, Union}
+
+  require(lgK >= 4 && lgK <= 26, s"theta_union: lgK out of range: $lgK")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union"
+
+  private def newUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): Union = newUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult(true, null))
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult(true, null).toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult(true, null).toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ThetaUnionAgg =
+    copy(child = newChildren.head)
+}
+
 /** Rounded distinct estimate of a compact theta sketch. */
 case class ThetaEstimate(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -358,6 +419,11 @@ object sketches {
   def thetaSketch(key: Column, lgK: Int = 12): Column =
     ExpressionUtils.column(
       ThetaSketchAgg(ExpressionUtils.expression(key), lgK).toAggregateExpression())
+
+  /** Union of stored theta sketches — day→month rollup, hop propagation. */
+  def thetaUnion(sketch: Column, lgK: Int = 12): Column =
+    ExpressionUtils.column(
+      ThetaUnionAgg(ExpressionUtils.expression(sketch), lgK).toAggregateExpression())
 
   /** Rounded distinct estimate of a theta sketch. */
   def thetaEstimate(sketch: Column): Column =

@@ -207,6 +207,65 @@ class GraphSpec extends SparkSpec {
     assert(gotHM8 != gotLS, "8-round hash-min should NOT have converged at diameter 239")
   }
 
+  test("personalizedPageRank matches a driver replay and concentrates near seeds") {
+    // two communities bridged by one edge: a 4-clique {1..4} and a
+    // 4-cycle {10..13}, bridge 4–10. Seeds = {1, 2}.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (4L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 99L).toDF("node") // 99 absent from the graph → ignored
+    val iters = 4
+    val got = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node", iters)
+      .as[(Long, Double)].collect().toMap
+
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    val seedSet = Set(1L, 2L)
+    def tele(v: Long): Double = if (seedSet(v)) 1.0 / seedSet.size else 0.0
+    var rank = nodes.map(v => v -> tele(v)).toMap
+    for (_ <- 1 to iters) {
+      rank = nodes.map { v =>
+        val s = adj(v).sorted.foldLeft(0.0)((acc, u) => acc + rank(u) / adj(u).size)
+        v -> ((1.0 - 0.85) * tele(v) + 0.85 * s)
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (v, r) => assert(r == rank(v), s"node $v: $r vs ${rank(v)}") }
+    // mass conserved on a sink-free graph; proximity: every clique member
+    // outranks every far-cycle node
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    for (near <- Seq(3L, 4L); far <- Seq(11L, 12L, 13L))
+      assert(got(near) > got(far), s"$near should outrank $far")
+  }
+
+  test("neighborhoodReach equals the exact 2-hop ball while the sketch is exact-mode") {
+    // path 1-2-3-4-5 plus a triangle 7-8-9: ball sizes are hand-checkable
+    // and far below 2^12, so the theta estimate must be EXACT
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L), (8L, 9L), (7L, 9L))
+    val got = Graph.neighborhoodReach(und.toDF("a", "b"), "a", "b", hops = 2)
+      .as[(Long, Long)].collect().toMap
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.keys.map { v =>
+      val one = adj(v) + v
+      v -> (one ++ one.flatMap(adj(_))).size.toLong
+    }.toMap
+    assert(got == want)
+
+    // random graph: still exact-mode (≤60 nodes), so estimate ≡ exact ball
+    val r = new scala.util.Random(5)
+    val rand = (1 to 150).map(_ => (r.nextInt(60).toLong, r.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val radj = (rand ++ rand.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val rwant = radj.keys.map { v =>
+      val one = radj(v) + v
+      v -> (one ++ one.flatMap(radj(_))).size.toLong
+    }.toMap
+    val rgot = Graph.neighborhoodReach(rand.toDF("a", "b"), "a", "b", hops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(rgot == rwant)
+  }
+
   test("pageRank with dangling-mass redistribution sums to 1 on a sink graph") {
     // 1→2, 3→1, 3→2: node 2 is a sink. The default tier drops its mass
     // (sum < 1); the full model redistributes it and matches a driver

@@ -20,11 +20,12 @@ class RegistrySpec extends AnyFunSuite {
     "q_x_length_quantiles_approx", // t-digest (exact twin: q_x_length_quantiles)
     "q_x_semdedup_ivf",     // IVF cells (hash-checked twin: q_x_semdedup)
     "q_x_hll_rollup",       // DataSketches HLL rollup (exact twin: q_a4_monthly_active)
-    "q_x_theta_sets"        // theta set algebra (exact twin: q_x_set_overlap)
+    "q_x_theta_sets",       // theta set algebra (exact twin: q_x_set_overlap)
+    "q_x_reach_theta"       // HyperBall sketch reach (exact twin: q_x_reach_exact)
   )
 
   test("registry census: no entry silently dropped") {
-    assert(SparkEntry.queries.size == 261,
+    assert(SparkEntry.queries.size == 264,
       s"query registry changed size (${SparkEntry.queries.size}) — if intentional, " +
         "update this census AND the oracle accounting below")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - noOracleByDesign.size)

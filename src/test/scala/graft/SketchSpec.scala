@@ -183,4 +183,23 @@ class SketchSpec extends SparkSpec {
     // and the per-slice popcounts alone would NOT have been mergeable
     assert(a.size + b.size > (a ++ b).distinct.size)
   }
+
+  test("thetaUnion over stored sketches equals one sketch over the concatenated keys") {
+    import org.apache.spark.sql.graft.sketches.{thetaEstimate, thetaSketch, thetaUnion}
+    // per-day sketches with overlapping user sets → the re-aggregated
+    // union must count the DISTINCT union (exact-mode at these sizes),
+    // not the sum of per-day estimates
+    val rows = (1 to 900).map(i => (i % 3, (i % 250).toLong)).toDF("day", "user_id")
+    val daily = rows.groupBy($"day").agg(thetaSketch($"user_id").as("sk"))
+    val merged = daily.agg(thetaEstimate(thetaUnion($"sk"))).as[Long].head()
+    val direct = rows.agg(thetaEstimate(thetaSketch($"user_id"))).as[Long].head()
+    val exact = rows.select($"user_id").distinct().count()
+    assert(merged == exact, s"union-of-stored gave $merged, exact $exact")
+    assert(merged == direct, "re-aggregation must equal the direct build")
+    // empty input yields the empty sketch, estimate 0
+    val empty = rows.filter($"day" === 99)
+      .groupBy($"day").agg(thetaSketch($"user_id").as("sk"))
+      .agg(thetaEstimate(thetaUnion($"sk"))).as[Long].head()
+    assert(empty == 0L)
+  }
 }
