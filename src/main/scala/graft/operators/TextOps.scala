@@ -73,6 +73,18 @@ object TextOps {
   def md5Long64(c: Column): Column =
     org.apache.spark.sql.graft.natives.md5Long(c)
 
+  /** Deterministic 80/10/10 train/val/test assignment by seedless md5
+    * bucket of `key` — ONE definition shared by the batch split queries
+    * (q_x_split_hash on doc ids, q_x_split_safe on cluster keys) and any
+    * streaming stage: a narrow stateless map, so the assignment is
+    * IDENTICAL in batch and streaming, across partitionings, and across
+    * engines (the oracle replays the same md5 bucket arithmetic).
+    */
+  def splitAssign(key: Column): Column = {
+    val b = pmod(md5Long64(concat(lit("split:"), key.cast("string"))), lit(10000L))
+    when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+  }
+
   /** Token count derived from an already-materialized token array; blank
     * text tokenizes to [""], which must count 0 (same guard as tokenCount).
     */

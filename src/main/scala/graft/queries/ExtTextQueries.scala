@@ -265,11 +265,8 @@ object ExtTextQueries {
     // the quota tier below trades one shuffle for exactness. Rollup per
     // (lang, split) so the oracle hash pins every assignment via counts.
     "q_x_split_hash" -> { (s, dir) =>
-      val b = pmod(TextOps.md5Long64(
-        concat(lit("split:"), col("doc_id").cast("string"))), lit(10000L))
       Tables.documents(s, dir)
-        .withColumn("split",
-          when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+        .withColumn("split", TextOps.splitAssign(col("doc_id")))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"))
     },
@@ -321,11 +318,8 @@ object ExtTextQueries {
         .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
           Seq("doc_id"), "left")
         .withColumn("skey", coalesce(col("cluster_id"), col("doc_id")))
-      val b = pmod(TextOps.md5Long64(
-        concat(lit("split:"), col("skey").cast("string"))), lit(10000L))
       keyed
-        .withColumn("split",
-          when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+        .withColumn("split", TextOps.splitAssign(col("skey")))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"),
           sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"))

@@ -207,6 +207,46 @@ class GraphSpec extends SparkSpec {
     assert(gotHM8 != gotLS, "8-round hash-min should NOT have converged at diameter 239")
   }
 
+  test("weighted pageRank matches a driver replay; all-weights-1 equals unweighted") {
+    // weighted triangle plus a pendant: 1-2 strong (w=10), 1-3 and 2-3
+    // weak (w=1), 3-4 medium (w=5)
+    val und = Seq((1L, 2L, 10L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 5L))
+    val edges = (und ++ und.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val iters = 4
+    val got = Graph.pageRank(edges, "src", "dst", iters = iters, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+
+    val out = (und ++ und.map(t => (t._2, t._1, t._3)))
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val nodes = out.keySet.toSeq.sorted
+    val wsum = out.view.mapValues(_.map(_._2).sum.toDouble).toMap
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      rank = nodes.map { v =>
+        val ins = nodes.filter(u => out(u).exists(_._1 == v)).sorted
+        val s = ins.foldLeft(0.0) { (acc, u) =>
+          acc + rank(u) * out(u).find(_._1 == v).get._2.toDouble / wsum(u)
+        }
+        v -> ((1.0 - 0.85) / n + 0.85 * s)
+      }.toMap
+    }
+    got.foreach { case (v, r) => assert(r == rank(v), s"node $v: $r vs ${rank(v)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // strong-tie pair outranks the weakly-attached pendant's neighbor share
+    assert(got(1L) > got(4L) && got(2L) > got(4L))
+
+    // all-weights-1 must equal the unweighted tier bit-for-bit
+    val unw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val sym = (unw ++ unw.map(_.swap))
+    val plain = Graph.pageRank(sym.toDF("src", "dst"), "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val ones = Graph.pageRank(sym.map(t => (t._1, t._2, 1L)).toDF("src", "dst", "w"),
+      "src", "dst", iters = 3, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(plain == ones)
+  }
+
   test("personalizedPageRank matches a driver replay and concentrates near seeds") {
     // two communities bridged by one edge: a 4-clique {1..4} and a
     // 4-cycle {10..13}, bridge 4–10. Seeds = {1, 2}.

@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val executesAtBuild = Set(
     "q_x_bpe_train", "q_x_bpe_encode",
-    "q_x_pagerank", "q_x_ppr", "q_x_kcore", "q_x_concomp", "q_x_concomp_ls",
+    "q_x_pagerank", "q_x_pagerank_w", "q_x_ppr",
+    "q_x_kcore", "q_x_concomp", "q_x_concomp_ls",
     "q_x_triangles", "q_x_reach_theta",
     "q_x_semdedup_ivf", "q_x_ann_ivf", "q_x_ann_lsh",
     "q_x_dedup_minhash", "q_x_dedup_ngram", "q_x_dedup_simhash",

@@ -114,10 +114,7 @@ class ScaleTechniqueSpec extends SparkSpec {
     val keyed = docs.select($"doc_id")
       .join(clusters.select($"doc_id", $"cluster_id"), Seq("doc_id"), "left")
       .withColumn("skey", coalesce($"cluster_id", $"doc_id"))
-      .withColumn("b", pmod(graft.operators.TextOps.md5Long64(
-        concat(lit("split:"), $"skey".cast("string"))), lit(10000L)))
-      .withColumn("split",
-        when($"b" < 8000, "train").when($"b" < 9000, "val").otherwise("test"))
+      .withColumn("split", graft.operators.TextOps.splitAssign($"skey"))
       .select($"doc_id", $"split")
     val straddling = pairs
       .join(keyed.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")

@@ -14,6 +14,28 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  test("streaming split assignment equals the batch split (narrow stateless map)") {
+    // the production claim behind q_x_split_hash's design: a seedless
+    // md5-bucket assignment is a stateless narrow map, so the SAME
+    // expression assigns identically whether a doc arrives in a batch
+    // scan or through a stream — no watermark, no state store, no
+    // reconciliation needed for split stability
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_split_src").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      .select($"doc_id", graft.operators.TextOps.splitAssign($"doc_id").as("split"))
+      .writeStream.outputMode("append").format("memory").queryName("split_s").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("split_s").as[(Long, String)].collect().toMap
+    val batch = docs.select($"doc_id", graft.operators.TextOps.splitAssign($"doc_id"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed.values.toSet == Set("train", "val", "test"))
+  }
+
   test("hourly windowed aggregation matches the batch computation") {
     val src = stageEvents()
     val q = StreamJobs.hourlyTypeCounts(StreamJobs.fileEventStream(spark, src))
