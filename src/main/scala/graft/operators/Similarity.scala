@@ -389,4 +389,118 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  // (id, sub, sv): each vector split into m contiguous subspace slices
+  private def pqSubVectors(df: DataFrame, idCol: String, embCol: String,
+      m: Int, sd: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("__e"))
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> " +
+          s"struct(j AS sub, slice(__e, j * $sd + 1, $sd) AS sv))")).as("s"))
+      .select(col("id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+
+  // per-(sub, cell) mean sub-vectors → ONE broadcast row:
+  // cb = array<struct<sub, cell, centroid>>. Sub-centroids are NOT
+  // normalized: the full-vector dot decomposes as Σ_m ⟨q_m, x_m⟩ only if
+  // codewords live in the raw (unnormalized) subspace.
+  private def pqToCodebooks(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cell"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+      .select(col("sub"), col("cell"),
+        expr("transform(cs, s -> CAST(s.cx AS FLOAT))").as("centroid"))
+      .localCheckpoint()
+      .agg(collect_list(struct(col("sub"), col("cell"), col("centroid"))).as("cb"))
+
+  // nearest codeword per (id, sub, sv) by squared L2 against the broadcast
+  // codebook row (the IVF negdot-sort trick, L2 flavor)
+  private def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame =
+    subs.crossJoin(broadcast(codebooks))
+      .withColumn("best", expr(
+        "element_at(array_sort(transform(filter(cb, s -> s.sub = sub), s -> " +
+          "struct(aggregate(zip_with(s.centroid, sv, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d, s.cell AS cell))), 1)"))
+      .select(col("id"), col("sub"), col("sv"), col("best.cell").as("cell"))
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI 2011):
+    * the vector splits into `m` contiguous subspaces of dim/m dims, each
+    * training its OWN `k`-codeword codebook — hash-seeded cells refined by
+    * `lloydIters` k-means passes over the corpus's sub-vectors, all
+    * distributed (the IVF codebook shape, keyed by (sub, cell)). Carried
+    * as ONE broadcast row; nCodewords^m composite cells from m·k stored
+    * centroids is the whole compression argument: 8 subspaces × 16
+    * codewords addresses 16⁸ ≈ 4·10⁹ cells from 128 tiny vectors, and a
+    * 64-float vector encodes to 8 small ints (32× smaller scan).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int = 8, k: Int = 16, dim: Int = 64, lloydIters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    val sd = dim / m
+    val subs = pqSubVectors(corpus, idCol, embCol, m, sd)
+    var cb = pqToCodebooks(subs.select(col("sub"),
+      pmod(hash(col("id"), col("sub")), lit(k)).as("cell"), col("sv")))
+    for (_ <- 1 to lloydIters)
+      cb = pqToCodebooks(pqAssign(subs, cb).select(col("sub"), col("cell"), col("sv")))
+    cb
+  }
+
+  /** PQ-encode: each vector → its m codeword ids, as ONE narrow map
+    * against the broadcast codebook row (no explode, no shuffle — the
+    * 100 TB encode pass is embarrassingly parallel).
+    */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String,
+      codebooks: DataFrame, m: Int, dim: Int, outIdCol: String): DataFrame = {
+    val sd = dim / m
+    df.select(col(idCol).as(outIdCol), col(embCol).as("__e"))
+      .crossJoin(broadcast(codebooks))
+      .select(col(outIdCol), expr(
+        s"transform(sequence(0, ${m - 1}), j -> " +
+          "element_at(array_sort(transform(filter(cb, s -> s.sub = j), s -> " +
+          s"struct(aggregate(zip_with(s.centroid, slice(__e, j * $sd + 1, $sd), (x, y) -> " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d, s.cell AS cell))), 1).cell)")
+        .as("codes"))
+  }
+
+  /** PQ-scan ANN with asymmetric distance computation (ADC): the corpus is
+    * scanned as 8-small-int CODES (32× less data than raw floats — the
+    * scan-bandwidth argument for PQ at 100 TB); each query precomputes a
+    * (sub, codeword) → partial-dot lookup table against the broadcast
+    * codebook, and a candidate's approximate dot is the m-term LUT sum —
+    * query vectors never meet raw corpus vectors. Top-k per query by
+    * (score DESC, neighbor_id). Like [[annIvf]], Lloyd centroid averages
+    * are shuffle-order doubles, so this tier is recall-spec-bounded, not
+    * hash-oracled; [[annBruteForce]] is its exact twin.
+    */
+  def annPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int,
+      m: Int = 8, nCodewords: Int = 16, dim: Int = 64,
+      lloydIters: Int = 2): DataFrame = {
+    requireDim(corpus, embCol, dim, "annPq corpus")
+    requireDim(queries, embCol, dim, "annPq queries")
+    val sd = dim / m
+    val cb = pqCodebooks(corpus, idCol, embCol, m, nCodewords, dim, lloydIters)
+    val codes = pqEncode(corpus, idCol, embCol, cb, m, dim, "neighbor_id")
+    // per-query LUT keyed sub·k + cell (cells can go extinct in a Lloyd
+    // round, so a MAP lookup, not positional indexing)
+    val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__q"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), expr(
+        s"map_from_entries(transform(cb, s -> struct(s.sub * $nCodewords + s.cell, " +
+          s"aggregate(zip_with(s.centroid, slice(__q, s.sub * $sd + 1, $sd), (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))))")
+        .as("lut"))
+    val scored = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+          s"(a, j) -> a + element_at(lut, j * $nCodewords + element_at(codes, j + 1)))"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
 }

@@ -139,6 +139,18 @@ object ExtVectorQueries {
       Similarity.annIvf(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 6)
     },
+    // Product-quantization ANN (ADC scan): the corpus is scanned as 8
+    // codeword ids (32× less data than the raw floats — the PQ
+    // scan-bandwidth argument), each query scoring candidates through a
+    // per-(sub, codeword) partial-dot lookup table. The third vector scale
+    // tier beside LSH (bucketing) and IVF (partitioning): compression.
+    // No oracle (Lloyd centroid averages are shuffle-order doubles);
+    // recall-spec'd against q_x_ann_topk's brute-force baseline.
+    "q_x_ann_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annPq(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "vec_id", "embedding", k = 5)
+    },
     // Int8 symmetric quantization audit — the 4× storage path for a
     // 100 TB embedding table. Per vector: q_i = ⌊v_i·127/max|v| + ½⌋
     // (floor(x+.5) on BOTH engines — round()'s half-rule is not

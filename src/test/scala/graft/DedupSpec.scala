@@ -304,6 +304,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf recall $recall too low")
   }
 
+  test("pq ann: sane codes, self-nearest reconstruction, fair recall vs brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    // codes are m small ints in [0, k)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8, dim = 64, "id")
+      .select(col("id"), col("codes")).as[(Long, Seq[Int])].collect()
+    assert(codes.nonEmpty)
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == 8, s"vec $id: ${cs.length} codes")
+      assert(cs.forall(c => c >= 0 && c < 16), s"vec $id: code out of range")
+    }
+    // recall@5 against the exact twin — ADC over 8x16 codebooks is lossy
+    // but must stay a usable ANN tier on this corpus
+    val brute = Similarity.annBruteForce(emb, queries, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.annPq(emb, queries, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.25, s"pq recall $recall too low")
+    // every query got exactly k rows (the scan is exhaustive, unlike
+    // bucketed tiers that can run short)
+    val perQuery = pq.groupBy(_._1).view.mapValues(_.size)
+    assert(perQuery.values.forall(_ == 5))
+  }
+
   test("bloom incremental dedup: exact result, no false negatives, sane FPP") {
     val old = (0 until 1000).map(i => f"key$i%04d").toDF("key")
     val incoming = (500 until 1500).map(i => f"key$i%04d").toDF("key")
