@@ -256,6 +256,44 @@ object ExtTextQueries {
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("cum_chars"), col("budget_chars"))
     },
+    // TEMPERATURE-scaled mixture (α = ½): source shares derived from the
+    // DATA — w_s = √(chars_s), share_s = w_s/Σw — instead of a fixed
+    // weight table: the multilingual/low-resource rebalancing move
+    // (α = 1 is natural proportions, α = 0 uniform; ½ the standard
+    // compromise). √ is IEEE-correctly-rounded in BOTH engines (unlike
+    // pow/ln — this is exactly why the α = ½ point is the oracle-exact
+    // one), Σw folds in source-sorted order, and budget_s =
+    // ⌊0.5·T·share_s⌋ in one pinned double expression tree. Admission is
+    // the q_x_mixture_sample hash-order cumulative (bucketed
+    // cumAggPerKey), rolled up per source; the LEFT JOIN keeps
+    // zero-admission sources visible with explicit zeros.
+    "q_x_temperature_mix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val perSource = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("sc"))
+        .withColumn("w", sqrt(col("sc").cast("double")))
+      val tot = perSource.agg(
+        aggregate(sort_array(collect_list(struct(col("source"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("tw"))
+      val t = docs.agg(sum(col("n_chars")).as("t_chars"))
+      val budgets = perSource.crossJoin(broadcast(tot)).crossJoin(broadcast(t))
+        .select(col("source"),
+          floor(col("t_chars").cast("double") * lit(0.5) * col("w") / col("tw"))
+            .cast("bigint").as("budget_chars"))
+      val h = docs.select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("h",
+          TextOps.md5Long64(concat(lit("tmix:"), col("doc_id").cast("string"))))
+      val cum = graft.functions.Ops.cumAggPerKey(h, Seq("source"),
+        Seq(col("h"), col("doc_id")), "n_chars", "cum_chars",
+        expr("shiftright(h, 52)"), "sum")
+      val admitted = cum.join(broadcast(budgets), "source")
+        .filter(col("cum_chars") <= col("budget_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_admitted"), sum(col("n_chars")).as("admitted_chars"))
+      budgets.join(admitted, Seq("source"), "left")
+        .select(col("source"), col("budget_chars"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("admitted_chars"), lit(0L)).as("admitted_chars"))
+    },
     // Train/val/test split, PRODUCTION tier: 80/10/10 by seedless md5
     // bucket of the doc id — a NARROW map with zero shuffles before the
     // rollup, so assignment is embarrassingly parallel, bit-reproducible
@@ -1660,6 +1698,41 @@ object ExtTextQueries {
         |SELECT source, doc_id, n_chars, cum_chars,
         |  t_chars * share_bp // 10000 AS budget_chars
         |FROM c WHERE cum_chars <= t_chars * share_bp // 10000""".stripMargin,
+    // sqrt is IEEE-correctly-rounded on both engines; the Σw fold is
+    // source-sorted (list_reduce seeds the first element — 0.0 + w ≡ w on
+    // positive weights, matching Spark's zero-seeded aggregate); every
+    // literal cast to DOUBLE; floor cast to BIGINT on both sides (Spark's
+    // floor(double) is already BIGINT, DuckDB's stays DOUBLE)
+    "q_x_temperature_mix" ->
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sc
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, sqrt(CAST(sc AS DOUBLE)) AS w FROM s),
+        |twt AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS tw FROM w),
+        |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t_chars FROM documents),
+        |b AS (SELECT w.source,
+        |    CAST(floor(CAST(t.t_chars AS DOUBLE) * CAST(0.5 AS DOUBLE) * w.w / twt.tw)
+        |      AS BIGINT) AS budget_chars
+        |  FROM w, twt, t),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('tmix:', CAST(doc_id AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM documents),
+        |hh AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |         ELSE CAST(u AS BIGINT) END AS h FROM k),
+        |c AS (SELECT source, doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+        |  FROM hh),
+        |adm AS (SELECT c.source, count(*) AS n_admitted,
+        |    CAST(sum(c.n_chars) AS BIGINT) AS admitted_chars
+        |  FROM c JOIN b USING (source) WHERE cum_chars <= budget_chars
+        |  GROUP BY c.source)
+        |SELECT b.source, b.budget_chars,
+        |  coalesce(adm.n_admitted, 0) AS n_admitted,
+        |  coalesce(adm.admitted_chars, 0) AS admitted_chars
+        |FROM b LEFT JOIN adm USING (source)""".stripMargin,
     // blank/short docs: range(len-7) is empty below 8 tokens in DuckDB,
     // mirroring the Spark-side wordNgrams guard
     "q_x_decontaminate" ->
