@@ -503,4 +503,57 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** IVF-PQ composite — the production ANN architecture (what FAISS calls
+    * IVFPQ): [[annIvf]]'s coarse centroid cells prune the corpus to the
+    * query's `nProbe` nearest cells, and within those cells candidates are
+    * scored through [[annPq]]'s compressed-code LUT instead of raw
+    * vectors. The two prunings multiply: candidate COUNT shrinks by
+    * ~nProbe/nCells (partitioning) and candidate WIDTH by 32×
+    * (compression), so the per-query scan is both shorter and narrower
+    * than either tier alone — the shape that serves billion-vector
+    * corpora. Join on cell id only; the LUT rides the broadcast query
+    * side.
+    */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, nCodewords: Int = 16, dim: Int = 64,
+      lloydIters: Int = 2): DataFrame = {
+    requireDim(corpus, embCol, dim, "annIvfPq corpus")
+    requireDim(queries, embCol, dim, "annIvfPq queries")
+    val sd = dim / m
+    val coarse = ivfCodebook(corpus, idCol, embCol, nCells, lloydIters)
+    val pq = pqCodebooks(corpus, idCol, embCol, m, nCodewords, dim, lloydIters)
+    // corpus side: (cell, neighbor_id, codes) — coarse assignment plus the
+    // PQ encode, both narrow maps against broadcast codebooks
+    val cells = ivfAssignCells(corpus, embCol, col(idCol).as("neighbor_id"), 1, coarse)
+      .select(col("neighbor_id"), col("cell"))
+    val codes = pqEncode(corpus, idCol, embCol, pq, m, dim, "neighbor_id")
+    val c = cells.join(codes, "neighbor_id")
+    // query side: probe cells + the ADC lookup table
+    val qCells = ivfAssignCells(queries, embCol, col(queryIdCol).as("query_id"),
+      nProbe, coarse).select(col("query_id"), col("cell"), col("__e"))
+    val q = qCells.crossJoin(broadcast(pq))
+      .select(col("query_id"), col("cell"), expr(
+        s"map_from_entries(transform(cb, s -> struct(s.sub * $nCodewords + s.cell, " +
+          s"aggregate(zip_with(s.centroid, slice(__e, s.sub * $sd + 1, $sd), (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))))")
+        .as("lut"))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+          s"(a, j) -> a + element_at(lut, j * $nCodewords + element_at(codes, j + 1)))"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // a corpus vector can meet a query in only ONE cell (corpus assignment
+    // keeps the single best cell), but keep the dedup structural in case a
+    // future multi-assignment corpus tier lands: identical (query,
+    // neighbor, score) rows collapse before ranking
+    scored.select(col("query_id"), col("neighbor_id"), col("score")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
 }

@@ -151,6 +151,15 @@ object ExtVectorQueries {
       Similarity.annPq(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5)
     },
+    // The composed production architecture (FAISS IVFPQ): coarse centroid
+    // cells prune candidate COUNT (~nProbe/nCells), PQ codes prune
+    // candidate WIDTH (32×) — the billion-vector serving shape. No oracle
+    // (both codebooks are Lloyd doubles); recall spec vs brute force.
+    "q_x_ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvfPq(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 8)
+    },
     // Int8 symmetric quantization audit — the 4× storage path for a
     // 100 TB embedding table. Per vector: q_i = ⌊v_i·127/max|v| + ½⌋
     // (floor(x+.5) on BOTH engines — round()'s half-rule is not

@@ -330,6 +330,23 @@ class DedupSpec extends SparkSpec {
     assert(perQuery.values.forall(_ == 5))
   }
 
+  test("ivf-pq composite ann: fair recall, never exceeds k rows per query") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.annBruteForce(emb, queries, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.annIvfPq(emb, queries, "vec_id", "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // both prunings stack (cells AND code quantization), so the composite
+    // floor sits below either single tier's — but it must stay usable
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.2, s"ivf-pq recall $recall too low")
+    val perQuery = ivfpq.groupBy(_._1).view.mapValues(_.size)
+    assert(perQuery.values.forall(_ <= 5), "a query emitted more than k rows")
+    assert(ivfpq.nonEmpty)
+  }
+
   test("bloom incremental dedup: exact result, no false negatives, sane FPP") {
     val old = (0 until 1000).map(i => f"key$i%04d").toDF("key")
     val incoming = (500 until 1500).map(i => f"key$i%04d").toDF("key")
