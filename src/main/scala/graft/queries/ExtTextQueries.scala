@@ -256,6 +256,35 @@ object ExtTextQueries {
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("cum_chars"), col("budget_chars"))
     },
+    // PPS SYSTEMATIC sampling, stratified per source: ~k docs per source
+    // with inclusion probability PROPORTIONAL TO SIZE (chars) — the
+    // "sample big documents more" design the uniform md5 samplers can't
+    // express. Classic systematic PPS: docs in seedless-hash order carry a
+    // running char total; step = ⌊W_s/k⌋ (floored at 1); a doc is selected
+    // iff its (cum−w, cum] interval contains a multiple of step, i.e.
+    // ⌊cum/step⌋ > ⌊(cum−w)/step⌋. ALL-INTEGER arithmetic — this is the
+    // weighted-sampling design that is hash-oracle-able, where the
+    // exponential-keys form (A-ES) needs libm ln and could never be. A
+    // doc heavier than step is a certainty inclusion (selected once).
+    // The per-source cumulative is the bucketed cumAggPerKey (no
+    // single-reducer stratum); W_s rides a broadcast aggregate.
+    "q_x_pps_sample" -> { (s, dir) =>
+      val kTarget = 5
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("h",
+          TextOps.md5Long64(concat(lit("pps:"), col("doc_id").cast("string"))))
+      val cum = graft.functions.Ops.cumAggPerKey(docs, Seq("source"),
+        Seq(col("h"), col("doc_id")), "n_chars", "cum_chars",
+        expr("shiftright(h, 52)"), "sum")
+      val totals = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("w_total"))
+        .withColumn("step", greatest(expr(s"w_total div $kTarget"), lit(1L)))
+      cum.join(broadcast(totals), "source")
+        .filter(expr("cum_chars div step") > expr("(cum_chars - n_chars) div step"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("cum_chars"), col("step"))
+    },
     // TEMPERATURE-scaled mixture (α = ½): source shares derived from the
     // DATA — w_s = √(chars_s), share_s = w_s/Σw — instead of a fixed
     // weight table: the multilingual/low-resource rebalancing move
@@ -1698,6 +1727,27 @@ object ExtTextQueries {
         |SELECT source, doc_id, n_chars, cum_chars,
         |  t_chars * share_bp // 10000 AS budget_chars
         |FROM c WHERE cum_chars <= t_chars * share_bp // 10000""".stripMargin,
+    // all-integer systematic PPS: the window-sum replay of the bucketed
+    // cumulative, integer div on both sides
+    "q_x_pps_sample" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('pps:', CAST(doc_id AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM documents),
+        |hh AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |         ELSE CAST(u AS BIGINT) END AS h FROM k),
+        |c AS (SELECT source, doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+        |  FROM hh),
+        |t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w_total,
+        |    greatest(CAST(sum(n_chars) AS BIGINT) // 5, 1) AS step
+        |  FROM documents GROUP BY source)
+        |SELECT c.source, c.doc_id, c.n_chars, c.cum_chars, t.step
+        |FROM c JOIN t USING (source)
+        |WHERE cum_chars // step > (cum_chars - n_chars) // step""".stripMargin,
     // sqrt is IEEE-correctly-rounded on both engines; the Σw fold is
     // source-sorted (list_reduce seeds the first element — 0.0 + w ≡ w on
     // positive weights, matching Spark's zero-seeded aggregate); every
