@@ -517,4 +517,31 @@ object Ops {
     spread16(checked(x, "x"))
       .bitwiseOR(shiftleft(spread16(checked(y, "y")), 1))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: each key scores
+    * every shard with the seedless md5 of `key:rv:shard` and lands on the
+    * argmax — the STABLE sharding a 100 TB incremental pipeline needs:
+    * growing nShards → nShards+1 moves ONLY the keys the new shard wins
+    * (≈ 1/(nShards+1) of them, each to the new shard — an exact
+    * invariant, spec-pinned), where `pmod(hash, n)` resharding moves
+    * ~(n−1)/n of the corpus. Shape: an nShards-way explode + one keyed
+    * max aggregate — the partial agg collapses to one row per key per
+    * map task, so the shuffle carries keys, not the explode. Ties on the
+    * 64-bit score are broken toward the higher shard id (struct max),
+    * deterministically. Input rows must be DISTINCT — the aggregate
+    * carries the whole row as its group key, so duplicates would
+    * collapse.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: String, nShards: Int,
+      outCol: String = "shard"): DataFrame = {
+    require(nShards > 0, "rendezvousShard: nShards must be positive")
+    require(!df.columns.exists(Set("__j", "__hv")),
+      "rendezvousShard reserves the __j/__hv column names")
+    df.withColumn("__j", explode(sequence(lit(0), lit(nShards - 1))))
+      .withColumn("__hv", graft.operators.TextOps.md5Long64(
+        concat(col(keyCol).cast("string"), lit(":rv:"), col("__j").cast("string"))))
+      .groupBy(df.columns.map(col): _*)
+      .agg(max(struct(col("__hv"), col("__j"))).getField("__j")
+        .cast("int").as(outCol))
+  }
 }

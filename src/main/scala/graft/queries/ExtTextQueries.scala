@@ -256,6 +256,18 @@ object ExtTextQueries {
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("cum_chars"), col("budget_chars"))
     },
+    // RENDEZVOUS (highest-random-weight) sharding: every doc scores all 8
+    // shards with the seedless md5 of doc:rv:shard and lands on the
+    // argmax — the STABLE assignment an incremental 100 TB pipeline needs
+    // (growing the shard count moves only the keys the NEW shard wins —
+    // an exact invariant ScaleTechniqueSpec pins — where pmod resharding
+    // moves ~(n−1)/n of the corpus). One explode + one keyed max whose
+    // partial agg collapses map-side; the oracle replays the argmax as a
+    // per-doc rank over the cross range.
+    "q_x_rendezvous" -> { (s, dir) =>
+      graft.functions.Ops.rendezvousShard(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", nShards = 8)
+    },
     // PPS SYSTEMATIC sampling, stratified per source: ~k docs per source
     // with inclusion probability PROPORTIONAL TO SIZE (chars) — the
     // "sample big documents more" design the uniform md5 samplers can't
@@ -1727,6 +1739,21 @@ object ExtTextQueries {
         |SELECT source, doc_id, n_chars, cum_chars,
         |  t_chars * share_bp // 10000 AS budget_chars
         |FROM c WHERE cum_chars <= t_chars * share_bp // 10000""".stripMargin,
+    // the HRW argmax as a per-doc rank: hv DESC, shard DESC matches the
+    // Spark struct-max tiebreak
+    "q_x_rendezvous" ->
+      """WITH g AS (SELECT doc_id, j FROM documents, unnest(generate_series(0, 7)) AS t(j)),
+        |h AS (SELECT doc_id, j,
+        |    CAST(concat('0x', substr(md5(doc_id || ':rv:' || j), 1, 16)) AS UBIGINT) AS u
+        |  FROM g),
+        |s AS (SELECT doc_id, j,
+        |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |         ELSE CAST(u AS BIGINT) END AS hv FROM h),
+        |r AS (SELECT doc_id, j,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, j DESC) AS rn
+        |  FROM s)
+        |SELECT doc_id, CAST(j AS INT) AS shard FROM r WHERE rn = 1""".stripMargin,
     // all-integer systematic PPS: the window-sum replay of the bucketed
     // cumulative, integer div on both sides
     "q_x_pps_sample" ->

@@ -85,6 +85,23 @@ class ScaleTechniqueSpec extends SparkSpec {
     spark.sql("DROP TABLE o_bucketed")
   }
 
+  test("rendezvous sharding: adding a shard only moves keys TO the new shard") {
+    // the HRW invariant pmod resharding cannot give: the 0..7 argmax and
+    // the 0..8 argmax differ exactly where shard 8 wins, so every moved
+    // key lands on the new shard and the moved fraction is ≈ 1/9
+    val docs = spark.range(0, 3000).toDF("k")
+    val s8 = Ops.rendezvousShard(docs, "k", 8).as[(Long, Int)].collect().toMap
+    val s9 = Ops.rendezvousShard(docs, "k", 9).as[(Long, Int)].collect().toMap
+    val moved = s8.keys.filter(k => s8(k) != s9(k)).toSeq
+    assert(moved.nonEmpty)
+    assert(moved.forall(k => s9(k) == 8), "a moved key must land on the NEW shard")
+    val frac = moved.size.toDouble / s8.size
+    assert(frac > 0.03 && frac < 0.25, s"moved fraction $frac should be ≈ 1/9")
+    // balance sanity: all 8 shards populated, none starved
+    val sizes = s8.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.min > 3000 / 8 / 3)
+  }
+
   test("quota split is exact per stratum; leakage-safe split never straddles a pair") {
     // quota exactness: every lang's train/val/test sizes are exactly
     // floor(n·0.8) / floor(n·0.9)−floor(n·0.8) / the rest — the property
