@@ -235,6 +235,16 @@ object Similarity {
       .localCheckpoint()
       .agg(collect_list(struct(col("cell"), col("centroid"))).as("cb"))
 
+  /** Cells of the codebook array in `cbCol` ranked by DESCENDING dot with
+    * the vector in `embCol` (the negdot-sort trick) — the ONE definition of
+    * coarse-cell ranking, shared by [[ivfAssignCells]] and the
+    * [[annIvfPq]] single-pass corpus encode.
+    */
+  private def coarseRankExpr(cbCol: String, embCol: String): Column =
+    expr(s"array_sort(transform($cbCol, s -> struct(-" +
+      s"aggregate(zip_with(s.centroid, $embCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS negdot, s.cell AS cell)))")
+
   // rank cells by dot against the broadcast codebook; keep the best `keep`
   private def ivfAssignCells(df: DataFrame, embCol: String, id: Column,
       keep: Int, codebook: DataFrame): DataFrame = {
@@ -242,11 +252,7 @@ object Similarity {
     // (Generate cannot hold a lateral column alias)
     val staged = df.select(id, col(embCol).as("__e"))
     staged.crossJoin(broadcast(codebook))
-      .withColumn("sc",
-        explode(slice(array_sort(expr(
-          "transform(cb, s -> struct(-" +
-            "aggregate(zip_with(s.centroid, __e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)" +
-            " AS negdot, s.cell AS cell))")), 1, keep)))
+      .withColumn("sc", explode(slice(coarseRankExpr("cb", "__e"), 1, keep)))
       .select(col(staged.columns.head), col("__e"), col("sc.cell").as("cell"))
   }
 
@@ -452,18 +458,22 @@ object Similarity {
     * 100 TB encode pass is embarrassingly parallel).
     */
   def pqEncode(df: DataFrame, idCol: String, embCol: String,
-      codebooks: DataFrame, m: Int, dim: Int, outIdCol: String): DataFrame = {
-    val sd = dim / m
+      codebooks: DataFrame, m: Int, dim: Int, outIdCol: String): DataFrame =
     df.select(col(idCol).as(outIdCol), col(embCol).as("__e"))
       .crossJoin(broadcast(codebooks))
-      .select(col(outIdCol), expr(
-        s"transform(sequence(0, ${m - 1}), j -> " +
-          "element_at(array_sort(transform(filter(cb, s -> s.sub = j), s -> " +
-          s"struct(aggregate(zip_with(s.centroid, slice(__e, j * $sd + 1, $sd), (x, y) -> " +
-          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-          "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d, s.cell AS cell))), 1).cell)")
-        .as("codes"))
-  }
+      .select(col(outIdCol), pqCodesExpr(m, dim / m, "cb", "__e").as("codes"))
+
+  /** The m codeword ids (nearest per-subspace centroid by squared L2) for
+    * the vector in `embCol` against the PQ codebook array in `cbCol` — the
+    * ONE definition of the encode expression, shared by [[pqEncode]] and
+    * the [[annIvfPq]] single-pass corpus encode.
+    */
+  private def pqCodesExpr(m: Int, sd: Int, cbCol: String, embCol: String): Column =
+    expr(s"transform(sequence(0, ${m - 1}), j -> " +
+      s"element_at(array_sort(transform(filter($cbCol, s -> s.sub = j), s -> " +
+      s"struct(aggregate(zip_with(s.centroid, slice($embCol, j * $sd + 1, $sd), (x, y) -> " +
+      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d, s.cell AS cell))), 1).cell)")
 
   /** PQ-scan ANN with asymmetric distance computation (ADC): the corpus is
     * scanned as 8-small-int CODES (32× less data than raw floats — the
@@ -525,12 +535,17 @@ object Similarity {
     val sd = dim / m
     val coarse = ivfCodebook(corpus, idCol, embCol, nCells, lloydIters)
     val pq = pqCodebooks(corpus, idCol, embCol, m, nCodewords, dim, lloydIters)
-    // corpus side: (cell, neighbor_id, codes) — coarse assignment plus the
-    // PQ encode, both narrow maps against broadcast codebooks
-    val cells = ivfAssignCells(corpus, embCol, col(idCol).as("neighbor_id"), 1, coarse)
-      .select(col("neighbor_id"), col("cell"))
-    val codes = pqEncode(corpus, idCol, embCol, pq, m, dim, "neighbor_id")
-    val c = cells.join(codes, "neighbor_id")
+    // corpus side: (neighbor_id, cell, codes) in ONE narrow pass — both
+    // the coarse assignment and the PQ encode are maps against broadcast
+    // codebook rows, so deriving them separately and joining on id would
+    // shuffle the whole corpus for nothing (the coarse row is renamed so
+    // the two single-row codebooks coexist in the cross)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__e"))
+      .crossJoin(broadcast(coarse.select(col("cb").as("coarse_cb"))))
+      .crossJoin(broadcast(pq))
+      .select(col("neighbor_id"),
+        element_at(coarseRankExpr("coarse_cb", "__e"), 1).getField("cell").as("cell"),
+        pqCodesExpr(m, sd, "cb", "__e").as("codes"))
     // query side: probe cells + the ADC lookup table
     val qCells = ivfAssignCells(queries, embCol, col(queryIdCol).as("query_id"),
       nProbe, coarse).select(col("query_id"), col("cell"), col("__e"))
@@ -555,5 +570,74 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Contrastive hard-negative mining (the DPR / SimCSE training-data
+    * move): for each anchor, the k corpus vectors MOST similar to it among
+    * those carrying a DIFFERENT label — the negatives that sit closest to
+    * the decision boundary, which is exactly what contrastive losses need
+    * (random negatives are trivially separable and teach nothing).
+    *
+    * Exact O(|anchors|·n) baseline: anchors ride a broadcast (a training
+    * batch of anchors vs the corpus — the small side by construction), the
+    * corpus is scanned ONCE with the label inequality applied before any
+    * scoring, and ranks break ties by negative id. This is the oracle tier;
+    * [[hardNegativesLsh]] is the bucketed scale path it bounds.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      anchorIdCol: String, embCol: String, labelCol: String, k: Int): DataFrame = {
+    val a = anchors.select(col(anchorIdCol).as("anchor_id"),
+      col(embCol).as("__qe"), col(labelCol).as("__ql"))
+    val scored = corpus.select(col(idCol).as("negative_id"),
+      col(embCol).as("__ce"), col(labelCol).as("__cl"))
+      .join(broadcast(a), col("__cl") =!= col("__ql"))
+      .select(col("anchor_id"), col("negative_id"),
+        cosineSim(col("__qe"), col("__ce")).as("cs"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cs").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        round(col("cs"), 4).as("cos_sim"))
+  }
+
+  /** Scale tier of [[hardNegatives]]: the [[annLsh]] multi-table
+    * hyperplane bucketing, with the label-inequality filter applied at the
+    * bucket join — candidates are (anchor, corpus) pairs that share a
+    * (table, bucket) AND disagree on label, so neither the cross product
+    * nor the same-label majority is ever materialized. Probabilistic
+    * recall by construction (a boundary-hugging negative can miss every
+    * bucket); DedupSpec bounds it against the exact tier: every emitted
+    * row is a true different-label neighbor scored identically, and
+    * recall@k against [[hardNegatives]] stays above the pinned floor.
+    */
+  def hardNegativesLsh(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      anchorIdCol: String, embCol: String, labelCol: String, k: Int,
+      numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    requireDim(corpus, embCol, dim, "hardNegativesLsh corpus")
+    requireDim(anchors, embCol, dim, "hardNegativesLsh anchors")
+    def buckets(emb: Column): Column = lshTableBuckets(emb, numPlanes, numTables, dim, seed)
+    val c = corpus.select(col(idCol).as("negative_id"), col(embCol).as("__ce"),
+      col(labelCol).as("__cl"), buckets(col(embCol)).as("b"))
+      .select(col("negative_id"), col("__ce"), col("__cl"),
+        col("b.t").as("t"), col("b.bv").as("bv"))
+    val q = anchors.select(col(anchorIdCol).as("anchor_id"), col(embCol).as("__qe"),
+      col(labelCol).as("__ql"), buckets(col(embCol)).as("b"))
+      .select(col("anchor_id"), col("__qe"), col("__ql"),
+        col("b.t").as("t"), col("b.bv").as("bv"))
+    val cand = c.join(q, Seq("t", "bv"))
+      .filter(col("__cl") =!= col("__ql"))
+      .select(col("anchor_id"), col("negative_id"), col("__qe"), col("__ce"))
+      .dropDuplicates("anchor_id", "negative_id")
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cs").desc, col("negative_id").asc)
+    cand
+      .select(col("anchor_id"), col("negative_id"),
+        cosineSim(col("__qe"), col("__ce")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        round(col("cs"), 4).as("cos_sim"))
   }
 }
