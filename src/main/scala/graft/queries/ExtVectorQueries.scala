@@ -160,6 +160,25 @@ object ExtVectorQueries {
       Similarity.annIvfPq(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 8)
     },
+    // Contrastive hard-negative mining (exact tier): for each anchor
+    // (vec_id % 50 == 0), the 5 most-similar corpus vectors with a
+    // DIFFERENT label — the boundary-hugging negatives a contrastive
+    // trainer wants. Anchors broadcast, corpus scanned once, label
+    // inequality applied before scoring; ranks tie-break by negative id.
+    "q_x_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "vec_id", "embedding", "label", k = 5)
+    },
+    // Scale tier: the annLsh bucketing with the label filter at the bucket
+    // join (no oracle — probabilistic recall; DedupSpec pins soundness of
+    // every emitted row + a recall floor vs the exact tier above).
+    "q_x_hard_negatives_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegativesLsh(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "vec_id", "embedding", "label", k = 5,
+        numPlanes = 4, numTables = 8)
+    },
     // Int8 symmetric quantization audit — the 4× storage path for a
     // 100 TB embedding table. Per vector: q_i = ⌊v_i·127/max|v| + ½⌋
     // (floor(x+.5) on BOTH engines — round()'s half-rule is not
@@ -183,6 +202,18 @@ object ExtVectorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_x_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT anchor_id, vec_id AS negative_id,
+        |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings CROSS JOIN a WHERE label <> ql),
+        |r AS (SELECT anchor_id, negative_id, cs,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY cs DESC, negative_id ASC) AS rank
+        |  FROM s)
+        |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, negative_id,
+        |  round(cs, 4) AS cos_sim
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q_x_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
         |s AS (SELECT query_id, vec_id AS neighbor_id,

@@ -347,6 +347,37 @@ class DedupSpec extends SparkSpec {
     assert(ivfpq.nonEmpty)
   }
 
+  test("hard negatives: labels always differ, ranks dense, lsh tier sound with fair recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val exact = Similarity.hardNegatives(emb, anchors,
+      "vec_id", "vec_id", "embedding", "label", k = 5)
+      .select("anchor_id", "rank", "negative_id").as[(Long, Int, Long)].collect()
+    assert(exact.nonEmpty)
+    // every negative genuinely carries a different label than its anchor
+    exact.foreach { case (a, _, n) =>
+      assert(labels(a) != labels(n), s"anchor $a got same-label negative $n")
+    }
+    // ranks are dense 1..5 per anchor (the corpus has >k different-label rows)
+    exact.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"anchor $a ranks not dense")
+    }
+    val exactSet = exact.map(r => (r._1, r._3)).toSet
+    val lsh = Similarity.hardNegativesLsh(emb, anchors,
+      "vec_id", "vec_id", "embedding", "label", k = 5,
+      numPlanes = 4, numTables = 8)
+      .select("anchor_id", "negative_id").as[(Long, Long)].collect()
+    // soundness: every lsh row is a true different-label pair
+    lsh.foreach { case (a, n) =>
+      assert(labels(a) != labels(n), s"lsh: anchor $a got same-label negative $n")
+    }
+    // recall vs the exact tier — same floor as the plain annLsh spec
+    val recall = (exactSet & lsh.toSet).size.toDouble / exactSet.size
+    assert(recall >= 0.4, s"hard-negative lsh recall $recall too low")
+  }
+
   test("bloom incremental dedup: exact result, no false negatives, sane FPP") {
     val old = (0 until 1000).map(i => f"key$i%04d").toDF("key")
     val incoming = (500 until 1500).map(i => f"key$i%04d").toDF("key")
