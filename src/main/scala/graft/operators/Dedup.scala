@@ -620,4 +620,73 @@ object Dedup {
         size(col("__kept")).as("n_kept"),
         md5(array_join(col("__kept"), " ")).as("clean_digest"))
   }
+
+  /** Edit-distance near-duplicate pairs: positional-grid blocking + banded
+    * Levenshtein verification — the EXACT-THRESHOLD sibling of the MinHash/
+    * SimHash tiers for the "small local edits" duplicate class (version
+    * bumps, timestamp swaps, appended footers), where Jaccard over shingles
+    * both over- and under-fires and the edit distance IS the spec.
+    *
+    * Blocking: each doc emits its aligned q-char grid chunks (chunk i =
+    * codepoints [i·q, (i+1)·q)); candidates are pairs agreeing on ANY
+    * (position, chunk) key with |len(a) − len(b)| ≤ maxDist (a necessary
+    * condition of the edit bound, applied inside the chunk join). The grid
+    * guarantee is honest and stated: a pair is caught iff some aligned
+    * q-chunk survives the edits — always true when the edits sit right of
+    * the first chunk, true for ≤ ⌊L/q⌋−1 scattered substitutions by
+    * pigeonhole, NOT guaranteed once an early insertion shifts the whole
+    * tail (that phase-shifted class is what [[nearDupPairsMinHash]]'s
+    * order-insensitive bucketing feeds to the same verifier — compose the
+    * two candidate streams when both edit classes are in play).
+    *
+    * Verification is Spark's threshold-banded `levenshtein(a, b, k)` —
+    * O(k·L) per pair instead of O(L²), returning the exact distance when
+    * ≤ k (the oracle's plain levenshtein agrees integer-for-integer; no
+    * float anywhere in the operator).
+    *
+    * Scale shape: the grid pass is a narrow codegen'd map emitting L/q keys
+    * per doc; the candidate join keys on (position, chunk) — and a chunk
+    * shared by > maxChunkDf docs is dropped BEFORE the join (a grid chunk
+    * that frequent is boilerplate, not identity evidence — the prefix-
+    * filtering move, same role as [[DefaultMaxBucketSize]]: it converts the
+    * boilerplate-header quadratic blowup into a documented recall trade;
+    * real same-position near-dups still collide on their non-boilerplate
+    * chunks). Verified pairs join text back by id — two keyed shuffles, no
+    * broadcast of the corpus anywhere.
+    *
+    * Output: (a, b, lev) with a < b, lev ≤ maxDist, BIGINT lev.
+    */
+  def editNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", q: Int = 16, maxDist: Int = 16,
+      maxChunkDf: Long = 1024L): DataFrame = {
+    require(q >= 1 && maxDist >= 0 && maxChunkDf >= 2,
+      "editNearDupPairs: q >= 1, maxDist >= 0, maxChunkDf >= 2")
+    val d = docs.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__len"))
+    // len = 0 docs emit no chunks (no identity evidence, never paired) —
+    // matches the oracle's empty generate_series on an empty text
+    val chunks = d.filter(col("__len") >= 1)
+      .select(col("__id"), col("__len"),
+        posexplode(transform(
+          sequence(lit(0), ((col("__len") - 1) / q).cast("int")),
+          i => substring(col("__t"), lit(1) + i * q, lit(q)))).as(Seq("__i", "__ch")))
+    val cold = chunks.groupBy(col("__i"), col("__ch"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxChunkDf)
+      .select(col("__i"), col("__ch"))
+    val keyed = chunks.join(cold, Seq("__i", "__ch"))
+    val cand = keyed.select(col("__i"), col("__ch"), col("__id").as("a"), col("__len").as("__la"))
+      .join(keyed.select(col("__i"), col("__ch"), col("__id").as("b"), col("__len").as("__lb"))
+          .hint("shuffle_hash"),
+        Seq("__i", "__ch"))
+      .filter(col("a") < col("b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(d.select(col("__id").as("a"), col("__t").as("__ta")), Seq("a"))
+      .join(d.select(col("__id").as("b"), col("__t").as("__tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+  }
 }

@@ -177,6 +177,82 @@ object Graph {
     ranks
   }
 
+  /** HITS (Kleinberg 1999) hubs & authorities over a DIRECTED edge list —
+    * the bipartite-flavored centrality PageRank is not: a good HUB points
+    * at good authorities, a good AUTHORITY is pointed at by good hubs
+    * (curator-vs-content scoring on a link graph; buyer-vs-product on a
+    * purchase graph). `iters` synchronous rounds from all-ones: each round
+    * auth(n) = Σ_{s→n} hub(s) then L2-normalize, hub(n) = Σ_{n→d} auth(d)
+    * then L2-normalize. Nodes missing a side score 0 there (left joins —
+    * a source-only node is a pure hub, a sink a pure authority).
+    *
+    * Determinism contract, same as [[pageRank]]: per-node sums fold over
+    * the COUNTERPARTY-sorted contribution list, and each L2 norm folds the
+    * squared scores over the node-sorted table — every double sum has one
+    * data-pinned association order, so engine and oracle agree to the bit
+    * (sqrt itself is IEEE correctly-rounded on both engines — the
+    * q_x_temperature_mix precedent). The norm fold's buffer is
+    * node-TABLE-sized on one reducer; `exactFold = false` swaps all folds
+    * for plain streaming sums — the production tier at web scale, last-ulp
+    * nondeterministic, spec-pinned ≤1e-12 against the exact tier.
+    *
+    * Scale shape, per round: one join of hubs to edges on src + dst-keyed
+    * aggregate, one join of auths to edges on dst + src-keyed aggregate,
+    * two scalar norms broadcast back — 4 keyed shuffles, edge-linear.
+    * Scores are re-derived lazily; one localCheckpoint per round cuts the
+    * doubly-iterative lineage (the [[connectedComponents]] reasoning).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, exactFold: Boolean = true): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def foldSum(pairs: DataFrame, key: String, by: String, v: String): DataFrame =
+      if (exactFold)
+        pairs.groupBy(col(key).as("node"))
+          .agg(aggregate(sort_array(collect_list(struct(col(by), col(v)))),
+            lit(0.0), (acc, x) => acc + x.getField(v)).as("s"))
+      else
+        pairs.groupBy(col(key).as("node")).agg(sum(col(v)).as("s"))
+    // L2 norm of a (node, score) table as a one-row frame, node-sorted fold
+    def l2(scores: DataFrame, v: String): DataFrame =
+      if (exactFold)
+        scores.agg(sqrt(aggregate(
+          sort_array(collect_list(struct(col("node"), col(v)))),
+          lit(0.0), (acc, x) => acc + x.getField(v) * x.getField(v))).as("nrm"))
+      else
+        scores.agg(sqrt(sum(col(v) * col(v))).as("nrm"))
+    def normalize(scores: DataFrame, v: String): DataFrame =
+      scores.crossJoin(broadcast(l2(scores, v)))
+        .select(col("node"),
+          when(col("nrm") > 0.0, col(v) / col("nrm")).otherwise(lit(0.0)).as(v))
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a0 = foldSum(
+        hub.join(e, col("node") === col("src"))
+          .select(col("dst"), col("src").as("__by"), col("hub").as("__v")),
+        "dst", "__by", "__v")
+      auth = normalize(
+        nodes.join(a0, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth")), "auth")
+        .localCheckpoint()
+      val h0 = foldSum(
+        auth.join(e, col("node") === col("dst"))
+          .select(col("src"), col("dst").as("__by"), col("auth").as("__v")),
+        "src", "__by", "__v")
+      hub = normalize(
+        nodes.join(h0, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub")), "hub")
+        .localCheckpoint()
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
   /** Approximate k-hop neighborhood sizes — HyperBall (Boldi & Vigna 2013)
     * with theta sketches in place of HyperLogLog counters: each node
     * carries a BOUNDED sketch of its ball, and one hop is "my ball ∪ my
@@ -356,6 +432,104 @@ object Graph {
     e.select(col("a").as("node"), col("b").as("component"))
       .union(e.select(col("b").as("node"), col("b").as("component")))
       .distinct()
+  }
+
+  /** Multi-source BFS distances over an UNDIRECTED edge list: every seed
+    * starts at distance 0; each round a node's distance drops to
+    * min(own, min over neighbors + 1) — after R rounds every node within
+    * R hops of the seed set carries its exact hop distance (all-integer,
+    * so the DuckDB oracle replay is bit-trivially exact). The frontier
+    * query of crawl-depth analysis, contamination-radius tracing ("what
+    * is within k hops of a flagged document"), and seed-expansion
+    * labeling. Nodes beyond R hops are absent from the output (their
+    * distance is genuinely unknown at R rounds, not ∞ — a capped run
+    * must not invent a sentinel the fixpoint run would overwrite).
+    *
+    * `rounds` is FIXED, the [[connectedComponents]] argument: relaxing at
+    * a fixpoint is a no-op, so the capped engine loop and the exactly-R
+    * oracle replay agree on every node within R hops by construction.
+    *
+    * Scale shape, per round: two edge-keyed joins (one per direction) +
+    * one node-keyed min — identical to hash-min component flooding, with
+    * distance+1 in place of label. Per-round localCheckpoint for the same
+    * 3^rounds lineage reason. Seeds not present in the graph are dropped
+    * (semi-join), matching the isolated-node convention of the other
+    * graph operators. Input may carry duplicates / self-loops / both
+    * directions (normalized first).
+    */
+  def bfsDistances(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .distinct()
+    var dist = seeds.select(col(seedCol).as("n")).distinct()
+      .join(nodes, Seq("n"), "left_semi")
+      .select(col("n"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val viaA = e.join(dist.withColumnRenamed("n", "a"), "a")
+        .select(col("b").as("n"), (col("d") + 1L).as("d"))
+      val viaB = e.join(dist.withColumnRenamed("n", "b"), "b")
+        .select(col("a").as("n"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(viaA).unionByName(viaB)
+        .groupBy(col("n")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("n").as("node"), col("d").as("dist"))
+  }
+
+  /** Synchronous label propagation (LPA, Raghavan et al. 2007) community
+    * detection over an UNDIRECTED edge list, made DETERMINISTIC: every
+    * node starts labeled with its own id; each round EVERY node
+    * simultaneously adopts its neighbors' most frequent label, ties
+    * broken by the SMALLEST label. Determinism is the whole design: the
+    * published algorithm breaks ties uniformly at random and updates
+    * asynchronously in random node order — irreproducible across runs,
+    * let alone engines; synchronous rounds + the (count DESC, label ASC)
+    * tie-break pin one exact answer both the engine and the DuckDB
+    * replay compute. The price is the known synchronous-LPA caveat:
+    * labels can oscillate on bipartite-ish structure instead of
+    * converging, so `rounds` is a FIXED count (both sides replay the
+    * same R — agreement does not require convergence), not a fixpoint.
+    *
+    * Scale shape, per round: two edge-keyed joins emit each node's
+    * neighbor-label votes, one (node, label)-keyed count (map-side
+    * combine absorbs hot labels), one node-keyed argmax via row_number
+    * over (count DESC, label ASC) — all keyed shuffles, edge-linear,
+    * checkpointed per round. The argmax window partitions by node and
+    * buffers one node's DISTINCT labels — bounded by degree (the
+    * in-degree-buffer bound pageRank's exactFold docstring documents).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .distinct()
+      .select(col("n"), col("n").as("lab"))
+    val w = Window.partitionBy(col("n"))
+      .orderBy(col("__c").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      val votes = e.join(labels.withColumnRenamed("n", "a"), "a")
+        .select(col("b").as("n"), col("lab"))
+        .unionByName(e.join(labels.withColumnRenamed("n", "b"), "b")
+          .select(col("a").as("n"), col("lab")))
+      labels = votes.groupBy(col("n"), col("lab"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("n"), col("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("n").as("node"), col("lab").as("community"))
   }
 
   /** k-core decomposition over an UNDIRECTED edge list: repeatedly remove

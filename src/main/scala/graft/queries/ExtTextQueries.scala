@@ -129,6 +129,18 @@ object ExtTextQueries {
         n = 5, threshold = 0.5, numHashes = 16, rowsPerBand = 4,
         failOnOverCap = true)
     },
+    // Edit-distance near-dup pairs: positional 16-char-grid blocking (a
+    // pair is a candidate iff some aligned grid chunk survives the edits,
+    // with the |Δlen| ≤ k necessary-condition filter and a ≤1024-df
+    // boilerplate-chunk drop), then threshold-banded Levenshtein ≤ 16 —
+    // O(k·L) per candidate, integer-exact on both engines. The class this
+    // catches that Jaccard tiers mis-rank: small LOCAL edits (version
+    // bumps, appended footers) where the edit distance IS the dedup spec.
+    // See Dedup.editNearDupPairs for the stated recall guarantee.
+    "q_x_edit_neardup" -> { (s, dir) =>
+      Dedup.editNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        q = 16, maxDist = 16, maxChunkDf = 1024L)
+    },
     // Duplicate-cluster resolution: the minhash near-dup pairs collapsed to
     // connected components (hash-min label propagation) — (doc, cluster
     // representative, cluster size). The oracle replays the full pair
@@ -1383,6 +1395,24 @@ object ExtTextQueries {
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,
+    // the same grid → cold-chunk filter → candidate join → levenshtein
+    // verify; DuckDB's plain levenshtein equals Spark's banded form
+    // integer-for-integer on every kept (≤ 16) pair
+    "q_x_edit_neardup" ->
+      """WITH g AS (SELECT doc_id, length(text) AS ln, text,
+        |    unnest(range(0, (length(text) - 1) // 16 + 1)) AS i
+        |  FROM documents WHERE length(text) >= 1),
+        |ch AS (SELECT doc_id, ln, i,
+        |    substr(text, CAST(i * 16 + 1 AS INTEGER), 16) AS c FROM g),
+        |cold AS (SELECT i, c FROM ch GROUP BY 1, 2 HAVING count(*) <= 1024),
+        |k AS (SELECT ch.* FROM ch JOIN cold USING (i, c)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM k x JOIN k y ON x.i = y.i AND x.c = y.c AND x.doc_id < y.doc_id
+        |  WHERE abs(x.ln - y.ln) <= 16)
+        |SELECT a, b, CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev
+        |FROM cand JOIN documents x ON x.doc_id = a
+        |  JOIN documents y ON y.doc_id = b
+        |WHERE levenshtein(x.text, y.text) <= 16""".stripMargin,
     "q_x_dedup_minhash" ->
       s"""WITH $wCte,
          |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),

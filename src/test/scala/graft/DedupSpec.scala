@@ -566,4 +566,56 @@ class DedupSpec extends SparkSpec {
     assert(guarded == naive)
     assert(naive.nonEmpty, "fixture must exercise the candidate path")
   }
+
+  test("edit near-dup: grid blocking + banded levenshtein per the stated guarantee") {
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega").take(120)
+    val fixture = Seq(
+      (0L, long),
+      (1L, long + " tail"),                      // append-only edit, lev 5
+      (2L, long.updated(90, 'X').updated(110, 'Y')), // 2 scattered substitutions
+      (3L, "zz " + long),                        // early insertion: phase-shifts
+                                                 // every chunk — the DOCUMENTED miss
+      (4L, "unrelated content entirely " * 4)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editNearDupPairs(fixture, "doc_id", "text",
+      q = 16, maxDist = 16)
+      .select("a", "b", "lev").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.get((0L, 1L)).contains(5L))
+    assert(pairs.get((0L, 2L)).contains(2L), "pigeonhole: 2 substitutions leave a chunk intact")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "a whole-text phase shift defeats aligned-grid blocking (the MinHash tier's job)")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // every reported distance is the exact levenshtein (banded == plain)
+    val texts = fixture.as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    pairs.foreach { case ((a, b), l) => assert(l == lev(texts(a), texts(b))) }
+  }
+
+  test("edit near-dup: boilerplate-frequency cap drops hot chunks, not cold evidence") {
+    // 40 docs share the SAME first 16 chars (a boilerplate header) but are
+    // otherwise unrelated filler; two of them are true near-dups whose
+    // evidence also lives in later (cold) chunks.
+    val header = "SHARED-HEADER-XX"
+    require(header.length == 16)
+    val r = new scala.util.Random(7)
+    def filler() = Seq.fill(12)(r.alphanumeric.take(8).mkString).mkString(" ")
+    val body = filler() + " " + filler()
+    val corpus = (0L until 38L).map(i => (i, header + filler() + filler())) ++
+      Seq((100L, header + body), (101L, header + body + " x"))
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val capped = Dedup.editNearDupPairs(df, "doc_id", "text",
+      q = 16, maxDist = 16, maxChunkDf = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // the header chunk (df=40 > 8) is dropped, so unrelated header-sharers
+    // never become candidates; the true pair still collides on cold chunks
+    assert(capped == Set((100L, 101L)))
+  }
 }

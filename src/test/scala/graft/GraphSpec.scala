@@ -337,4 +337,100 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().map(_._2).sum
     assert(dropped < 1.0 - 1e-6)
   }
+
+  test("bfsDistances: exact hop counts, capped horizon, absent seeds dropped") {
+    // path 1-2-3-4-5-6 plus an isolated edge 10-11; seeds 1 and 10, plus
+    // 99 which is not in the graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 10L, 99L).toDF("s")
+    val d3 = Graph.bfsDistances(edges, "a", "b", seeds, "s", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 10L -> 0L, 11L -> 1L),
+      s"got $d3") // 5 and 6 are beyond 3 hops → absent, not sentinel; 99 dropped
+    // extra rounds at the fixpoint are no-ops (the fixed-rounds contract)
+    val d5 = Graph.bfsDistances(edges, "a", "b", seeds, "s", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(d5(5L) == 4L && d5(6L) == 5L && d5.view.filterKeys(d3.contains).toMap == d3)
+  }
+
+  test("labelPropagation: two bridged cliques resolve to two min-labeled communities") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      (4L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // within each clique every node sees the same vote multiset ⇒ the min
+    // label (1 resp. 10) wins everywhere; the bridge does not flip either
+    // side because in-clique votes outnumber the single cross vote
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => got(n) == 1L), s"got $got")
+    assert(Seq(10L, 11L, 12L, 13L).forall(n => got(n) == 10L), s"got $got")
+  }
+
+  test("labelPropagation matches a naive synchronous driver replay on a random graph") {
+    val r = new scala.util.Random(23)
+    val und = (0 until 60).map(_ => (r.nextInt(18).toLong, r.nextInt(18).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = und.toDF("a", "b")
+    val rounds = 4
+    val got = Graph.labelPropagation(edges, "a", "b", rounds)
+      .as[(Long, Long)].collect().toMap
+
+    val canon = und.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = lab.map { case (n, _) =>
+        val votes = adj(n).map(lab).groupBy(identity).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lab)
+  }
+
+  test("hits: bit-exact driver replay, unit L2 norms, pure-side zeros") {
+    // bipartite-ish purchase graph with one reversed edge to exercise a
+    // mixed node, plus a pure hub (5) and a pure authority (40)
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L), (3L, 20L),
+      (10L, 30L), (5L, 40L)).toDF("src", "dst")
+    val iters = 2
+    val got = Graph.hits(edges, "src", "dst", iters = iters)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val outs = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L), (3L, 20L),
+      (10L, 30L), (5L, 40L))
+    val nodes = (outs.map(_._1) ++ outs.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      auth = nodes.map { n =>
+        n -> outs.filter(_._2 == n).map(_._1).sorted
+          .foldLeft(0.0)((acc, s) => acc + hub(s))
+      }.toMap
+      val an = math.sqrt(nodes.foldLeft(0.0)((acc, n) => acc + auth(n) * auth(n)))
+      auth = auth.map { case (n, v) => n -> (if (an > 0) v / an else 0.0) }
+      hub = nodes.map { n =>
+        n -> outs.filter(_._1 == n).map(_._2).sorted
+          .foldLeft(0.0)((acc, d) => acc + auth(d))
+      }.toMap
+      val hn = math.sqrt(nodes.foldLeft(0.0)((acc, n) => acc + hub(n) * hub(n)))
+      hub = hub.map { case (n, v) => n -> (if (hn > 0) v / hn else 0.0) }
+    }
+    assert(got.keySet == nodes.toSet)
+    got.foreach { case (n, (h, a)) =>
+      assert(h == hub(n) && a == auth(n), s"node $n: ($h,$a) vs (${hub(n)},${auth(n)})")
+    }
+    // L2 norms are 1 after the closing normalization
+    assert(math.abs(got.values.map(x => x._1 * x._1).sum - 1.0) <= 1e-12)
+    assert(math.abs(got.values.map(x => x._2 * x._2).sum - 1.0) <= 1e-12)
+    // a node nobody points at has auth 0; a node pointing at nothing has hub 0
+    assert(got(5L)._2 == 0.0 && got(40L)._1 == 0.0)
+    // plain-sum production tier within 1e-12 of the exact folds
+    val plain = Graph.hits(edges, "src", "dst", iters = iters, exactFold = false)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    plain.foreach { case (n, (h, a)) =>
+      assert(math.abs(h - got(n)._1) <= 1e-12 && math.abs(a - got(n)._2) <= 1e-12)
+    }
+  }
 }

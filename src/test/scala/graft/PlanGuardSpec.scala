@@ -42,12 +42,13 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_bpe_train", "q_x_bpe_encode",
     "q_x_pagerank", "q_x_pagerank_w", "q_x_ppr",
     "q_x_kcore", "q_x_concomp", "q_x_concomp_ls",
+    "q_x_bfs_dist", "q_x_lpa", "q_x_hits",
     "q_x_triangles", "q_x_reach_theta",
     "q_x_semdedup_ivf", "q_x_ann_ivf", "q_x_ann_lsh", "q_x_ann_pq",
     "q_x_ann_ivfpq",
     "q_x_dedup_minhash", "q_x_dedup_ngram", "q_x_dedup_simhash",
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_incr_neardup",
-    "q_x_embed_neardup_lsh",
+    "q_x_embed_neardup_lsh", "q_x_hard_negatives_lsh",
     // semdedup survivor selection and the leakage-safe split ride
     // duplicateClusters' per-round label-flooding checkpoints
     "q_x_semdedup", "q_x_split_safe",
