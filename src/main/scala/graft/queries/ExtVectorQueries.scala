@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Clustering, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Extension operators: similarity search over the embeddings table.
@@ -198,10 +198,59 @@ object ExtVectorQueries {
           aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
           aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
           array_max(col("qv")).as("q_max"))
+    },
+    // Distributed k-means (Lloyd) as a first-class ORACLED operator — the
+    // deterministic-exact tier of the codebook training the IVF/PQ ANN
+    // paths run behind recall specs: smallest-(features, id) init, argmin
+    // with a cid tie-break, id-sorted mean folds (Clustering.kMeans), so
+    // DuckDB replays all 3 rounds bit-for-bit. Features: line quantity
+    // and price (k$) — the classic order-profile segmentation.
+    "q_x_kmeans" -> { (s, dir) =>
+      val pts = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("pid"),
+          col("l_quantity").as("f_qty"),
+          (col("l_extendedprice") / 1000).as("f_price_k"))
+      Clustering.kMeans(pts, "pid", Seq("f_qty", "f_price_k"), k = 4, iters = 3)
+        .select(col("cluster"), col("n_points"),
+          element_at(col("centroid"), 1).as("c_qty"),
+          element_at(col("centroid"), 2).as("c_price_k"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the 3 Lloyd rounds unrolled: assignment = row_number over
+    // (squaredDist, cid) replaying min_by's (dist, cid) lexicographic
+    // argmin; update folds each feature id-sorted (list_reduce's
+    // ((v1+v2)+v3) = Spark's ((0+v1)+v2)+v3, IEEE 0+x = x); an emptied
+    // cluster keeps its centroid via the LEFT JOIN coalesce
+    "q_x_kmeans" -> {
+      def round(i: Int): String =
+        s"""as$i AS (SELECT id, f1, f2, cid FROM (
+           |  SELECT p.id, p.f1, p.f2, c.cid,
+           |    row_number() OVER (PARTITION BY p.id ORDER BY
+           |      (p.f1 - c.c1) * (p.f1 - c.c1) + (p.f2 - c.c2) * (p.f2 - c.c2),
+           |      c.cid) AS rn
+           |  FROM pts p CROSS JOIN c${i - 1} c) WHERE rn = 1),
+           |u$i AS (SELECT cid, count(*) AS n,
+           |    list_reduce(list(f1 ORDER BY id), (x, y) -> x + y) AS s1,
+           |    list_reduce(list(f2 ORDER BY id), (x, y) -> x + y) AS s2
+           |  FROM as$i GROUP BY cid),
+           |c$i AS (SELECT c.cid,
+           |    CASE WHEN u.n IS NULL THEN c.c1 ELSE u.s1 / u.n END AS c1,
+           |    CASE WHEN u.n IS NULL THEN c.c2 ELSE u.s2 / u.n END AS c2
+           |  FROM c${i - 1} c LEFT JOIN u$i u USING (cid))""".stripMargin
+      s"""WITH pts AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+         |    l_quantity AS f1, l_extendedprice / 1000 AS f2 FROM lineitem),
+         |c0 AS (SELECT row_number() OVER (ORDER BY f1, f2, id) - 1 AS cid,
+         |    f1 AS c1, f2 AS c2
+         |  FROM (SELECT * FROM pts ORDER BY f1, f2, id LIMIT 4)),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT c.cid AS cluster, coalesce(u.n, 0) AS n_points,
+         |  c.c1 AS c_qty, c.c2 AS c_price_k
+         |FROM c3 c LEFT JOIN u3 u USING (cid)""".stripMargin
+    },
     "q_x_hard_negatives" ->
       """WITH a AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
         |  FROM embeddings WHERE vec_id % 50 = 0),

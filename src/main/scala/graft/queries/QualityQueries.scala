@@ -178,10 +178,32 @@ object QualityQueries {
           > col("d") * col("t") * 4)
         .select(col("event_type"), col("day"), col("dow"), col("n"),
           col("t").as("dow_total"), col("d").as("dow_days"))
+    },
+    // k-anonymity audit — the re-identification gate a dataset release
+    // (or a training corpus carrying user-derived metadata) runs before
+    // publication: every quasi-identifier combination (here nation ×
+    // market segment × account-balance band) backed by fewer than k=3
+    // individuals is reported with its size, the rows a suppression /
+    // generalization pass must treat. One wide-key aggregate (map-side
+    // combine does the heavy lifting; the QI key space is bounded, so
+    // the post-shuffle table is small at any corpus size) + a HAVING.
+    // The band edge uses floor on an IEEE double quotient — the same
+    // bit-deterministic-on-both-engines argument as q_x_embed_quant.
+    "q_x_k_anon" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("group_size"))
+        .filter(col("group_size") < 3)
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_x_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  count(*) AS group_size
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 3""".stripMargin,
     "q_x_dq_report" ->
       """SELECT r.*, (r.n_violations = 0) AS passed FROM (
         |SELECT 'orders.o_orderkey.unique' AS constraint_name,
