@@ -621,6 +621,79 @@ object Dedup {
         md5(array_join(col("__kept"), " ")).as("clean_digest"))
   }
 
+  /** Set-CONTAINMENT near-dup pairs via prefix filtering (the AllPairs /
+    * PPJoin candidate rule, Bayardo et al. 2007 / Xiao et al. 2008) — the
+    * asymmetric duplicate class Jaccard tiers under-rank: a short document
+    * quoted wholesale inside a long one has tiny Jaccard (union is large)
+    * but containment ≈ 1 of the short side. Containment here is over
+    * distinct word n-gram shingles: C(a, b) = |S(a) ∩ S(b)| / |S(a)| for
+    * the pair oriented so a is the SMALLER set (ties: smaller id).
+    *
+    * Prefix filtering, with its exactness argument: order every doc's
+    * shingles by ascending global document frequency (ties: shingle text);
+    * the doc's PREFIX is its first ⌊(1−τ)·n⌋+1 shingles. If C(a, b) ≥ τ
+    * then fewer than (1−τ)·n_a + 1 of a's shingles miss b, so at least one
+    * PREFIX shingle of a is in b — candidates = (prefix(x) ⋈ shingles(y))
+    * pairs, a LOSSLESS filter at threshold τ. Rarest-first ordering is
+    * what makes it cheap: the join keys are by construction the corpus's
+    * LOW-df shingles, so posting lists on the probe side are short. τ is
+    * carried as an integer ratio (tauNum/tauDen) end to end — prefix
+    * length, verification test, and the output basis points are all
+    * integer arithmetic, hence oracle-exact.
+    *
+    * Scale shape: one narrow shingle pass (checkpointed — the set table
+    * is read by the df count, the rank window, and both verify sides),
+    * one df-keyed count, one per-doc rank window (partition = doc,
+    * buffer = its distinct shingles), one shingle-keyed candidate join,
+    * then set intersection on the candidate pairs only. `maxTokenDf`
+    * drops shingles more frequent than the cap from candidate generation
+    * (boilerplate n-grams — the [[editNearDupPairs]] maxChunkDf move, a
+    * documented recall trade; verification still uses FULL sets).
+    *
+    * Output: (a, b, overlap, n_small, containment_bp) for C ≥ τ pairs.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      tauNum: Int = 8, tauDen: Int = 10, maxTokenDf: Long = 1024L): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "containmentPairs: 0 < tau <= 1")
+    val tl = docs
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .localCheckpoint()
+    val toks = tl.select(col("__id"), size(col("__ts")).as("__n"),
+      explode(col("__ts")).as("__tok"))
+    val dfc = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTokenDf)
+    val ranked = toks.join(dfc, Seq("__tok"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
+    // integer prefix length ⌊(1−τ)·n⌋+1 via `div` — Spark's `/` on ints is
+    // a double divide, and 1−τ is not binary-exact; the oracle uses `//`
+    val prefix = ranked
+      .filter(col("__r") <= expr(s"__n * ${tauDen - tauNum} div $tauDen") + 1)
+      .select(col("__tok"), col("__id").as("__x"), col("__n").as("__nx"))
+    val cand = prefix
+      .join(toks.join(dfc, Seq("__tok"))
+          .select(col("__tok"), col("__id").as("__y"), col("__n").as("__ny")),
+        Seq("__tok"))
+      .filter(col("__x") =!= col("__y"))
+      .select(
+        when(struct(col("__nx"), col("__x")) < struct(col("__ny"), col("__y")),
+          struct(col("__x").as("a"), col("__y").as("b")))
+          .otherwise(struct(col("__y").as("a"), col("__x").as("b"))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .distinct()
+    cand
+      .join(tl.select(col("__id").as("a"), col("__ts").as("__ta")), Seq("a"))
+      .join(tl.select(col("__id").as("b"), col("__ts").as("__tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("overlap"),
+        size(col("__ta")).cast("long").as("n_small"))
+      .filter(col("overlap") * tauDen >= col("n_small") * tauNum)
+      .select(col("a"), col("b"), col("overlap"), col("n_small"),
+        expr("overlap * 10000 div n_small").as("containment_bp"))
+  }
+
   /** Edit-distance near-duplicate pairs: positional-grid blocking + banded
     * Levenshtein verification — the EXACT-THRESHOLD sibling of the MinHash/
     * SimHash tiers for the "small local edits" duplicate class (version

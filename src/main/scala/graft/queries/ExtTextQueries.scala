@@ -141,6 +141,17 @@ object ExtTextQueries {
       Dedup.editNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         q = 16, maxDist = 16, maxChunkDf = 1024L)
     },
+    // Shingle-set CONTAINMENT pairs (C ≥ 0.8) via lossless prefix
+    // filtering — the asymmetric quote-inclusion class where Jaccard
+    // under-fires (a short doc swallowed by a long one has small
+    // union-normalized similarity but containment ≈ 1). τ = 8/10 as an
+    // integer ratio end to end; candidates only from pairs sharing one
+    // of the contained side's ⌊0.2·n⌋+1 RAREST shingles. See
+    // Dedup.containmentPairs for the losslessness argument.
+    "q_x_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, tauNum = 8, tauDen = 10)
+    },
     // Duplicate-cluster resolution: the minhash near-dup pairs collapsed to
     // connected components (hash-min label propagation) — (doc, cluster
     // representative, cluster size). The oracle replays the full pair
@@ -1395,6 +1406,35 @@ object ExtTextQueries {
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,
+    // the same prefix-filter pipeline: df-ranked shingles, integer prefix
+    // length n*2//10+1, candidate join on the contained side's rare
+    // prefix, exact list_intersect verify — all-integer, oracle-exact
+    "q_x_containment" ->
+      s"""WITH $wCte,
+         |tl AS (SELECT doc_id, $shingleExpr AS ts FROM w),
+         |tl2 AS (SELECT doc_id, ts, len(ts) AS n FROM tl WHERE len(ts) > 0),
+         |tk AS (SELECT doc_id, n, unnest(ts) AS tok FROM tl2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1
+         |  HAVING count(*) <= 1024),
+         |rk AS (SELECT t.doc_id, t.tok, t.n, row_number() OVER (
+         |    PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS r
+         |  FROM tk t JOIN dfc d USING (tok)),
+         |pfx AS (SELECT tok, doc_id AS x, n AS nx FROM rk
+         |  WHERE r <= n * 2 // 10 + 1),
+         |alltok AS (SELECT t.tok, t.doc_id AS y, t.n AS ny
+         |  FROM tk t JOIN dfc d USING (tok)),
+         |cand AS (SELECT DISTINCT
+         |    CASE WHEN nx < ny OR (nx = ny AND x < y) THEN x ELSE y END AS a,
+         |    CASE WHEN nx < ny OR (nx = ny AND x < y) THEN y ELSE x END AS b
+         |  FROM pfx JOIN alltok USING (tok) WHERE x <> y),
+         |v AS (SELECT c.a, c.b,
+         |    CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS overlap,
+         |    CAST(len(ta.ts) AS BIGINT) AS n_small
+         |  FROM cand c JOIN tl2 ta ON ta.doc_id = c.a
+         |    JOIN tl2 tb ON tb.doc_id = c.b)
+         |SELECT a, b, overlap, n_small,
+         |  overlap * 10000 // n_small AS containment_bp
+         |FROM v WHERE overlap * 10 >= 8 * n_small""".stripMargin,
     // the same grid → cold-chunk filter → candidate join → levenshtein
     // verify; DuckDB's plain levenshtein equals Spark's banded form
     // integer-for-integer on every kept (≤ 16) pair

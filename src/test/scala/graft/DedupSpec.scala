@@ -567,6 +567,54 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture must exercise the candidate path")
   }
 
+  test("containment pairs: catches quote inclusion Jaccard misses, lossless vs naive") {
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (1L, quoted), // 10 tokens, 8 distinct 3-shingles
+      (2L, "intro words before the quote now " + quoted +
+        " and a long tail of unrelated trailing filler content " +
+        "keeps the union large so jaccard stays small " * 3),
+      (3L, "totally different text with no shared shingles at all here " * 2)
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(fixture, "doc_id", "text",
+      shingleN = 3, tauNum = 8, tauDen = 10)
+      .select("a", "b", "containment_bp").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 10000L)), s"got ${got.toSeq}")
+    // the same pair's Jaccard is far below the containment threshold —
+    // the asymmetric class this operator exists for
+    def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val (s1, s2) = (sh(quoted), sh(fixture.as[(Long, String)].collect()
+      .find(_._1 == 2L).get._2))
+    val jac = (s1 & s2).size.toDouble / (s1 | s2).size
+    assert(jac < 0.5 && (s1 & s2).size == s1.size)
+
+    // losslessness of the prefix filter at tau: random mutated corpus,
+    // engine pairs == naive all-pairs containment (driver)
+    val r = new scala.util.Random(31)
+    def words(n: Int) = Seq.fill(n)("w" + r.nextInt(400))
+    val corpus = (0 until 30).map { i =>
+      val base = words(30)
+      val t = if (i % 3 == 0) base ++ words(25) // extended copy: containment class
+      else words(30)
+      (i.toLong, t.mkString(" "))
+    }
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val eng = Dedup.containmentPairs(df, "doc_id", "text",
+      shingleN = 3, tauNum = 8, tauDen = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sets = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val ord = implicitly[Ordering[(Int, Long)]]
+    val naive = (for {
+      (ia, sa) <- sets
+      (ib, sb) <- sets
+      if ord.lt((sa.size, ia), (sb.size, ib))
+      if sa.intersect(sb).size * 10 >= sa.size * 8
+    } yield (ia, ib)).toSet
+    assert(eng == naive, s"engine ${eng.size} vs naive ${naive.size}")
+  }
+
   test("edit near-dup: grid blocking + banded levenshtein per the stated guarantee") {
     val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega").take(120)
