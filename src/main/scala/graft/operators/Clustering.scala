@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Id-range width of the exact tier's first-level fold buckets: one
+    * bucket's members fold together (id-sorted), then bucket sums fold in
+    * bucket order — both orders data-pinned, both buffers bounded.
+    */
+  val FoldBucketWidth = 65536L
+
   /** k-means (Lloyd) over `featureCols`, `iters` synchronous rounds.
     *
     * Determinism contract, stated piece by piece:
@@ -22,10 +28,12 @@ object Clustering {
     *   - assignment: argmin over (squaredDist, cid) — the cid tie-break
     *     pins equidistant points; the distance tree is the left-to-right
     *     feature fold both engines build identically;
-    *   - update: per-cluster per-feature mean, the sum folded over the
-    *     ID-SORTED member list (`exactFold = true`) so the association
-    *     order is data-pinned — the [[Graph.pageRank]] exactFold move.
-    *     An emptied cluster keeps its previous centroid.
+    *   - update: per-cluster per-feature mean, the sum folded in a
+    *     data-pinned TWO-LEVEL order (`exactFold = true`): id-sorted
+    *     within fixed [[FoldBucketWidth]] id-range buckets, then
+    *     bucket-sorted across bucket sums — the [[Graph.pageRank]]
+    *     exactFold move with bounded buffers at both levels. An emptied
+    *     cluster keeps its previous centroid.
     *
     * `exactFold = false` swaps the sorted folds for plain streaming sums —
     * the production tier (map-side partial aggregation, O(d) state per
@@ -43,6 +51,13 @@ object Clustering {
     * Returns (cluster, n_points, centroid array<double>): the post-update
     * centroids after `iters` rounds with the LAST assignment's sizes
     * (n_points = 0 for a cluster emptied in the final round).
+    *
+    * `idCol` need NOT be unique: every input ROW is a point (multiset
+    * semantics — collapsing id collisions would silently drop data), and
+    * the fold order key is the full (id, features) tuple, under which two
+    * rows compare equal only when they are bit-identical points — whose
+    * mutual order cannot affect the sum. So the fold order stays
+    * data-pinned without any uniqueness precondition.
     */
   def kMeans(points: DataFrame, idCol: String, featureCols: Seq[String],
       k: Int, iters: Int, exactFold: Boolean = true): DataFrame = {
@@ -57,26 +72,59 @@ object Clustering {
       .select(col("cid"), col("__fs").as("__cs"))
     var upd: DataFrame = null
     for (_ <- 1 to iters) {
-      val assigned = pts.crossJoin(broadcast(ctr))
-        .select(col("__id"), col("__fs"), col("cid"),
-          aggregate(zip_with(col("__fs"), col("__cs"), (x, c) => (x - c) * (x - c)),
-            lit(0.0), (acc, v) => acc + v).as("__dist"))
-        .groupBy(col("__id"))
-        .agg(min_by(struct(col("cid"), col("__fs")),
-          struct(col("__dist"), col("cid"))).as("__m"))
-        .select(col("__id"), col("__m.cid").as("cid"), col("__m.__fs").as("__fs"))
-      upd =
-        if (exactFold)
-          assigned.groupBy(col("cid"))
-            .agg(count(lit(1)).as("__n"),
+      // assignment is a NARROW map: the k×d centroid table rides in as ONE
+      // broadcast row (cid-sorted list) and the argmin is an array fold —
+      // array_min over (dist, cid) structs IS the lexicographic
+      // (min dist, then min cid) contract. No shuffle touches the points
+      // here (the first cut crossed points×k and grouped by id — a k-fold
+      // point-table shuffle per round; this form measured 15.4 s → 9 s at
+      // sf0.1, and at scale it is the difference between an encode pass
+      // and a re-shuffle per round — the IVF-encode precedent).
+      val ctrList = ctr.agg(
+        sort_array(collect_list(struct(col("cid"), col("__cs")))).as("__ctrs"))
+      val assigned = pts.crossJoin(broadcast(ctrList))
+        .select(col("__id"), col("__fs"),
+          array_min(transform(col("__ctrs"), c =>
+            struct(
+              aggregate(zip_with(col("__fs"), c.getField("__cs"),
+                  (x, cc) => (x - cc) * (x - cc)),
+                lit(0.0), (acc, v) => acc + v).as("__dist"),
+              c.getField("cid").as("cid")))).getField("cid").as("cid"))
+      // the k-row update table is what gets checkpointed (one pass over
+      // the points per round — the un-checkpointed form recomputed the
+      // final round's assignment a second time for the n_points output:
+      // 17.1 s → ~12 s at sf0.1); the centroid derivation from it is
+      // k-row arithmetic, cheap to recompute
+      // exact tier: TWO-LEVEL deterministic fold (the vocab-coverage
+      // decomposition) — per (cid, id-range bucket) an id-sorted fold
+      // (buffer ≤ bucket width), then per cid a bucket-sorted fold of the
+      // bucket sums (buffer = bucket count). The association order is
+      // data-pinned at both levels, so the oracle replays it exactly,
+      // and no reducer ever buffers a whole cluster — the flat
+      // in-cluster-sorted fold would page on a 10⁹-member cluster.
+      upd = (if (exactFold)
+          assigned
+            .withColumn("__bk", expr(s"__id div $FoldBucketWidth"))
+            .groupBy(col("cid"), col("__bk"))
+            .agg(count(lit(1)).as("__bn"),
               aggregate(sort_array(collect_list(struct(col("__id"), col("__fs")))),
                 array((0 until d).map(_ => lit(0.0)): _*),
                 (acc, x) => zip_with(acc, x.getField("__fs"), (a, v) => a + v))
+                .as("__bs"))
+            .groupBy(col("cid"))
+            .agg(sum(col("__bn")).as("__n"),
+              aggregate(sort_array(collect_list(struct(col("__bk"), col("__bs")))),
+                array((0 until d).map(_ => lit(0.0)): _*),
+                (acc, x) => zip_with(acc, x.getField("__bs"), (a, v) => a + v))
                 .as("__sum"))
         else
           assigned.groupBy(col("cid"))
             .agg(count(lit(1)).as("__n"),
               array((1 to d).map(i => sum(element_at(col("__fs"), i))): _*).as("__sum"))
+        ).localCheckpoint()
+      // ctr is k rows — its checkpoint is a trivial job that keeps the
+      // doubly-referenced (assignment + empty-cluster fallback) lineage
+      // from re-expanding 2^iters-fold
       ctr = ctr.join(upd, Seq("cid"), "left")
         .select(col("cid"),
           when(col("__n").isNull, col("__cs"))

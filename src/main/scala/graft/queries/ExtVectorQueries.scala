@@ -218,23 +218,29 @@ object ExtVectorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // the 3 Lloyd rounds unrolled: assignment = row_number over
-    // (squaredDist, cid) replaying min_by's (dist, cid) lexicographic
-    // argmin; update folds each feature id-sorted (list_reduce's
-    // ((v1+v2)+v3) = Spark's ((0+v1)+v2)+v3, IEEE 0+x = x); an emptied
-    // cluster keeps its centroid via the LEFT JOIN coalesce
+    // the 3 Lloyd rounds unrolled: assignment = per-ROW correlated argmin
+    // over (squaredDist, cid) — every input row is a point (the synthetic
+    // (orderkey, linenumber) key COLLIDES, so ids must not be collapsed);
+    // update folds each feature ordered by (id, f1, f2) within id-range
+    // buckets then bucket-sorted (the engine's two-level fold — exact
+    // duplicates are interchangeable, so the order is still data-pinned;
+    // list_reduce's ((v1+v2)+v3) = Spark's ((0+v1)+v2)+v3, IEEE 0+x = x);
+    // an emptied cluster keeps its centroid via the LEFT JOIN coalesce
     "q_x_kmeans" -> {
       def round(i: Int): String =
-        s"""as$i AS (SELECT id, f1, f2, cid FROM (
-           |  SELECT p.id, p.f1, p.f2, c.cid,
-           |    row_number() OVER (PARTITION BY p.id ORDER BY
+        s"""as$i AS (SELECT p.id, p.f1, p.f2,
+           |    (SELECT c.cid FROM c${i - 1} c ORDER BY
            |      (p.f1 - c.c1) * (p.f1 - c.c1) + (p.f2 - c.c2) * (p.f2 - c.c2),
-           |      c.cid) AS rn
-           |  FROM pts p CROSS JOIN c${i - 1} c) WHERE rn = 1),
-           |u$i AS (SELECT cid, count(*) AS n,
-           |    list_reduce(list(f1 ORDER BY id), (x, y) -> x + y) AS s1,
-           |    list_reduce(list(f2 ORDER BY id), (x, y) -> x + y) AS s2
-           |  FROM as$i GROUP BY cid),
+           |      c.cid LIMIT 1) AS cid
+           |  FROM pts p),
+           |b$i AS (SELECT cid, id // 65536 AS bk, count(*) AS n,
+           |    list_reduce(list(f1 ORDER BY id, f1, f2), (x, y) -> x + y) AS s1,
+           |    list_reduce(list(f2 ORDER BY id, f1, f2), (x, y) -> x + y) AS s2
+           |  FROM as$i GROUP BY cid, bk),
+           |u$i AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n,
+           |    list_reduce(list(s1 ORDER BY bk), (x, y) -> x + y) AS s1,
+           |    list_reduce(list(s2 ORDER BY bk), (x, y) -> x + y) AS s2
+           |  FROM b$i GROUP BY cid),
            |c$i AS (SELECT c.cid,
            |    CASE WHEN u.n IS NULL THEN c.c1 ELSE u.s1 / u.n END AS c1,
            |    CASE WHEN u.n IS NULL THEN c.c2 ELSE u.s2 / u.n END AS c2

@@ -6,12 +6,14 @@ import graft.operators.Clustering
 class ClusteringSpec extends SparkSpec {
   import spark.implicits._
 
-  // two tight 2-d blobs far apart, plus two stragglers
+  // two tight 2-d blobs far apart, plus two stragglers; ids spaced 70000
+  // apart so members of one cluster STRADDLE the 65536-wide exact-fold
+  // buckets (the two-level order differs from a flat id-sorted fold)
   private val pts = Seq(
     (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0), (4L, 1.0, 1.0),
     (5L, 10.0, 10.0), (6L, 11.0, 10.0), (7L, 10.0, 11.0), (8L, 11.0, 11.0),
     (9L, 5.0, 5.0), (10L, 5.5, 5.0)
-  ).toDF("id", "x", "y")
+  ).map(p => (p._1 * 70000L, p._2, p._3)).toDF("id", "x", "y")
 
   private def driverKMeans(data: Seq[(Long, Double, Double)], k: Int,
       iters: Int): Map[Long, (Long, Double, Double)] = {
@@ -29,11 +31,16 @@ class ClusteringSpec extends SparkSpec {
       }
       sizes = assigned.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       ctr = ctr.map { case (c, old) =>
-        val members = assigned.filter(_._1 == c).map(_._2).sortBy(_._1)
+        val members = assigned.filter(_._1 == c).map(_._2)
         if (members.isEmpty) c -> old
         else {
-          val sx = members.foldLeft(0.0)((a, p) => a + p._2)
-          val sy = members.foldLeft(0.0)((a, p) => a + p._3)
+          // the operator's two-level exact fold: id-sorted within 65536-id
+          // buckets, then bucket-sorted across bucket sums
+          val buckets = members.groupBy(_._1 / 65536).toSeq.sortBy(_._1).map(_._2)
+          val sx = buckets.foldLeft(0.0)((a, b) =>
+            a + b.sortBy(_._1).foldLeft(0.0)((aa, p) => aa + p._2))
+          val sy = buckets.foldLeft(0.0)((a, b) =>
+            a + b.sortBy(_._1).foldLeft(0.0)((aa, p) => aa + p._3))
           c -> ((sx / members.size, sy / members.size))
         }
       }
