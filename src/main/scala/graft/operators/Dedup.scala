@@ -729,20 +729,32 @@ object Dedup {
     *
     * Output: (a, b, lev) with a < b, lev ≤ maxDist, BIGINT lev.
     */
+  /** Normalized (id, text, codepoint length) projection shared by the
+    * edit-distance family.
+    */
+  private def editDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__len"))
+
+  /** Aligned q-codepoint grid chunks of [[editDocs]] rows: one row per
+    * (id, len, chunk index, chunk). len = 0 docs emit no chunks (no
+    * identity evidence, never paired) — matches the oracle's empty
+    * generate_series on an empty text. Narrow codegen'd map.
+    */
+  private def gridChunks(d: DataFrame, q: Int): DataFrame =
+    d.filter(col("__len") >= 1)
+      .select(col("__id"), col("__len"),
+        posexplode(transform(
+          sequence(lit(0), ((col("__len") - 1) / q).cast("int")),
+          i => substring(col("__t"), lit(1) + i * q, lit(q)))).as(Seq("__i", "__ch")))
+
   def editNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", q: Int = 16, maxDist: Int = 16,
       maxChunkDf: Long = 1024L): DataFrame = {
     require(q >= 1 && maxDist >= 0 && maxChunkDf >= 2,
       "editNearDupPairs: q >= 1, maxDist >= 0, maxChunkDf >= 2")
-    val d = docs.select(col(idCol).as("__id"), col(textCol).as("__t"),
-      length(col(textCol)).cast("long").as("__len"))
-    // len = 0 docs emit no chunks (no identity evidence, never paired) —
-    // matches the oracle's empty generate_series on an empty text
-    val chunks = d.filter(col("__len") >= 1)
-      .select(col("__id"), col("__len"),
-        posexplode(transform(
-          sequence(lit(0), ((col("__len") - 1) / q).cast("int")),
-          i => substring(col("__t"), lit(1) + i * q, lit(q)))).as(Seq("__i", "__ch")))
+    val d = editDocs(docs, idCol, textCol)
+    val chunks = gridChunks(d, q)
     val cold = chunks.groupBy(col("__i"), col("__ch"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxChunkDf)
@@ -760,6 +772,104 @@ object Dedup {
       .join(d.select(col("__id").as("b"), col("__t").as("__tb")), Seq("b"))
       .select(col("a"), col("b"),
         levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+  }
+
+  /** Incremental admission for the EDIT-distance duplicate class: each NEW
+    * doc is tested against the STANDING corpus only — the
+    * [[crossNearDupMinHash]] contract (no new×new or old×old pairs, so a
+    * batch of mutual near-dups is adjudicated against history, not against
+    * itself) with [[editNearDupPairs]]' grid blocking and banded-Levenshtein
+    * verify. The incremental family now covers all three duplicate
+    * geometries: exact keys ([[antiJoinBloom]]), Jaccard
+    * ([[crossNearDupMinHash]]), and edit distance (this).
+    *
+    * The chunk-frequency cap is measured over the STANDING side — the
+    * boilerplate census belongs to history (stable across batches, and a
+    * new batch full of one template cannot vote its own template cold).
+    * Scale shape: the old side's cold-chunk table is the standing index a
+    * stream job maintains incrementally; per batch one (i, chunk)-keyed
+    * join + the pair verify.
+    *
+    * Output: (new_id, old_id, lev ≤ maxDist) — the reject/link list.
+    */
+  def crossEditNearDup(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      q: Int = 16, maxDist: Int = 16, maxChunkDf: Long = 1024L): DataFrame = {
+    require(q >= 1 && maxDist >= 0 && maxChunkDf >= 2,
+      "crossEditNearDup: q >= 1, maxDist >= 0, maxChunkDf >= 2")
+    val nd = editDocs(newDocs, idCol, textCol)
+    val od = editDocs(oldDocs, idCol, textCol)
+    val oldChunks = gridChunks(od, q)
+    val cold = oldChunks.groupBy(col("__i"), col("__ch"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxChunkDf)
+      .select(col("__i"), col("__ch"))
+    val cand = gridChunks(nd, q)
+      .select(col("__i"), col("__ch"), col("__id").as("new_id"), col("__len").as("__ln"))
+      .join(oldChunks.join(cold, Seq("__i", "__ch"))
+          .select(col("__i"), col("__ch"), col("__id").as("old_id"), col("__len").as("__lo")),
+        Seq("__i", "__ch"))
+      .filter(abs(col("__ln") - col("__lo")) <= maxDist)
+      .select(col("new_id"), col("old_id")).distinct()
+    cand
+      .join(nd.select(col("__id").as("new_id"), col("__t").as("__tn")), Seq("new_id"))
+      .join(od.select(col("__id").as("old_id"), col("__t").as("__to")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        levenshtein(col("__tn"), col("__to"), maxDist).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+  }
+
+  /** Sorted-neighborhood (SNM, Hernández & Stolfo 1995) candidate
+    * generation + edit verify — the THIRD classic ER blocking geometry
+    * next to positional grids ([[editNearDupPairs]]) and content bands
+    * (MinHash/SimHash): sort the corpus by a domain key (here the text
+    * itself with the id as tiebreak — near-identical records are
+    * lexicographic neighbors), slide a window of `w`, and verify every
+    * pair falling inside a window. Catches duplicates whose SHARED
+    * PREFIX sorts them together regardless of which chunks survive;
+    * misses pairs differing at offset 0 (SNM's published weakness — the
+    * multi-pass remedy is composing a second key, e.g. reversed text).
+    *
+    * The global sort rank is TWO-LEVEL, never one partition: rows rank
+    * within their 2-codepoint-prefix bucket (the prefix function is
+    * monotone under the (text, id) order, so bucket boundaries respect
+    * it), and bucket offsets come from a prefix-count scan over the
+    * tiny bucket table — the cumSumGlobal decomposition. Window pairs
+    * are a BUCKETIZED band join on rank div w (each Y row probes its own
+    * and the previous rank bucket — the intervalOverlapJoin move), so
+    * no inequality-range nested loop is ever planned.
+    *
+    * Output: (a, b, rank_gap, lev ≤ maxDist), a/b id-ordered.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 8, maxDist: Int = 16): DataFrame = {
+    require(w >= 2 && maxDist >= 0, "sortedNeighborhoodPairs: w >= 2, maxDist >= 0")
+    val d = editDocs(docs, idCol, textCol)
+    val withPfx = d.withColumn("__pfx", substring(col("__t"), 1, 2))
+    val offs = withPfx.groupBy(col("__pfx")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pfx"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pfx"), col("__off"))
+    val ranked = withPfx
+      .withColumn("__rw", row_number().over(
+        Window.partitionBy(col("__pfx")).orderBy(col("__t"), col("__id"))))
+      .join(offs, Seq("__pfx"))
+      .select(col("__id"), col("__t"), (col("__rw") + col("__off")).as("__r"))
+    val kb = expr(s"__r div $w")
+    val x = ranked.select(col("__id").as("__xid"), col("__t").as("__xt"),
+      col("__r").as("__xr"), kb.as("__k"))
+    val y = ranked.select(col("__id").as("__yid"), col("__t").as("__yt"),
+      col("__r").as("__yr"), explode(array(kb, kb - 1)).as("__k"))
+    x.join(y, Seq("__k"))
+      .filter(col("__yr") > col("__xr") && col("__yr") - col("__xr") < w)
+      .select(
+        least(col("__xid"), col("__yid")).as("a"),
+        greatest(col("__xid"), col("__yid")).as("b"),
+        (col("__yr") - col("__xr")).as("rank_gap"),
+        levenshtein(col("__xt"), col("__yt"), maxDist).cast("long").as("lev"))
       .filter(col("lev") >= 0)
   }
 }

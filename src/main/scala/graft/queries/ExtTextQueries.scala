@@ -141,6 +141,29 @@ object ExtTextQueries {
       Dedup.editNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         q = 16, maxDist = 16, maxChunkDf = 1024L)
     },
+    // Incremental admission for the EDIT-distance duplicate class: the
+    // batch cohort (doc_id % 7 == 0) tested against the standing corpus
+    // only — new×new / old×old pairs never form (the crossNearDupMinHash
+    // contract), the boilerplate-chunk census is measured on HISTORY.
+    // With bloom (exact) and minhash (Jaccard) this completes the
+    // incremental gate for all three duplicate geometries.
+    "q_x_incr_editdup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.crossEditNearDup(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", q = 16, maxDist = 16, maxChunkDf = 1024L)
+    },
+    // Sorted-neighborhood (SNM) blocking + banded edit verify — the third
+    // classic ER blocking geometry: sort by (text, id), verify every pair
+    // within a w=8 rank window. The global rank is two-level (2-char
+    // prefix buckets + offset scan) and the window pairing a bucketized
+    // band join — no single-partition window, no range nested loop. The
+    // oracle replays the same sort with a plain rank inequality join.
+    "q_x_snm_pairs" -> { (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 8, maxDist = 16)
+    },
     // Shingle-set CONTAINMENT pairs (C ≥ 0.8) via lossless prefix
     // filtering — the asymmetric quote-inclusion class where Jaccard
     // under-fires (a short doc swallowed by a long one has small
@@ -1406,6 +1429,39 @@ object ExtTextQueries {
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,
+    // the same cohort split, grid blocking (cap on the standing side
+    // only), cross-cohort candidate join, and levenshtein verify
+    "q_x_incr_editdup" ->
+      """WITH nd AS (SELECT doc_id, text, length(text) AS ln,
+        |    unnest(range(0, (length(text) - 1) // 16 + 1)) AS i
+        |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 1),
+        |od AS (SELECT doc_id, text, length(text) AS ln,
+        |    unnest(range(0, (length(text) - 1) // 16 + 1)) AS i
+        |  FROM documents WHERE doc_id % 7 <> 0 AND length(text) >= 1),
+        |gn AS (SELECT doc_id, ln, i,
+        |    substr(text, CAST(i * 16 + 1 AS INTEGER), 16) AS c FROM nd),
+        |go AS (SELECT doc_id, ln, i,
+        |    substr(text, CAST(i * 16 + 1 AS INTEGER), 16) AS c FROM od),
+        |coldo AS (SELECT i, c FROM go GROUP BY 1, 2 HAVING count(*) <= 1024),
+        |ko AS (SELECT go.* FROM go JOIN coldo USING (i, c)),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM gn n JOIN ko o ON n.i = o.i AND n.c = o.c
+        |  WHERE abs(n.ln - o.ln) <= 16)
+        |SELECT new_id, old_id, CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev
+        |FROM cand JOIN documents x ON x.doc_id = new_id
+        |  JOIN documents y ON y.doc_id = old_id
+        |WHERE levenshtein(x.text, y.text) <= 16""".stripMargin,
+    // identical (text, id) sort replayed as one rank + inequality join
+    // (the engine's two-level rank and band join compute the same pairs)
+    "q_x_snm_pairs" ->
+      """WITH r AS (SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY text, doc_id) AS r FROM documents)
+        |SELECT least(x.doc_id, y.doc_id) AS a,
+        |  greatest(x.doc_id, y.doc_id) AS b,
+        |  y.r - x.r AS rank_gap,
+        |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev
+        |FROM r x JOIN r y ON y.r > x.r AND y.r - x.r < 8
+        |WHERE levenshtein(x.text, y.text) <= 16""".stripMargin,
     // the same prefix-filter pipeline: df-ranked shingles, integer prefix
     // length n*2//10+1, candidate join on the contained side's rare
     // prefix, exact list_intersect verify — all-integer, oracle-exact

@@ -647,6 +647,63 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case ((a, b), l) => assert(l == lev(texts(a), texts(b))) }
   }
 
+  test("cross edit gate: new-vs-old only, never within a cohort") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running " +
+      "through the wide green valley beside the long cold river bank today"
+    val olds = Seq((1L, base), (2L, "entirely different standing content " * 4))
+      .toDF("doc_id", "text")
+    // 10 and 11 are mutual near-dups of each other AND of standing doc 1
+    val news = Seq((10L, base + " x"), (11L, base + " yy"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossEditNearDup(news, olds, "doc_id", "text",
+      q = 16, maxDist = 16)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // both new docs link to standing doc 1; the (10, 11) mutual pair is
+    // NOT emitted — batch self-dup adjudication is not this gate's job
+    assert(got == Set((10L, 1L), (11L, 1L)), s"got $got")
+  }
+
+  test("SNM pairs: prefix-sorted neighbors verified, offset-0 edits are the documented miss") {
+    val base = "mmmm program synthesis over relational algebra keeps the " +
+      "optimizer honest and the partitions balanced across the cluster"
+    val fixture = Seq(
+      (1L, base),
+      (2L, base + " tail"),       // shares the full prefix → sorts adjacent
+      (3L, "zz " + base),         // differs at offset 0 → sorts far away
+      (4L, "aaaa unrelated opener with entirely different words here"),
+      (5L, "qqqq another unrelated document body to pad the sort space")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(fixture, "doc_id", "text",
+      w = 2, maxDist = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+    // w large enough to reach doc 3 across the sort does catch it — the
+    // window size, not the verifier, is what bounded recall above
+    val wide = Dedup.sortedNeighborhoodPairs(fixture, "doc_id", "text",
+      w = 5, maxDist = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(wide.contains((1L, 3L)) && wide.contains((1L, 2L)))
+  }
+
+  test("SNM two-level rank + band join equals a naive flat-rank window scan") {
+    val r = new scala.util.Random(41)
+    val corpus = (0L until 40L).map { i =>
+      val t = Seq.fill(12)(r.alphanumeric.take(6).mkString).mkString(" ")
+      (i, if (i % 4 == 0) t + " suffix" else t)
+    }
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val w = 4
+    val eng = Dedup.sortedNeighborhoodPairs(df, "doc_id", "text",
+      w = w, maxDist = 1000)
+      .select("a", "b", "rank_gap").as[(Long, Long, Long)].collect().toSet
+    val sorted = corpus.sortBy(p => (p._2, p._1))
+    val naive = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.size)
+    } yield (math.min(sorted(i)._1, sorted(j)._1),
+      math.max(sorted(i)._1, sorted(j)._1), (j - i).toLong)).toSet
+    assert(eng == naive, s"engine ${eng.size} vs naive ${naive.size}")
+  }
+
   test("edit near-dup: boilerplate-frequency cap drops hot chunks, not cold evidence") {
     // 40 docs share the SAME first 16 chars (a boilerplate header) but are
     // otherwise unrelated filler; two of them are true near-dups whose
