@@ -983,32 +983,36 @@ object ExtTextQueries {
     // bit-exactness guarantee is gone — the exact-integer form is the
     // oracle-checkable tier, not the only one (the A4/HLL pattern).
     "q_x_bm25" -> { (s, dir) =>
-      val qTerms = Seq("spark", "stream", "window")
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("term")).filter(col("term") =!= "")
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
-      val hits = toks.filter(col("term").isin(qTerms: _*))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      val df_ = hits.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      val scored = hits
-        .join(broadcast(df_), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"),
-          (((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
-            lit(22) * col("tf") * col("t_tokens")).cast("double") /
-           ((lit(2) * col("df") + lit(1)) *
-            (lit(10) * col("tf") * col("t_tokens") + lit(3) * col("t_tokens") +
-             lit(9) * col("dl") * col("n_docs"))).cast("double")).as("score"))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_terms_hit"),
-          aggregate(sort_array(collect_list(struct(col("term"), col("score")))),
-            lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
+      bm25Top(s, dir)
+    },
+    // Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    // rankers — the standard hybrid-search consensus (BM25 ∪ vector /
+    // secondary ranker) that needs no score calibration because it only
+    // consumes RANKS: score(d) = Σ 1/(60 + rank_r(d)) over the top-10
+    // lists of BM25 and the all-integer term-coverage ranker. The
+    // contributions are a tiny fixed set {1/61..1/70} summed in
+    // ranker-name order (pinned fold), so the fusion is bit-exact
+    // cross-engine. Both input rankings are top-k-bounded → the fusion
+    // operates on query-metadata-sized tables at any corpus size.
+    "q_x_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ra = bm25Top(s, dir)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), lit("bm25").as("ranker"), col("r"))
+      val rb = coverageTop(s, dir)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("cov").desc, col("tf_total").desc, col("doc_id").asc)))
+        .select(col("doc_id"), lit("coverage").as("ranker"), col("r"))
+      ra.unionByName(rb)
+        .select(col("doc_id"), col("ranker"),
+          (lit(1.0) / (col("r") + 60)).as("contrib"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_rankers"),
+          aggregate(sort_array(collect_list(struct(col("ranker"), col("contrib")))),
+            lit(0.0), (acc, x) => acc + x.getField("contrib")).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
-        .select(col("doc_id"), col("n_terms_hit"), col("score"))
     },
     // Incremental corpus dedup, Bloom-accelerated: the already-ingested
     // cohort (doc_id ≡ 0 mod 3) is "yesterday's corpus"; the incoming rest
@@ -1157,6 +1161,77 @@ object ExtTextQueries {
         expectedItems = (nDocs / 3 + 1).max(1024L), fpp = 0.01)
     })
   }
+
+  /** Fixed retrieval query terms shared by the BM25, coverage, and RRF
+    * fusion entries.
+    */
+  private val QueryTerms = Seq("spark", "stream", "window")
+
+  /** BM25 top-10 (the q_x_bm25 body): integer-ratio-exact scoring per the
+    * documented k1=1.2 / b=0.75 rational form, term folds source-sorted.
+    * Shared by the standalone row and the RRF fusion.
+    */
+  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term")).filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val hits = toks.filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val df_ = hits.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = hits
+      .join(broadcast(df_), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
+          lit(22) * col("tf") * col("t_tokens")).cast("double") /
+         ((lit(2) * col("df") + lit(1)) *
+          (lit(10) * col("tf") * col("t_tokens") + lit(3) * col("t_tokens") +
+           lit(9) * col("dl") * col("n_docs"))).cast("double")).as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Term-coverage top-10: rank by (distinct query terms hit DESC, total
+    * tf DESC, doc_id) — the all-integer second ranker RRF fuses with BM25.
+    */
+  private[graft] def coverageTop(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("cov"), count(lit(1)).as("tf_total"))
+      .orderBy(col("cov").desc, col("tf_total").desc, col("doc_id").asc)
+      .limit(10)
+
+  /** The q_x_bm25 oracle's CTE chain (through `agg`), shared with the RRF
+    * fusion oracle so the two scorings can never drift apart.
+    */
+  private val bm25Ctes =
+    """tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
+      |hits AS (SELECT term, doc_id, count(*) AS tf FROM tok2
+      |  WHERE term IN ('spark', 'stream', 'window') GROUP BY term, doc_id),
+      |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+      |scored AS (SELECT h.doc_id, h.term,
+      |    CAST((2*s.n_docs - 2*d.df + 1) * 22 * h.tf * s.t_tokens AS DOUBLE) /
+      |    CAST((2*d.df + 1) * (10*h.tf*s.t_tokens + 3*s.t_tokens + 9*l.dl*s.n_docs) AS DOUBLE)
+      |      AS score
+      |  FROM hits h JOIN dfs d USING (term) JOIN dl l ON h.doc_id = l.doc_id
+      |  CROSS JOIN stats s),
+      |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+      |    list_reduce(list(score ORDER BY term), (acc, x) -> acc + x) AS score
+      |  FROM scored GROUP BY doc_id)""".stripMargin
 
   private val wCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws, text FROM documents)"""
@@ -2241,26 +2316,31 @@ object ExtTextQueries {
     // (seeded by the first element; 0.0 + s ≡ s for positive doubles, so
     // the fold equals Spark's zero-seeded aggregate bit-for-bit)
     "q_x_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tok2 AS (SELECT * FROM tok WHERE term <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
-        |hits AS (SELECT term, doc_id, count(*) AS tf FROM tok2
-        |  WHERE term IN ('spark', 'stream', 'window') GROUP BY term, doc_id),
-        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
-        |scored AS (SELECT h.doc_id, h.term,
-        |    CAST((2*s.n_docs - 2*d.df + 1) * 22 * h.tf * s.t_tokens AS DOUBLE) /
-        |    CAST((2*d.df + 1) * (10*h.tf*s.t_tokens + 3*s.t_tokens + 9*l.dl*s.n_docs) AS DOUBLE)
-        |      AS score
-        |  FROM hits h JOIN dfs d USING (term) JOIN dl l ON h.doc_id = l.doc_id
-        |  CROSS JOIN stats s),
-        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
-        |    list_reduce(list(score ORDER BY term), (acc, x) -> acc + x) AS score
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_terms_hit, score FROM agg
-        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms_hit, score FROM agg
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // the same two top-10 lists re-ranked, then the pinned ranker-order
+    // fold of 1/(60+rank) — rank arithmetic only, no score calibration
+    "q_x_rrf" ->
+      s"""WITH $bm25Ctes,
+         |ra AS (SELECT doc_id, 'bm25' AS ranker,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         |  FROM (SELECT doc_id, score FROM agg
+         |        ORDER BY score DESC, doc_id ASC LIMIT 10)),
+         |cb AS (SELECT doc_id, count(DISTINCT term) AS cov, count(*) AS tf_total
+         |  FROM tok2 WHERE term IN ('spark', 'stream', 'window') GROUP BY doc_id),
+         |rb AS (SELECT doc_id, 'coverage' AS ranker,
+         |    row_number() OVER (ORDER BY cov DESC, tf_total DESC, doc_id ASC) AS r
+         |  FROM (SELECT * FROM cb
+         |        ORDER BY cov DESC, tf_total DESC, doc_id ASC LIMIT 10)),
+         |u AS (SELECT doc_id, ranker, CAST(1.0 AS DOUBLE) / (r + 60) AS contrib
+         |    FROM ra
+         |  UNION ALL
+         |  SELECT doc_id, ranker, CAST(1.0 AS DOUBLE) / (r + 60) FROM rb)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_rankers,
+         |  list_reduce(list(contrib ORDER BY ranker), (a, x) -> a + x) AS rrf
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
     // the Bloom sketch only PRUNES (no false negatives) and every maybe is
     // exactly verified, so the oracle is the plain anti-join
     "q_x_bloom_dedup" ->

@@ -158,4 +158,27 @@ class QualitySetSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("rrf fusion equals a driver recomputation from the two ranked lists") {
+    val bm25 = SparkEntry.queries("q_x_bm25")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSeq // already (score, id)-ordered
+    val fused = SparkEntry.queries("q_x_rrf")(spark, sfDir)
+    val covList = graft.queries.ExtTextQueries.coverageTop(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSeq
+    val want = (bm25.zipWithIndex.map { case (d, i) => (d, "bm25", i + 1) } ++
+      covList.zipWithIndex.map { case (d, i) => (d, "coverage", i + 1) })
+      .groupBy(_._1).map { case (d, rs) =>
+        val sorted = rs.sortBy(_._2)
+        d -> ((rs.size,
+          sorted.foldLeft(0.0)((a, r) => a + 1.0 / (60 + r._3))))
+      }
+    val got = fused.select("doc_id", "n_rankers", "rrf")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the emitted top-10 of the fusion matches the driver scores exactly
+    got.foreach { case (d, (n, s)) =>
+      assert(want(d)._1 == n && want(d)._2 == s, s"doc $d: ($n,$s) vs ${want(d)}")
+    }
+    assert(got.nonEmpty && got.values.exists(_._1 == 2),
+      "fixture must exercise a doc ranked by both rankers")
+  }
 }
