@@ -179,6 +179,80 @@ object QualityQueries {
         .select(col("event_type"), col("day"), col("dow"), col("n"),
           col("t").as("dow_total"), col("d").as("dow_days"))
     },
+    // Distribution-drift monitor: two-sample chi-square per event type
+    // between the month's first half (reference) and second half
+    // (current) over fixed 50-unit value bins — the ingest-monitoring
+    // gate that fires when a feed's value distribution shifts (schema
+    // stays green, semantics drift). Chi-square instead of PSI/KL by
+    // DESIGN: the statistic is rational in the counts (no libm ln), so
+    // with expected counts formed as one integer-exact product per side
+    // and the per-bin terms folded in bin order, the whole number is
+    // bit-deterministic cross-engine. An empty cohort contributes 0 for
+    // its side (the standard convention). One (type, bin) aggregate +
+    // one type-keyed rollup — bounded key space at any volume.
+    "q_x_drift_chi2" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("is_ref"),
+          expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, 9)")
+            .as("bin"))
+      val counts = e.groupBy(col("event_type"), col("bin"))
+        .agg(count(when(col("is_ref"), lit(1))).as("o1"),
+          count(when(!col("is_ref"), lit(1))).as("o2"))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+      val term = {
+        val e1 = ((col("o1") + col("o2")) * col("n1")).cast("double") /
+          (col("n1") + col("n2")).cast("double")
+        val e2 = ((col("o1") + col("o2")) * col("n2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")
+        val t1 = when(col("n1") > 0,
+          (col("o1").cast("double") - e1) * (col("o1").cast("double") - e1) / e1)
+          .otherwise(lit(0.0))
+        val t2 = when(col("n2") > 0,
+          (col("o2").cast("double") - e2) * (col("o2").cast("double") - e2) / e2)
+          .otherwise(lit(0.0))
+        t1 + t2
+      }
+      counts.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("bin"), col("n1"), col("n2"), term.as("__t"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n1")).as("n_ref"), min(col("n2")).as("n_cur"),
+          count(lit(1)).cast("int").as("n_bins"),
+          aggregate(sort_array(collect_list(struct(col("bin"), col("__t")))),
+            lit(0.0), (acc, x) => acc + x.getField("__t")).as("chi2"))
+    },
+    // Snapshot DIFF between two as-of versions of the per-customer
+    // latest-order state — the ops tool every SCD/backfill pipeline
+    // needs ("what changed between yesterday's build and today's"):
+    // FULL OUTER on the key, rows classified added / removed / changed
+    // (same rows are suppressed — the diff should be small even when
+    // the snapshots are huge, and everything downstream of the join is
+    // change-set-sized). Each snapshot is one latestPerKey pass.
+    "q_x_snapshot_diff" -> { (s, dir) =>
+      def snap(cutoff: String) = Ops.latestPerKey(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") <= lit(cutoff).cast("timestamp")),
+        Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("decimal(18,2)").as("total"))
+      val a = snap("1998-01-01")
+      val b = snap("2000-01-01")
+      a.as("a").join(b.as("b"),
+          col("a.custkey") === col("b.custkey"), "full_outer")
+        .select(
+          coalesce(col("a.custkey"), col("b.custkey")).as("custkey"),
+          when(col("a.custkey").isNull, lit("added"))
+            .when(col("b.custkey").isNull, lit("removed"))
+            .when(col("a.status") =!= col("b.status") ||
+              col("a.total") =!= col("b.total"), lit("changed"))
+            .otherwise(lit("same")).as("change_type"),
+          col("a.status").as("status_before"), col("b.status").as("status_after"),
+          col("a.total").as("total_before"), col("b.total").as("total_after"))
+        .filter(col("change_type") =!= "same")
+    },
     // k-anonymity audit — the re-identification gate a dataset release
     // (or a training corpus carrying user-derived metadata) runs before
     // publication: every quasi-identifier combination (here nation ×
@@ -199,6 +273,54 @@ object QualityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same integer-exact expected counts and bin-ordered term fold
+    "q_x_drift_chi2" ->
+      """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS is_ref,
+        |    least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000, 9) AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |    count(CASE WHEN is_ref THEN 1 END) AS o1,
+        |    count(CASE WHEN NOT is_ref THEN 1 END) AS o2
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(o1) AS BIGINT) AS n1,
+        |    CAST(sum(o2) AS BIGINT) AS n2 FROM c GROUP BY 1),
+        |terms AS (SELECT c.event_type, c.bin, t.n1, t.n2,
+        |    CAST((c.o1 + c.o2) * t.n1 AS DOUBLE) / CAST(t.n1 + t.n2 AS DOUBLE) AS e1,
+        |    CAST((c.o1 + c.o2) * t.n2 AS DOUBLE) / CAST(t.n1 + t.n2 AS DOUBLE) AS e2,
+        |    CAST(c.o1 AS DOUBLE) AS d1, CAST(c.o2 AS DOUBLE) AS d2
+        |  FROM c JOIN t USING (event_type)),
+        |tt AS (SELECT event_type, bin, n1, n2,
+        |    (CASE WHEN n1 > 0 THEN (d1 - e1) * (d1 - e1) / e1 ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CASE WHEN n2 > 0 THEN (d2 - e2) * (d2 - e2) / e2 ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS term
+        |  FROM terms)
+        |SELECT event_type, min(n1) AS n_ref, min(n2) AS n_cur,
+        |  CAST(count(*) AS INT) AS n_bins,
+        |  list_reduce(list(term ORDER BY bin), (a, x) -> a + x) AS chi2
+        |FROM tt GROUP BY event_type""".stripMargin,
+    // both as-of snapshots replayed as rank-1 scans, full-outer diffed
+    "q_x_snapshot_diff" ->
+      """WITH sa AS (SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01')
+        |  WHERE rn = 1),
+        |sb AS (SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate <= TIMESTAMP '2000-01-01')
+        |  WHERE rn = 1),
+        |d AS (SELECT coalesce(sa.custkey, sb.custkey) AS custkey,
+        |    CASE WHEN sa.custkey IS NULL THEN 'added'
+        |         WHEN sb.custkey IS NULL THEN 'removed'
+        |         WHEN sa.status <> sb.status OR sa.total <> sb.total THEN 'changed'
+        |         ELSE 'same' END AS change_type,
+        |    sa.status AS status_before, sb.status AS status_after,
+        |    sa.total AS total_before, sb.total AS total_after
+        |  FROM sa FULL OUTER JOIN sb ON sa.custkey = sb.custkey)
+        |SELECT * FROM d WHERE change_type <> 'same'""".stripMargin,
     "q_x_k_anon" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
