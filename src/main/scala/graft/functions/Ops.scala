@@ -518,6 +518,59 @@ object Ops {
       .bitwiseOR(shiftleft(spread16(checked(y, "y")), 1))
   }
 
+  /** Hilbert-curve index of two 15-bit dimensions (order-15 curve,
+    * domain [0, 32768) per axis) — the locality-PRESERVING sibling of
+    * [[mortonInterleave]]: the Hilbert curve visits every cell of the
+    * 2-d grid such that consecutive indexes are ALWAYS grid-adjacent
+    * (Morton order takes long diagonal jumps at power-of-two
+    * boundaries), so equal-count file tiles cut from a Hilbert sort
+    * have tighter per-dimension bounding boxes — measurably better
+    * min/max footer pruning on the same data (BehaviorLayoutSpec
+    * quantifies it against the z-order layout).
+    *
+    * Implementation is the canonical xy2d bit-level loop (15 rounds of
+    * quadrant classification d += s²·((3·rx) ⊕ ry) and grid reflection/
+    * transposition), expressed as ONE array fold over the bit levels
+    * with the (x, y, d) state packed into a single BIGINT
+    * (d·2³² | x·2¹⁶ | y — order 15 keeps the pack inside the SIGNED
+    * 63-bit range on both engines, which is why the order is 15 and not
+    * 16). Pure codegen'd integer arithmetic, no UDF, replayed
+    * bit-for-bit by the q_x_hilbert oracle's identical fold.
+    *
+    * Inputs are range-checked (0 ≤ v < 32768) for the same aliasing
+    * reason as [[mortonInterleave]]; wider domains bucket first.
+    */
+  def hilbertIndex(x: Column, y: Column): Column = {
+    def checked(v: Column, name: String): Column = {
+      val lv = v.cast("bigint")
+      when(lv < 0 || lv > 0x7FFFL,
+        raise_error(concat(lit(s"hilbertIndex: $name out of [0, 32768): "),
+          lv.cast("string"))))
+        .otherwise(lv)
+    }
+    // the bit level is a lambda variable, so the variable-amount shifts go
+    // through the SQL shiftleft/shiftright (the Scala wrappers take only
+    // literal Int amounts)
+    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n.cast("int"))
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n.cast("int"))
+    val init = shiftleft(checked(x, "x"), 16).bitwiseOR(checked(y, "y"))
+    val levels = array((14 to 0 by -1).map(lit): _*)
+    val folded = aggregate(levels, init, (acc, i) => {
+      val d = shiftright(acc, 32)
+      val cx = shiftright(acc, 16).bitwiseAND(lit(0x7FFFL))
+      val cy = acc.bitwiseAND(lit(0x7FFFL))
+      val rx = shr(cx, i).bitwiseAND(lit(1L))
+      val ry = shr(cy, i).bitwiseAND(lit(1L))
+      val nd = d + shl(lit(1L), i * 2) * (rx * 3).bitwiseXOR(ry)
+      val nx = when(ry === 0, when(rx === 1, lit(0x7FFFL) - cy).otherwise(cy))
+        .otherwise(cx)
+      val ny = when(ry === 0, when(rx === 1, lit(0x7FFFL) - cx).otherwise(cx))
+        .otherwise(cy)
+      shiftleft(nd, 32).bitwiseOR(shiftleft(nx, 16)).bitwiseOR(ny)
+    })
+    shiftright(folded, 32)
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: each key scores
     * every shard with the seedless md5 of `key:rv:shard` and lands on the
     * argmax — the STABLE sharding a 100 TB incremental pipeline needs:

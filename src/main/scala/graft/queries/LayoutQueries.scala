@@ -28,6 +28,23 @@ object LayoutQueries {
   }
   private val zvalSql = s"(${spreadSql("x")} | (${spreadSql("y")} << 1))"
 
+  /** SQL replay of [[Ops.hilbertIndex]]'s packed-state bit-level fold —
+    * the identical 15-round xy2d loop over a BIGINT-packed (d, x, y).
+    */
+  private def hilbertSql(xcol: String, ycol: String): String = {
+    val d = "(acc >> 32)"
+    val x = "((acc >> 16) & 32767)"
+    val y = "(acc & 32767)"
+    val rx = s"(($x >> i) & 1)"
+    val ry = s"(($y >> i) & 1)"
+    val nd = s"($d + (CAST(1 AS BIGINT) << (2*i)) * xor(3 * $rx, $ry))"
+    val nx = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 32767 - $y ELSE $y END) ELSE $x END)"
+    val ny = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 32767 - $x ELSE $x END) ELSE $y END)"
+    s"""list_reduce(list_prepend(((CAST($xcol AS BIGINT) << 16) | CAST($ycol AS BIGINT)),
+       |    [14,13,12,11,10,9,8,7,6,5,4,3,2,1,0]),
+       |  (acc, i) -> ($nd << 32) | ($nx << 16) | $ny) >> 32""".stripMargin
+  }
+
   /** orders → (key, x = custkey, y = days since the start of the order
     * date domain). Both dimensions fit 16 bits at the driver SFs
     * (custkey ≤ 14 999 at sf0.1; the date span is ~2 400 days) and the
@@ -84,6 +101,32 @@ object LayoutQueries {
           min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
           min(col("y")).as("min_day"), max(col("y")).as("max_day"))
     },
+    // Hilbert clustering key over the same (customer, order-day) plane —
+    // the locality-preserving alternative to q_x_zorder: consecutive
+    // Hilbert indexes are ALWAYS grid-adjacent (Morton jumps diagonally
+    // at power-of-two seams), so equal-count file tiles carry tighter
+    // per-dimension min/max footers and prune better on the same data
+    // (BehaviorLayoutSpec measures both layouts' tile bounding boxes
+    // side by side). The index is one codegen'd integer fold
+    // (Ops.hilbertIndex); the oracle replays the identical fold.
+    "q_x_hilbert" -> { (s, dir) =>
+      orderZBase(s, dir)
+        .withColumn("hval", Ops.hilbertIndex(col("x"), col("y")))
+        .select(col("o_orderkey"), col("hval"),
+          shiftright(col("hval"), 16).as("hbucket"))
+    },
+    // The skipping-stats view of the Hilbert layout — same tile grain
+    // (65536 curve cells per bucket) as q_x_zorder_stats, so the two
+    // stats tables are directly comparable footer-for-footer.
+    "q_x_hilbert_stats" -> { (s, dir) =>
+      orderZBase(s, dir)
+        .withColumn("hbucket",
+          shiftright(Ops.hilbertIndex(col("x"), col("y")), 16))
+        .groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+          min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+    },
     // Salted skew join (Ops.saltedJoin): events fact × customer dim on
     // user_id with the fact side salted over 8 reducer cells and the dim
     // replicated 8×. The contract — and what the oracle checks — is
@@ -121,6 +164,21 @@ object LayoutQueries {
          |  min(x) AS min_cust, max(x) AS max_cust,
          |  min(y) AS min_day, max(y) AS max_day
          |FROM z GROUP BY 1""".stripMargin,
+    "q_x_hilbert" ->
+      s"""WITH base AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS y
+         |  FROM orders),
+         |h AS (SELECT o_orderkey, ${hilbertSql("x", "y")} AS hval FROM base)
+         |SELECT o_orderkey, hval, (hval >> 16) AS hbucket FROM h""".stripMargin,
+    "q_x_hilbert_stats" ->
+      s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS y
+         |  FROM orders),
+         |h AS (SELECT x, y, (${hilbertSql("x", "y")}) >> 16 AS hbucket FROM base)
+         |SELECT hbucket, count(*) AS n,
+         |  min(x) AS min_cust, max(x) AS max_cust,
+         |  min(y) AS min_day, max(y) AS max_day
+         |FROM h GROUP BY 1""".stripMargin,
     "q_x_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -59,6 +59,63 @@ class BehaviorLayoutSpec extends SparkSpec {
     }
   }
 
+  private def hilbertRef(n: Long, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertIndex matches the canonical xy2d loop and raises out of range") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq((0L, 0L), (32767L, 32767L), (5L, 7L), (32767L, 0L), (0L, 32767L)) ++
+      Seq.fill(200)((rnd.nextInt(32768).toLong, rnd.nextInt(32768).toLong))
+    spark.createDataFrame(pairs).toDF("x", "y")
+      .select(col("x"), col("y"), Ops.hilbertIndex(col("x"), col("y")).as("h"))
+      .collect().foreach { r =>
+        val (x, y, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(h == hilbertRef(32768L, x, y), s"hilbert($x, $y) = $h")
+      }
+    val e = intercept[Exception](
+      spark.createDataFrame(Seq((32768L, 0L))).toDF("x", "y")
+        .select(Ops.hilbertIndex(col("x"), col("y"))).collect())
+    assert(e.getMessage.contains("hilbertIndex") ||
+      Option(e.getCause).exists(_.getMessage.contains("hilbertIndex")))
+  }
+
+  test("hilbert locality: consecutive indexes are grid-adjacent; tiles beat morton's bbox") {
+    // the curve-adjacency property morton lacks: d and d+1 always map to
+    // cells one step apart (driver replay of d2xy via inverting the ref
+    // on a small grid)
+    val n = 64L
+    val cells = (for (x <- 0L until n; y <- 0L until n) yield (hilbertRef(n, x, y), x, y))
+      .sortBy(_._1)
+    cells.sliding(2).foreach { case Seq((d1, x1, y1), (d2, x2, y2)) =>
+      assert(d2 == d1 + 1 && math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step at d=$d1")
+    }
+    // and the payoff on the real data: equal-grain tiles from the Hilbert
+    // sort have a no-worse total bounding-box perimeter than z-order's
+    // (tighter boxes = tighter footers = more pruning)
+    def totalSpan(q: String): Long =
+      LayoutQueries.queries(q)(spark, sfDir).collect().map { r =>
+        (r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust")) +
+          (r.getAs[Long]("max_day") - r.getAs[Long]("min_day"))
+      }.sum
+    val hz = totalSpan("q_x_hilbert_stats")
+    val zz = totalSpan("q_x_zorder_stats")
+    assert(hz <= zz, s"hilbert total span $hz vs zorder $zz")
+  }
+
   test("z-order layout actually skips row groups for the NON-leading dimension") {
     // End-to-end proof of the layout claim, not just the key arithmetic:
     // write orders twice into 8 files — once range-partitioned+sorted by
