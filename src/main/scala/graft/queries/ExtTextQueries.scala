@@ -141,6 +141,33 @@ object ExtTextQueries {
       Dedup.editNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         q = 16, maxDist = 16, maxChunkDf = 1024L)
     },
+    // Vocabulary-growth (Heaps-law) curve: distinct word-3-gram count
+    // after each doc_id decile of the corpus — the measurement that
+    // PREDICTS whether df-based pruning (prefix-filtered containment,
+    // rare-chunk blocking) stays linear at scale: a growing vocabulary
+    // keeps rare grams rare; a saturating one (this synthetic corpus —
+    // the session-10 sf1 finding) pushes every df up with corpus size.
+    // Shape: each gram contributes its FIRST-occurrence decile (one
+    // gram-keyed min), then one 10-row cumulative — no prefix is ever
+    // re-scanned. All-integer.
+    "q_x_vocab_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.agg(max(col("doc_id")).as("mx"))
+      val firstDecile = docs
+        .crossJoin(broadcast(nDocs))
+        .select(least(expr("doc_id * 10 div (mx + 1)"), lit(9)).as("decile"),
+          explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .groupBy(col("g")).agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_grams"))
+      firstDecile
+        .withColumn("vocab_size",
+          sum(col("new_grams")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile").cast("int").as("decile"),
+          col("new_grams"), col("vocab_size"))
+    },
     // Incremental admission for the EDIT-distance duplicate class: the
     // batch cohort (doc_id % 7 == 0) tested against the standing corpus
     // only — new×new / old×old pairs never form (the crossNearDupMinHash
@@ -985,6 +1012,28 @@ object ExtTextQueries {
     "q_x_bm25" -> { (s, dir) =>
       bm25Top(s, dir)
     },
+    // Pseudo-relevance feedback (PRF / RM3-style) query expansion: run
+    // BM25 with the base terms, mine the top-10 FEEDBACK docs for the 3
+    // strongest expansion terms (by feedback-set df, then tf, then term —
+    // all-integer ranking, original terms excluded), and re-run BM25 with
+    // the expanded 6-term query. The expansion set is a DataFrame joined
+    // by broadcast — no driver collect, the whole two-pass retrieval is
+    // one lazy plan. Recall widens (docs matching only expansion terms
+    // now surface) while the scoring stays the oracle-exact rational
+    // form.
+    "q_x_prf" -> { (s, dir) =>
+      val base = baseTermSet(s)
+      val feedback = bm25ScoredTop(s, dir, base).select(col("doc_id"))
+      val expansion = docToks(s, dir)
+        .join(broadcast(feedback), Seq("doc_id"), "left_semi")
+        .filter(!col("term").isin(QueryTerms: _*))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("fdf"), count(lit(1)).as("ftf"))
+        .orderBy(col("fdf").desc, col("ftf").desc, col("term").asc)
+        .limit(3)
+        .select(col("term"))
+      bm25ScoredTop(s, dir, base.unionByName(expansion))
+    },
     // Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
     // rankers — the standard hybrid-search consensus (BM25 ∪ vector /
     // secondary ranker) that needs no score calibration because it only
@@ -1167,17 +1216,24 @@ object ExtTextQueries {
     */
   private val QueryTerms = Seq("spark", "stream", "window")
 
-  /** BM25 top-10 (the q_x_bm25 body): integer-ratio-exact scoring per the
-    * documented k1=1.2 / b=0.75 rational form, term folds source-sorted.
-    * Shared by the standalone row and the RRF fusion.
-    */
-  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"),
+  /** Corpus token stream (doc_id, term) shared by the retrieval family. */
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("term")).filter(col("term") =!= "")
+
+  /** BM25 top-10 over an arbitrary TERM-SET DataFrame (column `term`) —
+    * integer-ratio-exact scoring per the documented k1=1.2 / b=0.75
+    * rational form, term folds source-sorted. The term set rides in as a
+    * broadcast join (never a driver collect), so a DATA-DERIVED set (the
+    * PRF expansion) keeps the whole pipeline one lazy plan. Shared by the
+    * standalone row, the RRF fusion, and both PRF passes.
+    */
+  private def bm25ScoredTop(s: SparkSession, dir: String,
+      termSet: DataFrame): DataFrame = {
+    val toks = docToks(s, dir)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
-    val hits = toks.filter(col("term").isin(QueryTerms: _*))
+    val hits = toks.join(broadcast(termSet), Seq("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     val df_ = hits.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val scored = hits
@@ -1197,6 +1253,14 @@ object ExtTextQueries {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)
   }
+
+  private def baseTermSet(s: SparkSession): DataFrame = {
+    import s.implicits._
+    QueryTerms.toDF("term")
+  }
+
+  private def bm25Top(s: SparkSession, dir: String): DataFrame =
+    bm25ScoredTop(s, dir, baseTermSet(s))
 
   /** Term-coverage top-10: rank by (distinct query terms hit DESC, total
     * tf DESC, doc_id) — the all-integer second ranker RRF fuses with BM25.
@@ -1504,6 +1568,20 @@ object ExtTextQueries {
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,
+    // first-occurrence decile per gram, then the 10-row cumulative
+    "q_x_vocab_growth" ->
+      s"""WITH $wCte,
+         |nd AS (SELECT max(doc_id) AS mx FROM documents),
+         |g AS (SELECT least(doc_id * 10 // (nd.mx + 1), 9) AS decile,
+         |    unnest($shingleExpr) AS g
+         |  FROM w, nd),
+         |fd AS (SELECT g, min(decile) AS decile FROM g GROUP BY g),
+         |per AS (SELECT decile, count(*) AS new_grams FROM fd GROUP BY decile)
+         |SELECT CAST(decile AS INT) AS decile, new_grams,
+         |  CAST(sum(new_grams) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS vocab_size
+         |FROM per""".stripMargin,
     // the same cohort split, grid blocking (cap on the standing side
     // only), cross-cohort candidate join, and levenshtein verify
     "q_x_incr_editdup" ->
@@ -2318,6 +2396,32 @@ object ExtTextQueries {
     "q_x_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_terms_hit, score FROM agg
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // base pass → top-10 feedback docs → all-integer expansion-term
+    // ranking → the identical scoring chain over the expanded term set
+    "q_x_prf" ->
+      s"""WITH $bm25Ctes,
+         |f AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10),
+         |exp AS (SELECT term FROM (
+         |    SELECT t2.term, count(DISTINCT t2.doc_id) AS fdf, count(*) AS ftf
+         |    FROM tok2 t2 JOIN f USING (doc_id)
+         |    WHERE t2.term NOT IN ('spark', 'stream', 'window')
+         |    GROUP BY 1 ORDER BY fdf DESC, ftf DESC, term ASC LIMIT 3)),
+         |q1 AS (SELECT 'spark' AS term UNION ALL SELECT 'stream'
+         |  UNION ALL SELECT 'window' UNION ALL SELECT term FROM exp),
+         |hits1 AS (SELECT t2.term, t2.doc_id, count(*) AS tf
+         |  FROM tok2 t2 JOIN q1 USING (term) GROUP BY 1, 2),
+         |dfs1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits1 GROUP BY term),
+         |scored1 AS (SELECT h.doc_id, h.term,
+         |    CAST((2*s.n_docs - 2*d.df + 1) * 22 * h.tf * s.t_tokens AS DOUBLE) /
+         |    CAST((2*d.df + 1) * (10*h.tf*s.t_tokens + 3*s.t_tokens + 9*l.dl*s.n_docs) AS DOUBLE)
+         |      AS score
+         |  FROM hits1 h JOIN dfs1 d USING (term) JOIN dl l ON h.doc_id = l.doc_id
+         |  CROSS JOIN stats s),
+         |agg1 AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+         |    list_reduce(list(score ORDER BY term), (acc, x) -> acc + x) AS score
+         |  FROM scored1 GROUP BY doc_id)
+         |SELECT doc_id, n_terms_hit, score FROM agg1
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // the same two top-10 lists re-ranked, then the pinned ranker-order
     // fold of 1/(60+rank) — rank arithmetic only, no score calibration
