@@ -94,6 +94,25 @@ object StreamJobs {
         org.apache.spark.sql.graft.sketches
           .thetaSketch(col("user_id"), lgK).as("user_sketch"))
 
+  /** Streaming side of the q_x_drift_chi2 monitor: per (event_type, half,
+    * value bin) COUNTS maintained from the stream in complete mode — the
+    * state is a bounded integer grid (types × 2 × 10), and counts are
+    * additive, so the drained table equals the batch bin census
+    * bit-for-bit under any micro-batch slicing (StreamingSpec pins it).
+    * The chi-square itself is a deterministic derivation OVER the counts,
+    * so batch-computing it from the drained grid gives exactly
+    * q_x_drift_chi2's statistic — monitor semantics with no approximate
+    * tier. The bin rule is the batch rule verbatim (cents div 5000,
+    * clamped to 10 bins; reference = month days 1–15).
+    */
+  def driftBinCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"),
+        expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, 9)")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming corpus-prep front door: the batch pipeline's quality gate +
     * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
     * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The

@@ -126,6 +126,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming drift bin counts equal the batch census; chi2 derives identically") {
+    val src = Files.createTempDirectory("graft_drift_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src) // 3 micro-batches
+    val q = StreamJobs.driftBinCounts(StreamJobs.fileEventStream(spark, src))
+      .writeStream.outputMode("complete").format("memory").queryName("drift").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Map[(String, Boolean, Long), Long] =
+      df.collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val got = canon(spark.table("drift"))
+    val want = canon(StreamJobs.driftBinCounts(ev))
+    // counts are additive integers — micro-batch slicing cannot show
+    // through: bit-equality, and therefore the chi-square DERIVED from
+    // the drained grid equals the batch statistic exactly
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming scd2: closed versions equal the batch history build") {
     // three ts-ordered slices, mtimes forced sequential so the file source
     // replays them in event-time order (the CDC ordered-arrival contract)
