@@ -199,6 +199,38 @@ object ExtVectorQueries {
           aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
           array_max(col("qv")).as("q_max"))
     },
+    // Embedding-curation outlier pruning: per label, the ~5% of vectors
+    // farthest from the label CENTROID — the standard mislabeled-example
+    // sweep before contrastive training (a vector far from its own
+    // class's center is noise or a labeling error). Centroids are exact
+    // vec_id-ordered mean folds (buffer bounded by class size; a
+    // web-scale class would go through the Clustering two-level fold),
+    // distances the left-to-right dim fold, and the 5% cut an integer
+    // quota ⌈n/20⌉ by (dist DESC, vec_id) — so the flag set is
+    // bit-deterministic and the DuckDB replay exact.
+    "q_x_embed_outliers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val d = 64
+      val ctr = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("__n"),
+          aggregate(sort_array(collect_list(struct(col("vec_id"), col("embedding")))),
+            array((0 until d).map(_ => lit(0.0)): _*),
+            (acc, x) => zip_with(acc, x.getField("embedding"), (a, v) => a + v))
+            .as("__s"))
+        .select(col("label"), col("__n"),
+          transform(col("__s"), v => v / col("__n")).as("__ctr"))
+      e.join(ctr, Seq("label"))
+        .select(col("label"), col("vec_id"), col("__n"),
+          aggregate(zip_with(col("embedding"), col("__ctr"), (x, c) => (x - c) * (x - c)),
+            lit(0.0), (a, v) => a + v).as("sq_dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("sq_dist").desc, col("vec_id").asc)))
+        .filter(col("rank") <= expr("(__n + 19) div 20"))
+        .select(col("label"), col("vec_id"), col("sq_dist"),
+          col("rank").cast("int").as("rank"))
+    },
     // Distributed k-means (Lloyd) as a first-class ORACLED operator — the
     // deterministic-exact tier of the codebook training the IVF/PQ ANN
     // paths run behind recall specs: smallest-(features, id) init, argmin
@@ -218,6 +250,28 @@ object ExtVectorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per-dim vec_id-ordered mean folds, the identical dim-ordered
+    // distance fold, integer ceil(n/20) quota by (dist DESC, vec_id)
+    "q_x_embed_outliers" ->
+      """WITH dims AS (SELECT e.label, g.i,
+        |    list_reduce(list(CAST(e.embedding[g.i] AS DOUBLE) ORDER BY e.vec_id),
+        |      (a, b) -> a + b) AS s,
+        |    count(*) AS n
+        |  FROM embeddings e, generate_series(1, 64) g(i) GROUP BY 1, 2),
+        |ctr AS (SELECT label, max(n) AS n, list(s / n ORDER BY i) AS c
+        |  FROM dims GROUP BY label),
+        |dv AS (SELECT e.vec_id, e.label, g.i,
+        |    (CAST(e.embedding[g.i] AS DOUBLE) - ctr.c[g.i]) AS d
+        |  FROM embeddings e JOIN ctr USING (label), generate_series(1, 64) g(i)),
+        |dist AS (SELECT vec_id, label,
+        |    list_reduce(list(d * d ORDER BY i), (a, b) -> a + b) AS sq_dist
+        |  FROM dv GROUP BY 1, 2),
+        |rk AS (SELECT d.label, d.vec_id, d.sq_dist, ctr.n,
+        |    row_number() OVER (PARTITION BY d.label
+        |      ORDER BY d.sq_dist DESC, d.vec_id ASC) AS rank
+        |  FROM dist d JOIN ctr ON ctr.label = d.label)
+        |SELECT label, vec_id, sq_dist, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= (n + 19) // 20""".stripMargin,
     // the 3 Lloyd rounds unrolled: assignment = per-ROW correlated argmin
     // over (squaredDist, cid) — every input row is a point (the synthetic
     // (orderkey, linenumber) key COLLIDES, so ids must not be collapsed);
