@@ -250,7 +250,10 @@ object QualityQueries {
               col("a.total") =!= col("b.total"), lit("changed"))
             .otherwise(lit("same")).as("change_type"),
           col("a.status").as("status_before"), col("b.status").as("status_after"),
-          col("a.total").as("total_before"), col("b.total").as("total_after"))
+          // compared exactly as DECIMAL above; final-cast DOUBLE per the
+          // export contract (driver hash is decimal-unsafe, DRIVER_BUG.md)
+          col("a.total").cast("double").as("total_before"),
+          col("b.total").cast("double").as("total_after"))
         .filter(col("change_type") =!= "same")
     },
     // k-anonymity audit — the re-identification gate a dataset release
@@ -318,7 +321,8 @@ object QualityQueries {
         |         WHEN sa.status <> sb.status OR sa.total <> sb.total THEN 'changed'
         |         ELSE 'same' END AS change_type,
         |    sa.status AS status_before, sb.status AS status_after,
-        |    sa.total AS total_before, sb.total AS total_after
+        |    CAST(sa.total AS DOUBLE) AS total_before,
+        |    CAST(sb.total AS DOUBLE) AS total_after
         |  FROM sa FULL OUTER JOIN sb ON sa.custkey = sb.custkey)
         |SELECT * FROM d WHERE change_type <> 'same'""".stripMargin,
     "q_x_k_anon" ->
