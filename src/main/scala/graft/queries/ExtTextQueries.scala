@@ -141,6 +141,31 @@ object ExtTextQueries {
       Dedup.editNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         q = 16, maxDist = 16, maxChunkDf = 1024L)
     },
+    // Lexicon blocklist gate (the toxicity/NSFW word-filter stage): docs
+    // are scored against a broadcast blocklist — distinct blocked terms
+    // hit and total hit count — and pass iff they contain NO blocked
+    // term. The list rides as a broadcast join against the token stream
+    // (a 10⁵-word lexicon is query metadata at any corpus size; the
+    // Aho-Corasick single-pass form is the in-map alternative when the
+    // lexicon outgrows a join — not needed at lexicon scales). LEFT join
+    // keeps clean docs visible with zero counts — the gate's output IS
+    // the full corpus with verdicts, not just the rejects.
+    "q_x_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val blocked = Seq("error", "crash", "fail", "panic", "leak")
+        .toDF("term")
+      val hits = docToks(s, dir)
+        .join(broadcast(blocked), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).as("n_blocked_terms"),
+          count(lit(1)).as("n_hits"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_blocked_terms"), lit(0L)).as("n_blocked_terms"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) === 0).as("passed"))
+    },
     // Vocabulary-growth (Heaps-law) curve: distinct word-3-gram count
     // after each doc_id decile of the corpus — the measurement that
     // PREDICTS whether df-based pruning (prefix-filtered containment,
@@ -1568,6 +1593,19 @@ object ExtTextQueries {
     "q_x_dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS kept_id
         |FROM documents GROUP BY lang, source""".stripMargin,
+    "q_x_blocklist" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |h AS (SELECT doc_id, count(DISTINCT term) AS n_blocked_terms,
+        |    count(*) AS n_hits
+        |  FROM tok WHERE term <> ''
+        |    AND term IN ('error', 'crash', 'fail', 'panic', 'leak')
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(h.n_blocked_terms, 0) AS n_blocked_terms,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  (coalesce(h.n_hits, 0) = 0) AS passed
+        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
     // first-occurrence decile per gram, then the 10-row cumulative
     "q_x_vocab_growth" ->
       s"""WITH $wCte,

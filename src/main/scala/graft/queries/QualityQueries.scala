@@ -256,6 +256,38 @@ object QualityQueries {
           col("b.total").cast("double").as("total_after"))
         .filter(col("change_type") =!= "same")
     },
+    // Winsorization (tail clipping) of the value feed at the exact p12.5 /
+    // p87.5 per event type — the feature-robustification pass before any
+    // mean-based downstream statistic. The percentile points are EIGHTHS
+    // by design: (n−1)/8 positions and interpolation fractions are
+    // binary-exact, so both engines produce the identical bound (the
+    // length-quantiles quarter-fraction precedent). The clipped SUM needs
+    // no ordered fold at all: bounds are eighth-multiples, so 8× the
+    // clipped values are INTEGERS — summed exactly in any order (the
+    // production shape: plain partial-aggregated sum, zero buffers) and
+    // divided by 8 (exact) only at the end.
+    "q_x_winsorize" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg((expr("percentile(c, 0.125)") * 8).cast("long").as("lo8"),
+          (expr("percentile(c, 0.875)") * 8).cast("long").as("hi8"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("lo8"), col("hi8"), col("c"),
+          greatest(col("lo8"), least(col("hi8"), col("c") * 8)).as("c8"))
+        .groupBy(col("event_type"))
+        .agg(min(col("lo8")).as("__lo8"), min(col("hi8")).as("__hi8"),
+          count(lit(1)).as("n"),
+          count(when(col("c") * 8 < col("lo8"), lit(1))).as("n_lo_clipped"),
+          count(when(col("c") * 8 > col("hi8"), lit(1))).as("n_hi_clipped"),
+          sum(col("c8")).as("__s8"))
+        .select(col("event_type"),
+          (col("__lo8").cast("double") / 800).as("lo"),
+          (col("__hi8").cast("double") / 800).as("hi"),
+          col("n"), col("n_lo_clipped"), col("n_hi_clipped"),
+          (col("__s8").cast("double") / 800).as("sum_clipped"))
+    },
     // k-anonymity audit — the re-identification gate a dataset release
     // (or a training corpus carrying user-derived metadata) runs before
     // publication: every quasi-identifier combination (here nation ×
@@ -276,6 +308,26 @@ object QualityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // quantile_cont at the same exact-eighth points, the same 8x integer
+    // clip, order-free integer sums, one final double division
+    "q_x_winsorize" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |b AS (SELECT event_type,
+        |    CAST(quantile_cont(c, 0.125) * 8 AS BIGINT) AS lo8,
+        |    CAST(quantile_cont(c, 0.875) * 8 AS BIGINT) AS hi8
+        |  FROM ev GROUP BY 1),
+        |j AS (SELECT ev.event_type, b.lo8, b.hi8, ev.c,
+        |    greatest(b.lo8, least(b.hi8, ev.c * 8)) AS c8
+        |  FROM ev JOIN b USING (event_type))
+        |SELECT event_type,
+        |  CAST(min(lo8) AS DOUBLE) / 800 AS lo,
+        |  CAST(min(hi8) AS DOUBLE) / 800 AS hi,
+        |  count(*) AS n,
+        |  count(CASE WHEN c * 8 < lo8 THEN 1 END) AS n_lo_clipped,
+        |  count(CASE WHEN c * 8 > hi8 THEN 1 END) AS n_hi_clipped,
+        |  CAST(sum(c8) AS DOUBLE) / 800 AS sum_clipped
+        |FROM j GROUP BY event_type""".stripMargin,
     // the same integer-exact expected counts and bin-ordered term fold
     "q_x_drift_chi2" ->
       """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS is_ref,
