@@ -511,6 +511,54 @@ object ExtTextQueries {
     // production order (cheap narrow filters first, the broadcast screen
     // before the shuffling cap) and every stage reuses the oracle-proven
     // primitive it composes.
+    // Per-document gate PROVENANCE — the pipeline-observability view of
+    // q_x_corpus_full's admission stages: every doc gets its verdict at
+    // each gate it REACHED (quality, lang, exact dedup, eval holdout,
+    // decontamination — the same rules verbatim), the first failing
+    // stage, and the final admission flag. Verdicts for unreached stages
+    // are NULL, not false — a doc cut at the quality gate was never
+    // dedup-adjudicated, and a curation debug session needs that
+    // distinction ("why did doc X disappear" is answered by first_fail,
+    // "what WOULD have happened" deliberately is not). Stage predicates
+    // are the shared implementations, so this trace can never drift from
+    // the corpus build it explains.
+    "q_x_gate_provenance" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val verdicts = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+          TextOps.fingerprintMd5(col("text")).as("fp"))
+        .select(col("doc_id"), col("fp"),
+          (TextOps.qualityScoreFromTokens(col("toks"), stopwords) >= 0.5).as("q_pass"),
+          (TextOps.langIdFromTokens(col("toks"), lexicons) =!= "und").as("lang_pass"),
+          (pmod(col("doc_id"), lit(7)) === 3).as("is_eval"))
+      val surv = verdicts.filter(col("q_pass") && col("lang_pass"))
+      val keep = surv
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+        .select(col("doc_id"), (col("__rk") === 1).as("dedup_keep"))
+      val corpus0 = surv.join(keep, Seq("doc_id"))
+        .filter(col("dedup_keep") && !col("is_eval"))
+        .select(col("doc_id"), lit(true).as("__in_corpus"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val flagged = TextOps.contaminationReport(
+          docs.join(corpus0, Seq("doc_id"), "left_semi"), bench, n = 8)
+        .select(col("doc_id"), lit(true).as("__flagged"))
+      verdicts.join(keep, Seq("doc_id"), "left")
+        .join(corpus0, Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("q_pass"), col("lang_pass"), col("is_eval"),
+          col("dedup_keep"),
+          when(col("__in_corpus"), coalesce(col("__flagged"), lit(false)))
+            .otherwise(lit(null).cast("boolean")).as("contaminated"),
+          when(!col("q_pass"), lit("quality"))
+            .when(!col("lang_pass"), lit("lang"))
+            .when(!col("dedup_keep"), lit("duplicate"))
+            .when(col("is_eval"), lit("eval_holdout"))
+            .when(coalesce(col("__flagged"), lit(false)), lit("contaminated"))
+            .otherwise(lit("none")).as("first_fail"))
+        .withColumn("admitted", col("first_fail") === "none")
+    },
     "q_x_corpus_full" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
@@ -1886,6 +1934,71 @@ object ExtTextQueries {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score
         |FROM r WHERE rank <= 3""".stripMargin,
+    // the corpus_full stage rules verbatim, emitted as per-doc verdicts
+    // with NULL for unreached stages and the first failing stage name
+    "q_x_gate_provenance" ->
+      s"""WITH $wCte,
+         |f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(ws), ' ')) AS fp,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n,
+         |  len(list_distinct(ws))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS diversity,
+         |  len(list_filter(ws, t -> t IN ('the','a')))::DOUBLE
+         |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END, 0) AS stop,
+         |  len(list_filter(ws, t -> t IN ('der','die','das'))) AS s_de,
+         |  len(list_filter(ws, t -> t IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(ws, t -> t IN ('el','la','de'))) AS s_es,
+         |  len(list_filter(ws, t -> t IN ('le','les','une'))) AS s_fr,
+         |  len(list_filter(ws, t -> t IN ('de5','shi4','le5'))) AS s_zh
+         |FROM w),
+         |scored AS (SELECT doc_id, fp,
+         |  round(least(n / 50.0, 1.0) * 0.4 + coalesce(diversity, 0.0) * 0.4 +
+         |        least(coalesce(stop, 0.0) * 5.0, 1.0) * 0.2, 6) AS quality,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM f),
+         |v AS (SELECT doc_id, fp, (quality >= 0.5) AS q_pass,
+         |    (lang_pred <> 'und') AS lang_pass, (doc_id % 7 = 3) AS is_eval
+         |  FROM scored),
+         |surv AS (SELECT * FROM v WHERE q_pass AND lang_pass),
+         |keep AS (SELECT doc_id, (row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id ASC) = 1) AS dedup_keep FROM surv),
+         |corpus0 AS (SELECT s.doc_id FROM surv s JOIN keep k USING (doc_id)
+         |  WHERE k.dedup_keep AND NOT s.is_eval),
+         |grams AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 7),
+         |      i -> array_to_string(ws[i+1:i+8], ' '))) AS gs
+         |  FROM w),
+         |bench AS (SELECT DISTINCT
+         |      CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+         |    FROM (SELECT unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 3)),
+         |flagged AS (SELECT DISTINCT c.doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+         |    FROM (SELECT doc_id, unnest(gs) AS gram FROM grams
+         |          WHERE doc_id IN (SELECT doc_id FROM corpus0))) c
+         |  JOIN bench b ON c.u = b.u)
+         |SELECT v.doc_id, v.q_pass, v.lang_pass, v.is_eval, k.dedup_keep,
+         |  CASE WHEN v.doc_id IN (SELECT doc_id FROM corpus0)
+         |       THEN (v.doc_id IN (SELECT doc_id FROM flagged))
+         |       ELSE NULL END AS contaminated,
+         |  CASE WHEN NOT v.q_pass THEN 'quality'
+         |       WHEN NOT v.lang_pass THEN 'lang'
+         |       WHEN NOT k.dedup_keep THEN 'duplicate'
+         |       WHEN v.is_eval THEN 'eval_holdout'
+         |       WHEN v.doc_id IN (SELECT doc_id FROM flagged) THEN 'contaminated'
+         |       ELSE 'none' END AS first_fail,
+         |  (CASE WHEN NOT v.q_pass THEN 'quality'
+         |       WHEN NOT v.lang_pass THEN 'lang'
+         |       WHEN NOT k.dedup_keep THEN 'duplicate'
+         |       WHEN v.is_eval THEN 'eval_holdout'
+         |       WHEN v.doc_id IN (SELECT doc_id FROM flagged) THEN 'contaminated'
+         |       ELSE 'none' END = 'none') AS admitted
+         |FROM v LEFT JOIN keep k USING (doc_id)""".stripMargin,
     "q_x_corpus_full" ->
       s"""WITH $wCte,
          |f AS (SELECT doc_id,
