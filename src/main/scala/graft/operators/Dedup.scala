@@ -656,8 +656,16 @@ object Dedup {
       textCol: String = "text", shingleN: Int = 3,
       tauNum: Int = 8, tauDen: Int = 10, maxTokenDf: Long = 1024L): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "containmentPairs: 0 < tau <= 1")
+    // shingle sets are SORTED DISTINCT 64-bit hashes from the one-pass
+    // native kernel: the candidate keys shrink to longs and the verify
+    // becomes a zero-allocation merge walk (sortedIntersectCount) instead
+    // of a quadratic string array_intersect — measured 12.7 s → see
+    // PLANS.md at sf0.1. Exactness is at the hash level (the
+    // removeDuplicateSpans contract): a cross-shingle collision
+    // (~1e-15/pair) could inflate one overlap count by 1.
     val tl = docs
-      .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__ts"))
+      .select(col(idCol).as("__id"),
+        org.apache.spark.sql.graft.natives.shingleHashes(col(textCol), shingleN).as("__ts"))
       .filter(size(col("__ts")) > 0)
       .localCheckpoint()
     val toks = tl.select(col("__id"), size(col("__ts")).as("__n"),
@@ -687,7 +695,8 @@ object Dedup {
       .join(tl.select(col("__id").as("a"), col("__ts").as("__ta")), Seq("a"))
       .join(tl.select(col("__id").as("b"), col("__ts").as("__tb")), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("overlap"),
+        org.apache.spark.sql.graft.natives
+          .sortedIntersectCount(col("__ta"), col("__tb")).cast("long").as("overlap"),
         size(col("__ta")).cast("long").as("n_small"))
       .filter(col("overlap") * tauDen >= col("n_small") * tauNum)
       .select(col("a"), col("b"), col("overlap"), col("n_small"),

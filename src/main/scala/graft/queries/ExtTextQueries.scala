@@ -1701,14 +1701,23 @@ object ExtTextQueries {
         |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev
         |FROM r x JOIN r y ON y.r > x.r AND y.r - x.r < 8
         |WHERE levenshtein(x.text, y.text) <= 16""".stripMargin,
-    // the same prefix-filter pipeline: df-ranked shingles, integer prefix
-    // length n*2//10+1, candidate join on the contained side's rare
-    // prefix, exact list_intersect verify — all-integer, oracle-exact
+    // the same prefix-filter pipeline over SIGNED 64-bit shingle hashes
+    // (the engine's shingleHashes kernel ≡ the md5-prefix UBIGINT
+    // reinterpreted signed — the minhash/simhash oracle identity): df
+    // ranks order by (df, signed hash), candidates join on the contained
+    // side's rare prefix, verify = grouped shared-hash count
     "q_x_containment" ->
       s"""WITH $wCte,
-         |tl AS (SELECT doc_id, $shingleExpr AS ts FROM w),
-         |tl2 AS (SELECT doc_id, ts, len(ts) AS n FROM tl WHERE len(ts) > 0),
-         |tk AS (SELECT doc_id, n, unnest(ts) AS tok FROM tl2),
+         |tk0 AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |tk1 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u FROM tk0),
+         |tk2 AS (SELECT DISTINCT doc_id,
+         |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+         |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |         ELSE CAST(u AS BIGINT) END AS tok
+         |  FROM tk1),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tk2 GROUP BY 1),
+         |tk AS (SELECT tk2.doc_id, sz.n, tk2.tok FROM tk2 JOIN sz USING (doc_id)),
          |dfc AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1
          |  HAVING count(*) <= 1024),
          |rk AS (SELECT t.doc_id, t.tok, t.n, row_number() OVER (
@@ -1722,14 +1731,15 @@ object ExtTextQueries {
          |    CASE WHEN nx < ny OR (nx = ny AND x < y) THEN x ELSE y END AS a,
          |    CASE WHEN nx < ny OR (nx = ny AND x < y) THEN y ELSE x END AS b
          |  FROM pfx JOIN alltok USING (tok) WHERE x <> y),
-         |v AS (SELECT c.a, c.b,
-         |    CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS overlap,
-         |    CAST(len(ta.ts) AS BIGINT) AS n_small
-         |  FROM cand c JOIN tl2 ta ON ta.doc_id = c.a
-         |    JOIN tl2 tb ON tb.doc_id = c.b)
-         |SELECT a, b, overlap, n_small,
-         |  overlap * 10000 // n_small AS containment_bp
-         |FROM v WHERE overlap * 10 >= 8 * n_small""".stripMargin,
+         |v AS (SELECT c.a, c.b, count(*) AS overlap
+         |  FROM cand c JOIN tk2 x ON x.doc_id = c.a
+         |    JOIN tk2 y ON y.doc_id = c.b AND y.tok = x.tok
+         |  GROUP BY 1, 2)
+         |SELECT v.a, v.b, CAST(v.overlap AS BIGINT) AS overlap,
+         |  CAST(sa.n AS BIGINT) AS n_small,
+         |  v.overlap * 10000 // sa.n AS containment_bp
+         |FROM v JOIN sz sa ON sa.doc_id = v.a
+         |WHERE v.overlap * 10 >= 8 * sa.n""".stripMargin,
     // the same grid → cold-chunk filter → candidate join → levenshtein
     // verify; DuckDB's plain levenshtein equals Spark's banded form
     // integer-for-integer on every kept (≤ 16) pair
