@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
@@ -147,6 +147,39 @@ object Multimodal {
     * zero bytes when shorter) and record the original size in metadata —
     * the byte-level shape of a real resize/transcode stage.
     */
+  /** The 7×10 cell grid feeding [[dHash63]]: byte values of the payload's
+    * first 70 positions (right-padded with spaces below 70). This is the
+    * labeled STUB-decode tier (class doc): the production pipeline
+    * substitutes the decoded 7×10 luma thumbnail at exactly this column
+    * and nothing downstream (hashing, banding, Hamming verify, oracle
+    * arithmetic) changes. A fixed window — not length-rescaled
+    * sampling — because raw text bytes have no spatial correlation:
+    * rescaled offsets shift wholesale under a trailing edit and the
+    * sketch never collides (measured: 0 pairs), while the fixed window
+    * is invariant to the append/trailing-edit duplicate class, which is
+    * what a thumbnail is to a re-encode.
+    */
+  def dHashCells(text: Column): Column = {
+    val t2 = rpad(text, 70, " ")
+    array((1 to 70).map(k => ascii(substring(t2, k, 1))): _*)
+  }
+
+  /** 63-bit difference hash (dHash) over a [[dHashCells]] grid column —
+    * bit (r, c) = "cell brighter than its right neighbor" over 7 rows ×
+    * 9 comparisons: the perceptual-near-dup sketch (gradient pattern,
+    * not absolute values, so a uniform brightness shift changes nothing).
+    * 63 bits, not 64, keeps every shift inside the signed range on both
+    * engines (the hilbertIndex order-15 argument). Pass the cells as a
+    * MATERIALIZED column — the hash references the grid 126 times.
+    */
+  def dHash63(cellsCol: String): Column = {
+    val bits = for (r <- 0 until 7; c <- 0 until 9) yield
+      when(element_at(col(cellsCol), r * 10 + c + 1) >
+          element_at(col(cellsCol), r * 10 + c + 2),
+        lit(1L << (r * 9 + c))).otherwise(lit(0L))
+    bits.reduce(_ + _)
+  }
+
   def resize(media: DataFrame, targetBytes: Int): DataFrame =
     media.select(col("doc_id"), col("kind"),
       length(col("payload")).as("orig_bytes"),

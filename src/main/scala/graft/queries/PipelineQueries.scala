@@ -164,6 +164,34 @@ object PipelineQueries {
             round((pow(lit(1.0) + col("apr_simple") / 100.0 / 365.0, 365) - 1.0) * 100.0, 6))
             .otherwise(lit(0.0)).as("earn_apr"))
     }},
+    // Perceptual near-dup over the media payloads: 63-bit dHash
+    // (Multimodal.dHash63 — gradient-pattern sketch, stub-decode tier per
+    // its doc) banded into 4×16-bit buckets, bucket-colliding pairs
+    // verified with exact Hamming ≤ 6 (bit_count of xor). The banding
+    // GUARANTEES recall for Hamming ≤ 3 (pigeonhole over 4 bands);
+    // 4..6 is probabilistic — and irrelevant to oracle exactness, since
+    // the oracle replays the same banding. The image-dedup move
+    // (re-encoded/brightness-shifted copies collide) expressed entirely
+    // in codegen'd integer arithmetic.
+    "q_x_phash_dedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .withColumn("__cells", Multimodal.dHashCells(col("text")))
+        .select(col("doc_id"), Multimodal.dHash63("__cells").as("ph"))
+      val bands = d.select(col("doc_id"), col("ph"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(ph >> ${b * 16}) & 65535").as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("ph"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      bands.select(col("band"), col("bv"), col("doc_id").as("a"), col("ph").as("__pa"))
+        .join(bands.select(col("band"), col("bv"), col("doc_id").as("b"),
+          col("ph").as("__pb")), Seq("band", "bv"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("bit_count(__pa ^ __pb)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    },
     // Multimodal metadata rollup over the binary payload table: per kind,
     // object count and byte-size stats (decode stage is spec-tested; this
     // checks the schema/plumbing tier against the oracle).
@@ -326,6 +354,26 @@ object PipelineQueries {
         |       THEN round((power(1.0 + apr_simple / 100.0 / 365.0, 365) - 1.0) * 100.0, 6)
         |       ELSE 0.0 END AS earn_apr
         |FROM calc""".stripMargin,
+    // the identical 70-cell sampling, 63 comparison terms, 4-band join,
+    // and bit_count(xor) verify
+    "q_x_phash_dedup" -> {
+      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+      s"""WITH cells AS (SELECT doc_id,
+         |    [ascii(substr(rpad(text, 70, ' '), k, 1))
+         |     for k in range(1, 71)] AS cl
+         |  FROM documents),
+         |ph AS (SELECT doc_id, CAST($phTerms AS BIGINT) AS ph FROM cells),
+         |bands AS (SELECT doc_id, ph, g.b, (ph >> (g.b * 16)) & 65535 AS bv
+         |  FROM ph, generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    x.ph AS xp, y.ph AS yp
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(xp, yp)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(xp, yp)) <= 6""".stripMargin
+    },
     "q_x_mm_meta" ->
       """SELECT list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
         |  count(*) AS n_objects,

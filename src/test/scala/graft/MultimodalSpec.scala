@@ -66,4 +66,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.find(_._1 == 1L).get._2 == 36)
     assert(r.find(_._1 == 2L).get._3.drop(2).forall(_ == 0)) // zero-padded
   }
+
+  test("dHash63: gradient invariance, trailing-edit collision, unrelated distance") {
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog and keeps going today " +
+      "with more trailing content far beyond the sketch window"
+    // brightness shift: every cell +1 (shift each char code by 1) — the
+    // GRADIENT pattern is unchanged, so the hash must be identical
+    val shifted = base.take(70).map(c => (c + 1).toChar).mkString + base.drop(70)
+    val fixture = Seq(
+      (1L, base),
+      (2L, base + " appended tail edit"), // beyond the window → hamming 0
+      (3L, shifted),
+      (4L, "completely different content with other words entirely here " * 3)
+    ).toDF("doc_id", "text")
+    val h = fixture
+      .withColumn("__cells", Multimodal.dHashCells(col("text")))
+      .select(col("doc_id"), Multimodal.dHash63("__cells").as("ph"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L), "trailing edit must not move the sketch")
+    assert(h(1L) == h(3L), "uniform brightness shift preserves every gradient bit")
+    assert(hamming(h(1L), h(4L)) > 12, s"unrelated docs too close: ${hamming(h(1L), h(4L))}")
+    assert(h.values.forall(_ >= 0L), "63-bit hash stays in the signed-positive range")
+  }
 }
