@@ -532,6 +532,99 @@ object Graph {
     labels.select(col("n").as("node"), col("lab").as("community"))
   }
 
+  /** Minimum spanning forest via Borůvka rounds — THE parallel MST (each
+    * round every component grabs its cheapest incident edge, components
+    * merge, the component count at least halves, so ~log n rounds finish
+    * any graph — the reason Borůvka, not Prim/Kruskal, is the
+    * distributed form: Prim grows one frontier serially and Kruskal
+    * needs a globally sorted edge stream through one union-find).
+    *
+    * Determinism: edges are totally ordered by (w, a, b), so the
+    * per-component argmin is unique and the resulting forest is THE
+    * minimum spanning forest under that order (ties in w cannot flap) —
+    * both engines and the driver-replay Kruskal agree on the exact edge
+    * set. `rounds` is FIXED (the [[connectedComponents]] convention: a
+    * component with no outgoing edge picks nothing, so extra rounds are
+    * no-ops); rounds ≥ ⌈log₂ n⌉ yields the complete forest, fewer a
+    * partial forest — both replayed identically by the oracle.
+    *
+    * Scale shape, per round: two label joins onto the edge list + one
+    * component-keyed min (all keyed shuffles, map-side combine absorbs
+    * big components), then the CONTRACTION: hash-min flooding over the
+    * chosen-edge COMPONENT graph (component-count-sized, shrinking
+    * geometrically) for `ccRounds` fixed sub-rounds, and one label
+    * re-point join. Labels and the forest are localCheckpointed per
+    * round (three references each — the 3^rounds lineage argument).
+    *
+    * Output: the forest edges (a, b, w).
+    */
+  /** localCheckpoint + STATS reset: the checkpointed LogicalRDD inherits
+    * the original plan's size estimate, and in a doubly-nested iterative
+    * dataflow those estimates MULTIPLY through every join — by Borůvka's
+    * round 4×8 the inherited sizeInBytes is a BigInteger with ~10⁸
+    * digits and the driver burns minutes in Toom-Cook multiplication
+    * inside plan-size estimation (measured: q_x_mst 3m26s → 8s at
+    * sf0.01). Re-wrapping the materialized RDD via createDataFrame
+    * drops the inherited estimate back to the default leaf size, so
+    * estimation cost stays bounded regardless of loop depth. Execution
+    * is unchanged — the data is already materialized; only the
+    * ESTIMATE is reset.
+    */
+  private def checkpointCutStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  def boruvkaForest(edges: DataFrame, aCol: String, bCol: String,
+      wCol: String, rounds: Int, ccRounds: Int = 12): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var labels = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .distinct()
+      .select(col("n"), col("n").as("lab"))
+    var forest = e.filter(lit(false)) // empty (a, b, w) frame
+    for (_ <- 1 to rounds) {
+      val ce = e
+        .join(labels.select(col("n").as("a"), col("lab").as("__ca")), Seq("a"))
+        .join(labels.select(col("n").as("b"), col("lab").as("__cb")), Seq("b"))
+        .filter(col("__ca") =!= col("__cb"))
+      val pick = ce.select(col("__ca").as("__c"), struct(col("w"), col("a"), col("b")).as("__e"))
+        .unionByName(ce.select(col("__cb").as("__c"), struct(col("w"), col("a"), col("b")).as("__e")))
+        .groupBy(col("__c")).agg(min(col("__e")).as("__m"))
+      val chosen = pick
+        .select(col("__m.a").as("a"), col("__m.b").as("b"), col("__m.w").as("w"))
+        .distinct()
+      val chosenCp = checkpointCutStats(chosen)
+      forest = checkpointCutStats(forest.unionByName(chosenCp))
+      // contraction: flood minima over the chosen-edge COMPONENT graph
+      val cg = chosenCp
+        .join(labels.select(col("n").as("a"), col("lab").as("__ca")), Seq("a"))
+        .join(labels.select(col("n").as("b"), col("lab").as("__cb")), Seq("b"))
+        .select(col("__ca").as("ca"), col("__cb").as("cb"))
+        .distinct()
+      var m = cg.select(col("ca").as("c")).union(cg.select(col("cb").as("c")))
+        .distinct()
+        .select(col("c"), col("c").as("mlab"))
+      for (_ <- 1 to ccRounds) {
+        val viaA = cg.join(m.withColumnRenamed("c", "ca"), "ca")
+          .select(col("cb").as("c"), col("mlab"))
+        val viaB = cg.join(m.withColumnRenamed("c", "cb"), "cb")
+          .select(col("ca").as("c"), col("mlab"))
+        m = checkpointCutStats(m.unionByName(viaA).unionByName(viaB)
+          .groupBy(col("c")).agg(min(col("mlab")).as("mlab")))
+      }
+      labels = checkpointCutStats(
+        labels.join(m.withColumnRenamed("c", "lab"), Seq("lab"), "left")
+          .select(col("n"), coalesce(col("mlab"), col("lab")).as("lab")))
+    }
+    forest
+  }
+
   /** k-core decomposition over an UNDIRECTED edge list: repeatedly remove
     * nodes of degree < k (each removal can drag neighbors below k — the
     * cascade is the point) until fixpoint or `rounds` peels, then return

@@ -338,6 +338,36 @@ class GraphSpec extends SparkSpec {
     assert(dropped < 1.0 - 1e-6)
   }
 
+  test("boruvkaForest equals a driver Kruskal under the (w, a, b) total order") {
+    val r = new scala.util.Random(13)
+    // random weighted graph with DUPLICATE weights to exercise the
+    // tie-break, plus a disconnected pair (forest, not tree)
+    val und = (0 until 60).map(_ => (r.nextInt(15).toLong, r.nextInt(15).toLong,
+      (r.nextInt(5) + 1).toLong)).filter(p => p._1 != p._2) ++
+      Seq((100L, 101L, 2L))
+    val edges = und.toDF("a", "b", "w")
+    val got = Graph.boruvkaForest(edges, "a", "b", "w", rounds = 5, ccRounds = 8)
+      .as[(Long, Long, Long)].collect().toSet
+
+    // Kruskal over the same normalized edge list and total order
+    val norm = und.map(p => (math.min(p._1, p._2), math.max(p._1, p._2), p._3))
+      .groupBy(p => (p._1, p._2)).map { case ((a, b), es) => (a, b, es.map(_._3).min) }
+      .toSeq.sortBy(p => (p._3, p._1, p._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val rt = find(p); parent(x) = rt; rt }
+    }
+    val kruskal = norm.flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+    assert(got == kruskal, s"boruvka ${got.size} vs kruskal ${kruskal.size}")
+    // total weight is the MSF weight and the forest spans both components
+    assert(got.toSeq.map(_._3).sum == kruskal.toSeq.map(_._3).sum)
+    assert(got.exists(e => e._1 == 100L && e._2 == 101L))
+  }
+
   test("bfsDistances: exact hop counts, capped horizon, absent seeds dropped") {
     // path 1-2-3-4-5-6 plus an isolated edge 10-11; seeds 1 and 10, plus
     // 99 which is not in the graph

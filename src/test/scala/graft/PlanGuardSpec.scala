@@ -42,7 +42,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_bpe_train", "q_x_bpe_encode",
     "q_x_pagerank", "q_x_pagerank_w", "q_x_ppr",
     "q_x_kcore", "q_x_concomp", "q_x_concomp_ls",
-    "q_x_bfs_dist", "q_x_lpa", "q_x_hits", "q_x_kmeans",
+    "q_x_bfs_dist", "q_x_lpa", "q_x_hits", "q_x_kmeans", "q_x_mst",
     "q_x_triangles", "q_x_reach_theta",
     "q_x_semdedup_ivf", "q_x_ann_ivf", "q_x_ann_lsh", "q_x_ann_pq",
     "q_x_ann_ivfpq",
