@@ -43,6 +43,40 @@ object BehaviorQueries {
     "ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Marketing attribution, both classic models in one output: every
+    // purchase credits its revenue to a click-touch day — LAST-touch via
+    // the one-shuffle as-of join (nearest preceding click), FIRST-touch
+    // via each user's earliest click (purchases before any click are
+    // unattributed and dropped by both models, matching the inner-ASOF
+    // oracle). Same-second click ties are harmless BY CONSTRUCTION: the
+    // only value carried off the click is its DAY, identical across
+    // tied rows — the JoinQueries.q_j5 tie lesson applied. Revenue in
+    // exact cents; per-(model, day) rollup.
+    "q_x_attribution" -> { (s, dir) =>
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("cents"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          date_trunc("day", col("ts")).as("cday"))
+      val lastTouch = graft.functions.Ops.asOfJoin(
+          purchases, clicks.select(col("user_id"), col("cts"), col("cday")),
+          "user_id", "user_id", "ts", "cts", Seq("cday"))
+        .filter(col("cday").isNotNull)
+        .select(lit("last_touch").as("model"), col("cday").as("touch_day"),
+          col("cents"))
+      val firstClick = clicks.groupBy(col("user_id"))
+        .agg(min(col("cts")).as("fts"))
+      val firstTouch = purchases.join(firstClick, Seq("user_id"))
+        .filter(col("ts") >= col("fts"))
+        .select(lit("first_touch").as("model"),
+          date_trunc("day", col("fts")).as("touch_day"), col("cents"))
+      lastTouch.unionByName(firstTouch)
+        .groupBy(col("model"), col("touch_day"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+    },
     // Ordered conversion funnel view → click → purchase with a 7-day
     // conversion window anchored at the first view: a user counts for
     // step n only with a step-n event STRICTLY AFTER their step-(n−1)
@@ -368,6 +402,26 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // inner ASOF for last-touch (unattributed purchases drop on both
+    // sides), per-user min click for first-touch, one tagged rollup
+    "q_x_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, value
+        |        FROM events)),
+        |p AS (SELECT user_id, ts, cents FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts AS cts, CAST(date_trunc('day', ts) AS TIMESTAMP) AS cday
+        |  FROM e WHERE event_type = 'click'),
+        |lt AS (SELECT 'last_touch' AS model, c.cday AS touch_day, p.cents
+        |  FROM p ASOF JOIN c ON p.user_id = c.cu AND p.ts >= c.cts),
+        |fc AS (SELECT cu, min(cts) AS fts FROM c GROUP BY cu),
+        |ft AS (SELECT 'first_touch' AS model,
+        |    CAST(date_trunc('day', f.fts) AS TIMESTAMP) AS touch_day, p.cents
+        |  FROM p JOIN fc f ON p.user_id = f.cu WHERE p.ts >= f.fts),
+        |u AS (SELECT * FROM lt UNION ALL SELECT * FROM ft)
+        |SELECT model, touch_day, count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "q_x_funnel" ->
       s"""WITH $evCte,
          |v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
