@@ -256,6 +256,28 @@ object QualityQueries {
           col("b.total").cast("double").as("total_after"))
         .filter(col("change_type") =!= "same")
     },
+    // Incremental aggregate maintenance: the standing rollup (month days
+    // 1–15) MERGED with the new batch's rollup (days 16+) — the delta-
+    // refresh every warehouse gold table lives by, demonstrated with the
+    // mergeable-moment set (count/sum/min/max in exact cents; a distinct
+    // count is exactly what CANNOT merge this way — that is the sketch
+    // family's job, q_x_hll_rollup). The ORACLE is the direct full-table
+    // aggregate — a genuinely different derivation, so the green row
+    // proves merge(partials) ≡ recompute rather than replaying it.
+    "q_x_incr_rollup" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"),
+        dayofmonth(col("ts")).as("dom"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      def roll(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      roll(e.filter(col("dom") <= 15))
+        .unionByName(roll(e.filter(col("dom") > 15)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents_sum")).as("cents_sum"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+    },
     // Winsorization (tail clipping) of the value feed at the exact p12.5 /
     // p87.5 per event type — the feature-robustification pass before any
     // mean-based downstream statistic. The percentile points are EIGHTHS
@@ -308,6 +330,15 @@ object QualityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the DIRECT full-table aggregate — the independent derivation the
+    // engine's merge-of-partials must equal
+    "q_x_incr_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+        |  max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
+        |FROM events GROUP BY event_type""".stripMargin,
     // quantile_cont at the same exact-eighth points, the same 8x integer
     // clip, order-free integer sums, one final double division
     "q_x_winsorize" ->
