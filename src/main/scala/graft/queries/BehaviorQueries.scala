@@ -77,6 +77,68 @@ object BehaviorQueries {
         .groupBy(col("model"), col("touch_day"))
         .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
     },
+    // Point-in-time-correct feature assembly — the feature-store join
+    // that keeps a training set leakage-free: each observation (purchase)
+    // takes, AS OF ITS OWN TIMESTAMP, the newest values from two feature
+    // streams updated on different cadences (the user's cumulative click
+    // count, and their last viewed value) — never a feature computed
+    // later than the label event. Two one-shuffle as-of joins; features
+    // carry their own feature-time so staleness is inspectable. The
+    // oracle replays both as inner/left ASOF joins. Exact integers
+    // throughout (cumulative count; last view in cents).
+    "q_x_pit_features" -> { (s, dir) =>
+      import graft.functions.Ops
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val obs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("cents").as("label_cents"))
+      // BOTH feature streams collapse to (user, second) grain FIRST: the
+      // as-of join picks one row among equal feature timestamps
+      // arbitrarily, so tied rows must already agree (the q_j5 tie rule).
+      // Stream 1: cumulative click count — per-second counts, then a
+      // running sum over the now-UNIQUE per-user ts order.
+      val clickCount = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("__k"))
+        .withColumn("clicks_so_far", sum(col("__k")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("ts").as("fts1"), col("clicks_so_far"))
+      // Stream 2: the user's last viewed value — within one second the
+      // highest event_id wins (the within-second write order).
+      val lastView = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("cents"), col("event_id")).as("last_view_cents"))
+        .select(col("user_id"), col("ts").as("fts2"), col("last_view_cents"))
+      val f1 = Ops.asOfJoin(obs, clickCount, "user_id", "user_id", "ts", "fts1",
+        Seq("clicks_so_far"))
+      Ops.asOfJoin(f1, lastView, "user_id", "user_id", "ts", "fts2",
+        Seq("last_view_cents"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("label_cents"),
+          coalesce(col("clicks_so_far"), lit(0L)).as("clicks_so_far"),
+          col("last_view_cents"))
+    },
+    // Leave-one-out target encoding — the categorical-encoding pass that
+    // replaces a category with the mean target of the OTHER members
+    // ((S − x) div (n − 1), exact integer cents): encoding with the
+    // plain category mean leaks each row's own label into its feature;
+    // LOO is the standard fix, and it is exactly one broadcast of the
+    // per-category (sum, count) moments back onto the rows — no
+    // row-vs-row work at any scale. Singleton categories encode NULL
+    // (there is no "other members" mean to borrow).
+    "q_x_target_encode" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("t_cents"))
+      val moments = o.groupBy(col("cat"))
+        .agg(sum(col("t_cents")).as("__s"), count(lit(1)).as("__n"))
+      o.join(broadcast(moments), Seq("cat"))
+        .select(col("o_orderkey"), col("cat"), col("t_cents"),
+          expr("case when __n > 1 then (__s - t_cents) div (__n - 1) end")
+            .as("loo_mean_cents"),
+          col("__n").as("cat_n"))
+    },
     // Ordered conversion funnel view → click → purchase with a 7-day
     // conversion window anchored at the first view: a user counts for
     // step n only with a step-n event STRICTLY AFTER their step-(n−1)
@@ -402,6 +464,44 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same (sum, count) moments joined back; integer LOO division
+    "q_x_target_encode" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t_cents
+        |  FROM orders),
+        |m AS (SELECT cat, CAST(sum(t_cents) AS BIGINT) AS s,
+        |    count(*) AS n FROM o GROUP BY cat)
+        |SELECT o.o_orderkey, o.cat, o.t_cents,
+        |  CASE WHEN m.n > 1 THEN (m.s - o.t_cents) // (m.n - 1) END
+        |    AS loo_mean_cents,
+        |  m.n AS cat_n
+        |FROM o JOIN m USING (cat)""".stripMargin,
+    // both feature streams at (user, second) grain, running click count
+    // over the unique per-user ts order, two chained ASOF LEFT joins
+    "q_x_pit_features" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    date_trunc('second', date_trunc('microseconds', ts)) AS ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |obs AS (SELECT user_id, ts, event_id, cents AS label_cents
+        |  FROM e WHERE event_type = 'purchase'),
+        |cc AS (SELECT user_id, ts, count(*) AS k
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |ccc AS (SELECT user_id, ts AS fts1,
+        |    CAST(sum(k) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS clicks_so_far
+        |  FROM cc),
+        |lv AS (SELECT user_id AS vu, ts AS fts2,
+        |    arg_max(cents, event_id) AS last_view_cents
+        |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        |f1 AS (SELECT o.*, c.clicks_so_far FROM obs o
+        |  ASOF LEFT JOIN ccc c ON o.user_id = c.user_id AND o.ts >= c.fts1)
+        |SELECT f1.user_id, f1.ts, f1.event_id, f1.label_cents,
+        |  coalesce(f1.clicks_so_far, 0) AS clicks_so_far,
+        |  v.last_view_cents
+        |FROM f1 ASOF LEFT JOIN lv v
+        |  ON f1.user_id = v.vu AND f1.ts >= v.fts2""".stripMargin,
     // inner ASOF for last-touch (unattributed purchases drop on both
     // sides), per-user min click for first-touch, one tagged rollup
     "q_x_attribution" ->
