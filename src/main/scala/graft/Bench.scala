@@ -37,6 +37,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Sweep-overhead instrumentation (r14, VERDICT item 4): the per-round
+    // driver sweep cost drifted 907 s/255 q → 1590 s/298 q while the
+    // builder's local sweep stayed flat, so the harness now separates
+    // MEASURED query time from its own overhead — cumulative settle
+    // seconds + unpersisted-RDD count, and the JVM heap high-water after
+    // each rep — all on stderr + extra JSON fields (the driver reads the
+    // keys it knows; extras are additive).
+    var settleSec = 0.0
+    var settleRdds = 0L
+    var heapPeakMb = 0L
+
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -45,6 +56,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      val rt = Runtime.getRuntime
+      heapPeakMb = math.max(heapPeakMb, (rt.totalMemory - rt.freeMemory) >> 20)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -57,9 +70,12 @@ object Bench {
       // on identical data and code (A/B in PLANS.md). Each rep rebuilds
       // its DataFrame from scratch, so nothing persisted is ever reused
       // across reps — unpersisting is purely hermetic.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      val rdds = spark.sparkContext.getPersistentRDDs.values
+      settleRdds += rdds.size
+      rdds.foreach(_.unpersist(blocking = true))
       System.gc()
+      settleSec += (System.nanoTime() - t0) / 1e9
     }
 
     def runOne(name: String): Double = {
@@ -68,7 +84,10 @@ object Bench {
         settle() // don't bill the previous rep's blocks/garbage here
         timeOne(name)
       }
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+      val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+      System.err.println(f"[bench] $name%-28s med=$med%7.2f reps=${
+        ts.map(t => f"$t%.2f").mkString(",")} settle_cum=$settleSec%.1f heap=${heapPeakMb}MB")
+      med
     }
 
     // Optional isolation filter (comma-separated names) for re-measuring a
@@ -83,7 +102,7 @@ object Bench {
     val results = names.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm","settle_sec":$settleSec,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb}""")
     spark.stop()
   }
 }

@@ -577,24 +577,33 @@ object Ops {
     * growing nShards → nShards+1 moves ONLY the keys the new shard wins
     * (≈ 1/(nShards+1) of them, each to the new shard — an exact
     * invariant, spec-pinned), where `pmod(hash, n)` resharding moves
-    * ~(n−1)/n of the corpus. Shape: an nShards-way explode + one keyed
-    * max aggregate — the partial agg collapses to one row per key per
-    * map task, so the shuffle carries keys, not the explode. Ties on the
-    * 64-bit score are broken toward the higher shard id (struct max),
-    * deterministically. Input rows must be DISTINCT — the aggregate
-    * carries the whole row as its group key, so duplicates would
-    * collapse.
+    * ~(n−1)/n of the corpus. Ties on the 64-bit score are broken toward
+    * the higher shard id, deterministically.
+    *
+    * Shape: a NARROW per-row argmax fold over the shard range (an
+    * `aggregate` higher-order expression carrying the running
+    * (score, shard) pair) — no explode, no shuffle, no aggregate. The r13
+    * form exploded nShards rows per key and re-grouped on the WHOLE input
+    * row, which both shuffled the corpus and silently collapsed duplicate
+    * rows (ADVICE r13); the fold preserves row multiplicity trivially and
+    * keeps the operator inside whole-stage codegen.
     */
   def rendezvousShard(df: DataFrame, keyCol: String, nShards: Int,
       outCol: String = "shard"): DataFrame = {
     require(nShards > 0, "rendezvousShard: nShards must be positive")
-    require(!df.columns.exists(Set("__j", "__hv")),
-      "rendezvousShard reserves the __j/__hv column names")
-    df.withColumn("__j", explode(sequence(lit(0), lit(nShards - 1))))
-      .withColumn("__hv", graft.operators.TextOps.md5Long64(
-        concat(col(keyCol).cast("string"), lit(":rv:"), col("__j").cast("string"))))
-      .groupBy(df.columns.map(col): _*)
-      .agg(max(struct(col("__hv"), col("__j"))).getField("__j")
-        .cast("int").as(outCol))
+    def score(j: Column): Column = graft.operators.TextOps.md5Long64(
+      concat(col(keyCol).cast("string"), lit(":rv:"), j.cast("string")))
+    val best =
+      if (nShards == 1) lit(0)
+      else aggregate(
+        sequence(lit(1), lit(nShards - 1), lit(1)),
+        struct(score(lit(0)).as("__hv"), lit(0).as("__j")),
+        (acc, j) => {
+          val hv = score(j)
+          // >= : equal scores prefer the higher shard id (j is ascending)
+          when(hv >= acc.getField("__hv"),
+            struct(hv.as("__hv"), j.cast("int").as("__j"))).otherwise(acc)
+        }).getField("__j")
+    df.withColumn(outCol, best.cast("int"))
   }
 }

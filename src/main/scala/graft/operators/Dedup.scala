@@ -648,7 +648,15 @@ object Dedup {
     * then set intersection on the candidate pairs only. `maxTokenDf`
     * drops shingles more frequent than the cap from candidate generation
     * (boilerplate n-grams — the [[editNearDupPairs]] maxChunkDf move, a
-    * documented recall trade; verification still uses FULL sets).
+    * documented recall trade; verification still uses FULL sets). The cap
+    * census rides `observe` as `containment_hot_shingles`
+    * (n_capped_shingles + max_shingle_df) so both failure modes — recall
+    * loss when it fires, df² candidate blowup when it should have — are
+    * visible to any QueryExecutionListener in production. Caveat (probed
+    * on Spark 4.1): if a run's RESULT is empty, AQE's empty-relation
+    * propagation can prune the CollectMetrics subtree and the metric is
+    * absent rather than zero — treat a missing census as "no survivors",
+    * not "no capping".
     *
     * Output: (a, b, overlap, n_small, containment_bp) for C ≥ τ pairs.
     */
@@ -670,7 +678,18 @@ object Dedup {
       .localCheckpoint()
     val toks = tl.select(col("__id"), size(col("__ts")).as("__n"),
       explode(col("__ts")).as("__tok"))
+    // the maxTokenDf cap firing is a RECALL event (a capped shingle can no
+    // longer witness a candidate pair) and the cap NOT firing on a
+    // saturating vocabulary is a COST event (candidate volume grows with
+    // df²) — both must be visible in production, so the df census rides
+    // `observe` (the Similarity.cellCandidatePairs cell_hot_buckets
+    // pattern): capped-shingle count + the max df actually seen, readable
+    // from any QueryExecutionListener without extra jobs.
     val dfc = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+      .observe("containment_hot_shingles",
+        sum(when(col("__df") > maxTokenDf, 1L).otherwise(0L))
+          .as("n_capped_shingles"),
+        max(col("__df")).as("max_shingle_df"))
       .filter(col("__df") <= maxTokenDf)
     val ranked = toks.join(dfc, Seq("__tok"))
       .withColumn("__r", row_number().over(

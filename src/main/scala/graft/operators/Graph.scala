@@ -129,19 +129,30 @@ object Graph {
   /** Personalized PageRank: the teleport distribution concentrates on a
     * SEED set instead of all nodes — ranks then measure proximity to the
     * seeds (the "related entities" / crawl-frontier-prioritization form)
-    * rather than global centrality. Same loop shape, determinism contract
-    * (source-sorted contribution fold), and dangling simplification as
-    * [[pageRank]]; the teleport term is `(1−d)/|S|` on seed nodes and 0
-    * elsewhere, attached as a broadcast-joined flag (the seed set is
-    * query-metadata-sized by definition). Seeds not present in the graph
-    * are ignored (they could never receive or emit mass); the start
-    * vector is uniform over the retained seeds, so on a sink-free graph
-    * ranks sum to 1 every round.
+    * rather than global centrality. Same loop shape and determinism
+    * contract (source-sorted contribution fold) as [[pageRank]]; the
+    * teleport term is `(1−d)/|S|` on seed nodes and 0 elsewhere, attached
+    * as a broadcast-joined flag (the seed set is query-metadata-sized by
+    * definition). Seeds not present in the graph are ignored (they could
+    * never receive or emit mass); the start vector is uniform over the
+    * retained seeds, so on a sink-free graph ranks sum to 1 every round.
+    *
+    * Dangling mass follows the same two tiers as [[pageRank]]: dropped by
+    * default (ranks sum < 1 on graphs with sinks), or — with
+    * `redistributeDanglingMass = true` — returned to the PERSONALIZATION
+    * vector each round (`d·dm·tele(n)`, not uniform: in the personalized
+    * model a surfer stuck on a sink restarts at the seeds, so ranks keep
+    * summing to 1 on ANY graph while staying a proximity measure). The
+    * mass is the same anti-join scalar broadcast as the plain tier.
+    *
+    * `checkpointEvery = k` cuts the rank lineage every k rounds (the
+    * [[pageRank]] knob): ranks are bit-identical with or without it.
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
       iters: Int = 3, damping: Double = 0.85,
-      exactFold: Boolean = true): DataFrame = {
+      exactFold: Boolean = true, checkpointEvery: Int = 0,
+      redistributeDanglingMass: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -159,7 +170,7 @@ object Graph {
         when(col("is_seed"), lit(1.0) / col("ns")).otherwise(lit(0.0)).as("tele"))
       .localCheckpoint()
     var ranks = seeded.select(col("node"), col("tele").as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
       val sums =
@@ -169,10 +180,28 @@ object Graph {
               lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
         else
           contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = seeded.join(sums, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) * col("tele") +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      val base = seeded.join(sums, col("node") === col("dst"), "left")
+      ranks =
+        if (redistributeDanglingMass) {
+          // rank stranded on sinks this round (nodes absent from the
+          // out-degree table), folded in node-sorted order for the same
+          // bit-exactness argument as the contribution fold
+          val dangling = ranks.join(deg, col("node") === col("src"), "left_anti")
+            .agg(coalesce(
+              aggregate(sort_array(collect_list(struct(col("node"), col("rank")))),
+                lit(0.0), (acc, x) => acc + x.getField("rank")),
+              lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(1.0 - damping) * col("tele") +
+                lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                  col("dm") * col("tele"))).as("rank"))
+        } else
+          base.select(col("node"),
+            (lit(1.0 - damping) * col("tele") +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -188,13 +217,16 @@ object Graph {
     *
     * Determinism contract, same as [[pageRank]]: per-node sums fold over
     * the COUNTERPARTY-sorted contribution list, and each L2 norm folds the
-    * squared scores over the node-sorted table — every double sum has one
-    * data-pinned association order, so engine and oracle agree to the bit
-    * (sqrt itself is IEEE correctly-rounded on both engines — the
-    * q_x_temperature_mix precedent). The norm fold's buffer is
-    * node-TABLE-sized on one reducer; `exactFold = false` swaps all folds
-    * for plain streaming sums — the production tier at web scale, last-ulp
-    * nondeterministic, spec-pinned ≤1e-12 against the exact tier.
+    * squared scores through a TWO-LEVEL data-pinned tree (node-sorted
+    * within id-buckets of 4096, then bucket-sorted partials) — every
+    * double sum has one data-pinned association order, so engine and
+    * oracle agree to the bit (sqrt itself is IEEE correctly-rounded on
+    * both engines — the q_x_temperature_mix precedent). The norm fold's
+    * largest buffer is 4096 entries per bucket plus #buckets ≤ n/4096 at
+    * the combine — bounded, unlike the r13 flat node-table fold;
+    * `exactFold = false` swaps all folds for plain streaming sums — the
+    * production tier at web scale, last-ulp nondeterministic, spec-pinned
+    * ≤1e-12 against the exact tier.
     *
     * Scale shape, per round: one join of hubs to edges on src + dst-keyed
     * aggregate, one join of auths to edges on dst + src-keyed aggregate,
@@ -217,12 +249,26 @@ object Graph {
             lit(0.0), (acc, x) => acc + x.getField(v)).as("s"))
       else
         pairs.groupBy(col(key).as("node")).agg(sum(col(v)).as("s"))
-    // L2 norm of a (node, score) table as a one-row frame, node-sorted fold
+    // L2 norm of a (node, score) table as a one-row frame. The exact tier
+    // is a TWO-LEVEL data-pinned fold (the Ops.cumSumGlobal decomposition):
+    // nodes bucket by id>>12 (arithmetic shift = floor-div 4096; NOTE
+    // DuckDB's `//` truncates, so an oracle replay over negative ids
+    // would need an explicit floor-div), each bucket folds its
+    // squares in node order, and the final fold walks the bucket partials
+    // in bucket order — every double sum still has ONE data-pinned
+    // association, but the largest single buffer is now 4096 entries
+    // (bucket level: #buckets ≤ n/4096) instead of the node TABLE on one
+    // reducer, which is what made the r13 flat fold the last unbounded
+    // exact-tier buffer. The oracle replays the identical two-level tree.
     def l2(scores: DataFrame, v: String): DataFrame =
       if (exactFold)
-        scores.agg(sqrt(aggregate(
-          sort_array(collect_list(struct(col("node"), col(v)))),
-          lit(0.0), (acc, x) => acc + x.getField(v) * x.getField(v))).as("nrm"))
+        scores.groupBy(shiftright(col("node"), 12).as("__bk"))
+          .agg(aggregate(
+            sort_array(collect_list(struct(col("node"), col(v)))),
+            lit(0.0), (acc, x) => acc + x.getField(v) * x.getField(v)).as("__p"))
+          .agg(sqrt(aggregate(
+            sort_array(collect_list(struct(col("__bk"), col("__p")))),
+            lit(0.0), (acc, x) => acc + x.getField("__p"))).as("nrm"))
       else
         scores.agg(sqrt(sum(col(v) * col(v))).as("nrm"))
     def normalize(scores: DataFrame, v: String): DataFrame =
@@ -550,11 +596,31 @@ object Graph {
     *
     * Scale shape, per round: two label joins onto the edge list + one
     * component-keyed min (all keyed shuffles, map-side combine absorbs
-    * big components), then the CONTRACTION: hash-min flooding over the
-    * chosen-edge COMPONENT graph (component-count-sized, shrinking
-    * geometrically) for `ccRounds` fixed sub-rounds, and one label
-    * re-point join. Labels and the forest are localCheckpointed per
-    * round (three references each — the 3^rounds lineage argument).
+    * big components), then the CONTRACTION: hash-min flooding WITH
+    * pointer jumping (`label ← label(label)` each sub-round — the
+    * Shiloach–Vishkin shortcut, so convergence is O(log diameter), not
+    * O(diameter)) over the chosen-edge COMPONENT graph
+    * (component-count-sized, shrinking geometrically), run TO
+    * CONVERGENCE, and one label re-point join. Convergence is detected
+    * by the label-SUM scalar: hash-min labels are monotone
+    * non-increasing per node, so the sum strictly decreases until the
+    * fixpoint and one cheap aggregate per sub-round is the whole check
+    * (no EXCEPT). A fixed sub-round count here would be a silent
+    * correctness hazard: on a chosen-edge graph whose diameter exceeds
+    * it (a monotone-weight path, where every component picks its left
+    * edge and the chosen graph IS the whole path), labels under-merge
+    * and the next round re-selects an edge INSIDE an already-connected
+    * component — duplicate forest rows, possibly cycle edges.
+    * `maxCcRounds` is a runaway backstop that raises rather than
+    * returning a wrong forest (the [[connectedComponentsLS]]
+    * convention); with pointer jumping, 50 covers diameters past 2^25.
+    * A round whose chosen-edge set is empty ends the loop early — every
+    * later round would choose nothing too (no cross-component edges
+    * remain reachable), so the early exit preserves the fixed-rounds
+    * contract while skipping the dead jobs.
+    *
+    * Labels and the forest are localCheckpointed per round (three
+    * references each — the 3^rounds lineage argument).
     *
     * Output: the forest edges (a, b, w).
     */
@@ -576,7 +642,7 @@ object Graph {
   }
 
   def boruvkaForest(edges: DataFrame, aCol: String, bCol: String,
-      wCol: String, rounds: Int, ccRounds: Int = 12): DataFrame = {
+      wCol: String, rounds: Int, maxCcRounds: Int = 50): DataFrame = {
     val e = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"),
@@ -588,7 +654,14 @@ object Graph {
       .distinct()
       .select(col("n"), col("n").as("lab"))
     var forest = e.filter(lit(false)) // empty (a, b, w) frame
-    for (_ <- 1 to rounds) {
+    // converged ⟺ no label moved ⟺ the (monotone-decreasing) label sum is
+    // unchanged; decimal(38,0) keeps the scalar exact at any node count
+    def labelSum(m: DataFrame): java.math.BigDecimal =
+      m.agg(sum(col("mlab").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+    var exhausted = false
+    var round = 0
+    while (!exhausted && round < rounds) {
+      round += 1
       val ce = e
         .join(labels.select(col("n").as("a"), col("lab").as("__ca")), Seq("a"))
         .join(labels.select(col("n").as("b"), col("lab").as("__cb")), Seq("b"))
@@ -600,27 +673,50 @@ object Graph {
         .select(col("__m.a").as("a"), col("__m.b").as("b"), col("__m.w").as("w"))
         .distinct()
       val chosenCp = checkpointCutStats(chosen)
-      forest = checkpointCutStats(forest.unionByName(chosenCp))
-      // contraction: flood minima over the chosen-edge COMPONENT graph
-      val cg = chosenCp
-        .join(labels.select(col("n").as("a"), col("lab").as("__ca")), Seq("a"))
-        .join(labels.select(col("n").as("b"), col("lab").as("__cb")), Seq("b"))
-        .select(col("__ca").as("ca"), col("__cb").as("cb"))
-        .distinct()
-      var m = cg.select(col("ca").as("c")).union(cg.select(col("cb").as("c")))
-        .distinct()
-        .select(col("c"), col("c").as("mlab"))
-      for (_ <- 1 to ccRounds) {
-        val viaA = cg.join(m.withColumnRenamed("c", "ca"), "ca")
-          .select(col("cb").as("c"), col("mlab"))
-        val viaB = cg.join(m.withColumnRenamed("c", "cb"), "cb")
-          .select(col("ca").as("c"), col("mlab"))
-        m = checkpointCutStats(m.unionByName(viaA).unionByName(viaB)
-          .groupBy(col("c")).agg(min(col("mlab")).as("mlab")))
+      if (chosenCp.isEmpty) {
+        exhausted = true // no component has a cross edge left: done for good
+      } else {
+        forest = checkpointCutStats(forest.unionByName(chosenCp))
+        // contraction: hash-min + pointer-jump over the chosen-edge
+        // COMPONENT graph, to the label-sum fixpoint (see docstring)
+        val cg = chosenCp
+          .join(labels.select(col("n").as("a"), col("lab").as("__ca")), Seq("a"))
+          .join(labels.select(col("n").as("b"), col("lab").as("__cb")), Seq("b"))
+          .select(col("__ca").as("ca"), col("__cb").as("cb"))
+          .distinct()
+        var m = checkpointCutStats(
+          cg.select(col("ca").as("c")).union(cg.select(col("cb").as("c")))
+            .distinct()
+            .select(col("c"), col("c").as("mlab")))
+        var mSum = labelSum(m)
+        var converged = false
+        var cc = 0
+        while (!converged && cc < maxCcRounds) {
+          cc += 1
+          val viaA = cg.join(m.withColumnRenamed("c", "ca"), "ca")
+            .select(col("cb").as("c"), col("mlab"))
+          val viaB = cg.join(m.withColumnRenamed("c", "cb"), "cb")
+            .select(col("ca").as("c"), col("mlab"))
+          val flooded = m.unionByName(viaA).unionByName(viaB)
+            .groupBy(col("c")).agg(min(col("mlab")).as("mlab"))
+          // pointer jump: label ← label(label); every label value is a cg
+          // node (labels start as node ids and only copy), so the lookup
+          // always hits — coalesce is belt-and-braces
+          val jumped = flooded.as("x")
+            .join(flooded.as("y"), col("x.mlab") === col("y.c"), "left")
+            .select(col("x.c").as("c"),
+              coalesce(col("y.mlab"), col("x.mlab")).as("mlab"))
+          m = checkpointCutStats(jumped)
+          val s = labelSum(m)
+          converged = s.compareTo(mSum) == 0
+          mSum = s
+        }
+        if (!converged)
+          sys.error(s"boruvkaForest: contraction not converged after $maxCcRounds sub-rounds")
+        labels = checkpointCutStats(
+          labels.join(m.withColumnRenamed("c", "lab"), Seq("lab"), "left")
+            .select(col("n"), coalesce(col("mlab"), col("lab")).as("lab")))
       }
-      labels = checkpointCutStats(
-        labels.join(m.withColumnRenamed("c", "lab"), Seq("lab"), "left")
-          .select(col("n"), coalesce(col("mlab"), col("lab")).as("lab")))
     }
     forest
   }

@@ -1049,11 +1049,18 @@ object ExtTextQueries {
     // (source-sorted fold, every oracle literal cast to DOUBLE); the
     // teleport flag rides a broadcast join of the metadata-sized seed
     // set. Top-20 by (rank DESC, node ASC).
+    //
+    // pairs is localCheckpointed HERE, not just inside the operator: the
+    // edge list and the seed set are materialized by SEPARATE jobs inside
+    // personalizedPageRank (no cross-job exchange reuse), so without this
+    // cut the fact-sized lineitem⋈orders distinct executes twice per run
+    // — the r14 adjudication of the q_x_ppr sweep anomaly (PLANS.md).
     "q_x_ppr" -> { (s, dir) =>
       val pairs = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("su"))
         .distinct()
+        .localCheckpoint()
       val sym = pairs.select(col("c").as("src"), col("su").as("dst"))
         .union(pairs.select(col("su").as("src"), col("c").as("dst")))
       val seeds = pairs.filter(pmod(col("c"), lit(200)) === 14)

@@ -58,7 +58,13 @@ object StreamJobs {
     * end TOUCHES inclusively (measured on Spark 4.1: diff 1800 at gap
     * 1800 merges, diff 1801 splits; the PropertySpec bridge pins both
     * boundaries), so gap must equal the batch rule's threshold, not
-    * threshold+1. Exactness also requires the SAME clock granularity as
+    * threshold+1. CAVEAT (ADVICE r13): the inclusive-touch boundary is a
+    * MEASURED Spark 4.1 behavior, not a documented contract ("closes
+    * after a gap of inactivity" says nothing about diff == gap) — if a
+    * Spark upgrade flips the boundary to exclusive, the pinned
+    * PropertySpec user-8/user-9 pair FAILS; triage that as a deliberate
+    * upstream semantics change (re-pin gap to threshold+1 and re-measure
+    * both boundaries), not as a test flake. Exactness also requires the SAME clock granularity as
     * the batch rule: q_x_sessionize second-truncates ts before the gap
     * test, so the stream truncates too — on the raw ns-precision feed a
     * boundary gap (1800.4 s raw → 1801 s truncated) would otherwise split

@@ -615,6 +615,41 @@ class DedupSpec extends SparkSpec {
     assert(eng == naive, s"engine ${eng.size} vs naive ${naive.size}")
   }
 
+  test("containment maxTokenDf cap census is visible via observe") {
+    // every doc opens with the same boilerplate header, so its 3-shingles
+    // have df 4 — past a cap of 2 they are dropped from candidate
+    // generation, and that RECALL event must surface in the
+    // containment_hot_shingles observe metrics (r14, VERDICT item 5).
+    // Docs 1/2 additionally share their body (df 2 ≤ cap), so the run
+    // still emits a pair: AQE's empty-relation propagation would PRUNE
+    // the CollectMetrics subtree on an all-empty result (probed on
+    // Spark 4.1 — the caveat is documented on containmentPairs), so the
+    // census is pinned on the surviving-pair path, the one production
+    // monitors.
+    val header = "shared boiler plate header words here "
+    val body = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, header + body),
+      (2L, header + body + " extra tail words"),
+      (3L, header + "unique3a unique3b unique3c unique3d"),
+      (4L, header + "unique4a unique4b unique4c unique4d"))
+      .toDF("doc_id", "text")
+    val res = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, tauNum = 8, tauDen = 10, maxTokenDf = 2L)
+    val rows = res.collect() // execute — observe metrics ride the job
+    assert(rows.nonEmpty, "fixture must keep a surviving pair (see comment)")
+    val m = res.queryExecution.observedMetrics("containment_hot_shingles")
+    assert(m.getAs[Long]("n_capped_shingles") >= 4L,
+      s"header shingles past the cap must be counted: $m")
+    assert(m.getAs[Long]("max_shingle_df") >= 4L, s"max df seen must be >= 4: $m")
+    // and an uncapped run reports zero capped shingles on the same corpus
+    val free = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, tauNum = 8, tauDen = 10)
+    free.collect()
+    assert(free.queryExecution.observedMetrics("containment_hot_shingles")
+      .getAs[Long]("n_capped_shingles") == 0L)
+  }
+
   test("edit near-dup: grid blocking + banded levenshtein per the stated guarantee") {
     val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega").take(120)

@@ -276,6 +276,45 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
     for (near <- Seq(3L, 4L); far <- Seq(11L, 12L, 13L))
       assert(got(near) > got(far), s"$near should outrank $far")
+    // checkpointEvery only cuts lineage — ranks are bit-identical
+    val cp = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      iters, checkpointEvery = 1).as[(Long, Double)].collect().toMap
+    assert(cp == got)
+  }
+
+  test("personalizedPageRank dangling redistribution returns sink mass to the seeds") {
+    // 1→2, 3→1, 3→2: node 2 is a sink; seed = {1}. In the personalized
+    // model a surfer stranded on a sink restarts at the TELEPORT
+    // distribution, so redistributed mass goes d·dm·tele(v) — ranks sum
+    // to 1 on any graph and stay a seed-proximity measure. Driver power
+    // iteration replays the exact fold orders (node-sorted dangling sum,
+    // source-sorted contribution sum), so equality is bit-exact.
+    val edges = Seq((1L, 2L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val iters = 6
+    val got = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      iters, redistributeDanglingMass = true).as[(Long, Double)].collect().toMap
+
+    val outs = Map(1L -> Seq(2L), 3L -> Seq(1L, 2L))
+    val ins = Map(1L -> Seq(3L), 2L -> Seq(1L, 3L), 3L -> Seq[Long]())
+    val nodes = Seq(1L, 2L, 3L)
+    def tele(v: Long): Double = if (v == 1L) 1.0 else 0.0
+    var rank = nodes.map(v => v -> tele(v)).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.sorted.filter(v => !outs.contains(v))
+        .foldLeft(0.0)((acc, v) => acc + rank(v))
+      rank = nodes.map { v =>
+        val s = ins(v).sorted.foldLeft(0.0)((acc, u) => acc + rank(u) / outs(u).size)
+        v -> ((1.0 - 0.85) * tele(v) + 0.85 * (s + dm * tele(v)))
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (v, r) => assert(r == rank(v), s"node $v: $r vs ${rank(v)}") }
+    assert(math.abs(got.values.sum - 1.0) <= 1e-12)
+    // and the default tier on the same graph indeed leaks the sink mass
+    val dropped = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      iters).as[(Long, Double)].collect().map(_._2).sum
+    assert(dropped < 1.0 - 1e-6)
   }
 
   test("neighborhoodReach equals the exact 2-hop ball while the sketch is exact-mode") {
@@ -346,7 +385,7 @@ class GraphSpec extends SparkSpec {
       (r.nextInt(5) + 1).toLong)).filter(p => p._1 != p._2) ++
       Seq((100L, 101L, 2L))
     val edges = und.toDF("a", "b", "w")
-    val got = Graph.boruvkaForest(edges, "a", "b", "w", rounds = 5, ccRounds = 8)
+    val got = Graph.boruvkaForest(edges, "a", "b", "w", rounds = 5)
       .as[(Long, Long, Long)].collect().toSet
 
     // Kruskal over the same normalized edge list and total order
@@ -366,6 +405,21 @@ class GraphSpec extends SparkSpec {
     // total weight is the MSF weight and the forest spans both components
     assert(got.toSeq.map(_._3).sum == kruskal.toSeq.map(_._3).sum)
     assert(got.exists(e => e._1 == 100L && e._2 == 101L))
+  }
+
+  test("boruvkaForest: monotone-weight path (chosen-graph diameter 39) fully merges") {
+    // Every component picks its LEFT edge (weights rise along the path),
+    // so round 1's chosen-edge component graph IS the whole 40-node path —
+    // diameter 39, far past the r13 fixed 12-round flood. An under-merged
+    // contraction would leave multiple labels inside the one true
+    // component and round 2 would re-select an intra-component edge:
+    // duplicate forest rows / cycle edges. The convergent contraction
+    // must return each path edge EXACTLY once and nothing else.
+    val edges = (1L until 40L).map(i => (i, i + 1, i)).toDF("a", "b", "w")
+    val rows = Graph.boruvkaForest(edges, "a", "b", "w", rounds = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.length == 39, s"expected 39 forest rows, got ${rows.length}")
+    assert(rows.toSet == (1L until 40L).map(i => (i, i + 1, i)).toSet)
   }
 
   test("bfsDistances: exact hop counts, capped horizon, absent seeds dropped") {
@@ -461,6 +515,49 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     plain.foreach { case (n, (h, a)) =>
       assert(math.abs(h - got(n)._1) <= 1e-12 && math.abs(a - got(n)._2) <= 1e-12)
+    }
+  }
+
+  test("hits: two-level L2 norm fold is bit-exact across id buckets") {
+    // node ids straddle the 4096-wide norm buckets (bucket 0: 1, 2;
+    // bucket 1: 5000; bucket 2: 9000, 9001), so the r14 bucketed norm —
+    // per-bucket node-sorted squares fold, then a bucket-sorted combine —
+    // takes a DIFFERENT association order than a flat fold would. The
+    // driver replay walks the exact two-level tree; equality is bit-exact.
+    val edges = Seq((1L, 5000L), (1L, 9000L), (2L, 5000L), (2L, 9001L),
+      (5000L, 9000L)).toDF("src", "dst")
+    val iters = 2
+    val got = Graph.hits(edges, "src", "dst", iters = iters)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val outs = Seq((1L, 5000L), (1L, 9000L), (2L, 5000L), (2L, 9001L),
+      (5000L, 9000L))
+    val nodes = (outs.map(_._1) ++ outs.map(_._2)).distinct.sorted
+    def l2(m: Map[Long, Double]): Double = math.sqrt(
+      m.keys.groupBy(_ >> 12).toSeq.sortBy(_._1)
+        .map { case (_, ks) =>
+          ks.toSeq.sorted.foldLeft(0.0)((acc, n) => acc + m(n) * m(n)) }
+        .foldLeft(0.0)(_ + _))
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      auth = nodes.map { n =>
+        n -> outs.filter(_._2 == n).map(_._1).sorted
+          .foldLeft(0.0)((acc, s) => acc + hub(s))
+      }.toMap
+      val an = l2(auth)
+      auth = auth.map { case (n, v) => n -> (if (an > 0) v / an else 0.0) }
+      hub = nodes.map { n =>
+        n -> outs.filter(_._1 == n).map(_._2).sorted
+          .foldLeft(0.0)((acc, d) => acc + auth(d))
+      }.toMap
+      val hn = l2(hub)
+      hub = hub.map { case (n, v) => n -> (if (hn > 0) v / hn else 0.0) }
+    }
+    assert(got.keySet == nodes.toSet)
+    got.foreach { case (n, (h, a)) =>
+      assert(h == hub(n) && a == auth(n), s"node $n: ($h,$a) vs (${hub(n)},${auth(n)})")
     }
   }
 }

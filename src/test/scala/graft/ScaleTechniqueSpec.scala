@@ -100,6 +100,18 @@ class ScaleTechniqueSpec extends SparkSpec {
     // balance sanity: all 8 shards populated, none starved
     val sizes = s8.values.groupBy(identity).view.mapValues(_.size)
     assert(sizes.size == 8 && sizes.values.min > 3000 / 8 / 3)
+    // the r14 narrow-fold form preserves row MULTIPLICITY (the r13
+    // explode+regroup silently collapsed duplicate rows — ADVICE r13) and
+    // shuffles nothing: duplicates stay duplicated, each with the same
+    // deterministic shard, and the plan has no Exchange at all
+    val dup = Seq(7L, 7L, 7L, 11L).toDF("k")
+    val ds = Ops.rendezvousShard(dup, "k", 8)
+    assert(ds.count() == 4L)
+    val byK = ds.as[(Long, Int)].collect().groupBy(_._1)
+    assert(byK(7L).length == 3 && byK(7L).map(_._2).distinct.length == 1)
+    assert(byK(7L).head._2 == s8(7L) && byK(11L).head._2 == s8(11L))
+    assert(!Ops.rendezvousShard(docs, "k", 8).queryExecution.executedPlan
+      .toString.contains("Exchange"), "rendezvousShard must stay narrow")
   }
 
   test("quota split is exact per stratum; leakage-safe split never straddles a pair") {
