@@ -47,6 +47,7 @@ object Bench {
     var settleSec = 0.0
     var settleRdds = 0L
     var heapPeakMb = 0L
+    var sinceGc = 0
 
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
@@ -70,11 +71,21 @@ object Bench {
       // on identical data and code (A/B in PLANS.md). Each rep rebuilds
       // its DataFrame from scratch, so nothing persisted is ever reused
       // across reps — unpersisting is purely hermetic.
+      // r14 instrumented finding: the unconditional System.gc() here cost
+      // 308 s across 894 settles of a 373 s-of-measured-queries sf0.1
+      // sweep (~0.34 s per full GC at a 7 GB heap) while only 376 settles
+      // had any RDD to drop — the harness was paying a full GC for
+      // nothing two-thirds of the time, and that scaling with registry
+      // size is the r13 sweep-cost drift. The GC now runs only when
+      // blocks were actually unpersisted (the hermetic case the r12
+      // pagerank A/B proved matters) or every 8th settle (bounds plain
+      // garbage accumulation so pauses can't drift into timed reps).
       val t0 = System.nanoTime()
       val rdds = spark.sparkContext.getPersistentRDDs.values
       settleRdds += rdds.size
       rdds.foreach(_.unpersist(blocking = true))
-      System.gc()
+      sinceGc += 1
+      if (rdds.nonEmpty || sinceGc >= 8) { System.gc(); sinceGc = 0 }
       settleSec += (System.nanoTime() - t0) / 1e9
     }
 

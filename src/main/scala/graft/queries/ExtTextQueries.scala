@@ -437,6 +437,23 @@ object ExtTextQueries {
     // bucket of the doc id — a NARROW map with zero shuffles before the
     // rollup, so assignment is embarrassingly parallel, bit-reproducible
     // across runs/partitionings/engines, and RESUMABLE (re-splitting any
+    // Grouped k-fold cross-validation assignment (k = 5), entity =
+    // customer: fold is a pure seedless-md5 function of the GROUP key,
+    // so every row of one entity lands in ONE fold — the group-leakage
+    // guard plain row-hashing lacks (a customer's orders in both train
+    // and holdout folds leak entity-level signal into validation, the
+    // same vector q_x_split_safe closes for near-duplicate documents).
+    // A narrow shuffle-free map: deterministic, resumable, and
+    // subset-stable (re-assigning any subset agrees — the split_hash
+    // argument); the full assignment table is the output so the oracle
+    // hash pins every row, not just counts.
+    "q_x_kfold" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("fold", pmod(TextOps.md5Long64(
+            concat(lit("fold:"), col("o_custkey").cast("string"))), lit(5L))
+          .cast("int"))
+    },
     // subset assigns identically — rand() cannot promise any of this).
     // Proportions are exact only in expectation (binomial around 80%);
     // the quota tier below trades one shuffle for exactness. Rollup per
@@ -2123,6 +2140,17 @@ object ExtTextQueries {
         |  CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
         |  CAST(max(rate) AS INT) AS rate_bp
         |FROM r GROUP BY lang, source""".stripMargin,
+    "q_x_kfold" ->
+      """WITH h AS (SELECT o_orderkey, o_custkey,
+        |    CAST(concat('0x', substr(md5(concat('fold:', CAST(o_custkey AS VARCHAR))), 1, 16))
+        |      AS UBIGINT) AS u
+        |  FROM orders),
+        |hh AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |         THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |         ELSE CAST(u AS BIGINT) END AS hsig FROM h)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(((hsig % 5) + 5) % 5 AS INT) AS fold FROM hh""".stripMargin,
     "q_x_split_hash" ->
       """WITH h AS (SELECT lang, n_chars,
         |    CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 16))

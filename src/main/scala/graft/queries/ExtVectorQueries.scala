@@ -237,6 +237,30 @@ object ExtVectorQueries {
     // with a cid tie-break, id-sorted mean folds (Clustering.kMeans), so
     // DuckDB replays all 3 rounds bit-for-bit. Features: line quantity
     // and price (k$) — the classic order-profile segmentation.
+    // Johnson–Lindenstrauss random projection 64 → 16: the dense
+    // embedding compression you reach for BEFORE product quantization —
+    // pairwise distances preserved within (1±ε) w.h.p. (JL lemma), and
+    // unlike PQ the output is still a dense vector downstream ops can
+    // keep using (cosine, clustering, another LSH pass). Planes are the
+    // deterministic splitmix hyperplanes (Similarity.hyperplanes:
+    // data-independent DOUBLE literals baked into the plan — nothing to
+    // broadcast, nothing to join); each output dim is one index-ORDER
+    // fold over the zip_with products — a narrow codegen'd map, no
+    // shuffle, no UDF, embarrassingly parallel at any corpus size. The
+    // oracle regenerates the SAME plane constants from the same Scala
+    // function (shortest-round-trip double literals parse back to the
+    // identical bits) and replays the same left fold with a 0.0 seed
+    // (list_prepend), so every projected double is bit-exact
+    // cross-engine.
+    "q_x_rand_proj" -> { (s, dir) =>
+      val planes = Similarity.hyperplanes(16, 64, seed = 77L)
+      val proj = array(planes.map { p =>
+        aggregate(
+          zip_with(col("embedding"), array(p.map(lit).toSeq: _*), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+      }.toSeq: _*)
+      Tables.embeddings(s, dir).select(col("vec_id"), proj.as("proj"))
+    },
     "q_x_kmeans" -> { (s, dir) =>
       val pts = Tables.lineitem(s, dir)
         .select((col("l_orderkey") * 10 + col("l_linenumber")).as("pid"),
@@ -250,6 +274,34 @@ object ExtVectorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the identical plane constants regenerated from the same splitmix
+    // function, the identical 0.0-seeded left fold per output dim. The
+    // E0 suffix on every plane literal is LOAD-BEARING, twice over
+    // (both caught by r14 hash mismatches): a bare decimal literal is
+    // DECIMAL-typed, so (1) FLOAT × DECIMAL multiplies in FLOAT, and
+    // (2) even CAST(list AS DOUBLE[]) first unifies the 64 elements to
+    // one common DECIMAL scale whose rescaled integers exceed 2⁵³ —
+    // the decimal→double conversion then goes 1 ulp off. E-notation
+    // parses as DOUBLE directly, bit-identical to the JVM literal.
+    "q_x_rand_proj" -> {
+      val planes = Similarity.hyperplanes(16, 64, seed = 77L)
+      def dlit(d: Double): String = {
+        val s = d.toString
+        if (s.contains("E")) s else s + "E0"
+      }
+      val planeCols = planes.zipWithIndex.map { case (p, i) =>
+        p.map(dlit).mkString("[", ", ", s"] AS p$i")
+      }.mkString(",\n    ")
+      val dims = planes.indices.map { i =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(generate_series(1, 64), i -> e.embedding[i] * p.p$i[i])),
+           |      (a, x) -> a + x)""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH p AS (SELECT $planeCols)
+         |SELECT e.vec_id, [
+         |    $dims] AS proj
+         |FROM embeddings e, p""".stripMargin
+    },
     // per-dim vec_id-ordered mean folds, the identical dim-ordered
     // distance fold, integer ceil(n/20) quota by (dist DESC, vec_id)
     "q_x_embed_outliers" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Ops
 import graft.sources.Tables
@@ -222,6 +223,50 @@ object QualityQueries {
           aggregate(sort_array(collect_list(struct(col("bin"), col("__t")))),
             lit(0.0), (acc, x) => acc + x.getField("__t")).as("chi2"))
     },
+    // Distribution drift, 1-D WASSERSTEIN tier (earth-mover distance on
+    // the binned value grid) — the drift number the chi-square tier
+    // can't give: χ² is magnitude-blind (mass moving one bin over and
+    // mass moving nine bins over can score the same), while W1 IS the
+    // total mass-times-distance moved, the quantity a data-mixture
+    // rebalance actually acts on. On the shared 10-bin integer grid the
+    // statistic is ALL-INTEGER: W1·n_ref·n_cur = Σ_k |cumRef_k·n_cur −
+    // cumCur_k·n_ref| · gap_k (gap = distance to the next OCCUPIED bin —
+    // absent bins carry the running cumulative, so the gap multiplier
+    // replays them exactly without densifying). One exact double
+    // division at the end (the q_x_bm25 single-division move). Bound:
+    // needs n_ref·n_cur < 2⁶³ — fine to ~3·10⁹ rows per side per type;
+    // past that, fold in decimal(38,0). Same (type, bin) aggregate +
+    // 10-row-per-type windows as the χ² tier — bounded key space at any
+    // volume; types with an empty cohort are excluded (W1 needs both
+    // distributions).
+    "q_x_drift_w1" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("is_ref"),
+          expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, 9)")
+            .as("bin"))
+      val counts = e.groupBy(col("event_type"), col("bin"))
+        .agg(count(when(col("is_ref"), lit(1))).as("o1"),
+          count(when(!col("is_ref"), lit(1))).as("o2"))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      counts
+        .withColumn("c1", sum(col("o1")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("c2", sum(col("o2")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("gap", lead(col("bin"), 1, 10L).over(w) - col("bin"))
+        .join(tot, Seq("event_type"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .groupBy(col("event_type"))
+        .agg(min(col("n1")).as("n_ref"), min(col("n2")).as("n_cur"),
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1")) * col("gap"))
+            .as("w1_num"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("w1_num"),
+          (col("w1_num").cast("double") /
+            (col("n_ref") * col("n_cur")).cast("double")).as("w1_bins"))
+    },
     // Snapshot DIFF between two as-of versions of the per-customer
     // latest-order state — the ops tool every SCD/backfill pipeline
     // needs ("what changed between yesterday's build and today's"):
@@ -384,6 +429,33 @@ object QualityQueries {
         |  CAST(count(*) AS INT) AS n_bins,
         |  list_reduce(list(term ORDER BY bin), (a, x) -> a + x) AS chi2
         |FROM tt GROUP BY event_type""".stripMargin,
+    // the same cumulative grid, gap-weighted |cross-difference| sum, one
+    // closing double division — all-integer until the last step
+    "q_x_drift_w1" ->
+      """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS is_ref,
+        |    least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000, 9) AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |    count(CASE WHEN is_ref THEN 1 END) AS o1,
+        |    count(CASE WHEN NOT is_ref THEN 1 END) AS o2
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(o1) AS BIGINT) AS n1,
+        |    CAST(sum(o2) AS BIGINT) AS n2 FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, bin,
+        |    CAST(sum(o1) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |    CAST(sum(o2) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2,
+        |    coalesce(lead(bin) OVER (PARTITION BY event_type ORDER BY bin), 10) - bin AS gap
+        |  FROM c),
+        |s AS (SELECT cum.event_type, t.n1 AS n_ref, t.n2 AS n_cur,
+        |    CAST(sum(abs(c1 * t.n2 - c2 * t.n1) * gap) AS BIGINT) AS w1_num
+        |  FROM cum JOIN t USING (event_type)
+        |  WHERE t.n1 > 0 AND t.n2 > 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, n_ref, n_cur, w1_num,
+        |  CAST(w1_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS w1_bins
+        |FROM s""".stripMargin,
     // both as-of snapshots replayed as rank-1 scans, full-outer diffed
     "q_x_snapshot_diff" ->
       """WITH sa AS (SELECT o_custkey AS custkey, o_orderstatus AS status,

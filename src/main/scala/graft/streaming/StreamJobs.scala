@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -118,6 +118,93 @@ object StreamJobs {
         expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, 9)")
           .as("bin"))
       .agg(count(lit(1)).as("n"))
+
+  /** Point-in-time feature HISTORY tables — the compacted per-entity
+    * form a feature store publishes for serving: one row per user
+    * carrying the full (feature_time, value) history as a
+    * feature-time-sorted array. Built with the SAME grain rules as the
+    * batch training-set assembly (q_x_pit_features): both streams
+    * collapse to (user, second) grain first, so feature timestamps are
+    * unique per user and an as-of pick can never tie. Array size is
+    * bounded by the user's update count inside the published horizon —
+    * the standard compaction contract; a keyed groupBy + sort_array,
+    * one shuffle each, run at publish time, not per lookup.
+    */
+  def pitClickHistory(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("fts"))
+      .groupBy(col("user_id"), col("fts"))
+      .agg(count(lit(1)).as("__k"))
+      .withColumn("clicks_so_far", sum(col("__k")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("fts"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("fts"), col("clicks_so_far"))))
+        .as("click_hist"))
+
+  def pitViewHistory(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("fts"),
+        col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("fts"))
+      .agg(max_by(col("cents"), col("event_id")).as("last_view_cents"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("fts"), col("last_view_cents"))))
+        .as("view_hist"))
+
+  /** STREAMING point-in-time feature serving — the live tier of
+    * q_x_pit_features: each arriving observation (purchase) takes, AS OF
+    * ITS OWN TIMESTAMP, the newest value from each static feature
+    * history ([[pitClickHistory]]/[[pitViewHistory]]). The as-of pick is
+    * a NARROW per-row array fold (filter fts ≤ ts, then array_max — the
+    * struct order is (fts, value), so the max IS the latest eligible
+    * update), attached by two STATELESS stream-static left joins on
+    * user_id — no watermark, no state store, supported in append mode.
+    * Because enrichment is per-row (a row's output depends only on
+    * itself and the static snapshot), micro-batch slicing cannot show
+    * through: the drained stream equals the batch as-of assembly
+    * row-for-row (StreamingSpec pins it against q_x_pit_features).
+    * At scale this is exactly feature-store online serving: the history
+    * tables broadcast (entity-bounded) or shuffle-join on user_id, and
+    * the lookup itself is codegen'd per row.
+    */
+  def pitFeaturesStream(obs: DataFrame, clickHist: DataFrame,
+      viewHist: DataFrame): DataFrame = {
+    def pick(hist: Column, ts: Column): Column =
+      array_max(filter(hist, f => f.getField("fts") <= ts))
+    obs
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+        col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("label_cents"))
+      .join(clickHist, Seq("user_id"), "left")
+      .withColumn("__c", pick(col("click_hist"), col("ts")))
+      .join(viewHist, Seq("user_id"), "left")
+      .withColumn("__v", pick(col("view_hist"), col("ts")))
+      .select(col("user_id"), col("ts"), col("event_id"), col("label_cents"),
+        coalesce(col("__c.clicks_so_far"), lit(0L)).as("clicks_so_far"),
+        col("__v.last_view_cents").as("last_view_cents"))
+  }
+
+  /** Streaming target-encoding MOMENT maintenance — the live tier of
+    * q_x_target_encode's category moments: per-category (Σ target, n)
+    * kept exact by a streaming aggregate (sums and counts are additive,
+    * so micro-batch merge order cannot show through — the
+    * [[driftBinCounts]] argument, and the q_x_incr_rollup merge ≡
+    * recompute contract). The LOO encode itself stays a batch-side
+    * broadcast of these moments onto the rows; what streams is the
+    * moment upkeep, which is the only corpus-sized work in the encoder.
+    */
+  def targetMomentsStream(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority").as("cat"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("t_sum"), count(lit(1)).as("t_n"))
 
   /** Streaming corpus-prep front door: the batch pipeline's quality gate +
     * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as

@@ -413,6 +413,67 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming point-in-time features equal the batch as-of assembly") {
+    // the r14 feature-serving twin: purchases stream in (3 micro-batches),
+    // features are the STATIC compacted per-user histories, and the as-of
+    // pick is a narrow array fold behind two stateless stream-static
+    // joins — per-row enrichment, so micro-batch slicing cannot show
+    // through and the drained stream must equal q_x_pit_features
+    // row-for-row
+    val src = Files.createTempDirectory("graft_pit_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src) // 3 micro-batches
+    val clickHist = StreamJobs.pitClickHistory(ev).localCheckpoint()
+    val viewHist = StreamJobs.pitViewHistory(ev).localCheckpoint()
+    val q = StreamJobs.pitFeaturesStream(
+        StreamJobs.fileEventStream(spark, src), clickHist, viewHist)
+      .writeStream.outputMode("append").format("memory").queryName("pit_s").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).sortBy(t => (t._1, t._3))
+    val got = canon(spark.table("pit_s"))
+    val want = canon(SparkEntry.queries("q_x_pit_features")(spark, sfDir))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming target-encode moments equal the batch moments; LOO derives identically") {
+    // additive (sum, count) moments per category: micro-batch merge order
+    // cannot show through (the driftBinCounts argument), so the drained
+    // complete-mode table equals the batch moments bit-for-bit — and the
+    // LOO encode DERIVED from the drained moments equals q_x_target_encode
+    val src = Files.createTempDirectory("graft_tmom_src").toString
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    orders.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.targetMomentsStream(
+        spark.readStream.schema(orders.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory").queryName("tmom").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = canon(spark.table("tmom"))
+    val want = canon(StreamJobs.targetMomentsStream(orders))
+    assert(got == want && got.nonEmpty)
+    // LOO encode from the drained moments == the batch encoder's output
+    val enc = orders.select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("t_cents"))
+      .join(broadcast(spark.table("tmom")
+        .withColumnRenamed("cat", "cat").select(col("cat"),
+          col("t_sum").as("__s"), col("t_n").as("__n"))), Seq("cat"))
+      .select(col("o_orderkey"), col("cat"), col("t_cents"),
+        expr("case when __n > 1 then (__s - t_cents) div (__n - 1) end")
+          .as("loo_mean_cents"), col("__n").as("cat_n"))
+    def canonEnc(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).sortBy(_._1)
+    assert(canonEnc(enc).toSeq ==
+      canonEnc(SparkEntry.queries("q_x_target_encode")(spark, sfDir)).toSeq)
+  }
+
   test("idempotent sink: replaying a batch adds no rows (parquet + jdbc)") {
     val sink = Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = graft.sources.Tables.events(spark, sfDir).limit(50)
