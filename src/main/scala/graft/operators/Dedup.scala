@@ -776,6 +776,27 @@ object Dedup {
           sequence(lit(0), ((col("__len") - 1) / q).cast("int")),
           i => substring(col("__t"), lit(1) + i * q, lit(q)))).as(Seq("__i", "__ch")))
 
+  /** Aligned-grid candidate pairs over [[editDocs]] rows, boilerplate
+    * chunks excluded: the raw blocker output of the edit-grid family
+    * (no length prefilter — that's the verify stage's necessary-condition
+    * cut). Shared by [[composedEditPairs]] and [[blockingQuality]].
+    */
+  private def gridCandidatePairs(d: DataFrame, q: Int,
+      maxChunkDf: Long): DataFrame = {
+    val chunks = gridChunks(d, q)
+    val cold = chunks.groupBy(col("__i"), col("__ch"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxChunkDf)
+      .select(col("__i"), col("__ch"))
+    val keyed = chunks.join(cold, Seq("__i", "__ch"))
+    keyed.select(col("__i"), col("__ch"), col("__id").as("a"))
+      .join(keyed.select(col("__i"), col("__ch"), col("__id").as("b"))
+          .hint("shuffle_hash"),
+        Seq("__i", "__ch"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+  }
+
   def editNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", q: Int = 16, maxDist: Int = 16,
       maxChunkDf: Long = 1024L): DataFrame = {
@@ -801,6 +822,132 @@ object Dedup {
       .select(col("a"), col("b"),
         levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("lev"))
       .filter(col("lev") >= 0)
+  }
+
+  /** COMPOSED candidate generation for the edit-distance duplicate class —
+    * the production composition the [[editNearDupPairs]] docstring
+    * promises: aligned-grid candidates catch scattered small edits
+    * (pigeonhole: some q-chunk survives), MinHash band candidates catch
+    * the PHASE-SHIFTED class the grid provably misses (an early insertion
+    * slides every chunk, but bag-of-shingles banding is
+    * order-insensitive). The two candidate streams UNION and verify ONCE
+    * with the banded levenshtein — two recall engines, one acceptance
+    * criterion, so the output contract stays exactly
+    * [[editNearDupPairs]]' (a, b, lev ≤ maxDist), just with wider recall.
+    *
+    * Scale shape: both blockers are the proven bucketed paths (cold-chunk
+    * cap on the grid, hot-bucket guard on the bands — `failOnOverCap`
+    * passes through for oracle-faithful runs); the union is pair-list
+    * sized, the |len(a)−len(b)| ≤ maxDist necessary-condition prefilter
+    * runs before the O(maxDist·L) verify, and verification joins text
+    * back by id — no corpus broadcast anywhere.
+    */
+  def composedEditPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", q: Int = 16, maxDist: Int = 16,
+      maxChunkDf: Long = 1024L, numHashes: Int = 16, rowsPerBand: Int = 4,
+      shingleN: Int = 3, failOnOverCap: Boolean = false): DataFrame = {
+    require(q >= 1 && maxDist >= 0 && maxChunkDf >= 2,
+      "composedEditPairs: q >= 1, maxDist >= 0, maxChunkDf >= 2")
+    val d = editDocs(docs, idCol, textCol).localCheckpoint()
+    val gridCand = gridCandidatePairs(d, q, maxChunkDf)
+    val bandCand = lshCandidatePairs(
+      minHashSignature(docs, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand, failOnOverCap = failOnOverCap)
+    gridCand.unionByName(bandCand).distinct()
+      .join(d.select(col("__id").as("a"), col("__t").as("__ta"),
+        col("__len").as("__la")), Seq("a"))
+      .join(d.select(col("__id").as("b"), col("__t").as("__tb"),
+        col("__len").as("__lb")), Seq("b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("a"), col("b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+  }
+
+  /** BLOCKING-QUALITY census — the ops report that justifies trusting any
+    * blocker before it gates a 100 TB dedup pass: per blocker (aligned
+    * grid, MinHash bands, their composition) the candidate volume, the
+    * true-duplicate recall (pair completeness), and the pruning power
+    * (reduction ratio), measured against EXHAUSTIVE ground truth on a
+    * deterministic seedless-hash sample of the corpus (`sampleBp` of
+    * 10,000 — the knob that keeps the quadratic truth stage bounded at
+    * any corpus size; completeness is a per-pair Bernoulli estimate, so a
+    * fixed absolute sample suffices regardless of scale).
+    *
+    * Ground truth avoids a CartesianProduct even on the sample: lev ≤ d
+    * implies |len(a)−len(b)| ≤ d, so candidate truth pairs come from a
+    * LENGTH-BAND equi-join (bucket width d+1, one side exploded to
+    * {k, k+1} — complete by the triangle bound, per-bucket quadratic only
+    * within the bounded sample) and then the same banded-levenshtein
+    * acceptance as the production verify. One row per blocker, all
+    * counters exact integers: `n_docs`, `total_pairs` = C(n,2), `n_true`,
+    * `n_cand` (raw blocker output, before the length prefilter — the
+    * volume the verify stage would pay for), `n_found` (candidates that
+    * are true pairs), `completeness_bp` = n_found·10⁴ div n_true
+    * (vacuously 10⁴ when the sample holds no true pair), `reduction_bp` =
+    * (total_pairs − n_cand)·10⁴ div total_pairs.
+    */
+  def blockingQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", q: Int = 16, maxDist: Int = 16,
+      maxChunkDf: Long = 1024L, numHashes: Int = 16, rowsPerBand: Int = 4,
+      shingleN: Int = 3, sampleBp: Int = 10000,
+      failOnOverCap: Boolean = false): DataFrame = {
+    require(q >= 1 && maxDist >= 0 && maxChunkDf >= 2 &&
+      sampleBp >= 1 && sampleBp <= 10000,
+      "blockingQuality: q >= 1, maxDist >= 0, maxChunkDf >= 2, sampleBp in [1, 10000]")
+    val sample = docs
+      .filter(pmod(md5Long64(concat(lit("blk:"), col(idCol).cast("string"))),
+        lit(10000L)) < sampleBp)
+      .select(col(idCol), col(textCol))
+    // one materialization feeds truth + both blockers + the verify joins
+    val d = editDocs(sample, idCol, textCol).localCheckpoint()
+    val w = maxDist + 1
+    val bucketed = d.withColumn("__bk", (col("__len") / w).cast("long"))
+    // exploded side carries {k, k+1}: equal-bucket pairs arrive twice (once
+    // per orientation), adjacent-bucket pairs once — distinct() after the
+    // min/max canonicalization makes the set exact either way
+    val truthCand = bucketed
+      .select(col("__id"), explode(array(col("__bk"), col("__bk") + 1)).as("__j"))
+      .join(bucketed.select(col("__id").as("__idb"), col("__bk").as("__j"))
+          .hint("shuffle_hash"),
+        Seq("__j"))
+      .filter(col("__id") =!= col("__idb"))
+      .select(least(col("__id"), col("__idb")).as("a"),
+        greatest(col("__id"), col("__idb")).as("b"))
+      .distinct()
+    val truth = truthCand
+      .join(d.select(col("__id").as("a"), col("__t").as("__ta"),
+        col("__len").as("__la")), Seq("a"))
+      .join(d.select(col("__id").as("b"), col("__t").as("__tb"),
+        col("__len").as("__lb")), Seq("b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist &&
+        levenshtein(col("__ta"), col("__tb"), maxDist) >= 0)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val gridCand = gridCandidatePairs(d, q, maxChunkDf)
+    val bandCand = lshCandidatePairs(
+      minHashSignature(sample, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand, failOnOverCap = failOnOverCap)
+      .localCheckpoint() // consumed twice: own row + the composed union
+    val scalars = d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .withColumn("total_pairs", expr("n_docs * (n_docs - 1) div 2"))
+    def censusRow(name: String, cand: DataFrame): DataFrame =
+      cand.join(truth.withColumn("__hit", lit(1L)), Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+        .crossJoin(scalars)
+        .select(lit(name).as("blocker"), col("n_docs"), col("total_pairs"),
+          col("n_true"), col("n_cand"), col("n_found"),
+          when(col("n_true") > 0, expr("n_found * 10000 div n_true"))
+            .otherwise(lit(10000L)).as("completeness_bp"),
+          when(col("total_pairs") > 0,
+            expr("(total_pairs - n_cand) * 10000 div total_pairs"))
+            .otherwise(lit(10000L)).as("reduction_bp"))
+    censusRow("grid", gridCand)
+      .unionByName(censusRow("minhash_bands", bandCand))
+      .unionByName(censusRow("composed",
+        gridCand.unionByName(bandCand).distinct()))
   }
 
   /** Incremental admission for the EDIT-distance duplicate class: each NEW

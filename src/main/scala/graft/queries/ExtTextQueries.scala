@@ -141,6 +141,44 @@ object ExtTextQueries {
       Dedup.editNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         q = 16, maxDist = 16, maxChunkDf = 1024L)
     },
+    // COMPOSED near-dup candidates: aligned-grid ∪ MinHash bands, ONE
+    // banded-levenshtein verify — the composition the edit-grid docstring
+    // promises (the grid misses the phase-shifted class an early
+    // insertion creates; order-insensitive banding catches it; the union
+    // recalls both with the same exact acceptance test). failOnOverCap
+    // because the oracle replays the band side uncapped.
+    "q_x_neardup_composed" -> { (s, dir) =>
+      Dedup.composedEditPairs(Tables.documents(s, dir), "doc_id", "text",
+        q = 16, maxDist = 16, maxChunkDf = 1024L, numHashes = 16,
+        rowsPerBand = 4, shingleN = 3, failOnOverCap = true)
+    },
+    // MinHash Jaccard ESTIMATOR calibration: per banded candidate pair,
+    // the signature-agreement count (matches/16 is the classic unbiased
+    // Jaccard estimate — ALL-INTEGER, so the estimator itself is
+    // hash-oracle-checked, not just the exact value it approximates)
+    // side by side with the exact shingle Jaccard. The ops query behind
+    // "how many hash functions do we actually need": the (est, exact)
+    // scatter IS the calibration curve.
+    "q_x_minhash_est" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sig = Dedup.minHashSignature(docs, "doc_id", "text", 16, 3)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", 16, 4,
+        failOnOverCap = true)
+      val sa = sig.select(col("doc_id").as("a") +:
+        (0 until 16).map(i => col(s"m$i").as(s"__a$i")): _*)
+      val sb = sig.select(col("doc_id").as("b") +:
+        (0 until 16).map(i => col(s"m$i").as(s"__b$i")): _*)
+      val est = cand.join(sa, Seq("a")).join(sb, Seq("b"))
+        .select(col("a"), col("b"),
+          (0 until 16).map(i =>
+            when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("est_matches"))
+      Dedup.jaccardOnPairs(cand, docs, "doc_id", "text", 3)
+        .join(est, Seq("a", "b"))
+        .select(col("a"), col("b"), col("est_matches"),
+          expr("est_matches * 10000 div 16").as("est_jaccard_bp"),
+          col("jaccard"))
+    },
     // Lexicon blocklist gate (the toxicity/NSFW word-filter stage): docs
     // are scored against a broadcast blocklist — distinct blocked terms
     // hit and total hit count — and pass iff they contain NO blocked
@@ -1782,6 +1820,58 @@ object ExtTextQueries {
         |FROM cand JOIN documents x ON x.doc_id = a
         |  JOIN documents y ON y.doc_id = b
         |WHERE levenshtein(x.text, y.text) <= 16""".stripMargin,
+    // grid candidates ∪ band candidates, one plain-levenshtein verify —
+    // CTE-for-CTE the union of the q_x_edit_neardup and q_x_dedup_minhash
+    // candidate replays
+    "q_x_neardup_composed" ->
+      s"""WITH g AS (SELECT doc_id, length(text) AS ln, text,
+         |    unnest(range(0, (length(text) - 1) // 16 + 1)) AS i
+         |  FROM documents WHERE length(text) >= 1),
+         |ch AS (SELECT doc_id, ln, i,
+         |    substr(text, CAST(i * 16 + 1 AS INTEGER), 16) AS c FROM g),
+         |cold AS (SELECT i, c FROM ch GROUP BY 1, 2 HAVING count(*) <= 1024),
+         |k AS (SELECT ch.* FROM ch JOIN cold USING (i, c)),
+         |gcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM k x JOIN k y ON x.i = y.i AND x.c = y.c AND x.doc_id < y.doc_id),
+         |$wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |bcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |cand AS (SELECT a, b FROM gcand UNION SELECT a, b FROM bcand)
+         |SELECT a, b, CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev
+         |FROM cand JOIN documents x ON x.doc_id = a
+         |  JOIN documents y ON y.doc_id = b
+         |WHERE levenshtein(x.text, y.text) <= 16""".stripMargin,
+    // the signature chain replayed, agreement counted positionally, the
+    // exact-jaccard verify expression from q_x_dedup_minhash alongside
+    "q_x_minhash_est" ->
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |est AS (SELECT cand.a, cand.b,
+         |    CAST(len(list_filter(generate_series(1, 16),
+         |      i -> sx.sig[i] = sy.sig[i])) AS BIGINT) AS est_matches
+         |  FROM cand JOIN sig sx ON sx.doc_id = cand.a
+         |    JOIN sig sy ON sy.doc_id = cand.b),
+         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w)
+         |SELECT est.a, est.b, est.est_matches,
+         |  est.est_matches * 10000 // 16 AS est_jaccard_bp,
+         |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
+         |FROM est JOIN shl x ON x.doc_id = est.a JOIN shl y ON y.doc_id = est.b""".stripMargin,
     "q_x_dedup_minhash" ->
       s"""WITH $wCte,
          |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),

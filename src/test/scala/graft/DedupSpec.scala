@@ -670,6 +670,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
       "a whole-text phase shift defeats aligned-grid blocking (the MinHash tier's job)")
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // the COMPOSED blocker closes exactly that hole: banding is
+    // order-insensitive, so the phase-shifted doc 3 (lev 3 from doc 0)
+    // becomes a candidate and survives the same levenshtein verify —
+    // while every grid-found pair is still found (candidate union ⊇)
+    val composed = Dedup.composedEditPairs(fixture, "doc_id", "text",
+      q = 16, maxDist = 16)
+      .select("a", "b", "lev").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(composed.get((0L, 3L)).contains(3L),
+      s"composed candidates must recall the phase-shifted pair: $composed")
+    pairs.foreach { case (p, l) =>
+      assert(composed.get(p).contains(l), s"grid pair $p lost in composition")
+    }
+    assert(!composed.keySet.exists(p => p._1 == 4L || p._2 == 4L))
     // every reported distance is the exact levenshtein (banded == plain)
     val texts = fixture.as[(Long, String)].collect().toMap
     def lev(a: String, b: String): Int = {
