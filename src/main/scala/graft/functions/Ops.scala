@@ -606,4 +606,45 @@ object Ops {
         }).getField("__j")
     df.withColumn(outCol, best.cast("int"))
   }
+
+  /** Rolling-origin (expanding-window) time-series cross-validation
+    * assignment at a calendar `grain`: the last `k` periods are the
+    * validation origins — fold f (1-based) validates on period P−k+f and
+    * trains on every strictly earlier period, the leakage-safe evaluation
+    * for anything temporal (forecasting, churn, CTR) where the hash and
+    * grouped k-folds ([[graft.operators.TextOps.splitAssign]],
+    * q_x_kfold) would let the model peek at the future. Output attaches
+    * two columns per input row — `fold_val` (the one fold where the row
+    * is validation; NULL for pure-history rows) and `n_train_folds`
+    * (k for history, k − fold_val for origin rows) — from which
+    * membership in every fold is derivable, so the assignment ships one
+    * row per input row instead of a k× exploded copy of the corpus.
+    *
+    * Scale shape: the period index is a row_number over the DISTINCT
+    * period dimension (calendar-sized — days or months, never
+    * corpus-sized — so its single-partition window is bounded by the
+    * calendar); facts pick up their fold columns through one BROADCAST
+    * equi-join on the period and never shuffle. Callers should pick
+    * k ≤ the period count; with fewer periods the early folds are
+    * simply empty.
+    */
+  def rollingOriginCv(df: DataFrame, tsCol: String, k: Int,
+      grain: String = "day", outPeriod: String = "period"): DataFrame = {
+    require(k >= 1, "rollingOriginCv: k must be positive")
+    require(!df.columns.exists(Set(outPeriod, "__p", "__pmax",
+      "fold_val", "n_train_folds")),
+      "rollingOriginCv reserves the period/__p/__pmax/fold_val/n_train_folds names")
+    val withPer = df.withColumn(outPeriod,
+      date_trunc(grain, col(tsCol)).cast("date"))
+    val periods = withPer.select(col(outPeriod)).distinct()
+      .withColumn("__p", row_number().over(Window.orderBy(col(outPeriod))))
+    val dim = periods.crossJoin(periods.agg(max(col("__p")).as("__pmax")))
+      .withColumn("fold_val",
+        when(col("__p") > col("__pmax") - k,
+          (col("__p") - (col("__pmax") - k)).cast("int")))
+      .withColumn("n_train_folds",
+        (lit(k) - coalesce(col("fold_val"), lit(0))).cast("int"))
+      .select(col(outPeriod), col("fold_val"), col("n_train_folds"))
+    withPer.join(broadcast(dim), Seq(outPeriod))
+  }
 }

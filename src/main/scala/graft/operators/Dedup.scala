@@ -795,6 +795,9 @@ object Dedup {
         Seq("__i", "__ch"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
+      // a pair colliding on several chunks must still be ONE candidate —
+      // downstream unions dedupe anyway, but the blocking census counts
+      .distinct()
   }
 
   def editNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
@@ -928,26 +931,43 @@ object Dedup {
     val bandCand = lshCandidatePairs(
       minHashSignature(sample, idCol, textCol, numHashes, shingleN),
       idCol, numHashes, rowsPerBand, failOnOverCap = failOnOverCap)
-      .localCheckpoint() // consumed twice: own row + the composed union
     val scalars = d.agg(count(lit(1)).as("n_docs"))
       .crossJoin(truth.agg(count(lit(1)).as("n_true")))
       .withColumn("total_pairs", expr("n_docs * (n_docs - 1) div 2"))
-    def censusRow(name: String, cand: DataFrame): DataFrame =
-      cand.join(truth.withColumn("__hit", lit(1L)), Seq("a", "b"), "left")
-        .agg(count(lit(1)).as("n_cand"),
-          coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
-        .crossJoin(scalars)
-        .select(lit(name).as("blocker"), col("n_docs"), col("total_pairs"),
-          col("n_true"), col("n_cand"), col("n_found"),
-          when(col("n_true") > 0, expr("n_found * 10000 div n_true"))
-            .otherwise(lit(10000L)).as("completeness_bp"),
-          when(col("total_pairs") > 0,
-            expr("(total_pairs - n_cand) * 10000 div total_pairs"))
-            .otherwise(lit(10000L)).as("reduction_bp"))
-    censusRow("grid", gridCand)
-      .unionByName(censusRow("minhash_bands", bandCand))
-      .unionByName(censusRow("composed",
-        gridCand.unionByName(bandCand).distinct()))
+    // tag-then-aggregate in ONE pass: a full-outer join of the two
+    // candidate sets yields each distinct pair once with its blocker
+    // memberships (composed = every pair, by construction), exploded to
+    // labeled rows — no per-blocker unions (replaying each candidate
+    // subtree per blocker both triples the plan and trips the union
+    // constraint rewrite on shared checkpoint attribute ids), one truth
+    // join and one groupBy serving all three census rows
+    val labeled = gridCand.withColumn("__g", lit(1L))
+      .join(bandCand.withColumn("__b", lit(1L)), Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        explode(filter(array(
+          when(col("__g").isNotNull, lit("grid")),
+          when(col("__b").isNotNull, lit("minhash_bands")),
+          lit("composed")), x => x.isNotNull)).as("blocker"))
+    val perBlocker = labeled
+      .join(truth.withColumn("__hit", lit(1L)), Seq("a", "b"), "left")
+      .groupBy(col("blocker"))
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+    scalars
+      .select(explode(array(lit("grid"), lit("minhash_bands"),
+        lit("composed"))).as("blocker"),
+        col("n_docs"), col("total_pairs"), col("n_true"))
+      .join(perBlocker, Seq("blocker"), "left")
+      .select(col("blocker"), col("n_docs"), col("total_pairs"), col("n_true"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+      .select(col("blocker"), col("n_docs"), col("total_pairs"),
+        col("n_true"), col("n_cand"), col("n_found"),
+        when(col("n_true") > 0, expr("n_found * 10000 div n_true"))
+          .otherwise(lit(10000L)).as("completeness_bp"),
+        when(col("total_pairs") > 0,
+          expr("(total_pairs - n_cand) * 10000 div total_pairs"))
+          .otherwise(lit(10000L)).as("reduction_bp"))
   }
 
   /** Incremental admission for the EDIT-distance duplicate class: each NEW

@@ -179,6 +179,19 @@ object ExtTextQueries {
           expr("est_matches * 10000 div 16").as("est_jaccard_bp"),
           col("jaccard"))
     },
+    // BLOCKING-QUALITY census: per blocker (grid / bands / composed) the
+    // candidate volume, pair completeness and reduction ratio against
+    // exhaustive ground truth on a 70% seedless-hash sample — the ops
+    // report that justifies trusting a blocker before a corpus-scale
+    // dedup pass. Truth avoids a Cartesian via the length-band join
+    // (lev ≤ d ⇒ |len diff| ≤ d); the sample fraction is the knob that
+    // bounds the quadratic truth stage at any corpus size.
+    "q_x_blocking_report" -> { (s, dir) =>
+      Dedup.blockingQuality(Tables.documents(s, dir), "doc_id", "text",
+        q = 16, maxDist = 16, maxChunkDf = 1024L, numHashes = 16,
+        rowsPerBand = 4, shingleN = 3, sampleBp = 7000,
+        failOnOverCap = true)
+    },
     // Lexicon blocklist gate (the toxicity/NSFW word-filter stage): docs
     // are scored against a broadcast blocklist — distinct blocked terms
     // hit and total hit count — and pass iff they contain NO blocked
@@ -491,6 +504,19 @@ object ExtTextQueries {
         .withColumn("fold", pmod(TextOps.md5Long64(
             concat(lit("fold:"), col("o_custkey").cast("string"))), lit(5L))
           .cast("int"))
+    },
+    // Rolling-origin time-series CV (k = 5, day grain): the last 5 days
+    // are the validation origins, each fold trains on strictly earlier
+    // days — the temporal-leakage-safe evaluation hash/grouped folds
+    // can't give. One row per event (fold membership derivable from
+    // fold_val + n_train_folds), period dimension broadcast, facts never
+    // shuffle.
+    "q_x_ts_cv" -> { (s, dir) =>
+      graft.functions.Ops.rollingOriginCv(
+        Tables.events(s, dir).select(col("event_id"), col("ts")),
+        "ts", k = 5, grain = "day")
+        .select(col("event_id"), col("period"), col("fold_val"),
+          col("n_train_folds"))
     },
     // subset assigns identically — rand() cannot promise any of this).
     // Proportions are exact only in expectation (binomial around 80%);
@@ -1872,6 +1898,62 @@ object ExtTextQueries {
          |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
          |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
          |FROM est JOIN shl x ON x.doc_id = est.a JOIN shl y ON y.doc_id = est.b""".stripMargin,
+    // the sample replayed via the split-hash idiom (domain "blk:"), truth
+    // as the plain quadratic join the sample makes affordable, both
+    // candidate chains re-sourced from the sample, counts per blocker
+    "q_x_blocking_report" ->
+      s"""WITH sdh AS (SELECT doc_id, text,
+         |    CAST(concat('0x', substr(md5(concat('blk:', CAST(doc_id AS VARCHAR))), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM documents),
+         |sd AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+         |      THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |      ELSE CAST(u AS BIGINT) END AS hsig FROM sdh)
+         |  WHERE ((hsig % 10000) + 10000) % 10000 < 7000),
+         |truth AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sd x JOIN sd y ON x.doc_id < y.doc_id
+         |  WHERE abs(length(x.text) - length(y.text)) <= 16
+         |    AND levenshtein(x.text, y.text) <= 16),
+         |g AS (SELECT doc_id, text,
+         |    unnest(range(0, (length(text) - 1) // 16 + 1)) AS i
+         |  FROM sd WHERE length(text) >= 1),
+         |ch AS (SELECT doc_id, i,
+         |    substr(text, CAST(i * 16 + 1 AS INTEGER), 16) AS c FROM g),
+         |cold AS (SELECT i, c FROM ch GROUP BY 1, 2 HAVING count(*) <= 1024),
+         |k AS (SELECT ch.* FROM ch JOIN cold USING (i, c)),
+         |gcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM k x JOIN k y ON x.i = y.i AND x.c = y.c AND x.doc_id < y.doc_id),
+         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws, text FROM sd),
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |bcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |ccand AS (SELECT a, b FROM gcand UNION SELECT a, b FROM bcand),
+         |nd AS (SELECT count(*) AS n_docs FROM sd),
+         |nt AS (SELECT count(*) AS n_true FROM truth),
+         |gq AS (SELECT count(*) AS n_cand, count(t.a) AS n_found
+         |  FROM gcand c LEFT JOIN truth t ON c.a = t.a AND c.b = t.b),
+         |bq AS (SELECT count(*) AS n_cand, count(t.a) AS n_found
+         |  FROM bcand c LEFT JOIN truth t ON c.a = t.a AND c.b = t.b),
+         |cq AS (SELECT count(*) AS n_cand, count(t.a) AS n_found
+         |  FROM ccand c LEFT JOIN truth t ON c.a = t.a AND c.b = t.b),
+         |sc AS (SELECT n_docs, n_docs * (n_docs - 1) // 2 AS total_pairs, n_true
+         |  FROM nd, nt)
+         |SELECT blocker, n_docs, total_pairs, n_true, n_cand, n_found,
+         |  CASE WHEN n_true > 0 THEN n_found * 10000 // n_true
+         |       ELSE CAST(10000 AS BIGINT) END AS completeness_bp,
+         |  CASE WHEN total_pairs > 0 THEN (total_pairs - n_cand) * 10000 // total_pairs
+         |       ELSE CAST(10000 AS BIGINT) END AS reduction_bp
+         |FROM (
+         |  SELECT 'grid' AS blocker, * FROM gq, sc
+         |  UNION ALL SELECT 'minhash_bands', * FROM bq, sc
+         |  UNION ALL SELECT 'composed', * FROM cq, sc)""".stripMargin,
     "q_x_dedup_minhash" ->
       s"""WITH $wCte,
          |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
@@ -2241,6 +2323,20 @@ object ExtTextQueries {
         |         ELSE CAST(u AS BIGINT) END AS hsig FROM h)
         |SELECT o_orderkey, o_custkey,
         |  CAST(((hsig % 5) + 5) % 5 AS INT) AS fold FROM hh""".stripMargin,
+    "q_x_ts_cv" ->
+      """WITH ev AS (SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS period
+        |  FROM events),
+        |per AS (SELECT DISTINCT period FROM ev),
+        |idx AS (SELECT period, CAST(row_number() OVER (ORDER BY period) AS INT) AS p
+        |  FROM per),
+        |pm AS (SELECT max(p) AS pmax FROM idx),
+        |dim AS (SELECT period,
+        |    CASE WHEN p > pmax - 5 THEN CAST(p - (pmax - 5) AS INT) END AS fold_val,
+        |    CAST(5 - coalesce(CASE WHEN p > pmax - 5 THEN p - (pmax - 5) END, 0) AS INT)
+        |      AS n_train_folds
+        |  FROM idx, pm)
+        |SELECT ev.event_id, dim.period, dim.fold_val, dim.n_train_folds
+        |FROM ev JOIN dim USING (period)""".stripMargin,
     "q_x_split_hash" ->
       """WITH h AS (SELECT lang, n_chars,
         |    CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 16))

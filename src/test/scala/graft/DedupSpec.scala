@@ -696,6 +696,43 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case ((a, b), l) => assert(l == lev(texts(a), texts(b))) }
   }
 
+  test("blocking quality census: exact counters per blocker, pairs deduped") {
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega").take(120)
+    // same geometry as the edit fixture: docs 0-3 mutually within lev 16
+    // (truth = all 6 pairs), doc 4 unrelated; the grid sees exactly
+    // (0,1)(0,2)(1,2) — doc 3's phase shift hides it from aligned chunks
+    val fixture = Seq(
+      (0L, long),
+      (1L, long + " tail"),
+      (2L, long.updated(90, 'X').updated(110, 'Y')),
+      (3L, "zz " + long),
+      (4L, "unrelated content entirely " * 4)
+    ).toDF("doc_id", "text")
+    val rep = Dedup.blockingQuality(fixture, "doc_id", "text",
+      q = 16, maxDist = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet == Set("grid", "minhash_bands", "composed"))
+    rep.values.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 10L && r.getLong(3) == 6L,
+        s"n_docs/total_pairs/n_true must be 5/10/6: $r")
+      val (nCand, nFound) = (r.getLong(4), r.getLong(5))
+      assert(nFound <= nCand && nFound <= 6L, s"counter sanity: $r")
+      assert(r.getLong(6) == nFound * 10000L / 6L, s"completeness_bp: $r")
+      assert(r.getLong(7) == (10L - nCand) * 10000L / 10L, s"reduction_bp: $r")
+    }
+    // grid: exactly the 3 aligned-chunk pairs, counted ONCE each even
+    // though (0,1) shares seven identical chunks (the dedup regression)
+    val grid = rep("grid")
+    assert(grid.getLong(4) == 3L && grid.getLong(5) == 3L,
+      s"grid candidates must be the 3 deduped aligned pairs: $grid")
+    assert(grid.getLong(6) == 5000L && grid.getLong(7) == 7000L)
+    // composition only widens: candidates within union bound, recall ≥ both
+    val (band, comp) = (rep("minhash_bands"), rep("composed"))
+    assert(comp.getLong(4) <= grid.getLong(4) + band.getLong(4))
+    assert(comp.getLong(5) >= math.max(grid.getLong(5), band.getLong(5)))
+  }
+
   test("cross edit gate: new-vs-old only, never within a cohort") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on running " +
       "through the wide green valley beside the long cold river bank today"

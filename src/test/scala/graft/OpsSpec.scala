@@ -243,4 +243,28 @@ class OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("2^53"), s"message was: ${ex.getMessage}")
   }
+
+  test("rollingOriginCv: last k periods validate, history trains everywhere") {
+    // 7 days, two rows on day 2 (multiplicity must survive the broadcast
+    // join), k = 3: days 1-4 are pure history (fold_val null, trains in
+    // all 3 folds); days 5/6/7 validate folds 1/2/3 and train in the
+    // folds after their own (3-f each)
+    val rows = (1 to 7).map(d => (d.toLong, s"2024-03-0$d 10:00:00")) :+
+      (99L, "2024-03-02 23:59:59")
+    val df = rows.toDF("id", "s").select($"id", to_timestamp($"s").as("ts"))
+    val got = Ops.rollingOriginCv(df, "ts", k = 3)
+      .select($"id", $"fold_val", $"n_train_folds")
+      .as[(Long, Option[Int], Int)].collect()
+    assert(got.length == 8, "every input row survives, duplicates included")
+    val byId = got.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(byId(99L) == Seq((99L, None, 3)), "second day-2 row rides along")
+    (1L to 4L).foreach(d => assert(byId(d) == Seq((d, None, 3))))
+    assert(byId(5L) == Seq((5L, Some(1), 2)))
+    assert(byId(6L) == Seq((6L, Some(2), 1)))
+    assert(byId(7L) == Seq((7L, Some(3), 0)))
+    // reconstruction contract: row r is validation of fold f iff
+    // fold_val = f, and trains in fold f iff f > k - n_train_folds
+    val trainCounts = got.map(_._3).sum
+    assert(trainCounts == 5 * 3 + 2 + 1 + 0)
+  }
 }
