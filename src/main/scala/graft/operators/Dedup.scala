@@ -560,6 +560,50 @@ object Dedup {
       .withColumn("n_merged", coalesce(col("cluster_size"), lit(1L)))
       .drop("cluster_size")
 
+  /** GOLDEN-RECORD construction — the entity-resolution survivorship
+    * merge that turns each resolved duplicate cluster into ONE canonical
+    * row with FIELD-LEVEL rules (vs [[survivors]], which keeps one
+    * existing member row verbatim): per entity (cluster id when
+    * clustered, the row's own id otherwise) the golden row takes
+    *  - the LONGEST `textCol` value — the most-complete rule; ties break
+    *    to the lowest member id so the merge is deterministic,
+    *  - the MAJORITY `catCol` value — vote; ties to the smallest value,
+    *  - provenance: member count, distinct-`srcCol` count, and the
+    *    sorted source list (the audit trail a downstream consumer needs
+    *    to trust a merged row).
+    * Scale shape: the cluster table is dup-members-only → broadcast key
+    * attach (the [[survivors]] argument). Both merge rules are exact
+    * struct-extrema folds — argmax via max(struct(len, −id, text)) and
+    * majority via a (entity, value) count then min(struct(−count,
+    * value)) — no max_by tie nondeterminism, no per-entity buffer beyond
+    * the distinct-value count; the sorted source list is the one
+    * cluster-bounded collect, bounded by the same LSH hub caps that
+    * bound cluster size upstream.
+    */
+  def goldenRecords(df: DataFrame, clusters: DataFrame, idCol: String,
+      textCol: String, catCol: String, srcCol: String): DataFrame = {
+    val keyed = df
+      .join(broadcast(clusters.select(col(idCol), col("cluster_id"))),
+        Seq(idCol), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col(idCol)))
+    val merged = keyed.groupBy(col("entity_id"))
+      .agg(
+        max(struct(length(col(textCol)).as("__l"), (-col(idCol)).as("__nid"),
+          col(textCol).as("__t"))).getField("__t").as(textCol),
+        count(lit(1)).as("n_members"),
+        countDistinct(col(srcCol)).as("n_sources"),
+        array_join(array_sort(collect_set(col(srcCol))), ",").as("sources"))
+    val majority = keyed
+      .groupBy(col("entity_id"), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("entity_id"))
+      .agg(min(struct((-col("__c")).as("__nc"), col(catCol).as("__v")))
+        .getField("__v").as(catCol))
+    merged.join(majority, Seq("entity_id"))
+      .select(col("entity_id"), col("n_members"), col(textCol), col(catCol),
+        col("n_sources"), col("sources"))
+  }
+
   /** Exact duplicate-SPAN removal (the ExactSubstr move of Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better", word-gram
     * form): any word n-gram occurring ≥2 times ANYWHERE in the corpus —
@@ -777,23 +821,29 @@ object Dedup {
           i => substring(col("__t"), lit(1) + i * q, lit(q)))).as(Seq("__i", "__ch")))
 
   /** Aligned-grid candidate pairs over [[editDocs]] rows, boilerplate
-    * chunks excluded: the raw blocker output of the edit-grid family
-    * (no length prefilter — that's the verify stage's necessary-condition
-    * cut). Shared by [[composedEditPairs]] and [[blockingQuality]].
+    * chunks excluded. `lenFilterDist = Some(d)` applies the
+    * |len(a)−len(b)| ≤ d necessary condition INSIDE the pair join —
+    * recall-lossless for any lev-≤-d consumer, and it cuts hot-chunk
+    * pair volume before the distinct ([[composedEditPairs]] passes it);
+    * `None` keeps the raw blocker output ([[blockingQuality]]'s census
+    * contract counts pre-filter candidate volume). Shared by both.
     */
   private def gridCandidatePairs(d: DataFrame, q: Int,
-      maxChunkDf: Long): DataFrame = {
+      maxChunkDf: Long, lenFilterDist: Option[Int] = None): DataFrame = {
     val chunks = gridChunks(d, q)
     val cold = chunks.groupBy(col("__i"), col("__ch"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxChunkDf)
       .select(col("__i"), col("__ch"))
     val keyed = chunks.join(cold, Seq("__i", "__ch"))
-    keyed.select(col("__i"), col("__ch"), col("__id").as("a"))
-      .join(keyed.select(col("__i"), col("__ch"), col("__id").as("b"))
+    keyed.select(col("__i"), col("__ch"), col("__id").as("a"), col("__len").as("__la"))
+      .join(keyed.select(col("__i"), col("__ch"), col("__id").as("b"),
+          col("__len").as("__lb"))
           .hint("shuffle_hash"),
         Seq("__i", "__ch"))
-      .filter(col("a") < col("b"))
+      .filter(col("a") < col("b") &&
+        lenFilterDist.map(m => abs(col("__la") - col("__lb")) <= m)
+          .getOrElse(lit(true)))
       .select(col("a"), col("b"))
       // a pair colliding on several chunks must still be ONE candidate —
       // downstream unions dedupe anyway, but the blocking census counts
@@ -852,7 +902,7 @@ object Dedup {
     require(q >= 1 && maxDist >= 0 && maxChunkDf >= 2,
       "composedEditPairs: q >= 1, maxDist >= 0, maxChunkDf >= 2")
     val d = editDocs(docs, idCol, textCol).localCheckpoint()
-    val gridCand = gridCandidatePairs(d, q, maxChunkDf)
+    val gridCand = gridCandidatePairs(d, q, maxChunkDf, Some(maxDist))
     val bandCand = lshCandidatePairs(
       minHashSignature(docs, idCol, textCol, numHashes, shingleN),
       idCol, numHashes, rowsPerBand, failOnOverCap = failOnOverCap)

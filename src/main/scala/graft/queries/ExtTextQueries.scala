@@ -306,6 +306,19 @@ object ExtTextQueries {
       val clusters = Dedup.duplicateClusters(pairs, "a", "b")
       Dedup.survivors(docs.select(col("doc_id")), clusters, "doc_id")
     },
+    // Golden-record construction: same resolved clusters, but instead of
+    // keeping one member row verbatim (survivors) each entity MERGES with
+    // field-level survivorship — longest text (ties to lowest id),
+    // majority lang (ties to smallest), full source provenance. The ER
+    // endgame a master-data consumer reads.
+    "q_x_er_golden" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
+        failOnOverCap = true)
+      val clusters = Dedup.duplicateClusters(pairs, "a", "b")
+      Dedup.goldenRecords(docs, clusters, "doc_id", "text", "lang", "source")
+    },
     // Gopher-style quality signals (Rae et al. 2021 rule family): token/
     // bigram/line arrays staged once, then nine per-row repetition and
     // shape features plus the keep/drop verdict. Narrow map over the scan —
@@ -2045,6 +2058,29 @@ object ExtTextQueries {
          |SELECT d.doc_id, coalesce(c.cluster_size, 1) AS n_merged
          |FROM documents d LEFT JOIN cls c ON d.doc_id = c.doc_id
          |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
+    // the same closure, merged to golden records: longest-text argmax and
+    // majority-lang vote replayed as rank-1 windows with the Spark tie
+    // rules (length DESC, id ASC; count DESC, value ASC)
+    "q_x_er_golden" ->
+      s"""WITH RECURSIVE $clusterChainCtes,
+         |ke AS (SELECT d.doc_id, d.text, d.lang, d.source,
+         |    coalesce(c.cluster_id, d.doc_id) AS entity_id
+         |  FROM documents d LEFT JOIN cls c ON d.doc_id = c.doc_id),
+         |lr AS (SELECT entity_id, text,
+         |    row_number() OVER (PARTITION BY entity_id
+         |      ORDER BY length(text) DESC, doc_id ASC) AS rn FROM ke),
+         |mv AS (SELECT entity_id, lang, count(*) AS c FROM ke GROUP BY 1, 2),
+         |mj AS (SELECT entity_id, lang,
+         |    row_number() OVER (PARTITION BY entity_id
+         |      ORDER BY c DESC, lang ASC) AS rn FROM mv),
+         |st AS (SELECT entity_id, count(*) AS n_members,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+         |  FROM ke GROUP BY 1)
+         |SELECT st.entity_id, st.n_members, lr.text, mj.lang,
+         |  st.n_sources, st.sources
+         |FROM st JOIN lr ON lr.entity_id = st.entity_id AND lr.rn = 1
+         |  JOIN mj ON mj.entity_id = st.entity_id AND mj.rn = 1""".stripMargin,
     // the same transitive closure feeding the leakage-safe split: split
     // key = cluster id when clustered else doc id, one md5 draw per key
     "q_x_split_safe" ->

@@ -733,6 +733,31 @@ class DedupSpec extends SparkSpec {
     assert(comp.getLong(5) >= math.max(grid.getLong(5), band.getLong(5)))
   }
 
+  test("golden records: field-level survivorship with pinned tie rules") {
+    val docs = Seq(
+      // cluster {1,2,3}: longest text on 3; lang vote 2:1 for en;
+      // two distinct sources, one shared
+      (1L, "aa", "en", "s2"),
+      (2L, "bbb", "de", "s1"),
+      (3L, "cccc", "en", "s1"),
+      // cluster {5,6}: EQUAL text lengths → lowest id (5) wins; lang
+      // vote 1:1 → lexicographically smallest (de) wins
+      (5L, "xx", "fr", "s9"),
+      (6L, "yy", "de", "s3"),
+      // singleton: passes through as its own entity
+      (9L, "zzz", "it", "s7")
+    ).toDF("doc_id", "text", "lang", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.goldenRecords(docs, clusters, "doc_id", "text", "lang", "source")
+      .as[(Long, Long, String, String, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 5L, 9L))
+    assert(got(1L) == ((1L, 3L, "cccc", "en", 2L, "s1,s2")))
+    assert(got(5L) == ((5L, 2L, "xx", "de", 2L, "s3,s9")))
+    assert(got(9L) == ((9L, 1L, "zzz", "it", 1L, "s7")))
+  }
+
   test("cross edit gate: new-vs-old only, never within a cohort") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on running " +
       "through the wide green valley beside the long cold river bank today"
