@@ -37,6 +37,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** MMR — Maximal Marginal Relevance (Carbonell & Goldstein 1998) —
+    * diversified top-k: position 1 is the plain relevance argmax, every
+    * later position maximizes λ·rel(q,d) − (1−λ)·max_{s∈selected}
+    * sim(d,s), so near-duplicate results can't crowd the list (the
+    * retrieval-side counterpart of SemDedup). Greedy is inherently
+    * sequential in k but fully parallel across queries: each of the k−1
+    * rounds is one keyed join + one exact struct-extrema argmax over ALL
+    * queries at once — no driver-side per-query loop.
+    *
+    * Scale shape: relevance scoring is the [[annBruteForce]] broadcast
+    * scan (swap in an ANN tier for the pool at scale — the greedy stage
+    * only ever sees poolK rows per query); the pairwise-sim table is
+    * per-query-quadratic but BOUNDED at poolK² rows per query and keyed
+    * by query id; ties break (score DESC, id ASC) via struct extrema, no
+    * max_by nondeterminism. Output is rank-only (query, position, doc,
+    * relevance rank) — no float column, so the result hashes identically
+    * across engines. A query whose candidate pool has fewer than k docs
+    * fills as many positions as it can.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int = 5, poolK: Int = 20,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && poolK >= k && lambda >= 0.0 && lambda <= 1.0,
+      "mmrTopK: k >= 1, poolK >= k, lambda in [0, 1]")
+    val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"))
+    val scored = corpus.select(col(idCol).as("doc_id"), col(embCol).as("__ce"))
+      .join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        cosineSim(col("__qe"), col("__ce")).as("rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val pool = scored.withColumn("rel_rank", row_number().over(w))
+      .filter(col("rel_rank") <= poolK)
+      .localCheckpoint() // consumed every greedy round
+    val pv = pool.select(col("query_id"), col("doc_id"))
+      .join(corpus.select(col(idCol).as("doc_id"), col(embCol).as("__e")),
+        Seq("doc_id"))
+    val psim = pv
+      .select(col("query_id"), col("doc_id").as("__a"), col("__e").as("__ea"))
+      .join(pv.select(col("query_id"), col("doc_id").as("__b"),
+        col("__e").as("__eb")), Seq("query_id"))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("query_id"), col("__a"), col("__b"),
+        cosineSim(col("__ea"), col("__eb")).as("__s"))
+      .localCheckpoint() // poolK²-bounded per query; consumed every round
+    var selected = pool.filter(col("rel_rank") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1).as("position"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val remaining = pool
+        .join(selected.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+      val ms = remaining
+        .select(col("query_id"), col("doc_id").as("__a"), col("rel"))
+        .join(selected.select(col("query_id"), col("doc_id").as("__b")),
+          Seq("query_id"))
+        .join(psim, Seq("query_id", "__a", "__b"))
+        .groupBy(col("query_id"), col("__a"), col("rel"))
+        .agg(max(col("__s")).as("__ms"))
+      val next = ms
+        .withColumn("__score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("__score"), (-col("__a")).as("__nid"),
+          col("__a").as("__id"))).getField("__id").as("doc_id"))
+        .select(col("query_id"), col("doc_id"), lit(i).as("position"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected
+      .join(pool.select(col("query_id"), col("doc_id"), col("rel_rank")),
+        Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("position"), col("doc_id"), col("rel_rank"))
+  }
+
   /** Brute-force near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) by construction — this is the small-corpus baseline / oracle; use
     * [[annLsh]]-style bucketing at scale.

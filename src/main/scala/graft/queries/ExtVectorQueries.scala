@@ -29,6 +29,16 @@ object ExtVectorQueries {
       Similarity.annBruteForce(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5)
     },
+    // MMR diversified top-5 (λ = 0.5, pool 20): position 1 is the plain
+    // relevance argmax, each later pick maximizes λ·rel − (1−λ)·max sim
+    // to already-selected — near-duplicate results can't crowd the list.
+    // Greedy rounds run over ALL queries at once; output rank-only so
+    // the float arithmetic never reaches the hash.
+    "q_x_mmr" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "vec_id", "embedding", k = 5, poolK = 20, lambda = 0.5)
+    },
     // Embedding near-duplicate pairs above a cosine threshold (brute
     // baseline; the LSH variant below is the scale path).
     "q_x_embed_neardup" -> { (s, dir) =>
@@ -273,6 +283,26 @@ object ExtVectorQueries {
     }
   )
 
+  /** The k−1 greedy MMR rounds as a WITH-chain: each round anti-joins the
+    * selected set, folds max-sim-to-selected per remaining candidate, and
+    * takes the rank-1 MMR score (λ = 0.5) with the Spark tie order.
+    */
+  private def mmrRoundsCtes(k: Int): String =
+    (2 to k).map { i =>
+      s"""ms$i AS (SELECT p.query_id, p.doc_id, p.rel, max(ps.s) AS ms
+         |  FROM pool p
+         |  JOIN acc${i - 1} s ON s.query_id = p.query_id
+         |  JOIN ps ON ps.query_id = p.query_id AND ps.a = p.doc_id AND ps.b = s.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} z
+         |    WHERE z.query_id = p.query_id AND z.doc_id = p.doc_id)
+         |  GROUP BY 1, 2, 3),
+         |sel$i AS (SELECT query_id, doc_id, $i AS pos FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 5E-1 * rel - 5E-1 * ms DESC, doc_id ASC) AS rn
+         |  FROM ms$i) WHERE rn = 1),
+         |acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
     // the identical plane constants regenerated from the same splitmix
     // function, the identical 0.0-seeded left fold per output dim. The
@@ -375,6 +405,29 @@ object ExtVectorQueries {
         |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, negative_id,
         |  round(cs, 4) AS cos_sim
         |FROM r WHERE rank <= 5""".stripMargin,
+    // the greedy chain unrolled: pool + pairwise sims once, then per
+    // round an anti-joined max-sim-to-selected fold and a rank-1 argmax
+    // with the Spark tie order (score DESC, doc ASC); 5E-1 literals keep
+    // the score arithmetic in DOUBLE (the q_x_rand_proj decimal finding)
+    "q_x_mmr" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+         |sc AS (SELECT query_id, vec_id AS doc_id,
+         |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS rel
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+         |pool AS (SELECT * FROM (SELECT query_id, doc_id, rel,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rn
+         |  FROM sc) WHERE rn <= 20),
+         |pe AS (SELECT p.query_id, p.doc_id, e.embedding
+         |  FROM pool p JOIN embeddings e ON e.vec_id = p.doc_id),
+         |ps AS (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+         |    list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) AS s
+         |  FROM pe x JOIN pe y ON x.query_id = y.query_id AND x.doc_id <> y.doc_id),
+         |sel1 AS (SELECT query_id, doc_id, 1 AS pos FROM pool WHERE rn = 1),
+         |acc1 AS (SELECT * FROM sel1),
+         |${mmrRoundsCtes(5)}
+         |SELECT a.query_id, CAST(a.pos AS INT) AS position, a.doc_id,
+         |  CAST(p.rn AS INT) AS rel_rank
+         |FROM acc5 a JOIN pool p ON p.query_id = a.query_id AND p.doc_id = a.doc_id""".stripMargin,
     "q_x_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
         |s AS (SELECT query_id, vec_id AS neighbor_id,

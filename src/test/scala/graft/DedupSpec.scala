@@ -263,6 +263,32 @@ class DedupSpec extends SparkSpec {
     assert(pairsDefault == pairsHugeCap)
   }
 
+  test("mmr diversified top-k demotes the near-duplicate result") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // d1 most relevant; d2 a near-duplicate of d1 (relevance rank 2);
+    // d3 clearly less relevant but diverse — plain top-k ranks d2 second,
+    // MMR (λ=.5) pays the redundancy penalty and promotes d3
+    val emb = Seq(
+      (100L, v(1, 0, 0)),
+      (1L, v(0.99, 0.1, 0)),
+      (2L, v(0.99, 0.11, 0)),
+      (3L, v(0.7, 0, 0.7))
+    ).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 100L)
+    val plain = Similarity.annBruteForce(emb, queries, "vec_id", "vec_id",
+      "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L, 3L), "relevance alone ranks the near-dup second")
+    val mmr = Similarity.mmrTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      k = 3, poolK = 3)
+      .orderBy("position")
+      .select("position", "doc_id", "rel_rank").as[(Int, Long, Int)]
+      .collect().toSeq
+    assert(mmr.map(_._1) == Seq(1, 2, 3))
+    assert(mmr.map(_._2) == Seq(1L, 3L, 2L), s"mmr must interleave diversity: $mmr")
+    assert(mmr.map(_._3) == Seq(1, 3, 2), "rel_rank carries the plain ranking")
+  }
+
   test("lsh ann achieves reasonable recall against brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
