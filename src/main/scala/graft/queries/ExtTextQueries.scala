@@ -778,6 +778,28 @@ object ExtTextQueries {
     // first occurrence kept, document rebuilt (digest compared). The
     // quadratic keep-first kernel is per-row work bounded by doc length —
     // corpus-size-invariant, fully codegen'd, zero shuffles.
+    // RAG-style sliding-window chunking: overlapping 32-token windows at
+    // stride 24 (8-token overlap keeps context across cuts — the
+    // retrieval-ingest front door). One posexplode over a narrow map —
+    // zero shuffle, corpus-linear; every chunk ships its provenance
+    // (start offset, length, digest) so an index row can always be traced
+    // back to its span. Tail windows shorten (slice clamps identically in
+    // both engines); blank docs emit no chunks.
+    "q_x_rag_chunks" -> { (s, dir) =>
+      val (w, stride) = (32, 24)
+      Tables.documents(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ((size(col("toks")) - 1) / stride).cast("int")),
+            k => slice(col("toks"), k * stride + 1, lit(w))))
+            .as(Seq("chunk_idx", "__c")))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          (col("chunk_idx") * stride).cast("long").as("start_tok"),
+          size(col("__c")).as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("__c"))).as("chunk_digest"))
+    },
     "q_x_chunk_dedup" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -2546,6 +2568,18 @@ object ExtTextQueries {
         |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS clean_digest
         |FROM inj""".stripMargin,
+    // the window generator replayed: starts k·24 < n_tokens, 32-wide
+    // slices clamping at the array end exactly like Spark's slice
+    "q_x_rag_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ch AS (SELECT doc_id, ws, unnest(range(0, (len(ws)-1)//24 + 1)) AS k FROM w),
+        |sl AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |    CAST(k*24 AS BIGINT) AS start_tok,
+        |    ws[CAST(k*24+1 AS INTEGER):CAST(k*24+32 AS INTEGER)] AS c
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx, start_tok, CAST(len(c) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(c, ' ')) AS chunk_digest FROM sl""".stripMargin,
     // list slices clamp at the array end in both engines, so the tail
     // chunk shortens identically; blank text guards to [] like the Spark
     // tokenChunks blank guard

@@ -249,4 +249,29 @@ class TextOpsSpec extends SparkSpec {
       assert(b(4) <= p75 && p75 <= b(5), s"$lang p75=$p75 outside [${b(4)}, ${b(5)}]")
     }
   }
+
+  test("rag chunking: stride-24 windows of 32, clamped tail, blank docs skipped") {
+    // stand-in corpus dir: run the registry entry against a temp parquet
+    // with known token counts (40 → starts 0 and 24; 10 → one short
+    // window; blank → none)
+    val dir = java.nio.file.Files.createTempDirectory("ragchunks").toString
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"t$i").mkString(" "), "en", "s", 40L),
+      (2L, (0 until 10).map(i => s"u$i").mkString(" "), "en", "s", 10L),
+      (3L, "   ", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_x_rag_chunks")(spark, dir)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens")
+      .as[(Long, Int, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, 0L, 32),  // full window
+      (1L, 1, 24L, 16), // overlaps 8 with window 0, clamps at 40
+      (2L, 0, 0L, 10)   // single short window
+    ), s"window rule drifted: $got")
+    // overlap invariant: consecutive windows share w − stride tokens
+    val doc1 = SparkEntry.queries("q_x_rag_chunks")(spark, dir)
+      .filter(col("doc_id") === 1L).count()
+    assert(doc1 == 2)
+  }
 }
