@@ -21,6 +21,37 @@ object TextOps {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** RAG-style sliding-window chunking: overlapping `window`-token chunks
+    * at `stride` (overlap = window − stride keeps context across cuts),
+    * each with provenance — chunk index, start token offset, token count,
+    * md5 digest — so an index row can always be traced to its span. All
+    * non-text input columns pass through. ONE posexplode over a narrow
+    * codegen'd map: zero shuffle, corpus-linear, and STATELESS — the same
+    * definition serves the batch registry entry and the streaming ingest
+    * twin (micro-batch slicing cannot show through a per-row transform).
+    * Tail windows shorten (slice clamps at the array end, identically in
+    * Spark and DuckDB); blank docs emit no chunks (split("") yields [""]
+    * — the [[tokenCount]] guard).
+    */
+  def slidingChunks(df: org.apache.spark.sql.DataFrame, textCol: String,
+      window: Int = 32, stride: Int = 24): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "slidingChunks: need window >= 1 and 1 <= stride <= window")
+    val rest = df.columns.filterNot(_ == textCol).toSeq
+    df.filter(length(trim(col(textCol))) > 0)
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(rest.map(col) :+
+        posexplode(transform(
+          sequence(lit(0), ((size(col("__toks")) - 1) / stride).cast("int")),
+          k => slice(col("__toks"), k * stride + 1, lit(window))))
+          .as(Seq("chunk_idx", "__c")): _*)
+      .select(rest.map(col) ++ Seq(
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        size(col("__c")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__c"))).as("chunk_digest")): _*)
+  }
+
   /** Inverted index build (the retrieval-serving structure): term →
     * (df, total_tf, postings sorted by doc_id with per-doc tf). This is
     * the operator API — postings stay a real `array<struct<doc_id, tf>>`

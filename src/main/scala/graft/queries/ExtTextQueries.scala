@@ -786,19 +786,9 @@ object ExtTextQueries {
     // back to its span. Tail windows shorten (slice clamps identically in
     // both engines); blank docs emit no chunks.
     "q_x_rag_chunks" -> { (s, dir) =>
-      val (w, stride) = (32, 24)
-      Tables.documents(s, dir)
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), ((size(col("toks")) - 1) / stride).cast("int")),
-            k => slice(col("toks"), k * stride + 1, lit(w))))
-            .as(Seq("chunk_idx", "__c")))
-        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
-          (col("chunk_idx") * stride).cast("long").as("start_tok"),
-          size(col("__c")).as("n_chunk_tokens"),
-          md5(concat_ws(" ", col("__c"))).as("chunk_digest"))
+      TextOps.slidingChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", window = 32, stride = 24)
     },
     "q_x_chunk_dedup" -> { (s, dir) =>
       Tables.documents(s, dir)

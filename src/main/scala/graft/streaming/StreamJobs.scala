@@ -231,6 +231,19 @@ object StreamJobs {
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of q_x_rag_chunks — the retrieval-ingest chunker
+    * running live: documents stream in, overlapping provenance-carrying
+    * token windows stream out, ready for index upsert. The transform IS
+    * [[graft.operators.TextOps.slidingChunks]] (one definition, so the
+    * twin can't drift from the batch registry entry) and is a stateless
+    * narrow map + explode: no watermark, no state store, and micro-batch
+    * slicing cannot show through a per-row transform — StreamingSpec pins
+    * the drained stream == the batch chunking row-for-row.
+    */
+  def ragChunksStream(docs: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame =
+    graft.operators.TextOps.slidingChunks(docs, "text", window, stride)
+
   /** Streaming near-dup admission gate — the S-layer tier of
     * [[graft.operators.Dedup.crossNearDupMinHash]]: each incoming document
     * is MinHash-banded in ONE narrow pass (signature + shingle hashes

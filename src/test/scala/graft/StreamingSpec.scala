@@ -273,6 +273,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 100)
   }
 
+  test("streaming rag chunks: drained stream equals batch chunking row-for-row") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_ragchunk_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 40 tokens → two windows (one overlapping tail), 10 → one short
+    // window, blank → none; split across two files to force micro-batches
+    val b1 = Seq((1L, (0 until 40).map(i => s"t$i").mkString(" ")),
+      (3L, "   ")).toDF("doc_id", "text").withColumn("ingest_ts", lit(t0))
+    val b2 = Seq((2L, (0 until 10).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("ingest_ts", lit(t0))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(
+      spark.read.parquet(src).schema).parquet(src)
+    val q = StreamJobs.ragChunksStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ragchunks").start()
+    q.processAllAvailable(); q.stop()
+    val drained = spark.table("ragchunks")
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens", "chunk_digest")
+      .as[(Long, Int, Long, Int, String)].collect().toSet
+    val batch = graft.operators.TextOps.slidingChunks(
+      spark.read.parquet(src).select($"doc_id", $"text"), "text")
+      .as[(Long, Int, Long, Int, String)].collect().toSet
+    assert(drained == batch && drained.size == 3,
+      s"stream/batch drift: drained=$drained batch=$batch")
+  }
+
   test("streaming corpus prep: quality gate + content dedup across replays") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_corpus_src").toString
