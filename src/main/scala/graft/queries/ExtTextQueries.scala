@@ -334,6 +334,52 @@ object ExtTextQueries {
       withFeats.select(col("*"),
         TextOps.gopherPass(feats.map { case (nm, _) => nm -> col(nm) }.toMap).as("gopher_pass"))
     },
+    // DATASET CARD — the per-(lang, source) datasheet a corpus release
+    // ships (Gebru et al. 2021 "Datasheets for Datasets" flavor): volume
+    // (docs/chars/tokens), quality (Gopher pass rate), redundancy
+    // (near-dup cluster membership rate), and split balance, ALL-INTEGER
+    // so the whole card is hash-checked. Composes the shipped signals —
+    // gopherPass, the MinHash cluster chain, splitAssign — rather than
+    // re-deriving them, so the card can never disagree with the per-doc
+    // rows; one wide groupBy after one narrow map + the cluster attach.
+    "q_x_dataset_card" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val staged = docs
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"), col("toks"),
+          TextOps.bigramsFromTokens(col("toks")).as("bg"),
+          split(col("text"), "\n").as("ls"))
+      val feats = TextOps.gopherFeatures(col("text"), col("toks"), col("bg"),
+        col("ls"))
+      val perDoc = staged.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextOps.splitAssign(col("doc_id")).as("split"),
+        TextOps.gopherPass(feats.map { case (nm, c) => nm -> c }.toMap)
+          .cast("long").as("gpass"))
+      val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
+        failOnOverCap = true)
+      val dup = Dedup.duplicateClusters(pairs, "a", "b")
+        .select(col("doc_id"), lit(1L).as("__dup"))
+      perDoc.join(broadcast(dup), Seq("doc_id"), "left")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(col("n_toks")).as("n_tokens_total"),
+          sum(col("gpass")).as("n_gopher_pass"),
+          coalesce(sum(col("__dup")), lit(0L)).as("n_dup_members"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("n_chars_total"), col("n_tokens_total"), col("n_gopher_pass"),
+          col("n_dup_members"), col("n_train"), col("n_val"), col("n_test"),
+          expr("n_gopher_pass * 10000 div n_docs").as("gopher_pass_bp"),
+          expr("n_dup_members * 10000 div n_docs").as("dup_bp"))
+    },
     // Corpus term stats, top-50 by count: the word-count shuffle with the
     // deterministic (count desc, term asc) cut so the LIMIT boundary can't
     // flap on ties.
@@ -1640,6 +1686,53 @@ object ExtTextQueries {
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cl)""".stripMargin
 
+  /** The full q_x_gopher_quality oracle statement — shared verbatim by the
+    * dataset-card oracle (nested as a CTE subquery) so the pass rule can
+    * never drift between the per-doc row and the card rollup.
+    */
+  private val gopherOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, text, t,
+        |    CASE WHEN len(t) < 2 THEN []
+        |         ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END AS b,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) / nullif(len(t), 0), 6)
+        |    AS mean_word_len,
+        |  round(CASE WHEN len(b) = 0 THEN 0.0
+        |             ELSE (len(b) - len(list_distinct(b))) / len(b) END, 6) AS dup_bigram_frac,
+        |  round(CASE WHEN len(b) = 0 THEN 0.0
+        |             ELSE 2.0 * list_max(list_transform(list_distinct(b),
+        |                    x -> len(list_filter(b, y -> y = x)))) / len(t) END, 6)
+        |    AS top_bigram_frac,
+        |  round((len(ls) - len(list_distinct(ls))) / len(ls), 6) AS dup_line_frac,
+        |  round(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+        |          OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• ')))
+        |        / len(ls), 6) AS bullet_line_frac,
+        |  round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+        |          OR ends_with(rtrim(l), '…'))) / len(ls), 6) AS ellipsis_line_frac,
+        |  round(CASE WHEN len(t) = 0 THEN 0.0
+        |             ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / len(t)
+        |        END, 6) AS alpha_word_frac,
+        |  round(CASE WHEN len(t) = 0 THEN 0.0
+        |             ELSE ((length(text) - length(translate(text, '#', '')))
+        |                   + (length(text) - length(replace(text, '...', ''))) / 3) / len(t)
+        |        END, 6) AS symbol_word_ratio,
+        |  CAST(len(t) BETWEEN 10 AND 100000
+        |       AND mean_word_len BETWEEN 3 AND 10
+        |       AND dup_line_frac <= 0.3
+        |       AND top_bigram_frac <= 0.18
+        |       AND alpha_word_frac >= 0.8 AS INT) AS gopher_pass
+        |FROM bg""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_x_token_count" ->
       """SELECT doc_id,
@@ -2117,48 +2210,44 @@ object ExtTextQueries {
 
     // Gopher quality signals: same staged token/bigram/line arrays, ratios
     // of per-row ints rounded at 6dp (lateral aliases feed gopher_pass).
-    "q_x_gopher_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END AS t
-        |  FROM documents
-        |), bg AS (
-        |  SELECT doc_id, text, t,
-        |    CASE WHEN len(t) < 2 THEN []
-        |         ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END AS b,
-        |    string_split(text, chr(10)) AS ls
-        |  FROM toks
-        |)
-        |SELECT doc_id,
-        |  len(t) AS n_tokens,
-        |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) / nullif(len(t), 0), 6)
-        |    AS mean_word_len,
-        |  round(CASE WHEN len(b) = 0 THEN 0.0
-        |             ELSE (len(b) - len(list_distinct(b))) / len(b) END, 6) AS dup_bigram_frac,
-        |  round(CASE WHEN len(b) = 0 THEN 0.0
-        |             ELSE 2.0 * list_max(list_transform(list_distinct(b),
-        |                    x -> len(list_filter(b, y -> y = x)))) / len(t) END, 6)
-        |    AS top_bigram_frac,
-        |  round((len(ls) - len(list_distinct(ls))) / len(ls), 6) AS dup_line_frac,
-        |  round(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
-        |          OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• ')))
-        |        / len(ls), 6) AS bullet_line_frac,
-        |  round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
-        |          OR ends_with(rtrim(l), '…'))) / len(ls), 6) AS ellipsis_line_frac,
-        |  round(CASE WHEN len(t) = 0 THEN 0.0
-        |             ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / len(t)
-        |        END, 6) AS alpha_word_frac,
-        |  round(CASE WHEN len(t) = 0 THEN 0.0
-        |             ELSE ((length(text) - length(translate(text, '#', '')))
-        |                   + (length(text) - length(replace(text, '...', ''))) / 3) / len(t)
-        |        END, 6) AS symbol_word_ratio,
-        |  CAST(len(t) BETWEEN 10 AND 100000
-        |       AND mean_word_len BETWEEN 3 AND 10
-        |       AND dup_line_frac <= 0.3
-        |       AND top_bigram_frac <= 0.18
-        |       AND alpha_word_frac >= 0.8 AS INT) AS gopher_pass
-        |FROM bg""".stripMargin,
+    "q_x_gopher_quality" -> gopherOracleSql,
+    // the card replays its three ingredients verbatim: the full gopher
+    // statement nested as a CTE subquery, the recursive cluster closure,
+    // and the split-hash arithmetic — then one rollup
+    "q_x_dataset_card" ->
+      s"""WITH RECURSIVE $clusterChainCtes,
+         |gq AS ($gopherOracleSql),
+         |sph AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM documents),
+         |sp AS (SELECT doc_id,
+         |    ((CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+         |       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |       ELSE CAST(u AS BIGINT) END % 10000) + 10000) % 10000 AS bk
+         |  FROM sph),
+         |base AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS n_toks,
+         |    CASE WHEN sp.bk < 8000 THEN 'train' WHEN sp.bk < 9000 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    gq.gopher_pass AS gpass,
+         |    CASE WHEN cls.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+         |  FROM documents d
+         |  JOIN gq ON gq.doc_id = d.doc_id
+         |  JOIN sp ON sp.doc_id = d.doc_id
+         |  LEFT JOIN cls ON cls.doc_id = d.doc_id)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_total,
+         |  CAST(sum(gpass) AS BIGINT) AS n_gopher_pass,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_members,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  CAST(sum(gpass) AS BIGINT) * 10000 // count(*) AS gopher_pass_bp,
+         |  CAST(sum(dup) AS BIGINT) * 10000 // count(*) AS dup_bp
+         |FROM base GROUP BY 1, 2""".stripMargin,
 
     "q_x_term_freq" ->
       """WITH t AS (

@@ -49,7 +49,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_dedup_minhash", "q_x_dedup_ngram", "q_x_dedup_simhash", "q_x_containment",
     "q_x_blocking_report", "q_x_neardup_composed", "q_x_minhash_est",
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_er_golden",
-    "q_x_incr_neardup",
+    "q_x_dataset_card", "q_x_incr_neardup",
     "q_x_embed_neardup_lsh", "q_x_hard_negatives_lsh",
     // semdedup survivor selection and the leakage-safe split ride
     // duplicateClusters' per-round label-flooding checkpoints

@@ -274,4 +274,24 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).count()
     assert(doc1 == 2)
   }
+
+  test("dataset card: internally consistent and bounded by its ingredients") {
+    val card = SparkEntry.queries("q_x_dataset_card")(spark, sfDir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val nd = r.getLong(2)
+      assert(r.getLong(7) + r.getLong(8) + r.getLong(9) == nd,
+        s"split counts must partition the stratum: $r")
+      assert(r.getLong(5) <= nd && r.getLong(6) <= nd,
+        s"pass/dup counts bounded by n_docs: $r")
+      assert(r.getLong(10) == r.getLong(5) * 10000L / nd, s"gopher_pass_bp: $r")
+      assert(r.getLong(11) == r.getLong(6) * 10000L / nd, s"dup_bp: $r")
+    }
+    // the card's totals must agree with the corpus (no doc dropped or
+    // double-counted by the three-way ingredient join)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(card.map(_.getLong(2)).sum == docs.count())
+    assert(card.map(_.getLong(3)).sum ==
+      docs.agg(sum(col("n_chars"))).head.getLong(0))
+  }
 }
