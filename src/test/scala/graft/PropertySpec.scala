@@ -466,4 +466,61 @@ class PropertySpec extends SparkSpec {
     assert(body.contains("\"id\":1") && body.contains("\"name\":\"a\""))
     assert(!body.contains("\"id\":3"), "rows past the clamp must not serialize")
   }
+
+  test("property: slidingChunks covers every token exactly, overlap = w − s") {
+    import spark.implicits._
+    val lens = sample(Gen.listOfN(25, Gen.choose(0, 90)), 77L)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (0 until n).map(j => s"w$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val (w, s) = (32, 24)
+    val got = graft.operators.TextOps.slidingChunks(docs, "text", w, s)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_chunk_tokens")
+      .as[(Long, Int, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val chunks = got.getOrElse(i.toLong, Nil)
+      if (n == 0) assert(chunks.isEmpty, "blank docs emit no chunks")
+      else {
+        // starts are exactly 0, s, 2s, … < n
+        assert(chunks.map(_._3) == (0L until n.toLong by s.toLong).toList)
+        // chunk k covers [k·s, min(k·s + w, n)) — union covers [0, n)
+        // exactly: consecutive chunks overlap w − s except a short tail
+        chunks.foreach { case (_, k, st, len) =>
+          assert(len == math.min(st + w, n.toLong) - st, s"doc $i chunk $k")
+        }
+        assert(chunks.last._3 + chunks.last._4 == n.toLong,
+          "last chunk must end at the last token")
+      }
+    }
+  }
+
+  test("property: rollingOriginCv fold membership is derivable and exhaustive") {
+    import spark.implicits._
+    val dayGen = Gen.listOfN(60, Gen.choose(1, 20))
+    val days = sample(dayGen, 99L)
+    val df = days.zipWithIndex
+      .map { case (d, i) => (i.toLong, f"2024-05-$d%02d 12:00:00") }
+      .toDF("id", "ts0")
+      .select($"id", to_timestamp($"ts0").as("ts"))
+    val k = 4
+    val got = Ops.rollingOriginCv(df, "ts", k)
+      .select($"id", $"fold_val", $"n_train_folds")
+      .as[(Long, Option[Int], Int)].collect().toList
+    assert(got.size == days.size, "one output row per input row")
+    val distinctDays = days.distinct.sorted
+    val p = distinctDays.size
+    got.foreach { case (id, fv, ntf) =>
+      val rank = distinctDays.indexOf(days(id.toInt)) + 1
+      val expectFv = if (rank > p - k) Some(rank - (p - k)) else None
+      assert(fv == expectFv, s"row $id day-rank $rank of $p")
+      assert(ntf == k - expectFv.getOrElse(0), s"row $id")
+    }
+    // exhaustive: every fold's val set = exactly the rows of its origin day
+    (1 to k).foreach { f =>
+      val valRows = got.count(_._2.contains(f))
+      val originDay = distinctDays(p - k + f - 1)
+      assert(valRows == days.count(_ == originDay), s"fold $f val set")
+    }
+  }
 }
