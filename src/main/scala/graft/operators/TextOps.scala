@@ -258,6 +258,45 @@ object TextOps {
       .agg(count(lit(1)).as("matched_grams"), min(col("__bid")).as("bench_ref"))
   }
 
+  /** Cross-corpus contamination MATRIX — [[contaminationReport]]
+    * generalized from one benchmark to the (train shard × eval set) grid
+    * a release audit actually needs: per cell the number of shard docs
+    * sharing any exact word n-gram with the eval set, the (doc, distinct
+    * gram) hit volume, and the contamination rate in basis points; cells
+    * with zero hits still report (the universe is shards × sets, not the
+    * hit set). Scale shape: eval-set grams BROADCAST (benchmarks are
+    * dimension-sized next to a training corpus), corpus grams are
+    * per-doc-distinct and never shuffle — the hit aggregate is the only
+    * exchange, keyed on (shard, set), and the totals/universe dims are
+    * shard-count-sized.
+    */
+  def contaminationMatrix(corpus: DataFrame, bench: DataFrame,
+      shardCol: String, setCol: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.natives.shingleHashes
+    val bg = bench
+      .select(col(setCol).as("eval_set"),
+        explode(shingleHashes(col(textCol), n)).as("__g"))
+      .distinct()
+    val cg = corpus
+      .select(col(shardCol).as("shard"), col(idCol).as("__id"),
+        explode(array_distinct(shingleHashes(col(textCol), n))).as("__g"))
+    val hits = cg.join(broadcast(bg), Seq("__g"))
+      .groupBy(col("shard"), col("eval_set"))
+      .agg(countDistinct(col("__id")).as("n_contaminated_docs"),
+        count(lit(1)).as("n_gram_hits"))
+    val totals = corpus.groupBy(col(shardCol).as("shard"))
+      .agg(count(lit(1)).as("n_shard_docs"))
+    val universe = totals
+      .crossJoin(bench.select(col(setCol).as("eval_set")).distinct())
+    universe.join(hits, Seq("shard", "eval_set"), "left")
+      .select(col("shard"), col("eval_set"), col("n_shard_docs"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+      .withColumn("contamination_bp",
+        expr("n_contaminated_docs * 10000 div n_shard_docs"))
+  }
+
   /** Longest equal-run in a SORTED string array — equals the max element
     * frequency, in one O(n) aggregate pass over the sort instead of the
     * O(distinct·n) transform+filter nested scan (which measured 1.35 s of

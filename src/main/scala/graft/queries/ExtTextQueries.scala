@@ -799,6 +799,20 @@ object ExtTextQueries {
         docs.filter(pmod(col("doc_id"), lit(7)) =!= 3),
         docs.filter(pmod(col("doc_id"), lit(7)) === 3), n = 8)
     },
+    // The decontamination audit as the (train shard × eval set) MATRIX a
+    // release ships: 3 corpus shards × 2 eval sets, per cell the
+    // contaminated-doc count, (doc, distinct-gram) hit volume, and rate
+    // in bp — zero-hit cells still report. Eval grams broadcast; the hit
+    // aggregate is the only shuffle.
+    "q_x_contamination_matrix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.contaminationMatrix(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+          .withColumn("shard", pmod(col("doc_id"), lit(3))),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .withColumn("eval_set", pmod(col("doc_id"), lit(2))),
+        "shard", "eval_set", n = 8)
+    },
     // PII redaction (the C4/Dolma scrub): emails, NANP-shaped phones, IPv4s
     // → typed placeholders, with pre-scrub per-category match counts as the
     // audit signal. The synthetic corpus carries no organic PII, so each doc
@@ -2629,6 +2643,38 @@ object ExtTextQueries {
         |SELECT c.doc_id, count(*) AS matched_grams, min(b.bid) AS bench_ref
         |FROM corpus c JOIN bench b ON c.u = b.u
         |GROUP BY c.doc_id""".stripMargin,
+    // the decontaminate replay generalized to the shard × set grid — the
+    // same md5-64 gram-hash domain as the Spark kernel, zero-hit cells
+    // restored by the universe LEFT JOIN
+    "q_x_contamination_matrix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |grams AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(ws) - 7),
+        |      i -> array_to_string(ws[i+1:i+8], ' '))) AS gs
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT doc_id % 2 AS eval_set,
+        |    CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+        |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 3)),
+        |cg AS (SELECT DISTINCT doc_id % 3 AS shard, doc_id,
+        |    CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) AS u
+        |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 <> 3)),
+        |hits AS (SELECT cg.shard, bg.eval_set,
+        |    CAST(count(DISTINCT cg.doc_id) AS BIGINT) AS n_contaminated_docs,
+        |    count(*) AS n_gram_hits
+        |  FROM cg JOIN bg ON bg.u = cg.u GROUP BY 1, 2),
+        |tot AS (SELECT doc_id % 3 AS shard, count(*) AS n_shard_docs
+        |  FROM documents WHERE doc_id % 7 <> 3 GROUP BY 1),
+        |uni AS (SELECT t.shard, e.eval_set, t.n_shard_docs FROM tot t
+        |  CROSS JOIN (SELECT DISTINCT doc_id % 2 AS eval_set
+        |    FROM documents WHERE doc_id % 7 = 3) e)
+        |SELECT u.shard, u.eval_set, u.n_shard_docs,
+        |  coalesce(h.n_contaminated_docs, CAST(0 AS BIGINT)) AS n_contaminated_docs,
+        |  coalesce(h.n_gram_hits, CAST(0 AS BIGINT)) AS n_gram_hits,
+        |  coalesce(h.n_contaminated_docs, CAST(0 AS BIGINT)) * 10000 // u.n_shard_docs
+        |    AS contamination_bp
+        |FROM uni u LEFT JOIN hits h ON h.shard = u.shard AND h.eval_set = u.eval_set""".stripMargin,
     // regexp_replace needs the explicit 'g' flag here (Spark replaces all
     // occurrences by default); patterns are the shared Java∩RE2 dialect
     "q_x_pii_scrub" ->
