@@ -244,6 +244,37 @@ object StreamJobs {
       stride: Int = 24): DataFrame =
     graft.operators.TextOps.slidingChunks(docs, "text", window, stride)
 
+  /** Streaming eval-contamination gate — the third ingest gate beside the
+    * quality/fingerprint gate ([[corpusPrepStream]]) and the near-dup gate
+    * ([[nearDupGateStream]]): never let benchmark data into the training
+    * corpus. Each incoming document's distinct word-n-gram hashes (the
+    * [[graft.operators.TextOps.contaminationMatrix]] kernel — one shared
+    * hash domain, so the live gate and the batch audit can't disagree)
+    * probe a BROADCAST static eval-set gram table; any hit emits a
+    * rejection row (doc_id, eval_set) — admission is the sink's
+    * anti-join downstream, the established gate stance. A doc sharing
+    * many grams with one set would emit once per gram;
+    * `dropDuplicatesWithinWatermark` on (doc_id, eval_set) collapses the
+    * replays with horizon-bounded state, exactly like the other gates.
+    * Stream-static join + bounded dedup — no stream-stream state.
+    */
+  def contaminationGateStream(incoming: DataFrame, bench: DataFrame,
+      setCol: String = "eval_set", n: Int = 8,
+      horizon: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graft.natives.shingleHashes
+    val bg = bench
+      .select(col(setCol).as("eval_set"),
+        explode(shingleHashes(col("text"), n)).as("__g"))
+      .distinct()
+    incoming
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(array_distinct(shingleHashes(col("text"), n))).as("__g"))
+      .join(broadcast(bg), Seq("__g"))
+      .select(col("doc_id"), col("ingest_ts"), col("eval_set"))
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("doc_id", "eval_set")
+  }
+
   /** Streaming near-dup admission gate — the S-layer tier of
     * [[graft.operators.Dedup.crossNearDupMinHash]]: each incoming document
     * is MinHash-banded in ONE narrow pass (signature + shingle hashes

@@ -300,6 +300,36 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch drift: drained=$drained batch=$batch")
   }
 
+  test("streaming contamination gate: rejection feed is exactly the hit pairs") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_contam_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val shared = (0 until 8).map(i => s"g$i").mkString(" ") // one full 8-gram
+    val bench = Seq(
+      (100L, shared + " benchtail words here", 0L),
+      (101L, "totally different benchmark content with eight tokens plus", 1L)
+    ).toDF("doc_id", "text", "eval_set")
+    // doc 1 carries the shared 8-gram (hits set 0, several gram replays →
+    // ONE row), doc 2 is clean, doc 3 hits the same set from a later
+    // micro-batch
+    val b1 = Seq((1L, "prefix " + shared + " suffix"),
+      (2L, "nothing in common at all with any benchmark"))
+      .toDF("doc_id", "text").withColumn("ingest_ts", lit(t0))
+    val b2 = Seq((3L, shared + " another suffix entirely"))
+      .toDF("doc_id", "text").withColumn("ingest_ts", lit(t0))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(
+      spark.read.parquet(src).schema).parquet(src)
+    val q = StreamJobs.contaminationGateStream(stream, bench)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("contamgate").start()
+    q.processAllAvailable(); q.stop()
+    val drained = spark.table("contamgate").select("doc_id", "eval_set")
+      .as[(Long, Long)].collect().toSet
+    assert(drained == Set((1L, 0L), (3L, 0L)), s"got $drained")
+  }
+
   test("streaming corpus prep: quality gate + content dedup across replays") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_corpus_src").toString
