@@ -209,6 +209,40 @@ object ExtVectorQueries {
           aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
           array_max(col("qv")).as("q_max"))
     },
+    // Per-DIMENSION embedding health profile + drift — the check that
+    // catches a silently retrained/reordered encoder before it poisons an
+    // index: per dim, counts / Σq / Σq² for a reference cohort (even ids)
+    // vs current (odd ids) over the SHARED q_x_embed_quant int8 domain
+    // (quantized ⇒ every statistic exact integer, hash-checkable), plus
+    // the cross-multiplied mean-shift numerator |Σr·n_c − Σc·n_r| (the
+    // rational-statistics idiom — no division until the reader). Scale:
+    // 64-key groupBy after a posexplode; map-side partial agg absorbs the
+    // 64× row fan-out, one dimension-sized shuffle.
+    "q_x_embed_drift" -> { (s, dir) =>
+      val vec = col("embedding")
+      val m = array_max(transform(vec, x => abs(x)))
+      val qv = when(m === 0, transform(vec, _ => lit(0L)))
+        .otherwise(transform(vec,
+          x => floor(x * lit(127.0) / m + lit(0.5)).cast("long")))
+      Tables.embeddings(s, dir)
+        .select(pmod(col("vec_id"), lit(2)).as("__coh"),
+          posexplode(qv).as(Seq("__d", "__q")))
+        .groupBy(col("__d"))
+        .agg(
+          sum(when(col("__coh") === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("__coh") === 1, 1L).otherwise(0L)).as("n_cur"),
+          sum(when(col("__coh") === 0, col("__q")).otherwise(0L)).as("sum_ref"),
+          sum(when(col("__coh") === 1, col("__q")).otherwise(0L)).as("sum_cur"),
+          sum(when(col("__coh") === 0, col("__q") * col("__q")).otherwise(0L))
+            .as("ss_ref"),
+          sum(when(col("__coh") === 1, col("__q") * col("__q")).otherwise(0L))
+            .as("ss_cur"))
+        .select((col("__d") + 1).cast("int").as("dim"),
+          col("n_ref"), col("n_cur"), col("sum_ref"), col("sum_cur"),
+          col("ss_ref"), col("ss_cur"),
+          abs(col("sum_ref") * col("n_cur") - col("sum_cur") * col("n_ref"))
+            .as("mean_drift_num"))
+    },
     // Embedding-curation outlier pruning: per label, the ~5% of vectors
     // farthest from the label CENTROID — the standard mislabeled-example
     // sweep before contrastive training (a vector far from its own
@@ -500,6 +534,32 @@ object ExtVectorQueries {
         |JOIN embeddings eb ON eb.vec_id = cand.b
         |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
         |  CAST(eb.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
+    // the embed_quant chain replayed, exploded per dim, the six cohort
+    // sums and the cross-multiplied drift numerator — all exact integers
+    "q_x_embed_drift" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding AS vec,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS m
+        |  FROM embeddings),
+        |q AS (SELECT vec_id % 2 AS coh,
+        |    CASE WHEN m = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(vec,
+        |                x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS qv
+        |  FROM base),
+        |e AS (SELECT coh, i AS d, qv[i] AS qq
+        |  FROM q, unnest(generate_series(1, len(qv))) AS t(i)),
+        |a AS (SELECT d,
+        |    CAST(sum(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |    CAST(sum(CASE WHEN coh = 0 THEN qq ELSE 0 END) AS BIGINT) AS sum_ref,
+        |    CAST(sum(CASE WHEN coh = 1 THEN qq ELSE 0 END) AS BIGINT) AS sum_cur,
+        |    CAST(sum(CASE WHEN coh = 0 THEN qq*qq ELSE 0 END) AS BIGINT) AS ss_ref,
+        |    CAST(sum(CASE WHEN coh = 1 THEN qq*qq ELSE 0 END) AS BIGINT) AS ss_cur
+        |  FROM e GROUP BY d)
+        |SELECT CAST(d AS INT) AS dim, n_ref, n_cur, sum_ref, sum_cur,
+        |  ss_ref, ss_cur,
+        |  abs(sum_ref * n_cur - sum_cur * n_ref) AS mean_drift_num
+        |FROM a""".stripMargin,
     "q_x_embed_quant" ->
       """WITH base AS (
         |  SELECT vec_id, embedding AS vec,
