@@ -111,6 +111,48 @@ object Similarity {
       .select(col("query_id"), col("position"), col("doc_id"), col("rel_rank"))
   }
 
+  /** Symmetric int8 quantization of a float-vector column (scale =
+    * max|x|/127, zero vector → zeros): floor(x·127/m + 0.5) in DOUBLE so
+    * both engines round identically (round()'s half-rule is not
+    * bit-specified cross-engine). ONE definition shared by
+    * q_x_embed_quant, [[embedDimMoments]], and the streaming drift twin.
+    */
+  def int8Quant(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x)))
+    when(m === 0, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec,
+        x => floor(x * lit(127.0) / m + lit(0.5)).cast("long")))
+  }
+
+  /** Per-DIMENSION embedding moments for a reference cohort (even ids) vs
+    * current (odd): counts, Σq, Σq² over the [[int8Quant]] domain — every
+    * statistic an exact integer — plus the cross-multiplied mean-shift
+    * numerator per dim. All sums are ADDITIVE, so the same definition
+    * serves the batch registry entry and the streaming encoder-health
+    * twin (micro-batch merge order cannot show through — the
+    * incremental-rollup argument). One posexplode + a dim-keyed groupBy;
+    * map-side partial aggregation absorbs the dim× fan-out.
+    */
+  def embedDimMoments(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    emb.select(pmod(col(idCol), lit(2)).as("__coh"),
+        posexplode(int8Quant(col(embCol))).as(Seq("__d", "__q")))
+      .groupBy(col("__d"))
+      .agg(
+        sum(when(col("__coh") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__coh") === 1, 1L).otherwise(0L)).as("n_cur"),
+        sum(when(col("__coh") === 0, col("__q")).otherwise(0L)).as("sum_ref"),
+        sum(when(col("__coh") === 1, col("__q")).otherwise(0L)).as("sum_cur"),
+        sum(when(col("__coh") === 0, col("__q") * col("__q")).otherwise(0L))
+          .as("ss_ref"),
+        sum(when(col("__coh") === 1, col("__q") * col("__q")).otherwise(0L))
+          .as("ss_cur"))
+      .select((col("__d") + 1).cast("int").as("dim"),
+        col("n_ref"), col("n_cur"), col("sum_ref"), col("sum_cur"),
+        col("ss_ref"), col("ss_cur"),
+        abs(col("sum_ref") * col("n_cur") - col("sum_cur") * col("n_ref"))
+          .as("mean_drift_num"))
+
   /** Brute-force near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) by construction — this is the small-corpus baseline / oracle; use
     * [[annLsh]]-style bucketing at scale.

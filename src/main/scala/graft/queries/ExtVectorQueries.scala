@@ -199,8 +199,7 @@ object ExtVectorQueries {
     "q_x_embed_quant" -> { (s, dir) =>
       val vec = col("embedding")
       val m = array_max(transform(vec, x => abs(x)))
-      val qv = when(m === 0, transform(vec, _ => lit(0L)))
-        .otherwise(transform(vec, x => floor(x * lit(127.0) / m + lit(0.5)).cast("long")))
+      val qv = Similarity.int8Quant(vec)
       Tables.embeddings(s, dir)
         .select(col("vec_id"), size(vec).as("n_dims"),
           round(m.cast("double"), 6).as("max_abs"), qv.as("qv"))
@@ -219,29 +218,7 @@ object ExtVectorQueries {
     // 64-key groupBy after a posexplode; map-side partial agg absorbs the
     // 64× row fan-out, one dimension-sized shuffle.
     "q_x_embed_drift" -> { (s, dir) =>
-      val vec = col("embedding")
-      val m = array_max(transform(vec, x => abs(x)))
-      val qv = when(m === 0, transform(vec, _ => lit(0L)))
-        .otherwise(transform(vec,
-          x => floor(x * lit(127.0) / m + lit(0.5)).cast("long")))
-      Tables.embeddings(s, dir)
-        .select(pmod(col("vec_id"), lit(2)).as("__coh"),
-          posexplode(qv).as(Seq("__d", "__q")))
-        .groupBy(col("__d"))
-        .agg(
-          sum(when(col("__coh") === 0, 1L).otherwise(0L)).as("n_ref"),
-          sum(when(col("__coh") === 1, 1L).otherwise(0L)).as("n_cur"),
-          sum(when(col("__coh") === 0, col("__q")).otherwise(0L)).as("sum_ref"),
-          sum(when(col("__coh") === 1, col("__q")).otherwise(0L)).as("sum_cur"),
-          sum(when(col("__coh") === 0, col("__q") * col("__q")).otherwise(0L))
-            .as("ss_ref"),
-          sum(when(col("__coh") === 1, col("__q") * col("__q")).otherwise(0L))
-            .as("ss_cur"))
-        .select((col("__d") + 1).cast("int").as("dim"),
-          col("n_ref"), col("n_cur"), col("sum_ref"), col("sum_cur"),
-          col("ss_ref"), col("ss_cur"),
-          abs(col("sum_ref") * col("n_cur") - col("sum_cur") * col("n_ref"))
-            .as("mean_drift_num"))
+      Similarity.embedDimMoments(Tables.embeddings(s, dir))
     },
     // Embedding-curation outlier pruning: per label, the ~5% of vectors
     // farthest from the label CENTROID — the standard mislabeled-example

@@ -206,6 +206,18 @@ object StreamJobs {
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .as("t_sum"), count(lit(1)).as("t_n"))
 
+  /** Streaming twin of q_x_embed_drift — live encoder-health monitoring:
+    * embedding vectors stream in, the per-dimension cohort moments stream
+    * out (complete mode). The transform IS
+    * [[graft.operators.Similarity.embedDimMoments]] (one definition, so
+    * the live monitor can't drift from the batch report), and every
+    * statistic is an additive integer sum over the int8 quant domain, so
+    * micro-batch merge order cannot show through — the
+    * [[targetMomentsStream]] argument.
+    */
+  def embedDriftStream(embeddings: DataFrame): DataFrame =
+    graft.operators.Similarity.embedDimMoments(embeddings)
+
   /** Streaming corpus-prep front door: the batch pipeline's quality gate +
     * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
     * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The

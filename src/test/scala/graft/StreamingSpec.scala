@@ -300,6 +300,26 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch drift: drained=$drained batch=$batch")
   }
 
+  test("streaming embed drift: drained moments equal the batch report") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val src = Files.createTempDirectory("graft_embdrift_src").toString
+    // two files → two micro-batches; additive sums must merge exactly
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    val q = StreamJobs.embedDriftStream(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("embdrift").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (1 to 7).map(i => r.getLong(i)).toList).toMap
+    val got = canon(spark.table("embdrift"))
+    val want = canon(graft.operators.Similarity.embedDimMoments(emb))
+    assert(got == want && got.size == 64, s"stream/batch drift: ${got.size} dims")
+  }
+
   test("streaming contamination gate: rejection feed is exactly the hit pairs") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_contam_src").toString
