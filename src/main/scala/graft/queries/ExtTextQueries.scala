@@ -990,6 +990,37 @@ object ExtTextQueries {
           coalesce(size(col("toks")), lit(0)).as("n_bpe_tokens"),
           md5(coalesce(array_join(col("toks"), " "), lit(""))).as("tok_digest"))
     },
+    // Tokenizer FERTILITY by language — the tokenizer-equity diagnostic
+    // (which languages the learned vocabulary over-fragments): per lang
+    // the word/char/BPE-token totals and the two standard ratios,
+    // chars-per-token and tokens-per-word, in exact centi-units. Same
+    // encode-the-vocabulary-not-the-corpus shape as q_x_bpe_encode (the
+    // merge list is driver-side vocabulary metadata, the per-word encode
+    // runs once per DISTINCT word and broadcasts back); token lengths
+    // partition the non-whitespace chars, so Σ len(word) over occurrences
+    // replays as one regexp_replace per doc in the oracle.
+    "q_x_bpe_fertility" -> { (s, dir) =>
+      val merges = TextOps.bpeTrainMerges(Tables.documents(s, dir), k = 6)
+        .orderBy(col("step"))
+        .select(col("left_sym"), col("right_sym"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val words = Tables.documents(s, dir).select(col("lang"),
+        explode(filter(TextOps.tokens(col("text")), w => w =!= "")).as("w"))
+      val vocab = words.select(col("w")).distinct()
+        .withColumn("n_toks",
+          size(TextOps.bpeEncode(col("w"), merges)).cast("long"))
+        .withColumn("n_wchars", length(col("w")).cast("long"))
+      words.join(broadcast(vocab), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_wchars")).as("n_word_chars"),
+          sum(col("n_toks")).as("n_bpe_tokens"))
+        .filter(col("n_bpe_tokens") > 0)
+        .select(col("lang"), col("n_words"), col("n_word_chars"),
+          col("n_bpe_tokens"),
+          expr("n_word_chars * 100 div n_bpe_tokens").as("chars_per_token_cb"),
+          expr("n_bpe_tokens * 100 div n_words").as("tokens_per_word_cb"))
+    },
     // ROLLUP (hierarchical subtotals): per-(lang, source) doc counts with
     // per-lang subtotals and the grand total in one pass — Spark plans
     // grouping sets as a single Expand + one aggregate, no re-scan per
@@ -2812,6 +2843,25 @@ object ExtTextQueries {
         |FROM k""".stripMargin,
     "q_x_bpe_train" -> bpeTrainOracle(6),
     "q_x_bpe_encode" -> bpeEncodeOracle(6),
+    // the full encode statement nested, per-doc word/char counts from the
+    // documents scan, one lang rollup; blank-only strata (zero tokens)
+    // are excluded on both sides so the centi-ratios never divide by zero
+    "q_x_bpe_fertility" ->
+      s"""WITH enc AS (${bpeEncodeOracle(6)}),
+         |d AS (SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wchars
+         |  FROM documents)
+         |SELECT d.lang, CAST(sum(d.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(d.n_wchars) AS BIGINT) AS n_word_chars,
+         |  CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(d.n_wchars) AS BIGINT) * 100 // CAST(sum(enc.n_bpe_tokens) AS BIGINT)
+         |    AS chars_per_token_cb,
+         |  CAST(sum(enc.n_bpe_tokens) AS BIGINT) * 100 // CAST(sum(d.n_words) AS BIGINT)
+         |    AS tokens_per_word_cb
+         |FROM d JOIN enc ON enc.doc_id = d.doc_id
+         |GROUP BY 1 HAVING sum(enc.n_bpe_tokens) > 0""".stripMargin,
     "q_x_rollup" -> groupingSetsOracle("ROLLUP"),
     "q_x_cube" -> groupingSetsOracle("CUBE"),
     // conditional aggregation is the engine-portable pivot formulation;

@@ -39,7 +39,7 @@ class PlanGuardSpec extends SparkSpec {
     * assertion, so the tier list can never drift from reality.
     */
   private val executesAtBuild = Set(
-    "q_x_bpe_train", "q_x_bpe_encode",
+    "q_x_bpe_train", "q_x_bpe_encode", "q_x_bpe_fertility",
     "q_x_pagerank", "q_x_pagerank_w", "q_x_ppr",
     "q_x_kcore", "q_x_concomp", "q_x_concomp_ls",
     "q_x_bfs_dist", "q_x_lpa", "q_x_hits", "q_x_kmeans", "q_x_mst",
