@@ -49,6 +49,17 @@ object Bench {
     var heapPeakMb = 0L
     var sinceGc = 0
 
+    // Per-query GC attribution (r15, VERDICT item 2): three consecutive
+    // rounds a graph row inflated ONLY in the driver sweep, each time
+    // adjudicated per-row; this instruments the class-level signal — GC
+    // milliseconds incurred INSIDE each query's measured reps (settle GC
+    // excluded: settle() runs outside the timed window). A row whose
+    // med inflates with a matching gc_ms delta is GC-context, not plan.
+    import scala.jdk.CollectionConverters._
+    def gcMsNow(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -91,13 +102,17 @@ object Bench {
 
     def runOne(name: String): Double = {
       timeOne(name) // untimed warm-up rep: per-query codegen compile
+      var gcMs = 0L
       val ts = (1 to reps).map { _ =>
         settle() // don't bill the previous rep's blocks/garbage here
-        timeOne(name)
+        val g0 = gcMsNow()
+        val t = timeOne(name)
+        gcMs += gcMsNow() - g0
+        t
       }
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
       System.err.println(f"[bench] $name%-28s med=$med%7.2f reps=${
-        ts.map(t => f"$t%.2f").mkString(",")} settle_cum=$settleSec%.1f heap=${heapPeakMb}MB")
+        ts.map(t => f"$t%.2f").mkString(",")} gc_ms=$gcMs settle_cum=$settleSec%.1f heap=${heapPeakMb}MB")
       med
     }
 

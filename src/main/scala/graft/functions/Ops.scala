@@ -634,8 +634,23 @@ object Ops {
     require(!df.columns.exists(Set(outPeriod, "__p", "__pmax",
       "fold_val", "n_train_folds")),
       "rollingOriginCv reserves the period/__p/__pmax/fold_val/n_train_folds names")
-    val withPer = df.withColumn(outPeriod,
-      date_trunc(grain, col(tsCol)).cast("date"))
+    // DATE-cast only at day-or-coarser grains: a sub-day grain cast to
+    // DATE would silently collapse every hour/minute of a day into one
+    // period and mis-assign folds (r14 advice). Sub-day grains keep the
+    // truncated TIMESTAMP as the period column; anything unrecognized
+    // fails loudly instead of producing wrong folds.
+    val g = grain.toLowerCase(java.util.Locale.ROOT)
+    val dayOrCoarser =
+      Set("year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week", "day", "dd")
+    val subDay = Set("hour", "minute", "second")
+    require(dayOrCoarser(g) || subDay(g),
+      s"rollingOriginCv: unsupported grain '$grain' (day-or-coarser: " +
+        s"${dayOrCoarser.toSeq.sorted.mkString("/")}; sub-day: " +
+        s"${subDay.toSeq.sorted.mkString("/")})")
+    val per =
+      if (dayOrCoarser(g)) date_trunc(g, col(tsCol)).cast("date")
+      else date_trunc(g, col(tsCol))
+    val withPer = df.withColumn(outPeriod, per)
     val periods = withPer.select(col(outPeriod)).distinct()
       .withColumn("__p", row_number().over(Window.orderBy(col(outPeriod))))
     val dim = periods.crossJoin(periods.agg(max(col("__p")).as("__pmax")))

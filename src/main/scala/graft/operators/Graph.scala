@@ -104,13 +104,22 @@ object Graph {
       ranks =
         if (redistributeDanglingMass) {
           // total rank sitting on sinks this round: nodes absent from the
-          // out-degree table. The fold keeps the sum order data-pinned for
-          // the same bit-exactness argument as the per-node contributions.
-          val dangling = ranks.join(deg, col("node") === col("src"), "left_anti")
-            .agg(coalesce(
-              aggregate(sort_array(collect_list(struct(col("node"), col("rank")))),
-                lit(0.0), (acc, x) => acc + x.getField("rank")),
-              lit(0.0)).as("dm"))
+          // out-degree table. In the exact tier the fold keeps the sum
+          // order data-pinned (same bit-exactness argument as the per-node
+          // contributions); the production tier uses a plain partial-agg
+          // sum — on a sink-heavy graph (the web: ~10%+ sinks) the sorted
+          // collect_list would buffer a node-table-scale single row on one
+          // reducer, exactly the unbounded exact-tier buffer the fold tier
+          // flag exists to avoid.
+          val danglingRanks = ranks.join(deg, col("node") === col("src"), "left_anti")
+          val dangling =
+            if (exactFold)
+              danglingRanks.agg(coalesce(
+                aggregate(sort_array(collect_list(struct(col("node"), col("rank")))),
+                  lit(0.0), (acc, x) => acc + x.getField("rank")),
+                lit(0.0)).as("dm"))
+            else
+              danglingRanks.agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
           base.crossJoin(broadcast(dangling))
             .select(col("node"),
               (lit(1.0 - damping) / col("n") +
@@ -184,13 +193,19 @@ object Graph {
       ranks =
         if (redistributeDanglingMass) {
           // rank stranded on sinks this round (nodes absent from the
-          // out-degree table), folded in node-sorted order for the same
-          // bit-exactness argument as the contribution fold
-          val dangling = ranks.join(deg, col("node") === col("src"), "left_anti")
-            .agg(coalesce(
-              aggregate(sort_array(collect_list(struct(col("node"), col("rank")))),
-                lit(0.0), (acc, x) => acc + x.getField("rank")),
-              lit(0.0)).as("dm"))
+          // out-degree table). Exact tier: node-sorted fold for the same
+          // bit-exactness argument as the contribution fold; production
+          // tier: plain partial-agg sum (a sorted collect_list over every
+          // sink would buffer node-table scale on one reducer).
+          val danglingRanks = ranks.join(deg, col("node") === col("src"), "left_anti")
+          val dangling =
+            if (exactFold)
+              danglingRanks.agg(coalesce(
+                aggregate(sort_array(collect_list(struct(col("node"), col("rank")))),
+                  lit(0.0), (acc, x) => acc + x.getField("rank")),
+                lit(0.0)).as("dm"))
+            else
+              danglingRanks.agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
           base.crossJoin(broadcast(dangling))
             .select(col("node"),
               (lit(1.0 - damping) * col("tele") +

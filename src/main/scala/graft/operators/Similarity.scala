@@ -47,7 +47,7 @@ object Similarity {
     * queries at once — no driver-side per-query loop.
     *
     * Scale shape: relevance scoring is the [[annBruteForce]] broadcast
-    * scan (swap in an ANN tier for the pool at scale — the greedy stage
+    * scan ([[mmrTopKLsh]] is the ANN-pooled scale tier — the greedy stage
     * only ever sees poolK rows per query); the pairwise-sim table is
     * per-query-quadratic but BOUNDED at poolK² rows per query and keyed
     * by query id; ties break (score DESC, id ASC) via struct extrema, no
@@ -70,7 +70,49 @@ object Similarity {
       .orderBy(col("rel").desc, col("doc_id").asc)
     val pool = scored.withColumn("rel_rank", row_number().over(w))
       .filter(col("rel_rank") <= poolK)
-      .localCheckpoint() // consumed every greedy round
+    mmrGreedy(pool, corpus, idCol, embCol, k, lambda)
+  }
+
+  /** MMR at scale: identical greedy diversification, but the candidate
+    * POOL comes from the multi-table LSH machinery ([[annLsh]]'s bucket
+    * join) instead of the corpus×queries broadcast scan — the missing
+    * scale tier the [[mmrTopK]] docstring promises. Recall-traded by
+    * construction (a pool member must share an LSH bucket with its
+    * query), so this is a DECLARED-approximate path: positions are exact
+    * MMR over the recalled pool, every emitted (query, doc) is a genuine
+    * corpus neighbor with its true relevance rank within the pool, and
+    * the spec checks fair pool recall against [[mmrTopK]]'s brute pool.
+    * The greedy stage only ever sees ≤ poolK rows per query either way —
+    * swapping the pool source changes the corpus-scan cost from
+    * O(|corpus|·|queries|) to bucket-collision volume and nothing else.
+    */
+  def mmrTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int = 5, poolK: Int = 20,
+      lambda: Double = 0.5, numPlanes: Int = 4, numTables: Int = 8,
+      seed: Long = 42L, dim: Int = 64): DataFrame = {
+    require(k >= 1 && poolK >= k && lambda >= 0.0 && lambda <= 1.0,
+      "mmrTopKLsh: k >= 1, poolK >= k, lambda in [0, 1]")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val pool = lshScoredCandidates(corpus, queries, idCol, queryIdCol,
+      embCol, numPlanes, numTables, seed, dim)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cs").as("rel"))
+      .withColumn("rel_rank", row_number().over(w))
+      .filter(col("rel_rank") <= poolK)
+    mmrGreedy(pool, corpus, idCol, embCol, k, lambda)
+  }
+
+  /** The k−1 greedy MMR rounds shared by [[mmrTopK]] (brute pool, oracle
+    * tier) and [[mmrTopKLsh]] (LSH pool, scale tier). `pool` carries one
+    * (query_id, doc_id, rel, rel_rank ≤ poolK) row per candidate; the
+    * pairwise-sim table is poolK²-bounded per query and both are
+    * checkpointed once — each greedy round re-reads them, never the
+    * corpus scan that produced the pool.
+    */
+  private def mmrGreedy(poolIn: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, lambda: Double): DataFrame = {
+    val pool = poolIn.localCheckpoint() // consumed every greedy round
     val pv = pool.select(col("query_id"), col("doc_id"))
       .join(corpus.select(col(idCol).as("doc_id"), col(embCol).as("__e")),
         Seq("doc_id"))
@@ -486,6 +528,22 @@ object Similarity {
       queryIdCol: String, embCol: String, k: Int,
       numPlanes: Int = 4, numTables: Int = 8, seed: Long = 42L,
       dim: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    lshScoredCandidates(corpus, queries, idCol, queryIdCol, embCol,
+      numPlanes, numTables, seed, dim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** The multi-table LSH candidate join with exact cosine scores —
+    * (query_id, neighbor_id, cs), deduped across tables. Shared by
+    * [[annLsh]] (rank-k output) and [[mmrTopKLsh]] (pool source).
+    */
+  private def lshScoredCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, embCol: String,
+      numPlanes: Int, numTables: Int, seed: Long, dim: Int): DataFrame = {
     // a dim mismatch null-poisons every dot product via zip_with padding and
     // silently collapses all vectors into one bucket (= full cross product);
     // fail fast instead — BOTH sides (the query side is just as poisonable)
@@ -498,18 +556,12 @@ object Similarity {
     val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"),
       buckets(col(embCol)).as("b"))
       .select(col("query_id"), col("__qe"), col("b.t").as("t"), col("b.bv").as("bv"))
-    val cand = c.join(q, Seq("t", "bv"))
+    c.join(q, Seq("t", "bv"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qe"), col("__ce"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("neighbor_id").asc)
-    cand
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("__qe"), col("__ce")).as("cs"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   // (id, sub, sv): each vector split into m contiguous subspace slices

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, TextOps}
 import graft.sources.Tables
@@ -1277,15 +1277,16 @@ object ExtTextQueries {
     // Corpus stats ride a broadcast one-row scalar (J4 pattern); the
     // doc-term join is a narrow explode + term-keyed count. Top-10 by
     // (score desc, doc_id) via TakeOrdered.
-    // Exactness ceiling: the BIGINT numerator needs ≈44·N·tf·T < 2⁶³,
-    // i.e. N·tf·T ≲ 2·10¹⁷ — comfortable at the test SFs (N·T ≈ 10¹⁰)
-    // but a 100 TB corpus (N≈10¹¹ docs, T≈10¹³ tokens) wraps SILENTLY
-    // in non-ANSI Spark while DuckDB throws — divergent scores, not an
-    // error. Beyond the ceiling, hoist one factor to double before
-    // multiplying (cast t_tokens first): scores then differ from the
-    // integer-ratio form only in the last ulp, but the single-division
-    // bit-exactness guarantee is gone — the exact-integer form is the
-    // oracle-checkable tier, not the only one (the A4/HLL pattern).
+    // Exactness ceiling — GUARDED IN CODE (bm25Score): the BIGINT
+    // numerator needs ≈44·N·tf·T < 2⁶³ — comfortable at the test SFs
+    // (N·T ≈ 10¹⁰), but a 100 TB corpus (N≈10¹¹ docs, T≈10¹³ tokens)
+    // would wrap SILENTLY in non-ANSI Spark while DuckDB throws. The
+    // score expression therefore switches per-row to an all-double form
+    // of the same ratio when either side's double estimate passes
+    // 4·10¹⁸ (Bm25GuardSpec pins both sides of the boundary); below the
+    // ceiling the integer branch keeps the single-division bit-exactness
+    // the oracle checks — the exact-integer form is the oracle-checkable
+    // tier, not the only one (the A4/HLL pattern).
     "q_x_bm25" -> { (s, dir) =>
       bm25Top(s, dir)
     },
@@ -1518,17 +1519,48 @@ object ExtTextQueries {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
-        (((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
-          lit(22) * col("tf") * col("t_tokens")).cast("double") /
-         ((lit(2) * col("df") + lit(1)) *
-          (lit(10) * col("tf") * col("t_tokens") + lit(3) * col("t_tokens") +
-           lit(9) * col("dl") * col("n_docs"))).cast("double")).as("score"))
+        bm25Score(col("n_docs"), col("df"), col("tf"), col("t_tokens"),
+          col("dl")).as("score"))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_terms_hit"),
         aggregate(sort_array(collect_list(struct(col("term"), col("score")))),
           lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)
+  }
+
+  /** BM25 per-(term, doc) score as the single integer-ratio division
+    * (k1=6/5, b=3/4 cleared to one BIGINT/BIGINT ratio — the documented
+    * exact-oracle tier), GUARDED against the int64 ceiling: when either
+    * side of the ratio would exceed 4·10¹⁸ (double estimates of the exact
+    * products — within a few ulp of the true values, and 4·10¹⁸ leaves a
+    * >2× margin under 2⁶³ ≈ 9.2·10¹⁸, so estimate error can never flip the
+    * branch into a wrap), the SAME ratio is computed with every factor
+    * hoisted to DOUBLE instead. Left-associated BIGINT products only grow
+    * (all factors ≥ 1), so "final product fits" ⇒ every intermediate fits.
+    * Below the ceiling (all test SFs: N·T ≈ 10¹⁰) the integer branch is
+    * bit-exact cross-engine; above it (100 TB: N≈10¹¹ docs, T≈10¹³ tokens)
+    * the double branch differs from the true ratio only in the last ulps —
+    * never the silent int64 wrap non-ANSI Spark would otherwise produce
+    * while DuckDB throws. Bm25GuardSpec pins both sides of the boundary
+    * against BigInt-exact arithmetic.
+    */
+  private[graft] def bm25Score(nDocs: Column, df: Column, tf: Column,
+      tTokens: Column, dl: Column): Column = {
+    val numI = (lit(2) * nDocs - lit(2) * df + lit(1)) *
+      lit(22) * tf * tTokens
+    val denI = (lit(2) * df + lit(1)) *
+      (lit(10) * tf * tTokens + lit(3) * tTokens + lit(9) * dl * nDocs)
+    val nD = nDocs.cast("double"); val dfD = df.cast("double")
+    val tfD = tf.cast("double"); val tD = tTokens.cast("double")
+    val dlD = dl.cast("double")
+    val numD = (lit(2.0) * nD - lit(2.0) * dfD + lit(1.0)) *
+      lit(22.0) * tfD * tD
+    val denD = (lit(2.0) * dfD + lit(1.0)) *
+      (lit(10.0) * tfD * tD + lit(3.0) * tD + lit(9.0) * dlD * nD)
+    when(numD < lit(4.0e18) && denD < lit(4.0e18),
+      numI.cast("double") / denI.cast("double"))
+      .otherwise(numD / denD)
   }
 
   private def baseTermSet(s: SparkSession): DataFrame = {

@@ -39,6 +39,17 @@ object ExtVectorQueries {
       Similarity.mmrTopK(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5, poolK = 20, lambda = 0.5)
     },
+    // MMR scale tier: pool from the multi-table LSH bucket join instead
+    // of the corpus×queries broadcast scan (no oracle: recall-traded by
+    // construction; spec pins pool recall vs the brute pool and exact
+    // greedy semantics over whatever pool was recalled). Same greedy
+    // stage, same output shape as q_x_mmr.
+    "q_x_mmr_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopKLsh(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "vec_id", "embedding", k = 5, poolK = 20, lambda = 0.5,
+        numPlanes = 4, numTables = 8)
+    },
     // Embedding near-duplicate pairs above a cosine threshold (brute
     // baseline; the LSH variant below is the scale path).
     "q_x_embed_neardup" -> { (s, dir) =>
@@ -273,6 +284,13 @@ object ExtVectorQueries {
     // identical bits) and replays the same left fold with a 0.0 seed
     // (list_prepend), so every projected double is bit-exact
     // cross-engine.
+    // Output is FLATTENED to (vec_id, dim, proj_val) scalars — the r8
+    // DECIMAL export-contract precedent, round 2: the driver's pandas
+    // canonicalizer sort_values() cannot order array cells (it crashed on
+    // the r14 array<double> `proj` column — DRIVER_BUG.md defect #2), so
+    // driver-facing schemas carry only scalar top-level columns
+    // (OutputTypeSpec pins the census). posexplode preserves the in-array
+    // position, so each row is one (vector, output-dim) projection value.
     "q_x_rand_proj" -> { (s, dir) =>
       val planes = Similarity.hyperplanes(16, 64, seed = 77L)
       val proj = array(planes.map { p =>
@@ -280,7 +298,9 @@ object ExtVectorQueries {
           zip_with(col("embedding"), array(p.map(lit).toSeq: _*), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x)
       }.toSeq: _*)
-      Tables.embeddings(s, dir).select(col("vec_id"), proj.as("proj"))
+      Tables.embeddings(s, dir).select(col("vec_id"), posexplode(proj))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+          col("col").as("proj_val"))
     },
     "q_x_kmeans" -> { (s, dir) =>
       val pts = Tables.lineitem(s, dir)
@@ -338,10 +358,12 @@ object ExtVectorQueries {
            |      list_transform(generate_series(1, 64), i -> e.embedding[i] * p.p$i[i])),
            |      (a, x) -> a + x)""".stripMargin
       }.mkString(",\n    ")
-      s"""WITH p AS (SELECT $planeCols)
-         |SELECT e.vec_id, [
+      s"""WITH p AS (SELECT $planeCols),
+         |base AS (SELECT e.vec_id, [
          |    $dims] AS proj
-         |FROM embeddings e, p""".stripMargin
+         |  FROM embeddings e, p)
+         |SELECT vec_id, CAST(g.i AS INT) AS dim, proj[g.i] AS proj_val
+         |FROM base, generate_series(1, 16) g(i)""".stripMargin
     },
     // per-dim vec_id-ordered mean folds, the identical dim-ordered
     // distance fold, integer ceil(n/20) quota by (dist DESC, vec_id)

@@ -218,6 +218,58 @@ object StreamJobs {
   def embedDriftStream(embeddings: DataFrame): DataFrame =
     graft.operators.Similarity.embedDimMoments(embeddings)
 
+  /** Streaming golden-record survivorship STATE — the live tier of
+    * q_x_er_golden's merge (the [[targetMomentsStream]] stance: what
+    * streams is the state upkeep, the finisher is a broadcast-sized batch
+    * fold). Every survivorship rule in
+    * [[graft.operators.Dedup.goldenRecords]] is an associative fold —
+    * longest-text argmax is a struct max, member counts are sums,
+    * provenance is a set union, the majority vote needs only per-(entity,
+    * category) counts — so the state table keyed by (entity, category)
+    * is maintained exactly by ONE streaming aggregate (complete mode;
+    * micro-batch merge order cannot show through associative folds — the
+    * q_x_incr_rollup merge ≡ recompute contract), and
+    * [[goldenRecordsFromState]] finishes it to bit-identical golden rows.
+    * The cluster table rides a broadcast stream-static join (dup members
+    * only — the [[graft.operators.Dedup.survivors]] argument).
+    */
+  def goldenStateStream(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      catCol: String = "lang", srcCol: String = "source"): DataFrame =
+    docs
+      .join(broadcast(clusters.select(col(idCol), col("cluster_id"))),
+        Seq(idCol), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy(col("entity_id"), col(catCol))
+      .agg(
+        max(struct(length(col(textCol)).as("__l"), (-col(idCol)).as("__nid"),
+          col(textCol).as("__t"))).as("__best"),
+        count(lit(1)).as("__c"),
+        collect_set(col(srcCol)).as("__srcs"))
+
+  /** Batch finisher over the drained [[goldenStateStream]] table: merges
+    * the per-(entity, category) state groups into one golden row per
+    * entity with EXACTLY [[graft.operators.Dedup.goldenRecords]]'
+    * output contract — max-of-maxes for the text argmax, summed member
+    * counts, min(−count, value) for the majority vote, set-union
+    * provenance. The state table is entity×category-sized (broadcast
+    * class), so this fold costs nothing next to the stream it finishes.
+    */
+  def goldenRecordsFromState(state: DataFrame, textCol: String = "text",
+      catCol: String = "lang"): DataFrame = {
+    val allSrcs = array_distinct(flatten(collect_list(col("__srcs"))))
+    state.groupBy(col("entity_id"))
+      .agg(
+        max(col("__best")).getField("__t").as(textCol),
+        sum(col("__c")).as("n_members"),
+        min(struct((-col("__c")).as("__nc"), col(catCol).as("__v")))
+          .getField("__v").as(catCol),
+        size(allSrcs).cast("long").as("n_sources"),
+        array_join(array_sort(allSrcs), ",").as("sources"))
+      .select(col("entity_id"), col("n_members"), col(textCol), col(catCol),
+        col("n_sources"), col("sources"))
+  }
+
   /** Streaming corpus-prep front door: the batch pipeline's quality gate +
     * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
     * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The

@@ -289,6 +289,41 @@ class DedupSpec extends SparkSpec {
     assert(mmr.map(_._3) == Seq(1, 3, 2), "rel_rank carries the plain ranking")
   }
 
+  test("lsh-pooled mmr: sound positions, fair pool recall vs the brute pool") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.mmrTopK(emb, queries, "vec_id", "vec_id",
+      "embedding", k = 5, poolK = 20, lambda = 0.5)
+      .select("query_id", "position", "doc_id").as[(Long, Int, Long)]
+      .collect()
+    val lsh = Similarity.mmrTopKLsh(emb, queries, "vec_id", "vec_id",
+      "embedding", k = 5, poolK = 20, lambda = 0.5,
+      numPlanes = 4, numTables = 8)
+      .select("query_id", "position", "doc_id").as[(Long, Int, Long)]
+      .collect()
+    // soundness: every query fills positions 1..m densely, no repeats
+    lsh.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $q: positions must be dense from 1")
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"query $q: a doc selected twice")
+    }
+    // position 1 is the pool's relevance argmax, so with fair bucket
+    // recall the LSH tier's first pick usually matches brute's; require
+    // a majority (the q_x_ann_lsh 0.4-recall bar, applied to picks)
+    val bruteFirst = brute.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val lshFirst = lsh.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val common = bruteFirst.keySet & lshFirst.keySet
+    assert(common.nonEmpty, "LSH pool must recall candidates for some queries")
+    val agree = common.count(q => bruteFirst(q) == lshFirst(q)).toDouble / common.size
+    assert(agree >= 0.4, s"first-pick agreement $agree too low")
+    // overall selected-set recall against the brute MMR lists
+    val bSet = brute.map(r => (r._1, r._3)).toSet
+    val lSet = lsh.map(r => (r._1, r._3)).toSet
+    val recall = (bSet & lSet).size.toDouble / bSet.size
+    assert(recall >= 0.3, s"selected-set recall $recall too low")
+  }
+
   test("lsh ann achieves reasonable recall against brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -660,20 +695,45 @@ class DedupSpec extends SparkSpec {
       (3L, header + "unique3a unique3b unique3c unique3d"),
       (4L, header + "unique4a unique4b unique4c unique4d"))
       .toDF("doc_id", "text")
-    val res = Dedup.containmentPairs(docs, "doc_id", "text",
-      shingleN = 3, tauNum = 8, tauDen = 10, maxTokenDf = 2L)
-    val rows = res.collect() // execute — observe metrics ride the job
-    assert(rows.nonEmpty, "fixture must keep a surviving pair (see comment)")
-    val m = res.queryExecution.observedMetrics("containment_hot_shingles")
-    assert(m.getAs[Long]("n_capped_shingles") >= 4L,
-      s"header shingles past the cap must be counted: $m")
-    assert(m.getAs[Long]("max_shingle_df") >= 4L, s"max df seen must be >= 4: $m")
-    // and an uncapped run reports zero capped shingles on the same corpus
-    val free = Dedup.containmentPairs(docs, "doc_id", "text",
-      shingleN = 3, tauNum = 8, tauDen = 10)
-    free.collect()
-    assert(free.queryExecution.observedMetrics("containment_hot_shingles")
-      .getAs[Long]("n_capped_shingles") == 0L)
+    // The census subtree is localCheckpoint'd right after the observe
+    // (r14 advice: two consumers would otherwise run the aggregate twice
+    // and double-count), so the metric rides the CHECKPOINT's execution —
+    // exactly where a production QueryExecutionListener reads it. The
+    // listener sees the metric ONCE per run: the double-count fix is
+    // pinned by the event count, not just the values.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("containment_hot_shingles").foreach(seen.add)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rows = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, tauNum = 8, tauDen = 10, maxTokenDf = 2L).collect()
+      assert(rows.nonEmpty, "fixture must keep a surviving pair (see comment)")
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "census metric must reach the QueryExecutionListener")
+      val m = seen.peek()
+      assert(m.getAs[Long]("n_capped_shingles") >= 4L,
+        s"header shingles past the cap must be counted: $m")
+      assert(m.getAs[Long]("max_shingle_df") >= 4L, s"max df seen must be >= 4: $m")
+      Thread.sleep(500) // drain any stragglers before counting events
+      assert(seen.size == 1,
+        s"census subtree must execute exactly once per run, saw ${seen.size}")
+      // and an uncapped run reports zero capped shingles on the same corpus
+      seen.clear()
+      Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, tauNum = 8, tauDen = 10).collect()
+      val deadline2 = System.currentTimeMillis() + 30000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline2) Thread.sleep(50)
+      assert(!seen.isEmpty && seen.peek().getAs[Long]("n_capped_shingles") == 0L)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("edit near-dup: grid blocking + banded levenshtein per the stated guarantee") {
@@ -757,6 +817,38 @@ class DedupSpec extends SparkSpec {
     val (band, comp) = (rep("minhash_bands"), rep("composed"))
     assert(comp.getLong(4) <= grid.getLong(4) + band.getLong(4))
     assert(comp.getLong(5) >= math.max(grid.getLong(5), band.getLong(5)))
+  }
+
+  test("blocking quality: maxSampleRows caps the truth stage at any corpus size") {
+    // autoSampleBp unit contract first
+    assert(Dedup.autoSampleBp(100L, 500L) == 10000, "corpus fits: sample everything")
+    assert(Dedup.autoSampleBp(3000L, 150L) == 500)
+    assert(Dedup.autoSampleBp(100000000L, 1000L) == 1, "floor at 1 bp")
+    intercept[IllegalArgumentException](Dedup.autoSampleBp(10L, 0L))
+
+    // 3000-doc corpus, 150-row budget → effective bp 500; the Bernoulli
+    // sample concentrates hard around 150 (σ ≈ 12): n_docs must land far
+    // below the corpus and the report must be identical to an explicit
+    // sampleBp pin at the derived rate (what the oracle-facing registry
+    // row does)
+    val corpus = (0L until 3000L)
+      .map(i => (i, s"document number $i with some filler text ${i % 7}"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.blockingQuality(corpus, "doc_id", "text",
+      q = 16, maxDist = 4, maxSampleRows = Some(150L))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val n = capped("grid")(1).asInstanceOf[Long]
+    assert(n >= 75L && n <= 230L, s"expected ≈150 sampled docs, got $n")
+    val pinned = Dedup.blockingQuality(corpus, "doc_id", "text",
+      q = 16, maxDist = 4, sampleBp = 500)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(capped == pinned, "cap must equal the explicitly pinned derived bp")
+    // and the smaller effective rate wins when both knobs are set
+    val both = Dedup.blockingQuality(corpus, "doc_id", "text",
+      q = 16, maxDist = 4, sampleBp = 200, maxSampleRows = Some(150L))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val nBoth = both("grid")(1).asInstanceOf[Long]
+    assert(nBoth <= n, s"sampleBp=200 < derived 500 must win: $nBoth vs $n")
   }
 
   test("golden records: field-level survivorship with pinned tie rules") {

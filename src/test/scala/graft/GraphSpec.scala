@@ -377,6 +377,40 @@ class GraphSpec extends SparkSpec {
     assert(dropped < 1.0 - 1e-6)
   }
 
+  test("dangling redistribution: production fold tier agrees with the exact tier") {
+    // Sink-HEAVY graph (most nodes dangling — the web shape the production
+    // tier exists for): a 3-node core fanning out to 12 pure sinks. With
+    // exactFold = false the dangling mass must use a plain partial-agg sum
+    // (no node-table-scale collect_list buffer) and still agree with the
+    // exact tier to 1e-12, in both pageRank and personalizedPageRank.
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++
+      (10L to 21L).map(s => (1L + s % 3, s))).toDF("src", "dst")
+    val exactPr = Graph.pageRank(edges, "src", "dst", iters = 5,
+      redistributeDanglingMass = true, exactFold = true)
+      .as[(Long, Double)].collect().toMap
+    val prodPr = Graph.pageRank(edges, "src", "dst", iters = 5,
+      redistributeDanglingMass = true, exactFold = false)
+      .as[(Long, Double)].collect().toMap
+    assert(prodPr.keySet == exactPr.keySet)
+    prodPr.foreach { case (v, r) =>
+      assert(math.abs(r - exactPr(v)) <= 1e-12, s"pageRank node $v: $r vs ${exactPr(v)}")
+    }
+    assert(math.abs(prodPr.values.sum - 1.0) <= 1e-12)
+
+    val seeds = Seq(1L, 2L).toDF("node")
+    val exactPpr = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      iters = 5, redistributeDanglingMass = true, exactFold = true)
+      .as[(Long, Double)].collect().toMap
+    val prodPpr = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      iters = 5, redistributeDanglingMass = true, exactFold = false)
+      .as[(Long, Double)].collect().toMap
+    assert(prodPpr.keySet == exactPpr.keySet)
+    prodPpr.foreach { case (v, r) =>
+      assert(math.abs(r - exactPpr(v)) <= 1e-12, s"ppr node $v: $r vs ${exactPpr(v)}")
+    }
+    assert(math.abs(prodPpr.values.sum - 1.0) <= 1e-12)
+  }
+
   test("boruvkaForest equals a driver Kruskal under the (w, a, b) total order") {
     val r = new scala.util.Random(13)
     // random weighted graph with DUPLICATE weights to exercise the

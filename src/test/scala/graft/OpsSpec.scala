@@ -267,4 +267,31 @@ class OpsSpec extends SparkSpec {
     val trainCounts = got.map(_._3).sum
     assert(trainCounts == 5 * 3 + 2 + 1 + 0)
   }
+
+  test("rollingOriginCv: sub-day grains keep hourly periods distinct (r14 advice)") {
+    // 5 hours of one day at grain=hour, k=2: a DATE-cast period would
+    // collapse all five into a single fold-less period
+    val rows = (10 to 14).map(h => (h.toLong, s"2024-03-01 $h:15:00"))
+    val df = rows.toDF("id", "s").select($"id", to_timestamp($"s").as("ts"))
+    val got = Ops.rollingOriginCv(df, "ts", k = 2, grain = "hour")
+      .select($"id", $"fold_val", $"n_train_folds")
+      .as[(Long, Option[Int], Int)].collect()
+    val byId = got.groupBy(_._1).view.mapValues(_.head).toMap
+    (10L to 12L).foreach(h => assert(byId(h) == ((h, None, 2))))
+    assert(byId(13L) == ((13L, Some(1), 1)))
+    assert(byId(14L) == ((14L, Some(2), 0)))
+    // and the period column stays a timestamp (no silent day collapse)
+    val perType = Ops.rollingOriginCv(df, "ts", k = 2, grain = "hour")
+      .schema("period").dataType.typeName
+    assert(perType == "timestamp", perType)
+  }
+
+  test("rollingOriginCv: unrecognized grain fails loudly") {
+    val df = Seq((1L, "2024-03-01 10:00:00")).toDF("id", "s")
+      .select($"id", to_timestamp($"s").as("ts"))
+    val ex = intercept[IllegalArgumentException] {
+      Ops.rollingOriginCv(df, "ts", k = 1, grain = "fortnight")
+    }
+    assert(ex.getMessage.contains("unsupported grain"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
 
 /** The r8 export contract, pinned as a registry-wide census: NO
   * driver-facing output schema carries a DECIMAL column.
@@ -42,5 +42,29 @@ class OutputTypeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       "decimal-typed driver-facing output columns (hash-unsafe — " +
         s"final-cast to DOUBLE/BIGINT per the export contract):\n  ${offenders.mkString("\n  ")}")
+  }
+
+  /** Export-contract defect #2 (r14, DRIVER_BUG.md): the driver's pandas
+    * canonicalizer sorts result cells via `sort_values`, which cannot order
+    * ndarray/dict cells — any top-level ARRAY (or MAP/STRUCT) column crashes
+    * the compare, leaving the row neither pass nor fail (`q_x_rand_proj`
+    * r14). Driver-facing schemas therefore carry only scalar columns;
+    * array-shaped results are flattened (posexplode → one row per element,
+    * the q_x_rand_proj (vec_id, dim, proj_val) shape) before the boundary.
+    */
+  test("no driver-facing output schema carries a nested (array/map/struct) column") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }.toSeq
+    }
+    assert(offenders.isEmpty,
+      "nested driver-facing output columns (the driver's pandas canonicalizer " +
+        "cannot sort ndarray cells — flatten with posexplode per the export " +
+        s"contract):\n  ${offenders.mkString("\n  ")}")
   }
 }

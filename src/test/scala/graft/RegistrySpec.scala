@@ -19,6 +19,7 @@ class RegistrySpec extends AnyFunSuite {
     "q_x_ann_pq",           // PQ/ADC ANN (exact twin: q_x_ann_topk)
     "q_x_ann_ivfpq",        // IVF-PQ composite (exact twin: q_x_ann_topk)
     "q_x_embed_neardup_lsh", // embedding LSH (exact twin: q_x_embed_neardup)
+    "q_x_mmr_lsh",          // LSH-pooled MMR (exact twin: q_x_mmr)
     "q_x_hard_negatives_lsh", // LSH hard negatives (exact twin: q_x_hard_negatives)
     "q_x_length_quantiles_approx", // t-digest (exact twin: q_x_length_quantiles)
     "q_x_semdedup_ivf",     // IVF cells (hash-checked twin: q_x_semdedup)
@@ -28,7 +29,7 @@ class RegistrySpec extends AnyFunSuite {
   )
 
   test("registry census: no entry silently dropped") {
-    assert(SparkEntry.queries.size == 312,
+    assert(SparkEntry.queries.size == 313,
       s"query registry changed size (${SparkEntry.queries.size}) — if intentional, " +
         "update this census AND the oracle accounting below")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - noOracleByDesign.size)

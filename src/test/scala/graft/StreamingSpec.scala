@@ -551,6 +551,34 @@ class StreamingSpec extends SparkSpec {
       canonEnc(SparkEntry.queries("q_x_target_encode")(spark, sfDir)).toSeq)
   }
 
+  test("streaming golden-record state drains to the batch golden records") {
+    // the r15 twin: every survivorship rule is an associative fold, so
+    // the (entity, category)-keyed streaming state + the broadcast-sized
+    // batch finisher must reproduce q_x_er_golden row-for-row regardless
+    // of micro-batch slicing (3 batches here)
+    val src = Files.createTempDirectory("graft_gold_src").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val pairs = graft.operators.Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.6,
+      failOnOverCap = true)
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs, "a", "b")
+      .localCheckpoint()
+    val q = StreamJobs.goldenStateStream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src), clusters)
+      .writeStream.outputMode("complete").format("memory").queryName("gold_s").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
+    val got = canon(StreamJobs.goldenRecordsFromState(spark.table("gold_s")))
+    val want = canon(SparkEntry.queries("q_x_er_golden")(spark, sfDir))
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("idempotent sink: replaying a batch adds no rows (parquet + jdbc)") {
     val sink = Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = graft.sources.Tables.events(spark, sfDir).limit(50)
