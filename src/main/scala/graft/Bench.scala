@@ -100,6 +100,8 @@ object Bench {
       settleSec += (System.nanoTime() - t0) / 1e9
     }
 
+    val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+
     def runOne(name: String): Double = {
       timeOne(name) // untimed warm-up rep: per-query codegen compile
       var gcMs = 0L
@@ -110,6 +112,7 @@ object Bench {
         gcMs += gcMsNow() - g0
         t
       }
+      gcByQuery(name) = gcMs
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
       System.err.println(f"[bench] $name%-28s med=$med%7.2f reps=${
         ts.map(t => f"$t%.2f").mkString(",")} gc_ms=$gcMs settle_cum=$settleSec%.1f heap=${heapPeakMb}MB")
@@ -128,7 +131,13 @@ object Bench {
     val results = names.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm","settle_sec":$settleSec,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb}""")
+    // gc_ms: per-query GC milliseconds inside the measured reps (additive
+    // JSON field — the r12/r13/r14 one-graph-row-inflates-only-in-the-
+    // driver-sweep pattern adjudicates from the ledger itself: an
+    // inflated med with a matching gc_ms delta is heap/co-load context,
+    // not a plan regression)
+    val gcj = gcByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm","settle_sec":$settleSec,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"gc_ms":$gcj}""")
     spark.stop()
   }
 }
