@@ -388,6 +388,58 @@ object ExtTextQueries {
         .orderBy(col("term_count").desc, col("term").asc)
         .limit(50)
     },
+    // Surprisal-proxy rarity filter — the count-based stand-in for the
+    // CCNet/C4 LM-perplexity gate: a doc full of corpus-rare tokens is
+    // "surprising" (OCR noise, boilerplate soup, wrong language), a doc
+    // of common tokens is fluent-corpus-like. Per token occurrence the
+    // proxy surprisal is the scaled inverse corpus frequency
+    // 10⁸ div tf(term) (integer — a transcendental log would not be
+    // bit-reproducible cross-engine; div preserves the ranking the gate
+    // thresholds on), per doc the mean over occurrences plus the count
+    // of rare (tf ≤ 2) occurrences. Scale shape: one narrow token
+    // explode, one term-keyed count (partial agg absorbs hot terms),
+    // one term-keyed join back (AQE broadcasts the vocab-sized tf table
+    // when it fits), one doc-keyed integer sum — order-independent
+    // (integer adds), so no fold pinning needed anywhere.
+    "q_x_rarity_score" -> { (s, dir) =>
+      val toks = docToks(s, dir)
+      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      toks.join(tf, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(expr("100000000 div tf")).as("__s"),
+          sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("__s div n_toks").as("rarity_score"), col("n_rare"))
+    },
+    // Bigram count-LM table (KenLM-lite): conditional continuation
+    // counts for the 20 highest-fanout context words — c(w1, w2),
+    // c(w1·) and the integer-bp conditional p(w2|w1), top-3
+    // continuations per context by (count DESC, w2 ASC). The count-based
+    // n-gram LM is the classic filter/scoring backbone before neural
+    // perplexity; counts are also what a backoff LM persists. Scale
+    // shape: one (w1, w2)-keyed count shuffle (map-side combine absorbs
+    // hot bigrams), one w1-keyed rollup, a rank window partitioned by
+    // the 20 selected contexts only — never vocab-wide.
+    "q_x_bigram_lm" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bg = Tables.documents(s, dir)
+        .select(explode(TextOps.bigramsFromTokens(
+          TextOps.tokens(col("text")))).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("pair_count")).as("w1_count"))
+      val top = c1.orderBy(col("w1_count").desc, col("w1").asc).limit(20)
+      c2.join(broadcast(top), Seq("w1"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("w1"))
+            .orderBy(col("pair_count").desc, col("w2").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("w1"), col("w1_count"), col("rank").cast("int").as("rank"),
+          col("w2"), col("pair_count"),
+          expr("pair_count * 10000 div w1_count").as("cont_bp"))
+    },
     // Per-doc top-3 terms by exact-rational tf-idf (linear idf — see
     // TextOps.tfIdfTopTerms for why ln is deliberately avoided).
     "q_x_tfidf_top" -> { (s, dir) =>
@@ -2335,6 +2387,44 @@ object ExtTextQueries {
         |  FROM t WHERE term <> '' GROUP BY term)
         |SELECT term, term_count, doc_freq FROM f
         |ORDER BY term_count DESC, term ASC LIMIT 50""".stripMargin,
+
+    // identical integer surprisal proxy: per-occurrence 10⁸ // tf, doc
+    // mean via integer //; DuckDB's HUGEINT sums cast back to BIGINT so
+    // the arrow schemas agree (Spark sums longs as longs)
+    "q_x_rarity_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), t2 AS (SELECT * FROM t WHERE term <> ''),
+        |f AS (SELECT term, count(*) AS tf FROM t2 GROUP BY term)
+        |SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(CAST(sum(100000000 // f.tf) AS BIGINT) // count(*) AS BIGINT)
+        |    AS rarity_score,
+        |  CAST(sum(CASE WHEN f.tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM t2 JOIN f USING (term)
+        |GROUP BY t2.doc_id""".stripMargin,
+
+    // the same bigram table from array windows (ws[i], ws[i+1]); w1
+    // fanout counts summed per context, top-20 contexts, top-3
+    // continuations per context under the identical (count DESC, w2 ASC)
+    // tie order; conditional probability as integer basis points
+    "q_x_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+        |        FROM tok WHERE len(ws) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(pair_count) AS BIGINT) AS w1_count
+        |  FROM c2 GROUP BY 1),
+        |top AS (SELECT * FROM c1 ORDER BY w1_count DESC, w1 ASC LIMIT 20),
+        |rk AS (SELECT c2.w1, top.w1_count, c2.w2, c2.pair_count,
+        |    row_number() OVER (PARTITION BY c2.w1
+        |      ORDER BY c2.pair_count DESC, c2.w2 ASC) AS rank
+        |  FROM c2 JOIN top USING (w1))
+        |SELECT w1, w1_count, CAST(rank AS INT) AS rank, w2, pair_count,
+        |  pair_count * 10000 // w1_count AS cont_bp
+        |FROM rk WHERE rank <= 3""".stripMargin,
 
     "q_x_tfidf_top" ->
       """WITH t AS (

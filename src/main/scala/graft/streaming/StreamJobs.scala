@@ -270,6 +270,23 @@ object StreamJobs {
         col("n_sources"), col("sources"))
   }
 
+  /** Streaming corpus term-frequency upkeep — the live tier behind the
+    * rarity/surprisal gate (q_x_rarity_score) and every other
+    * corpus-frequency consumer (BM25 idf, boilerplate caps): the tf
+    * table is a pure additive count per term, so ONE complete-mode
+    * streaming aggregate maintains it exactly (micro-batch merge order
+    * cannot show through integer adds — the [[targetMomentsStream]]
+    * stance: what streams is the corpus-sized statistic upkeep; the
+    * per-doc scoring joins against the maintained table batch-side).
+    * Uses the identical tokenizer as the batch rows (one definition).
+    */
+  def termFreqStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Streaming corpus-prep front door: the batch pipeline's quality gate +
     * order-invariant content dedup (q_x_pipeline_e2e's first two stages) as
     * a streaming stage over a `(doc_id, ingest_ts, text)` feed. The

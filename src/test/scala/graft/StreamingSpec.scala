@@ -551,6 +551,42 @@ class StreamingSpec extends SparkSpec {
       canonEnc(SparkEntry.queries("q_x_target_encode")(spark, sfDir)).toSeq)
   }
 
+  test("streaming term-frequency upkeep equals the batch tf table; rarity derives identically") {
+    // additive integer counts: drain ≡ batch regardless of micro-batch
+    // slicing, and the rarity score DERIVED from the drained tf equals
+    // the batch q_x_rarity_score pipeline row-for-row
+    val src = Files.createTempDirectory("graft_tf_src").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.termFreqStream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory").queryName("tf_s").start()
+    q.processAllAvailable(); q.stop()
+    def canonTf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = canonTf(spark.table("tf_s"))
+    val want = canonTf(StreamJobs.termFreqStream(docs))
+    assert(got == want && got.nonEmpty)
+    // rarity from the drained table == the registry row at this sf
+    val toks = docs.select(col("doc_id"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val derived = toks.join(spark.table("tf_s"), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr("100000000 div tf")).as("__s"),
+        sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("__s div n_toks").as("rarity_score"), col("n_rare"))
+    def canonR(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(canonR(derived) ==
+      canonR(SparkEntry.queries("q_x_rarity_score")(spark, sfDir)))
+  }
+
   test("streaming golden-record state drains to the batch golden records") {
     // the r15 twin: every survivorship rule is an associative fold, so
     // the (entity, category)-keyed streaming state + the broadcast-sized

@@ -294,4 +294,45 @@ class TextOpsSpec extends SparkSpec {
     assert(card.map(_.getLong(3)).sum ==
       docs.agg(sum(col("n_chars"))).head.getLong(0))
   }
+
+  test("rarity score: hand-checked integer surprisal means and rare counts") {
+    // tf: a=3, b=1, c=1 over the two docs; per-occurrence surprisal
+    // 1e8 div tf, per-doc integer mean; rare = occurrences with tf <= 2
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // the registry fn reads a dir; replay the identical pipeline inline
+    val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val got = toks.join(tf, Seq("term")).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr("100000000 div tf")).as("__s"),
+        sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("__s div n_toks").as("rarity_score"), col("n_rare"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, (33333333L * 2 + 100000000L) / 3, 1L)))
+    assert(got(2L) == ((2L, (33333333L + 100000000L) / 2, 1L)))
+  }
+
+  test("bigram LM: conditional continuation counts and bp under the pinned tie order") {
+    val docs = Seq((1L, "x y x y z"), (2L, "x y")).toDF("doc_id", "text")
+    val bg = docs.select(explode(TextOps.bigramsFromTokens(
+        TextOps.tokens(col("text")))).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("pair_count")).as("w1_count"))
+    val rows = c2.join(c1, Seq("w1"))
+      .select(col("w1"), col("w1_count"), col("w2"), col("pair_count"),
+        expr("pair_count * 10000 div w1_count").as("cont_bp"))
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    // doc1 "x y x y z" -> (x,y),(y,x),(x,y),(y,z); doc2 adds one (x,y):
+    // c(x,y)=3, c(y,x)=1, c(y,z)=1; contexts c(x·)=3, c(y·)=2
+    assert(rows == Set(
+      ("x", 3L, "y", 3L, 10000L),
+      ("y", 2L, "x", 1L, 5000L),
+      ("y", 2L, "z", 1L, 5000L)))
+  }
 }
