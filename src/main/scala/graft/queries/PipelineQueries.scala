@@ -202,6 +202,26 @@ object PipelineQueries {
           sum(length(col("payload"))).as("total_bytes"),
           max(length(col("payload"))).as("max_bytes"))
     },
+    // Frame sampling over the binary payload table — the video-frame
+    // analog (every 2nd 32-byte chunk), flattened to one row per kept
+    // frame with its byte length and md5 digest (the index-upsert shape;
+    // nested arrays never cross the export boundary — the r15 contract).
+    // Pure column expressions over BINARY — no UDF, narrow map + one
+    // posexplode. The oracle replays the chunk grid on the text column:
+    // payload = UTF-8 of ASCII-only synthetic text, so byte slices and
+    // char slices coincide and Spark's md5(binary) equals DuckDB's
+    // md5(varchar) over the same bytes (the decontamination-oracle hash
+    // argument).
+    "q_x_frame_sample" -> { (s, dir) =>
+      val media = Multimodal.toMedia(Tables.documents(s, dir))
+      Multimodal.frameSample(media, chunkBytes = 32, stride = 2)
+        .select(col("doc_id"), col("kind"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("kind"),
+          col("frame_idx").cast("int").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_digest"))
+    },
     // B13 raw-tx codec, end-to-end: build a cosmos-TxRaw-shaped message per
     // event row with the wire-format encoders (TxBody{repeated Any, memo} +
     // AuthInfo{Fee{repeated Coin, gas}} + repeated signatures — the layout
@@ -374,6 +394,25 @@ object PipelineQueries {
          |SELECT a, b, CAST(bit_count(xor(xp, yp)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(xp, yp)) <= 6""".stripMargin
     },
+    // the chunk grid replayed on the VARCHAR side (ASCII ⇒ byte slice ==
+    // char slice; md5 over the identical bytes), tail-below-chunk kept as
+    // the one short frame exactly like substring-on-binary
+    "q_x_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |    list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+        |    text FROM documents),
+        |g AS (SELECT doc_id, kind, text,
+        |    unnest(range(0, greatest(CAST(length(text) // 32 AS BIGINT) - 1, 0) + 1)) AS i
+        |  FROM m),
+        |f AS (SELECT doc_id, kind, i,
+        |    substring(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+        |  FROM g WHERE i % 2 = 0)
+        |SELECT doc_id, kind,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
+        |    AS frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS frame_bytes,
+        |  md5(frame) AS frame_digest
+        |FROM f""".stripMargin,
     "q_x_mm_meta" ->
       """SELECT list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
         |  count(*) AS n_objects,
