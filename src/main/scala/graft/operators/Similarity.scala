@@ -195,6 +195,46 @@ object Similarity {
         abs(col("sum_ref") * col("n_cur") - col("sum_cur") * col("n_ref"))
           .as("mean_drift_num"))
 
+  /** Exact-integer GRAM / covariance accumulator over the [[int8Quant]]
+    * domain — the d×d second-moment statistic behind whitening, PCA, and
+    * covariance-shift monitoring of an embedding corpus. One row per
+    * upper-triangle dim pair (i ≤ j, 1-based): vector count, Σqᵢqⱼ and the
+    * marginal sums Σqᵢ, Σqⱼ — everything the covariance numerator
+    * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ needs, all EXACT integers (order-independent adds:
+    * no fold pinning anywhere, and the statistic is ADDITIVE, so the
+    * streaming twin is exact by construction — the [[embedDimMoments]]
+    * argument).
+    *
+    * Scale shape: the outer product expands PER ROW as a nested-transform
+    * array (d(d+1)/2 structs, a narrow codegen'd map — no self-join, no
+    * per-vector shuffle), then ONE (i, j)-keyed aggregation whose map-side
+    * partial combine collapses the d² fan-out to 2080 keys per task
+    * before anything moves. Σ|qᵢqⱼ| ≤ n·127² keeps the RAW sums inside
+    * int64 to n ≈ 5·10¹⁴ vectors; the convenience `cov_num` column
+    * (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) is exact to n ≈ 7·10⁸ — past that, derive it
+    * from the raw sums in double/decimal (they are the contract; the
+    * numerator is a convenience, the BM25-guard stance).
+    */
+  def embedGram(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = emb.select(int8Quant(col(embCol)).as("__q"))
+    val pairs = q.select(explode(flatten(
+      transform(col("__q"), (qi, i) =>
+        transform(slice(col("__q"), i + 1, size(col("__q")) - i), (qj, k) =>
+          struct((i + 1).cast("int").as("i"),
+            (i + 1 + k).cast("int").as("j"),
+            qi.as("qi"), qj.as("qj")))))).as("__p"))
+    pairs.groupBy(col("__p.i").as("i"), col("__p.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p.qi") * col("__p.qj")).as("sum_qq"),
+        sum(col("__p.qi")).as("sum_qi"),
+        sum(col("__p.qj")).as("sum_qj"))
+      .select(col("i"), col("j"), col("n"), col("sum_qq"),
+        col("sum_qi"), col("sum_qj"),
+        (col("n") * col("sum_qq") - col("sum_qi") * col("sum_qj"))
+          .as("cov_num"))
+  }
+
   /** Brute-force near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) by construction — this is the small-corpus baseline / oracle; use
     * [[annLsh]]-style bucketing at scale.

@@ -231,6 +231,16 @@ object ExtVectorQueries {
     "q_x_embed_drift" -> { (s, dir) =>
       Similarity.embedDimMoments(Tables.embeddings(s, dir))
     },
+    // Exact-integer Gram/covariance accumulator over the int8-quant
+    // domain — the d×d second-moment table behind whitening/PCA and
+    // covariance-shift monitoring: per upper-triangle dim pair the
+    // vector count, Σqiqj, marginal sums, and the covariance numerator.
+    // All integer, all additive (streaming twin drain ≡ batch by
+    // construction); per-row outer product is a narrow nested-transform
+    // map, then ONE (i, j)-keyed agg (2080 keys).
+    "q_x_embed_gram" -> { (s, dir) =>
+      Similarity.embedGram(Tables.embeddings(s, dir))
+    },
     // Embedding-curation outlier pruning: per label, the ~5% of vectors
     // farthest from the label CENTROID — the standard mislabeled-example
     // sweep before contrastive training (a vector far from its own
@@ -558,6 +568,32 @@ object ExtVectorQueries {
         |SELECT CAST(d AS INT) AS dim, n_ref, n_cur, sum_ref, sum_cur,
         |  ss_ref, ss_cur,
         |  abs(sum_ref * n_cur - sum_cur * n_ref) AS mean_drift_num
+        |FROM a""".stripMargin,
+    // identical int8 quant replay, upper-triangle pairs from two index
+    // unnests (j >= i), integer sums cast back to BIGINT
+    "q_x_embed_gram" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding AS vec,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS m
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(vec,
+        |                x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS qv
+        |  FROM base),
+        |p AS (SELECT i, j, qv[i] AS qi, qv[j] AS qj
+        |  FROM q,
+        |    unnest(generate_series(1, len(qv))) AS ti(i),
+        |    unnest(generate_series(1, len(qv))) AS tj(j)
+        |  WHERE j >= i),
+        |a AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qi * qj) AS BIGINT) AS sum_qq,
+        |    CAST(sum(qi) AS BIGINT) AS sum_qi,
+        |    CAST(sum(qj) AS BIGINT) AS sum_qj
+        |  FROM p GROUP BY 1, 2)
+        |SELECT i, j, n, sum_qq, sum_qi, sum_qj,
+        |  n * sum_qq - sum_qi * sum_qj AS cov_num
         |FROM a""".stripMargin,
     "q_x_embed_quant" ->
       """WITH base AS (

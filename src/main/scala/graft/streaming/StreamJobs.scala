@@ -218,6 +218,17 @@ object StreamJobs {
   def embedDriftStream(embeddings: DataFrame): DataFrame =
     graft.operators.Similarity.embedDimMoments(embeddings)
 
+  /** Streaming twin of q_x_embed_gram — live covariance/Gram upkeep for
+    * whitening/PCA refresh and covariance-shift monitoring: the transform
+    * IS [[graft.operators.Similarity.embedGram]] (one definition), and
+    * every statistic is an additive exact integer over the int8 quant
+    * domain, so micro-batch merge order cannot show through — the
+    * [[embedDriftStream]] argument, one level up (second moments across
+    * dim PAIRS, not just per-dim).
+    */
+  def embedGramStream(embeddings: DataFrame): DataFrame =
+    graft.operators.Similarity.embedGram(embeddings)
+
   /** Streaming golden-record survivorship STATE — the live tier of
     * q_x_er_golden's merge (the [[targetMomentsStream]] stance: what
     * streams is the state upkeep, the finisher is a broadcast-sized batch

@@ -289,6 +289,20 @@ class DedupSpec extends SparkSpec {
     assert(mmr.map(_._3) == Seq(1, 3, 2), "rel_rank carries the plain ranking")
   }
 
+  test("embed gram: hand-checked exact-integer second moments over dim pairs") {
+    // quants: [1,2]→[64,127] (m=2), [3,4]→[95,127] (m=4), [0,-1]→[0,-127]
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq((1L, v(1, 2)), (2L, v(3, 4)), (3L, v(0, -1)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedGram(emb)
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got.keySet == Set((1, 1), (1, 2), (2, 2)))
+    assert(got((1, 1)) == ((3L, 13121L, 159L, 159L, 3L * 13121 - 159L * 159)))
+    assert(got((1, 2)) == ((3L, 20193L, 159L, 127L, 3L * 20193 - 159L * 127)))
+    assert(got((2, 2)) == ((3L, 48387L, 127L, 127L, 3L * 48387 - 127L * 127)))
+  }
+
   test("lsh-pooled mmr: sound positions, fair pool recall vs the brute pool") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)

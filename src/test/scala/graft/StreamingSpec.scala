@@ -551,6 +551,27 @@ class StreamingSpec extends SparkSpec {
       canonEnc(SparkEntry.queries("q_x_target_encode")(spark, sfDir)).toSeq)
   }
 
+  test("streaming embed-gram upkeep equals the batch Gram table bit-for-bit") {
+    // additive exact-integer second moments over dim pairs: drain ≡ batch
+    // regardless of micro-batch slicing
+    val src = Files.createTempDirectory("graft_gram_src").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.embedGramStream(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory").queryName("gram_s").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val got = canon(spark.table("gram_s"))
+    val want = canon(graft.operators.Similarity.embedGram(emb))
+    assert(got.size == 64 * 65 / 2, s"expected 2080 dim pairs, got ${got.size}")
+    assert(got == want)
+  }
+
   test("streaming term-frequency upkeep equals the batch tf table; rarity derives identically") {
     // additive integer counts: drain ≡ batch regardless of micro-batch
     // slicing, and the rarity score DERIVED from the drained tf equals
