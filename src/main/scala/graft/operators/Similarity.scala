@@ -235,6 +235,56 @@ object Similarity {
           .as("cov_num"))
   }
 
+  /** Top principal direction of the quantized-embedding covariance —
+    * fixed-round POWER ITERATION over the [[embedGram]] table: the
+    * PCA-whitening axis, computed WITHOUT ever collecting the corpus.
+    * The corpus appears exactly once (the Gram accumulation, a narrow
+    * map + one (i, j)-keyed agg); every iteration then multiplies the
+    * d×d covariance numerator matrix (2080-row table, symmetrized) by
+    * the current direction — d-row joins and folds, size-independent of
+    * the corpus.
+    *
+    * Determinism contract (the pageRank argument): round 1 multiplies
+    * the all-ones start vector by the INTEGER matrix (order-independent
+    * integer sums); each round max-|·|-normalizes with one double
+    * division; later rounds fold the d per-dim products in j-ASCENDING
+    * order — so every loading is a fixed double expression tree both
+    * engines replay bit-for-bit. max-abs normalization (not L2) keeps
+    * each round one division — no square root, whose cross-engine
+    * bit-identity is guaranteed anyway but whose argument would be an
+    * order-sensitive sum. A zero matrix yields all-zero loadings (the
+    * CASE guard) rather than NaN.
+    */
+  def topPrincipalDirection(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", iters: Int = 3): DataFrame = {
+    require(iters >= 1, "topPrincipalDirection: iters >= 1")
+    val g = embedGram(emb, idCol, embCol).localCheckpoint()
+    val sym = g.select(col("i"), col("j"), col("cov_num").as("c"))
+      .unionByName(g.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_num").as("c")))
+      .localCheckpoint()
+    val w1 = sym.groupBy(col("i")).agg(sum(col("c")).as("w"))
+    val m1 = w1.agg(max(abs(col("w"))).as("m"))
+    var v: DataFrame = w1.crossJoin(broadcast(m1))
+      .select(col("i").as("j"),
+        when(col("m") === 0, lit(0.0))
+          .otherwise(col("w").cast("double") / col("m").cast("double")).as("v"))
+    for (_ <- 2 to iters) {
+      val w = sym.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("j"),
+            (col("c").cast("double") * col("v")).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          when(col("m") === 0, lit(0.0)).otherwise(col("w") / col("m")).as("v"))
+    }
+    v.select(col("j").cast("int").as("dim"), col("v").as("loading"))
+      .orderBy(col("dim"))
+  }
+
   /** Brute-force near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) by construction — this is the small-corpus baseline / oracle; use
     * [[annLsh]]-style bucketing at scale.

@@ -241,6 +241,14 @@ object ExtVectorQueries {
     "q_x_embed_gram" -> { (s, dir) =>
       Similarity.embedGram(Tables.embeddings(s, dir))
     },
+    // Top principal direction of the quantized covariance via 3 rounds
+    // of power iteration over the Gram table — the PCA/whitening axis
+    // with the corpus touched exactly once; every loading bit-exact
+    // (integer round-1 multiply, j-ASC double folds, one max-|·|
+    // division per round — the pagerank determinism argument).
+    "q_x_power_iter" -> { (s, dir) =>
+      Similarity.topPrincipalDirection(Tables.embeddings(s, dir), iters = 3)
+    },
     // Embedding-curation outlier pruning: per label, the ~5% of vectors
     // farthest from the label CENTROID — the standard mislabeled-example
     // sweep before contrastive training (a vector far from its own
@@ -323,6 +331,32 @@ object ExtVectorQueries {
           element_at(col("centroid"), 2).as("c_price_k"))
     }
   )
+
+  /** The int8-quant Gram CTE chain shared by the q_x_embed_gram oracle
+    * and the q_x_power_iter oracle (one definition — the two replays can
+    * never drift apart). Ends in `ga` (i, j, n, sum_qq, sum_qi, sum_qj).
+    */
+  private val gramCtes: String =
+    """base AS (
+      |  SELECT vec_id, embedding AS vec,
+      |    list_max(list_transform(embedding, x -> abs(x))) AS m
+      |  FROM embeddings),
+      |q AS (SELECT vec_id,
+      |    CASE WHEN m = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(vec,
+      |                x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS qv
+      |  FROM base),
+      |p AS (SELECT i, j, qv[i] AS qi, qv[j] AS qj
+      |  FROM q,
+      |    unnest(generate_series(1, len(qv))) AS ti(i),
+      |    unnest(generate_series(1, len(qv))) AS tj(j)
+      |  WHERE j >= i),
+      |ga AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(qi * qj) AS BIGINT) AS sum_qq,
+      |    CAST(sum(qi) AS BIGINT) AS sum_qi,
+      |    CAST(sum(qj) AS BIGINT) AS sum_qj
+      |  FROM p GROUP BY 1, 2)""".stripMargin
 
   /** The k−1 greedy MMR rounds as a WITH-chain: each round anti-joins the
     * selected set, folds max-sim-to-selected per remaining candidate, and
@@ -572,29 +606,38 @@ object ExtVectorQueries {
     // identical int8 quant replay, upper-triangle pairs from two index
     // unnests (j >= i), integer sums cast back to BIGINT
     "q_x_embed_gram" ->
-      """WITH base AS (
-        |  SELECT vec_id, embedding AS vec,
-        |    list_max(list_transform(embedding, x -> abs(x))) AS m
-        |  FROM embeddings),
-        |q AS (SELECT vec_id,
-        |    CASE WHEN m = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(vec,
-        |                x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS qv
-        |  FROM base),
-        |p AS (SELECT i, j, qv[i] AS qi, qv[j] AS qj
-        |  FROM q,
-        |    unnest(generate_series(1, len(qv))) AS ti(i),
-        |    unnest(generate_series(1, len(qv))) AS tj(j)
-        |  WHERE j >= i),
-        |a AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(qi * qj) AS BIGINT) AS sum_qq,
-        |    CAST(sum(qi) AS BIGINT) AS sum_qi,
-        |    CAST(sum(qj) AS BIGINT) AS sum_qj
-        |  FROM p GROUP BY 1, 2)
+      s"""WITH $gramCtes
         |SELECT i, j, n, sum_qq, sum_qi, sum_qj,
         |  n * sum_qq - sum_qi * sum_qj AS cov_num
-        |FROM a""".stripMargin,
+        |FROM ga""".stripMargin,
+    // the identical Gram CTEs, then the 3 power-iteration rounds
+    // unrolled: round 1 an integer matrix×ones multiply, later rounds
+    // j-ASC-ordered double folds, one max-|·| division per round — the
+    // pagerank unroll pattern, so every loading is bit-exact
+    "q_x_power_iter" ->
+      s"""WITH $gramCtes,
+        |cov AS (SELECT i, j, n * sum_qq - sum_qi * sum_qj AS c FROM ga),
+        |sym AS (SELECT i, j, c FROM cov
+        |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+        |w1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS w FROM sym GROUP BY i),
+        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        |v1 AS (SELECT i AS j, CASE WHEN m = 0 THEN 0.0E0
+        |    ELSE CAST(w AS DOUBLE) / CAST(m AS DOUBLE) END AS v FROM w1, m1),
+        |w2 AS (SELECT s.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(s.c AS DOUBLE) * v1.v ORDER BY s.j)),
+        |    (acc, x) -> acc + x) AS w
+        |  FROM sym s JOIN v1 ON v1.j = s.j GROUP BY s.i),
+        |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        |v2 AS (SELECT i AS j, CASE WHEN m = 0 THEN 0.0E0 ELSE w / m END AS v
+        |  FROM w2, m2),
+        |w3 AS (SELECT s.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(s.c AS DOUBLE) * v2.v ORDER BY s.j)),
+        |    (acc, x) -> acc + x) AS w
+        |  FROM sym s JOIN v2 ON v2.j = s.j GROUP BY s.i),
+        |m3 AS (SELECT max(abs(w)) AS m FROM w3)
+        |SELECT CAST(i AS INT) AS dim,
+        |  CASE WHEN m = 0 THEN 0.0E0 ELSE w / m END AS loading
+        |FROM w3, m3""".stripMargin,
     "q_x_embed_quant" ->
       """WITH base AS (
         |  SELECT vec_id, embedding AS vec,

@@ -303,6 +303,39 @@ class DedupSpec extends SparkSpec {
     assert(got((2, 2)) == ((3L, 48387L, 127L, 127L, 3L * 48387 - 127L * 127)))
   }
 
+  test("power iteration: loadings equal a driver-side replay; zero matrix yields zeros") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val got = Similarity.topPrincipalDirection(emb, iters = 3)
+      .as[(Int, Double)].collect().toMap
+    assert(got.size == 64)
+    // driver replay with the IDENTICAL arithmetic: integer round-1
+    // multiply, j-ascending double folds, max-|.| division per round
+    val g = Similarity.embedGram(emb)
+      .select("i", "j", "cov_num").as[(Int, Int, Long)].collect()
+    val c = Array.ofDim[Long](65, 65)
+    g.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    val w1 = (1 to 64).map(i => (1 to 64).map(j => c(i)(j)).sum)
+    val m1 = w1.map(math.abs).max
+    var v = w1.map(w => if (m1 == 0) 0.0 else w.toDouble / m1.toDouble)
+    for (_ <- 2 to 3) {
+      val w = (1 to 64).map(i =>
+        (1 to 64).foldLeft(0.0)((acc, j) => acc + c(i)(j).toDouble * v(j - 1)))
+      val m = w.map(math.abs).max
+      v = w.map(x => if (m == 0) 0.0 else x / m)
+    }
+    (1 to 64).foreach(i => assert(got(i) == v(i - 1), s"dim $i: ${got(i)} vs ${v(i - 1)}"))
+    // dominant direction: |loading| peaks at 1 exactly once (max-abs norm)
+    assert(got.values.count(x => math.abs(x) == 1.0) >= 1)
+    // degenerate corpus (identical vectors -> zero covariance): all-zero
+    // loadings, never NaN
+    def vv(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val same = Seq((1L, vv(1, 2)), (2L, vv(1, 2))).toDF("vec_id", "embedding")
+    val z = Similarity.topPrincipalDirection(same, iters = 2)
+      .as[(Int, Double)].collect()
+    assert(z.forall(_._2 == 0.0), s"degenerate loadings must be exactly 0: ${z.toSeq}")
+  }
+
   test("lsh-pooled mmr: sound positions, fair pool recall vs the brute pool") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)

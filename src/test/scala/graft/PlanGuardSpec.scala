@@ -45,7 +45,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_bfs_dist", "q_x_lpa", "q_x_hits", "q_x_kmeans", "q_x_mst",
     "q_x_triangles", "q_x_reach_theta",
     "q_x_semdedup_ivf", "q_x_ann_ivf", "q_x_ann_lsh", "q_x_ann_pq",
-    "q_x_ann_ivfpq", "q_x_mmr", "q_x_mmr_lsh",
+    "q_x_ann_ivfpq", "q_x_mmr", "q_x_mmr_lsh", "q_x_power_iter",
     "q_x_dedup_minhash", "q_x_dedup_ngram", "q_x_dedup_simhash", "q_x_containment",
     "q_x_blocking_report", "q_x_neardup_composed", "q_x_minhash_est",
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_er_golden",
