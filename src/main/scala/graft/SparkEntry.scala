@@ -24,7 +24,7 @@ object SparkEntry {
       ExtTextQueries.queries ++ ExtVectorQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries ++
       BehaviorQueries.queries ++ LayoutQueries.queries ++
       GraphQueries.queries ++ ProfileQueries.queries ++ QualityQueries.queries ++
-      TimeSeriesQueries.queries ++
+      TimeSeriesQueries.queries ++ EvalQueries.queries ++
       LiteralTwinQueries.queries ++ ProbeQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -34,6 +34,6 @@ object SparkEntry {
       ExtTextQueries.oracleSql ++ ExtVectorQueries.oracleSql ++ SketchQueries.oracleSql ++ PipelineQueries.oracleSql ++
       BehaviorQueries.oracleSql ++ LayoutQueries.oracleSql ++
       GraphQueries.oracleSql ++ ProfileQueries.oracleSql ++ QualityQueries.oracleSql ++
-      TimeSeriesQueries.oracleSql ++
+      TimeSeriesQueries.oracleSql ++ EvalQueries.oracleSql ++
       LiteralTwinQueries.oracleSql ++ ProbeQueries.oracleSql
 }

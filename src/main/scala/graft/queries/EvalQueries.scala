@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Similarity}
+import graft.sources.Tables
+
+/** Model-evaluation and decision-analytics operators: the offline metrics a
+  * training-data pipeline computes over scored corpora (tie-exact ROC AUC,
+  * calibration/reliability tables, thresholded confusion matrices), the
+  * Pareto-frontier (skyline) query behind multi-objective dataset and
+  * source selection, Fellegi–Sunter probabilistic record linkage, and
+  * grid-blocked DBSCAN density clustering over the int8-quant embedding
+  * domain.
+  *
+  * Shared determinism stance (the repo-wide rational-statistics idiom):
+  * every statistic stays an exact integer until at most ONE final double
+  * division, so DuckDB replays hash bit-for-bit and micro-batch or
+  * partition order cannot show through.
+  */
+object EvalQueries {
+
+  /** documents with an integer score (n_chars) and a binary label
+    * (lang = 'en') — the fixture every eval metric here scores against.
+    * The score/label choice is arbitrary on synthetic data; the operator
+    * mechanics (tie handling, integer rates, guard rails) are the product.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("source"),
+      col("n_chars").cast("long").as("score"),
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact tie-aware ROC AUC per group via the Mann–Whitney rank-sum
+    // identity: AUC = (R₊ − n₊(n₊+1)/2) / (n₊n₋) with ties at their
+    // average rank. Doubling every rank keeps the whole statistic
+    // integer: per score-group (n rows, p positives, cumBefore rows
+    // strictly below), 2·Σ avg-ranks of positives accumulates
+    // p·(2·cumBefore + n + 1), and u2 = 2U is an exact BIGINT; the one
+    // double division happens at the very end. Scale shape: one
+    // (group, score)-keyed aggregate absorbs the corpus (map-side
+    // combine), then the cumulative runs over DISTINCT scores per group
+    // — bounded by the score DOMAIN (here ≤ ~500 chars), not the corpus,
+    // so the per-group window is safe at any row count. Degenerate
+    // groups (no positives or no negatives) report NULL AUC rather than
+    // a division by zero.
+    "q_x_auc" -> { (s, dir) =>
+      val g = scored(s, dir).groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val w = Window.partitionBy(col("source")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = g.withColumn("cumb", coalesce(sum(col("n")).over(w), lit(0L)))
+      c.groupBy(col("source"))
+        .agg(sum(col("p")).as("npos"),
+          (sum(col("n")) - sum(col("p"))).as("nneg"),
+          sum(col("p") * (col("cumb") * 2 + col("n") + 1)).as("r2"))
+        .select(col("source"),
+          col("npos").cast("long").as("n_pos"),
+          col("nneg").cast("long").as("n_neg"),
+          (col("r2") - col("npos") * (col("npos") + 1)).cast("long").as("u2"),
+          when(col("npos") > 0 && col("nneg") > 0,
+            (col("r2") - col("npos") * (col("npos") + 1)).cast("double") /
+              (col("npos") * col("nneg") * 2).cast("double")).as("auc"))
+    },
+    // Calibration / reliability table: 10 equal-width score bins, per bin
+    // the row count, positive count, exact positive rate in basis points
+    // (10⁴·pos div n — integer, never forms a float rate), and the score
+    // mass. Bin bounds come from the global min/max via a broadcast
+    // 1-row cross join (the q_j4 scalar idiom); the +1 in the divisor
+    // pins the max score into bin 9. One wide aggregate after a
+    // 10-key groupBy: map-side combine collapses the corpus before the
+    // shuffle at any scale.
+    "q_x_calibration" -> { (s, dir) =>
+      val d = scored(s, dir)
+      val mm = d.agg(min(col("score")).as("minc"), max(col("score")).as("maxc"))
+      d.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("((score - minc) * 10) div (maxc - minc + 1)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("score")).as("sum_score"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("n_pos * 10000 div n").as("rate_bp"), col("sum_score"))
+    },
+    // Thresholded confusion matrix per group: tp/fp/fn/tn in one wide
+    // conditional aggregate over one scan, precision/recall in exact
+    // basis points and F1 as 2·10⁴·tp div (2tp+fp+fn) — the harmonic
+    // mean without ever forming either ratio. Zero-denominator cells
+    // (a group with no predicted or no actual positives) are NULL, not
+    // a crash and not a fake 0.
+    "q_x_confusion" -> { (s, dir) =>
+      val d = scored(s, dir)
+        .withColumn("pred", col("score") >= 300)
+        .withColumn("act", col("pos") === 1)
+      d.groupBy(col("source"))
+        .agg(count(when(col("pred") && col("act"), lit(1))).as("tp"),
+          count(when(col("pred") && !col("act"), lit(1))).as("fp"),
+          count(when(!col("pred") && col("act"), lit(1))).as("fn"),
+          count(when(!col("pred") && !col("act"), lit(1))).as("tn"))
+        .select(col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            expr("tp * 10000 div (tp + fp)")).as("precision_bp"),
+          when(col("tp") + col("fn") > 0,
+            expr("tp * 10000 div (tp + fn)")).as("recall_bp"),
+          when(col("tp") * 2 + col("fp") + col("fn") > 0,
+            expr("tp * 20000 div (tp * 2 + fp + fn)")).as("f1_bp"))
+    },
+    // 2-D Pareto frontier (skyline) over part: the rows no other row
+    // weakly beats on BOTH (price low, size high) with a strict win on
+    // one — the multi-objective "which sources/configs are undominated"
+    // query. NOT the O(n²) dominance join: sort by price and the skyline
+    // falls out of two running maxes of size — dominated(p) ⇔
+    // maxSize(price < p) ≥ size(p) ∨ maxSize(price ≤ p) > size(p). Both
+    // maxes run BUCKETIZED (the cumSumGlobal two-level decomposition:
+    // within-bucket range windows + a per-bucket handoff prefix), so no
+    // global single-partition window exists at any scale. The dominance
+    // census then counts, per skyline row, how many rows it dominates —
+    // the skyline is provably tiny, so it broadcasts to one pass over
+    // the fact. Prices are exact cents (the decimal(18,2) idiom);
+    // duplicate (price, size) points dominate neither each other — both
+    // surface, matching the NOT EXISTS oracle.
+    "q_x_skyline" -> { (s, dir) =>
+      val p = Tables.part(s, dir).select(col("p_partkey"),
+        expr("cast(cast(p_retailprice as decimal(18,2)) * 100 as bigint)")
+          .as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+      val withB = p.withColumn("__b", expr("price_cents div 10000"))
+      val wStrict = Window.partitionBy(col("__b")).orderBy(col("price_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wIncl = Window.partitionBy(col("__b")).orderBy(col("price_cents"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val within = withB
+        .withColumn("m1b", max(col("p_size")).over(wStrict))
+        .withColumn("m2b", max(col("p_size")).over(wIncl))
+      val handoff = withB.groupBy(col("__b"))
+        .agg(max(col("p_size")).as("bmax"))
+        .withColumn("pref", max(col("bmax")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("__b"), col("pref"))
+      val lo = lit(Long.MinValue)
+      val sky = within.join(handoff, Seq("__b"), "left")
+        .withColumn("m1", greatest(coalesce(col("m1b"), lo), coalesce(col("pref"), lo)))
+        .withColumn("m2", greatest(col("m2b"), coalesce(col("pref"), lo)))
+        .filter(!(col("m1") >= col("p_size") || col("m2") > col("p_size")))
+        .select(col("p_partkey"), col("price_cents"), col("p_size"))
+        .localCheckpoint() // tiny; reused as both the broadcast probe and the output spine
+      val counts = p.join(broadcast(sky.select(col("p_partkey").as("sk_key"),
+          col("price_cents").as("sk_price"), col("p_size").as("sk_size"))),
+          col("sk_price") <= col("price_cents") && col("sk_size") >= col("p_size") &&
+            (col("sk_price") < col("price_cents") || col("sk_size") > col("p_size")))
+        .groupBy(col("sk_key")).agg(count(lit(1)).as("nd"))
+      sky.join(counts, col("p_partkey") === col("sk_key"), "left")
+        .select(col("p_partkey"), col("price_cents"), col("p_size"),
+          coalesce(col("nd"), lit(0L)).as("n_dominated"))
+    },
+    // Fellegi–Sunter probabilistic record linkage over blocked candidate
+    // pairs: per field a precomputed integer agreement/disagreement
+    // weight (deci-bans — real FS deployments estimate m/u offline and
+    // ship exactly such a table), the pair score is the plain sum, and
+    // thresholds classify match / possible. Candidates come from
+    // equality blocking (nationkey) — the census that DECIDES whether a
+    // block key is safe at scale is q_x_blocking_report; hot blocks
+    // escalate to the SNM / grid engines. Only pairs at or above the
+    // review threshold materialize (score ≥ 17): the non-match mass —
+    // the overwhelming majority — is never shuffled past the filter.
+    // Comparators: name edit distance ≤ 1, market segment equality,
+    // account balance within 100.00 (exact cents).
+    "q_x_fs_linkage" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("bal"))
+      def side(p: String) = c.select(c.columns.map(n => col(n).as(p + n)): _*)
+      side("a_").join(side("b_"),
+          col("a_c_nationkey") === col("b_c_nationkey") &&
+            col("a_c_custkey") < col("b_c_custkey"))
+        .withColumn("score",
+          when(levenshtein(col("a_c_name"), col("b_c_name")) <= 1, lit(35L))
+            .otherwise(lit(-15L)) +
+          when(col("a_c_mktsegment") === col("b_c_mktsegment"), lit(15L))
+            .otherwise(lit(-8L)) +
+          when(abs(col("a_bal") - col("b_bal")) <= 10000L, lit(25L))
+            .otherwise(lit(-10L)))
+        .filter(col("score") >= 17)
+        .select(col("a_c_custkey").as("a_key"), col("b_c_custkey").as("b_key"),
+          col("score"),
+          when(col("score") >= 50, lit("match")).otherwise(lit("possible"))
+            .as("tier"))
+    },
+    // Grid-blocked DBSCAN over dims 0–1 of the int8-quant embedding
+    // domain (L∞ metric, eps = 6, minPts = 4): cell side = eps, so every
+    // eps-neighbor pair lands in the same or an adjacent cell and the
+    // candidate join is 9 cells per point instead of the corpus — the
+    // exact-recall analogue of the LSH band join (false candidates are
+    // filtered, true neighbors cannot be missed). Core points (≥ minPts
+    // in the CLOSED neighborhood) cluster via the star-alternation
+    // connected components (diameter-independent — the observed core
+    // graph needs 18 flooding rounds at sf0.01, which fixed-round
+    // flooding only beats by over-provisioning); border points attach to
+    // the MINIMUM core-neighbor component (the deterministic tie-break
+    // DBSCAN itself leaves unspecified); the rest is noise. Labels are
+    // component-minimum vec_ids on both engine and oracle, so the
+    // assignment is hash-exact despite three different CC algorithms
+    // being involved (star alternation here, unrolled min-flooding in
+    // DuckDB).
+    "q_x_dbscan" -> { (s, dir) =>
+      val eps = 6; val minPts = 4
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+          Similarity.int8Quant(col("embedding")).as("qv"))
+        .select(col("vec_id"), element_at(col("qv"), 1).as("q0"),
+          element_at(col("qv"), 2).as("q1"))
+        .localCheckpoint() // scanned by probes, anchors, and the final spine
+      val anchors = q.select(col("vec_id").as("b_id"), col("q0").as("bq0"),
+        col("q1").as("bq1"),
+        floor(col("q0") / eps).as("cx"), floor(col("q1") / eps).as("cy"))
+      val probes = q.select(col("vec_id").as("a_id"), col("q0").as("aq0"),
+          col("q1").as("aq1"),
+          explode(array((-1 to 1).map(lit): _*)).as("dx"),
+          floor(col("q1") / eps).as("cy0"), floor(col("q0") / eps).as("cx0"))
+        .select(col("a_id"), col("aq0"), col("aq1"),
+          (col("cx0") + col("dx")).as("cx"),
+          explode(array((-1 to 1).map(d => col("cy0") + d): _*)).as("cy"))
+      // directed neighbor pairs: each unordered pair appears exactly twice
+      // (A probing B's unique anchor cell, and vice versa)
+      val nbr = probes.join(anchors, Seq("cx", "cy"))
+        .filter(col("a_id") =!= col("b_id") &&
+          abs(col("aq0") - col("bq0")) <= eps &&
+          abs(col("aq1") - col("bq1")) <= eps)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint() // candidate set reused by counts, core edges, border attach
+      val counts = q.select(col("vec_id"))
+        .join(nbr.groupBy(col("a_id")).agg(count(lit(1)).as("nn")),
+          col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), (coalesce(col("nn"), lit(0L)) + 1).as("n_nbr"))
+      val cores = counts.filter(col("n_nbr") >= minPts).select(col("vec_id"))
+        .localCheckpoint()
+      val coreEdges = nbr
+        .join(cores.select(col("vec_id").as("a_id")), "a_id")
+        .join(cores.select(col("vec_id").as("b_id")), "b_id")
+      val labels = Graph.connectedComponentsLS(coreEdges, "a_id", "b_id")
+      val coreLab = cores
+        .join(labels, col("vec_id") === col("node"), "left")
+        .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("cl"))
+      val borderLab = nbr.join(cores.select(col("vec_id").as("b_id")), "b_id")
+        .join(cores.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
+        .join(coreLab.select(col("vec_id").as("b_id"), col("cl")), "b_id")
+        .groupBy(col("a_id")).agg(min(col("cl")).as("cl"))
+        .select(col("a_id").as("vec_id"), col("cl"))
+      q.select(col("vec_id"))
+        .join(coreLab.select(col("vec_id"), col("cl").as("core_cl")), Seq("vec_id"), "left")
+        .join(borderLab.select(col("vec_id"), col("cl").as("bord_cl")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("core_cl").isNotNull, lit("core"))
+            .when(col("bord_cl").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("core_cl"), col("bord_cl")).as("cluster"))
+    }
+  )
+
+  /** The DBSCAN oracle's min-label flooding, unrolled: `n` rounds of
+    * closed-neighborhood min over the core-core edge list — ≥ the observed
+    * 18-round diameter at sf0.01 with margin, generated by the same loop
+    * bound the comment in the engine query documents.
+    */
+  private def dbscanFlood(n: Int): String = (1 to n).map { j =>
+    s"""f$j AS MATERIALIZED (SELECT n, min(lab) AS lab FROM (
+       |  SELECT n, lab FROM f${j - 1}
+       |  UNION ALL
+       |  SELECT ce.b AS n, f.lab FROM ce JOIN f${j - 1} f ON f.n = ce.a
+       |  UNION ALL
+       |  SELECT ce.a AS n, f.lab FROM ce JOIN f${j - 1} f ON f.n = ce.b
+       |) GROUP BY n)""".stripMargin
+  }.mkString(",\n")
+
+  val oracleSql: Map[String, String] = Map(
+    // the rank-sum identity replayed group-by-group: per (source, score)
+    // the tied-group size and positive count, the exclusive running row
+    // count, and the doubled rank-sum — all integers until the last division
+    "q_x_auc" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |g AS (SELECT source, score, count(*) AS n, sum(pos) AS p
+        |  FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, n, p,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g),
+        |a AS (SELECT source, sum(p) AS npos, sum(n) - sum(p) AS nneg,
+        |    sum(p * (2 * cumb + n + 1)) AS r2
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+        |  CAST(r2 - npos * (npos + 1) AS BIGINT) AS u2,
+        |  CASE WHEN npos > 0 AND nneg > 0
+        |    THEN CAST(r2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
+        |  END AS auc
+        |FROM a""".stripMargin,
+    // same equal-width binning off the same broadcast min/max scalars,
+    // integer-division rate
+    "q_x_calibration" ->
+      """WITH d AS (SELECT CAST(n_chars AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |mm AS (SELECT min(score) AS minc, max(score) AS maxc FROM d)
+        |SELECT ((score - minc) * 10) // (maxc - minc + 1) AS bin,
+        |  count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(pos) AS BIGINT) * 10000 // count(*) AS rate_bp,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM d, mm GROUP BY 1""".stripMargin,
+    // one conditional-count pass per source; NULL-guarded integer rates
+    "q_x_confusion" ->
+      """WITH d AS (SELECT source, n_chars >= 300 AS pred, lang = 'en' AS act
+        |  FROM documents),
+        |m AS (SELECT source,
+        |    count(CASE WHEN pred AND act THEN 1 END) AS tp,
+        |    count(CASE WHEN pred AND NOT act THEN 1 END) AS fp,
+        |    count(CASE WHEN NOT pred AND act THEN 1 END) AS fn,
+        |    count(CASE WHEN NOT pred AND NOT act THEN 1 END) AS tn
+        |  FROM d GROUP BY 1)
+        |SELECT source, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) END AS precision_bp,
+        |  CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) END AS recall_bp,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |    THEN tp * 20000 // (tp * 2 + fp + fn) END AS f1_bp
+        |FROM m""".stripMargin,
+    // the definitional dominance test the engine's running-max form must
+    // equal: NOT EXISTS a weakly-better strictly-somewhere row; the census
+    // is the correlated strict-dominance count
+    "q_x_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size FROM part),
+        |s AS (SELECT a.* FROM p a WHERE NOT EXISTS (SELECT 1 FROM p b
+        |    WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |      AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)))
+        |SELECT s.p_partkey, s.price_cents, s.p_size,
+        |  (SELECT count(*) FROM p r
+        |    WHERE s.price_cents <= r.price_cents AND s.p_size >= r.p_size
+        |      AND (s.price_cents < r.price_cents OR s.p_size > r.p_size))
+        |    AS n_dominated
+        |FROM s""".stripMargin,
+    // identical weight table, comparators, and thresholds over the same
+    // nationkey blocks
+    "q_x_fs_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |  FROM customer),
+        |p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 35 ELSE -15 END
+        |     + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 15 ELSE -8 END
+        |     + CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 25 ELSE -10 END)
+        |      AS score
+        |  FROM c a JOIN c b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 50 THEN 'match' ELSE 'possible' END AS tier
+        |FROM p WHERE score >= 17""".stripMargin,
+    // definitional DBSCAN: full O(n²) closed-neighborhood counts (no grid
+    // — the grid is the engine's recall device, not the semantics), cores,
+    // 24-round unrolled min-label flooding over core-core edges, border
+    // attach by minimum core-neighbor label
+    "q_x_dbscan" ->
+      s"""WITH base AS (SELECT vec_id, embedding AS vec,
+         |    list_max(list_transform(embedding, x -> abs(x))) AS m
+         |  FROM embeddings),
+         |q AS (SELECT vec_id,
+         |    CASE WHEN m = 0 THEN 0
+         |      ELSE CAST(floor(vec[1] * 127.0 / m + 0.5) AS BIGINT) END AS q0,
+         |    CASE WHEN m = 0 THEN 0
+         |      ELSE CAST(floor(vec[2] * 127.0 / m + 0.5) AS BIGINT) END AS q1
+         |  FROM base),
+         |nbr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+         |    AND abs(a.q0 - b.q0) <= 6 AND abs(a.q1 - b.q1) <= 6),
+         |cnt AS (SELECT q.vec_id,
+         |    1 + count(nbr.b_id) AS n_nbr
+         |  FROM q LEFT JOIN nbr ON q.vec_id = nbr.a_id GROUP BY 1),
+         |cores AS (SELECT vec_id FROM cnt WHERE n_nbr >= 4),
+         |ce AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM nbr
+         |  WHERE a_id IN (SELECT vec_id FROM cores)
+         |    AND b_id IN (SELECT vec_id FROM cores) AND a_id < b_id),
+         |f0 AS (SELECT vec_id AS n, vec_id AS lab FROM cores),
+         |${dbscanFlood(24)},
+         |corelab AS (SELECT n AS vec_id, lab AS cl FROM f24),
+         |borderlab AS (SELECT nbr.a_id AS vec_id, min(corelab.cl) AS cl
+         |  FROM nbr JOIN corelab ON nbr.b_id = corelab.vec_id
+         |  WHERE nbr.a_id NOT IN (SELECT vec_id FROM cores)
+         |  GROUP BY 1)
+         |SELECT q.vec_id,
+         |  CASE WHEN c.cl IS NOT NULL THEN 'core'
+         |       WHEN b.cl IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(c.cl, b.cl) AS cluster
+         |FROM q LEFT JOIN corelab c ON q.vec_id = c.vec_id
+         |  LEFT JOIN borderlab b ON q.vec_id = b.vec_id""".stripMargin
+  )
+}
