@@ -607,6 +607,34 @@ object Ops {
     df.withColumn(outCol, best.cast("int"))
   }
 
+  /** Per-(key…) OHLC candle fold over a totally-ordered tick stream:
+    * open/close are struct extrema over the (order…, value) tuple — the
+    * latest-per-key idiom as an AGGREGATE, not a window — beside plain
+    * min/max/count/sum. One map-side-combinable pass: each map task
+    * collapses its ticks to one candidate candle per group before the
+    * shuffle, so a hot instrument's tick volume never serializes on a
+    * reducer the way a `PARTITION BY symbol, day` window would. Every
+    * fold here is associative, so the SAME function is the batch operator
+    * and the streaming twin's state upkeep (complete-mode drain ≡ batch
+    * by construction — the incr_rollup merge ≡ recompute contract).
+    *
+    * `orderCols` must be a total order within a group (include a unique
+    * tiebreak), `valueCol` the integer price basis (exact cents).
+    */
+  def ohlcBars(ticks: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String): DataFrame = {
+    val ord = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    def endpoint(f: Column => Column): Column =
+      f(struct(ord :+ col(valueCol).as("__v"): _*)).getField("__v")
+    ticks.groupBy(keyCols.map(col): _*).agg(
+      endpoint(min).as("open_c"),
+      max(col(valueCol)).as("high_c"),
+      min(col(valueCol)).as("low_c"),
+      endpoint(max).as("close_c"),
+      count(lit(1)).as("n_ticks"),
+      sum(col(valueCol)).as("vol_c"))
+  }
+
   /** Rolling-origin (expanding-window) time-series cross-validation
     * assignment at a calendar `grain`: the last `k` periods are the
     * validation origins — fold f (1-based) validates on period P−k+f and

@@ -371,6 +371,35 @@ object QualityQueries {
           floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
         .agg(count(lit(1)).as("group_size"))
         .filter(col("group_size") < 3)
+    },
+    // Benford first-digit audit per event stream — the fabricated-data /
+    // unit-mixup tripwire: observed leading-digit counts vs the Benford
+    // expectation carried as INTEGER ppm literals (log10(1+1/d) is a
+    // public constant table, not a runtime transcendental — the FS-weight
+    // stance), deviation as the exact cross-multiplied
+    // |obs·10⁶ − ppm·n| so no rate is ever floated. Zero-count digits
+    // are restored by a 9-row universe join (absent evidence IS
+    // evidence of deviation). One digit-keyed aggregate behind map-side
+    // combine; the keyspace is 9 × stream count at any corpus size.
+    "q_x_benford" -> { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("long"))
+      val ppm = array(Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L).map(lit): _*)
+      val obs = d.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("obs"))
+      val universe = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          explode(sequence(lit(1L), lit(9L))).as("digit"))
+        .withColumn("expected_ppm", element_at(ppm, col("digit").cast("int")))
+      universe.join(obs, Seq("event_type", "digit"), "left")
+        .select(col("event_type"), col("digit"),
+          coalesce(col("obs"), lit(0L)).as("obs"), col("n"), col("expected_ppm"),
+          abs(coalesce(col("obs"), lit(0L)) * lit(1000000L) -
+            col("expected_ppm") * col("n")).as("dev"))
     }
   )
 
@@ -569,6 +598,26 @@ object QualityQueries {
         |SELECT d2.event_type, d2.day, d2.dow, d2.n,
         |  s.t AS dow_total, s.d AS dow_days
         |FROM d2 JOIN seasonal s ON d2.event_type = s.event_type AND d2.dow = s.dow
-        |WHERE (d2.n * s.d - s.t) * (d2.n * s.d - s.t) > s.d * s.t * 4""".stripMargin
+        |WHERE (d2.n * s.d - s.t) * (d2.n * s.d - s.t) > s.d * s.t * 4""".stripMargin,
+    // identical ppm literal table (VALUES), universe cross join, and
+    // cross-multiplied integer deviation
+    "q_x_benford" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM ev),
+        |d AS (SELECT event_type,
+        |    CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM c WHERE c > 0),
+        |b AS (SELECT CAST(digit AS BIGINT) AS digit, CAST(ppm AS BIGINT) AS ppm
+        |  FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |    (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |    AS t(digit, ppm)),
+        |g AS (SELECT event_type, digit, count(*) AS obs FROM d GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+        |SELECT n.event_type, b.digit, coalesce(g.obs, 0) AS obs, n.n,
+        |  b.ppm AS expected_ppm,
+        |  abs(coalesce(g.obs, 0) * 1000000 - b.ppm * n.n) AS dev
+        |FROM n CROSS JOIN b
+        |LEFT JOIN g ON g.event_type = n.event_type AND g.digit = b.digit""".stripMargin
   )
 }

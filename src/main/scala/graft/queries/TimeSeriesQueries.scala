@@ -120,8 +120,91 @@ object TimeSeriesQueries {
           ((dec38(col("n_returns")) * col("s2") - col("s1") * col("s1")).cast("double") /
             (dec38(col("n_returns")) * (col("n_returns") - 1)).cast("double"))
             .as("var_bp2"))
+    },
+    // Daily OHLC candles per instrument — open/close as struct-extrema
+    // AGGREGATES over the (ts, event_id) total tick order (Ops.ohlcBars),
+    // not rank-1 windows: one map-side-combinable pass, so a hot symbol's
+    // tick volume collapses per map task instead of serializing on a
+    // reducer. Every fold is associative ⇒ StreamJobs.ohlcStream runs the
+    // SAME kernel live and its drain ≡ this row by construction.
+    "q_x_ohlc" -> { (s, dir) =>
+      val t = ticks(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      Ops.ohlcBars(t, Seq("symbol", "day"), Seq(col("ts"), col("event_id")), "c")
+    },
+    // CUSUM changepoint per event stream: deviations stay mean-FREE
+    // integers (n·x_t − Σx — the cross-multiplied idiom, no division),
+    // their running sum peaks where the level shifts, and the
+    // changepoint is the argmax of |cum| (ties → earliest day, pinned by
+    // a struct extremum). The cumulative runs over the per-type DAILY
+    // series — calendar-bounded, never corpus-bounded — after one
+    // (type, day) aggregate absorbs the raw events map-side. The last
+    // day's cum is identically 0 (n·Σx − n·Σx), a free internal check.
+    "q_x_cusum" -> { (s, dir) =>
+      val dl = dailyCents(s, dir)
+      val tot = dl.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      dl.join(broadcast(tot), "event_type")
+        .withColumn("dev", col("nd") * col("x") - col("sx"))
+        .withColumn("cum", sum(col("dev")).over(w))
+        .groupBy(col("event_type"), col("nd"))
+        .agg(max(abs(col("cum"))).as("max_abs_dev"),
+          min(struct((-abs(col("cum"))).as("__m"), col("d").as("__d")))
+            .getField("__d").as("cp_day"))
+        .select(col("event_type"), col("nd").as("n_days"),
+          col("cp_day"), col("max_abs_dev"))
+    },
+    // Lag-1 / lag-7 autocorrelation of the daily series (the weekly-
+    // seasonality detector beside q_x_seasonal_anomaly): Pearson r from
+    // exact integer moments over calendar-aligned pairs — num and both
+    // denominator pieces are BIGINTs (p·Σxy − ΣxΣy form), the only
+    // floating steps are two IEEE-exact sqrts and one division, so the
+    // double replays bit-for-bit. Series in whole units (cents div 100)
+    // to keep p·Σx² far from the int64 edge at any plausible SF. Pairs
+    // come from a calendar self-join (day + lag), so gaps in a type's
+    // trading days drop pairs identically in both engines.
+    "q_x_autocorr" -> { (s, dir) =>
+      val dl = dailyCents(s, dir).withColumn("x", expr("x div 100"))
+      def lagged(l: Int) = dl.as("a").join(dl.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.d") === date_add(col("a.d"), l))
+        .select(col("a.event_type").as("event_type"), lit(l.toLong).as("lag"),
+          col("a.x").as("xv"), col("b.x").as("yv"))
+      lagged(1).unionByName(lagged(7))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("p"), sum(col("xv")).as("sx"),
+          sum(col("yv")).as("sy"), sum(col("xv") * col("yv")).as("sxy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .select(col("event_type"), col("lag"), col("p").as("n_pairs"),
+          (col("p") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("p") * col("sxx") - col("sx") * col("sx")).as("den1"),
+          (col("p") * col("syy") - col("sy") * col("sy")).as("den2"))
+        .withColumn("corr", when(col("den1") > 0 && col("den2") > 0,
+          col("num").cast("double") /
+            (sqrt(col("den1").cast("double")) * sqrt(col("den2").cast("double")))))
     }
   )
+
+  /** Per-(event_type, day) cents totals — the shared daily series under
+    * the CUSUM and autocorrelation rows. One keyed aggregate; map-side
+    * combine absorbs the raw event volume at any scale.
+    */
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("c")).as("x"))
+
+  private val dailyCteSql =
+    s"""$evCte,
+       |dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM ev),
+       |dl AS (SELECT event_type, d, CAST(sum(c) AS BIGINT) AS x
+       |  FROM dd GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_x_twap" ->
@@ -155,6 +238,71 @@ object TimeSeriesQueries {
          |SELECT symbol, n_returns,
          |  CAST(n_returns * s2 - s1 * s1 AS DOUBLE)
          |    / CAST(CAST(n_returns AS HUGEINT) * (n_returns - 1) AS DOUBLE) AS var_bp2
-         |FROM m WHERE n_returns > 1""".stripMargin
+         |FROM m WHERE n_returns > 1""".stripMargin,
+    // rank-1 windows replay the struct-extrema endpoints: first/last by
+    // the identical (ts, event_id) total order
+    "q_x_ohlc" ->
+      s"""WITH $evCte,
+         |t AS (SELECT user_id % 25 AS symbol,
+         |    CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM ev WHERE event_type = 'view'),
+         |w AS (SELECT symbol, day, c,
+         |    row_number() OVER (PARTITION BY symbol, day
+         |      ORDER BY ts, event_id) AS rna,
+         |    row_number() OVER (PARTITION BY symbol, day
+         |      ORDER BY ts DESC, event_id DESC) AS rnd
+         |  FROM t)
+         |SELECT symbol, day,
+         |  min(CASE WHEN rna = 1 THEN c END) AS open_c,
+         |  max(c) AS high_c, min(c) AS low_c,
+         |  min(CASE WHEN rnd = 1 THEN c END) AS close_c,
+         |  count(*) AS n_ticks, CAST(sum(c) AS BIGINT) AS vol_c
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    // the same mean-free integer deviations, running sum, and
+    // (|cum| DESC, day ASC) argmax
+    "q_x_cusum" ->
+      s"""WITH $dailyCteSql,
+         |t AS (SELECT event_type, count(*) AS nd, CAST(sum(x) AS BIGINT) AS sx
+         |  FROM dl GROUP BY 1),
+         |v AS (SELECT dl.event_type, dl.d, t.nd, t.nd * dl.x - t.sx AS dev
+         |  FROM dl JOIN t USING (event_type)),
+         |cu AS (SELECT event_type, d, nd,
+         |    CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM v),
+         |rk AS (SELECT event_type, nd, d, abs(cum) AS ac,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY abs(cum) DESC, d ASC) AS rn,
+         |    max(abs(cum)) OVER (PARTITION BY event_type) AS mx
+         |  FROM cu)
+         |SELECT event_type, nd AS n_days, d AS cp_day, mx AS max_abs_dev
+         |FROM rk WHERE rn = 1""".stripMargin,
+    // identical whole-unit series, calendar lag join, and exact-moment
+    // Pearson pieces; the corr double goes through the same two IEEE
+    // sqrts and one division
+    "q_x_autocorr" ->
+      s"""WITH $dailyCteSql,
+         |d2 AS (SELECT event_type, d, x // 100 AS x FROM dl),
+         |pr AS (SELECT a.event_type, l.lag, a.x AS xv, b.x AS yv
+         |  FROM d2 a
+         |  CROSS JOIN (VALUES (1), (7)) AS l(lag)
+         |  JOIN d2 b ON b.event_type = a.event_type AND b.d = a.d + l.lag),
+         |m AS (SELECT event_type, CAST(lag AS BIGINT) AS lag, count(*) AS p,
+         |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         |    CAST(sum(xv * yv) AS BIGINT) AS sxy,
+         |    CAST(sum(xv * xv) AS BIGINT) AS sxx,
+         |    CAST(sum(yv * yv) AS BIGINT) AS syy
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT event_type, lag, p AS n_pairs,
+         |  p * sxy - sx * sy AS num,
+         |  p * sxx - sx * sx AS den1,
+         |  p * syy - sy * sy AS den2,
+         |  CASE WHEN p * sxx - sx * sx > 0 AND p * syy - sy * sy > 0
+         |    THEN CAST(p * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(p * sxx - sx * sx AS DOUBLE))
+         |         * sqrt(CAST(p * syy - sy * sy AS DOUBLE)))
+         |  END AS corr
+         |FROM m""".stripMargin
   )
 }

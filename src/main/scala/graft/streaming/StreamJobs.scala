@@ -229,6 +229,23 @@ object StreamJobs {
   def embedGramStream(embeddings: DataFrame): DataFrame =
     graft.operators.Similarity.embedGram(embeddings)
 
+  /** Streaming daily-candle upkeep — the live tier of q_x_ohlc. Every
+    * fold in [[graft.functions.Ops.ohlcBars]] is associative (open/close
+    * are struct extrema over the (ts, event_id) total order; high/low/
+    * count/volume are plain extrema and sums), so ONE complete-mode
+    * aggregate maintains the candle table exactly and the drained result
+    * equals the batch row bit-for-bit regardless of micro-batch slicing —
+    * the q_x_incr_rollup merge ≡ recompute contract, applied to candles.
+    */
+  def ohlcStream(events: DataFrame): DataFrame =
+    graft.functions.Ops.ohlcBars(
+      events.filter(col("event_type") === "view")
+        .select(pmod(col("user_id"), lit(25)).as("symbol"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c")),
+      Seq("symbol", "day"), Seq(col("ts"), col("event_id")), "c")
+
   /** Streaming golden-record survivorship STATE — the live tier of
     * q_x_er_golden's merge (the [[targetMomentsStream]] stance: what
     * streams is the state upkeep, the finisher is a broadcast-sized batch

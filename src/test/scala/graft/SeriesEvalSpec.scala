@@ -1,0 +1,111 @@
+package graft
+
+import graft.queries.{QualityQueries, TimeSeriesQueries}
+import graft.sources.Tables
+
+/** Driver-side first-principles replays of the round-15 time-series /
+  * audit additions (OHLC candles, CUSUM changepoint, lagged
+  * autocorrelation, Benford first-digit audit) — the EvalSpec stance:
+  * the DuckDB oracle checks engine-vs-SQL, these pin the semantics
+  * against an independent in-process recomputation.
+  */
+class SeriesEvalSpec extends SparkSpec {
+
+  // (event_type, day ISO string, epoch micros, event_id, cents)
+  private lazy val ev: Seq[(String, String, Long, Long, Long, Long)] =
+    Tables.events(spark, sfDir).selectExpr("event_type",
+      "cast(cast(date_trunc('day', ts) as date) as string)",
+      "unix_micros(ts)", "event_id", "user_id",
+      "cast(cast(value as decimal(18,2)) * 100 as bigint)")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+  test("ohlc: struct-extrema candles equal the sort-based replay") {
+    val ticks = ev.filter(_._1 == "view")
+      .map(t => (t._5 % 25, t._2, t._3, t._4, t._6)) // symbol, day, us, id, c
+    val expected = ticks.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val ordered = rows.sortBy(t => (t._3, t._4))
+      k -> ((ordered.head._5, rows.map(_._5).max, rows.map(_._5).min,
+        ordered.last._5, rows.size.toLong, rows.map(_._5).sum))
+    }
+    val got = TimeSeriesQueries.queries("q_x_ohlc")(spark, sfDir)
+      .selectExpr("symbol", "cast(day as string)", "open_c", "high_c",
+        "low_c", "close_c", "n_ticks", "vol_c")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("cusum: mean-free cumulative peaks where the replay says; last cum is 0") {
+    val daily = ev.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._6).sum).toSeq
+      .map { case ((typ, d), x) => (typ, d, x) }
+    val expected = daily.groupBy(_._1).map { case (typ, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.size.toLong
+      val sx = sorted.map(_._3).sum
+      val cums = sorted.scanLeft(0L)((acc, r) => acc + (n * r._3 - sx)).tail
+      assert(cums.last == 0L, s"$typ: cum must close at zero")
+      val withDay = sorted.map(_._2).zip(cums)
+      val maxAbs = cums.map(math.abs).max
+      val cpDay = withDay.filter(p => math.abs(p._2) == maxAbs).map(_._1).min
+      typ -> ((n, cpDay, maxAbs))
+    }
+    val got = TimeSeriesQueries.queries("q_x_cusum")(spark, sfDir)
+      .selectExpr("event_type", "n_days", "cast(cp_day as string)", "max_abs_dev")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("autocorr: exact-moment pearson pieces equal the calendar-lag replay") {
+    val daily = ev.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._6).sum / 100).toMap
+    val types = daily.keys.map(_._1).toSet
+    val expected = (for {
+      typ <- types.toSeq; lag <- Seq(1L, 7L)
+      pairs = daily.collect { case ((t, d), x) if t == typ =>
+        val d2 = java.time.LocalDate.parse(d).plusDays(lag).toString
+        daily.get((t, d2)).map(y => (x, y))
+      }.flatten.toSeq
+      if pairs.nonEmpty
+    } yield {
+      val p = pairs.size.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(t => t._1 * t._2).sum
+      val sxx = pairs.map(t => t._1 * t._1).sum
+      val syy = pairs.map(t => t._2 * t._2).sum
+      val (num, den1, den2) = (p * sxy - sx * sy, p * sxx - sx * sx, p * syy - sy * sy)
+      val corr = if (den1 > 0 && den2 > 0)
+        Some(num.toDouble / (math.sqrt(den1.toDouble) * math.sqrt(den2.toDouble)))
+      else None
+      (typ, lag) -> ((p, num, den1, den2, corr))
+    }).toMap
+    val got = TimeSeriesQueries.queries("q_x_autocorr")(spark, sfDir)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      }.toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("benford: universe-complete digit census with exact ppm deviations") {
+    val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
+    val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+    assert(ppm.values.sum == 1000000L) // the table is a probability measure
+    val n = pos.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = (for { (typ, nt) <- n.toSeq; d <- 1L to 9L } yield {
+      val obs = pos.count(p => p._1 == typ && p._2 == d).toLong
+      (typ, d) -> ((obs, nt, ppm(d), math.abs(obs * 1000000L - ppm(d) * nt)))
+    }).toMap
+    val got = QualityQueries.queries("q_x_benford")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected && got.nonEmpty)
+    assert(got.size == n.size * 9) // zero-count digits restored
+  }
+}

@@ -551,6 +551,27 @@ class StreamingSpec extends SparkSpec {
       canonEnc(SparkEntry.queries("q_x_target_encode")(spark, sfDir)).toSeq)
   }
 
+  test("streaming OHLC candle upkeep drains to the batch bars") {
+    // every candle fold is associative (struct extrema / min / max /
+    // count / sum), so complete-mode drain ≡ batch at any slicing
+    val src = Files.createTempDirectory("graft_ohlc_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.ohlcStream(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ohlc_s").start()
+    q.processAllAvailable(); q.stop()
+    def canonBars(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val got = canonBars(spark.table("ohlc_s"))
+    val want = canonBars(StreamJobs.ohlcStream(ev))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming embed-gram upkeep equals the batch Gram table bit-for-bit") {
     // additive exact-integer second moments over dim pairs: drain ≡ batch
     // regardless of micro-batch slicing
