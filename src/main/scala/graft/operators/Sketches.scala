@@ -138,4 +138,39 @@ object Sketches {
       .agg(hll_sketch_agg(col(keyCol), lgK).as("sk"))
       .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+
+  /** CMS inner-product join-cardinality estimate beside its exact twin —
+    * the pre-join sizing call (AGV/AMS-style): |A ⋈_k B| = Σ_k fA(k)·fB(k),
+    * estimated per CMS row i as Σ_bucket cA[i][b]·cB[i][b] and tightened
+    * by min over rows (never under the truth — CMS counters only collide
+    * upward, so est ≥ exact always; the spec pins it). Shape: each side
+    * collapses to a ≤ depth·width counter table (map-side combine absorbs
+    * the raw volume), the inner product joins two sketch-sized tables, and
+    * only the exact twin touches the keys themselves — one
+    * count-per-key aggregate per side and a keyed equi-join of the two
+    * count tables, which is exactly the work the estimate lets a 100 TB
+    * planner AVOID; it rides along here so the row itself certifies the
+    * estimator (overest_bp = exact overshoot in basis points).
+    * The md5 bucket hash keeps every counter DuckDB-replayable.
+    */
+  def cmsJoinCardinality(a: DataFrame, b: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    def counters(df: DataFrame): DataFrame = df
+      .select(col(keyCol).cast("string").as("k"), depthIndex(depth).as("i"))
+      .withColumn("bucket", bucketCol(col("k"), col("i"), width))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+    val est = counters(a).as("x")
+      .join(counters(b).as("y"), Seq("i", "bucket"))
+      .groupBy(col("i")).agg(sum(col("x.c") * col("y.c")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
+    def perKey(df: DataFrame, out: String) = df
+      .groupBy(col(keyCol)).agg(count(lit(1)).as(out))
+    val exact = perKey(a, "na").join(perKey(b, "nb"), keyCol)
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join"))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(exact).crossJoin(est)
+      .withColumn("overest_bp",
+        expr("(est_join - exact_join) * 10000 div greatest(exact_join, 1)"))
+  }
 }

@@ -253,6 +253,30 @@ object BehaviorQueries {
     // approximate production tier at extreme scale: per-day HLL
     // sketches + 7-way merge (sketch union IS sliding-window-safe —
     // the q_x_hll_rollup machinery), traded exactly like A4.
+    // Time-decayed activity leaderboard: each event contributes
+    // 2²⁰ >> age_days — exponential half-life-one-day decay as a pure
+    // INTEGER bit shift, no exp()/pow() anywhere, so the trending score
+    // is hash-exact and micro-batch/partition order can't show through
+    // (plain sum of per-row integers). The shift is guarded at ≥63:
+    // Java's >> wraps the shift count mod 64, so an unguarded 64-day-old
+    // event would contribute 2²⁰ again instead of 0 — the guard makes
+    // "old" mean zero at ANY corpus age, identically in both engines.
+    // Anchor = max event day via a broadcast scalar; top-10 under the
+    // (score DESC, user ASC) total order rides TakeOrdered (no global
+    // sort materializes).
+    "q_x_decay_topk" -> { (s, dir) =>
+      val e = ev(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      val mx = e.agg(max(col("d")).as("mxd"))
+      e.crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("mxd"), col("d")))
+        .withColumn("w", when(col("age") >= 63, lit(0L))
+          .otherwise(expr("shiftright(cast(1048576 as bigint), cast(age as int))")))
+        .groupBy(col("user_id"))
+        .agg(sum(col("w")).as("decayed_score"), count(lit(1)).as("n_events"))
+        .orderBy(col("decayed_score").desc, col("user_id").asc)
+        .limit(10)
+    },
     "q_x_rolling_wau" -> { (s, dir) =>
       val act = ev(s, dir)
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
@@ -464,6 +488,20 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same guarded bit-shift decay off the same max-day anchor
+    "q_x_decay_topk" ->
+      s"""WITH $evCte,
+         |e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM ev),
+         |m AS (SELECT max(d) AS mxd FROM e),
+         |w AS (SELECT user_id,
+         |    CASE WHEN datediff('day', d, mxd) >= 63 THEN 0
+         |         ELSE CAST(1048576 AS BIGINT) >> datediff('day', d, mxd)
+         |    END AS w
+         |  FROM e, m)
+         |SELECT user_id, CAST(sum(w) AS BIGINT) AS decayed_score,
+         |  count(*) AS n_events
+         |FROM w GROUP BY 1
+         |ORDER BY decayed_score DESC, user_id ASC LIMIT 10""".stripMargin,
     // the same (sum, count) moments joined back; integer LOO division
     "q_x_target_encode" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,

@@ -52,6 +52,19 @@ object SketchQueries {
     "q_x_hll_rollup" -> { (s, dir) =>
       Sketches.hllRollup(Tables.events(s, dir), "user_id")
     },
+    // CMS inner-product join-cardinality estimate (views ⋈_user purchases)
+    // beside the exact Σ fA·fB — the pre-join sizing call that decides
+    // broadcast vs shuffle vs salt BEFORE paying for the join. Depth×width
+    // counter tables only; the md5 bucket hash keeps the whole estimate an
+    // oracle-replayable integer, and overest_bp certifies the estimator's
+    // one-sided error on this corpus.
+    "q_x_join_card" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      Sketches.cmsJoinCardinality(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", depth = Depth, width = RollupWidth)
+    },
     // Exact distinct-set overlap of two behavioral segments — the oracled
     // twin of q_x_theta_sets (per-user flag rollup, then flag algebra).
     "q_x_set_overlap" -> { (s, dir) =>
@@ -124,6 +137,39 @@ object SketchQueries {
          |  FROM cbb JOIN counters USING (i, bucket) GROUP BY cbb.term)
          |SELECT term, est_count FROM est
          |ORDER BY est_count DESC, term ASC LIMIT 50""".stripMargin,
+    // the same per-side md5 counter tables, per-row inner products, min,
+    // and the exact per-key product sum
+    "q_x_join_card" ->
+      s"""WITH $evCte,
+         |d AS (SELECT unnest(range($Depth)) AS i),
+         |a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM ev
+         |  WHERE event_type = 'view'),
+         |b AS (SELECT CAST(user_id AS VARCHAR) AS k FROM ev
+         |  WHERE event_type = 'purchase'),
+         |ar AS (SELECT i,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(i AS VARCHAR), ':', k)), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM a CROSS JOIN d),
+         |ab AS (SELECT i, ${bucketSql(RollupWidth)} AS bucket FROM ar),
+         |ac AS (SELECT i, bucket, count(*) AS c FROM ab GROUP BY 1, 2),
+         |br AS (SELECT i,
+         |    CAST(concat('0x', substr(md5(concat('cms', CAST(i AS VARCHAR), ':', k)), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM b CROSS JOIN d),
+         |bb AS (SELECT i, ${bucketSql(RollupWidth)} AS bucket FROM br),
+         |bc AS (SELECT i, bucket, count(*) AS c FROM bb GROUP BY 1, 2),
+         |ip AS (SELECT ac.i, CAST(sum(ac.c * bc.c) AS BIGINT) AS ip
+         |  FROM ac JOIN bc ON ac.i = bc.i AND ac.bucket = bc.bucket GROUP BY 1),
+         |est AS (SELECT min(ip) AS est_join FROM ip),
+         |ex AS (SELECT coalesce(CAST(sum(va.n * vb.n) AS BIGINT), 0) AS exact_join
+         |  FROM (SELECT k, count(*) AS n FROM a GROUP BY 1) va
+         |  JOIN (SELECT k, count(*) AS n FROM b GROUP BY 1) vb USING (k)),
+         |na AS (SELECT count(*) AS n_a FROM a),
+         |nb AS (SELECT count(*) AS n_b FROM b)
+         |SELECT na.n_a, nb.n_b, ex.exact_join, est.est_join,
+         |  (est.est_join - ex.exact_join) * 10000 // greatest(ex.exact_join, 1)
+         |    AS overest_bp
+         |FROM na, nb, ex, est""".stripMargin,
 
     "q_x_cms_rollup" ->
       s"""WITH $evCte,

@@ -92,6 +92,71 @@ class SeriesEvalSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("decay_topk: guarded bit-shift decay replay; top-10 order pinned") {
+    val days = ev.map(_._2)
+    val mx = java.time.LocalDate.parse(days.max)
+    val scores = ev.groupBy(_._5).map { case (user, rows) =>
+      val s = rows.map { r =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(r._2), mx)
+        if (age >= 63) 0L else 1048576L >> age
+      }.sum
+      (user, s, rows.size.toLong)
+    }.toSeq
+    val expected = scores.sortBy(t => (-t._2, t._1)).take(10)
+    val got = graft.queries.BehaviorQueries.queries("q_x_decay_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("join_card: exact twin replays; CMS estimate is one-sided (est >= exact)") {
+    val v = ev.filter(_._1 == "view").groupBy(_._5).view.mapValues(_.size.toLong)
+    val p = ev.filter(_._1 == "purchase").groupBy(_._5).view.mapValues(_.size.toLong)
+    val exact = v.keys.toSeq.flatMap(u => p.get(u).map(_ * v(u))).sum
+    val r = graft.queries.SketchQueries.queries("q_x_join_card")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_a")) == v.values.sum)
+    assert(r.getLong(r.fieldIndex("n_b")) == p.values.sum)
+    assert(r.getLong(r.fieldIndex("exact_join")) == exact)
+    val est = r.getLong(r.fieldIndex("est_join"))
+    assert(est >= exact, "CMS inner product must never undershoot")
+    assert(r.getLong(r.fieldIndex("overest_bp")) ==
+      (est - exact) * 10000 / math.max(exact, 1L))
+  }
+
+  test("linkpred: wedge/jaccard replay over the naive co-part graph") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (o(r.getLong(0)), r.getLong(1))).distinct
+    val byCust = cp.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val custs = byCust.keys.toSeq.sorted
+    val edges = (for {
+      i <- custs.indices; j <- (i + 1) until custs.size
+      if (byCust(custs(i)) & byCust(custs(j))).size >= 3
+    } yield (custs(i), custs(j))).toSet
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { nbrs(a) = nbrs(a) + b; nbrs(b) = nbrs(b) + a }
+    def adj(n: Long): Set[Long] = nbrs(n)
+    val deg = custs.map(c => c -> adj(c).size.toLong).toMap
+    val expected = (for {
+      i <- custs.indices; j <- (i + 1) until custs.size
+      u = custs(i); v = custs(j)
+      if !edges((u, v))
+      common = (adj(u) & adj(v)).size.toLong
+      if common >= 1
+    } yield (u, v, common, deg(u), deg(v),
+      common * 10000 / (deg(u) + deg(v) - common)))
+      .sortBy(t => (-t._6, t._1, t._2)).take(100)
+    val got = graft.queries.GraphQueries.queries("q_x_linkpred")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
