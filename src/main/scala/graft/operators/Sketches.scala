@@ -139,6 +139,21 @@ object Sketches {
       .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
 
+  /** The relational CMS counter table of `keyCol`: (row i, bucket, count),
+    * ≤ depth·width rows by construction, built by ONE keyed aggregate
+    * whose map-side combine absorbs the raw volume. Counters are plain
+    * additive sums, so the SAME definition serves batch estimation
+    * ([[cmsJoinCardinality]]) and complete-mode streaming upkeep
+    * (StreamJobs.cmsCountersStream): drained counters ≡ batch counters
+    * bit-for-bit, and any estimate derived from them (point frequency,
+    * inner-product join size) inherits the equality.
+    */
+  def cmsCounters(df: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame = df
+    .select(col(keyCol).cast("string").as("k"), depthIndex(depth).as("i"))
+    .withColumn("bucket", bucketCol(col("k"), col("i"), width))
+    .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+
   /** CMS inner-product join-cardinality estimate beside its exact twin —
     * the pre-join sizing call (AGV/AMS-style): |A ⋈_k B| = Σ_k fA(k)·fB(k),
     * estimated per CMS row i as Σ_bucket cA[i][b]·cB[i][b] and tightened
@@ -155,10 +170,7 @@ object Sketches {
     */
   def cmsJoinCardinality(a: DataFrame, b: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
-    def counters(df: DataFrame): DataFrame = df
-      .select(col(keyCol).cast("string").as("k"), depthIndex(depth).as("i"))
-      .withColumn("bucket", bucketCol(col("k"), col("i"), width))
-      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+    def counters(df: DataFrame): DataFrame = cmsCounters(df, keyCol, depth, width)
     val est = counters(a).as("x")
       .join(counters(b).as("y"), Seq("i", "bucket"))
       .groupBy(col("i")).agg(sum(col("x.c") * col("y.c")).as("ip"))

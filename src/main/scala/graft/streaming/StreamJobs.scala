@@ -229,6 +229,20 @@ object StreamJobs {
   def embedGramStream(embeddings: DataFrame): DataFrame =
     graft.operators.Similarity.embedGram(embeddings)
 
+  /** Streaming CMS counter upkeep — the live tier of the q_x_join_card
+    * sizing sketch: one complete-mode aggregate maintains the (i, bucket,
+    * count) table for a filtered key stream via the SAME
+    * [[graft.operators.Sketches.cmsCounters]] kernel as the batch build.
+    * Counters are additive integers, so the drained table equals the
+    * batch counters bit-for-bit at any micro-batch slicing, and every
+    * sketch READ (point-frequency min, inner-product join-cardinality)
+    * derived from drained state equals its batch twin by construction.
+    */
+  def cmsCountersStream(events: DataFrame, eventType: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    graft.operators.Sketches.cmsCounters(
+      events.filter(col("event_type") === eventType), "user_id", depth, width)
+
   /** Streaming daily-candle upkeep — the live tier of q_x_ohlc. Every
     * fold in [[graft.functions.Ops.ohlcBars]] is associative (open/close
     * are struct extrema over the (ts, event_id) total order; high/low/

@@ -157,6 +157,34 @@ class SeriesEvalSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("assortativity: symmetric-moment pearson replay over the co-part graph") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (o(r.getLong(0)), r.getLong(1))).distinct
+    val byCust = cp.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val custs = byCust.keys.toSeq.sorted
+    val edges = for {
+      i <- custs.indices; j <- (i + 1) until custs.size
+      if (byCust(custs(i)) & byCust(custs(j))).size >= 3
+    } yield (custs(i), custs(j))
+    val directed = edges ++ edges.map(e => (e._2, e._1))
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val p = directed.size.toLong
+    val sx = directed.map(e => deg(e._1)).sum
+    val sxy = directed.map(e => deg(e._1) * deg(e._2)).sum
+    val sxx = directed.map(e => deg(e._1) * deg(e._1)).sum
+    val (num, den) = (p * sxy - sx * sx, p * sxx - sx * sx)
+    val r = graft.queries.GraphQueries.queries("q_x_assortativity")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == p && r.getLong(1) == num && r.getLong(2) == den)
+    if (den != 0) assert(r.getDouble(3) == num.toDouble / den.toDouble)
+    // sanity: the symmetric identity sx == sy held by construction
+    assert(directed.map(e => deg(e._2)).sum == sx)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,

@@ -551,6 +551,38 @@ class StreamingSpec extends SparkSpec {
       canonEnc(SparkEntry.queries("q_x_target_encode")(spark, sfDir)).toSeq)
   }
 
+  test("streaming CMS counters drain to the batch sketch; join-size estimate derives identically") {
+    // counters are additive integers: drained state ≡ batch build at any
+    // slicing, and the inner-product estimate derived from two drained
+    // tables equals the registry row's est_join
+    val src = Files.createTempDirectory("graft_cms_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    def drain(t: String, name: String) = {
+      val q = StreamJobs.cmsCountersStream(
+          spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src), t)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    def canonCms(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotV = canonCms(drain("view", "cms_v"))
+    val gotP = canonCms(drain("purchase", "cms_p"))
+    assert(gotV == canonCms(StreamJobs.cmsCountersStream(ev, "view")))
+    assert(gotP == canonCms(StreamJobs.cmsCountersStream(ev, "purchase")))
+    val estFromDrain = (0 until 4).map { i =>
+      gotV.collect { case ((ri, b), c) if ri == i && gotP.contains((ri, b)) =>
+        c * gotP((ri, b))
+      }.sum
+    }.min
+    val batch = graft.queries.SketchQueries.queries("q_x_join_card")(spark, sfDir)
+      .collect().head
+    assert(estFromDrain == batch.getLong(batch.fieldIndex("est_join")))
+  }
+
   test("streaming OHLC candle upkeep drains to the batch bars") {
     // every candle fold is associative (struct extrema / min / max /
     // count / sum), so complete-mode drain ≡ batch at any slicing
