@@ -788,6 +788,60 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** k-truss decomposition over an UNDIRECTED edge list: iteratively drop
+    * every edge supported by fewer than k−2 triangles until stable — the
+    * cohesion filter one notch stronger than [[kcore]] (every surviving
+    * edge sits in k−2 triangles of surviving edges; a k-truss is always
+    * inside the (k−1)-core but prunes "bridge" edges the core keeps).
+    * Output: the surviving edges with their final support.
+    *
+    * Per round, everything stays edge-shaped: triangles enumerate as the
+    * wedge join closed by one semi-shaped equi-join (a<b<c canonical, so
+    * each triangle materializes ONCE), each triangle votes for its three
+    * edges (union + one keyed count with map-side combine), and the edge
+    * set shrinks by an inner join on the support filter. `rounds` is the
+    * FIXED [[kcore]] schedule: ≥ the observed peel depth it IS the
+    * k-truss (peeling at a fixpoint is a no-op), the early-exit saves the
+    * tail locally, and the unrolled oracle replays the same count.
+    * Shrinking edge sets are localCheckpointed per round (the kcore /
+    * boruvka lineage stance). At web scale the triangle join is the
+    * bounded piece — degree-ordered orientation (the [[triangleStats]]
+    * O(√m) bound) applies verbatim since the wedge join here is already
+    * canonical-ordered.
+    */
+  def ktruss(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "ktruss: k must be at least 3")
+    var e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    def support(es: DataFrame): DataFrame = {
+      val tri = es.as("x").join(es.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+        .join(es.select(col("a").as("ta"), col("b").as("tc")), Seq("ta", "tc"))
+      tri.select(col("ta").as("a"), col("tb").as("b"))
+        .unionByName(tri.select(col("tb").as("a"), col("tc").as("b")))
+        .unionByName(tri.select(col("ta").as("a"), col("tc").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var nEdges = e.count()
+    var stable = nEdges == 0L
+    var r = 0
+    while (r < rounds && !stable) {
+      e = e.join(support(e).filter(col("support") >= k - 2), Seq("a", "b"),
+          "left_semi")
+        .localCheckpoint()
+      val n2 = e.count()
+      stable = n2 == nEdges
+      nEdges = n2
+      r += 1
+    }
+    e.join(support(e), Seq("a", "b"))
+  }
+
   /** Exact triangle census over an UNDIRECTED edge list: one row with
     * node / edge / wedge / triangle counts and the global clustering
     * coefficient (3·triangles / wedges) in integer basis points.

@@ -171,11 +171,19 @@ object EvalQueries {
         col("c_nationkey"), col("c_mktsegment"),
         expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("bal"))
       def side(p: String) = c.select(c.columns.map(n => col(n).as(p + n)): _*)
-      side("a_").join(side("b_"),
+      // the probe side inherits the SCAN's split count (a single small
+      // parquet file ⇒ 1-4 tasks), and the whole per-pair comparator
+      // cascade runs in the join's output stage — repartitioning the
+      // 15k-row probe side is free and fans the 4.5M-pair scoring out to
+      // every core (the minhash "spread a single-file source" idiom)
+      side("a_").repartition(32, col("a_c_custkey")).join(side("b_"),
           col("a_c_nationkey") === col("b_c_nationkey") &&
             col("a_c_custkey") < col("b_c_custkey"))
         .withColumn("score",
-          when(levenshtein(col("a_c_name"), col("b_c_name")) <= 1, lit(35L))
+          // threshold form: O(len·k) banded DP with early exit instead of
+          // the full O(len²) table — ≥0 ⟺ distance ≤ 1, same predicate
+          // the oracle's plain levenshtein evaluates
+          when(levenshtein(col("a_c_name"), col("b_c_name"), 1) >= 0, lit(35L))
             .otherwise(lit(-15L)) +
           when(col("a_c_mktsegment") === col("b_c_mktsegment"), lit(15L))
             .otherwise(lit(-8L)) +

@@ -440,6 +440,36 @@ object ExtTextQueries {
           col("w2"), col("pair_count"),
           expr("pair_count * 10000 div w1_count").as("cont_bp"))
     },
+    // Collocation mining (phrase detection for vocab/tokenizer design):
+    // top-20 adjacent bigrams by the exact PMI-ratio lift
+    // 10⁴·c12·N div (c1·c2) — the log-free rational core of PMI (the
+    // tf-idf linear-idf stance: the log is monotone, so the RANKING is
+    // PMI's ranking, and the statistic stays an order-free BIGINT:
+    // 10⁴·c12·N tops out near 10¹⁷ at a 3M-token corpus; a 100 TB corpus
+    // upgrades the numerator to DECIMAL(38,0), the dec38 idiom). Noise
+    // floor c12 ≥ 5 — the standard collocation support cut. One bigram
+    // count shuffle + one vocabulary-keyed count, two vocab-sized joins.
+    "q_x_collocations" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val n = toks.agg(count(lit(1)).as("n_tokens"))
+      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val c2 = Tables.documents(s, dir)
+        .select(explode(TextOps.bigramsFromTokens(
+          TextOps.tokens(col("text")))).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      c2.join(c1.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(c1.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          expr("c12 * 10000 * n_tokens div (c1 * c2)").as("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
     // Per-doc top-3 terms by exact-rational tf-idf (linear idf — see
     // TextOps.tfIdfTopTerms for why ln is deliberately avoided).
     "q_x_tfidf_top" -> { (s, dir) =>
@@ -2408,6 +2438,24 @@ object ExtTextQueries {
     // fanout counts summed per context, top-20 contexts, top-3
     // continuations per context under the identical (count DESC, w2 ASC)
     // tie order; conditional probability as integer basis points
+    // same token stream, bigram build, support cut, and integer lift
+    "q_x_collocations" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |t AS (SELECT unnest(ws) AS w FROM tok),
+        |tt AS (SELECT w FROM t WHERE w <> ''),
+        |n AS (SELECT count(*) AS n_tokens FROM tt),
+        |c1 AS (SELECT w, count(*) AS c FROM tt GROUP BY 1),
+        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+        |        FROM tok WHERE len(ws) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT c2.w1, c2.w2, c2.c12, u1.c AS c1, u2.c AS c2,
+        |  c2.c12 * 10000 * n.n_tokens // (u1.c * u2.c) AS lift_bp
+        |FROM c2 JOIN c1 u1 ON u1.w = c2.w1 JOIN c1 u2 ON u2.w = c2.w2
+        |CROSS JOIN n
+        |ORDER BY lift_bp DESC, c2.w1 ASC, c2.w2 ASC LIMIT 20""".stripMargin,
     "q_x_bigram_lm" ->
       """WITH tok AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),

@@ -594,4 +594,56 @@ class GraphSpec extends SparkSpec {
       assert(h == hub(n) && a == auth(n), s"node $n: ($h,$a) vs (${hub(n)},${auth(n)})")
     }
   }
+
+  test("ktruss: K4 survives the 4-truss, a hanging triangle is peeled") {
+    // K4 on {1,2,3,4}: every edge closes 2 triangles of surviving edges.
+    // Triangle {4,5,6} hangs off node 4: each of its edges closes only 1,
+    // so the whole triangle peels in round one and K4 is untouched.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val tri = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (k4 ++ tri).toDF("a", "b")
+    val got = Graph.ktruss(edges, "a", "b", k = 4, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == k4.toSet)
+    assert(got.values.forall(_ == 2L), "every K4 edge closes exactly 2 triangles")
+  }
+
+  test("ktruss: extra rounds are no-ops at the fixpoint; duplicate/reversed input normalized") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val noisy = (k4 ++ k4.map(e => (e._2, e._1)) ++ Seq((2L, 2L))).toDF("a", "b")
+    def run(rounds: Int) = Graph.ktruss(noisy, "a", "b", k = 4, rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(8) == run(12))
+  }
+
+  test("ktruss: fixed-round peel matches a naive driver replay on the co-part graph") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (o(r.getLong(0)), r.getLong(1))).distinct
+    val byCust = cp.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val custs = byCust.keys.toSeq.sorted
+    var edges = (for {
+      i <- custs.indices; j <- (i + 1) until custs.size
+      if (byCust(custs(i)) & byCust(custs(j))).size >= 5
+    } yield (custs(i), custs(j))).toSet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      for ((a, b) <- es) { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+      es.map(e => e -> (adj(e._1) & adj(e._2)).size.toLong).toMap
+    }
+    var r = 0
+    var stable = edges.isEmpty
+    while (r < 8 && !stable) {
+      val keep = { val s = support(edges); edges.filter(e => s(e) >= 2) }
+      stable = keep == edges; edges = keep; r += 1
+    }
+    val expected = { val s = support(edges); edges.map(e => (e._1, e._2, s(e))) }
+    val got = graft.queries.GraphQueries.queries("q_x_ktruss")(spark, sfDir)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSet
+    assert(got == expected)
+  }
 }

@@ -185,6 +185,25 @@ class SeriesEvalSpec extends SparkSpec {
     assert(directed.map(e => deg(e._2)).sum == sx)
   }
 
+  test("collocations: integer PMI-ratio lift replay with the support cut") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("text").collect().map(_.getString(0))
+    val tokLists = texts.map(_.trim.split("\\s+").toSeq)
+    val toks = tokLists.flatten.filter(_.nonEmpty)
+    val n = toks.size.toLong
+    val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = tokLists.filter(_.size >= 2)
+      .flatMap(ws => ws.zip(ws.tail)).groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 >= 5L)
+    val expected = c2.map { case ((w1, w2), c12) =>
+      (w1, w2, c12, c1(w1), c1(w2), c12 * 10000L * n / (c1(w1) * c1(w2)))
+    }.toSeq.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = graft.queries.ExtTextQueries.queries("q_x_collocations")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
