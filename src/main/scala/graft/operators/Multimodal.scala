@@ -35,6 +35,39 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** Windowed energy extraction over the payload read as 16-bit
+    * little-endian samples — the FEATURE-EXTRACT verb of the multimodal
+    * stub family (decodeMeta = probe, frameSample = sample, dHash =
+    * perceptual hash). The sample decode is real byte plumbing, not a
+    * library call: sample_k = byte(2k−1) + 256·byte(2k), folded per
+    * `windowChars`-byte window into one integer energy — pure codegen'd
+    * column expressions, zero shuffle until the caller aggregates. A
+    * production pipeline swaps the two-byte fold for a codec UDF
+    * (mapInPandas batch shape) and keeps the windowing unchanged. The
+    * ASCII corpus makes byte positions ≡ char positions (the frameSample
+    * argument), so the per-window energies are DuckDB-replayable.
+    * Windows are COMPLETE only (len div windowChars); a trailing partial
+    * window is not a valid sample frame and is dropped, unlike
+    * frameSample's tail chunk.
+    */
+  def audioEnergy(media: DataFrame, windowChars: Int = 32): DataFrame = {
+    val txt = col("payload").cast("string")
+    val nW = floor(length(txt) / windowChars).cast("int")
+    val wins = when(nW > 0, transform(sequence(lit(0), nW - 1),
+      w => txt.substr(w * windowChars + 1, lit(windowChars))))
+      .otherwise(array().cast("array<string>"))
+    media
+      .select(col("doc_id"), col("kind"),
+        posexplode(wins).as(Seq("window_idx", "win")))
+      .select(col("doc_id"), col("kind"),
+        col("window_idx").cast("int").as("window_idx"),
+        aggregate(
+          transform(sequence(lit(1), lit(windowChars)),
+            i => ascii(col("win").substr(i, lit(1))).cast("long") *
+              when(pmod(i, lit(2)) === 1, lit(1L)).otherwise(lit(256L))),
+          lit(0L), (a, x) => a + x).as("energy"))
+  }
+
   /** STUB decoder — a real implementation would hand `payload` to an image/
     * audio codec here (per-partition init, batch decode). The fake is
     * deterministic: byte count, a rolling checksum, and the first 16 bytes

@@ -253,6 +253,37 @@ object BehaviorQueries {
     // approximate production tier at extreme scale: per-day HLL
     // sketches + 7-way merge (sketch union IS sliding-window-safe —
     // the q_x_hll_rollup machinery), traded exactly like A4.
+    // Leakage-safe churn LABEL construction — the supervised-learning
+    // companion of q_x_cohort_retention (that row measures cohorts; this
+    // one builds the per-entity training table): per (user, active
+    // WEEK) the activity features and churned = "no activity in week
+    // w+1", read strictly from the FUTURE side via lead() so no feature
+    // peeks past the observation point. The censoring cut drops the
+    // corpus's last week (its w+1 is unobservable — emitting a label
+    // there would train on an artifact), via one broadcast max-week
+    // scalar. The per-user window runs over active WEEKS — calendar-
+    // bounded, never event-bounded. (Week grain because the synthetic
+    // feed spans one month; the grain is the only fixture-specific
+    // choice, the censor/lead mechanics are grain-free.)
+    "q_x_churn_labels" -> { (s, dir) =>
+      val weekly = ev(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .groupBy(col("user_id"), col("wk"))
+        .agg(count(lit(1)).as("n_events"), sum(col("c")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("wk"))
+      val mx = weekly.agg(max(col("wk")).as("mxw"))
+      weekly
+        .withColumn("next_w", lead(col("wk"), 1).over(w))
+        .crossJoin(broadcast(mx))
+        .filter(col("wk") < col("mxw"))
+        .select(col("user_id"), col("wk").as("obs_week"),
+          col("n_events"), col("cents"),
+          (col("next_w").isNull || col("next_w") =!= date_add(col("wk"), 7))
+            .as("churned"))
+    },
     // Time-decayed activity leaderboard: each event contributes
     // 2²⁰ >> age_days — exponential half-life-one-day decay as a pure
     // INTEGER bit shift, no exp()/pow() anywhere, so the trending score
@@ -488,6 +519,21 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same per-user week series, lead() future read, and
+    // last-week censoring
+    "q_x_churn_labels" ->
+      s"""WITH $evCte,
+         |wk AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM ev),
+         |g AS (SELECT user_id, w, count(*) AS n_events,
+         |    CAST(sum(c) AS BIGINT) AS cents FROM wk GROUP BY 1, 2),
+         |l AS (SELECT user_id, w, n_events, cents,
+         |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+         |  FROM g),
+         |mx AS (SELECT max(w) AS mxw FROM g)
+         |SELECT user_id, w AS obs_week, n_events, cents,
+         |  (next_w IS NULL OR next_w <> w + 7) AS churned
+         |FROM l, mx WHERE w < mxw""".stripMargin,
     // the same guarded bit-shift decay off the same max-day anchor
     "q_x_decay_topk" ->
       s"""WITH $evCte,

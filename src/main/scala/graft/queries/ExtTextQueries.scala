@@ -440,6 +440,31 @@ object ExtTextQueries {
           col("w2"), col("pair_count"),
           expr("pair_count * 10000 div w1_count").as("cont_bp"))
     },
+    // Feature hashing (the hashing trick): every token folds into a
+    // FIXED 1024-dim signed sparse vector — idx = md5("fh:"+term) mod D,
+    // sign = ±1 off an independent md5 bit (the sign hash keeps collision
+    // noise zero-mean, Weinberger et al.'s construction) — the
+    // vocabulary-free featurizer that needs no fitted dictionary, no
+    // broadcast vocab, and never reshuffles when new terms appear.
+    // Zero-sum cells drop (exact sparsity, deterministic: collisions
+    // cancel identically in both engines). One narrow map + one
+    // (doc, idx)-keyed aggregate; output flattened to (doc_id, idx, val)
+    // rows — the export-contract form (r11 inverted-index lesson: no
+    // array cells through the driver hash).
+    "q_x_feature_hash" -> { (s, dir) =>
+      val D = 1024L
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("idx",
+          pmod(TextOps.md5Long64(concat(lit("fh:"), col("term"))), lit(D)))
+        .withColumn("sgn",
+          when(pmod(TextOps.md5Long64(concat(lit("fhs:"), col("term"))),
+            lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("doc_id"), col("idx"))
+        .agg(sum(col("sgn")).as("val"))
+        .filter(col("val") =!= 0)
+    },
     // Collocation mining (phrase detection for vocab/tokenizer design):
     // top-20 adjacent bigrams by the exact PMI-ratio lift
     // 10⁴·c12·N div (c1·c2) — the log-free rational core of PMI (the
@@ -2438,6 +2463,30 @@ object ExtTextQueries {
     // fanout counts summed per context, top-20 contexts, top-3
     // continuations per context under the identical (count DESC, w2 ASC)
     // tie order; conditional probability as integer basis points
+    // the same two md5 hash domains (index mod 1024, sign bit), signed
+    // via the cms bucket idiom; zero-sum cells dropped by HAVING
+    "q_x_feature_hash" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |h AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('fh:', term)), 1, 16))
+        |      AS UBIGINT) AS u,
+        |    CAST(concat('0x', substr(md5(concat('fhs:', term)), 1, 16))
+        |      AS UBIGINT) AS us
+        |  FROM tt),
+        |s AS (SELECT doc_id,
+        |    ((CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |           THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |           ELSE CAST(u AS BIGINT) END % 1024) + 1024) % 1024 AS idx,
+        |    CASE WHEN ((CASE WHEN us >= CAST(9223372036854775808 AS UBIGINT)
+        |           THEN CAST(CAST(us AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |           ELSE CAST(us AS BIGINT) END % 2) + 2) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM h)
+        |SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS val
+        |FROM s GROUP BY 1, 2 HAVING sum(sgn) <> 0""".stripMargin,
     // same token stream, bigram build, support cut, and integer lift
     "q_x_collocations" ->
       """WITH tok AS (

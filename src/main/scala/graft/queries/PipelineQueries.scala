@@ -212,6 +212,18 @@ object PipelineQueries {
     // char slices coincide and Spark's md5(binary) equals DuckDB's
     // md5(varchar) over the same bytes (the decontamination-oracle hash
     // argument).
+    // Windowed sample-energy extraction over the audio-kind payloads —
+    // the feature-extract multimodal verb: two-byte little-endian sample
+    // fold per 32-byte window (16 samples), per-window integer energy +
+    // the silence flag a VAD gate thresholds on. Narrow codegen'd map +
+    // one posexplode; the kind filter prunes 2/3 of the media table
+    // before any window materializes.
+    "q_x_audio_energy" -> { (s, dir) =>
+      Multimodal.audioEnergy(
+          Multimodal.toMedia(Tables.documents(s, dir))
+            .filter(col("kind") === "audio"), windowChars = 32)
+        .withColumn("is_quiet", col("energy") < 400000L)
+    },
     "q_x_frame_sample" -> { (s, dir) =>
       val media = Multimodal.toMedia(Tables.documents(s, dir))
       Multimodal.frameSample(media, chunkBytes = 32, stride = 2)
@@ -397,6 +409,24 @@ object PipelineQueries {
     // the chunk grid replayed on the VARCHAR side (ASCII ⇒ byte slice ==
     // char slice; md5 over the identical bytes), tail-below-chunk kept as
     // the one short frame exactly like substring-on-binary
+    // same complete-window grid and two-byte LE sample fold (ord ≡ ascii
+    // on the ASCII corpus); odd char positions weigh 1, even weigh 256
+    "q_x_audio_energy" ->
+      """WITH m AS (SELECT doc_id,
+        |    list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+        |    text FROM documents),
+        |a AS (SELECT doc_id, kind, text FROM m WHERE kind = 'audio'),
+        |g AS (SELECT doc_id, kind, text,
+        |    unnest(range(0, CAST(length(text) // 32 AS BIGINT))) AS w
+        |  FROM a WHERE length(text) >= 32),
+        |e AS (SELECT doc_id, kind, CAST(w AS INT) AS window_idx,
+        |    list_reduce(list_transform(range(1, 33), i ->
+        |      CAST(ord(substring(text, CAST(w * 32 + i AS INT), 1)) AS BIGINT)
+        |        * (CASE WHEN i % 2 = 1 THEN 1 ELSE 256 END)),
+        |      (x, y) -> x + y) AS energy
+        |  FROM g)
+        |SELECT doc_id, kind, window_idx, energy, energy < 400000 AS is_quiet
+        |FROM e""".stripMargin,
     "q_x_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,

@@ -90,4 +90,26 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(h(1L), h(4L)) > 12, s"unrelated docs too close: ${hamming(h(1L), h(4L))}")
     assert(h.values.forall(_ >= 0L), "63-bit hash stays in the signed-positive range")
   }
+
+  test("audioEnergy: two-byte LE sample fold, complete windows only") {
+    // 64 chars → 2 windows; 31 chars → 0 windows (partial frames are not
+    // valid samples); per-window energy replayed byte-for-byte
+    val txt64 = ("ab" * 16) + ("zz" * 16)
+    val media = Seq((1L, "audio", txt64), (2L, "audio", "x" * 31))
+      .toDF("doc_id", "kind", "payload_s")
+      .select(col("doc_id"), col("kind"),
+        encode(col("payload_s"), "UTF-8").as("payload"))
+    def energyOf(s: String): Long =
+      s.zipWithIndex.map { case (c, i) =>
+        c.toLong * (if ((i + 1) % 2 == 1) 1L else 256L)
+      }.sum
+    val got = Multimodal.audioEnergy(media, windowChars = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      (1L, 0) -> energyOf("ab" * 16),
+      (1L, 1) -> energyOf("zz" * 16)))
+    assert(!got.keySet.exists(_._1 == 2L), "sub-window payload yields no frames")
+    // hand arithmetic: 'a'=97 at odd positions, 'b'=98 at even ones
+    assert(energyOf("ab" * 16) == 16L * 97 + 16L * 98 * 256)
+  }
 }

@@ -51,6 +51,13 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_er_golden",
     "q_x_dataset_card", "q_x_incr_neardup",
     "q_x_embed_neardup_lsh", "q_x_hard_negatives_lsh",
+    // round-15 additions that localCheckpoint a multi-consumer subtree at
+    // build (the minhash stance): the skyline frontier (census probe +
+    // output spine), the dbscan quant/candidate tables + star-CC rounds,
+    // and the co-part graph shared by linkpred/assortativity/ktruss
+    // (ktruss additionally checkpoints per peel round)
+    "q_x_skyline", "q_x_dbscan", "q_x_linkpred", "q_x_assortativity",
+    "q_x_ktruss",
     // semdedup survivor selection and the leakage-safe split ride
     // duplicateClusters' per-round label-flooding checkpoints
     "q_x_semdedup", "q_x_split_safe",

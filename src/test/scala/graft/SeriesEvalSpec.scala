@@ -204,6 +204,58 @@ class SeriesEvalSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("feature_hash: independent md5 replay; collisions cancel to exact sparsity") {
+    def md5l(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseUnsignedLong(
+        d.map("%02x".format(_)).mkString.take(16), 16)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map { t =>
+        ((id, java.lang.Math.floorMod(md5l("fh:" + t), 1024L)),
+          if (java.lang.Math.floorMod(md5l("fhs:" + t), 2L) == 0L) 1L else -1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0L).toMap
+    val got = graft.queries.ExtTextQueries.queries("q_x_feature_hash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("churn_labels: future-side lead labels with last-week censoring") {
+    def week(day: String): String =
+      java.time.LocalDate.parse(day)
+        .`with`(java.time.DayOfWeek.MONDAY).toString
+    val weekly = ev.groupBy(t => (t._5, week(t._2)))
+      .map { case ((u, w), rows) => (u, w, rows.size.toLong, rows.map(_._6).sum) }
+      .toSeq
+    val mxw = weekly.map(_._2).max
+    val byUser = weekly.groupBy(_._1)
+    val expected = (for {
+      (u, rows) <- byUser.toSeq
+      sorted = rows.sortBy(_._2)
+      (r, i) <- sorted.zipWithIndex
+      if r._2 < mxw
+    } yield {
+      val next = if (i + 1 < sorted.size) Some(sorted(i + 1)._2) else None
+      val wk1 = java.time.LocalDate.parse(r._2).plusDays(7).toString
+      (u, r._2, r._3, r._4, next.forall(_ != wk1))
+    }).toSet
+    val got = graft.queries.BehaviorQueries.queries("q_x_churn_labels")(spark, sfDir)
+      .selectExpr("user_id", "cast(obs_week as string)",
+        "n_events", "cents", "churned")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == expected && got.nonEmpty)
+    // no churn-existence assert: at sf0.001 every user happens to be
+    // active in consecutive weeks (the label MECHANICS are pinned by the
+    // exact-set equality above; the sf0.01 driver row has churned=true
+    // rows — 600 labels there)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
