@@ -136,6 +136,29 @@ object LayoutQueries {
     // key's dim row to one task's build side; salting pre-spreads the
     // probe side). Aggregated to segment grain with an exact DECIMAL sum
     // so the output is associative — identical under any placement.
+    // Compaction planner: assign small files to target-size output bins
+    // along the (size DESC, id) order — the streaming first-fit
+    // approximation every table-maintenance service runs (Delta/Iceberg
+    // OPTIMIZE's bin packing, expressed as prefix sums): bin =
+    // exclusive-prefix-bytes div target, so a bin never starts past the
+    // target and overshoots by at most one file — the classical bound,
+    // computed WITHOUT a sequential packer. The prefix sum is the
+    // bucketized cumSumGlobal (bucket = byte-deficit band, bounded by
+    // the size DOMAIN), so no global window exists; "files" here are
+    // documents with n_chars as bytes — the planner's arithmetic is the
+    // product, the catalog row is a stand-in.
+    "q_x_compaction_plan" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("bytes"))
+      val mx = d.agg(max(col("bytes")).as("mxb"))
+      val keyed = d.crossJoin(broadcast(mx))
+        .withColumn("sort_key",
+          (col("mxb") - col("bytes")) * lit(10000000000L) + col("doc_id"))
+      Ops.cumSumGlobal(keyed, "sort_key", "bytes", "cum",
+          expr("sort_key div 10000000000"))
+        .select(col("doc_id"), col("bytes"),
+          expr("(cum - bytes) div 4096").as("bin"))
+    },
     "q_x_skew_join" -> { (s, dir) =>
       val fact = Tables.events(s, dir)
         .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
@@ -179,6 +202,18 @@ object LayoutQueries {
          |  min(x) AS min_cust, max(x) AS max_cust,
          |  min(y) AS min_day, max(y) AS max_day
          |FROM h GROUP BY 1""".stripMargin,
+    // the same (size DESC, id) synthetic sort key, running sum, and
+    // exclusive-prefix bin division
+    "q_x_compaction_plan" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+        |mx AS (SELECT max(bytes) AS mxb FROM d),
+        |k AS (SELECT doc_id, bytes,
+        |    (mxb - bytes) * 10000000000 + doc_id AS sort_key FROM d, mx),
+        |c AS (SELECT doc_id, bytes,
+        |    CAST(sum(bytes) OVER (ORDER BY sort_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM k)
+        |SELECT doc_id, bytes, (cum - bytes) // 4096 AS bin FROM c""".stripMargin,
     "q_x_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -65,6 +65,43 @@ object SketchQueries {
         ev.filter(col("event_type") === "purchase"),
         "user_id", depth = Depth, width = RollupWidth)
     },
+    // KMV (k-minimum-values / bottom-k) distinct sketch — the one
+    // approximate-distinct tier in the registry whose ESTIMATE is itself
+    // hash-checkable (HLL/theta carry engine-private binary state; KMV's
+    // state is just the k smallest md5 values, so DuckDB replays the
+    // whole chain): per stream the k=64 smallest hashes of user_id over
+    // a 2⁶² domain, est = (k−1)·M div h_k (exact HUGEINT/DECIMAL(38,0)
+    // division), degenerating to the EXACT count when fewer than k
+    // distinct hashes exist (the sketch is lossless below k). The exact
+    // twin and the error in bp ride along, certifying the estimator on
+    // this corpus. Scale shape: the rank-≤k filter is the W5
+    // WindowGroupLimit pattern — each map task forwards at most k
+    // hashes per stream, so the shuffle is k-bounded, and the sketch
+    // column is mergeable by construction (union = re-take bottom-k).
+    "q_x_kmv_distinct" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 64
+      val M = 4611686018427387904L // 2^62
+      val ev = Tables.events(s, dir)
+      val h = ev.select(col("event_type"),
+          pmod(graft.operators.TextOps.md5Long64(
+            concat(lit("kmv:"), col("user_id").cast("string"))), lit(M)).as("h"))
+        .distinct()
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val sk = h.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("h"))))
+        .filter(col("rk") <= K)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("kmv_k"), max(col("h")).as("h_k"))
+      sk.join(exact, "event_type")
+        .withColumn("est_distinct", when(col("kmv_k") < K, col("kmv_k"))
+          .otherwise(expr(
+            s"cast((cast(kmv_k - 1 as decimal(38,0)) * $M) div h_k as bigint)")))
+        .select(col("event_type"), col("n_exact"), col("kmv_k"), col("h_k"),
+          col("est_distinct"),
+          expr("abs(est_distinct - n_exact) * 10000 div n_exact").as("err_bp"))
+    },
     // Exact distinct-set overlap of two behavioral segments — the oracled
     // twin of q_x_theta_sets (per-user flag rollup, then flag algebra).
     "q_x_set_overlap" -> { (s, dir) =>
@@ -137,6 +174,35 @@ object SketchQueries {
          |  FROM cbb JOIN counters USING (i, bucket) GROUP BY cbb.term)
          |SELECT term, est_count FROM est
          |ORDER BY est_count DESC, term ASC LIMIT 50""".stripMargin,
+    // the same kmv hash domain (signed md5 pmod 2^62), bottom-k rank,
+    // HUGEINT estimate division, and sub-k exact degeneration
+    "q_x_kmv_distinct" ->
+      s"""WITH $evCte,
+         |hr AS (SELECT DISTINCT event_type,
+         |    CAST(concat('0x', substr(md5(concat('kmv:', CAST(user_id AS VARCHAR))), 1, 16))
+         |      AS UBIGINT) AS u
+         |  FROM ev),
+         |hh AS (SELECT DISTINCT event_type,
+         |    ((CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+         |           THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |           ELSE CAST(u AS BIGINT) END % 4611686018427387904)
+         |      + 4611686018427387904) % 4611686018427387904 AS h
+         |  FROM hr),
+         |rk AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM hh),
+         |sk AS (SELECT event_type, count(*) AS kmv_k, max(h) AS h_k
+         |  FROM rk WHERE rk <= 64 GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM ev GROUP BY 1),
+         |j AS (SELECT sk.event_type, ex.n_exact, sk.kmv_k, sk.h_k,
+         |    CASE WHEN sk.kmv_k < 64 THEN sk.kmv_k
+         |         ELSE CAST((CAST(sk.kmv_k - 1 AS HUGEINT) * 4611686018427387904)
+         |           // sk.h_k AS BIGINT) END AS est_distinct
+         |  FROM sk JOIN ex USING (event_type))
+         |SELECT event_type, n_exact, kmv_k, h_k, est_distinct,
+         |  abs(est_distinct - n_exact) * 10000 // n_exact AS err_bp
+         |FROM j""".stripMargin,
     // the same per-side md5 counter tables, per-row inner products, min,
     // and the exact per-key product sum
     "q_x_join_card" ->

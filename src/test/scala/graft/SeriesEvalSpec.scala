@@ -256,6 +256,51 @@ class SeriesEvalSpec extends SparkSpec {
     // rows — 600 labels there)
   }
 
+  test("kmv_distinct: bottom-k replay; sub-k streams degenerate to exact") {
+    def md5l(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseUnsignedLong(
+        d.map("%02x".format(_)).mkString.take(16), 16)
+    }
+    val M = 4611686018427387904L
+    val byType = ev.groupBy(_._1)
+    val expected = byType.map { case (t, rows) =>
+      val users = rows.map(_._5).distinct
+      val hs = users.map(u => java.lang.Math.floorMod(md5l("kmv:" + u), M))
+        .distinct.sorted
+      val bottom = hs.take(64)
+      val est =
+        if (bottom.size < 64) bottom.size.toLong
+        else ((BigInt(63) * BigInt(M)) / BigInt(bottom.last)).toLong
+      t -> ((users.size.toLong, bottom.size.toLong, bottom.last, est,
+        (est - users.size).abs * 10000 / users.size))
+    }
+    val got = graft.queries.SketchQueries.queries("q_x_kmv_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("compaction_plan: prefix-sum bins respect the first-fit overshoot bound") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "cast(n_chars as bigint)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ordered = docs.sortBy(t => (-t._2, t._1))
+    var cum = 0L
+    val expected = ordered.map { case (id, b) =>
+      val bin = cum / 4096; cum += b; (id, b, bin)
+    }.toSet
+    val got = graft.queries.LayoutQueries.queries("q_x_compaction_plan")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+    // classical streaming-first-fit bound: a bin never exceeds
+    // target + one file
+    val maxFile = docs.map(_._2).max
+    val perBin = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(perBin.values.forall(_ <= 4096L + maxFile))
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
