@@ -253,6 +253,31 @@ object BehaviorQueries {
     // approximate production tier at extreme scale: per-day HLL
     // sketches + 7-way merge (sketch union IS sliding-window-safe —
     // the q_x_hll_rollup machinery), traded exactly like A4.
+    // Longest consecutive-day activity streaks — the gaps-and-islands
+    // classic at day grain (retention/gamification's "N-day streak"):
+    // per user the distinct active days, island id = day − dense rank
+    // (consecutive days share it — the day-grain sibling of
+    // q_x_sessionize's epoch trick), longest island per user, top-20
+    // overall under a total order. Per-user windows run over distinct
+    // ACTIVE DAYS (calendar-bounded); the top-20 rides TakeOrdered.
+    "q_x_streak" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = ev(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      days
+        .withColumn("isl", expr("datediff(d, date '2024-01-01')") -
+          row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("streak_days"), min(col("d")).as("streak_start"),
+          max(col("d")).as("streak_end"))
+        .select(col("user_id"), col("streak_days"),
+          col("streak_start"), col("streak_end"))
+        .orderBy(col("streak_days").desc, col("user_id").asc,
+          col("streak_start").asc)
+        .limit(20)
+    },
     // Leakage-safe churn LABEL construction — the supervised-learning
     // companion of q_x_cohort_retention (that row measures cohorts; this
     // one builds the per-entity training table): per (user, active
@@ -519,6 +544,22 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same day − rank island id and top-20 total-order cut
+    "q_x_streak" ->
+      s"""WITH $evCte,
+         |d AS (SELECT DISTINCT user_id,
+         |    CAST(date_trunc('day', ts) AS DATE) AS d FROM ev),
+         |i AS (SELECT user_id, d,
+         |    datediff('day', DATE '2024-01-01', d)
+         |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+         |  FROM d),
+         |st AS (SELECT user_id, isl, count(*) AS streak_days,
+         |    min(d) AS streak_start, max(d) AS streak_end
+         |  FROM i GROUP BY 1, 2)
+         |SELECT user_id, streak_days, streak_start, streak_end
+         |FROM st
+         |ORDER BY streak_days DESC, user_id ASC, streak_start ASC
+         |LIMIT 20""".stripMargin,
     // the same per-user week series, lead() future read, and
     // last-week censoring
     "q_x_churn_labels" ->

@@ -372,6 +372,34 @@ object QualityQueries {
         .agg(count(lit(1)).as("group_size"))
         .filter(col("group_size") < 3)
     },
+    // Gini concentration coefficient per event stream — "is the volume
+    // carried by a few whales?", the inequality number behind source-
+    // mixing and rate-limiting decisions. Exact rank formula
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with the numerator kept
+    // BIGINT: ranks never materialize per row — the (type, value) group
+    // sizes give each tied block's rank mass in closed form
+    // (x·(2·n_v·cumBefore + n_v·(n_v+1)) doubled to stay integral,
+    // invariant under tie order because tied values are equal), and the
+    // cumulative runs over DISTINCT cents values — domain-bounded, the
+    // q_x_auc shape. One double division at the end.
+    "q_x_gini" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, dir).select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val g = v.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("nv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumb", coalesce(sum(col("nv")).over(w), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("nv")).as("n"), sum(col("c") * col("nv")).as("sx"),
+          sum(col("c") * (col("nv") * col("cumb") * 2 +
+            col("nv") * (col("nv") + 1))).as("r2x"))
+        .select(col("event_type"), col("n"), col("sx"),
+          (col("r2x") - (col("n") + 1) * col("sx")).as("gini_num"),
+          ((col("r2x") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double")).as("gini"))
+    },
     // Benford first-digit audit per event stream — the fabricated-data /
     // unit-mixup tripwire: observed leading-digit counts vs the Benford
     // expectation carried as INTEGER ppm literals (log10(1+1/d) is a
@@ -599,6 +627,24 @@ object QualityQueries {
         |  s.t AS dow_total, s.d AS dow_days
         |FROM d2 JOIN seasonal s ON d2.event_type = s.event_type AND d2.dow = s.dow
         |WHERE (d2.n * s.d - s.t) * (d2.n * s.d - s.t) > s.d * s.t * 4""".stripMargin,
+    // the same tied-block rank mass in closed form over distinct cents
+    "q_x_gini" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |v AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM ev),
+        |g AS (SELECT event_type, c, count(*) AS nv FROM v GROUP BY 1, 2),
+        |cu AS (SELECT event_type, c, nv,
+        |    coalesce(sum(nv) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g),
+        |m AS (SELECT event_type, CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(sum(c * nv) AS BIGINT) AS sx,
+        |    CAST(sum(c * (2 * nv * cumb + nv * (nv + 1))) AS BIGINT) AS r2x
+        |  FROM cu GROUP BY 1)
+        |SELECT event_type, n, sx,
+        |  r2x - (n + 1) * sx AS gini_num,
+        |  CAST(r2x - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+        |FROM m""".stripMargin,
     // identical ppm literal table (VALUES), universe cross join, and
     // cross-multiplied integer deviation
     "q_x_benford" ->

@@ -301,6 +301,41 @@ class SeriesEvalSpec extends SparkSpec {
     assert(perBin.values.forall(_ <= 4096L + maxFile))
   }
 
+  test("gini: closed-form tied-block ranks equal the naive sorted formula") {
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.map(_._6).sorted
+      val n = xs.size.toLong
+      val sx = xs.sum
+      val r2x = xs.zipWithIndex.map { case (x, i) => 2L * (i + 1) * x }.sum
+      t -> ((n, sx, r2x - (n + 1) * sx,
+        (r2x - (n + 1) * sx).toDouble / (n * sx).toDouble))
+    }
+    val got = graft.queries.QualityQueries.queries("q_x_gini")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected && got.nonEmpty)
+    assert(got.values.forall(v => v._4 >= 0.0 && v._4 < 1.0))
+  }
+
+  test("streak: gaps-and-islands replay; top-20 order pinned") {
+    val days = ev.map(t => (t._5, t._2)).distinct
+    val expected = days.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.map(_._2).sorted.map(java.time.LocalDate.parse)
+      sorted.zipWithIndex
+        .groupBy { case (d, i) => d.toEpochDay - i }
+        .values.map { isl =>
+          val ds = isl.map(_._1)
+          (u, ds.size.toLong, ds.min.toString, ds.max.toString)
+        }
+    }.sortBy(t => (-t._2, t._1, t._3)).take(20)
+    val got = graft.queries.BehaviorQueries.queries("q_x_streak")(spark, sfDir)
+      .selectExpr("user_id", "streak_days", "cast(streak_start as string)",
+        "cast(streak_end as string)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
