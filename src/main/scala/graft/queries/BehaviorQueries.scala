@@ -253,6 +253,53 @@ object BehaviorQueries {
     // approximate production tier at extreme scale: per-day HLL
     // sketches + 7-way merge (sketch union IS sliding-window-safe —
     // the q_x_hll_rollup machinery), traded exactly like A4.
+    // Survival analysis (time-to-conversion) as a Nelson–Aalen risk
+    // table: per user the days from first view to first subsequent
+    // purchase, right-CENSORED at the corpus horizon for users who never
+    // convert — the estimator family (KM/NA) that conversion-lag
+    // averages get WRONG because they silently drop censored users. Per
+    // duration t: the at-risk count (total − everyone who exited before
+    // t — the q_x_auc exclusive-cumulative shape), conversions d_t,
+    // censored exits c_t, and the cumulative hazard Σ d·10⁶ div n_risk
+    // in integer micro-units (the per-term integer division is the
+    // log-free stance: deterministic in both engines; the KM product
+    // would force a float fold). The cumulative runs over the DURATION
+    // DOMAIN (≤ corpus days — the risk table is calendar-sized, so its
+    // one-partition window is bounded like the cumSumGlobal handoff).
+    "q_x_survival" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("d"), col("ts"))
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fvts"),
+          min(col("d")).as("fvd"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .filter(col("ts") >= col("fvts"))
+        .groupBy(col("user_id")).agg(min(col("d")).as("fpd"))
+      val horizon = e.agg(max(col("d")).as("mxd"))
+      val durations = fv.join(fp, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          when(col("fpd").isNotNull, datediff(col("fpd"), col("fvd")))
+            .otherwise(datediff(col("mxd"), col("fvd"))).cast("long").as("t"),
+          col("fpd").isNotNull.as("converted"))
+      val risk = durations.groupBy(col("t"))
+        .agg(count(when(col("converted"), lit(1))).as("d_events"),
+          count(when(!col("converted"), lit(1))).as("c_censored"))
+      val total = durations.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      risk.crossJoin(broadcast(total))
+        .withColumn("n_at_risk", col("n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(w), lit(0L)))
+        .withColumn("na_term", expr("d_events * 1000000 div n_at_risk"))
+        .withColumn("cum_hazard_micro", sum(col("na_term")).over(wc))
+        .select(col("t"), col("n_at_risk"), col("d_events"),
+          col("c_censored"), col("na_term"), col("cum_hazard_micro"))
+    },
     // Longest consecutive-day activity streaks — the gaps-and-islands
     // classic at day grain (retention/gamification's "N-day streak"):
     // per user the distinct active days, island id = day − dense rank
@@ -544,6 +591,42 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same first-view/first-purchase anchors, horizon censoring,
+    // exclusive-cumulative risk set, and integer micro-unit hazard
+    "q_x_survival" ->
+      s"""WITH $evCte,
+         |e AS (SELECT user_id, event_type,
+         |    CAST(date_trunc('day', ts) AS DATE) AS d, ts FROM ev),
+         |fv AS (SELECT user_id, min(ts) AS fvts, min(d) AS fvd
+         |  FROM e WHERE event_type = 'view' GROUP BY 1),
+         |fp AS (SELECT e.user_id, min(e.d) AS fpd
+         |  FROM e JOIN fv ON e.user_id = fv.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= fv.fvts GROUP BY 1),
+         |mx AS (SELECT max(d) AS mxd FROM e),
+         |du AS (SELECT fv.user_id,
+         |    CAST(CASE WHEN fp.fpd IS NOT NULL
+         |      THEN datediff('day', fv.fvd, fp.fpd)
+         |      ELSE datediff('day', fv.fvd, mx.mxd) END AS BIGINT) AS t,
+         |    fp.fpd IS NOT NULL AS converted
+         |  FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id, mx),
+         |r AS (SELECT t,
+         |    count(CASE WHEN converted THEN 1 END) AS d_events,
+         |    count(CASE WHEN NOT converted THEN 1 END) AS c_censored
+         |  FROM du GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM du),
+         |k AS (SELECT t, d_events, c_censored,
+         |    tot.n_total - coalesce(sum(d_events + c_censored) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+         |  FROM r, tot),
+         |h AS (SELECT t, n_at_risk, d_events, c_censored,
+         |    CAST(d_events * 1000000 // n_at_risk AS BIGINT) AS na_term
+         |  FROM k)
+         |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,
+         |  c_censored, na_term,
+         |  CAST(sum(na_term) OVER (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_hazard_micro
+         |FROM h""".stripMargin,
     // the same day − rank island id and top-20 total-order cut
     "q_x_streak" ->
       s"""WITH $evCte,

@@ -336,6 +336,41 @@ class SeriesEvalSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("survival: risk sets, censoring, and integer hazard replay") {
+    // ev: (type, day, micros, event_id, user, cents)
+    val byUser = ev.groupBy(_._5)
+    val horizon = ev.map(_._2).max
+    val durations = byUser.toSeq.flatMap { case (u, rows) =>
+      val views = rows.filter(_._1 == "view")
+      if (views.isEmpty) None
+      else {
+        val fv = views.minBy(r => (r._3, r._4))
+        val purch = rows.filter(r => r._1 == "purchase" && r._3 >= fv._3)
+        def days(a: String, b: String) =
+          java.time.temporal.ChronoUnit.DAYS.between(
+            java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+        if (purch.nonEmpty)
+          Some((days(fv._2, purch.map(_._2).min), true))
+        else Some((days(fv._2, horizon), false))
+      }
+    }
+    val total = durations.size.toLong
+    val ts = durations.map(_._1).distinct.sorted
+    var cumExit = 0L; var cumHaz = 0L
+    val expected = ts.map { t =>
+      val d = durations.count(x => x._1 == t && x._2).toLong
+      val c = durations.count(x => x._1 == t && !x._2).toLong
+      val nRisk = total - cumExit
+      val term = d * 1000000L / nRisk
+      cumExit += d + c; cumHaz += term
+      (t, nRisk, d, c, term, cumHaz)
+    }.toSet
+    val got = graft.queries.BehaviorQueries.queries("q_x_survival")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
