@@ -243,6 +243,25 @@ object StreamJobs {
     graft.operators.Sketches.cmsCounters(
       events.filter(col("event_type") === eventType), "user_id", depth, width)
 
+  /** Streaming Benford digit-counter upkeep — the live tier of
+    * q_x_benford's observed side: one complete-mode aggregate maintains
+    * the (event_type, leading digit) counts; additive integers ⇒ drained
+    * counters ≡ the batch census bit-for-bit, and the ppm-deviation
+    * report derived from drained state equals the registry row (the ppm
+    * table is literal, n is the per-type counter sum — nothing else is
+    * state). The live form is the fraud/unit-mixup tripwire: a feed
+    * whose digit mix drifts from Benford mid-ingest alerts before the
+    * batch audit ever runs.
+    */
+  def benfordCountsStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("obs"))
+
   /** Streaming daily-candle upkeep — the live tier of q_x_ohlc. Every
     * fold in [[graft.functions.Ops.ohlcBars]] is associative (open/close
     * are struct extrema over the (ts, event_id) total order; high/low/

@@ -583,6 +583,34 @@ class StreamingSpec extends SparkSpec {
     assert(estFromDrain == batch.getLong(batch.fieldIndex("est_join")))
   }
 
+  test("streaming Benford counters drain to the batch census; the deviation report derives identically") {
+    val src = Files.createTempDirectory("graft_benford_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.benfordCountsStream(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("benford_s").start()
+    q.processAllAvailable(); q.stop()
+    def canonB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = canonB(spark.table("benford_s"))
+    assert(got == canonB(StreamJobs.benfordCountsStream(ev)) && got.nonEmpty)
+    // deviation report derived from drained state ≡ the registry row
+    val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+    val n = got.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val derived = (for { (t, nt) <- n.toSeq; d <- 1L to 9L } yield {
+      val obs = got.getOrElse((t, d), 0L)
+      (t, d) -> ((obs, nt, ppm(d), (obs * 1000000L - ppm(d) * nt).abs))
+    }).toMap
+    val batch = graft.queries.QualityQueries.queries("q_x_benford")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(derived == batch)
+  }
+
   test("streaming OHLC candle upkeep drains to the batch bars") {
     // every candle fold is associative (struct extrema / min / max /
     // count / sum), so complete-mode drain ≡ batch at any slicing
