@@ -1428,6 +1428,39 @@ object ExtTextQueries {
     // ranker-name order (pinned fold), so the fusion is bit-exact
     // cross-engine. Both input rankings are top-k-bounded → the fusion
     // operates on query-metadata-sized tables at any corpus size.
+    // NDCG@10 of the BM25 ranking against term-coverage relevance grades
+    // — the ranking-eval row that closes the IR family (score → fuse →
+    // diversify → EVALUATE). The log2 position discounts are the Benford
+    // move: ten PUBLIC constants baked as integer micro-units
+    // (⌊10⁶/log2(i+1)⌉), so DCG/IDCG are exact BIGITs and the only
+    // division is the closing basis-point ratio. Ideal ranking = the
+    // corpus's top-10 by grade under a total order (WindowGroupLimit
+    // prunes the rank-≤10 map-side); unjudged retrieved docs grade 0.
+    "q_x_ndcg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val disc = array(Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L).map(lit): _*)
+      val rel = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("rel"))
+      val dcg = bm25Top(s, dir)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .join(rel, Seq("doc_id"), "left")
+        .select((coalesce(col("rel"), lit(0L)) *
+          element_at(disc, col("r"))).as("g"))
+        .agg(sum(col("g")).as("dcg_micro"))
+      val idcg = rel
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("rel").desc, col("doc_id").asc)))
+        .filter(col("r") <= 10)
+        .select((col("rel") * element_at(disc, col("r"))).as("g"))
+        .agg(sum(col("g")).as("idcg_micro"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(col("dcg_micro"), col("idcg_micro"),
+          expr("dcg_micro * 10000 div idcg_micro").as("ndcg_bp"))
+    },
     "q_x_rrf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val ra = bm25Top(s, dir)
@@ -3271,6 +3304,31 @@ object ExtTextQueries {
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // the same two top-10 lists re-ranked, then the pinned ranker-order
     // fold of 1/(60+rank) — rank arithmetic only, no score calibration
+    // the same BM25 chain, literal micro-unit discount table, coverage
+    // grades, and ranked cuts
+    "q_x_ndcg" ->
+      s"""WITH $bm25Ctes,
+         |disc AS (SELECT CAST(i AS BIGINT) AS i, CAST(w AS BIGINT) AS w
+         |  FROM (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+         |    (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+         |    (9, 301030), (10, 289065)) AS t(i, w)),
+         |rel AS (SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS rel
+         |  FROM tok2 WHERE term IN ('spark', 'stream', 'window') GROUP BY 1),
+         |sysr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         |  FROM (SELECT doc_id, score FROM agg
+         |        ORDER BY score DESC, doc_id ASC LIMIT 10)),
+         |dcg AS (SELECT CAST(sum(coalesce(rel.rel, 0) * d.w) AS BIGINT)
+         |    AS dcg_micro
+         |  FROM sysr JOIN disc d ON d.i = sysr.r
+         |  LEFT JOIN rel ON rel.doc_id = sysr.doc_id),
+         |ir AS (SELECT rel,
+         |    row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS r FROM rel),
+         |idcg AS (SELECT CAST(sum(ir.rel * d.w) AS BIGINT) AS idcg_micro
+         |  FROM ir JOIN disc d ON d.i = ir.r WHERE ir.r <= 10)
+         |SELECT dcg.dcg_micro, idcg.idcg_micro,
+         |  dcg.dcg_micro * 10000 // idcg.idcg_micro AS ndcg_bp
+         |FROM dcg, idcg""".stripMargin,
     "q_x_rrf" ->
       s"""WITH $bm25Ctes,
          |ra AS (SELECT doc_id, 'bm25' AS ranker,

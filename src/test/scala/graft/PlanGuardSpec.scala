@@ -58,6 +58,8 @@ class PlanGuardSpec extends SparkSpec {
     // (ktruss additionally checkpoints per peel round)
     "q_x_skyline", "q_x_dbscan", "q_x_linkpred", "q_x_assortativity",
     "q_x_ktruss",
+    // runs LPA's checkpointed label rounds at build (the lpa stance)
+    "q_x_modularity",
     // semdedup survivor selection and the leakage-safe split ride
     // duplicateClusters' per-round label-flooding checkpoints
     "q_x_semdedup", "q_x_split_safe",

@@ -371,6 +371,52 @@ class SeriesEvalSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("modularity: cross-multiplied fold replays from the engine's labels") {
+    // LPA itself is pinned in GraphSpec; here the MODULARITY fold is
+    // replayed on the driver from the same labels and edge set
+    val o = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = o.groupBy(_._2).map { case (sp, xs) => sp -> xs.map(_._1).toSet }
+    val supps = bySupp.keys.toSeq.sorted
+    val edges = (for {
+      i <- supps.indices; j <- (i + 1) until supps.size
+      if (bySupp(supps(i)) & bySupp(supps(j))).size >= 9
+    } yield (supps(i), supps(j))).toSet
+    val labs = graft.operators.Graph.labelPropagation(
+        spark.createDataFrame(edges.toSeq).toDF("a", "b"), "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.size.toLong
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val comms = labs.values.toSet
+    val qNum = comms.toSeq.map { c =>
+      val eC = edges.count(e => labs(e._1) == c && labs(e._2) == c).toLong
+      val dC = labs.collect { case (n, l) if l == c => deg(n) }.sum
+      4L * m * eC - dC * dC
+    }.sum
+    val r = graft.queries.GraphQueries.queries("q_x_modularity")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == comms.size && r.getLong(1) == m &&
+      r.getLong(2) == qNum)
+    assert(r.getDouble(3) == qNum.toDouble / (4.0 * m * m))
+    assert(r.getDouble(3) >= -0.5 && r.getDouble(3) < 1.0)
+  }
+
+  test("ndcg: literal discount table is round(1e6/log2(i+1)); driver replay") {
+    val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    for (i <- 1 to 10)
+      assert(disc(i - 1) ==
+        math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))), s"i=$i")
+    val r = graft.queries.ExtTextQueries.queries("q_x_ndcg")(spark, sfDir)
+      .collect().head
+    val (dcg, idcg, bp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(bp == dcg * 10000 / idcg)
+    assert(bp >= 0 && bp <= 10000, "NDCG must sit in [0, 1]")
+    assert(idcg > 0)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
