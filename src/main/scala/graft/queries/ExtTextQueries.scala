@@ -1461,6 +1461,37 @@ object ExtTextQueries {
         .select(col("dcg_micro"), col("idcg_micro"),
           expr("dcg_micro * 10000 div idcg_micro").as("ndcg_bp"))
     },
+    // MAP@10 (binary relevance: ≥2 distinct query terms) — NDCG's
+    // rank-UNAWARE sibling: average precision rewards putting relevant
+    // docs early without a graded discount. All-integer: precision@i
+    // terms as hits·10⁶ div i summed over relevant positions, then one
+    // integer division by min(R, 10) — truncating twice is the
+    // documented contract, deterministic in both engines. The running
+    // hit count is a 10-row window over the ranked cut; R comes from one
+    // broadcast corpus-side count.
+    "q_x_map" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val relB = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("cov"))
+        .filter(col("cov") >= 2).select(col("doc_id"))
+      val r = relB.agg(count(lit(1)).as("n_relevant"))
+      val sys = bm25Top(s, dir)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .join(relB.withColumn("relv", lit(1L)), Seq("doc_id"), "left")
+        .withColumn("relv", coalesce(col("relv"), lit(0L)))
+        .withColumn("hits", sum(col("relv")).over(
+          Window.orderBy(col("r"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("term",
+          when(col("relv") === 1, expr("hits * 1000000 div r")).otherwise(lit(0L)))
+      sys.agg(sum(col("term")).as("ap_sum"), max(col("hits")).as("hits_at_10"))
+        .crossJoin(broadcast(r))
+        .select(col("n_relevant"), col("hits_at_10"),
+          expr("ap_sum div least(n_relevant, 10)").as("ap_micro"))
+    },
     "q_x_rrf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val ra = bm25Top(s, dir)
@@ -3304,6 +3335,32 @@ object ExtTextQueries {
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // the same two top-10 lists re-ranked, then the pinned ranker-order
     // fold of 1/(60+rank) — rank arithmetic only, no score calibration
+    // the same binary-relevance cut, running hit count, and double
+    // integer truncation
+    "q_x_map" ->
+      s"""WITH $bm25Ctes,
+         |relb AS (SELECT doc_id FROM (
+         |    SELECT doc_id, count(DISTINCT term) AS cov FROM tok2
+         |    WHERE term IN ('spark', 'stream', 'window') GROUP BY 1)
+         |  WHERE cov >= 2),
+         |r AS (SELECT count(*) AS n_relevant FROM relb),
+         |sysr AS (SELECT s.doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r,
+         |    CASE WHEN relb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS relv
+         |  FROM (SELECT doc_id, score FROM agg
+         |        ORDER BY score DESC, doc_id ASC LIMIT 10) s
+         |  LEFT JOIN relb USING (doc_id)),
+         |h AS (SELECT r, relv,
+         |    CAST(sum(relv) OVER (ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS hits
+         |  FROM sysr),
+         |t AS (SELECT CAST(sum(CASE WHEN relv = 1
+         |      THEN hits * 1000000 // r ELSE 0 END) AS BIGINT) AS ap_sum,
+         |    max(hits) AS hits_at_10 FROM h)
+         |SELECT r.n_relevant, t.hits_at_10,
+         |  t.ap_sum // least(r.n_relevant, 10) AS ap_micro
+         |FROM t, r""".stripMargin,
     // the same BM25 chain, literal micro-unit discount table, coverage
     // grades, and ranked cuts
     "q_x_ndcg" ->

@@ -417,6 +417,17 @@ class SeriesEvalSpec extends SparkSpec {
     assert(idcg > 0)
   }
 
+  test("map: identities hold — ap bounded by precision ceiling; hits consistent") {
+    val r = graft.queries.ExtTextQueries.queries("q_x_map")(spark, sfDir)
+      .collect().head
+    val (nRel, hits10, ap) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(hits10 >= 0 && hits10 <= 10 && hits10 <= nRel)
+    assert(ap >= 0 && ap <= 1000000L, "AP must sit in [0, 1] micro-units")
+    // AP is 10^6 iff every relevant doc (up to 10) leads the ranking;
+    // any miss in the prefix strictly lowers it
+    if (hits10 < math.min(nRel, 10L)) assert(ap < 1000000L)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
