@@ -45,6 +45,27 @@ object ExtTextQueries {
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextOps.langIdFromTokens(col("toks"), lexicons).as("lang_pred"))
     },
+    // Language-ID confusion matrix — the engine EVALUATING ITS OWN
+    // operator: q_x_lang_id's stopword-lexicon predictions against the
+    // corpus's true lang labels, per (true, predicted) cell the count and
+    // the row share in exact basis points. The matrix is the artifact a
+    // pipeline owner reads before trusting the lang gate in
+    // q_x_pipeline_e2e / the dataset card — accuracy alone hides WHICH
+    // languages bleed into which. Cell space is lang² (bounded), one
+    // narrow scoring map + a 2-key aggregate.
+    "q_x_langid_eval" -> { (s, dir) =>
+      val pred = Tables.documents(s, dir)
+        .select(col("lang"),
+          TextOps.langIdFromTokens(TextOps.tokens(col("text")), lexicons)
+            .as("lang_pred"))
+      val cells = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("n * 10000 div row_n").as("share_bp"),
+          (col("lang") === col("lang_pred")).as("is_correct"))
+    },
     // End-to-end pretraining-data pipeline: stage tokens once, score
     // quality and language, FILTER (quality >= 0.5, known language), exact
     // content-dedup on the order-invariant fingerprint (DISTINCT ON (fp)
@@ -2023,6 +2044,32 @@ object ExtTextQueries {
          |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
          |       ELSE 'zh' END AS lang_pred
          |FROM s""".stripMargin,
+    // the q_x_lang_id scoring chain joined back to the truth labels,
+    // then the bounded lang² cell rollup with integer row shares
+    "q_x_langid_eval" ->
+      s"""WITH $wCte,
+         |s AS (SELECT doc_id,
+         |  len(list_filter(ws, t -> t IN ('der','die','das'))) AS s_de,
+         |  len(list_filter(ws, t -> t IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(ws, t -> t IN ('el','la','de'))) AS s_es,
+         |  len(list_filter(ws, t -> t IN ('le','les','une'))) AS s_fr,
+         |  len(list_filter(ws, t -> t IN ('de5','shi4','le5'))) AS s_zh
+         |FROM w),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM s),
+         |c AS (SELECT d.lang, p.lang_pred, count(*) AS n
+         |  FROM documents d JOIN p ON d.doc_id = p.doc_id GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+         |SELECT c.lang, c.lang_pred, c.n,
+         |  c.n * 10000 // t.row_n AS share_bp,
+         |  c.lang = c.lang_pred AS is_correct
+         |FROM c JOIN t USING (lang)""".stripMargin,
     "q_x_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fingerprint

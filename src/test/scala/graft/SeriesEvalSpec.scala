@@ -428,6 +428,24 @@ class SeriesEvalSpec extends SparkSpec {
     if (hits10 < math.min(nRel, 10L)) assert(ap < 1000000L)
   }
 
+  test("langid_eval: cells sum to the corpus; shares are exact row fractions") {
+    val rows = graft.queries.ExtTextQueries.queries("q_x_langid_eval")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._3).sum == corpus, "every doc lands in exactly one cell")
+    for ((lang, cells) <- rows.groupBy(_._1)) {
+      val rowN = cells.map(_._3).sum
+      cells.foreach { c =>
+        assert(c._4 == c._3 * 10000 / rowN, s"share mismatch in $lang")
+        assert(c._5 == (c._1 == c._2))
+      }
+    }
+    // the lexicon gate must be BETTER than chance on its own corpus
+    val correct = rows.filter(_._5).map(_._3).sum
+    assert(correct * 5 > corpus, s"accuracy ${correct}/$corpus below chance")
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
