@@ -635,6 +635,20 @@ object Ops {
       sum(col(valueCol)).as("vol_c"))
   }
 
+  /** Per-(event_type, day) exact-cents daily totals — the shared series
+    * kernel under the CUSUM / autocorrelation / cross-correlation / MASE
+    * rows AND their streaming twin (StreamJobs.dailyCentsStream): one
+    * keyed aggregate, map-side combine absorbs the raw event volume, and
+    * every statistic is an additive integer — so a complete-mode stream
+    * drains to the identical table at any micro-batch slicing.
+    */
+  def dailyTypeCents(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("d"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("c")).as("x"))
+
   /** Rolling-origin (expanding-window) time-series cross-validation
     * assignment at a calendar `grain`: the last `k` periods are the
     * validation origins — fold f (1-based) validates on period P−k+f and

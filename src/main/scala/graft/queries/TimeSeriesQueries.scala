@@ -186,6 +186,57 @@ object TimeSeriesQueries {
         .withColumn("corr", when(col("den1") > 0 && col("den2") > 0,
           col("num").cast("double") /
             (sqrt(col("den1").cast("double")) * sqrt(col("den2").cast("double")))))
+    },
+    // Lead–lag CROSS-correlation between the view and purchase daily
+    // series — "does view volume lead purchase volume, and by how many
+    // days?": Pearson r of (views_d, purchases_{d+k}) for k = 0..3 with
+    // the q_x_autocorr exact-moment machinery generalized to two series
+    // (Σy² now genuinely differs from Σx²). All BIGINT pieces, two IEEE
+    // sqrts + one division per lag; calendar join ⇒ gaps drop pairs
+    // identically in both engines.
+    "q_x_cross_corr" -> { (s, dir) =>
+      val dl = dailyCents(s, dir).withColumn("x", expr("x div 100"))
+      val vx = dl.filter(col("event_type") === "view")
+        .select(col("d"), col("x").as("xv"))
+      val py = dl.filter(col("event_type") === "purchase")
+        .select(col("d").as("dy"), col("x").as("yv"))
+      def lagged(k: Int) = vx.join(py, col("dy") === date_add(col("d"), k))
+        .select(lit(k.toLong).as("lag"), col("xv"), col("yv"))
+      (0 to 3).map(lagged).reduce(_ unionByName _)
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("p"), sum(col("xv")).as("sx"),
+          sum(col("yv")).as("sy"), sum(col("xv") * col("yv")).as("sxy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .select(col("lag"), col("p").as("n_pairs"),
+          (col("p") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("p") * col("sxx") - col("sx") * col("sx")).as("den1"),
+          (col("p") * col("syy") - col("sy") * col("sy")).as("den2"))
+        .withColumn("corr", when(col("den1") > 0 && col("den2") > 0,
+          col("num").cast("double") /
+            (sqrt(col("den1").cast("double")) * sqrt(col("den2").cast("double")))))
+    },
+    // Seasonal-naive vs naive-1 MEAN-error ratio (the MASE denominator
+    // pair): mean|x_t − x_{t−7}| against mean|x_t − x_{t−1}| per stream,
+    // cross-multiplied so no mean ever floats —
+    // ratio_bp = Σ₇·n₁·10⁴ div (Σ₁·n₇); ratio < 10⁴ means last-week
+    // beats yesterday as a forecast, i.e. the series has real weekly
+    // structure (the actionable sibling of q_x_autocorr's lag-7 r). All
+    // integers, one guarded division; calendar self-joins, gaps drop
+    // pairs identically in both engines.
+    "q_x_mase" -> { (s, dir) =>
+      val dl = dailyCents(s, dir)
+      def diffs(k: Int, nOut: String, sOut: String) = dl.as("a")
+        .join(dl.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("b.d") === date_add(col("a.d"), k))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(count(lit(1)).as(nOut),
+          sum(abs(col("b.x") - col("a.x"))).as(sOut))
+      diffs(1, "n1", "sum_abs_d1").join(diffs(7, "n7", "sum_abs_d7"), "event_type")
+        .select(col("event_type"), col("n1"), col("sum_abs_d1"),
+          col("n7"), col("sum_abs_d7"),
+          when(col("sum_abs_d1") > 0 && col("n7") > 0,
+            expr("sum_abs_d7 * n1 * 10000 div (sum_abs_d1 * n7)")).as("ratio_bp"))
     }
   )
 
@@ -194,10 +245,7 @@ object TimeSeriesQueries {
     * combine absorbs the raw event volume at any scale.
     */
   private def dailyCents(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-      .groupBy(col("event_type"), col("d")).agg(sum(col("c")).as("x"))
+    Ops.dailyTypeCents(Tables.events(s, dir))
 
   private val dailyCteSql =
     s"""$evCte,
@@ -303,6 +351,48 @@ object TimeSeriesQueries {
          |      / (sqrt(CAST(p * sxx - sx * sx AS DOUBLE))
          |         * sqrt(CAST(p * syy - sy * sy AS DOUBLE)))
          |  END AS corr
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+    // the two-series exact-moment pieces over the same calendar lag join
+    "q_x_cross_corr" ->
+      s"""WITH $dailyCteSql,
+         |d2 AS (SELECT event_type, d, x // 100 AS x FROM dl),
+         |vx AS (SELECT d, x AS xv FROM d2 WHERE event_type = 'view'),
+         |py AS (SELECT d AS dy, x AS yv FROM d2 WHERE event_type = 'purchase'),
+         |pr AS (SELECT l.lag, vx.xv, py.yv
+         |  FROM vx CROSS JOIN (VALUES (0), (1), (2), (3)) AS l(lag)
+         |  JOIN py ON py.dy = vx.d + l.lag),
+         |m AS (SELECT CAST(lag AS BIGINT) AS lag, count(*) AS p,
+         |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         |    CAST(sum(xv * yv) AS BIGINT) AS sxy,
+         |    CAST(sum(xv * xv) AS BIGINT) AS sxx,
+         |    CAST(sum(yv * yv) AS BIGINT) AS syy
+         |  FROM pr GROUP BY 1)
+         |SELECT lag, p AS n_pairs,
+         |  p * sxy - sx * sy AS num,
+         |  p * sxx - sx * sx AS den1,
+         |  p * syy - sy * sy AS den2,
+         |  CASE WHEN p * sxx - sx * sx > 0 AND p * syy - sy * sy > 0
+         |    THEN CAST(p * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(p * sxx - sx * sx AS DOUBLE))
+         |         * sqrt(CAST(p * syy - sy * sy AS DOUBLE)))
+         |  END AS corr
+         |FROM m""".stripMargin,
+    // the same two calendar self-joins and the cross-multiplied
+    // mean-error ratio
+    "q_x_mase" ->
+      s"""WITH $dailyCteSql,
+         |d1 AS (SELECT a.event_type, count(*) AS n1,
+         |    CAST(sum(abs(b.x - a.x)) AS BIGINT) AS s1
+         |  FROM dl a JOIN dl b
+         |    ON b.event_type = a.event_type AND b.d = a.d + 1 GROUP BY 1),
+         |d7 AS (SELECT a.event_type, count(*) AS n7,
+         |    CAST(sum(abs(b.x - a.x)) AS BIGINT) AS s7
+         |  FROM dl a JOIN dl b
+         |    ON b.event_type = a.event_type AND b.d = a.d + 7 GROUP BY 1)
+         |SELECT d1.event_type, d1.n1, d1.s1 AS sum_abs_d1,
+         |  d7.n7, d7.s7 AS sum_abs_d7,
+         |  CASE WHEN d1.s1 > 0 AND d7.n7 > 0
+         |    THEN d7.s7 * d1.n1 * 10000 // (d1.s1 * d7.n7) END AS ratio_bp
+         |FROM d1 JOIN d7 USING (event_type)""".stripMargin
   )
 }

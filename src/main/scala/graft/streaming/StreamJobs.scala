@@ -262,6 +262,18 @@ object StreamJobs {
       .groupBy(col("event_type"), col("digit"))
       .agg(count(lit(1)).as("obs"))
 
+  /** Streaming daily-series upkeep — the live tier of the SHARED kernel
+    * under q_x_cusum / q_x_autocorr / q_x_cross_corr / q_x_mase
+    * ([[graft.functions.Ops.dailyTypeCents]], one definition): additive
+    * integer (type, day) cents totals, so the drained table equals the
+    * batch series bit-for-bit and every derived statistic (changepoint,
+    * lag correlation, MASE ratio) inherits the equality. The live form
+    * is the monitoring substrate: the day's running totals exist the
+    * moment events land, and the batch detectors read the same table.
+    */
+  def dailyCentsStream(events: DataFrame): DataFrame =
+    graft.functions.Ops.dailyTypeCents(events)
+
   /** Streaming daily-candle upkeep — the live tier of q_x_ohlc. Every
     * fold in [[graft.functions.Ops.ohlcBars]] is associative (open/close
     * are struct extrema over the (ts, event_id) total order; high/low/

@@ -446,6 +446,47 @@ class SeriesEvalSpec extends SparkSpec {
     assert(correct * 5 > corpus, s"accuracy ${correct}/$corpus below chance")
   }
 
+  test("mase and cross_corr: calendar-lag replays over the shared daily series") {
+    val daily = ev.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._6).sum).toMap
+    def plus(d: String, k: Int) = java.time.LocalDate.parse(d).plusDays(k).toString
+    // mase replay
+    val types = daily.keys.map(_._1).toSet
+    val expMase = types.map { t =>
+      def diffs(k: Int) = daily.collect {
+        case ((tt, d), x) if tt == t && daily.contains((t, plus(d, k))) =>
+          (daily((t, plus(d, k))) - x).abs
+      }.toSeq
+      val (d1, d7) = (diffs(1), diffs(7))
+      val ratio = if (d1.sum > 0 && d7.nonEmpty)
+        Some(d7.sum * d1.size * 10000L / (d1.sum * d7.size)) else None
+      t -> ((d1.size.toLong, d1.sum, d7.size.toLong, d7.sum, ratio))
+    }.toMap
+    val gotMase = graft.queries.TimeSeriesQueries.queries("q_x_mase")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(gotMase == expMase && gotMase.nonEmpty)
+    // cross_corr replay (lag 0..3, views lead purchases)
+    val wu = daily.collect { case ((t, d), x) if t == "view" => d -> x / 100 }.toMap
+    val pu = daily.collect { case ((t, d), x) if t == "purchase" => d -> x / 100 }.toMap
+    val expCc = (0L to 3L).flatMap { k =>
+      val pairs = wu.toSeq.flatMap { case (d, x) =>
+        pu.get(plus(d, k.toInt)).map(y => (x, y)) }
+      if (pairs.isEmpty) None else {
+        val p = pairs.size.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(q => q._1 * q._2).sum
+        val sxx = pairs.map(q => q._1 * q._1).sum
+        val syy = pairs.map(q => q._2 * q._2).sum
+        Some(k -> ((p, p * sxy - sx * sy, p * sxx - sx * sx, p * syy - sy * sy)))
+      }
+    }.toMap
+    val gotCc = graft.queries.TimeSeriesQueries.queries("q_x_cross_corr")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(gotCc == expCc && gotCc.nonEmpty)
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,

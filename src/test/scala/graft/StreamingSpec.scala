@@ -611,6 +611,23 @@ class StreamingSpec extends SparkSpec {
     assert(derived == batch)
   }
 
+  test("streaming daily-series upkeep drains to the batch kernel table") {
+    val src = Files.createTempDirectory("graft_daily_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.dailyCentsStream(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("daily_s").start()
+    q.processAllAvailable(); q.stop()
+    def canonDaily(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getLong(2)).toMap
+    val got = canonDaily(spark.table("daily_s"))
+    assert(got == canonDaily(StreamJobs.dailyCentsStream(ev)) && got.nonEmpty)
+  }
+
   test("streaming OHLC candle upkeep drains to the batch bars") {
     // every candle fold is associative (struct extrema / min / max /
     // count / sum), so complete-mode drain ≡ batch at any slicing
