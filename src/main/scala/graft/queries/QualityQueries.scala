@@ -372,6 +372,39 @@ object QualityQueries {
         .agg(count(lit(1)).as("group_size"))
         .filter(col("group_size") < 3)
     },
+    // Two-sample Kolmogorov–Smirnov drift per stream — the BINLESS tier
+    // completing the drift trio (χ² = binned association, W1 = binned
+    // magnitude, KS = exact sup-norm on the raw value domain, the test
+    // that catches a shape shift the fixed bins straddle). The statistic
+    // stays integral by cross-multiplication: D·n₁·n₂ = max over values
+    // of |cum₁·n₂ − cum₂·n₁| with inclusive cumulatives per cohort over
+    // DISTINCT cents — the domain-bounded auc/gini window shape — and
+    // ONE closing double division. Same ref/current split as
+    // q_x_drift_chi2 (day ≤ 15), so the three tiers read as one report.
+    "q_x_drift_ks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("is_ref"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val g = e.groupBy(col("event_type"), col("c"))
+        .agg(count(when(col("is_ref"), lit(1))).as("o1"),
+          count(when(!col("is_ref"), lit(1))).as("o2"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = g.groupBy(col("event_type"))
+        .agg(sum(col("o1")).as("n_ref"), sum(col("o2")).as("n_cur"))
+      g.withColumn("cum1", sum(col("o1")).over(w))
+        .withColumn("cum2", sum(col("o2")).over(w))
+        .join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+        .agg(max(abs(col("cum1") * col("n_cur") - col("cum2") * col("n_ref")))
+          .as("ks_num"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks_num"),
+          when(col("n_ref") > 0 && col("n_cur") > 0,
+            col("ks_num").cast("double") /
+              (col("n_ref") * col("n_cur")).cast("double")).as("ks"))
+    },
     // Gini concentration coefficient per event stream — "is the volume
     // carried by a few whales?", the inequality number behind source-
     // mixing and rate-limiting decisions. Exact rank formula
@@ -627,6 +660,30 @@ object QualityQueries {
         |  s.t AS dow_total, s.d AS dow_days
         |FROM d2 JOIN seasonal s ON d2.event_type = s.event_type AND d2.dow = s.dow
         |WHERE (d2.n * s.d - s.t) * (d2.n * s.d - s.t) > s.d * s.t * 4""".stripMargin,
+    // the same per-cohort inclusive cumulatives over distinct cents and
+    // cross-multiplied sup-norm
+    "q_x_drift_ks" ->
+      """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS is_ref,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT event_type, c,
+        |    count(CASE WHEN is_ref THEN 1 END) AS o1,
+        |    count(CASE WHEN NOT is_ref THEN 1 END) AS o2
+        |  FROM ev GROUP BY 1, 2),
+        |cu AS (SELECT event_type, c, o1, o2,
+        |    CAST(sum(o1) OVER w AS BIGINT) AS cum1,
+        |    CAST(sum(o2) OVER w AS BIGINT) AS cum2
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT event_type, CAST(sum(o1) AS BIGINT) AS n_ref,
+        |    CAST(sum(o2) AS BIGINT) AS n_cur FROM g GROUP BY 1)
+        |SELECT cu.event_type, t.n_ref, t.n_cur,
+        |  max(abs(cu.cum1 * t.n_cur - cu.cum2 * t.n_ref)) AS ks_num,
+        |  CASE WHEN t.n_ref > 0 AND t.n_cur > 0
+        |    THEN CAST(max(abs(cu.cum1 * t.n_cur - cu.cum2 * t.n_ref)) AS DOUBLE)
+        |      / CAST(t.n_ref * t.n_cur AS DOUBLE) END AS ks
+        |FROM cu JOIN t USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the same tied-block rank mass in closed form over distinct cents
     "q_x_gini" ->
       """WITH ev AS (SELECT event_type, value FROM events),

@@ -487,6 +487,25 @@ class SeriesEvalSpec extends SparkSpec {
     assert(gotCc == expCc && gotCc.nonEmpty)
   }
 
+  test("drift_ks: cross-multiplied sup-norm equals the naive two-CDF scan") {
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val ref = rows.filter(r => r._2.substring(8, 10).toInt <= 15).map(_._6)
+      val cur = rows.filter(r => r._2.substring(8, 10).toInt > 15).map(_._6)
+      val vs = (ref ++ cur).distinct.sorted
+      val (n1, n2) = (ref.size.toLong, cur.size.toLong)
+      val num = vs.map(v =>
+        (ref.count(_ <= v).toLong * n2 - cur.count(_ <= v).toLong * n1).abs).max
+      t -> ((n1, n2, num,
+        if (n1 > 0 && n2 > 0) Some(num.toDouble / (n1 * n2).toDouble) else None))
+    }
+    val got = graft.queries.QualityQueries.queries("q_x_drift_ks")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got == expected && got.nonEmpty)
+    assert(got.values.forall(v => v._4.forall(k => k >= 0.0 && k <= 1.0)))
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
