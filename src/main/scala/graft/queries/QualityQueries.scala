@@ -405,6 +405,31 @@ object QualityQueries {
             col("ks_num").cast("double") /
               (col("n_ref") * col("n_cur")).cast("double")).as("ks"))
     },
+    // Herfindahl–Hirschman concentration per event stream — Gini's
+    // antitrust sibling over the per-USER volume shares: HHI = Σ sᵢ²
+    // carried cross-multiplied as Σ vᵢ² / (Σv)² so no share ever floats
+    // (numerator Σ vᵢ² exact BIGINT over cents, one closing division;
+    // hhi ∈ (0, 1], 1 = one whale carries everything). One user-keyed
+    // aggregate absorbs the events map-side; the squares fold over the
+    // per-user totals, user-cardinality-sized.
+    "q_x_hhi" -> { (s, dir) =>
+      val byUser = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("c")).as("v"))
+      byUser.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("v")).as("total_cents"),
+          sum(col("v") * col("v")).as("sum_sq"))
+        .select(col("event_type"), col("n_users"), col("total_cents"),
+          col("sum_sq"),
+          // denominator squared in DOUBLE: total² would overflow int64
+          // around sf1 (total ~10¹⁰ cents); the cast is exact (≤ 2⁵³)
+          // and the double product is correctly rounded in both engines
+          when(col("total_cents") > 0, col("sum_sq").cast("double") /
+            (col("total_cents").cast("double") * col("total_cents").cast("double")))
+            .as("hhi"))
+    },
     // Gini concentration coefficient per event stream — "is the volume
     // carried by a few whales?", the inequality number behind source-
     // mixing and rate-limiting decisions. Exact rank formula
@@ -660,6 +685,22 @@ object QualityQueries {
         |  s.t AS dow_total, s.d AS dow_days
         |FROM d2 JOIN seasonal s ON d2.event_type = s.event_type AND d2.dow = s.dow
         |WHERE (d2.n * s.d - s.t) * (d2.n * s.d - s.t) > s.d * s.t * 4""".stripMargin,
+    // the same per-user volume rollup and cross-multiplied share squares
+    "q_x_hhi" ->
+      """WITH ev AS (SELECT event_type, user_id, value FROM events),
+        |u AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n_users,
+        |    CAST(sum(v) AS BIGINT) AS total_cents,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_users, total_cents, sum_sq,
+        |  CASE WHEN total_cents > 0 THEN CAST(sum_sq AS DOUBLE)
+        |    / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+        |  END AS hhi
+        |FROM m""".stripMargin,
     // the same per-cohort inclusive cumulatives over distinct cents and
     // cross-multiplied sup-norm
     "q_x_drift_ks" ->

@@ -506,6 +506,22 @@ class SeriesEvalSpec extends SparkSpec {
     assert(got.values.forall(v => v._4.forall(k => k >= 0.0 && k <= 1.0)))
   }
 
+  test("hhi: cross-multiplied share squares replay; bounded by 1/n..1") {
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val v = rows.groupBy(_._5).view.mapValues(_.map(_._6).sum).values.toSeq
+      val total = v.sum
+      t -> ((v.size.toLong, total, v.map(x => x * x).sum,
+        v.map(x => x * x).sum.toDouble / (total.toDouble * total.toDouble)))
+    }
+    val got = graft.queries.QualityQueries.queries("q_x_hhi")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected && got.nonEmpty)
+    got.values.foreach { case (n, _, _, h) =>
+      assert(h >= 1.0 / n - 1e-12 && h <= 1.0, s"HHI out of [1/n, 1]: $h")
+    }
+  }
+
   test("benford: universe-complete digit census with exact ppm deviations") {
     val pos = ev.filter(_._6 > 0).map(t => (t._1, t._6.toString.take(1).toLong))
     val ppm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
