@@ -138,6 +138,20 @@ object Bench {
     // not a plan regression)
     val gcj = gcByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm","settle_sec":$settleSec,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"gc_ms":$gcj}""")
+    // Compact summary line LAST (r16, VERDICT item 1): the driver captures
+    // only the final 2000 characters of stdout, so the full line above —
+    // ~9 KB of per-query timings + the gc_ms map — loses everything before
+    // its own tail (BENCH_r15.json carried zero timings). This line is the
+    // driver-facing perf contract: total/settle/heap plus the 20 slowest
+    // rows as name:[median_sec, gc_ms], hard-capped under the window so
+    // the perf signal survives regardless of registry size.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) =>
+        "\"" + k + "\":[" + f"$v%.2f" + "," + gcByQuery.getOrElse(k, 0L) + "]" }
+      .mkString("{", ",", "}")
+    val summary = f"""{"metric":"summary","total":$total%.1f,"n":${results.size},"sf":"$sfDir","settle_sec":$settleSec%.1f,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"slowest":$slow}"""
+    println(if (summary.length <= 1800) summary
+            else summary.take(1797) + "…}}") // never: 20×~40 chars ≪ 1800
     spark.stop()
   }
 }

@@ -955,12 +955,19 @@ object Dedup {
     // with corpus² (measured 18× at 10× data). With a cap the effective
     // bp is derived from the corpus count ([[autoSampleBp]]) so the
     // expected sample — and hence the truth stage — is O(1) in corpus
-    // size by construction. The count is one cheap job next to the
-    // quadratic stage it protects (the Similarity.autoPlanes argument);
-    // callers who already know the row count (parquet footers) can call
-    // autoSampleBp themselves and pass the pin via sampleBp.
+    // size by construction. For a raw table scan the count is free
+    // (parquet footer statistics, no job); otherwise it is one cheap
+    // job next to the quadratic stage it protects (the
+    // Similarity.autoPlanes argument). Callers who already know the row
+    // count can call autoSampleBp themselves and pin via sampleBp.
+    // r16: when the input is a raw parquet scan the count comes from the
+    // footers (no job at all — Tables.footerCountIfPlainScan); the full
+    // count job is the fallback for derived inputs only.
     val effBp = maxSampleRows match {
-      case Some(cap) => math.min(sampleBp, autoSampleBp(docs.count(), cap))
+      case Some(cap) =>
+        val rows = graft.sources.Tables.footerCountIfPlainScan(docs)
+          .getOrElse(docs.count())
+        math.min(sampleBp, autoSampleBp(rows, cap))
       case None => sampleBp
     }
     val sample = docs

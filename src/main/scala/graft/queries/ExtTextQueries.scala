@@ -1510,8 +1510,13 @@ object ExtTextQueries {
           when(col("relv") === 1, expr("hits * 1000000 div r")).otherwise(lit(0L)))
       sys.agg(sum(col("term")).as("ap_sum"), max(col("hits")).as("hits_at_10"))
         .crossJoin(broadcast(r))
+        // Zero guard (r16 ADVICE): a corpus where no document covers ≥2
+        // query terms gives n_relevant = 0; DuckDB's `//` by zero errors
+        // while Spark's `div` yields NULL, breaking the engine/oracle
+        // contract on the degenerate input. Both sides now agree on NULL.
         .select(col("n_relevant"), col("hits_at_10"),
-          expr("ap_sum div least(n_relevant, 10)").as("ap_micro"))
+          when(col("n_relevant") > 0,
+            expr("ap_sum div least(n_relevant, 10)")).as("ap_micro"))
     },
     "q_x_rrf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -3406,7 +3411,8 @@ object ExtTextQueries {
          |      THEN hits * 1000000 // r ELSE 0 END) AS BIGINT) AS ap_sum,
          |    max(hits) AS hits_at_10 FROM h)
          |SELECT r.n_relevant, t.hits_at_10,
-         |  t.ap_sum // least(r.n_relevant, 10) AS ap_micro
+         |  CASE WHEN r.n_relevant > 0
+         |    THEN t.ap_sum // least(r.n_relevant, 10) END AS ap_micro
          |FROM t, r""".stripMargin,
     // the same BM25 chain, literal micro-unit discount table, coverage
     // grades, and ranked cuts

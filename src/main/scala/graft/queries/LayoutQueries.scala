@@ -151,9 +151,21 @@ object LayoutQueries {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars").cast("long").as("bytes"))
       val mx = d.agg(max(col("bytes")).as("mxb"))
+      // Packing-headroom guards (r16 ADVICE): sort_key packs doc_id into
+      // the low 10¹⁰ slots of (deficit)·10¹⁰ + doc_id. A doc_id ≥ 10¹⁰
+      // would silently corrupt the (size DESC, id) order — and the oracle
+      // replays the same formula, so the hash gate could NOT catch it —
+      // and a byte deficit > 922,337,202 would overflow int64. Both are
+      // now hard assertions (codegen'd, throw on first bad row) instead
+      // of silent wraparound; production catalogs with wider ids derive
+      // the multiplier from max(doc_id)+1 instead of this constant.
       val keyed = d.crossJoin(broadcast(mx))
         .withColumn("sort_key",
-          (col("mxb") - col("bytes")) * lit(10000000000L) + col("doc_id"))
+          when(assert_true(col("doc_id") < lit(10000000000L) &&
+                 (col("mxb") - col("bytes")) <= lit(922337202L),
+               lit("compaction_plan: doc_id or size deficit exceeds the " +
+                 "10^10-slot int64 packing headroom")).isNull,
+            (col("mxb") - col("bytes")) * lit(10000000000L) + col("doc_id")))
       Ops.cumSumGlobal(keyed, "sort_key", "bytes", "cum",
           expr("sort_key div 10000000000"))
         .select(col("doc_id"), col("bytes"),

@@ -424,8 +424,13 @@ object QualityQueries {
         .select(col("event_type"), col("n_users"), col("total_cents"),
           col("sum_sq"),
           // denominator squared in DOUBLE: total² would overflow int64
-          // around sf1 (total ~10¹⁰ cents); the cast is exact (≤ 2⁵³)
-          // and the double product is correctly rounded in both engines
+          // around sf1 (total ~10¹⁰ cents). The total_cents→double cast
+          // is exact while total ≤ 2⁵³ (~9·10¹⁵ cents); sum_sq can
+          // exceed 2⁵³ much earlier, so ITS cast may round — cross-engine
+          // equality still holds because both engines apply the same
+          // IEEE-754 round-to-nearest, but hhi itself is then correct to
+          // double precision, not exact (exactness would need the
+          // numerator squared in DECIMAL(38,0))
           when(col("total_cents") > 0, col("sum_sq").cast("double") /
             (col("total_cents").cast("double") * col("total_cents").cast("double")))
             .as("hhi"))

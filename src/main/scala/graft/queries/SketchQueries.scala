@@ -95,9 +95,14 @@ object SketchQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("kmv_k"), max(col("h")).as("h_k"))
       sk.join(exact, "event_type")
+        // greatest(h_k, 1): a key hashing to exactly 0 while ≥k distinct
+        // hashes exist would otherwise divide by zero (astronomically
+        // unlikely over the 2⁶² domain, but the estimator must not be
+        // able to crash on any input); the twin SQL carries the same
+        // guard so the chains stay replay-identical.
         .withColumn("est_distinct", when(col("kmv_k") < K, col("kmv_k"))
           .otherwise(expr(
-            s"cast((cast(kmv_k - 1 as decimal(38,0)) * $M) div h_k as bigint)")))
+            s"cast((cast(kmv_k - 1 as decimal(38,0)) * $M) div greatest(h_k, 1L) as bigint)")))
         .select(col("event_type"), col("n_exact"), col("kmv_k"), col("h_k"),
           col("est_distinct"),
           expr("abs(est_distinct - n_exact) * 10000 div n_exact").as("err_bp"))
@@ -198,7 +203,7 @@ object SketchQueries {
          |j AS (SELECT sk.event_type, ex.n_exact, sk.kmv_k, sk.h_k,
          |    CASE WHEN sk.kmv_k < 64 THEN sk.kmv_k
          |         ELSE CAST((CAST(sk.kmv_k - 1 AS HUGEINT) * 4611686018427387904)
-         |           // sk.h_k AS BIGINT) END AS est_distinct
+         |           // greatest(sk.h_k, 1) AS BIGINT) END AS est_distinct
          |  FROM sk JOIN ex USING (event_type))
          |SELECT event_type, n_exact, kmv_k, h_k, est_distinct,
          |  abs(est_distinct - n_exact) * 10000 // n_exact AS err_bp

@@ -898,6 +898,44 @@ class DedupSpec extends SparkSpec {
     assert(nBoth <= n, s"sampleBp=200 < derived 500 must win: $nBoth vs $n")
   }
 
+  test("blocking quality: raw-scan cap sizes from parquet footers, no count job") {
+    import graft.sources.Tables
+    val raw = Tables.documents(spark, sfDir)
+    val n = raw.count()
+    // plain scan and pure projections qualify for the footer path…
+    assert(Tables.footerCountIfPlainScan(raw).contains(n))
+    assert(Tables.footerCountIfPlainScan(raw.select("doc_id", "text")).contains(n))
+    // …anything that can change the row COUNT must decline
+    assert(Tables.footerCountIfPlainScan(raw.filter(col("doc_id") > 10)).isEmpty)
+    assert(Tables.footerCountIfPlainScan(raw.limit(5)).isEmpty)
+    assert(Tables.footerCountIfPlainScan(spark.range(5).toDF("i")).isEmpty)
+
+    // listener census (r16 VERDICT item 6): constructing the capped report
+    // over a raw scan must submit NO count job — the only eager jobs are
+    // the operator's own localCheckpoints, identical to the uncapped build
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(js.stageInfos.map(_.name).distinct.mkString(" | "))
+        ()
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      org.apache.spark.graft.TestListenerBus.drain(sc)
+      sites.clear()
+      Dedup.blockingQuality(raw, "doc_id", "text",
+        q = 16, maxDist = 4, maxSampleRows = Some(50L))
+      org.apache.spark.graft.TestListenerBus.drain(sc)
+      val countJobs = sites.toArray(Array.empty[String])
+        .filter(_.startsWith("count at"))
+      assert(countJobs.isEmpty,
+        s"raw-scan cap must size from footers, found: ${countJobs.mkString("; ")}")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("golden records: field-level survivorship with pinned tie rules") {
     val docs = Seq(
       // cluster {1,2,3}: longest text on 3; lang vote 2:1 for en;
