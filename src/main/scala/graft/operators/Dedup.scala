@@ -297,6 +297,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-modal PAIR-level near-dup — the LAION-style (caption, image)
+    * record dedup: two records are duplicates only when BOTH modalities
+    * agree. Per-modality dedup ([[nearDupPairsMinHash]] for text,
+    * [[Multimodal.phashBandPairs]]+Hamming for images) cannot express
+    * this — a re-used stock photo under different captions, or a re-worded
+    * caption over different images, must NOT collapse; only the
+    * caption-near-dup ∧ image-near-dup conjunction may.
+    *
+    * Candidates = text MinHash band collisions ∩ image pHash band
+    * collisions (inner join of the two banded pair sets — the conjunction
+    * at the CANDIDATE tier already, so the verify stage only ever touches
+    * pairs plausible in both modalities). Verify = exact word-shingle
+    * Jaccard ≥ `threshold` AND exact Hamming ≤ `maxHamming` — fully
+    * deterministic, so the whole pipeline is oracle-replayable (no
+    * declared tier needed). Recall contract: the conjunction of the two
+    * banding guarantees — a pair is guaranteed a candidate when its
+    * signatures share a band (MinHash side) AND its hashes differ in
+    * < numBands bits (pigeonhole, image side); beyond either radius the
+    * miss probability is the product of the two band-miss probabilities
+    * (strictly better than either blocker alone at equal thresholds,
+    * because the OTHER modality can still not rescue a missed candidate —
+    * the conjunction only ever SHRINKS the candidate set, never recall
+    * within the guaranteed radii).
+    *
+    * `phashCol` is any 63-bit perceptual hash column; the registry row
+    * feeds [[Multimodal.dHash63]] over the stub-decode tier, a production
+    * pipeline substitutes the decoded-thumbnail dHash at exactly that
+    * column (the [[Multimodal]] class contract) and nothing here changes.
+    *
+    * Scale shape: both band joins are bucket-bounded shuffles of
+    * (band, value) keys; the conjunction join and both verify joins run
+    * over the (tiny) intersected pair list — the corpus is touched once
+    * per modality for sketching plus one semi-joined verify read.
+    */
+  def crossModalPairDedup(records: DataFrame, idCol: String,
+      captionCol: String, phashCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.6, maxHamming: Int = 6,
+      failOnOverCap: Boolean = false): DataFrame = {
+    val textCand = lshCandidatePairs(
+      minHashSignature(records, idCol, captionCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand, failOnOverCap = failOnOverCap)
+    val imgCand = Multimodal.phashBandPairs(records, idCol, phashCol)
+    // conjunction BEFORE verify; materialized once — referenced by the
+    // verify semi-join and the pair join (the nearDupPairsMinHash pattern)
+    val cand = textCand.join(imgCand, Seq("a", "b")).localCheckpoint()
+    val ph = records.select(col(idCol), col(phashCol))
+    jaccardOnPairs(cand, records, idCol, captionCol, shingleN)
+      .join(ph.select(col(idCol).as("a"), col(phashCol).as("__pa")), Seq("a"))
+      .join(ph.select(col(idCol).as("b"), col(phashCol).as("__pb")), Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"),
+        expr("bit_count(__pa ^ __pb)").cast("long").as("hamming"))
+      .filter(col("jaccard") >= threshold && col("hamming") <= maxHamming)
+  }
+
   /** 64-bit SimHash per doc over the token multiset: bit i of the sketch is
     * set iff Σ_tokens (±1 by bit i of the token hash) > 0. One-pass native
     * kernel straight from the text ([[org.apache.spark.sql.graft.natives

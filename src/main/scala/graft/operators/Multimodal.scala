@@ -213,6 +213,32 @@ object Multimodal {
     bits.reduce(_ + _)
   }
 
+  /** Banded candidate pairs over a perceptual-hash column — the LSH move
+    * for Hamming space: split the hash into `numBands` contiguous
+    * `bandBits`-bit bands, bucket-join on (band, value), keep each
+    * unordered pair once. Pigeonhole gives GUARANTEED recall for pairs
+    * within Hamming distance `numBands − 1` (that few differing bits
+    * cannot touch every band); beyond that recall is probabilistic and
+    * the caller's exact bit_count(xor) verify decides. The default 4×16
+    * matches [[dHash63]]'s 63-bit sketch (top band carries 15 bits).
+    * Scale shape: the join shuffles band keys, never hash pairs — cost is
+    * bounded by bucket occupancy exactly like MinHash banding.
+    */
+  def phashBandPairs(d: DataFrame, idCol: String, hashCol: String,
+      numBands: Int = 4, bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bands = d.select(col(idCol),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.select(col("band"), col("bv"), col(idCol).as("a"))
+      .join(bands.select(col("band"), col("bv"), col(idCol).as("b")),
+        Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   def resize(media: DataFrame, targetBytes: Int): DataFrame =
     media.select(col("doc_id"), col("kind"),
       length(col("payload")).as("orig_bytes"),

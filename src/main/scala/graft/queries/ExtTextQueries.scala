@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Multimodal, TextOps}
 import graft.sources.Tables
 
 /** Extension operators: text analysis + deduplication over the `documents`
@@ -172,6 +172,23 @@ object ExtTextQueries {
       Dedup.composedEditPairs(Tables.documents(s, dir), "doc_id", "text",
         q = 16, maxDist = 16, maxChunkDf = 1024L, numHashes = 16,
         rowsPerBand = 4, shingleN = 3, failOnOverCap = true)
+    },
+    // Cross-modal PAIR-level near-dup (LAION-style caption+image records):
+    // candidates = text MinHash band collisions ∩ image dHash band
+    // collisions, verify = exact shingle Jaccard ≥ 0.6 AND exact Hamming
+    // ≤ 6 — both modalities must agree before a pair collapses (a reused
+    // stock photo under different captions survives; so does a re-worded
+    // caption over different images). Image tier = dHash63 over the
+    // stub-decode window (the Multimodal class contract); fully
+    // deterministic, so the whole conjunction replays in DuckDB exactly.
+    "q_x_mm_pair_dedup" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .withColumn("__cells", Multimodal.dHashCells(col("text")))
+        .select(col("doc_id"), col("text"),
+          Multimodal.dHash63("__cells").as("ph"))
+      Dedup.crossModalPairDedup(recs, "doc_id", "text", "ph",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3,
+        threshold = 0.6, maxHamming = 6, failOnOverCap = true)
     },
     // MinHash Jaccard ESTIMATOR calibration: per banded candidate pair,
     // the signature-agreement count (matches/16 is the classic unbiased
@@ -2390,6 +2407,43 @@ object ExtTextQueries {
          |FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
          |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
          |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
+    // both banded chains replayed in full — the shared MinHash CTEs for
+    // the caption side, the 70-cell dHash for the image side — then the
+    // candidate INTERSECT and both exact verifies
+    "q_x_mm_pair_dedup" -> {
+      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |tcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |cells AS (SELECT doc_id,
+         |    [ascii(substr(rpad(text, 70, ' '), k, 1))
+         |     for k in range(1, 71)] AS cl
+         |  FROM documents),
+         |phx AS (SELECT doc_id, CAST($phTerms AS BIGINT) AS ph FROM cells),
+         |ibands AS (SELECT doc_id, g.b AS j, (ph >> (g.b * 16)) & 65535 AS bv
+         |  FROM phx, generate_series(0, 3) g(b)),
+         |icand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM ibands x JOIN ibands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |cand AS (SELECT a, b FROM tcand INTERSECT SELECT a, b FROM icand),
+         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w),
+         |v AS (SELECT cand.a, cand.b,
+         |    round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |          len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard,
+         |    CAST(bit_count(xor(px.ph, py.ph)) AS BIGINT) AS hamming
+         |  FROM cand JOIN shl x ON x.doc_id = cand.a JOIN shl y ON y.doc_id = cand.b
+         |    JOIN phx px ON px.doc_id = cand.a JOIN phx py ON py.doc_id = cand.b)
+         |SELECT a, b, jaccard, hamming FROM v
+         |WHERE jaccard >= 0.6 AND hamming <= 6""".stripMargin
+    },
     "q_x_simhash_sketch" ->
       s"""WITH $wCte,
          |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),

@@ -174,22 +174,18 @@ object PipelineQueries {
     // (re-encoded/brightness-shifted copies collide) expressed entirely
     // in codegen'd integer arithmetic.
     "q_x_phash_dedup" -> { (s, dir) =>
+      // banding extracted to Multimodal.phashBandPairs (r16 — shared with
+      // the cross-modal pair dedup); rejoining the hashes to the tiny
+      // distinct pair set yields the identical (a, b, hamming) rows the
+      // inline band-carry form produced
       val d = Tables.documents(s, dir)
         .withColumn("__cells", Multimodal.dHashCells(col("text")))
         .select(col("doc_id"), Multimodal.dHash63("__cells").as("ph"))
-      val bands = d.select(col("doc_id"), col("ph"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            expr(s"(ph >> ${b * 16}) & 65535").as("bv"))): _*)).as("bb"))
-        .select(col("doc_id"), col("ph"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
-      bands.select(col("band"), col("bv"), col("doc_id").as("a"), col("ph").as("__pa"))
-        .join(bands.select(col("band"), col("bv"), col("doc_id").as("b"),
-          col("ph").as("__pb")), Seq("band", "bv"))
-        .filter(col("a") < col("b"))
+      Multimodal.phashBandPairs(d, "doc_id", "ph")
+        .join(d.select(col("doc_id").as("a"), col("ph").as("__pa")), Seq("a"))
+        .join(d.select(col("doc_id").as("b"), col("ph").as("__pb")), Seq("b"))
         .select(col("a"), col("b"),
           expr("bit_count(__pa ^ __pb)").cast("long").as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 6)
     },
     // Multimodal metadata rollup over the binary payload table: per kind,

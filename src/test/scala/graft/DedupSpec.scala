@@ -898,6 +898,51 @@ class DedupSpec extends SparkSpec {
     assert(nBoth <= n, s"sampleBp=200 < derived 500 must win: $nBoth vs $n")
   }
 
+  test("cross-modal pair dedup: only pairs duplicate in BOTH modalities collapse") {
+    import graft.operators.Multimodal
+    // image tier = dHash63 over the first 70 chars (stub decode), so the
+    // ≥70-char prefixes below ARE the "images": same prefix = same image,
+    // different prefix = different image — independent of the caption tail
+    val pref1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val pref3 = "first second third fourth fifth sixth seventh eighth ninth tenth eleventh"
+    val pref4 = "north south east west up down left right forward backward sideways inward"
+    val pref5 = "red orange yellow green blue indigo violet crimson amber teal magenta cyan"
+    val tailA = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val tailB = (301 to 500).map(i => s"word$i").mkString(" ")
+    val recs = Seq(
+      // BOTH near: same image prefix, one-word caption edit → keep
+      (1L, s"$pref1 $tailA ending one"),
+      (2L, s"$pref1 $tailA ending two"),
+      // caption-only dup: shared long tail, different images → drop
+      (3L, s"$pref3 $tailB"),
+      (4L, s"$pref4 $tailB"),
+      // image-only dup: same image prefix, unrelated captions → drop
+      (5L, s"$pref5 " + (601 to 700).map(i => s"left$i").mkString(" ")),
+      (6L, s"$pref5 " + (801 to 900).map(i => s"right$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("__cells", Multimodal.dHashCells(col("text")))
+      .select(col("doc_id"), col("text"), Multimodal.dHash63("__cells").as("ph"))
+
+    val got = Dedup.crossModalPairDedup(recs, "doc_id", "text", "ph")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)),
+      s"only the both-modality pair may collapse, got $got")
+
+    // the dropped pairs ARE single-modality duplicates — proving the
+    // conjunction (not the individual verifies) did the pruning
+    val textOnly = Dedup.nearDupPairsMinHash(recs, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(textOnly.contains((3L, 4L)), s"caption tier must find (3,4): $textOnly")
+    val imgPairs = Multimodal.phashBandPairs(recs, "doc_id", "ph")
+      .join(recs.select(col("doc_id").as("a"), col("ph").as("__pa")), Seq("a"))
+      .join(recs.select(col("doc_id").as("b"), col("ph").as("__pb")), Seq("b"))
+      .filter(expr("bit_count(__pa ^ __pb)") <= 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(imgPairs.contains((5L, 6L)), s"image tier must find (5,6): $imgPairs")
+    // soundness: the conjunction is a subset of each single-modality set
+    assert(got.subsetOf(textOnly) && got.subsetOf(imgPairs))
+  }
+
   test("blocking quality: raw-scan cap sizes from parquet footers, no count job") {
     import graft.sources.Tables
     val raw = Tables.documents(spark, sfDir)
