@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift state + finishers, ONE definition for the batch
+  * registry rows (`q_x_drift_chi2` / `q_x_drift_w1` / `q_x_drift_ks`) and
+  * their streaming twins ([[graft.streaming.StreamJobs.driftBinCountsStream]]
+  * / `driftCentsCountsStream`) — the
+  * [[graft.functions.Ops.dailyTypeCents]] shared-kernel stance, so the live
+  * monitor can't drift from the batch report.
+  *
+  * The STATE is the additive part: per-(type, bin) or per-(type, cents)
+  * reference/current counter pairs. Every entry is an integer sum, so a
+  * complete-mode streaming aggregate maintains the table exactly at any
+  * micro-batch slicing (the q_x_incr_rollup merge ≡ recompute contract),
+  * and each FINISHER — chi², 1-D Wasserstein, Kolmogorov–Smirnov — is a
+  * bounded-keyspace fold over drained state that equals the batch row
+  * bit-for-bit. Drift gates run continuously in a production training-data
+  * pipeline; this split is what lets the gate fire mid-ingest while the
+  * nightly audit reads the same numbers.
+  *
+  * Reference/current split: calendar first-half vs second-half of month
+  * (`dayofmonth ≤ 15`), the registry rows' pinned cohort rule.
+  */
+object Drift {
+
+  /** Additive (event_type, bin, o1, o2) counters over the fixed 50-unit
+    * value grid (10 bins, top bin open) — the chi²/W1 state. One
+    * map-side-combinable aggregate; keyspace ≤ |types|·10 at any volume.
+    */
+  def binCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"),
+        expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, 9)")
+          .as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("is_ref"), lit(1))).as("o1"),
+        count(when(!col("is_ref"), lit(1))).as("o2"))
+
+  /** Additive (event_type, c, o1, o2) counters over DISTINCT cents values
+    * — the KS state. Keyspace is value-domain-bounded (the q_x_auc /
+    * q_x_gini window argument), not row-bounded.
+    */
+  def centsCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(when(col("is_ref"), lit(1))).as("o1"),
+        count(when(!col("is_ref"), lit(1))).as("o2"))
+
+  /** Two-sample chi-square from [[binCounts]] state. Rational in the
+    * counts (no libm ln — the PSI/KL alternative floats); per-bin terms
+    * folded in bin order so the double sum is bit-deterministic
+    * cross-engine. An empty cohort contributes 0 for its side.
+    */
+  def chi2FromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val term = {
+      val e1 = ((col("o1") + col("o2")) * col("n1")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val e2 = ((col("o1") + col("o2")) * col("n2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val t1 = when(col("n1") > 0,
+        (col("o1").cast("double") - e1) * (col("o1").cast("double") - e1) / e1)
+        .otherwise(lit(0.0))
+      val t2 = when(col("n2") > 0,
+        (col("o2").cast("double") - e2) * (col("o2").cast("double") - e2) / e2)
+        .otherwise(lit(0.0))
+      t1 + t2
+    }
+    counts.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("n1"), col("n2"), term.as("__t"))
+      .groupBy(col("event_type"))
+      .agg(min(col("n1")).as("n_ref"), min(col("n2")).as("n_cur"),
+        count(lit(1)).cast("int").as("n_bins"),
+        aggregate(sort_array(collect_list(struct(col("bin"), col("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("chi2"))
+  }
+
+  /** 1-D Wasserstein (earth-mover on the bin grid) from [[binCounts]]
+    * state: W1·n_ref·n_cur = Σ_k |cum₁ₖ·n₂ − cum₂ₖ·n₁| · gap_k with gap =
+    * distance to the next OCCUPIED bin (absent bins carry the running
+    * cumulative). All-integer numerator, one closing double division;
+    * needs n_ref·n_cur < 2⁶³ (~3·10⁹ rows/side/type — past that, fold in
+    * decimal(38,0)). Types with an empty cohort are excluded.
+    */
+  def w1FromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    counts
+      .withColumn("c1", sum(col("o1")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("c2", sum(col("o2")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap", lead(col("bin"), 1, 10L).over(w) - col("bin"))
+      .join(tot, Seq("event_type"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .groupBy(col("event_type"))
+      .agg(min(col("n1")).as("n_ref"), min(col("n2")).as("n_cur"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1")) * col("gap"))
+          .as("w1_num"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("w1_num"),
+        (col("w1_num").cast("double") /
+          (col("n_ref") * col("n_cur")).cast("double")).as("w1_bins"))
+  }
+
+  /** Kolmogorov–Smirnov from [[centsCounts]] state: exact integer sup of
+    * |cum₁·n₂ − cum₂·n₁| with inclusive cumulatives per cohort over
+    * distinct cents, one closing double division.
+    */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("o1")).as("n_ref"), sum(col("o2")).as("n_cur"))
+    counts.withColumn("cum1", sum(col("o1")).over(w))
+      .withColumn("cum2", sum(col("o2")).over(w))
+      .join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(max(abs(col("cum1") * col("n_cur") - col("cum2") * col("n_ref")))
+        .as("ks_num"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks_num"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("ks_num").cast("double") /
+            (col("n_ref") * col("n_cur")).cast("double")).as("ks"))
+  }
+}

@@ -139,6 +139,39 @@ object Sketches {
       .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
 
+  /** Per-type KMV bottom-k sketch STATE over the registry's replayable
+    * hash domain (md5 pmod 2⁶² under the "kmv:" salt — the
+    * `q_x_kmv_distinct` chain): (event_type, kmv ascending long array,
+    * ≤ k elements). ONE object-hash aggregate whose
+    * [[org.apache.spark.sql.graft.KmvBottomKAgg]] buffers union+truncate
+    * map-side — so the same definition serves batch builds and
+    * complete-mode streaming upkeep (StreamJobs.kmvStream): set-union
+    * state is slicing-insensitive, drained ≡ batch bit-for-bit.
+    */
+  def kmvState(events: DataFrame, keyCol: String = "user_id",
+      typeCol: String = "event_type", k: Int = 64,
+      domain: Long = 4611686018427387904L): DataFrame =
+    events
+      .select(col(typeCol),
+        pmod(TextOps.md5Long64(
+          concat(lit("kmv:"), col(keyCol).cast("string"))), lit(domain)).as("h"))
+      .groupBy(col(typeCol))
+      .agg(org.apache.spark.sql.graft.natives.kmvBottomK(col("h"), k).as("kmv"))
+
+  /** Estimate finisher over [[kmvState]] rows: lossless below k (the
+    * sketch IS the distinct set), else (k−1)·M div h_k with the max
+    * retained hash as h_k — the `q_x_kmv_distinct` estimator, including
+    * its divide-by-zero guard, applied to stored/drained sketch state.
+    */
+  def kmvEstimateFromState(state: DataFrame, k: Int = 64,
+      domain: Long = 4611686018427387904L): DataFrame =
+    state
+      .select(col("event_type"), size(col("kmv")).cast("long").as("kmv_k"),
+        element_at(col("kmv"), size(col("kmv"))).as("h_k"))
+      .withColumn("est_distinct", when(col("kmv_k") < k, col("kmv_k"))
+        .otherwise(expr(
+          s"cast((cast(kmv_k - 1 as decimal(38,0)) * ${domain}L) div greatest(h_k, 1L) as bigint)")))
+
   /** The relational CMS counter table of `keyCol`: (row i, bucket, count),
     * ≤ depth·width rows by construction, built by ONE keyed aggregate
     * whose map-side combine absorbs the raw volume. Counters are plain

@@ -191,37 +191,11 @@ object QualityQueries {
     // bit-deterministic cross-engine. An empty cohort contributes 0 for
     // its side (the standard convention). One (type, bin) aggregate +
     // one type-keyed rollup — bounded key space at any volume.
+    // Body extracted to the shared Drift kernel (r16): state + finisher
+    // are one definition with the streaming twin.
     "q_x_drift_chi2" -> { (s, dir) =>
-      val e = Tables.events(s, dir)
-        .select(col("event_type"),
-          (dayofmonth(col("ts")) <= 15).as("is_ref"),
-          expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, 9)")
-            .as("bin"))
-      val counts = e.groupBy(col("event_type"), col("bin"))
-        .agg(count(when(col("is_ref"), lit(1))).as("o1"),
-          count(when(!col("is_ref"), lit(1))).as("o2"))
-      val tot = counts.groupBy(col("event_type"))
-        .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
-      val term = {
-        val e1 = ((col("o1") + col("o2")) * col("n1")).cast("double") /
-          (col("n1") + col("n2")).cast("double")
-        val e2 = ((col("o1") + col("o2")) * col("n2")).cast("double") /
-          (col("n1") + col("n2")).cast("double")
-        val t1 = when(col("n1") > 0,
-          (col("o1").cast("double") - e1) * (col("o1").cast("double") - e1) / e1)
-          .otherwise(lit(0.0))
-        val t2 = when(col("n2") > 0,
-          (col("o2").cast("double") - e2) * (col("o2").cast("double") - e2) / e2)
-          .otherwise(lit(0.0))
-        t1 + t2
-      }
-      counts.join(tot, Seq("event_type"))
-        .select(col("event_type"), col("bin"), col("n1"), col("n2"), term.as("__t"))
-        .groupBy(col("event_type"))
-        .agg(min(col("n1")).as("n_ref"), min(col("n2")).as("n_cur"),
-          count(lit(1)).cast("int").as("n_bins"),
-          aggregate(sort_array(collect_list(struct(col("bin"), col("__t")))),
-            lit(0.0), (acc, x) => acc + x.getField("__t")).as("chi2"))
+      graft.operators.Drift.chi2FromCounts(
+        graft.operators.Drift.binCounts(Tables.events(s, dir)))
     },
     // Distribution drift, 1-D WASSERSTEIN tier (earth-mover distance on
     // the binned value grid) — the drift number the chi-square tier
@@ -240,32 +214,8 @@ object QualityQueries {
     // volume; types with an empty cohort are excluded (W1 needs both
     // distributions).
     "q_x_drift_w1" -> { (s, dir) =>
-      val e = Tables.events(s, dir)
-        .select(col("event_type"),
-          (dayofmonth(col("ts")) <= 15).as("is_ref"),
-          expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, 9)")
-            .as("bin"))
-      val counts = e.groupBy(col("event_type"), col("bin"))
-        .agg(count(when(col("is_ref"), lit(1))).as("o1"),
-          count(when(!col("is_ref"), lit(1))).as("o2"))
-      val tot = counts.groupBy(col("event_type"))
-        .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-      counts
-        .withColumn("c1", sum(col("o1")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("c2", sum(col("o2")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("gap", lead(col("bin"), 1, 10L).over(w) - col("bin"))
-        .join(tot, Seq("event_type"))
-        .filter(col("n1") > 0 && col("n2") > 0)
-        .groupBy(col("event_type"))
-        .agg(min(col("n1")).as("n_ref"), min(col("n2")).as("n_cur"),
-          sum(abs(col("c1") * col("n2") - col("c2") * col("n1")) * col("gap"))
-            .as("w1_num"))
-        .select(col("event_type"), col("n_ref"), col("n_cur"), col("w1_num"),
-          (col("w1_num").cast("double") /
-            (col("n_ref") * col("n_cur")).cast("double")).as("w1_bins"))
+      graft.operators.Drift.w1FromCounts(
+        graft.operators.Drift.binCounts(Tables.events(s, dir)))
     },
     // Snapshot DIFF between two as-of versions of the per-customer
     // latest-order state — the ops tool every SCD/backfill pipeline
@@ -382,28 +332,8 @@ object QualityQueries {
     // ONE closing double division. Same ref/current split as
     // q_x_drift_chi2 (day ≤ 15), so the three tiers read as one report.
     "q_x_drift_ks" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.events(s, dir)
-        .select(col("event_type"),
-          (dayofmonth(col("ts")) <= 15).as("is_ref"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-      val g = e.groupBy(col("event_type"), col("c"))
-        .agg(count(when(col("is_ref"), lit(1))).as("o1"),
-          count(when(!col("is_ref"), lit(1))).as("o2"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tot = g.groupBy(col("event_type"))
-        .agg(sum(col("o1")).as("n_ref"), sum(col("o2")).as("n_cur"))
-      g.withColumn("cum1", sum(col("o1")).over(w))
-        .withColumn("cum2", sum(col("o2")).over(w))
-        .join(broadcast(tot), "event_type")
-        .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
-        .agg(max(abs(col("cum1") * col("n_cur") - col("cum2") * col("n_ref")))
-          .as("ks_num"))
-        .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks_num"),
-          when(col("n_ref") > 0 && col("n_cur") > 0,
-            col("ks_num").cast("double") /
-              (col("n_ref") * col("n_cur")).cast("double")).as("ks"))
+      graft.operators.Drift.ksFromCounts(
+        graft.operators.Drift.centsCounts(Tables.events(s, dir)))
     },
     // Herfindahl–Hirschman concentration per event stream — Gini's
     // antitrust sibling over the per-USER volume shares: HHI = Σ sᵢ²

@@ -262,6 +262,44 @@ object StreamJobs {
       .groupBy(col("event_type"), col("digit"))
       .agg(count(lit(1)).as("obs"))
 
+  /** Streaming drift-counter upkeep, bin tier — the live state of the
+    * q_x_drift_chi2 / q_x_drift_w1 gates: one complete-mode aggregate
+    * maintains the (event_type, bin, o1, o2) table via the SAME
+    * [[graft.operators.Drift.binCounts]] kernel as the batch rows.
+    * Counters are additive integers ⇒ drained state ≡ the batch table
+    * bit-for-bit at any micro-batch slicing, and the χ²/W1 finishers
+    * ([[graft.operators.Drift.chi2FromCounts]] / `w1FromCounts`) applied
+    * to drained state equal the registry rows by construction. The live
+    * form is the continuous drift gate: a feed whose value mix shifts
+    * mid-ingest alerts before the nightly audit runs — and both read the
+    * same numbers.
+    */
+  def driftBinCountsStream(events: DataFrame): DataFrame =
+    graft.operators.Drift.binCounts(events)
+
+  /** Streaming drift-counter upkeep, distinct-cents tier — the live state
+    * of the q_x_drift_ks gate ([[graft.operators.Drift.centsCounts]], one
+    * definition); the KS finisher over drained state equals the registry
+    * row (the [[driftBinCountsStream]] argument, on the value-domain-
+    * bounded keyspace the KS sup needs).
+    */
+  def driftCentsCountsStream(events: DataFrame): DataFrame =
+    graft.operators.Drift.centsCounts(events)
+
+  /** Streaming KMV distinct-sketch upkeep — the live tier of
+    * q_x_kmv_distinct: ONE complete-mode object-hash aggregate maintains
+    * the per-type bottom-64 distinct-hash sketch via the SAME
+    * [[graft.operators.Sketches.kmvState]] kernel (mergeable
+    * union+truncate buffers, ≤ k longs of state per type at ANY volume —
+    * the bound the distinct-counter tier can't give). Set-union state is
+    * slicing-insensitive ⇒ the drained sketch equals the batch bottom-k
+    * bit-for-bit, and [[graft.operators.Sketches.kmvEstimateFromState]]
+    * over drained state reproduces the registry row's (kmv_k, h_k,
+    * est_distinct) exactly.
+    */
+  def kmvStream(events: DataFrame): DataFrame =
+    graft.operators.Sketches.kmvState(events)
+
   /** Streaming daily-series upkeep — the live tier of the SHARED kernel
     * under q_x_cusum / q_x_autocorr / q_x_cross_corr / q_x_mase
     * ([[graft.functions.Ops.dailyTypeCents]], one definition): additive

@@ -156,6 +156,16 @@ object natives {
     * OR-merge map-side; the final sketch is numBits/8 bytes regardless of
     * corpus size).
     */
+  /** KMV bottom-k distinct sketch aggregate over a LONG hash column —
+    * emitted as the ascending k-smallest-distinct-hashes array (see
+    * [[KmvBottomKAgg]]). Mergeable: partial sketches union+truncate
+    * map-side; the same aggregate maintains the sketch in a complete-mode
+    * stream.
+    */
+  def kmvBottomK(hash: Column, k: Int): Column =
+    ExpressionUtils.column(KmvBottomKAgg(
+      ExpressionUtils.expression(hash), k).toAggregateExpression())
+
   def bloomAgg(hash: Column, expectedItems: Long, numBits: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

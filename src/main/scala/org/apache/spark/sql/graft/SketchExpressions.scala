@@ -172,6 +172,92 @@ case class LongVectorSumAgg(
     copy(child = newChildren.head)
 }
 
+/** KMV (k-minimum-values / bottom-k) distinct sketch aggregate over a LONG
+  * hash column: state = the k smallest DISTINCT hash values seen, emitted
+  * as an ascending array. The mergeable form of the `q_x_kmv_distinct`
+  * window pipeline — merge = union + re-truncate to bottom-k, so partial
+  * sketches combine map-side, per-group sketches stored in a table
+  * re-aggregate later without re-reading raw rows, and ONE complete-mode
+  * streaming aggregate maintains the sketch exactly (set-union state is
+  * order-insensitive: the drained sketch equals the batch bottom-k at any
+  * micro-batch slicing). Estimate finisher: (k−1)·M div max(sketch) once
+  * `size = k`, else the sketch is lossless and `size` IS the distinct
+  * count. State is ≤ k longs regardless of input volume — the bound the
+  * distinct-counter table tier can't give.
+  *
+  * Distinctness lives in the TreeSet; NULL hashes are skipped. The hash
+  * domain is the caller's (the registry uses md5 pmod 2⁶² — replayable by
+  * the oracle, unlike engine-private HLL/theta state).
+  */
+case class KmvBottomKAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ExpectsInputTypes {
+
+  require(k > 0, s"kmv_bottomk: k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_bottomk"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) { buf.add(h); if (buf.size > k) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.size * 8)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < bytes.length / 8) { out.add(bb.getLong()); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvBottomKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvBottomKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvBottomKAgg =
+    copy(child = newChildren.head)
+}
+
 /** CMS point estimate over a counters vector: min over the depth rows of
   * counters[i·width + bucket_i(term)] — codegen'd via one static kernel
   * call like the rest of the native family.

@@ -628,6 +628,73 @@ class StreamingSpec extends SparkSpec {
     assert(got == canonDaily(StreamJobs.dailyCentsStream(ev)) && got.nonEmpty)
   }
 
+  test("streaming drift counters drain to the batch state; all three finishers derive the registry rows") {
+    val src = Files.createTempDirectory("graft_drift_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    def drain(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String) = {
+      val q = mk(spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      // re-materialize: the finishers self-join the counts, and a memory
+      // -sink View fails Catalyst's conflicting-reference dedup
+      val t = spark.table(name)
+      spark.createDataFrame(
+        java.util.Arrays.asList(t.collect(): _*), t.schema)
+    }
+    def canonC(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // additive counters: drained ≡ batch state bit-for-bit
+    val binDrained = drain(StreamJobs.driftBinCountsStream, "drift_bin_s")
+    assert(canonC(binDrained) ==
+      canonC(graft.operators.Drift.binCounts(ev)) && binDrained.count() > 0)
+    val centsDrained = drain(StreamJobs.driftCentsCountsStream, "drift_cents_s")
+    assert(canonC(centsDrained) == canonC(graft.operators.Drift.centsCounts(ev)))
+    // finishers over DRAINED state ≡ the registry rows (one definition)
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(canonRows(graft.operators.Drift.chi2FromCounts(binDrained)) ==
+      canonRows(graft.queries.QualityQueries.queries("q_x_drift_chi2")(spark, sfDir)))
+    assert(canonRows(graft.operators.Drift.w1FromCounts(binDrained)) ==
+      canonRows(graft.queries.QualityQueries.queries("q_x_drift_w1")(spark, sfDir)))
+    assert(canonRows(graft.operators.Drift.ksFromCounts(centsDrained)) ==
+      canonRows(graft.queries.QualityQueries.queries("q_x_drift_ks")(spark, sfDir)))
+  }
+
+  test("streaming KMV sketch drains to the batch bottom-k; the estimate derives the registry row") {
+    val src = Files.createTempDirectory("graft_kmv_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.kmvStream(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_s").start()
+    q.processAllAvailable(); q.stop()
+    val drained = spark.table("kmv_s")
+    def canonK(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    // set-union state is slicing-insensitive: drained sketch ≡ batch sketch
+    val got = canonK(drained)
+    assert(got == canonK(graft.operators.Sketches.kmvState(ev)) && got.nonEmpty)
+    got.values.foreach { s =>
+      assert(s.size <= 64 && s == s.sorted && s.distinct == s,
+        "sketch must be ascending distinct bottom-64") }
+    // estimate finisher over drained state ≡ the registry row's estimator
+    val est = graft.operators.Sketches.kmvEstimateFromState(drained)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.queries.SketchQueries.queries("q_x_kmv_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(r.fieldIndex("kmv_k")), r.getLong(r.fieldIndex("h_k")),
+          r.getLong(r.fieldIndex("est_distinct"))))).toMap
+    assert(est == batch, s"drained estimate vs registry row: $est vs $batch")
+  }
+
   test("streaming OHLC candle upkeep drains to the batch bars") {
     // every candle fold is associative (struct extrema / min / max /
     // count / sum), so complete-mode drain ≡ batch at any slicing
