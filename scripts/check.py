@@ -158,9 +158,56 @@ def selftest():
     sys.exit(0)
 
 
+# DRIVER_BUG.md acceptance census (r16 VERDICT item 7): the adjudicated
+# red/green boundary of the DECIMAL canonicalizer defect. A driver-side fix
+# flips the reds green the round it lands — probe_census() notices instead
+# of a human re-reading 12 ledger rows. (Defect #2, the array canonicalizer,
+# has no registry probe by design — r15 banned arrays from output schemas;
+# its acceptance test is the repro query in DRIVER_BUG.md.)
+PROBE_EXPECT_RED = {
+    "q_probe_const_tz38_2", "q_probe_const_tz18_2", "q_probe_const_sub1_38_8",
+    "q_probe_const_ge1_38_8", "q_probe_const_ge1_18_7", "q_probe_const_ge1_18_8",
+    "q_probe_const_ge1_18_9", "q_probe_const_ge1_28_8"}
+PROBE_EXPECT_GREEN = {
+    "q_probe_const_nz38_2", "q_probe_const_sub1_18_2", "q_probe_const_nz38_6",
+    "q_probe_const_ge1_18_6"}
+
+
+def probe_census(path):
+    """scripts/check.py --probe-census CORRECTNESS_rN.json — classify the
+    driver ledger's probe rows against the adjudicated defect boundary."""
+    d = json.load(open(path))
+    def ok(v):
+        return bool(v.get("match") or v.get("hash_match") or
+                    v.get("status") == "pass" or
+                    (v.get("rows_match") and v.get("schema_match") and
+                     v.get("hash_match") is not False))
+    red = {q for q in PROBE_EXPECT_RED if q in d and not ok(d[q])}
+    green = {q for q in PROBE_EXPECT_GREEN if q in d and ok(d[q])}
+    missing = (PROBE_EXPECT_RED | PROBE_EXPECT_GREEN) - set(d)
+    if missing:
+        print(f"PROBE CENSUS: rows missing from ledger: {sorted(missing)}")
+        sys.exit(2)
+    if red == PROBE_EXPECT_RED and green == PROBE_EXPECT_GREEN:
+        print("PROBE CENSUS: driver DECIMAL defect still present "
+              "(8 red / 4 green, boundary exactly as adjudicated)")
+        sys.exit(0)
+    if not red and green == PROBE_EXPECT_GREEN:
+        print("PROBE CENSUS: ALL 12 PROBES GREEN — driver DECIMAL "
+              "canonicalizer FIX DETECTED. Update DRIVER_BUG.md status and "
+              "retire the probe exemptions this round.")
+        sys.exit(0)
+    print("PROBE CENSUS: UNEXPECTED pattern — investigate before trusting "
+          f"the ledger. red={sorted(PROBE_EXPECT_RED - red) or 'as expected'} "
+          f"unexpectedly-green-controls-broken={sorted(PROBE_EXPECT_GREEN - green)}")
+    sys.exit(2)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
         selftest()
+    if len(sys.argv) > 2 and sys.argv[1] == "--probe-census":
+        probe_census(sys.argv[2])
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     only = set(sys.argv[3:])

@@ -640,13 +640,29 @@ object Similarity {
     requireDim(corpus, embCol, dim, "annLsh corpus")
     requireDim(queries, embCol, dim, "annLsh queries")
     def buckets(emb: Column): Column = lshTableBuckets(emb, numPlanes, numTables, dim, seed)
+    // per-(table, bucket) corpus occupancy: the window's (t, bv) exchange
+    // is the partitioning the join needs anyway, so the census costs one
+    // sort, not an extra shuffle (the crossNearDupMinHash __sz pattern)
+    val wB = Window.partitionBy(col("t"), col("bv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
       buckets(col(embCol)).as("b"))
       .select(col("neighbor_id"), col("__ce"), col("b.t").as("t"), col("b.bv").as("bv"))
+      .withColumn("__bsz", count(lit(1)).over(wB))
     val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"),
       buckets(col(embCol)).as("b"))
       .select(col("query_id"), col("__qe"), col("b.t").as("t"), col("b.bv").as("bv"))
     c.join(q, Seq("t", "bv"))
+      // pool-volume census (r16 VERDICT item 5): at PINNED numPlanes the
+      // per-bucket population grows with corpus size, and candidate volume
+      // is Σ_buckets |c_b|·|q_b| — bucket blow-up must be measurable in
+      // production BEFORE it hurts (the containment_hot_shingles stance).
+      // Pre-dedup pair count = the actual join cost; max corpus bucket
+      // occupancy = the skew hazard. Readable from any
+      // QueryExecutionListener, zero extra jobs; autoPlanes is the
+      // production re-sizing lever when these trend up.
+      .observe("ann_lsh_pool",
+        count(lit(1)).as("n_candidate_pairs"),
+        max(col("__bsz")).as("max_bucket_size"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qe"), col("__ce"))
       .dropDuplicates("query_id", "neighbor_id")

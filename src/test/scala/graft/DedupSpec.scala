@@ -383,6 +383,43 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("lsh ann pool census reaches a QueryExecutionListener") {
+    // the ann_lsh_pool observe (r16): pre-dedup candidate-pair count +
+    // max corpus bucket occupancy — the signal that says "bucket blow-up
+    // at pinned numPlanes" before it costs anything. Read exactly where
+    // production reads it: a QueryExecutionListener, no extra jobs.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("ann_lsh_pool").foreach(seen.add)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val rows = Similarity.annLsh(emb, queries, "vec_id", "vec_id",
+        "embedding", 5, numPlanes = 4, numTables = 8).collect()
+      assert(rows.nonEmpty)
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "pool census must reach the QueryExecutionListener")
+      val m = seen.peek()
+      val nPairs = m.getAs[Long]("n_candidate_pairs")
+      val maxBucket = m.getAs[Long]("max_bucket_size")
+      // every emitted neighbor pair came through the pool, and a bucket
+      // holds at least the corpus vectors that produced those pairs
+      assert(nPairs >= rows.length,
+        s"pre-dedup pool ($nPairs) must be >= emitted rows (${rows.length})")
+      assert(maxBucket >= 1L && maxBucket <= emb.count(),
+        s"max bucket occupancy out of range: $maxBucket")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("lsh embedding near-dup: exact-verified subset of brute with fair recall") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val brute = Similarity.nearDupPairsCosine(emb, "vec_id", "embedding", threshold = 0.25)
