@@ -27,10 +27,7 @@ object EvalQueries {
     * mechanics (tie handling, integer rates, guard rails) are the product.
     */
   private def scored(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("source"),
-      col("n_chars").cast("long").as("score"),
-      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
+    graft.operators.Eval.scoredDocs(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact tie-aware ROC AUC per group via the Mann–Whitney rank-sum
@@ -72,16 +69,11 @@ object EvalQueries {
     // pins the max score into bin 9. One wide aggregate after a
     // 10-key groupBy: map-side combine collapses the corpus before the
     // shuffle at any scale.
+    // Body extracted to the shared Eval kernel (r16): per-score additive
+    // state + bin finisher are one definition with the streaming twin.
     "q_x_calibration" -> { (s, dir) =>
-      val d = scored(s, dir)
-      val mm = d.agg(min(col("score")).as("minc"), max(col("score")).as("maxc"))
-      d.crossJoin(broadcast(mm))
-        .withColumn("bin", expr("((score - minc) * 10) div (maxc - minc + 1)"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
-          sum(col("score")).as("sum_score"))
-        .select(col("bin"), col("n"), col("n_pos"),
-          expr("n_pos * 10000 div n").as("rate_bp"), col("sum_score"))
+      graft.operators.Eval.calibrationFromState(
+        graft.operators.Eval.calibrationState(Tables.documents(s, dir)))
     },
     // Thresholded confusion matrix per group: tp/fp/fn/tn in one wide
     // conditional aggregate over one scan, precision/recall in exact

@@ -217,6 +217,52 @@ object QualityQueries {
       graft.operators.Drift.w1FromCounts(
         graft.operators.Drift.binCounts(Tables.events(s, dir)))
     },
+    // Grouped BOOTSTRAP confidence interval for the per-type mean value —
+    // "is the difference between two feeds' means real or noise?", the
+    // uncertainty number a mixture-rebalance decision needs next to the
+    // point estimate. POISSON bootstrap (the distributed form: no global
+    // resample pass — each row draws its per-replicate multiplicity
+    // independently), derandomized: replicate weight w(row, b) comes from
+    // the md5 split-hash of (event_id, b) against the Poisson(1) CDF in
+    // fixed ppm thresholds (tail capped at 5, CDF 0.999406 — the cap
+    // shifts nothing at these n), so both engines replay the exact same
+    // resamples. Replicate means are exact integer cents (one div per
+    // replicate); the CI is the 2nd / (B−1)th ranked mean of B = 32
+    // replicates (~2.5th/97.5th percentile at this B), ties broken by
+    // replicate id. Scale shape: the B× explode happens BEFORE a
+    // map-side-combinable (type, b) aggregate — the fan-out costs B×
+    // scan-side compute (the bootstrap's irreducible price) but shuffles
+    // only |types|·B keys; the rank window runs over B rows per type.
+    "q_x_bootstrap_ci" -> { (s, dir) =>
+      val B = 32
+      val reps = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .select(col("event_type"), col("c"), col("event_id"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("u", pmod(graft.operators.TextOps.md5Long64(
+          concat(lit("boot:"), col("event_id").cast("string"),
+            lit(":"), col("b").cast("string"))), lit(1000000L)))
+        .withColumn("w",
+          when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+            .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+            .when(col("u") < 996340, 4L).otherwise(5L))
+      val means = reps.groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w") * col("c")).as("ws"), sum(col("w")).as("wn"))
+        .filter(col("wn") > 0)
+        .withColumn("mean_c", expr("ws div wn"))
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_c"), col("b"))
+      means
+        .withColumn("r", row_number().over(wR))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_boot"),
+          min(col("mean_c")).as("boot_min"), max(col("mean_c")).as("boot_max"),
+          max(when(col("r") === 2, col("mean_c"))).as("ci_lo_c"),
+          max(when(col("r") === col("cnt") - 1, col("mean_c"))).as("ci_hi_c"))
+    },
     // Snapshot DIFF between two as-of versions of the per-customer
     // latest-order state — the ops tool every SCD/backfill pipeline
     // needs ("what changed between yesterday's build and today's"):
@@ -507,6 +553,38 @@ object QualityQueries {
         |  CAST(w1_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS w1_bins
         |FROM s""".stripMargin,
     // both as-of snapshots replayed as rank-1 scans, full-outer diffed
+    // the same derandomized Poisson weights (md5 split-hash vs the ppm
+    // CDF thresholds), integer replicate means, and ranked-cut CI
+    "q_x_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |reps AS (SELECT event_type, c, event_id, unnest(range(0, 32)) AS b FROM ev),
+        |h AS (SELECT event_type, c, b,
+        |    CAST(concat('0x', substr(md5(concat('boot:', CAST(event_id AS VARCHAR),
+        |      ':', CAST(b AS VARCHAR))), 1, 16)) AS UBIGINT) AS u0
+        |  FROM reps),
+        |u AS (SELECT event_type, c, b,
+        |    ((CASE WHEN u0 >= CAST(9223372036854775808 AS UBIGINT)
+        |      THEN CAST(CAST(u0 AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |      ELSE CAST(u0 AS BIGINT) END % 1000000) + 1000000) % 1000000 AS u
+        |  FROM h),
+        |w AS (SELECT event_type, c, b,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |         WHEN u < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM u),
+        |m AS (SELECT event_type, b,
+        |    CAST(sum(w * c) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean_c
+        |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+        |r AS (SELECT event_type, b, mean_c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mean_c, b) AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM m)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_boot,
+        |  min(mean_c) AS boot_min, max(mean_c) AS boot_max,
+        |  max(CASE WHEN r = 2 THEN mean_c END) AS ci_lo_c,
+        |  max(CASE WHEN r = cnt - 1 THEN mean_c END) AS ci_hi_c
+        |FROM r GROUP BY 1""".stripMargin,
     "q_x_snapshot_diff" ->
       """WITH sa AS (SELECT o_custkey AS custkey, o_orderstatus AS status,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS total

@@ -286,6 +286,21 @@ object StreamJobs {
   def driftCentsCountsStream(events: DataFrame): DataFrame =
     graft.operators.Drift.centsCounts(events)
 
+  /** Streaming calibration-state upkeep — the live tier of
+    * q_x_calibration: one complete-mode aggregate maintains the
+    * per-distinct-score (n, n_pos) counter table via the SAME
+    * [[graft.operators.Eval.calibrationState]] kernel as the batch row.
+    * The curve's equal-width bins need the GLOBAL score min/max, so the
+    * binning lives in the finisher
+    * ([[graft.operators.Eval.calibrationFromState]]) over drained state —
+    * additive counters over the bounded score domain ⇒ drained ≡ batch
+    * bit-for-bit, finisher output ≡ the registry row. The live form is
+    * continuous ranker-health monitoring: score→label drift alerts
+    * mid-ingest from the same numbers the batch report reads.
+    */
+  def calibrationStateStream(docs: DataFrame): DataFrame =
+    graft.operators.Eval.calibrationState(docs)
+
   /** Streaming KMV distinct-sketch upkeep — the live tier of
     * q_x_kmv_distinct: ONE complete-mode object-hash aggregate maintains
     * the per-type bottom-64 distinct-hash sketch via the SAME

@@ -159,6 +159,26 @@ class QualitySetSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("bootstrap CI: 32 replicates per type, ordered ranked cuts, brackets the exact mean") {
+    val got = QualityQueries.queries("q_x_bootstrap_ci")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(expr("sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) div count(1)")
+        .as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, (nBoot, mn, mx, lo, hi)) =>
+      assert(nBoot == 32L, s"$t: every replicate must keep weight (got $nBoot)")
+      assert(mn <= lo && lo <= hi && hi <= mx, s"$t: ranked cuts out of order")
+      // a 95% CI over thousands of rows per type brackets the exact mean;
+      // deterministic for this corpus (derandomized weights), so pin it
+      assert(lo <= exact(t) && exact(t) <= hi,
+        s"$t: CI [$lo, $hi] must bracket the exact mean ${exact(t)}")
+    }
+  }
+
   test("rrf fusion equals a driver recomputation from the two ranked lists") {
     val bm25 = SparkEntry.queries("q_x_bm25")(spark, sfDir)
       .select("doc_id").as[Long].collect().toSeq // already (score, id)-ordered

@@ -665,6 +665,31 @@ class StreamingSpec extends SparkSpec {
       canonRows(graft.queries.QualityQueries.queries("q_x_drift_ks")(spark, sfDir)))
   }
 
+  test("streaming calibration state drains to the batch table; the curve finisher derives the registry row") {
+    val src = Files.createTempDirectory("graft_calib_src").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.calibrationStateStream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("calib_s").start()
+    q.processAllAvailable(); q.stop()
+    // re-materialize (the drift-test memory-sink View self-join caveat):
+    // the bin finisher crossJoins the state with its own min/max aggregate
+    val t = spark.table("calib_s")
+    val drained = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    def canonS(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(canonS(drained) ==
+      canonS(graft.operators.Eval.calibrationState(docs)) && drained.count() > 0)
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(canonRows(graft.operators.Eval.calibrationFromState(drained)) ==
+      canonRows(graft.queries.EvalQueries.queries("q_x_calibration")(spark, sfDir)))
+  }
+
   test("streaming KMV sketch drains to the batch bottom-k; the estimate derives the registry row") {
     val src = Files.createTempDirectory("graft_kmv_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir)
