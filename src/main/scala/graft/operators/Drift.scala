@@ -111,6 +111,56 @@ object Drift {
           (col("n_ref") * col("n_cur")).cast("double")).as("w1_bins"))
   }
 
+  /** Additive per-type MOMENT state over the same ref/current split:
+    * (n, Σc, Σc²) per cohort, the Welch-test substrate. Moments
+    * accumulate in DECIMAL(38,0) (the q_x_variance convention — a LONG
+    * Σc² crosses 2⁶³ around 3·10⁹ rows per cohort, inside design scale);
+    * every entry is an additive sum, so the complete-mode streaming
+    * upkeep ≡ the batch build at any slicing.
+    */
+  def momentCounts(events: DataFrame): DataFrame = {
+    val c38 = col("c").cast("decimal(38,0)")
+    events
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("is_ref"), lit(1))).as("n1"),
+        count(when(!col("is_ref"), lit(1))).as("n2"),
+        sum(when(col("is_ref"), c38)).as("s1"),
+        sum(when(!col("is_ref"), c38)).as("s2"),
+        sum(when(col("is_ref"), c38 * col("c"))).as("q1"),
+        sum(when(!col("is_ref"), c38 * col("c"))).as("q2"))
+  }
+
+  /** Welch two-sample z from [[momentCounts]] state — the MEAN-level
+    * significance number the distribution tiers can't give: χ²/W1/KS say
+    * the SHAPE moved; Welch says whether the mean shift clears sampling
+    * noise, which is what a mixture-rebalance acts on. Unequal variances
+    * by construction (the two month halves share nothing), hence Welch,
+    * not pooled. Every numerator is an exact DECIMAL(38,0) integer
+    * (mean diff single-division cross-multiplied: (s1·n2 − s2·n1)/(n1·n2);
+    * variance numerators n·q − s² stay under 38 digits to ~10¹⁶ Σcents);
+    * the doubles are derived by the IDENTICAL expression tree on both
+    * engines, so the oracle matches bit-for-bit (the q_x_variance / OLS
+    * stance). Cohorts below 2 rows are excluded (variance undefined).
+    * At these n the z threshold 1.96 ≈ the t quantile to 3 decimals —
+    * the z form keeps the finisher libm-free except one sqrt.
+    */
+  def welchFromState(state: DataFrame): DataFrame = {
+    val dmNum = (col("s1") * col("n2") - col("s2") * col("n1")).cast("double")
+    val dm = dmNum / (col("n1") * col("n2")).cast("double")
+    val v1 = (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") /
+      (col("n1") * (col("n1") - 1)).cast("double")
+    val v2 = (col("n2") * col("q2") - col("s2") * col("s2")).cast("double") /
+      (col("n2") * (col("n2") - 1)).cast("double")
+    val z = dm / sqrt(v1 / col("n1").cast("double") + v2 / col("n2").cast("double"))
+    state.filter(col("n1") > 1 && col("n2") > 1)
+      .select(col("event_type"), col("n1").as("n_ref"), col("n2").as("n_cur"),
+        dm.as("mean_diff_c"), z.as("welch_z"),
+        (abs(z) > 1.96).as("significant"))
+  }
+
   /** Kolmogorov–Smirnov from [[centsCounts]] state: exact integer sup of
     * |cum₁·n₂ − cum₂·n₁| with inclusive cumulatives per cohort over
     * distinct cents, one closing double division.

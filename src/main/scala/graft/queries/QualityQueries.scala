@@ -233,35 +233,23 @@ object QualityQueries {
     // map-side-combinable (type, b) aggregate — the fan-out costs B×
     // scan-side compute (the bootstrap's irreducible price) but shuffles
     // only |types|·B keys; the rank window runs over B rows per type.
+    // Body extracted to the shared Resample kernel (r16): additive
+    // (type, replicate) state + ranked-cut finisher are one definition
+    // with the streaming twin.
     "q_x_bootstrap_ci" -> { (s, dir) =>
-      val B = 32
-      val reps = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
-        .select(col("event_type"), col("c"), col("event_id"),
-          explode(sequence(lit(0), lit(B - 1))).as("b"))
-        .withColumn("u", pmod(graft.operators.TextOps.md5Long64(
-          concat(lit("boot:"), col("event_id").cast("string"),
-            lit(":"), col("b").cast("string"))), lit(1000000L)))
-        .withColumn("w",
-          when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
-            .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
-            .when(col("u") < 996340, 4L).otherwise(5L))
-      val means = reps.groupBy(col("event_type"), col("b"))
-        .agg(sum(col("w") * col("c")).as("ws"), sum(col("w")).as("wn"))
-        .filter(col("wn") > 0)
-        .withColumn("mean_c", expr("ws div wn"))
-      val wR = Window.partitionBy(col("event_type"))
-        .orderBy(col("mean_c"), col("b"))
-      means
-        .withColumn("r", row_number().over(wR))
-        .withColumn("cnt", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_boot"),
-          min(col("mean_c")).as("boot_min"), max(col("mean_c")).as("boot_max"),
-          max(when(col("r") === 2, col("mean_c"))).as("ci_lo_c"),
-          max(when(col("r") === col("cnt") - 1, col("mean_c"))).as("ci_hi_c"))
+      graft.operators.Resample.bootstrapCiFromState(
+        graft.operators.Resample.bootstrapState(Tables.events(s, dir)))
+    },
+    // Welch two-sample z for the per-type mean over the shared drift
+    // split — the MEAN-level significance tier the distribution trio
+    // can't give: χ²/W1/KS say the shape moved, Welch says whether the
+    // mean shift clears sampling noise (what a mixture-rebalance acts
+    // on), and q_x_bootstrap_ci is its assumption-free cross-check.
+    // Exact DECIMAL(38,0) moment numerators, doubles derived by the
+    // identical expression tree on both engines (q_x_variance stance).
+    "q_x_drift_welch" -> { (s, dir) =>
+      graft.operators.Drift.welchFromState(
+        graft.operators.Drift.momentCounts(Tables.events(s, dir)))
     },
     // Snapshot DIFF between two as-of versions of the per-customer
     // latest-order state — the ops tool every SCD/backfill pipeline
@@ -553,6 +541,29 @@ object QualityQueries {
         |  CAST(w1_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS w1_bins
         |FROM s""".stripMargin,
     // both as-of snapshots replayed as rank-1 scans, full-outer diffed
+    // the same HUGEINT moment pieces and the identical double expression
+    // tree (single-division mean diff, Welch variance terms, one sqrt)
+    "q_x_drift_welch" ->
+      """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS is_ref,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN is_ref THEN CAST(c AS HUGEINT) END) AS s1,
+        |    sum(CASE WHEN NOT is_ref THEN CAST(c AS HUGEINT) END) AS s2,
+        |    sum(CASE WHEN is_ref THEN CAST(c AS HUGEINT) * c END) AS q1,
+        |    sum(CASE WHEN NOT is_ref THEN CAST(c AS HUGEINT) * c END) AS q2
+        |  FROM ev GROUP BY 1),
+        |f AS (SELECT event_type, n1, n2,
+        |    CAST(s1 * n2 - s2 * n1 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS dm,
+        |    CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE) AS v1,
+        |    CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE) AS v2
+        |  FROM m WHERE n1 > 1 AND n2 > 1)
+        |SELECT event_type, n1 AS n_ref, n2 AS n_cur, dm AS mean_diff_c,
+        |  dm / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS welch_z,
+        |  abs(dm / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))) > 1.96
+        |    AS significant
+        |FROM f""".stripMargin,
     // the same derandomized Poisson weights (md5 split-hash vs the ppm
     // CDF thresholds), integer replicate means, and ranked-cut CI
     "q_x_bootstrap_ci" ->

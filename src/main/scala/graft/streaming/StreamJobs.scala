@@ -286,6 +286,28 @@ object StreamJobs {
   def driftCentsCountsStream(events: DataFrame): DataFrame =
     graft.operators.Drift.centsCounts(events)
 
+  /** Streaming drift-moment upkeep — the live state of the q_x_drift_welch
+    * mean-significance gate ([[graft.operators.Drift.momentCounts]], one
+    * definition): per-type per-cohort (n, Σc, Σc²) in DECIMAL(38,0),
+    * additive ⇒ drain ≡ batch, and the Welch finisher over drained state
+    * equals the registry row — the mean-level member of the continuous
+    * drift report ([[driftBinCountsStream]] argument).
+    */
+  def driftMomentsStream(events: DataFrame): DataFrame =
+    graft.operators.Drift.momentCounts(events)
+
+  /** Streaming bootstrap-state upkeep — live resampling uncertainty: one
+    * complete-mode aggregate maintains the per-(type, replicate) weighted
+    * sums via the SAME [[graft.operators.Resample.bootstrapState]] kernel
+    * (derandomized Poisson weights are a pure row function, so micro-batch
+    * replay draws the exact same resamples); additive ⇒ drain ≡ batch,
+    * and [[graft.operators.Resample.bootstrapCiFromState]] over drained
+    * state reproduces the registry CI. The live form keeps a current
+    * error bar on every feed's mean without ever re-reading history.
+    */
+  def bootstrapStateStream(events: DataFrame): DataFrame =
+    graft.operators.Resample.bootstrapState(events)
+
   /** Streaming calibration-state upkeep — the live tier of
     * q_x_calibration: one complete-mode aggregate maintains the
     * per-distinct-score (n, n_pos) counter table via the SAME

@@ -665,6 +665,36 @@ class StreamingSpec extends SparkSpec {
       canonRows(graft.queries.QualityQueries.queries("q_x_drift_ks")(spark, sfDir)))
   }
 
+  test("streaming drift moments + bootstrap state drain to batch; Welch and CI finishers derive the registry rows") {
+    val src = Files.createTempDirectory("graft_welch_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    def drain(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String) = {
+      val q = mk(spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      val t = spark.table(name)
+      spark.createDataFrame(java.util.Arrays.asList(t.collect(): _*), t.schema)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.head -> r.toSeq.tail).toSet
+    val moments = drain(StreamJobs.driftMomentsStream, "welch_s")
+    assert(canon(moments) ==
+      canon(graft.operators.Drift.momentCounts(ev)) && moments.count() > 0)
+    assert(canon(graft.operators.Drift.welchFromState(moments)) ==
+      canon(graft.queries.QualityQueries.queries("q_x_drift_welch")(spark, sfDir)))
+    val boot = drain(StreamJobs.bootstrapStateStream, "boot_s")
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.toSeq.head, r.toSeq(1)) -> r.toSeq.drop(2)).toSet
+    assert(canon2(boot) ==
+      canon2(graft.operators.Resample.bootstrapState(ev)) && boot.count() > 0)
+    assert(canon(graft.operators.Resample.bootstrapCiFromState(boot)) ==
+      canon(graft.queries.QualityQueries.queries("q_x_bootstrap_ci")(spark, sfDir)))
+  }
+
   test("streaming calibration state drains to the batch table; the curve finisher derives the registry row") {
     val src = Files.createTempDirectory("graft_calib_src").toString
     val docs = graft.sources.Tables.documents(spark, sfDir)
