@@ -230,6 +230,61 @@ object PipelineQueries {
           length(col("frame")).cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_digest"))
     },
+    // Voice-activity SEGMENTS over the audio-kind payloads — the
+    // audio-energy grid composed with gaps-and-islands: voiced windows
+    // (energy ≥ the q_x_audio_energy quiet threshold) grouped into
+    // maximal consecutive runs per doc (island id = window_idx − dense
+    // rank, the q_x_streak rule at window grain), one row per segment
+    // with its span, length, and total energy. The clip-extraction shape
+    // every speech pipeline needs (VAD gate → segment table → per-segment
+    // decode); per-doc keyed windows only, nothing corpus-global.
+    "q_x_vad_segments" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val voiced = Multimodal.audioEnergy(
+          Multimodal.toMedia(Tables.documents(s, dir))
+            .filter(col("kind") === "audio"), windowChars = 32)
+        .filter(col("energy") >= 400000L)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+      voiced
+        .withColumn("isl", col("window_idx") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("window_idx")).as("seg_start"),
+          max(col("window_idx")).as("seg_end"),
+          count(lit(1)).as("n_windows"),
+          sum(col("energy")).as("total_energy"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_windows"), col("total_energy"))
+    },
+    // Scene-change detection over the video-kind payloads — frame
+    // sampling composed with the perceptual hash: dHash63 per sampled
+    // frame, Hamming distance between CONSECUTIVE frames per doc (one
+    // per-doc keyed lag window), cut where the gradient pattern jumps
+    // ≥ 16 bits. The video-segmentation move (shot boundaries for
+    // frame-dedup and clip extraction) expressed entirely in the
+    // existing stub-decode kernels — a production pipeline substitutes
+    // decoded luma thumbnails at the dHashCells column and the boundary
+    // arithmetic is unchanged. Narrow maps + one posexplode + per-doc
+    // windows: nothing corpus-global in the plan.
+    "q_x_scene_change" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.toMedia(Tables.documents(s, dir))
+        .filter(col("kind") === "video")
+      val frames = Multimodal.frameSample(media, chunkBytes = 32, stride = 2)
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("frame").cast("string").as("ftxt"))
+      val hashed = frames
+        .withColumn("__cells", Multimodal.dHashCells(col("ftxt")))
+        .select(col("doc_id"), col("frame_idx"),
+          Multimodal.dHash63("__cells").as("ph"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      hashed.withColumn("prev", lag(col("ph"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          expr("bit_count(ph ^ prev)").cast("long").as("hamming"))
+        .withColumn("is_cut", col("hamming") >= 16)
+    },
     // B13 raw-tx codec, end-to-end: build a cosmos-TxRaw-shaped message per
     // event row with the wire-format encoders (TxBody{repeated Any, memo} +
     // AuthInfo{Fee{repeated Coin, gas}} + repeated signatures — the layout
@@ -423,6 +478,58 @@ object PipelineQueries {
         |  FROM g)
         |SELECT doc_id, kind, window_idx, energy, energy < 400000 AS is_quiet
         |FROM e""".stripMargin,
+    // the same energy grid, voiced filter, and island id over window_idx
+    "q_x_vad_segments" ->
+      """WITH m AS (SELECT doc_id,
+        |    list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+        |    text FROM documents),
+        |a AS (SELECT doc_id, text FROM m WHERE kind = 'audio'),
+        |g AS (SELECT doc_id, text,
+        |    unnest(range(0, CAST(length(text) // 32 AS BIGINT))) AS w
+        |  FROM a WHERE length(text) >= 32),
+        |e AS (SELECT doc_id, CAST(w AS INT) AS window_idx,
+        |    list_reduce(list_transform(range(1, 33), i ->
+        |      CAST(ord(substring(text, CAST(w * 32 + i AS INT), 1)) AS BIGINT)
+        |        * (CASE WHEN i % 2 = 1 THEN 1 ELSE 256 END)),
+        |      (x, y) -> x + y) AS energy
+        |  FROM g),
+        |v AS (SELECT doc_id, window_idx, energy FROM e WHERE energy >= 400000),
+        |isl AS (SELECT doc_id, window_idx, energy,
+        |    window_idx - row_number() OVER (PARTITION BY doc_id ORDER BY window_idx) AS g
+        |  FROM v)
+        |SELECT doc_id, CAST(min(window_idx) AS INT) AS seg_start,
+        |  CAST(max(window_idx) AS INT) AS seg_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(energy) AS BIGINT) AS total_energy
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
+    // the same stride-2 frame grid, the 70-cell dHash per frame, and the
+    // per-doc lag window over the dense kept-frame index
+    "q_x_scene_change" -> {
+      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+      s"""WITH m AS (SELECT doc_id,
+         |    list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+         |    text FROM documents),
+         |v AS (SELECT doc_id, text FROM m WHERE kind = 'video'),
+         |g AS (SELECT doc_id, text,
+         |    unnest(range(0, greatest(CAST(length(text) // 32 AS BIGINT) - 1, 0) + 1)) AS i
+         |  FROM v),
+         |f AS (SELECT doc_id, i, substring(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+         |  FROM g WHERE i % 2 = 0),
+         |idx AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS frame_idx,
+         |    frame FROM f),
+         |cells AS (SELECT doc_id, frame_idx,
+         |    [ascii(substr(rpad(frame, 70, ' '), k, 1)) for k in range(1, 71)] AS cl
+         |  FROM idx),
+         |ph AS (SELECT doc_id, frame_idx, CAST($phTerms AS BIGINT) AS ph FROM cells),
+         |lg AS (SELECT doc_id, frame_idx, ph,
+         |    lag(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM ph)
+         |SELECT doc_id, frame_idx, CAST(bit_count(xor(ph, prev)) AS BIGINT) AS hamming,
+         |  bit_count(xor(ph, prev)) >= 16 AS is_cut
+         |FROM lg WHERE prev IS NOT NULL""".stripMargin
+    },
     "q_x_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,

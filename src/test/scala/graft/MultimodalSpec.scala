@@ -91,6 +91,42 @@ class MultimodalSpec extends SparkSpec {
     assert(h.values.forall(_ >= 0L), "63-bit hash stays in the signed-positive range")
   }
 
+  test("scene-change: per-doc consecutive-frame Hamming, cuts at the threshold") {
+    val rows = graft.queries.PipelineQueries.queries("q_x_scene_change")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((d, i), (h, cut)) =>
+      assert(h >= 0 && h <= 63, s"doc $d frame $i: hamming $h out of 63-bit range")
+      assert(cut == (h >= 16), s"doc $d frame $i: cut flag must be hamming >= 16")
+    }
+    // both classes present on this corpus — the threshold is not vacuous
+    assert(rows.values.exists(_._2) && rows.values.exists(!_._2))
+    // frame 0 never appears (no predecessor)
+    assert(rows.keys.forall(_._2 >= 1))
+  }
+
+  test("vad segments are maximal voiced runs with exact spans") {
+    val energy = Multimodal.audioEnergy(
+        Multimodal.toMedia(graft.sources.Tables.documents(spark, sfDir))
+          .filter(col("kind") === "audio"), windowChars = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    val segs = graft.queries.PipelineQueries.queries("q_x_vad_segments")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(segs.nonEmpty)
+    segs.foreach { case (d, a, b, n, tot) =>
+      assert(n == b - a + 1, s"doc $d [$a,$b]: segment must be gapless")
+      // every window in the span is voiced, and the run is MAXIMAL:
+      // the windows just outside are quiet or absent
+      (a to b).foreach(i => assert(energy((d, i)) >= 400000L,
+        s"doc $d window $i inside segment must be voiced"))
+      assert(energy.get((d, a - 1)).forall(_ < 400000L), s"doc $d: not maximal left")
+      assert(energy.get((d, b + 1)).forall(_ < 400000L), s"doc $d: not maximal right")
+      assert(tot == (a to b).map(i => energy((d, i))).sum)
+    }
+  }
+
   test("audioEnergy: two-byte LE sample fold, complete windows only") {
     // 64 chars → 2 windows; 31 chars → 0 windows (partial frames are not
     // valid samples); per-window energy replayed byte-for-byte
