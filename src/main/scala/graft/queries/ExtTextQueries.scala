@@ -190,6 +190,20 @@ object ExtTextQueries {
         numHashes = 16, rowsPerBand = 4, shingleN = 3,
         threshold = 0.6, maxHamming = 6, failOnOverCap = true)
     },
+    // The cross-modal pair graph closed transitively — per-RECORD cluster
+    // ids over the conjunction pairs (hash-min flooding, the
+    // q_x_dedup_clusters kernel): the table a LAION-style pipeline keeps
+    // one (caption, image) record per cluster from.
+    "q_x_mm_pair_clusters" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .withColumn("__cells", Multimodal.dHashCells(col("text")))
+        .select(col("doc_id"), col("text"),
+          Multimodal.dHash63("__cells").as("ph"))
+      Dedup.duplicateClusters(
+        Dedup.crossModalPairDedup(recs, "doc_id", "text", "ph",
+          numHashes = 16, rowsPerBand = 4, shingleN = 3,
+          threshold = 0.6, maxHamming = 6, failOnOverCap = true), "a", "b")
+    },
     // MinHash Jaccard ESTIMATOR calibration: per banded candidate pair,
     // the signature-agreement count (matches/16 is the classic unbiased
     // Jaccard estimate — ALL-INTEGER, so the estimator itself is
@@ -1977,6 +1991,46 @@ object ExtTextQueries {
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cl)""".stripMargin
 
+  /** The cross-modal pair chain as CTEs ending in `mmpr(a, b, jaccard,
+    * hamming)` — shared verbatim by the pair-dedup and pair-cluster
+    * oracles so the conjunction can never drift between the two rows.
+    */
+  private def mmPairChainCtes: String = {
+    val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+      s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+        s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+    s"""$wCte,
+       |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+       |sh0 AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+       |  FROM sh),
+       |$minhashChainCtes,
+       |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+       |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+       |tcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |cells AS (SELECT doc_id,
+       |    [ascii(substr(rpad(text, 70, ' '), k, 1))
+       |     for k in range(1, 71)] AS cl
+       |  FROM documents),
+       |phx AS (SELECT doc_id, CAST($phTerms AS BIGINT) AS ph FROM cells),
+       |ibands AS (SELECT doc_id, g.b AS j, (ph >> (g.b * 16)) & 65535 AS bv
+       |  FROM phx, generate_series(0, 3) g(b)),
+       |icand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM ibands x JOIN ibands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |mmcand AS (SELECT t.a, t.b FROM tcand t
+       |  JOIN icand i ON t.a = i.a AND t.b = i.b),
+       |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w),
+       |mmv AS (SELECT mmcand.a, mmcand.b,
+       |    round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+       |          len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard,
+       |    CAST(bit_count(xor(px.ph, py.ph)) AS BIGINT) AS hamming
+       |  FROM mmcand JOIN shl x ON x.doc_id = mmcand.a JOIN shl y ON y.doc_id = mmcand.b
+       |    JOIN phx px ON px.doc_id = mmcand.a JOIN phx py ON py.doc_id = mmcand.b),
+       |mmpr AS (SELECT a, b, jaccard, hamming FROM mmv
+       |  WHERE jaccard >= 0.6 AND hamming <= 6)""".stripMargin
+  }
+
   /** The full q_x_gopher_quality oracle statement — shared verbatim by the
     * dataset-card oracle (nested as a CTE subquery) so the pass rule can
     * never drift between the per-doc row and the card rollup.
@@ -2410,40 +2464,25 @@ object ExtTextQueries {
     // both banded chains replayed in full — the shared MinHash CTEs for
     // the caption side, the 70-cell dHash for the image side — then the
     // candidate INTERSECT and both exact verifies
-    "q_x_mm_pair_dedup" -> {
-      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
-        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
-          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
-      s"""WITH $wCte,
-         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
-         |sh0 AS (SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
-         |  FROM sh),
-         |$minhashChainCtes,
-         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
-         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
-         |tcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         |cells AS (SELECT doc_id,
-         |    [ascii(substr(rpad(text, 70, ' '), k, 1))
-         |     for k in range(1, 71)] AS cl
-         |  FROM documents),
-         |phx AS (SELECT doc_id, CAST($phTerms AS BIGINT) AS ph FROM cells),
-         |ibands AS (SELECT doc_id, g.b AS j, (ph >> (g.b * 16)) & 65535 AS bv
-         |  FROM phx, generate_series(0, 3) g(b)),
-         |icand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM ibands x JOIN ibands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |cand AS (SELECT a, b FROM tcand INTERSECT SELECT a, b FROM icand),
-         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w),
-         |v AS (SELECT cand.a, cand.b,
-         |    round(len(list_intersect(x.sl, y.sl))::DOUBLE /
-         |          len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard,
-         |    CAST(bit_count(xor(px.ph, py.ph)) AS BIGINT) AS hamming
-         |  FROM cand JOIN shl x ON x.doc_id = cand.a JOIN shl y ON y.doc_id = cand.b
-         |    JOIN phx px ON px.doc_id = cand.a JOIN phx py ON py.doc_id = cand.b)
-         |SELECT a, b, jaccard, hamming FROM v
-         |WHERE jaccard >= 0.6 AND hamming <= 6""".stripMargin
-    },
+    "q_x_mm_pair_dedup" ->
+      s"""WITH $mmPairChainCtes
+         |SELECT a, b, jaccard, hamming FROM mmpr""".stripMargin,
+    // the same cross-modal pair chain closed transitively (the
+    // q_x_dedup_clusters recursive-CTE idiom over the mm pair graph)
+    "q_x_mm_pair_clusters" ->
+      s"""WITH RECURSIVE $mmPairChainCtes,
+         |nodes AS (SELECT a AS node FROM mmpr UNION SELECT b FROM mmpr),
+         |edges AS (SELECT a AS src, b AS dst FROM mmpr
+         |          UNION SELECT b AS src, a AS dst FROM mmpr),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+         |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |cls AS (SELECT node AS doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cl)
+         |SELECT doc_id, cluster_id, cluster_size FROM cls""".stripMargin,
     "q_x_simhash_sketch" ->
       s"""WITH $wCte,
          |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),

@@ -978,6 +978,13 @@ class DedupSpec extends SparkSpec {
     assert(imgPairs.contains((5L, 6L)), s"image tier must find (5,6): $imgPairs")
     // soundness: the conjunction is a subset of each single-modality set
     assert(got.subsetOf(textOnly) && got.subsetOf(imgPairs))
+    // the cluster tier: the one conjunction pair closes to exactly one
+    // 2-member cluster labeled by its min id — single-modality dups never
+    // enter the pair graph, so they never cluster
+    val cls = Dedup.duplicateClusters(
+        Dedup.crossModalPairDedup(recs, "doc_id", "text", "ph"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cls == Set((1L, 1L, 2L), (2L, 1L, 2L)), s"got $cls")
   }
 
   test("blocking quality: raw-scan cap sizes from parquet footers, no count job") {
