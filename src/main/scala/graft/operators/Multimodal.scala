@@ -205,13 +205,45 @@ object Multimodal {
     * engines (the hilbertIndex order-15 argument). Pass the cells as a
     * MATERIALIZED column — the hash references the grid 126 times.
     */
-  def dHash63(cellsCol: String): Column = {
+  def dHash63(cellsCol: String): Column = dHash63Of(col(cellsCol))
+
+  /** [[dHash63]] over an arbitrary cells COLUMN (e.g. a lambda variable
+    * inside `transform` — the array-native per-frame form). Same 63
+    * comparison terms; pass a MATERIALIZED cells array, the hash
+    * references it 126 times.
+    */
+  def dHash63Of(cells: Column): Column = {
     val bits = for (r <- 0 until 7; c <- 0 until 9) yield
-      when(element_at(col(cellsCol), r * 10 + c + 1) >
-          element_at(col(cellsCol), r * 10 + c + 2),
+      when(element_at(cells, r * 10 + c + 1) >
+          element_at(cells, r * 10 + c + 2),
         lit(1L << (r * 9 + c))).otherwise(lit(0L))
     bits.reduce(_ + _)
   }
+
+  /** Scene-change detection, ARRAY-NATIVE: per media row, hash every
+    * sampled frame ([[frameSample]] grid → [[dHashCells]] → [[dHash63Of]])
+    * and emit the Hamming distance between consecutive frames with a cut
+    * flag at `threshold`. The whole computation is per-ROW lambda algebra
+    * — cells and hashes materialize as nested arrays, consecutive pairs
+    * via two `slice`s + `zip_with` — so the plan has ZERO exchanges (the
+    * windowed form shuffled every (doc, frame) row just to lag within a
+    * doc) and the SAME definition runs under Structured Streaming in
+    * append mode (stateless: a media file's cuts depend only on its own
+    * payload — [[graft.streaming.StreamJobs.sceneChangeStream]]).
+    */
+  def sceneCuts(media: DataFrame, chunkBytes: Int, stride: Int,
+      threshold: Int): DataFrame =
+    frameSample(media, chunkBytes, stride)
+      .withColumn("__cells",
+        transform(col("frames"), f => dHashCells(f.cast("string"))))
+      .withColumn("__ph", transform(col("__cells"), cl => dHash63Of(cl)))
+      .withColumn("__hm", zip_with(
+        slice(col("__ph"), lit(1), greatest(size(col("__ph")) - 1, lit(0))),
+        slice(col("__ph"), lit(2), greatest(size(col("__ph")) - 1, lit(0))),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")))
+      .select(col("doc_id"), posexplode(col("__hm")).as(Seq("__p", "hamming")))
+      .select(col("doc_id"), (col("__p") + 1).cast("int").as("frame_idx"),
+        col("hamming"), (col("hamming") >= threshold).as("is_cut"))
 
   /** Banded candidate pairs over a perceptual-hash column — the LSH move
     * for Hamming space: split the hash into `numBands` contiguous

@@ -265,25 +265,14 @@ object PipelineQueries {
     // decoded luma thumbnails at the dHashCells column and the boundary
     // arithmetic is unchanged. Narrow maps + one posexplode + per-doc
     // windows: nothing corpus-global in the plan.
+    // Array-native (r16 rewrite): per-row lambda algebra, zero exchanges
+    // — the windowed first cut shuffled every (doc, frame) row just to
+    // lag within a doc. Shared kernel with the streaming twin.
     "q_x_scene_change" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val media = Multimodal.toMedia(Tables.documents(s, dir))
-        .filter(col("kind") === "video")
-      val frames = Multimodal.frameSample(media, chunkBytes = 32, stride = 2)
-        .select(col("doc_id"),
-          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
-        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
-          col("frame").cast("string").as("ftxt"))
-      val hashed = frames
-        .withColumn("__cells", Multimodal.dHashCells(col("ftxt")))
-        .select(col("doc_id"), col("frame_idx"),
-          Multimodal.dHash63("__cells").as("ph"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-      hashed.withColumn("prev", lag(col("ph"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(col("doc_id"), col("frame_idx"),
-          expr("bit_count(ph ^ prev)").cast("long").as("hamming"))
-        .withColumn("is_cut", col("hamming") >= 16)
+      Multimodal.sceneCuts(
+        Multimodal.toMedia(Tables.documents(s, dir))
+          .filter(col("kind") === "video"),
+        chunkBytes = 32, stride = 2, threshold = 16)
     },
     // B13 raw-tx codec, end-to-end: build a cosmos-TxRaw-shaped message per
     // event row with the wire-format encoders (TxBody{repeated Any, memo} +

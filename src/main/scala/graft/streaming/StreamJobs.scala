@@ -286,6 +286,20 @@ object StreamJobs {
   def driftCentsCountsStream(events: DataFrame): DataFrame =
     graft.operators.Drift.centsCounts(events)
 
+  /** Streaming scene-change detection — the live tier of q_x_scene_change
+    * ([[graft.operators.Multimodal.sceneCuts]], one definition): media
+    * files stream in, cut tables stream out in APPEND mode — the
+    * computation is stateless (a file's cuts depend only on its own
+    * payload; the array-native kernel has no window, no state store, no
+    * watermark), so the drained output equals the batch rows per file by
+    * construction. The ingest-side shape of a video pipeline: segment
+    * boundaries exist the moment the file lands.
+    */
+  def sceneChangeStream(media: DataFrame): DataFrame =
+    graft.operators.Multimodal.sceneCuts(
+      media.filter(col("kind") === "video"),
+      chunkBytes = 32, stride = 2, threshold = 16)
+
   /** Streaming drift-moment upkeep — the live state of the q_x_drift_welch
     * mean-significance gate ([[graft.operators.Drift.momentCounts]], one
     * definition): per-type per-cohort (n, Σc, Σc²) in DECIMAL(38,0),

@@ -665,6 +665,26 @@ class StreamingSpec extends SparkSpec {
       canonRows(graft.queries.QualityQueries.queries("q_x_drift_ks")(spark, sfDir)))
   }
 
+  test("streaming scene-change cuts equal the batch rows (stateless append mode)") {
+    val src = Files.createTempDirectory("graft_scene_src").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.sceneChangeStream(
+        graft.operators.Multimodal.toMedia(
+          spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+            .parquet(src)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scene_s").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    val got = canon(spark.table("scene_s"))
+    assert(got == canon(
+      graft.queries.PipelineQueries.queries("q_x_scene_change")(spark, sfDir))
+      && got.nonEmpty)
+  }
+
   test("streaming drift moments + bootstrap state drain to batch; Welch and CI finishers derive the registry rows") {
     val src = Files.createTempDirectory("graft_welch_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir)
