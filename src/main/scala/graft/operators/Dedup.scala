@@ -275,6 +275,21 @@ object Dedup {
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.6,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = crossBandPairs(newDocs, oldDocs, idCol, textCol,
+      numHashes, rowsPerBand, shingleN, maxBucketSize).localCheckpoint()
+    jaccardOnPairs(pairs, newDocs.unionByName(oldDocs), idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The NEW→OLD banded candidate join of [[crossNearDupMinHash]] —
+    * (a = incoming id, b = standing id) pairs with the old-side hot-bucket
+    * hub guard and the `cross_lsh_hot_buckets` observe — extracted so the
+    * cross-modal incremental tier composes it with the image band join
+    * before ONE shared verify.
+    */
+  private def crossBandPairs(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
+      shingleN: Int, maxBucketSize: Int): DataFrame = {
     val nb = bandTable(
       minHashSignature(newDocs, idCol, textCol, numHashes, shingleN),
       idCol, numHashes, rowsPerBand)
@@ -289,12 +304,41 @@ object Dedup {
           .otherwise(0)).as("n_capped_buckets"))
       .filter(col("__sz") <= maxBucketSize || col(idCol) === col("__mn"))
       .select(col(idCol).as("b"), col("band"), col("bh"))
-    val pairs = nb.select(col(idCol).as("a"), col("band"), col("bh"))
+    nb.select(col(idCol).as("a"), col("band"), col("bh"))
       .join(ob, Seq("band", "bh"))
       .select(col("a"), col("b")).distinct()
-      .localCheckpoint()
-    jaccardOnPairs(pairs, newDocs.unionByName(oldDocs), idCol, textCol, shingleN)
-      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental CROSS-MODAL admission — [[crossModalPairDedup]]'s
+    * NEW-vs-STANDING form, completing the incremental matrix (exact →
+    * [[antiJoinBloom]]; text near-dup → [[crossNearDupMinHash]]; edit →
+    * the grid tier; pairs → this): which incoming (caption, image)
+    * records duplicate the standing corpus in BOTH modalities? Candidates
+    * = the text NEW→OLD band join (old-side hub guard inherited) ∩ the
+    * image NEW→OLD pHash band join; ONE verify — exact caption Jaccard ≥
+    * `threshold` AND exact image Hamming ≤ `maxHamming`. Emits (a =
+    * incoming id, b = standing id, jaccard, hamming); admitted = incoming
+    * anti-joined on `a`. No new×new or old×old pairing — intra-batch
+    * cross-modal dedup is [[crossModalPairDedup]]'s job. Ids must be
+    * globally unique across cohorts (the crossNearDupMinHash contract).
+    */
+  def crossModalIncremental(newRecs: DataFrame, oldRecs: DataFrame,
+      idCol: String, captionCol: String, phashCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.6, maxHamming: Int = 6,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val tPairs = crossBandPairs(newRecs, oldRecs, idCol, captionCol,
+      numHashes, rowsPerBand, shingleN, maxBucketSize)
+    val iPairs = Multimodal.phashBandPairsAcross(newRecs, oldRecs, idCol, phashCol)
+    val cand = tPairs.join(iPairs, Seq("a", "b")).localCheckpoint()
+    val all = newRecs.unionByName(oldRecs)
+    val ph = all.select(col(idCol), col(phashCol))
+    jaccardOnPairs(cand, all, idCol, captionCol, shingleN)
+      .join(ph.select(col(idCol).as("a"), col(phashCol).as("__pa")), Seq("a"))
+      .join(ph.select(col(idCol).as("b"), col(phashCol).as("__pb")), Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"),
+        expr("bit_count(__pa ^ __pb)").cast("long").as("hamming"))
+      .filter(col("jaccard") >= threshold && col("hamming") <= maxHamming)
   }
 
   /** Cross-modal PAIR-level near-dup — the LAION-style (caption, image)

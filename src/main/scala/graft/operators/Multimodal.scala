@@ -258,17 +258,35 @@ object Multimodal {
     */
   def phashBandPairs(d: DataFrame, idCol: String, hashCol: String,
       numBands: Int = 4, bandBits: Int = 16): DataFrame = {
-    val mask = (1L << bandBits) - 1
-    val bands = d.select(col(idCol),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val bands = phashBands(d, idCol, hashCol, numBands, bandBits)
     bands.select(col("band"), col("bv"), col(idCol).as("a"))
       .join(bands.select(col("band"), col("bv"), col(idCol).as("b")),
         Seq("band", "bv"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** [[phashBandPairs]] across two cohorts: NEW→OLD band collisions only
+    * — no new×new or old×old pairing (the incremental-admission shape,
+    * mirroring Dedup.crossNearDupMinHash's band join). Emits (a = new id,
+    * b = old id) distinct.
+    */
+  def phashBandPairsAcross(newD: DataFrame, oldD: DataFrame, idCol: String,
+      hashCol: String, numBands: Int = 4, bandBits: Int = 16): DataFrame =
+    phashBands(newD, idCol, hashCol, numBands, bandBits)
+      .select(col("band"), col("bv"), col(idCol).as("a"))
+      .join(phashBands(oldD, idCol, hashCol, numBands, bandBits)
+        .select(col("band"), col("bv"), col(idCol).as("b")), Seq("band", "bv"))
+      .select(col("a"), col("b")).distinct()
+
+  private def phashBands(d: DataFrame, idCol: String, hashCol: String,
+      numBands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    d.select(col(idCol),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
   }
 
   def resize(media: DataFrame, targetBytes: Int): DataFrame =

@@ -190,6 +190,25 @@ object ExtTextQueries {
         numHashes = 16, rowsPerBand = 4, shingleN = 3,
         threshold = 0.6, maxHamming = 6, failOnOverCap = true)
     },
+    // Incremental CROSS-MODAL admission — which incoming (caption, image)
+    // records duplicate the STANDING corpus in both modalities: text
+    // NEW→OLD band join ∩ image NEW→OLD band join, one shared verify
+    // (exact Jaccard ∧ exact Hamming). Completes the incremental matrix
+    // (exact Bloom / text MinHash / edit grid / cross-modal). Cohorts:
+    // doc_id % 3 (the q_x_incr_neardup split — 2/3 incoming, 1/3
+    // standing); admitted = incoming anti-joined on new_id.
+    "q_x_mm_incr_admission" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .withColumn("__cells", Multimodal.dHashCells(col("text")))
+        .select(col("doc_id"), col("text"),
+          Multimodal.dHash63("__cells").as("ph"))
+      Dedup.crossModalIncremental(
+        recs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        recs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text", "ph")
+        .select(col("a").as("new_id"), col("b").as("old_id"),
+          col("jaccard"), col("hamming"))
+    },
     // The cross-modal pair graph closed transitively — per-RECORD cluster
     // ids over the conjunction pairs (hash-min flooding, the
     // q_x_dedup_clusters kernel): the table a LAION-style pipeline keeps
@@ -2467,6 +2486,27 @@ object ExtTextQueries {
     "q_x_mm_pair_dedup" ->
       s"""WITH $mmPairChainCtes
          |SELECT a, b, jaccard, hamming FROM mmpr""".stripMargin,
+    // the shared mm chain's band tables re-joined NEW→OLD only (cohorts
+    // by doc_id % 3), conjunction, then the same two exact verifies
+    "q_x_mm_incr_admission" ->
+      s"""WITH $mmPairChainCtes,
+         |tc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands n JOIN bands o ON n.j = o.j AND n.bh = o.bh
+         |  WHERE n.doc_id % 3 <> 0 AND o.doc_id % 3 = 0),
+         |ic AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM ibands n JOIN ibands o ON n.j = o.j AND n.bv = o.bv
+         |  WHERE n.doc_id % 3 <> 0 AND o.doc_id % 3 = 0),
+         |cc AS (SELECT t.new_id, t.old_id FROM tc t
+         |  JOIN ic i ON t.new_id = i.new_id AND t.old_id = i.old_id)
+         |SELECT cc.new_id, cc.old_id,
+         |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard,
+         |  CAST(bit_count(xor(px.ph, py.ph)) AS BIGINT) AS hamming
+         |FROM cc JOIN shl x ON x.doc_id = cc.new_id JOIN shl y ON y.doc_id = cc.old_id
+         |  JOIN phx px ON px.doc_id = cc.new_id JOIN phx py ON py.doc_id = cc.old_id
+         |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6
+         |  AND bit_count(xor(px.ph, py.ph)) <= 6""".stripMargin,
     // the same cross-modal pair chain closed transitively (the
     // q_x_dedup_clusters recursive-CTE idiom over the mm pair graph)
     "q_x_mm_pair_clusters" ->

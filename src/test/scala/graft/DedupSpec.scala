@@ -985,6 +985,14 @@ class DedupSpec extends SparkSpec {
         Dedup.crossModalPairDedup(recs, "doc_id", "text", "ph"), "a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(cls == Set((1L, 1L, 2L), (2L, 1L, 2L)), s"got $cls")
+    // incremental admission: incoming evens vs standing odds — only the
+    // both-modality pair (2 → 1) is rejected; the caption-only (4 vs 3)
+    // and image-only (6 vs 5) incomings are admitted
+    val incr = Dedup.crossModalIncremental(
+        recs.filter(col("doc_id") % 2 === 0),
+        recs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "ph")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(incr == Set((2L, 1L)), s"got $incr")
   }
 
   test("blocking quality: raw-scan cap sizes from parquet footers, no count job") {
