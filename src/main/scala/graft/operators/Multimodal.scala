@@ -220,30 +220,35 @@ object Multimodal {
     bits.reduce(_ + _)
   }
 
-  /** Scene-change detection, ARRAY-NATIVE: per media row, hash every
-    * sampled frame ([[frameSample]] grid → [[dHashCells]] → [[dHash63Of]])
-    * and emit the Hamming distance between consecutive frames with a cut
-    * flag at `threshold`. The whole computation is per-ROW lambda algebra
-    * — cells and hashes materialize as nested arrays, consecutive pairs
-    * via two `slice`s + `zip_with` — so the plan has ZERO exchanges (the
-    * windowed form shuffled every (doc, frame) row just to lag within a
-    * doc) and the SAME definition runs under Structured Streaming in
-    * append mode (stateless: a media file's cuts depend only on its own
-    * payload — [[graft.streaming.StreamJobs.sceneChangeStream]]).
+  /** Scene-change detection, SHUFFLE-FREE: per media row, pair each
+    * sampled frame with its successor INSIDE the frames array (one cheap
+    * `zip_with` building (prev, next) structs — the only interpreted
+    * higher-order step, deliberately trivial per element because Spark
+    * HOFs are CodegenFallback), explode the pairs, then run the 126-term
+    * dHash comparison per exploded row in WHOLE-STAGE CODEGEN and emit
+    * the Hamming distance with a cut flag at `threshold`. Zero exchanges:
+    * the windowed first cut shuffled every (doc, frame) row just to lag
+    * within a doc (and a fully array-native cut paid interpreted HOF
+    * evaluation for the hash itself — measured 2.8× slower than the
+    * window; this form keeps the heavy arithmetic codegen'd at the cost
+    * of hashing each interior frame twice). Stateless per file ⇒ the SAME
+    * definition runs under Structured Streaming in append mode
+    * ([[graft.streaming.StreamJobs.sceneChangeStream]]).
     */
   def sceneCuts(media: DataFrame, chunkBytes: Int, stride: Int,
       threshold: Int): DataFrame =
     frameSample(media, chunkBytes, stride)
-      .withColumn("__cells",
-        transform(col("frames"), f => dHashCells(f.cast("string"))))
-      .withColumn("__ph", transform(col("__cells"), cl => dHash63Of(cl)))
-      .withColumn("__hm", zip_with(
-        slice(col("__ph"), lit(1), greatest(size(col("__ph")) - 1, lit(0))),
-        slice(col("__ph"), lit(2), greatest(size(col("__ph")) - 1, lit(0))),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")))
-      .select(col("doc_id"), posexplode(col("__hm")).as(Seq("__p", "hamming")))
+      .withColumn("__pairs", zip_with(
+        slice(col("frames"), lit(1), greatest(size(col("frames")) - 1, lit(0))),
+        slice(col("frames"), lit(2), greatest(size(col("frames")) - 1, lit(0))),
+        (a, b) => struct(a.cast("string").as("pa"), b.cast("string").as("pb"))))
+      .select(col("doc_id"), posexplode(col("__pairs")).as(Seq("__p", "pr")))
+      .withColumn("__ca", dHashCells(col("pr.pa")))
+      .withColumn("__cb", dHashCells(col("pr.pb")))
       .select(col("doc_id"), (col("__p") + 1).cast("int").as("frame_idx"),
-        col("hamming"), (col("hamming") >= threshold).as("is_cut"))
+        bit_count(dHash63Of(col("__ca")).bitwiseXOR(dHash63Of(col("__cb"))))
+          .cast("long").as("hamming"))
+      .withColumn("is_cut", col("hamming") >= threshold)
 
   /** Banded candidate pairs over a perceptual-hash column — the LSH move
     * for Hamming space: split the hash into `numBands` contiguous
