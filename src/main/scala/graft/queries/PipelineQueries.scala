@@ -230,6 +230,18 @@ object PipelineQueries {
           length(col("frame")).cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_digest"))
     },
+    // Shot-level video near-dup — scene segmentation composed with banded
+    // Hamming dedup: shots from the cut stream, a 63-bit opening-window
+    // signature per shot, 4×16 band join over the packed (doc, shot) key,
+    // exact Hamming verify. Re-used clips across videos and repeated
+    // shots within one — frame-level phash dedup lifted to the segment
+    // grain a video-dedup pipeline works at.
+    "q_x_shot_dedup" -> { (s, dir) =>
+      Multimodal.shotDedup(
+        Multimodal.toMedia(Tables.documents(s, dir))
+          .filter(col("kind") === "video"),
+        chunkBytes = 32, stride = 2, cutThreshold = 16, maxHamming = 6)
+    },
     // Voice-activity SEGMENTS over the audio-kind payloads — the
     // audio-energy grid composed with gaps-and-islands: voiced windows
     // (energy ≥ the q_x_audio_energy quiet threshold) grouped into
@@ -467,6 +479,53 @@ object PipelineQueries {
         |  FROM g)
         |SELECT doc_id, kind, window_idx, energy, energy < 400000 AS is_quiet
         |FROM e""".stripMargin,
+    // the same cut chain, boundary-run shots, opening-window signatures,
+    // band join over the lexicographic (doc, shot) order, Hamming verify
+    "q_x_shot_dedup" -> {
+      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+      s"""WITH m AS (SELECT doc_id,
+         |    list_extract(['image','audio','video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+         |    text FROM documents),
+         |v AS (SELECT doc_id, text FROM m WHERE kind = 'video'),
+         |g AS (SELECT doc_id, text,
+         |    unnest(range(0, greatest(CAST(length(text) // 32 AS BIGINT) - 1, 0) + 1)) AS i
+         |  FROM v),
+         |f AS (SELECT doc_id, i, substring(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+         |  FROM g WHERE i % 2 = 0),
+         |idx AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS frame_idx,
+         |    frame FROM f),
+         |cells AS (SELECT doc_id, frame_idx,
+         |    [ascii(substr(rpad(frame, 70, ' '), k, 1)) for k in range(1, 71)] AS cl
+         |  FROM idx),
+         |ph AS (SELECT doc_id, frame_idx, CAST($phTerms AS BIGINT) AS ph FROM cells),
+         |lg AS (SELECT doc_id, frame_idx, ph,
+         |    lag(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM ph),
+         |cut AS (SELECT doc_id, frame_idx,
+         |    CASE WHEN prev IS NOT NULL AND bit_count(xor(ph, prev)) >= 16
+         |         THEN 1 ELSE 0 END AS is_cut FROM lg),
+         |sh AS (SELECT doc_id, frame_idx,
+         |    CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT)
+         |      AS shot_id FROM cut),
+         |shots AS (SELECT doc_id, shot_id, min(frame_idx) AS start_f
+         |  FROM sh GROUP BY 1, 2),
+         |opening AS (SELECT s.doc_id, s.shot_id,
+         |    [ascii(substr(rpad(substring(v.text, CAST(s.start_f * 64 + 1 AS INT), 70),
+         |       70, ' '), k, 1)) for k in range(1, 71)] AS cl
+         |  FROM shots s JOIN v ON v.doc_id = s.doc_id),
+         |sig AS (SELECT doc_id, shot_id, CAST($phTerms AS BIGINT) AS sig FROM opening),
+         |bands AS (SELECT doc_id, shot_id, sig, g.b AS j, (sig >> (g.b * 16)) & 65535 AS bv
+         |  FROM sig, generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_doc, x.shot_id AS a_shot, x.sig AS sa,
+         |    y.doc_id AS b_doc, y.shot_id AS b_shot, y.sig AS sb
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv
+         |    AND (x.doc_id < y.doc_id OR (x.doc_id = y.doc_id AND x.shot_id < y.shot_id)))
+         |SELECT a_doc, a_shot, b_doc, b_shot,
+         |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
+    },
     // the same energy grid, voiced filter, and island id over window_idx
     "q_x_vad_segments" ->
       """WITH m AS (SELECT doc_id,

@@ -48,6 +48,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_ann_ivfpq", "q_x_mmr", "q_x_mmr_lsh", "q_x_power_iter",
     "q_x_dedup_minhash", "q_x_dedup_ngram", "q_x_dedup_simhash", "q_x_containment",
     "q_x_mm_pair_dedup", "q_x_mm_pair_clusters", "q_x_mm_incr_admission", // conjunction pair checkpoints
+    "q_x_shot_dedup", // checkpoints the shot-signature table (minhash stance)
     "q_x_blocking_report", "q_x_neardup_composed", "q_x_minhash_est",
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_er_golden",
     "q_x_dataset_card", "q_x_incr_neardup",
