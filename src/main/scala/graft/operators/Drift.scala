@@ -161,6 +161,63 @@ object Drift {
         (abs(z) > 1.96).as("significant"))
   }
 
+  /** Additive per-type BIVARIATE moment state for CUPED: per user, x =
+    * reference-half cents (the pre-period covariate), y = current-half
+    * cents; per type the exact moments (n, Σx, Σy, Σxy, Σx², Σy²) over
+    * the per-user pairs, DECIMAL(38,0) accumulation (the q_x_variance /
+    * OLS convention). Two keyed aggregates: the user rollup absorbs the
+    * events map-side, the moment fold is user-cardinality-sized. Note
+    * the STREAMING boundary: only the (type, user) cents rollup is
+    * additive across micro-batches — the squared terms are functions of
+    * FINAL user totals, so the moment fold is a batch finisher over
+    * drained user state (the goldenRecordsFromState split), not a
+    * second streaming aggregate.
+    */
+  def cupedMoments(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("event_type"), col("user_id"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(coalesce(sum(when(col("is_ref"), col("c"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("is_ref"), col("c"))), lit(0L)).as("y"))
+    val x38 = col("x").cast("decimal(38,0)")
+    val y38 = col("y").cast("decimal(38,0)")
+    perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x38).as("sx"), sum(y38).as("sy"),
+        sum(x38 * col("y")).as("sxy"),
+        sum(x38 * col("x")).as("sxx"),
+        sum(y38 * col("y")).as("syy"))
+  }
+
+  /** CUPED variance-reduction report from [[cupedMoments]] state — the
+    * third member of the experiment-analysis trio (q_x_bootstrap_ci =
+    * assumption-free CI, q_x_drift_welch = mean significance, this =
+    * how much sensitivity the pre-period covariate buys): θ =
+    * cov(x,y)/var(x), adjusted mean ȳ' = ȳ − θ·(x̄ − x̄) = ȳ at the
+    * full-population fit (CUPED's mean is unchanged by construction —
+    * what changes is the VARIANCE: var(y') = var(y)·(1 − ρ²)), reported
+    * as theta, rho², and the variance-reduction share. Every numerator
+    * is the exact-integer cross-multiplied form cast to double by the
+    * identical expression tree on both engines (n·Σxy − Σx·Σy etc. —
+    * the OLS precedent); groups need ≥ 2 users and a non-degenerate
+    * covariate.
+    */
+  def cupedFromState(state: DataFrame): DataFrame = {
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = covN / varXN
+    val rho2 = covN * covN / (varXN * varYN)
+    state.filter(col("n") > 1)
+      .filter((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+        (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+      .select(col("event_type"), col("n").as("n_users"),
+        theta.as("theta"), rho2.as("rho2"),
+        (lit(1.0) - rho2).as("var_ratio_adj"))
+  }
+
   /** Kolmogorov–Smirnov from [[centsCounts]] state: exact integer sup of
     * |cum₁·n₂ − cum₂·n₁| with inclusive cumulatives per cohort over
     * distinct cents, one closing double division.

@@ -251,6 +251,17 @@ object QualityQueries {
       graft.operators.Drift.welchFromState(
         graft.operators.Drift.momentCounts(Tables.events(s, dir)))
     },
+    // CUPED variance reduction — the third member of the experiment-
+    // analysis trio (bootstrap CI = assumption-free uncertainty, Welch =
+    // mean significance, CUPED = how much sensitivity the pre-period
+    // covariate buys): per user x = reference-half cents, y =
+    // current-half cents; θ = cov/var(x), ρ², and the adjusted variance
+    // share 1 − ρ² per type. Exact DECIMAL(38,0)/HUGEINT bivariate
+    // moments, doubles via the identical expression tree (OLS stance).
+    "q_x_cuped" -> { (s, dir) =>
+      graft.operators.Drift.cupedFromState(
+        graft.operators.Drift.cupedMoments(Tables.events(s, dir)))
+    },
     // Snapshot DIFF between two as-of versions of the per-customer
     // latest-order state — the ops tool every SCD/backfill pipeline
     // needs ("what changed between yesterday's build and today's"):
@@ -541,6 +552,32 @@ object QualityQueries {
         |  CAST(w1_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS w1_bins
         |FROM s""".stripMargin,
     // both as-of snapshots replayed as rank-1 scans, full-outer diffed
+    // the same per-user cohort rollup, HUGEINT bivariate moments, and
+    // identical double expression tree (no sqrt — ρ² stays rational)
+    "q_x_cuped" ->
+      """WITH ev AS (SELECT event_type, user_id, (day(ts) <= 15) AS is_ref,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |pu AS (SELECT event_type, user_id,
+        |    CAST(coalesce(sum(CASE WHEN is_ref THEN c END), 0) AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN NOT is_ref THEN c END), 0) AS BIGINT) AS y
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pu GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+        |  FROM m WHERE n > 1 AND (n * sxx - sx * sx) > 0
+        |    AND (n * syy - sy * sy) > 0)
+        |SELECT event_type, n AS n_users,
+        |  covn / varxn AS theta,
+        |  covn * covn / (varxn * varyn) AS rho2,
+        |  1.0 - covn * covn / (varxn * varyn) AS var_ratio_adj
+        |FROM f""".stripMargin,
     // the same HUGEINT moment pieces and the identical double expression
     // tree (single-division mean diff, Welch variance terms, one sqrt)
     "q_x_drift_welch" ->

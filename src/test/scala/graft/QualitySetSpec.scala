@@ -179,6 +179,36 @@ class QualitySetSpec extends SparkSpec {
     }
   }
 
+  test("cuped: identities hold and theta/rho2 match an independent driver replay") {
+    val got = QualityQueries.queries("q_x_cuped")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    // independent replay from raw per-user pairs
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        (dayofmonth(col("ts")) <= 15).as("r"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(coalesce(sum(when(col("r"), col("c"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("r"), col("c"))), lit(0L)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    got.foreach { case (t, (n, theta, rho2, adj)) =>
+      val xs = pairs(t).map(_._2.toDouble)
+      val ys = pairs(t).map(_._3.toDouble)
+      assert(n == xs.length)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xs.map(a => (a - mx) * (a - mx)).sum
+      val vy = ys.map(b => (b - my) * (b - my)).sum
+      assert(math.abs(theta - cov / vx) < 1e-6 * math.abs(theta).max(1.0),
+        s"$t: theta $theta vs replay ${cov / vx}")
+      assert(math.abs(rho2 - cov * cov / (vx * vy)) < 1e-6, s"$t: rho2 $rho2")
+      assert(rho2 > 0 && rho2 <= 1.0 && math.abs(adj - (1.0 - rho2)) < 1e-12)
+    }
+  }
+
   test("rrf fusion equals a driver recomputation from the two ranked lists") {
     val bm25 = SparkEntry.queries("q_x_bm25")(spark, sfDir)
       .select("doc_id").as[Long].collect().toSeq // already (score, id)-ordered
