@@ -173,14 +173,28 @@ object Drift {
     * drained user state (the goldenRecordsFromState split), not a
     * second streaming aggregate.
     */
-  def cupedMoments(events: DataFrame): DataFrame = {
-    val perUser = events
+  def cupedMoments(events: DataFrame): DataFrame =
+    cupedMomentsFromUserState(cupedUserState(events))
+
+  /** The ADDITIVE layer of [[cupedMoments]]: per (type, user) the
+    * reference-half and current-half cents totals. Plain conditional
+    * sums ⇒ ONE complete-mode streaming aggregate maintains this table
+    * exactly (StreamJobs.cupedUserStateStream); the moment fold below is
+    * the batch finisher over drained state.
+    */
+  def cupedUserState(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), col("user_id"),
         (dayofmonth(col("ts")) <= 15).as("is_ref"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
       .groupBy(col("event_type"), col("user_id"))
       .agg(coalesce(sum(when(col("is_ref"), col("c"))), lit(0L)).as("x"),
         coalesce(sum(when(!col("is_ref"), col("c"))), lit(0L)).as("y"))
+
+  /** The user-cardinality-sized moment fold of [[cupedMoments]], split
+    * out so it can finish DRAINED streaming user state.
+    */
+  def cupedMomentsFromUserState(perUser: DataFrame): DataFrame = {
     val x38 = col("x").cast("decimal(38,0)")
     val y38 = col("y").cast("decimal(38,0)")
     perUser.groupBy(col("event_type"))
@@ -216,6 +230,49 @@ object Drift {
       .select(col("event_type"), col("n").as("n_users"),
         theta.as("theta"), rho2.as("rho2"),
         (lit(1.0) - rho2).as("var_ratio_adj"))
+  }
+
+  /** Additive per-type PROPORTION state over the shared split: cohort
+    * sizes and high-value counts (cents ≥ `thresholdCents`, default =
+    * the bin grid's first boundary). Four integer sums ⇒ streams exactly
+    * like [[binCounts]].
+    */
+  def proportionCounts(events: DataFrame,
+      thresholdCents: Long = 5000L): DataFrame =
+    events
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"),
+        ((col("value").cast("decimal(18,2)") * 100).cast("long")
+          >= thresholdCents).as("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("is_ref"), lit(1))).as("n1"),
+        count(when(col("is_ref") && col("hi"), lit(1))).as("k1"),
+        count(when(!col("is_ref"), lit(1))).as("n2"),
+        count(when(!col("is_ref") && col("hi"), lit(1))).as("k2"))
+
+  /** Pooled two-proportion z from [[proportionCounts]] state — the RATE
+    * member of the drift report: Welch asks "did the mean move", this
+    * asks "did the high-value share move" (the conversion-rate question;
+    * a share can shift while the mean stands still and vice versa).
+    * z = (p̂1 − p̂2) / √(p̂(1−p̂)(1/n1 + 1/n2)) with the POOLED p̂ — the
+    * null-hypothesis form. Integer counts, doubles via the identical
+    * expression tree, one sqrt; degenerate pools (p̂ ∈ {0, 1}) and empty
+    * cohorts report NULL z rather than a division by zero.
+    */
+  def propZFromCounts(counts: DataFrame): DataFrame = {
+    val p1 = col("k1").cast("double") / col("n1").cast("double")
+    val p2 = col("k2").cast("double") / col("n2").cast("double")
+    val p = (col("k1") + col("k2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val z = (p1 - p2) / sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+    counts.filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("event_type"),
+        col("n1").as("n_ref"), col("k1").as("k_ref"),
+        col("n2").as("n_cur"), col("k2").as("k_cur"),
+        p1.as("p_ref"), p2.as("p_cur"),
+        when(col("k1") + col("k2") > 0 &&
+             col("k1") + col("k2") < col("n1") + col("n2"), z).as("prop_z"))
   }
 
   /** Kolmogorov–Smirnov from [[centsCounts]] state: exact integer sup of

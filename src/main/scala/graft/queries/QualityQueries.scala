@@ -251,6 +251,13 @@ object QualityQueries {
       graft.operators.Drift.welchFromState(
         graft.operators.Drift.momentCounts(Tables.events(s, dir)))
     },
+    // Pooled two-proportion z over the shared drift split — the RATE
+    // member of the report: did the high-value share move (Welch covers
+    // the mean; a share can shift while the mean stands still).
+    "q_x_drift_prop_z" -> { (s, dir) =>
+      graft.operators.Drift.propZFromCounts(
+        graft.operators.Drift.proportionCounts(Tables.events(s, dir)))
+    },
     // CUPED variance reduction — the third member of the experiment-
     // analysis trio (bootstrap CI = assumption-free uncertainty, Welch =
     // mean significance, CUPED = how much sensitivity the pre-period
@@ -552,6 +559,28 @@ object QualityQueries {
         |  CAST(w1_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS w1_bins
         |FROM s""".stripMargin,
     // both as-of snapshots replayed as rank-1 scans, full-outer diffed
+    // the same four integer counts and the identical pooled-z tree
+    "q_x_drift_prop_z" ->
+      """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS is_ref,
+        |    (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5000) AS hi
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(count(CASE WHEN is_ref AND hi THEN 1 END) AS BIGINT) AS k1,
+        |    CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS n2,
+        |    CAST(count(CASE WHEN NOT is_ref AND hi THEN 1 END) AS BIGINT) AS k2
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n1 AS n_ref, k1 AS k_ref, n2 AS n_cur, k2 AS k_cur,
+        |  CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p_ref,
+        |  CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p_cur,
+        |  CASE WHEN k1 + k2 > 0 AND k1 + k2 < n1 + n2 THEN
+        |    (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |         * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |         * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        |  END AS prop_z
+        |FROM m WHERE n1 > 0 AND n2 > 0""".stripMargin,
     // the same per-user cohort rollup, HUGEINT bivariate moments, and
     // identical double expression tree (no sqrt — ρ² stays rational)
     "q_x_cuped" ->

@@ -322,6 +322,27 @@ object StreamJobs {
   def bootstrapStateStream(events: DataFrame): DataFrame =
     graft.operators.Resample.bootstrapState(events)
 
+  /** Streaming CUPED user-state upkeep — the ADDITIVE layer of q_x_cuped
+    * ([[graft.operators.Drift.cupedUserState]], one definition): per
+    * (type, user) cohort cents totals as one complete-mode aggregate.
+    * The squared moment terms are functions of FINAL user totals, so
+    * they are NOT a second streaming aggregate — the batch finisher
+    * ([[graft.operators.Drift.cupedMomentsFromUserState]] +
+    * `cupedFromState`) runs over drained state and equals the registry
+    * row (the goldenRecordsFromState split, spec-pinned).
+    */
+  def cupedUserStateStream(events: DataFrame): DataFrame =
+    graft.operators.Drift.cupedUserState(events)
+
+  /** Streaming proportion-counter upkeep — the live state of the
+    * q_x_drift_prop_z rate gate ([[graft.operators.Drift
+    * .proportionCounts]], one definition): four integer sums per type,
+    * additive ⇒ drain ≡ batch, pooled-z finisher over drained state ≡
+    * the registry row.
+    */
+  def propCountsStream(events: DataFrame): DataFrame =
+    graft.operators.Drift.proportionCounts(events)
+
   /** Streaming calibration-state upkeep — the live tier of
     * q_x_calibration: one complete-mode aggregate maintains the
     * per-distinct-score (n, n_pos) counter table via the SAME

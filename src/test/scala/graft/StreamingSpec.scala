@@ -715,6 +715,39 @@ class StreamingSpec extends SparkSpec {
       canon(graft.queries.QualityQueries.queries("q_x_bootstrap_ci")(spark, sfDir)))
   }
 
+  test("streaming CUPED user state + proportion counters drain to batch; finishers derive the registry rows") {
+    val src = Files.createTempDirectory("graft_cuped_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    def drain(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String) = {
+      val q = mk(spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      val t = spark.table(name)
+      spark.createDataFrame(java.util.Arrays.asList(t.collect(): _*), t.schema)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.head -> r.toSeq.tail).toSet
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.toSeq.head, r.toSeq(1)) -> r.toSeq.drop(2)).toSet
+    // the additive user layer drains exactly; the two-level finisher over
+    // drained state equals the registry CUPED row
+    val us = drain(StreamJobs.cupedUserStateStream, "cuped_s")
+    assert(canon2(us) == canon2(graft.operators.Drift.cupedUserState(ev))
+      && us.count() > 0)
+    assert(canon(graft.operators.Drift.cupedFromState(
+        graft.operators.Drift.cupedMomentsFromUserState(us))) ==
+      canon(graft.queries.QualityQueries.queries("q_x_cuped")(spark, sfDir)))
+    // proportion counters: drain ≡ batch, pooled z ≡ registry row
+    val pc = drain(StreamJobs.propCountsStream, "prop_s")
+    assert(canon(pc) == canon(graft.operators.Drift.proportionCounts(ev)))
+    assert(canon(graft.operators.Drift.propZFromCounts(pc)) ==
+      canon(graft.queries.QualityQueries.queries("q_x_drift_prop_z")(spark, sfDir)))
+  }
+
   test("streaming calibration state drains to the batch table; the curve finisher derives the registry row") {
     val src = Files.createTempDirectory("graft_calib_src").toString
     val docs = graft.sources.Tables.documents(spark, sfDir)
