@@ -198,8 +198,9 @@ def probe_census(path):
               "retire the probe exemptions this round.")
         sys.exit(0)
     print("PROBE CENSUS: UNEXPECTED pattern — investigate before trusting "
-          f"the ledger. red={sorted(PROBE_EXPECT_RED - red) or 'as expected'} "
-          f"unexpectedly-green-controls-broken={sorted(PROBE_EXPECT_GREEN - green)}")
+          "the ledger. "
+          f"unexpectedly_green={sorted(PROBE_EXPECT_RED - red) or 'none'} "
+          f"broken_green_controls={sorted(PROBE_EXPECT_GREEN - green) or 'none'}")
     sys.exit(2)
 
 

@@ -103,7 +103,23 @@ object Bench {
     val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
 
     def runOne(name: String): Double = {
+      // GC-honest measured reps (r17, VERDICT item 1): the fixed every-8-
+      // settles GC cadence let allocation-heavy rows absorb their
+      // predecessors' garbage — q_x_pagerank read 10.04 s in the r16 sweep
+      // (gc_ms 755) vs ~2.65 s isolated. The untimed warm-up rep doubles as
+      // the allocation probe: any GC observed inside it (its own allocation
+      // or inherited heap pressure — either pollutes the timed reps) forces
+      // a full GC + settle BEFORE the measured window. Light rows (zero
+      // warm-up GC, the vast majority) skip it, so sweep overhead doesn't
+      // regress to the r14 pay-a-full-GC-per-settle drift.
+      val gw = gcMsNow()
       timeOne(name) // untimed warm-up rep: per-query codegen compile
+      val warmGc = gcMsNow() - gw
+      if (warmGc > 0) {
+        val t0 = System.nanoTime()
+        System.gc(); sinceGc = 0
+        settleSec += (System.nanoTime() - t0) / 1e9
+      }
       var gcMs = 0L
       val ts = (1 to reps).map { _ =>
         settle() // don't bill the previous rep's blocks/garbage here
@@ -113,9 +129,12 @@ object Bench {
         t
       }
       gcByQuery(name) = gcMs
+      // a row that still collected heavily leaves garbage behind — make the
+      // NEXT row's first settle a forced GC instead of waiting out the cadence
+      if (gcMs > 100) sinceGc = 8
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
       System.err.println(f"[bench] $name%-28s med=$med%7.2f reps=${
-        ts.map(t => f"$t%.2f").mkString(",")} gc_ms=$gcMs settle_cum=$settleSec%.1f heap=${heapPeakMb}MB")
+        ts.map(t => f"$t%.2f").mkString(",")} gc_ms=$gcMs warm_gc=$warmGc settle_cum=$settleSec%.1f heap=${heapPeakMb}MB")
       med
     }
 
@@ -145,13 +164,26 @@ object Bench {
     // driver-facing perf contract: total/settle/heap plus the 20 slowest
     // rows as name:[median_sec, gc_ms], hard-capped under the window so
     // the perf signal survives regardless of registry size.
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) =>
-        "\"" + k + "\":[" + f"$v%.2f" + "," + gcByQuery.getOrElse(k, 0L) + "]" }
+    // Locale-pinned number formatting (r17 ADVICE): the f interpolator uses
+    // the JVM default locale, so a comma-decimal locale would emit 362,6 and
+    // break the JSON this line exists to keep parseable.
+    def jd(x: Double, p: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + p + "f", Double.box(x))
+    // slowest rows as name:[median_sec, gc_ms, net_sec]: net subtracts the
+    // per-rep GC share (gc_ms sums across reps) — the reader's GC-context
+    // adjudication (r12-r16 per-row) done in the artifact itself
+    def slowJson(k: Int): String = results.filter(_._2 >= 0).sortBy(-_._2).take(k)
+      .map { case (q, v) =>
+        val g = gcByQuery.getOrElse(q, 0L)
+        val net = math.max(0.0, v - g.toDouble / reps / 1000.0)
+        "\"" + q + "\":[" + jd(v, 2) + "," + g + "," + jd(net, 2) + "]" }
       .mkString("{", ",", "}")
-    val summary = f"""{"metric":"summary","total":$total%.1f,"n":${results.size},"sf":"$sfDir","settle_sec":$settleSec%.1f,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"slowest":$slow}"""
-    println(if (summary.length <= 1800) summary
-            else summary.take(1797) + "…}}") // never: 20×~40 chars ≪ 1800
+    def summaryFor(k: Int): String =
+      s"""{"metric":"summary","total":${jd(total, 1)},"n":${results.size},"sf":"$sfDir","settle_sec":${jd(settleSec, 1)},"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"slowest":${slowJson(k)}}"""
+    // shrink the slowest list rather than truncate mid-JSON (the r16 take()
+    // fallback could emit malformed JSON if ever hit)
+    println((20 to 4 by -4).map(summaryFor).find(_.length <= 1800)
+      .getOrElse(summaryFor(3)))
     spark.stop()
   }
 }

@@ -162,12 +162,16 @@ object Sketches {
     * sketch IS the distinct set), else (k−1)·M div h_k with the max
     * retained hash as h_k — the `q_x_kmv_distinct` estimator, including
     * its divide-by-zero guard, applied to stored/drained sketch state.
+    * An EMPTY sketch (a type whose key values are all NULL contributes no
+    * hashes) must not reach element_at — index 0 throws at runtime — so
+    * h_k is NULL there and the lossless branch reports 0 distinct.
     */
   def kmvEstimateFromState(state: DataFrame, k: Int = 64,
       domain: Long = 4611686018427387904L): DataFrame =
     state
       .select(col("event_type"), size(col("kmv")).cast("long").as("kmv_k"),
-        element_at(col("kmv"), size(col("kmv"))).as("h_k"))
+        when(size(col("kmv")) > 0,
+          element_at(col("kmv"), size(col("kmv")))).as("h_k"))
       .withColumn("est_distinct", when(col("kmv_k") < k, col("kmv_k"))
         .otherwise(expr(
           s"cast((cast(kmv_k - 1 as decimal(38,0)) * ${domain}L) div greatest(h_k, 1L) as bigint)")))

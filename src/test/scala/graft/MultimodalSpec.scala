@@ -148,4 +148,40 @@ class MultimodalSpec extends SparkSpec {
     // hand arithmetic: 'a'=97 at odd positions, 'b'=98 at even ones
     assert(energyOf("ab" * 16) == 16L * 97 + 16L * 98 * 256)
   }
+
+  test("phash hot-bucket guard: constant-hash cluster emits linear star pairs") {
+    // 300 rows sharing ONE phash (the degenerate constant-hash saturation
+    // class) collide in every band; uncapped that is ~45k pairs on one
+    // reducer. With the cap the cluster must stay one star component:
+    // exactly 299 hub pairs from the min id, plus the untouched small pair.
+    // every row's four 16-bit bands are NON-zero and cohort-distinct, so
+    // cross-cohort band collisions can't sneak in via shared zero bands
+    val cluster = (0L until 300L).map(i => (i, 0x1111222233334444L))
+    val pairRows = Seq((900L, 0x5555666677778888L),
+      (901L, 0x5555666677778888L), (902L, 0x0999099909990999L))
+    val d = spark.createDataFrame(cluster ++ pairRows).toDF("id", "ph")
+    val got = Multimodal.phashBandPairs(d, "id", "ph", maxBucketSize = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(got == ((1L until 300L).map(b => (0L, b)).toSet + ((900L, 901L))),
+      s"expected 299 star pairs + the small bucket pair, got ${got.size}")
+    // inert below the cap: guarded output equals the unguarded semantics
+    val small = spark.createDataFrame(pairRows).toDF("id", "ph")
+    val guarded = Multimodal.phashBandPairs(small, "id", "ph", maxBucketSize = 64)
+      .as[(Long, Long)].collect().toSet
+    val open = Multimodal.phashBandPairs(small, "id", "ph",
+      maxBucketSize = Int.MaxValue).as[(Long, Long)].collect().toSet
+    assert(guarded == open && guarded == Set((900L, 901L)))
+  }
+
+  test("phash failOnOverCap raises on a hot bucket instead of star-substituting") {
+    val cluster = (0L until 300L).map(i => (i, 0x1111222233334444L))
+    val d = spark.createDataFrame(cluster).toDF("id", "ph")
+    val ex = intercept[Exception] {
+      Multimodal.phashBandPairs(d, "id", "ph", maxBucketSize = 64,
+        failOnOverCap = true).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxBucketSize"), s"expected over-cap raise, got: $msgs")
+  }
 }

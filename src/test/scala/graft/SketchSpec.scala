@@ -202,4 +202,19 @@ class SketchSpec extends SparkSpec {
       .agg(thetaEstimate(thetaUnion($"sk"))).as[Long].head()
     assert(empty == 0L)
   }
+
+  test("kmvEstimateFromState survives an EMPTY sketch (all-NULL key type)") {
+    // a type whose user_id values are all NULL contributes no hashes →
+    // empty kmv array; the finisher must report 0 distinct, not throw on
+    // element_at index 0 (r17 ADVICE)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(("view", Option(7L), ts), ("view", Option(9L), ts),
+        ("ghost", Option.empty[Long], ts), ("ghost", Option.empty[Long], ts))
+      .toDF("event_type", "user_id", "ts")
+    val est = Sketches.kmvEstimateFromState(Sketches.kmvState(ev))
+      .select($"event_type", $"kmv_k", $"est_distinct")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(est("ghost") == (0L, 0L), s"empty sketch must estimate 0: $est")
+    assert(est("view") == (2L, 2L), "lossless branch unaffected")
+  }
 }
