@@ -289,14 +289,27 @@ object Dedup {
     */
   private def crossBandPairs(newDocs: DataFrame, oldDocs: DataFrame,
       idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
-      shingleN: Int, maxBucketSize: Int): DataFrame = {
-    val nb = bandTable(
-      minHashSignature(newDocs, idCol, textCol, numHashes, shingleN),
-      idCol, numHashes, rowsPerBand)
+      shingleN: Int, maxBucketSize: Int): DataFrame =
+    crossBandPairsOnBands(
+      bandTable(
+        minHashSignature(newDocs, idCol, textCol, numHashes, shingleN),
+        idCol, numHashes, rowsPerBand),
+      bandTable(
+        minHashSignature(oldDocs, idCol, textCol, numHashes, shingleN),
+        idCol, numHashes, rowsPerBand),
+      idCol, maxBucketSize)
+
+  /** The NEW→OLD band join over PRE-BUILT band tables ((idCol, band, bh)
+    * rows — [[textBands]] output or a persisted standing index read back
+    * from parquet, [[graft.serve.DedupIndex]]): identical semantics to the
+    * recompute path because [[crossBandPairs]] delegates here — the
+    * old-side hot-bucket hub guard and the `cross_lsh_hot_buckets` observe
+    * apply to the standing bands wherever they came from.
+    */
+  def crossBandPairsOnBands(newBands: DataFrame, oldBands: DataFrame,
+      idCol: String, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val wB = Window.partitionBy(col("band"), col("bh"))
-    val ob = bandTable(
-      minHashSignature(oldDocs, idCol, textCol, numHashes, shingleN),
-      idCol, numHashes, rowsPerBand)
+    val ob = oldBands
       .withColumn("__sz", count(lit(1)).over(wB))
       .withColumn("__mn", min(col(idCol)).over(wB))
       .observe("cross_lsh_hot_buckets",
@@ -304,7 +317,7 @@ object Dedup {
           .otherwise(0)).as("n_capped_buckets"))
       .filter(col("__sz") <= maxBucketSize || col(idCol) === col("__mn"))
       .select(col(idCol).as("b"), col("band"), col("bh"))
-    nb.select(col(idCol).as("a"), col("band"), col("bh"))
+    newBands.select(col(idCol).as("a"), col("band"), col("bh"))
       .join(ob, Seq("band", "bh"))
       .select(col("a"), col("b")).distinct()
   }

@@ -1625,6 +1625,23 @@ object ExtTextQueries {
         "doc_id", "text")
         .select(col("a").as("new_id"), col("b").as("old_id"), col("jaccard"))
     },
+    // PERSISTED standing-index census (r17): the q_x_incr_neardup standing
+    // cohort's MinHash band table materialized ONCE as a versioned
+    // DedupIndex segment (build → _MANIFEST publish → read back from
+    // parquet), then censused per band — row count, distinct buckets, max
+    // bucket occupancy (the number the hot-bucket guard watches). The
+    // oracle replays the banded chain directly, so a green row pins the
+    // whole persist/read round-trip byte-for-byte, not just the in-memory
+    // bands. Admission ≡ recompute is DedupIndexSpec's job; this row keeps
+    // the lifecycle's BUILD step on the per-round hash gate.
+    "q_x_incr_index_census" -> { (s, dir) =>
+      val b = graft.serve.DedupIndex.readBands(s, standingIndexRoot(s, dir))
+      b.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("band"))
+        .agg(sum(col("sz")).as("n_rows"), count(lit(1)).as("n_buckets"),
+          max(col("sz")).as("max_bucket"))
+        .select(col("band"), col("n_rows"), col("n_buckets"), col("max_bucket"))
+    },
     // Unigram-likelihood quality bucketing (the CCNet head/middle/tail
     // move, with the LM made exact-rational so it oracles): the corpus
     // trains its own unigram model (term counts, one partial-agg-absorbed
@@ -1733,6 +1750,27 @@ object ExtTextQueries {
         .filter(pmod(col("doc_id"), lit(3)) === 0)
       Dedup.buildKeyBloom(old, "prefix_fp",
         expectedItems = (nDocs / 3 + 1).max(1024L), fpp = 0.01)
+    })
+  }
+
+  /** Persisted standing-corpus dedup index for q_x_incr_index_census:
+    * built ONCE per (dir, documents mtime) into a temp root via
+    * [[graft.serve.DedupIndex.build]] — the registry row then exercises
+    * the read-back path every run (the docBloom memoization pattern;
+    * a bench rep re-reads parquet, it does not re-publish).
+    */
+  private val dedupIndexRoots =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private def standingIndexRoot(s: SparkSession, dir: String): String = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val mtime = root.getFileSystem(conf).getFileStatus(root).getModificationTime
+    dedupIndexRoots.getOrElseUpdate((dir, mtime), {
+      val out = java.nio.file.Files.createTempDirectory("graft_dedup_index").toString
+      graft.serve.DedupIndex.build(s, out,
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text")
+      out
     })
   }
 
@@ -2480,6 +2518,24 @@ object ExtTextQueries {
          |FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
          |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
          |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
+    // the persisted index build replayed: same banded chain as
+    // q_x_dedup_minhash restricted to the standing cohort (doc_id % 3 = 0),
+    // censused per band — the Spark side reads the parquet segments back,
+    // so equality pins the persist/read round-trip
+    "q_x_incr_index_census" ->
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)
+         |  WHERE doc_id % 3 = 0),
+         |sb AS (SELECT j, bh, count(*) AS sz FROM bands GROUP BY 1, 2)
+         |SELECT CAST(j AS INTEGER) AS band, CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_buckets, CAST(max(sz) AS BIGINT) AS max_bucket
+         |FROM sb GROUP BY j""".stripMargin,
     // both banded chains replayed in full — the shared MinHash CTEs for
     // the caption side, the 70-cell dHash for the image side — then the
     // candidate INTERSECT and both exact verifies
