@@ -104,6 +104,97 @@ object TextOps {
   def md5Long64(c: Column): Column =
     org.apache.spark.sql.graft.natives.md5Long(c)
 
+  /** Encoding domain for [[sourceCapState]]: 29 bits of per-doc char count
+    * (536 M chars/doc ceiling) and 33 bits of doc id (8.5 B docs) packed
+    * into one order-preserving non-negative long.
+    */
+  private val CapOrd = 1L << 33
+  private val CapCMax = 1L << 29
+
+  /** Per-source top-K cap STATE — the C4-style per-domain cap
+    * (q_x_source_cap) as a BOUNDED MERGEABLE SKETCH instead of a rank
+    * window: each doc packs into one long that orders by
+    * (n_chars DESC, doc_id ASC) — e = (CMAX − n_chars)·2³³ + doc_id — and
+    * ONE object-hash aggregate keeps the k smallest per source
+    * ([[org.apache.spark.sql.graft.natives.kmvBottomK]], union+truncate
+    * map-side). State is ≤ k longs per source at ANY corpus size, so the
+    * SAME definition serves the batch registry row and complete-mode
+    * streaming upkeep (StreamJobs.sourceCapStream): set-union state is
+    * slicing-insensitive ⇒ drained ≡ batch bit-for-bit. Scale shape vs the
+    * window form: partial aggregation absorbs the corpus map-side — the
+    * shuffle carries ≤ k longs per (partition, source), never the doc
+    * table, and no per-source sort runs anywhere. Out-of-domain rows
+    * (n_chars ≥ 2²⁹ or doc_id ≥ 2³³) raise loudly rather than mis-order.
+    */
+  def sourceCapState(docs: DataFrame, k: Int = 5): DataFrame = {
+    val bad = col("n_chars") < 0 || col("n_chars") >= CapCMax ||
+      col("doc_id") < 0 || col("doc_id") >= CapOrd
+    val e = when(bad,
+      when(raise_error(concat(lit("sourceCapState: doc outside the 29/33-bit encode domain (doc_id="),
+        col("doc_id").cast("string"), lit(")"))).isNull, lit(0L)))
+      .otherwise((lit(CapCMax) - col("n_chars")) * CapOrd + col("doc_id"))
+    docs.select(col("source"), e.as("__e"))
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.natives.kmvBottomK(col("__e"), k).as("topk"))
+  }
+
+  /** Rank finisher over [[sourceCapState]]: the stored array is already in
+    * (n_chars DESC, doc_id ASC) order, so rank = position; decode unpacks
+    * the two fields exactly (integer div/mod — no doubles near 2⁶² where
+    * they lose ulps). Output ≡ the q_x_source_cap registry row.
+    */
+  def sourceCapFromState(state: DataFrame): DataFrame =
+    state.select(col("source"), posexplode(col("topk")).as(Seq("__p", "__e")))
+      .select(col("source"), (col("__p") + 1).cast("int").as("rk"),
+        expr(s"__e % ${CapOrd}L").as("doc_id"),
+        (lit(CapCMax) - expr(s"__e div ${CapOrd}L")).as("n_chars"))
+
+  /** Temperature-mix ADDITIVE state — per (source, doc) char totals, the
+    * layer under q_x_temperature_mix that is a plain additive aggregate
+    * (the CUPED user-state split): ONE complete-mode aggregate maintains
+    * it in streaming (StreamJobs.temperatureMixStream) and the batch row
+    * builds it identically; additive ⇒ drain ≡ batch. Budget shares, the
+    * hash-order admission cumulative, and the per-source rollup are
+    * functions of FINAL doc totals, so they live in the finisher
+    * ([[temperatureMixFromState]]), not a second streaming aggregate.
+    */
+  def temperatureMixDocState(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("n_chars")).as("n_chars"))
+
+  /** Finisher over [[temperatureMixDocState]] rows — the full
+    * q_x_temperature_mix chain (α = ½ sqrt weights, source-sorted Σw fold,
+    * ⌊0.5·T·share⌋ budgets, hash-order cumulative admission via
+    * cumAggPerKey, per-source rollup with explicit zeros): finisher over
+    * drained state ≡ the registry row bit-for-bit.
+    */
+  def temperatureMixFromState(state: DataFrame): DataFrame = {
+    val perSource = state.groupBy(col("source")).agg(sum(col("n_chars")).as("sc"))
+      .withColumn("w", sqrt(col("sc").cast("double")))
+    val tot = perSource.agg(
+      aggregate(sort_array(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("tw"))
+    val t = state.agg(sum(col("n_chars")).as("t_chars"))
+    val budgets = perSource.crossJoin(broadcast(tot)).crossJoin(broadcast(t))
+      .select(col("source"),
+        floor(col("t_chars").cast("double") * lit(0.5) * col("w") / col("tw"))
+          .cast("bigint").as("budget_chars"))
+    val h = state.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("h",
+        md5Long64(concat(lit("tmix:"), col("doc_id").cast("string"))))
+    val cum = graft.functions.Ops.cumAggPerKey(h, Seq("source"),
+      Seq(col("h"), col("doc_id")), "n_chars", "cum_chars",
+      expr("shiftright(h, 52)"), "sum")
+    val admitted = cum.join(broadcast(budgets), "source")
+      .filter(col("cum_chars") <= col("budget_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_admitted"), sum(col("n_chars")).as("admitted_chars"))
+    budgets.join(admitted, Seq("source"), "left")
+      .select(col("source"), col("budget_chars"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("admitted_chars"), lit(0L)).as("admitted_chars"))
+  }
+
   /** Deterministic 80/10/10 train/val/test assignment by seedless md5
     * bucket of `key` — ONE definition shared by the batch split queries
     * (q_x_split_hash on doc ids, q_x_split_safe on cluster keys) and any

@@ -694,32 +694,14 @@ object ExtTextQueries {
     // the q_x_mixture_sample hash-order cumulative (bucketed
     // cumAggPerKey), rolled up per source; the LEFT JOIN keeps
     // zero-admission sources visible with explicit zeros.
+    // r17: split into ADDITIVE doc-grain state + finisher (the CUPED
+    // state/finisher precedent) so the SAME kernel serves this batch row
+    // and complete-mode streaming upkeep (StreamJobs.temperatureMixStream;
+    // drain ≡ batch pinned in StreamingSpec). Semantics unchanged — the
+    // chain above moved verbatim into TextOps.temperatureMixFromState.
     "q_x_temperature_mix" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val perSource = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("sc"))
-        .withColumn("w", sqrt(col("sc").cast("double")))
-      val tot = perSource.agg(
-        aggregate(sort_array(collect_list(struct(col("source"), col("w")))),
-          lit(0.0), (acc, x) => acc + x.getField("w")).as("tw"))
-      val t = docs.agg(sum(col("n_chars")).as("t_chars"))
-      val budgets = perSource.crossJoin(broadcast(tot)).crossJoin(broadcast(t))
-        .select(col("source"),
-          floor(col("t_chars").cast("double") * lit(0.5) * col("w") / col("tw"))
-            .cast("bigint").as("budget_chars"))
-      val h = docs.select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("h",
-          TextOps.md5Long64(concat(lit("tmix:"), col("doc_id").cast("string"))))
-      val cum = graft.functions.Ops.cumAggPerKey(h, Seq("source"),
-        Seq(col("h"), col("doc_id")), "n_chars", "cum_chars",
-        expr("shiftright(h, 52)"), "sum")
-      val admitted = cum.join(broadcast(budgets), "source")
-        .filter(col("cum_chars") <= col("budget_chars"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_admitted"), sum(col("n_chars")).as("admitted_chars"))
-      budgets.join(admitted, Seq("source"), "left")
-        .select(col("source"), col("budget_chars"),
-          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-          coalesce(col("admitted_chars"), lit(0L)).as("admitted_chars"))
+      TextOps.temperatureMixFromState(
+        TextOps.temperatureMixDocState(Tables.documents(s, dir)))
     },
     // Train/val/test split, PRODUCTION tier: 80/10/10 by seedless md5
     // bucket of the doc id — a NARROW map with zero shuffles before the
@@ -953,17 +935,15 @@ object ExtTextQueries {
     // corpus from being dominated by one crawl source): top-K docs per
     // source under a deterministic total order (longest first, doc id as
     // the tiebreak), emitted with their rank so the downstream filter is
-    // rank <= K. One shuffle on source; the rank window streams inside
-    // the window operator (the W5 top-1 pattern generalized to top-K).
+    // rank <= K. r17: reshaped from a rank window into a BOUNDED top-K
+    // sketch aggregate (TextOps.sourceCapState — order-encoded longs into
+    // kmvBottomK) + rank finisher: partial aggregation absorbs the corpus
+    // map-side (≤ K longs per source cross the shuffle, no per-source
+    // sort), and the SAME kernel serves complete-mode streaming upkeep
+    // (StreamJobs.sourceCapStream; drain ≡ batch pinned in StreamingSpec).
     "q_x_source_cap" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      TextOps.sourceCapFromState(
+        TextOps.sourceCapState(Tables.documents(s, dir), k = 5))
     },
     // Train-test decontamination (the GPT-3 appendix-C 8-gram screen):
     // the mod-7 doc cohort plays the benchmark/eval set, the rest the

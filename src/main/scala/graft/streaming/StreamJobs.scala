@@ -372,6 +372,31 @@ object StreamJobs {
   def kmvStream(events: DataFrame): DataFrame =
     graft.operators.Sketches.kmvState(events)
 
+  /** Streaming per-source cap upkeep — the live tier of q_x_source_cap:
+    * ONE complete-mode object-hash aggregate maintains the per-source
+    * top-K sketch via the SAME [[graft.operators.TextOps.sourceCapState]]
+    * kernel (order-encoded longs, union+truncate buffers — ≤ K longs of
+    * state per source at ANY volume). Set-union state is
+    * slicing-insensitive ⇒ drained ≡ batch bit-for-bit, and
+    * [[graft.operators.TextOps.sourceCapFromState]] over drained state
+    * reproduces the registry row — a crawl pipeline knows each domain's
+    * current cap survivors the moment docs land.
+    */
+  def sourceCapStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.sourceCapState(docs)
+
+  /** Streaming temperature-mix state upkeep — the ADDITIVE layer of
+    * q_x_temperature_mix ([[graft.operators.TextOps.temperatureMixDocState]],
+    * one definition): per (source, doc) char totals as one complete-mode
+    * aggregate. Budget shares and the hash-order admission cumulative are
+    * functions of FINAL totals, so they are NOT a second streaming
+    * aggregate — the batch finisher
+    * ([[graft.operators.TextOps.temperatureMixFromState]]) over drained
+    * state equals the registry row (the CUPED state/finisher split).
+    */
+  def temperatureMixStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.temperatureMixDocState(docs)
+
   /** Streaming daily-series upkeep — the live tier of the SHARED kernel
     * under q_x_cusum / q_x_autocorr / q_x_cross_corr / q_x_mase
     * ([[graft.functions.Ops.dailyTypeCents]], one definition): additive

@@ -909,6 +909,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming source-cap sketch drains to the batch top-K; the rank finisher derives the registry row") {
+    val src = Files.createTempDirectory("graft_scap_src").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.sourceCapStream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory").queryName("scap_s").start()
+    q.processAllAvailable(); q.stop()
+    val drained = spark.table("scap_s")
+    def canonS(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    // set-union sketch state is slicing-insensitive: drained ≡ batch
+    val got = canonS(drained)
+    assert(got == canonS(graft.operators.TextOps.sourceCapState(docs)) && got.nonEmpty)
+    got.values.foreach(s => assert(s.size <= 5 && s == s.sorted))
+    // rank finisher over drained state ≡ the registry row
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(canonRows(graft.operators.TextOps.sourceCapFromState(drained)) ==
+      canonRows(SparkEntry.queries("q_x_source_cap")(spark, sfDir)))
+  }
+
+  test("streaming temperature-mix state drains to the batch doc totals; the quota finisher derives the registry row") {
+    val src = Files.createTempDirectory("graft_tmix_src").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = StreamJobs.temperatureMixStream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(src))
+      .writeStream.outputMode("complete").format("memory").queryName("tmix_s").start()
+    q.processAllAvailable(); q.stop()
+    // re-materialize (the memory-sink View self-join caveat): the finisher
+    // crossJoins the state with two of its own aggregates
+    val t = spark.table("tmix_s")
+    val drained = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    def canonS(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(canonS(drained) ==
+      canonS(graft.operators.TextOps.temperatureMixDocState(docs)) &&
+      drained.count() > 0)
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(canonRows(graft.operators.TextOps.temperatureMixFromState(drained)) ==
+      canonRows(SparkEntry.queries("q_x_temperature_mix")(spark, sfDir)))
+  }
+
   test("idempotent sink: replaying a batch adds no rows (parquet + jdbc)") {
     val sink = Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = graft.sources.Tables.events(spark, sfDir).limit(50)
