@@ -202,6 +202,71 @@ object Dedup {
     allPairs.unionByName(starPairs).distinct()
   }
 
+  /** MinHash banded candidate pairs straight from text — the
+    * [[lshCandidatePairs]] front with the signature step inlined, exposed
+    * for consumers that need the CANDIDATE graph itself rather than the
+    * verified near-dup pairs (the cross-modal alignment gate).
+    */
+  def textCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame =
+    lshCandidatePairs(minHashSignature(docs, idCol, textCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand, maxBucketSize, failOnOverCap)
+
+  /** Cross-modal ALIGNMENT gate — CLIP-score's decision role (filter
+    * weakly-aligned (caption, image) records before they pollute training
+    * or the mm dedup family), made exactly computable: a record is aligned
+    * when the corpus NEIGHBORHOODS its two modalities induce agree.
+    * Text neighbors = MinHash band collisions of the caption
+    * ([[textCandidatePairs]]); image neighbors = pHash band collisions
+    * ([[Multimodal.phashBandPairs]]); the score is the Jaccard of the two
+    * neighbor SETS, rounded to 3dp (the estimator-calibration idiom).
+    * A stock photo reused under an unrelated caption sits in a populated
+    * image neighborhood that its caption neighborhood never touches —
+    * score → 0; an aligned record's neighborhoods coincide — score → 1;
+    * a record with NO neighbors in either modality is vacuously aligned
+    * (nothing contradicts the pairing; score 1.0 by definition).
+    *
+    * Fully deterministic — both band chains replay in DuckDB, so the gate
+    * is hash-oracled end-to-end (no declared tier). Scale shape: two
+    * band-bucket-bounded pair joins (hot-bucket guards inherited from both
+    * fronts), one keyed intersection join of the two neighbor-edge tables,
+    * three per-doc counting aggregates; the corpus is touched once per
+    * modality for sketching.
+    */
+  def crossModalAlignment(records: DataFrame, idCol: String,
+      captionCol: String, phashCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      tau: Double = 0.5, failOnOverCap: Boolean = false): DataFrame = {
+    val tp = textCandidatePairs(records, idCol, captionCol,
+      numHashes, rowsPerBand, shingleN, failOnOverCap = failOnOverCap)
+      .localCheckpoint()
+    val ip = Multimodal.phashBandPairs(records, idCol, phashCol,
+      failOnOverCap = failOnOverCap).localCheckpoint()
+    // (a, b) with a < b, once → symmetrized edges are distinct by
+    // construction (no self-pairs, each unordered pair yields exactly one
+    // a→b and one b→a row)
+    def sym(p: DataFrame): DataFrame =
+      p.select(col("a").as(idCol), col("b").as("__nbr"))
+        .unionByName(p.select(col("b").as(idCol), col("a").as("__nbr")))
+    val tn = sym(tp)
+    val in_ = sym(ip)
+    val nT = tn.groupBy(col(idCol)).agg(count(lit(1)).as("n_text_nbrs"))
+    val nI = in_.groupBy(col(idCol)).agg(count(lit(1)).as("n_img_nbrs"))
+    val nC = tn.join(in_, Seq(idCol, "__nbr"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
+    records.select(col(idCol))
+      .join(nT, Seq(idCol), "left").join(nI, Seq(idCol), "left")
+      .join(nC, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_text_nbrs", "n_img_nbrs", "n_common"))
+      .withColumn("alignment",
+        when(col("n_text_nbrs") + col("n_img_nbrs") === 0, lit(1.0))
+          .otherwise(round(col("n_common").cast("double") /
+            (col("n_text_nbrs") + col("n_img_nbrs") - col("n_common")).cast("double"), 3)))
+      .withColumn("is_aligned", col("alignment") >= tau)
+  }
+
   /** Exact word-shingle Jaccard on candidate pairs: |A∩B| via a native
     * merge walk over sorted hashed shingle sets, |A∪B| = |A|+|B|−|A∩B|.
     *

@@ -209,6 +209,23 @@ object ExtTextQueries {
         .select(col("a").as("new_id"), col("b").as("old_id"),
           col("jaccard"), col("hamming"))
     },
+    // Cross-modal ALIGNMENT gate (r17 stretch): per (caption, image)
+    // record, the Jaccard agreement of its text-band neighborhood vs its
+    // image-band neighborhood — CLIP-score's decision role (drop weakly
+    // aligned pairs before the mm dedup family), exactly computable so it
+    // hash-oracles. Misalignment is PLANTED: the doc_id % 11 == 7 cohort
+    // takes its image from the REVERSED caption (a deterministic "wrong
+    // image" both engines replay char-for-char on this ASCII corpus), so
+    // those records sit in image neighborhoods their captions never touch.
+    "q_x_mm_alignment" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .withColumn("__img", when(pmod(col("doc_id"), lit(11)) === 7,
+          reverse(col("text"))).otherwise(col("text")))
+        .withColumn("__cells", Multimodal.dHashCells(col("__img")))
+        .select(col("doc_id"), col("text"),
+          Multimodal.dHash63("__cells").as("ph"))
+      Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
+    },
     // The cross-modal pair graph closed transitively — per-RECORD cluster
     // ids over the conjunction pairs (hash-min flooding, the
     // q_x_dedup_clusters kernel): the table a LAION-style pipeline keeps
@@ -2543,6 +2560,58 @@ object ExtTextQueries {
          |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
          |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6
          |  AND bit_count(xor(px.ph, py.ph)) <= 6""".stripMargin,
+    // both band chains replayed with the PLANTED image source (reversed
+    // caption for doc_id % 11 = 7), then the neighbor-set Jaccard per doc
+    "q_x_mm_alignment" -> {
+      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |tcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |cells AS (SELECT doc_id,
+         |    [ascii(substr(rpad(CASE WHEN doc_id % 11 = 7 THEN reverse(text)
+         |                            ELSE text END, 70, ' '), k, 1))
+         |     for k in range(1, 71)] AS cl
+         |  FROM documents),
+         |phx AS (SELECT doc_id, CAST($phTerms AS BIGINT) AS ph FROM cells),
+         |ibands AS (SELECT doc_id, g.b AS j, (ph >> (g.b * 16)) & 65535 AS bv
+         |  FROM phx, generate_series(0, 3) g(b)),
+         |icand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM ibands x JOIN ibands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |tn AS (SELECT a AS doc_id, b AS nbr FROM tcand
+         |       UNION ALL SELECT b, a FROM tcand),
+         |inb AS (SELECT a AS doc_id, b AS nbr FROM icand
+         |        UNION ALL SELECT b, a FROM icand),
+         |nt AS (SELECT doc_id, count(*) AS n FROM tn GROUP BY 1),
+         |ni AS (SELECT doc_id, count(*) AS n FROM inb GROUP BY 1),
+         |nc AS (SELECT tn.doc_id, count(*) AS n
+         |  FROM tn JOIN inb ON tn.doc_id = inb.doc_id AND tn.nbr = inb.nbr
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nt.n, 0) AS BIGINT) AS n_text_nbrs,
+         |  CAST(coalesce(ni.n, 0) AS BIGINT) AS n_img_nbrs,
+         |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_common,
+         |  CASE WHEN coalesce(nt.n, 0) + coalesce(ni.n, 0) = 0 THEN 1.0
+         |       ELSE round(coalesce(nc.n, 0)::DOUBLE /
+         |         (coalesce(nt.n, 0) + coalesce(ni.n, 0) - coalesce(nc.n, 0))::DOUBLE, 3)
+         |  END AS alignment,
+         |  (CASE WHEN coalesce(nt.n, 0) + coalesce(ni.n, 0) = 0 THEN 1.0
+         |        ELSE round(coalesce(nc.n, 0)::DOUBLE /
+         |          (coalesce(nt.n, 0) + coalesce(ni.n, 0) - coalesce(nc.n, 0))::DOUBLE, 3)
+         |  END) >= 0.5 AS is_aligned
+         |FROM documents d
+         |LEFT JOIN nt ON nt.doc_id = d.doc_id
+         |LEFT JOIN ni ON ni.doc_id = d.doc_id
+         |LEFT JOIN nc ON nc.doc_id = d.doc_id""".stripMargin
+    },
     // the same cross-modal pair chain closed transitively (the
     // q_x_dedup_clusters recursive-CTE idiom over the mm pair graph)
     "q_x_mm_pair_clusters" ->

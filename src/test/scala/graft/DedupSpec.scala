@@ -1134,4 +1134,36 @@ class DedupSpec extends SparkSpec {
     // never become candidates; the true pair still collides on cold chunks
     assert(capped == Set((100L, 101L)))
   }
+
+  test("cross-modal alignment gate: planted misaligned records score 0, aligned clusters high, singletons vacuous") {
+    // group A: 6 identical captions; docs 0-4 share image phA, doc 5 is
+    // MISALIGNED with an image nobody else has. group B: 4 identical
+    // captions; 10-12 share phB, doc 13 is misaligned with group A's
+    // image (the reused-stock-photo case — populated image neighborhood,
+    // disjoint caption neighborhood). docs 20/21: unique caption + image.
+    val capA = "the quick brown fox jumps over the lazy dog while the storm rolls in"
+    val capB = "parquet footers carry column statistics that prune entire row groups early"
+    val phA = 0x1111222233334444L
+    val phB = 0x5555666677778888L
+    val phX = 0x0999099909990999L
+    val rows = (0L to 4L).map(i => (i, capA, phA)) ++ Seq((5L, capA, phX)) ++
+      (10L to 12L).map(i => (i, capB, phB)) ++ Seq((13L, capB, phA)) ++
+      Seq((20L, "a singleton about watermark semantics and state stores", 0x0AAA0BBB0CCC0DDDL),
+        (21L, "another loner speaking of shuffle partitions and skew salts", 0x0EEE0FFF01110222L))
+    val recs = spark.createDataFrame(rows).toDF("doc_id", "text", "ph")
+    val got = Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // docs 0-4: 5 text nbrs (all of A), 5 img nbrs (the other 4 + doc 13),
+    // 4 common → 4/(10-4) = 0.667, aligned
+    (0L to 4L).foreach(d => assert(got(d) == ((5L, 5L, 4L, 0.667, true)), s"doc $d: ${got(d)}"))
+    // doc 5: caption neighborhood populated, image neighborhood empty → 0
+    assert(got(5L) == ((5L, 0L, 0L, 0.0, false)), s"doc 5: ${got(5L)}")
+    // docs 10-12: 3 text nbrs, 2 img nbrs, 2 common → 2/3, aligned
+    (10L to 12L).foreach(d => assert(got(d) == ((3L, 2L, 2L, 0.667, true)), s"doc $d: ${got(d)}"))
+    // doc 13: reused stock photo — 3 caption nbrs, 5 image nbrs, 0 common
+    assert(got(13L) == ((3L, 5L, 0L, 0.0, false)), s"doc 13: ${got(13L)}")
+    // singletons: no neighborhood contradicts the pairing → vacuous 1.0
+    Seq(20L, 21L).foreach(d => assert(got(d) == ((0L, 0L, 0L, 1.0, true)), s"doc $d: ${got(d)}"))
+  }
 }
