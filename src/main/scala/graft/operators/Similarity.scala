@@ -504,6 +504,17 @@ object Similarity {
       .select(col(staged.columns.head), col("__e"), col("sc.cell").as("cell"))
   }
 
+  /** [[ivfAssignCells]] against a CALLER-SUPPLIED codebook — the add()/
+    * search() half of a persisted IVF index ([[graft.serve.AnnIndex]]):
+    * assignment is a deterministic narrow map GIVEN the codebook, so
+    * appended vectors and queries rank cells exactly as the build did, with
+    * no retrain. Returns (`outId`, `__e` staged embedding, `cell`), one row
+    * per kept cell.
+    */
+  def ivfAssignWith(df: DataFrame, embCol: String, outId: Column,
+      keep: Int, codebook: DataFrame): DataFrame =
+    ivfAssignCells(df, embCol, outId, keep, codebook)
+
   /** The distributed IVF codebook alone: hash-seeded cells refined by
     * `lloydIters` spherical k-means passes, carried as ONE broadcast row
     * (see [[annIvf]] for the shape rationale).

@@ -1,0 +1,169 @@
+package graft.serve
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.natives.cosineSim
+import graft.operators.Similarity
+
+/** Persisted IVF ANN index — the vector-side sibling of [[DedupIndex]] and
+  * the FAISS build/add/search lifecycle on Spark tables: train the coarse
+  * codebook ONCE, persist it with the corpus cell assignments as versioned
+  * segments, then serve searches and ADD new vectors against the stored
+  * codebook with no retrain (assignment is a deterministic narrow map given
+  * the codebook, [[Similarity.ivfAssignWith]]).
+  *
+  * Layout mirrors [[DedupIndex]]'s manifest idiom:
+  * {{{
+  *   <root>/_MANIFEST              — newline-separated live segment names
+  *   <root>/codebook/              — (cell, centroid array<float>) rows
+  *   <root>/seg-<millis>-<uuid>/   — (id, cell) assignment parquet
+  * }}}
+  * The codebook is written once at build (a rebuild republishes everything);
+  * `append` writes only the new batch's assignments — batch-proportional,
+  * never corpus-proportional. Scale shape at search: the codebook broadcasts
+  * (one row after re-collection), queries fan out to `nProbe` cells, the
+  * candidate join shuffles on cell id only, and scoring touches candidate
+  * embeddings alone.
+  *
+  * Correctness contract (AnnIndexSpec): the persisted codebook round-trips
+  * parquet bit-for-bit (float arrays), appended vectors land in exactly the
+  * cells a from-scratch assignment with the same codebook gives, and search
+  * through the index equals the in-memory IVF search over the same
+  * (codebook, assignments) — the index is a pure materialization.
+  */
+object AnnIndex {
+
+  /** Train the codebook on `corpus`, persist it + the corpus assignments as
+    * segment zero.
+    */
+  def build(spark: SparkSession, root: String, corpus: DataFrame,
+      idCol: String, embCol: String, nCells: Int = 16,
+      lloydIters: Int = 2): Unit = {
+    val cb = Similarity.ivfCodebook(corpus, idCol, embCol, nCells, lloydIters)
+    // persist exploded (cell, centroid) rows; order inside the re-collected
+    // codebook array is irrelevant (cell ranking sorts by (negdot, cell))
+    cb.select(explode(col("cb")).as("s"))
+      .select(col("s.cell").as("cell"), col("s.centroid").as("centroid"))
+      .write.mode(SaveMode.Overwrite).parquet(new Path(root, "codebook").toString)
+    val seg = writeAssignments(spark, root, corpus, idCol, embCol)
+    publishManifest(spark, root, Seq(seg))
+  }
+
+  /** Assign one new batch with the PERSISTED codebook (no retrain — the
+    * FAISS add()) and append its (id, cell) rows as a new segment.
+    */
+  def append(spark: SparkSession, root: String, newVecs: DataFrame,
+      idCol: String, embCol: String): Unit = {
+    val seg = writeAssignments(spark, root, newVecs, idCol, embCol)
+    publishManifest(spark, root, readManifest(spark, root) :+ seg)
+  }
+
+  /** The stored codebook, re-collected to the one-row broadcast shape every
+    * assignment call expects.
+    */
+  def readCodebook(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(new Path(root, "codebook").toString)
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cb"))
+
+  /** The standing (id, cell) assignment table — union of live segments. */
+  def readAssignments(spark: SparkSession, root: String): DataFrame =
+    readManifest(spark, root)
+      .map(seg => spark.read.parquet(new Path(root, seg).toString))
+      .reduce(_.unionByName(_))
+
+  /** IVF search against the persisted index: queries rank the stored
+    * codebook's cells (broadcast, narrow), probe their `nProbe` best cells
+    * against the stored assignments (cell-keyed join — the only shuffle of
+    * index data), and score candidates exactly against `corpus` embeddings
+    * (id-keyed join touches candidates only). Emits (query_id, rank,
+    * neighbor_id) — the [[Similarity.annIvf]] output contract.
+    */
+  def search(spark: SparkSession, root: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, queryIdCol: String, embCol: String,
+      k: Int, nProbe: Int = 4): DataFrame =
+    searchWith(readCodebook(spark, root), readAssignments(spark, root),
+      corpus, queries, idCol, queryIdCol, embCol, k, nProbe)
+
+  /** The search kernel over EXPLICIT (codebook, assignments) — one
+    * definition for the persisted path and the spec's in-memory control.
+    */
+  def searchWith(codebook: DataFrame, assignments: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, embCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = Similarity.ivfAssignWith(queries, embCol,
+        col(queryIdCol).as("query_id"), nProbe, codebook)
+      .withColumnRenamed("__e", "__qe")
+    val cand = q.join(assignments.select(col("id"), col("cell")), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    cand.join(corpus.select(col(idCol).as("id"), col(embCol).as("__ce")), Seq("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosineSim(col("__qe"), col("__ce")).as("cs"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Fold assignment segments into one and prune superseded dirs (the
+    * [[DedupIndex.compact]] contract; the codebook is shared and untouched).
+    */
+  def compact(spark: SparkSession, root: String,
+      retentionMs: Long = Materialize.PruneRetentionMs): Unit = {
+    val live = readManifest(spark, root)
+    if (live.size <= 1) return
+    val seg = newSegmentName()
+    spark.read.parquet(live.map(s => new Path(root, s).toString): _*)
+      .write.mode(SaveMode.Overwrite).parquet(new Path(root, seg).toString)
+    publishManifest(spark, root, Seq(seg))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-") &&
+        s.getPath.getName != seg)
+      .filter(s => now - s.getModificationTime > retentionMs)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  // ---- internals (the DedupIndex manifest idiom) -----------------------
+
+  private def newSegmentName(): String =
+    s"seg-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  // build() writes the codebook before the first assignment, so the stored
+  // codebook is always present here
+  private def writeAssignments(spark: SparkSession, root: String,
+      vecs: DataFrame, idCol: String, embCol: String): String = {
+    val seg = newSegmentName()
+    Similarity.ivfAssignWith(vecs, embCol, col(idCol).as("id"), 1,
+        readCodebook(spark, root))
+      .select(col("id"), col("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(new Path(root, seg).toString)
+    seg
+  }
+
+  private def manifestPath(root: String) = new Path(root, "_MANIFEST")
+
+  private def readManifest(spark: SparkSession, root: String): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(manifestPath(root))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def publishManifest(spark: SparkSession, root: String,
+      segments: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(conf)
+    val tmp = new Path(rootP, s"_MANIFEST.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(segments.mkString("\n").getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(rootP.toUri, conf)
+      .rename(tmp, manifestPath(root), Options.Rename.OVERWRITE)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.serve.AnnIndex
+
+/** Persisted IVF ANN index lifecycle (r17): build → search → append →
+  * compact, pinned as a PURE MATERIALIZATION of the in-memory IVF kernel —
+  * the stored codebook round-trips parquet exactly, appended vectors land in
+  * the cells a fresh assignment with the same codebook gives (no retrain),
+  * and search output is invariant under segment layout.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def canonSearch(df: DataFrame): Set[(Long, Int, Long)] =
+    df.as[(Long, Int, Long)].collect().toSet
+
+  test("build/append/search/compact: the index is a pure materialization of the IVF kernel") {
+    val base = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val extra = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 1)
+    val root = Files.createTempDirectory("graft_ann_idx").toString
+    AnnIndex.build(spark, root, base, "vec_id", "embedding",
+      nCells = 16, lloydIters = 2)
+
+    // stored assignments == fresh assignment with the ROUND-TRIPPED codebook
+    // (pins both the float-array parquet fidelity and the no-retrain rule)
+    val cb = AnnIndex.readCodebook(spark, root)
+    def assignWith(d: DataFrame) =
+      Similarity.ivfAssignWith(d, "embedding", col("vec_id").as("id"), 1, cb)
+        .select(col("id"), col("cell"))
+        .as[(Long, Int)].collect().toMap
+    def stored() = AnnIndex.readAssignments(spark, root)
+      .as[(Long, Int)].collect().toMap
+    assert(stored() == assignWith(base) && stored().nonEmpty)
+
+    // search through the index == the same kernel over in-memory pieces
+    val viaIndex = canonSearch(AnnIndex.search(spark, root, base, queries,
+      "vec_id", "vec_id", "embedding", k = 5))
+    val inMemory = canonSearch(AnnIndex.searchWith(cb,
+      AnnIndex.readAssignments(spark, root), base, queries,
+      "vec_id", "vec_id", "embedding", k = 5, nProbe = 4))
+    assert(viaIndex == inMemory && viaIndex.nonEmpty)
+
+    // recall floor vs exact brute force (IVF is a declared approximate
+    // tier; the codebook is data-adaptive so the bound is generous)
+    val brute = Similarity.annBruteForce(base, queries,
+        "vec_id", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val idxPairs = viaIndex.map(r => (r._1, r._3))
+    val recall = (brute & idxPairs).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall too low")
+
+    // append assigns the new batch with the STORED codebook — union of the
+    // two cohorts' fresh assignments, never a retrained one
+    AnnIndex.append(spark, root, extra, "vec_id", "embedding")
+    assert(stored() == assignWith(base) ++ assignWith(extra),
+      "append must reuse the persisted codebook verbatim")
+    val all = base.unionByName(extra)
+    val afterAppend = canonSearch(AnnIndex.search(spark, root, all, queries,
+      "vec_id", "vec_id", "embedding", k = 5))
+    assert(afterAppend.nonEmpty)
+
+    // compact folds segments; search output is layout-invariant
+    AnnIndex.compact(spark, root, retentionMs = 0L)
+    val segs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+    assert(segs.length == 1, s"expected 1 compacted segment, got ${segs.length}")
+    assert(canonSearch(AnnIndex.search(spark, root, all, queries,
+      "vec_id", "vec_id", "embedding", k = 5)) == afterAppend,
+      "compaction changed search output")
+  }
+}
