@@ -282,11 +282,28 @@ object Dedup {
     */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
+    // semi-join the corpus down BEFORE hashing (the r2 lesson): only
+    // candidate docs' shingle sets are ever computed — a Project above the
+    // scan would hash every row, the join can't push through it
     val candIds = pairs.select(col("a").as("__id"))
       .unionByName(pairs.select(col("b").as("__id"))).distinct()
-    val sh = docs.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
-      .select(col(idCol),
-        org.apache.spark.sql.graft.natives.shingleHashes(col(textCol), shingleN).as("ss"))
+    val docsCand = docs.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
+    jaccardOnPairsShingles(pairs,
+      textShingles(docsCand, idCol, textCol, shingleN), idCol)
+  }
+
+  /** The verify half of [[jaccardOnPairs]] over a PRE-BUILT shingle table
+    * ((idCol, ss sorted-hash array) — hashed inline by the batch path, or
+    * read back from a persisted standing index so admission never touches
+    * the corpus text at all, [[graft.serve.DedupIndex]]). Semi-joins the
+    * shingle table down to candidate docs first; only candidates' arrays
+    * ever shuffle.
+    */
+  def jaccardOnPairsShingles(pairs: DataFrame, shingles: DataFrame,
+      idCol: String): DataFrame = {
+    val candIds = pairs.select(col("a").as("__id"))
+      .unionByName(pairs.select(col("b").as("__id"))).distinct()
+    val sh = shingles.join(broadcast(candIds), col(idCol) === col("__id"), "left_semi")
     import org.apache.spark.sql.graft.natives.sortedIntersectCount
     pairs
       .join(sh.select(col(idCol).as("a"), col("ss").as("sa")), Seq("a"))
@@ -296,6 +313,15 @@ object Dedup {
         round(col("common") /
           (size(col("sa")) + size(col("sb")) - col("common")).cast("double"), 3).as("jaccard"))
   }
+
+  /** (id, ss) shingle-hash table straight from text — the persisted-index
+    * build's third artifact and the one definition of the verify domain
+    * ([[jaccardOnPairsShingles]] input).
+    */
+  def textShingles(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      org.apache.spark.sql.graft.natives.shingleHashes(col(textCol), shingleN).as("ss"))
 
   /** Full MinHash near-dup pipeline: signature → banded candidates → exact
     * Jaccard ≥ threshold.

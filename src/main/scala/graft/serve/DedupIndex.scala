@@ -20,8 +20,9 @@ import graft.operators.Dedup
   * manifest instead of a single snapshot):
   * {{{
   *   <root>/_MANIFEST            — newline-separated live segment names
-  *   <root>/seg-<millis>-<uuid>/bands/   (idCol, band, bh) parquet
-  *   <root>/seg-<millis>-<uuid>/bloom/   one row (num_bits, n_keys, bytes)
+  *   <root>/seg-<millis>-<uuid>/bands/     (idCol, band, bh) parquet
+  *   <root>/seg-<millis>-<uuid>/shingles/  (idCol, ss sorted-hash array)
+  *   <root>/seg-<millis>-<uuid>/bloom/     one row (num_bits, n_keys, bytes)
   * }}}
   * The manifest is repointed by rename-with-overwrite (atomic on local FS
   * and HDFS), so a reader mid-admission keeps a complete segment list;
@@ -72,6 +73,16 @@ object DedupIndex {
       .map(seg => spark.read.parquet(new Path(root, s"$seg/bands").toString))
       .reduce(_.unionByName(_))
 
+  /** The standing corpus's shingle-hash table — union of all live segments.
+    * With this third artifact, admission touches the corpus TEXT never:
+    * candidates come from the persisted bands, the verify from the
+    * persisted shingle sets (semi-joined down to candidates first).
+    */
+  def readShingles(spark: SparkSession, root: String): DataFrame =
+    readManifest(spark, root)
+      .map(seg => spark.read.parquet(new Path(root, s"$seg/shingles").toString))
+      .reduce(_.unionByName(_))
+
   /** The standing corpus's exact-key Bloom — segment sketches merged via
     * BloomFilter.mergeInPlace (bitset union; identical sizing enforced by
     * construction). Driver-side KBs, the [[Dedup.buildKeyBloom]] shape.
@@ -111,6 +122,27 @@ object DedupIndex {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[admitNearDups]] with the verify ALSO served from the index — the
+    * fully-materialized admission: candidate generation reads the persisted
+    * bands, the exact-Jaccard verify reads the persisted shingle sets, and
+    * the standing corpus TEXT is never touched at all. Bit-equal to the
+    * recompute path because the stored shingles are the same
+    * [[Dedup.textShingles]] rows the batch path hashes inline.
+    */
+  def admitNearDupsIndexOnly(spark: SparkSession, root: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      p: Params = Params(), threshold: Double = 0.6,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val nb = Dedup.textBands(incoming, idCol, textCol,
+      p.numHashes, p.rowsPerBand, p.shingleN)
+    val pairs = Dedup.crossBandPairsOnBands(nb, readBands(spark, root),
+      idCol, maxBucketSize).localCheckpoint()
+    val sh = Dedup.textShingles(incoming, idCol, textCol, p.shingleN)
+      .unionByName(readShingles(spark, root))
+    Dedup.jaccardOnPairsShingles(pairs, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact-dup admission via the persisted Bloom: rows of `incoming` whose
     * `keyCol` is definitely-new stream through the narrow probe; the maybe
     * sliver verifies against `oldKeys` exactly ([[Dedup.antiJoinBloom]] —
@@ -133,6 +165,9 @@ object DedupIndex {
     spark.read.parquet(live.map(s => new Path(root, s"$s/bands").toString): _*)
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(root, s"$seg/bands").toString)
+    spark.read.parquet(live.map(s => new Path(root, s"$s/shingles").toString): _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, s"$seg/shingles").toString)
     writeBloomRow(spark, root, seg, readBloom(spark, root),
       readBloomMeta(spark, root))
     publishManifest(spark, root, Seq(seg))
@@ -150,6 +185,9 @@ object DedupIndex {
     Dedup.textBands(docs, idCol, textCol, p.numHashes, p.rowsPerBand, p.shingleN)
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(root, s"$seg/bands").toString)
+    Dedup.textShingles(docs, idCol, textCol, p.shingleN)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, s"$seg/shingles").toString)
     // numBits from the PINNED Params — every segment sized identically so
     // sketches stay mergeable (the ⌈−n·ln(fpp)/ln²2⌉ sizing of buildKeyBloom)
     val numBits = math.ceil(-p.expectedItems * math.log(p.fpp) /

@@ -582,6 +582,26 @@ object StreamJobs {
     */
   def nearDupGateStream(incoming: DataFrame, standing: DataFrame,
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.6, horizon: String = "1 hour"): DataFrame =
+    nearDupGateStreamIndexed(incoming,
+      graft.operators.Dedup
+        .textBands(standing, "doc_id", "text", numHashes, rowsPerBand, shingleN),
+      graft.operators.Dedup.textShingles(standing, "doc_id", "text", shingleN),
+      numHashes, rowsPerBand, shingleN, threshold, horizon)
+
+  /** [[nearDupGateStream]] against PRE-BUILT standing tables — the
+    * persisted-index form ([[graft.serve.DedupIndex.readBands]] /
+    * `readShingles`): the stream-static joins read the materialized band
+    * and shingle tables, so the standing corpus is never re-sketched per
+    * micro-batch (it was re-sketched per RUN even in the recompute form —
+    * at 100 TB the index tables are the only viable static side). One
+    * definition: the recompute gate delegates here with inline-built
+    * tables, so indexed ≡ recompute by construction and the spec pins the
+    * read-back path.
+    */
+  def nearDupGateStreamIndexed(incoming: DataFrame, standingBands: DataFrame,
+      standingShingles: DataFrame,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.6, horizon: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.graft.natives.{minhashSig, shingleHashes, sortedIntersectCount}
     val numBands = numHashes / rowsPerBand
@@ -598,11 +618,9 @@ object StreamJobs {
       .select(col("doc_id"), col("ingest_ts"), col("__sa"), bandCol.as("b"))
       .select(col("doc_id"), col("ingest_ts"), col("__sa"),
         col("b.band").as("band"), col("b.bh").as("bh"))
-    val ob = graft.operators.Dedup
-      .textBands(standing, "doc_id", "text", numHashes, rowsPerBand, shingleN)
-      .withColumnRenamed("doc_id", "old_id")
-    val osh = standing.select(col("doc_id").as("old_id"),
-      shingleHashes(col("text"), shingleN).as("__sb"))
+    val ob = standingBands.withColumnRenamed("doc_id", "old_id")
+    val osh = standingShingles
+      .select(col("doc_id").as("old_id"), col("ss").as("__sb"))
     nb.join(ob, Seq("band", "bh"))
       .join(osh, Seq("old_id"))
       .withColumn("common", sortedIntersectCount(col("__sa"), col("__sb")).cast("double"))

@@ -54,6 +54,12 @@ class DedupIndexSpec extends SparkSpec {
     assert(viaIdx2 == recomp2, "index admission diverged from recompute (batch 2)")
     assert(viaIdx2.nonEmpty, "vacuous fixture: batch 2 found no near-dups")
 
+    // index-ONLY admission (persisted shingles serve the verify — standing
+    // text never touched) must also equal the recompute path
+    val idxOnly2 = canonPairs(
+      DedupIndex.admitNearDupsIndexOnly(spark, root, batch2, "doc_id", "text"))
+    assert(idxOnly2 == recomp2, "index-only admission diverged from recompute")
+
     // the delta must matter: batch-2 rejections must include at least one
     // pair against a batch-1 ADMITTED doc, or the append path is untested
     val admitted1Ids = admitted1.select("doc_id").as[Long].collect().toSet
@@ -71,6 +77,35 @@ class DedupIndexSpec extends SparkSpec {
     // superseded segment dirs are pruned at retention 0
     val segs = new java.io.File(root).listFiles().filter(_.getName.startsWith("seg-"))
     assert(segs.length == 1, s"expected 1 compacted segment, found ${segs.length}")
+  }
+
+  test("streaming gate against the persisted index equals the batch rejection list") {
+    val root = Files.createTempDirectory("graft_dedup_idx_stream").toString
+    val standing = cohort(0).select("doc_id", "text")
+    val incoming = cohort(1).select("doc_id", "text")
+    DedupIndex.build(spark, root, standing, "doc_id", "text")
+    val src = Files.createTempDirectory("graft_gate_idx_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    incoming.withColumn("ingest_ts", lit(t0))
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    // the static sides are the READ-BACK index tables — the standing
+    // corpus is never re-sketched (the 100 TB gate shape)
+    val q = graft.streaming.StreamJobs.nearDupGateStreamIndexed(stream,
+        DedupIndex.readBands(spark, root), DedupIndex.readShingles(spark, root),
+        threshold = 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_idx").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gate_idx").select("doc_id", "old_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.crossNearDupMinHash(incoming, standing,
+        "doc_id", "text", threshold = 0.3)
+      .select(col("a"), col("b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      "indexed gate must equal the batch rejection list")
   }
 
   test("segment Blooms OR-merge to the single-build sketch; exact admission matches") {
