@@ -49,6 +49,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_x_dedup_minhash", "q_x_dedup_ngram", "q_x_dedup_simhash", "q_x_containment",
     "q_x_mm_pair_dedup", "q_x_mm_pair_clusters", "q_x_mm_incr_admission", // conjunction pair checkpoints
     "q_x_shot_dedup", // checkpoints the shot-signature table (minhash stance)
+    // r17: the phash band table gained the hot-bucket guard's checkpoint
+    // (three consumers — both join sides + star extraction, the
+    // lshCandidatePairs stance); the alignment gate checkpoints both
+    // candidate-pair fronts
+    "q_x_phash_dedup", "q_x_mm_alignment",
     "q_x_blocking_report", "q_x_neardup_composed", "q_x_minhash_est",
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_er_golden",
     "q_x_dataset_card", "q_x_incr_neardup",
@@ -79,7 +84,11 @@ class PlanGuardSpec extends SparkSpec {
     * later build is job-free — so their tier depends on cache state and
     * is asserted in neither direction.
     */
-  private val memoizedAtBuild = Set("q_x_bloom_dedup")
+  private val memoizedAtBuild = Set("q_x_bloom_dedup",
+    // first build per (dir, mtime) publishes the persisted dedup index
+    // (DedupIndex.build jobs); later builds only plan over the read-back
+    // parquet — tier depends on cache state, asserted in neither direction
+    "q_x_incr_index_census")
 
   test("zero-job census: building any non-exempt registry query runs no Spark job") {
     // the plan-only tier's contract, asserted per query: constructing the
