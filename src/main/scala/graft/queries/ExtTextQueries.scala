@@ -1622,6 +1622,21 @@ object ExtTextQueries {
         "doc_id", "text")
         .select(col("a").as("new_id"), col("b").as("old_id"), col("jaccard"))
     },
+    // The persisted-index ADMIT step on the hash gate (r17): the SAME
+    // rejection list as q_x_incr_neardup, computed through the
+    // materialized index — candidates from the persisted band segments,
+    // exact-Jaccard verify from the persisted shingle segments, standing
+    // corpus text untouched (DedupIndex.admitNearDupsIndexOnly). The
+    // oracle is the recompute chain, so a green row proves the
+    // index-served admission IS the recompute admission on real data —
+    // the lifecycle's build (census row below) AND admit steps both sit
+    // on the per-round oracle gate.
+    "q_x_incr_admission_idx" -> { (s, dir) =>
+      graft.serve.DedupIndex.admitNearDupsIndexOnly(s, standingIndexRoot(s, dir),
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "doc_id", "text")
+        .select(col("a").as("new_id"), col("b").as("old_id"), col("jaccard"))
+    },
     // PERSISTED standing-index census (r17): the q_x_incr_neardup standing
     // cohort's MinHash band table materialized ONCE as a versioned
     // DedupIndex segment (build → _MANIFEST publish → read back from
@@ -2513,6 +2528,28 @@ object ExtTextQueries {
          |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
          |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
          |FROM cand JOIN shl x ON x.doc_id = a JOIN shl y ON y.doc_id = b
+         |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
+    // the index-served admission replays as the RECOMPUTE chain — same SQL
+    // as q_x_incr_neardup; equality proves the persisted bands+shingles
+    // serve bit-identical admission
+    "q_x_incr_admission_idx" ->
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands n JOIN bands o ON n.j = o.j AND n.bh = o.bh
+         |  WHERE n.doc_id % 3 <> 0 AND o.doc_id % 3 = 0),
+         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w)
+         |SELECT new_id, old_id,
+         |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard
+         |FROM cand JOIN shl x ON x.doc_id = new_id JOIN shl y ON y.doc_id = old_id
          |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
          |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6""".stripMargin,
     // the persisted index build replayed: same banded chain as
