@@ -226,6 +226,29 @@ object ExtTextQueries {
           Multimodal.dHash63("__cells").as("ph"))
       Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
     },
+    // The alignment gate COMPOSED with the pair dedup (r17 stretch,
+    // completed): weakly-aligned records are dropped FIRST (the CLIP-score
+    // decision role — a mismatched (caption, image) record must not vote
+    // in dedup; its caption may near-dup one cluster while its image
+    // near-dups another, welding unrelated clusters), then the two-modal
+    // conjunction dedup runs over the aligned survivors only. Same planted
+    // corpus as q_x_mm_alignment, so the gate is non-vacuous; the oracle
+    // replays gate + dedup in one statement.
+    "q_x_mm_gated_dedup" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .withColumn("__img", when(pmod(col("doc_id"), lit(11)) === 7,
+          reverse(col("text"))).otherwise(col("text")))
+        .withColumn("__cells", Multimodal.dHashCells(col("__img")))
+        .select(col("doc_id"), col("text"),
+          Multimodal.dHash63("__cells").as("ph"))
+      val aligned = Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
+        .filter(col("is_aligned")).select(col("doc_id"))
+      Dedup.crossModalPairDedup(
+        recs.join(aligned, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", "ph",
+        numHashes = 16, rowsPerBand = 4, shingleN = 3,
+        threshold = 0.6, maxHamming = 6, failOnOverCap = true)
+    },
     // The cross-modal pair graph closed transitively — per-RECORD cluster
     // ids over the conjunction pairs (hash-min flooding, the
     // q_x_dedup_clusters kernel): the table a LAION-style pipeline keeps
@@ -2570,6 +2593,67 @@ object ExtTextQueries {
          |SELECT CAST(j AS INTEGER) AS band, CAST(sum(sz) AS BIGINT) AS n_rows,
          |  CAST(count(*) AS BIGINT) AS n_buckets, CAST(max(sz) AS BIGINT) AS max_bucket
          |FROM sb GROUP BY j""".stripMargin,
+    // gate + dedup in ONE statement: the alignment CTEs (planted image
+    // source) compute the aligned doc set, then the conjunction pair chain
+    // runs restricted to aligned∧aligned pairs (band signatures are
+    // doc-local, so filtering records before banding ≡ filtering pairs —
+    // the Spark side semi-joins the records, the oracle filters the pairs)
+    "q_x_mm_gated_dedup" -> {
+      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |tcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |cells AS (SELECT doc_id,
+         |    [ascii(substr(rpad(CASE WHEN doc_id % 11 = 7 THEN reverse(text)
+         |                            ELSE text END, 70, ' '), k, 1))
+         |     for k in range(1, 71)] AS cl
+         |  FROM documents),
+         |phx AS (SELECT doc_id, CAST($phTerms AS BIGINT) AS ph FROM cells),
+         |ibands AS (SELECT doc_id, g.b AS j, (ph >> (g.b * 16)) & 65535 AS bv
+         |  FROM phx, generate_series(0, 3) g(b)),
+         |icand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM ibands x JOIN ibands y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |tn AS (SELECT a AS doc_id, b AS nbr FROM tcand
+         |       UNION ALL SELECT b, a FROM tcand),
+         |inb AS (SELECT a AS doc_id, b AS nbr FROM icand
+         |        UNION ALL SELECT b, a FROM icand),
+         |nt AS (SELECT doc_id, count(*) AS n FROM tn GROUP BY 1),
+         |ni AS (SELECT doc_id, count(*) AS n FROM inb GROUP BY 1),
+         |nc AS (SELECT tn.doc_id, count(*) AS n
+         |  FROM tn JOIN inb ON tn.doc_id = inb.doc_id AND tn.nbr = inb.nbr
+         |  GROUP BY 1),
+         |alg AS (SELECT d.doc_id, coalesce(nt.n, 0) AS t, coalesce(ni.n, 0) AS i,
+         |    coalesce(nc.n, 0) AS c
+         |  FROM documents d
+         |  LEFT JOIN nt ON nt.doc_id = d.doc_id
+         |  LEFT JOIN ni ON ni.doc_id = d.doc_id
+         |  LEFT JOIN nc ON nc.doc_id = d.doc_id),
+         |alset AS (SELECT doc_id FROM alg
+         |  WHERE (t + i = 0) OR round(c::DOUBLE / (t + i - c)::DOUBLE, 3) >= 0.5),
+         |gcand AS (SELECT tc.a, tc.b FROM tcand tc
+         |  JOIN icand ic ON tc.a = ic.a AND tc.b = ic.b
+         |  JOIN alset ax ON ax.doc_id = tc.a
+         |  JOIN alset ay ON ay.doc_id = tc.b),
+         |shl AS (SELECT doc_id, $shingleExpr AS sl FROM w)
+         |SELECT gcand.a, gcand.b,
+         |  round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |        len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) AS jaccard,
+         |  CAST(bit_count(xor(px.ph, py.ph)) AS BIGINT) AS hamming
+         |FROM gcand JOIN shl x ON x.doc_id = gcand.a JOIN shl y ON y.doc_id = gcand.b
+         |  JOIN phx px ON px.doc_id = gcand.a JOIN phx py ON py.doc_id = gcand.b
+         |WHERE round(len(list_intersect(x.sl, y.sl))::DOUBLE /
+         |            len(list_distinct(list_concat(x.sl, y.sl)))::DOUBLE, 3) >= 0.6
+         |  AND bit_count(xor(px.ph, py.ph)) <= 6""".stripMargin
+    },
     // both banded chains replayed in full — the shared MinHash CTEs for
     // the caption side, the 70-cell dHash for the image side — then the
     // candidate INTERSECT and both exact verifies
