@@ -295,13 +295,19 @@ object ExtTextQueries {
     // exhaustive ground truth on a 70% seedless-hash sample — the ops
     // report that justifies trusting a blocker before a corpus-scale
     // dedup pass. Truth avoids a Cartesian via the length-band join
-    // (lev ≤ d ⇒ |len diff| ≤ d); the sample fraction is the knob that
-    // bounds the quadratic truth stage at any corpus size.
+    // (lev ≤ d ⇒ |len diff| ≤ d). r17: the ABSOLUTE sample cap is now
+    // set (4000 docs): a proportional fraction alone left the quadratic
+    // truth stage growing with corpus² — the sf1 warm probe measured
+    // 7.9 s → 297 s at 10× data; with the cap the effective bp derives
+    // from the footer count so the truth stage is O(1) in corpus size
+    // (inert below 4000/0.7 docs — sf0.01/sf0.1 samples, and hence the
+    // oracle hash, are unchanged). The oracle replays the derived rate
+    // from count(*), so it stays exact at every SF.
     "q_x_blocking_report" -> { (s, dir) =>
       Dedup.blockingQuality(Tables.documents(s, dir), "doc_id", "text",
         q = 16, maxDist = 16, maxChunkDf = 1024L, numHashes = 16,
         rowsPerBand = 4, shingleN = 3, sampleBp = 7000,
-        failOnOverCap = true)
+        failOnOverCap = true, maxSampleRows = Some(4000L))
     },
     // Lexicon blocklist gate (the toxicity/NSFW word-filter stage): docs
     // are scored against a broadcast blocklist — distinct blocked terms
@@ -2487,11 +2493,14 @@ object ExtTextQueries {
          |    CAST(concat('0x', substr(md5(concat('blk:', CAST(doc_id AS VARCHAR))), 1, 16))
          |      AS UBIGINT) AS u
          |  FROM documents),
+         |eff AS (SELECT least(7000, CASE WHEN count(*) <= 4000 THEN 10000
+         |    ELSE greatest(1, CAST(4000 * 10000 // count(*) AS INTEGER)) END) AS bp
+         |  FROM documents),
          |sd AS (SELECT doc_id, text FROM (
          |    SELECT doc_id, text, CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
          |      THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
          |      ELSE CAST(u AS BIGINT) END AS hsig FROM sdh)
-         |  WHERE ((hsig % 10000) + 10000) % 10000 < 7000),
+         |  WHERE ((hsig % 10000) + 10000) % 10000 < (SELECT bp FROM eff)),
          |truth AS (SELECT x.doc_id AS a, y.doc_id AS b
          |  FROM sd x JOIN sd y ON x.doc_id < y.doc_id
          |  WHERE abs(length(x.text) - length(y.text)) <= 16
