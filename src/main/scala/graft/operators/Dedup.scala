@@ -483,11 +483,16 @@ object Dedup {
       captionCol: String, phashCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.6, maxHamming: Int = 6,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       failOnOverCap: Boolean = false): DataFrame = {
     val textCand = lshCandidatePairs(
       minHashSignature(records, idCol, captionCol, numHashes, shingleN),
-      idCol, numHashes, rowsPerBand, failOnOverCap = failOnOverCap)
-    val imgCand = Multimodal.phashBandPairs(records, idCol, phashCol)
+      idCol, numHashes, rowsPerBand, maxBucketSize, failOnOverCap)
+    // failOnOverCap covers BOTH band fronts: a silently star-capped image
+    // bucket would thin the conjunction textCand∩imgCand against an
+    // uncapped oracle replay even when the text side raised loudly
+    val imgCand = Multimodal.phashBandPairs(records, idCol, phashCol,
+      maxBucketSize = maxBucketSize, failOnOverCap = failOnOverCap)
     // conjunction BEFORE verify; materialized once — referenced by the
     // verify semi-join and the pair join (the nearDupPairsMinHash pattern)
     val cand = textCand.join(imgCand, Seq("a", "b")).localCheckpoint()

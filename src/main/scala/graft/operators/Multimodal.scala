@@ -400,7 +400,8 @@ object Multimodal {
     * wrap).
     */
   def shotDedup(media: DataFrame, chunkBytes: Int, stride: Int,
-      cutThreshold: Int, maxHamming: Int): DataFrame = {
+      cutThreshold: Int, maxHamming: Int,
+      failOnOverCap: Boolean = false): DataFrame = {
     val PackBase = 1000000L
     val shots = shotTable(media, chunkBytes, stride, cutThreshold)
     val sigs = shots
@@ -420,7 +421,7 @@ object Multimodal {
     // re-executes per reference (the minhash-family stance; measured
     // 5.0 s → 1.6 s at sf0.1)
     val ph = sigs.select(col("sid"), col("sig")).localCheckpoint()
-    phashBandPairs(ph, "sid", "sig")
+    phashBandPairs(ph, "sid", "sig", failOnOverCap = failOnOverCap)
       .join(ph.select(col("sid").as("a"), col("sig").as("__sa")), Seq("a"))
       .join(ph.select(col("sid").as("b"), col("sig").as("__sb")), Seq("b"))
       .select(col("a"), col("b"),

@@ -224,7 +224,8 @@ object ExtTextQueries {
         .withColumn("__cells", Multimodal.dHashCells(col("__img")))
         .select(col("doc_id"), col("text"),
           Multimodal.dHash63("__cells").as("ph"))
-      Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
+      Dedup.crossModalAlignment(recs, "doc_id", "text", "ph",
+        failOnOverCap = true)
     },
     // The alignment gate COMPOSED with the pair dedup (r17 stretch,
     // completed): weakly-aligned records are dropped FIRST (the CLIP-score
@@ -241,7 +242,8 @@ object ExtTextQueries {
         .withColumn("__cells", Multimodal.dHashCells(col("__img")))
         .select(col("doc_id"), col("text"),
           Multimodal.dHash63("__cells").as("ph"))
-      val aligned = Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
+      val aligned = Dedup.crossModalAlignment(recs, "doc_id", "text", "ph",
+          failOnOverCap = true)
         .filter(col("is_aligned")).select(col("doc_id"))
       Dedup.crossModalPairDedup(
         recs.join(aligned, Seq("doc_id"), "left_semi"),

@@ -181,7 +181,9 @@ object PipelineQueries {
       val d = Tables.documents(s, dir)
         .withColumn("__cells", Multimodal.dHashCells(col("text")))
         .select(col("doc_id"), Multimodal.dHash63("__cells").as("ph"))
-      Multimodal.phashBandPairs(d, "doc_id", "ph")
+      // failOnOverCap: the oracle replays the band join uncapped, so a
+      // silently star-capped bucket at a larger SF must raise, not diverge
+      Multimodal.phashBandPairs(d, "doc_id", "ph", failOnOverCap = true)
         .join(d.select(col("doc_id").as("a"), col("ph").as("__pa")), Seq("a"))
         .join(d.select(col("doc_id").as("b"), col("ph").as("__pb")), Seq("b"))
         .select(col("a"), col("b"),
@@ -240,7 +242,8 @@ object PipelineQueries {
       Multimodal.shotDedup(
         Multimodal.toMedia(Tables.documents(s, dir))
           .filter(col("kind") === "video"),
-        chunkBytes = 32, stride = 2, cutThreshold = 16, maxHamming = 6)
+        chunkBytes = 32, stride = 2, cutThreshold = 16, maxHamming = 6,
+        failOnOverCap = true)
     },
     // Voice-activity SEGMENTS over the audio-kind payloads — the
     // audio-energy grid composed with gaps-and-islands: voiced windows

@@ -63,6 +63,17 @@ object DedupIndex {
     */
   def append(spark: SparkSession, root: String, admitted: DataFrame,
       idCol: String, textCol: String, p: Params = Params()): Unit = {
+    // fail at WRITE time if the caller's Params derive a different Bloom
+    // sizing than the manifest-pinned segments: a mismatched segment would
+    // only surface later inside readBloom as mergeInPlace's
+    // IncompatibleMergeException — far from the append that caused it
+    val pinnedBits = readBloomMeta(spark, root)._1
+    val newBits = bloomNumBits(p)
+    require(newBits == pinnedBits,
+      s"DedupIndex.append: Params(expectedItems=${p.expectedItems}, fpp=${p.fpp}) " +
+        s"derive numBits=$newBits but the index's segments are pinned at " +
+        s"numBits=$pinnedBits — segment Blooms must be sized identically to " +
+        "stay mergeable; pass the build-time Params")
     val seg = writeSegment(spark, root, admitted, idCol, textCol, p)
     publishManifest(spark, root, readManifest(spark, root) :+ seg)
   }
@@ -179,6 +190,10 @@ object DedupIndex {
   private def newSegmentName(): String =
     s"seg-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  private def bloomNumBits(p: Params): Long =
+    math.ceil(-p.expectedItems * math.log(p.fpp) /
+      (math.log(2) * math.log(2))).toLong.max(64L)
+
   private def writeSegment(spark: SparkSession, root: String, docs: DataFrame,
       idCol: String, textCol: String, p: Params): String = {
     val seg = newSegmentName()
@@ -190,8 +205,7 @@ object DedupIndex {
       .parquet(new Path(root, s"$seg/shingles").toString)
     // numBits from the PINNED Params — every segment sized identically so
     // sketches stay mergeable (the ⌈−n·ln(fpp)/ln²2⌉ sizing of buildKeyBloom)
-    val numBits = math.ceil(-p.expectedItems * math.log(p.fpp) /
-      (math.log(2) * math.log(2))).toLong.max(64L)
+    val numBits = bloomNumBits(p)
     import org.apache.spark.sql.graft.natives
     val bytes = Option(docs
       .agg(natives.bloomAgg(xxhash64(col(textCol)), p.expectedItems, numBits).as("bf"))

@@ -136,4 +136,26 @@ class DedupIndexSpec extends SparkSpec {
       "exact admission must equal the plain anti-join truth")
     assert(fresh == viaIdx, "index bloom and fresh bloom admissions diverged")
   }
+
+  test("append with mismatched Bloom sizing fails at write time, not inside readBloom") {
+    val root = Files.createTempDirectory("graft_dedup_idx_sizing").toString
+    DedupIndex.build(spark, root, cohort(0), "doc_id", "text")
+    val manifestBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_MANIFEST"))
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.append(spark, root, cohort(1), "doc_id", "text",
+        DedupIndex.Params(expectedItems = 50000L))
+    }
+    assert(e.getMessage.contains("numBits"),
+      s"mismatch message must name the sizing conflict, got: ${e.getMessage}")
+    // the refused append must not have published anything — the index is
+    // exactly as built, and the merged Bloom still reads cleanly
+    val manifestAfter = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_MANIFEST"))
+    assert(manifestAfter == manifestBefore, "refused append mutated the manifest")
+    assert(DedupIndex.readBloom(spark, root).nonEmpty)
+    // matching Params still append fine
+    DedupIndex.append(spark, root, cohort(1), "doc_id", "text")
+    assert(DedupIndex.readBloom(spark, root).nonEmpty)
+  }
 }
