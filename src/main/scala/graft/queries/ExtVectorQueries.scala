@@ -21,6 +21,53 @@ object ExtVectorQueries {
   private def embeddingCount(s: SparkSession, dir: String): Long =
     Tables.parquetRecordCount(s, s"$dir/embeddings.parquet")
 
+  /** The IVF √n rule: coarse cells grow with the corpus so per-cell
+    * occupancy (≈ √n) and the probed cell count both stay sublinear — the
+    * knob whose ABSENCE made the pinned-nCells cohort rows quadratic
+    * (r17 PLANS.md fixture attribution).
+    */
+  private def annCells(n: Long): Int =
+    math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+
+  /** Persisted production ANN index for q_x_ann_index_census /
+    * q_x_ann_index_serve: built ONCE per (dir, embeddings mtime) via
+    * [[graft.serve.AnnIndex.build]] with √n cells — the registry rows then
+    * exercise the read-back paths every run (the standingIndexRoot
+    * memoization pattern). The root is a FIXED path keyed by the SF-dir
+    * basename, NOT a random temp dir, because the census oracle must
+    * `read_parquet` the SAME persisted codebook the assignments were
+    * computed from — the argmin replay is deterministic only GIVEN those
+    * exact stored doubles (the Lloyd training itself is shuffle-order).
+    */
+  private val annIndexRoots =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private[queries] def annIndexRoot(s: SparkSession, dir: String): String = {
+    val conf = s.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val mtime = src.getFileSystem(conf).getFileStatus(src).getModificationTime
+    annIndexRoots.getOrElseUpdate((dir, mtime), {
+      val root = s"$AnnIndexBase/${new java.io.File(dir).getName}"
+      graft.serve.AnnIndex.build(s, root, Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCells = annCells(embeddingCount(s, dir)))
+      root
+    })
+  }
+
+  /** Must stay in sync with the literal path inside the
+    * q_x_ann_index_census oracle SQL (a static string — it cannot see
+    * `dir`, so the path is pinned here and derived only from the SF-dir
+    * basename there).
+    */
+  private val AnnIndexBase = "/tmp/graft_ann_index"
+
+  /** The fixed serving batch: the 100 lowest vec_ids — CONSTANT-size at
+    * every SF (vs the `% 100` cohorts, whose size ∝ corpus makes measured
+    * probe work ∝ n² by construction; those rows stay for recall
+    * coverage, this is the shape a user ships).
+    */
+  private def fixedQueryBatch(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") < 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for the query subset
     // (vec_id % 100 == 0) — the ANN baseline.
@@ -180,6 +227,45 @@ object ExtVectorQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.annIvfPq(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 8)
+    },
+    // PERSISTED ANN index census (r18, the q_x_incr_index_census sibling):
+    // the standing (vec_id, cell) assignment table read back from the
+    // AnnIndex parquet segments, hash-checked against a DuckDB argmin
+    // replay over the codebook doubles read from the SAME persisted
+    // parquet — assignment is deterministic GIVEN the stored codebook
+    // (float→double promotion exact, identical left-to-right dot fold,
+    // (dot DESC, cell ASC) tie order), so equality pins the whole
+    // build/persist/read round-trip byte-for-byte. Search ≡ in-memory
+    // kernel and append-with-stored-codebook are AnnIndexSpec's job; this
+    // row keeps the lifecycle's BUILD step on the per-round oracle gate.
+    "q_x_ann_index_census" -> { (s, dir) =>
+      graft.serve.AnnIndex.readAssignments(s, annIndexRoot(s, dir))
+        .select(col("id").as("vec_id"), col("cell"))
+    },
+    // The PRODUCTION serving shape (r18 — replaces the ∝-corpus cohort
+    // rows as the benched tier): a FIXED 100-query batch searched through
+    // the persisted serve.AnnIndex with √n coarse cells. Per-query probe
+    // work ≈ nProbe · n/√n = O(√n) candidates and the batch is constant,
+    // so total work is strictly sublinear in corpus — the shape the
+    // pinned-nCells `% 100` cohort rows (kept for recall coverage) can't
+    // measure. No oracle by design: the codebook is Lloyd shuffle-order
+    // doubles; the census row above pins the persisted assignments and
+    // AnnIndexSpec pins recall vs q_x_ann_batch_brute's oracled truth on
+    // the SAME batch.
+    "q_x_ann_index_serve" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.serve.AnnIndex.search(s, annIndexRoot(s, dir), emb,
+        fixedQueryBatch(emb), "vec_id", "vec_id", "embedding",
+        k = 5, nProbe = 8)
+    },
+    // Exact top-5 over the SAME fixed batch — the oracled ground truth the
+    // serve row's recall spec measures against (q_x_ann_topk's brute
+    // kernel at the production batch shape: one broadcast of 100 queries,
+    // one corpus scan).
+    "q_x_ann_batch_brute" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annBruteForce(emb, fixedQueryBatch(emb),
+        "vec_id", "vec_id", "embedding", k = 5)
     },
     // Contrastive hard-negative mining (exact tier): for each anchor
     // (vec_id % 50 == 0), the 5 most-similar corpus vectors with a
@@ -505,6 +591,36 @@ object ExtVectorQueries {
          |SELECT a.query_id, CAST(a.pos AS INT) AS position, a.doc_id,
          |  CAST(p.rn AS INT) AS rel_rank
          |FROM acc5 a JOIN pool p ON p.query_id = a.query_id AND p.doc_id = a.doc_id""".stripMargin,
+    // the persisted-codebook argmin replayed over the SAME parquet the
+    // Spark side wrote: per (vector, cell) the identical left-to-right
+    // 0.0-seeded dot fold over float→double promotions (exact), winner by
+    // (dot DESC, cell ASC) — bit-equal to Similarity.coarseRankExpr's
+    // (negdot, cell) struct sort. The read_parquet path mirrors
+    // annIndexRoot for the sf0.01 dir the driver compares at (a static
+    // string cannot see `dir`; the Spark side builds there first, so the
+    // codebook exists by compare time).
+    "q_x_ann_index_census" ->
+      """WITH cb AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01/codebook/*.parquet')),
+        |d AS (SELECT e.vec_id, c.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64),
+        |        i -> CAST(c.centroid[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x) AS dot
+        |  FROM embeddings e CROSS JOIN cb c),
+        |r AS (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+        |  FROM d)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM r WHERE rn = 1""".stripMargin,
+    "q_x_ann_batch_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
     "q_x_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
         |s AS (SELECT query_id, vec_id AS neighbor_id,

@@ -76,4 +76,30 @@ class AnnIndexSpec extends SparkSpec {
       "vec_id", "vec_id", "embedding", k = 5)) == afterAppend,
       "compaction changed search output")
   }
+
+  test("production serve shape: fixed batch through the √n-cell index meets a recall floor vs brute truth") {
+    // the q_x_ann_index_serve registry shape exactly: √n coarse cells,
+    // fixed 100-query batch, nProbe = 8 — recall measured against
+    // q_x_ann_batch_brute's oracled ground truth on the SAME batch
+    val n = emb.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+    val batch = emb.filter(col("vec_id") < 100)
+    val root = Files.createTempDirectory("graft_ann_idx_serve").toString
+    AnnIndex.build(spark, root, emb, "vec_id", "embedding", nCells = nCells)
+    val served = canonSearch(AnnIndex.search(spark, root, emb, batch,
+      "vec_id", "vec_id", "embedding", k = 5, nProbe = 8))
+    val brute = Similarity.annBruteForce(emb, batch,
+        "vec_id", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(served.map(_._1) == brute.map(_._1),
+      "served batch must cover every query the brute truth covers")
+    val recall = (brute & served.map(r => (r._1, r._3))).size.toDouble / brute.size
+    // probing 8 of √n cells on near-random embeddings: generous floor —
+    // the row's point is the SCALE shape, the census row pins exactness
+    // of what is persisted
+    assert(recall >= 0.25, s"serve-shape recall $recall below floor")
+    // soundness: every served neighbor must be a real corpus id ≠ query
+    assert(served.forall(r => r._1 != r._3))
+  }
 }

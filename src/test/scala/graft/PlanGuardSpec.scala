@@ -92,7 +92,10 @@ class PlanGuardSpec extends SparkSpec {
     // first build per (dir, mtime) publishes the persisted dedup index
     // (DedupIndex.build jobs); later builds only plan over the read-back
     // parquet — tier depends on cache state, asserted in neither direction
-    "q_x_incr_index_census")
+    "q_x_incr_index_census",
+    // same lifecycle for the persisted ANN index (AnnIndex.build trains
+    // the codebook on first reference per (dir, mtime))
+    "q_x_ann_index_census", "q_x_ann_index_serve")
 
   test("zero-job census: building any non-exempt registry query runs no Spark job") {
     // the plan-only tier's contract, asserted per query: constructing the

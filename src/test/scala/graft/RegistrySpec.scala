@@ -25,11 +25,15 @@ class RegistrySpec extends AnyFunSuite {
     "q_x_semdedup_ivf",     // IVF cells (hash-checked twin: q_x_semdedup)
     "q_x_hll_rollup",       // DataSketches HLL rollup (exact twin: q_a4_monthly_active)
     "q_x_theta_sets",       // theta set algebra (exact twin: q_x_set_overlap)
-    "q_x_reach_theta"       // HyperBall sketch reach (exact twin: q_x_reach_exact)
+    "q_x_reach_theta",      // HyperBall sketch reach (exact twin: q_x_reach_exact)
+    // persisted-index IVF serving (Lloyd codebook — shuffle-order doubles);
+    // exact twin q_x_ann_batch_brute is oracled on the SAME fixed batch and
+    // q_x_ann_index_census hash-pins the persisted assignments themselves
+    "q_x_ann_index_serve"
   )
 
   test("registry census: no entry silently dropped") {
-    assert(SparkEntry.queries.size == 364,
+    assert(SparkEntry.queries.size == 367,
       s"query registry changed size (${SparkEntry.queries.size}) — if intentional, " +
         "update this census AND the oracle accounting below")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - noOracleByDesign.size)
