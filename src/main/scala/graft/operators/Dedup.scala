@@ -250,13 +250,50 @@ object Dedup {
     def sym(p: DataFrame): DataFrame =
       p.select(col("a").as(idCol), col("b").as("__nbr"))
         .unionByName(p.select(col("b").as(idCol), col("a").as("__nbr")))
-    val tn = sym(tp)
-    val in_ = sym(ip)
+    alignmentFromNeighbors(records.select(col(idCol)), sym(tp), sym(ip), idCol, tau)
+  }
+
+  /** [[crossModalAlignment]]'s NEW-vs-STANDING form — the incremental /
+    * streaming-admission tier of the gate (the [[crossModalIncremental]]
+    * relationship, applied to alignment): each INCOMING record's two
+    * modality neighborhoods are measured against the STANDING corpus only
+    * (text = MinHash NEW→OLD band collisions, image = pHash NEW→OLD band
+    * collisions — no new×new pairing; intra-batch alignment is the batch
+    * operator's job), and the score is the same neighbor-set Jaccard with
+    * the same vacuous-1.0 rule. This is the batch twin the streaming gate
+    * ([[graft.streaming.StreamJobs.mmAlignmentGateStream]]) is pinned
+    * against — both fronts are deterministic band chains, so the row
+    * hash-oracles end-to-end. Ids must be globally unique across cohorts
+    * (the [[crossNearDupMinHash]] contract).
+    */
+  def crossModalAlignmentAcross(newRecs: DataFrame, oldRecs: DataFrame,
+      idCol: String, captionCol: String, phashCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      tau: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
+    val tp = crossBandPairsOnBands(
+      textBands(newRecs, idCol, captionCol, numHashes, rowsPerBand, shingleN),
+      textBands(oldRecs, idCol, captionCol, numHashes, rowsPerBand, shingleN),
+      idCol, maxBucketSize, failOnOverCap).localCheckpoint()
+    val ip = Multimodal.phashBandPairsAcross(newRecs, oldRecs, idCol, phashCol,
+      maxBucketSize = maxBucketSize, failOnOverCap = failOnOverCap)
+      .localCheckpoint()
+    def edges(p: DataFrame): DataFrame =
+      p.select(col("a").as(idCol), col("b").as("__nbr"))
+    alignmentFromNeighbors(newRecs.select(col(idCol)), edges(tp), edges(ip),
+      idCol, tau)
+  }
+
+  /** The shared score tail of both alignment forms: distinct neighbor-edge
+    * tables (idCol, __nbr) in, per-record counts + Jaccard + gate out.
+    */
+  private def alignmentFromNeighbors(ids: DataFrame, tn: DataFrame,
+      in_ : DataFrame, idCol: String, tau: Double): DataFrame = {
     val nT = tn.groupBy(col(idCol)).agg(count(lit(1)).as("n_text_nbrs"))
     val nI = in_.groupBy(col(idCol)).agg(count(lit(1)).as("n_img_nbrs"))
     val nC = tn.join(in_, Seq(idCol, "__nbr"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
-    records.select(col(idCol))
+    ids
       .join(nT, Seq(idCol), "left").join(nI, Seq(idCol), "left")
       .join(nC, Seq(idCol), "left")
       .na.fill(0L, Seq("n_text_nbrs", "n_img_nbrs", "n_common"))
@@ -398,16 +435,31 @@ object Dedup {
     * apply to the standing bands wherever they came from.
     */
   def crossBandPairsOnBands(newBands: DataFrame, oldBands: DataFrame,
-      idCol: String, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      idCol: String, maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
     val wB = Window.partitionBy(col("band"), col("bh"))
-    val ob = oldBands
+    val annotated = oldBands
       .withColumn("__sz", count(lit(1)).over(wB))
       .withColumn("__mn", min(col(idCol)).over(wB))
       .observe("cross_lsh_hot_buckets",
         sum(when(col("__sz") > maxBucketSize && col(idCol) === col("__mn"), 1)
           .otherwise(0)).as("n_capped_buckets"))
-      .filter(col("__sz") <= maxBucketSize || col(idCol) === col("__mn"))
-      .select(col(idCol).as("b"), col("band"), col("bh"))
+    val ob =
+      if (failOnOverCap)
+        // single branch (no under/over split — the standing band table is
+        // the big side; two consumers would scan it twice): over-cap rows
+        // hit the raise arm, everything else passes through
+        annotated.select(
+          when(col("__sz") > maxBucketSize,
+            when(raise_error(concat(
+              lit(s"crossBandPairsOnBands: standing bucket exceeded maxBucketSize=$maxBucketSize (size="),
+              col("__sz").cast("string"), lit(") with failOnOverCap set"))).isNull,
+              col(idCol)).otherwise(col(idCol)))
+            .otherwise(col(idCol)).as("b"),
+          col("band"), col("bh"))
+      else
+        annotated.filter(col("__sz") <= maxBucketSize || col(idCol) === col("__mn"))
+          .select(col(idCol).as("b"), col("band"), col("bh"))
     newBands.select(col(idCol).as("a"), col("band"), col("bh"))
       .join(ob, Seq("band", "bh"))
       .select(col("a"), col("b")).distinct()

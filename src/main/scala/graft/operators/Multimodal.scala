@@ -335,15 +335,41 @@ object Multimodal {
     * b = old id) distinct.
     */
   def phashBandPairsAcross(newD: DataFrame, oldD: DataFrame, idCol: String,
-      hashCol: String, numBands: Int = 4, bandBits: Int = 16): DataFrame =
+      hashCol: String, numBands: Int = 4, bandBits: Int = 16,
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ob0 = phashBands(oldD, idCol, hashCol, numBands, bandBits)
+    // the across form has no star fallback (its consumers are admission
+    // conjunctions, where a thinned old side silently drops rejections);
+    // failOnOverCap adds the LOUD guard on the standing side only —
+    // single branch, the crossBandPairsOnBands stance
+    val ob =
+      if (failOnOverCap) {
+        val wB = Window.partitionBy(col("band"), col("bv"))
+        ob0.withColumn("__sz", count(lit(1)).over(wB))
+          .select(col("band"), col("bv"),
+            when(col("__sz") > maxBucketSize,
+              when(raise_error(concat(
+                lit(s"phashBandPairsAcross: standing bucket exceeded maxBucketSize=$maxBucketSize (size="),
+                col("__sz").cast("string"), lit(") with failOnOverCap set"))).isNull,
+                col(idCol)).otherwise(col(idCol)))
+              .otherwise(col(idCol)).as("b"))
+      } else ob0.select(col("band"), col("bv"), col(idCol).as("b"))
     phashBands(newD, idCol, hashCol, numBands, bandBits)
       .select(col("band"), col("bv"), col(idCol).as("a"))
-      .join(phashBands(oldD, idCol, hashCol, numBands, bandBits)
-        .select(col("band"), col("bv"), col(idCol).as("b")), Seq("band", "bv"))
+      .join(ob, Seq("band", "bv"))
       .select(col("a"), col("b")).distinct()
+  }
 
-  private def phashBands(d: DataFrame, idCol: String, hashCol: String,
-      numBands: Int, bandBits: Int): DataFrame = {
+  /** (id, band, bv) straight from a perceptual-hash column — the
+    * [[graft.operators.Dedup.textBands]] analog for Hamming space, exposed
+    * for stream-static joins (the streaming mm alignment gate precomputes
+    * the standing corpus's image bands with this): a narrow band explode,
+    * stateless and streaming-safe.
+    */
+  def phashBands(d: DataFrame, idCol: String, hashCol: String,
+      numBands: Int = 4, bandBits: Int = 16): DataFrame = {
     val mask = (1L << bandBits) - 1
     d.select(col(idCol),
       explode(array((0 until numBands).map(b =>

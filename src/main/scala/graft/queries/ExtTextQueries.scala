@@ -227,6 +227,24 @@ object ExtTextQueries {
       Dedup.crossModalAlignment(recs, "doc_id", "text", "ph",
         failOnOverCap = true)
     },
+    // The alignment gate's INCREMENTAL form (r18): each incoming record's
+    // modality neighborhoods measured against the STANDING corpus only —
+    // the admission-time tier of q_x_mm_alignment, and the exact batch
+    // twin of the live gate (StreamJobs.mmAlignmentGateStream; drain ≡
+    // this row's operator is StreamingSpec's pin). Same planted-image
+    // corpus, the q_x_incr_neardup % 3 cohort split.
+    "q_x_mm_alignment_incr" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .withColumn("__img", when(pmod(col("doc_id"), lit(11)) === 7,
+          reverse(col("text"))).otherwise(col("text")))
+        .withColumn("__cells", Multimodal.dHashCells(col("__img")))
+        .select(col("doc_id"), col("text"),
+          Multimodal.dHash63("__cells").as("ph"))
+      Dedup.crossModalAlignmentAcross(
+        recs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        recs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text", "ph", failOnOverCap = true)
+    },
     // The alignment gate COMPOSED with the pair dedup (r17 stretch,
     // completed): weakly-aligned records are dropped FIRST (the CLIP-score
     // decision role — a mismatched (caption, image) record must not vote
@@ -2743,6 +2761,58 @@ object ExtTextQueries {
          |LEFT JOIN nt ON nt.doc_id = d.doc_id
          |LEFT JOIN ni ON ni.doc_id = d.doc_id
          |LEFT JOIN nc ON nc.doc_id = d.doc_id""".stripMargin
+    },
+    // the same band chains restricted NEW→OLD (doc_id % 3 split): neighbor
+    // edges are directed incoming→standing, no symmetrization, scored per
+    // incoming record only
+    "q_x_mm_alignment_incr" -> {
+      val phTerms = (for (r <- 0 until 7; c <- 0 until 9) yield
+        s"(CASE WHEN cl[${r * 10 + c + 1}] > cl[${r * 10 + c + 2}] " +
+          s"THEN ${1L << (r * 9 + c)} ELSE 0 END)").mkString(" + ")
+      s"""WITH $wCte,
+         |sh AS (SELECT doc_id, unnest($shingleExpr) AS sh FROM w),
+         |sh0 AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(sh), 1, 16)) AS UBIGINT) AS u0
+         |  FROM sh),
+         |$minhashChainCtes,
+         |bands AS (SELECT doc_id, j, md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS bh
+         |  FROM sig CROSS JOIN generate_series(0, 3) t(j)),
+         |tn AS (SELECT DISTINCT x.doc_id, y.doc_id AS nbr
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh
+         |  WHERE x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0),
+         |cells AS (SELECT doc_id,
+         |    [ascii(substr(rpad(CASE WHEN doc_id % 11 = 7 THEN reverse(text)
+         |                            ELSE text END, 70, ' '), k, 1))
+         |     for k in range(1, 71)] AS cl
+         |  FROM documents),
+         |phx AS (SELECT doc_id, CAST($phTerms AS BIGINT) AS ph FROM cells),
+         |ibands AS (SELECT doc_id, g.b AS j, (ph >> (g.b * 16)) & 65535 AS bv
+         |  FROM phx, generate_series(0, 3) g(b)),
+         |inb AS (SELECT DISTINCT x.doc_id, y.doc_id AS nbr
+         |  FROM ibands x JOIN ibands y ON x.j = y.j AND x.bv = y.bv
+         |  WHERE x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0),
+         |nt AS (SELECT doc_id, count(*) AS n FROM tn GROUP BY 1),
+         |ni AS (SELECT doc_id, count(*) AS n FROM inb GROUP BY 1),
+         |nc AS (SELECT tn.doc_id, count(*) AS n
+         |  FROM tn JOIN inb ON tn.doc_id = inb.doc_id AND tn.nbr = inb.nbr
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nt.n, 0) AS BIGINT) AS n_text_nbrs,
+         |  CAST(coalesce(ni.n, 0) AS BIGINT) AS n_img_nbrs,
+         |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_common,
+         |  CASE WHEN coalesce(nt.n, 0) + coalesce(ni.n, 0) = 0 THEN 1.0
+         |       ELSE round(coalesce(nc.n, 0)::DOUBLE /
+         |         (coalesce(nt.n, 0) + coalesce(ni.n, 0) - coalesce(nc.n, 0))::DOUBLE, 3)
+         |  END AS alignment,
+         |  (CASE WHEN coalesce(nt.n, 0) + coalesce(ni.n, 0) = 0 THEN 1.0
+         |        ELSE round(coalesce(nc.n, 0)::DOUBLE /
+         |          (coalesce(nt.n, 0) + coalesce(ni.n, 0) - coalesce(nc.n, 0))::DOUBLE, 3)
+         |  END) >= 0.5 AS is_aligned
+         |FROM documents d
+         |LEFT JOIN nt ON nt.doc_id = d.doc_id
+         |LEFT JOIN ni ON ni.doc_id = d.doc_id
+         |LEFT JOIN nc ON nc.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 <> 0""".stripMargin
     },
     // the same cross-modal pair chain closed transitively (the
     // q_x_dedup_clusters recursive-CTE idiom over the mm pair graph)

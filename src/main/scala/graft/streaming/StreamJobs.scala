@@ -632,6 +632,78 @@ object StreamJobs {
       .select(col("doc_id"), col("old_id"), col("jaccard"), col("ingest_ts"))
   }
 
+  /** Streaming cross-modal ALIGNMENT gate — the live tier of
+    * [[graft.operators.Dedup.crossModalAlignmentAcross]]: each incoming
+    * (caption, image) record's two modality neighborhoods are measured
+    * against the STANDING corpus's precomputed band tables
+    * ([[graft.operators.Dedup.textBands]] /
+    * [[graft.operators.Multimodal.phashBands]] — or the same tables read
+    * back from a persisted index), and weak agreement flags the record
+    * before it reaches the mm dedup family (CLIP-score's decision role,
+    * live at ingest like the text path's [[nearDupGateStream]]).
+    *
+    * STATELESS by construction — the state the batch form aggregates
+    * (per-record neighbor counts) arrives here as BUCKET ARRAYS instead:
+    * the standing band tables are pre-grouped to (band key → sorted
+    * neighbor-id array) once (tiny next to the corpus, localCheckpointed
+    * so micro-batches never re-aggregate), each incoming record LEFT-joins
+    * its `numBands` text band hashes and 4 image bands against them
+    * (stream-static equi-joins, no stream-side groupBy, no watermark
+    * store), and the neighbor SETS are array-unions of the hit buckets —
+    * so n_text/n_img/n_common are per-row array ops and the gate runs in
+    * append mode with zero streaming state. Per-record output is the
+    * batch operator's row shape exactly (plus ingest_ts).
+    */
+  def mmAlignmentGateStream(incoming: DataFrame, standingTextBands: DataFrame,
+      standingPhashBands: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+      shingleN: Int = 3, tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.natives.minhashSig
+    val numBands = numHashes / rowsPerBand
+    val tb = standingTextBands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("__nbrs"))
+      .localCheckpoint()
+    val pb = standingPhashBands
+      .groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("__nbrs"))
+      .localCheckpoint()
+    def textBandHash(j: Int) =
+      md5(concat_ws("|", (j * rowsPerBand until (j + 1) * rowsPerBand)
+        .map(i => element_at(col("__sig"), i + 1)): _*))
+    def imgBandValue(j: Int) =
+      shiftright(col("ph"), j * 16).bitwiseAND(lit(65535L))
+    val emptyNbrs = array().cast("array<bigint>")
+    var cur = incoming.withColumn("__sig",
+      minhashSig(col("text"), numHashes, shingleN))
+    val tArrs = (0 until numBands).map { j =>
+      val side = tb.filter(col("band") === j)
+        .select(col("bh").as(s"__tbh$j"), col("__nbrs").as(s"__tn$j"))
+      cur = cur.join(side, textBandHash(j) === col(s"__tbh$j"), "left")
+      coalesce(col(s"__tn$j"), emptyNbrs)
+    }
+    val iArrs = (0 until 4).map { j =>
+      val side = pb.filter(col("band") === j)
+        .select(col("bv").as(s"__pbv$j"), col("__nbrs").as(s"__in$j"))
+      cur = cur.join(side, imgBandValue(j) === col(s"__pbv$j"), "left")
+      coalesce(col(s"__in$j"), emptyNbrs)
+    }
+    cur
+      .select(col("doc_id"), col("ingest_ts"),
+        array_distinct(concat(tArrs: _*)).as("__tset"),
+        array_distinct(concat(iArrs: _*)).as("__iset"))
+      .withColumn("n_text_nbrs", size(col("__tset")).cast("long"))
+      .withColumn("n_img_nbrs", size(col("__iset")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(col("__tset"), col("__iset"))).cast("long"))
+      .withColumn("alignment",
+        when(col("n_text_nbrs") + col("n_img_nbrs") === 0, lit(1.0))
+          .otherwise(round(col("n_common").cast("double") /
+            (col("n_text_nbrs") + col("n_img_nbrs") - col("n_common")).cast("double"), 3)))
+      .withColumn("is_aligned", col("alignment") >= tau)
+      .select(col("doc_id"), col("n_text_nbrs"), col("n_img_nbrs"),
+        col("n_common"), col("alignment"), col("is_aligned"), col("ingest_ts"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the views of the
     * same user in the preceding hour — the streaming form of the batch as-of
     * enrichment (J5/B2). Watermarks bound both sides' state; late views past

@@ -58,6 +58,8 @@ class PlanGuardSpec extends SparkSpec {
     // (the crossNearDupMinHash stance; the first build also publishes the
     // memoized index)
     "q_x_incr_admission_idx", "q_x_mm_gated_dedup",
+    // checkpoints both NEW→OLD candidate-pair fronts (the alignment stance)
+    "q_x_mm_alignment_incr",
     "q_x_blocking_report", "q_x_neardup_composed", "q_x_minhash_est",
     "q_x_dedup_clusters", "q_x_dedup_survivors", "q_x_er_golden",
     "q_x_dataset_card", "q_x_incr_neardup",

@@ -108,6 +108,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must exercise the near-dup path")
   }
 
+  test("streaming mm alignment gate equals the batch cross-corpus alignment") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val src = Files.createTempDirectory("graft_mmalign_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // the q_x_mm_alignment_incr fixture exactly: planted wrong-image cohort
+    // (doc_id % 11 == 7 takes the reversed caption's image), % 3 split
+    val recs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("__img", when(pmod($"doc_id", lit(11)) === 7,
+        reverse($"text")).otherwise($"text"))
+      .withColumn("__cells", Multimodal.dHashCells($"__img"))
+      .select($"doc_id", $"text", Multimodal.dHash63("__cells").as("ph"))
+    val standing = recs.filter(pmod($"doc_id", lit(3)) === 0)
+    val incoming = recs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    incoming.withColumn("ingest_ts", lit(t0))
+      .repartition(3).write.mode("append").parquet(src) // several micro-batches
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamJobs.mmAlignmentGateStream(stream,
+        Dedup.textBands(standing, "doc_id", "text"),
+        Multimodal.phashBands(standing, "doc_id", "ph"))
+      .writeStream.outputMode("append").format("memory").queryName("mmalign").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_text_nbrs", "n_img_nbrs", "n_common", "alignment", "is_aligned")
+        .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSet
+    val streamed = canon(spark.table("mmalign"))
+    val batch = canon(Dedup.crossModalAlignmentAcross(incoming, standing,
+      "doc_id", "text", "ph"))
+    assert(streamed == batch, "live gate must equal the batch alignment scores")
+    // non-vacuous in all three regimes: some records with standing
+    // neighborhoods in both modalities, some flagged misaligned, some
+    // vacuously aligned singletons
+    assert(streamed.exists(r => r._2 > 0 && r._3 > 0))
+    assert(streamed.exists(!_._6), "planted misalignment must flag records")
+    assert(streamed.exists(r => r._2 == 0 && r._3 == 0 && r._6))
+  }
+
   test("streaming daily sketches equal the batch sketch columns after drain") {
     val src = Files.createTempDirectory("graft_sketch_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir)
