@@ -104,12 +104,19 @@ object TextOps {
   def md5Long64(c: Column): Column =
     org.apache.spark.sql.graft.natives.md5Long(c)
 
-  /** Encoding domain for [[sourceCapState]]: 29 bits of per-doc char count
-    * (536 M chars/doc ceiling) and 33 bits of doc id (8.5 B docs) packed
-    * into one order-preserving non-negative long.
+  /** Encoding domain for [[sourceCapState]]: 23 bits of per-doc char count
+    * (8.4 M chars/doc ceiling) and 39 bits of doc id (549 B docs) packed
+    * into one order-preserving non-negative long (bit budget: the two
+    * widths must sum to ≤ 62 so (CMAX − 0)·ORD + id stays under 2⁶³).
+    * The r18 index-lifecycle probes fired the original 29/33 guard on
+    * ids just past 2³³ — and a 100 TB corpus at ~10 KB/doc holds ~10¹⁰
+    * docs, so 33 id bits was the wrong side of the budget for the target
+    * scale: web documents rarely pass 8 M chars, corpora routinely pass
+    * 8.5 B ids. Both guards stay LOUD (raise, never clamp — a clamped
+    * char count would silently re-order the cap against the oracle).
     */
-  private val CapOrd = 1L << 33
-  private val CapCMax = 1L << 29
+  private val CapOrd = 1L << 39
+  private val CapCMax = 1L << 23
 
   /** Per-source top-K cap STATE — the C4-style per-domain cap
     * (q_x_source_cap) as a BOUNDED MERGEABLE SKETCH instead of a rank
@@ -124,13 +131,13 @@ object TextOps {
     * window form: partial aggregation absorbs the corpus map-side — the
     * shuffle carries ≤ k longs per (partition, source), never the doc
     * table, and no per-source sort runs anywhere. Out-of-domain rows
-    * (n_chars ≥ 2²⁹ or doc_id ≥ 2³³) raise loudly rather than mis-order.
+    * (n_chars ≥ 2²³ or doc_id ≥ 2³⁹) raise loudly rather than mis-order.
     */
   def sourceCapState(docs: DataFrame, k: Int = 5): DataFrame = {
     val bad = col("n_chars") < 0 || col("n_chars") >= CapCMax ||
       col("doc_id") < 0 || col("doc_id") >= CapOrd
     val e = when(bad,
-      when(raise_error(concat(lit("sourceCapState: doc outside the 29/33-bit encode domain (doc_id="),
+      when(raise_error(concat(lit("sourceCapState: doc outside the 23/39-bit encode domain (doc_id="),
         col("doc_id").cast("string"), lit(")"))).isNull, lit(0L)))
       .otherwise((lit(CapCMax) - col("n_chars")) * CapOrd + col("doc_id"))
     docs.select(col("source"), e.as("__e"))
