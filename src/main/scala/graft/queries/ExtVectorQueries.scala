@@ -47,6 +47,13 @@ object ExtVectorQueries {
     val mtime = src.getFileSystem(conf).getFileStatus(src).getModificationTime
     annIndexRoots.getOrElseUpdate((dir, mtime), {
       val root = s"$AnnIndexBase/${new java.io.File(dir).getName}"
+      // clean room: build() publishes a fresh manifest but does not prune
+      // prior JVMs' segment dirs, and the serve oracle reads the
+      // assignments by seg-* GLOB (static SQL cannot walk the manifest) —
+      // a stale segment would poison the replay
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(conf)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
       graft.serve.AnnIndex.build(s, root, Tables.embeddings(s, dir),
         "vec_id", "embedding", nCells = annCells(embeddingCount(s, dir)))
       root
@@ -612,6 +619,39 @@ object ExtVectorQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
         |  FROM d)
         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM r WHERE rn = 1""".stripMargin,
+    // the whole serve kernel replayed from the persisted index: cell
+    // ranking is the census row's exact argmin fold extended to the top
+    // nProbe=8 cells, candidates come from the seg-* assignment parquet
+    // (the clean-room build guarantees the glob ≡ the manifest), scoring
+    // and the (cs DESC, neighbor ASC) rank mirror q_x_ann_topk's oracle —
+    // search through the index is DETERMINISTIC given the stored codebook,
+    // so the production serving row sits on the hash gate end-to-end
+    "q_x_ann_index_serve" ->
+      """WITH cb AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01/codebook/*.parquet')),
+        |asg AS (SELECT id, cell
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01/seg-*/*.parquet')),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+        |qd AS (SELECT q.query_id, c.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64),
+        |        i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |      (a, x) -> a + x) AS dot
+        |  FROM q CROSS JOIN cb c),
+        |qc AS (SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cell ASC) AS rn
+        |    FROM qd) WHERE rn <= 8),
+        |cand AS (SELECT DISTINCT qc.query_id, a.id AS neighbor_id
+        |  FROM qc JOIN asg a USING (cell) WHERE a.id <> qc.query_id),
+        |s AS (SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cs
+        |  FROM cand c JOIN q ON q.query_id = c.query_id
+        |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
     "q_x_ann_batch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
         |s AS (SELECT query_id, vec_id AS neighbor_id,

@@ -25,11 +25,11 @@ class RegistrySpec extends AnyFunSuite {
     "q_x_semdedup_ivf",     // IVF cells (hash-checked twin: q_x_semdedup)
     "q_x_hll_rollup",       // DataSketches HLL rollup (exact twin: q_a4_monthly_active)
     "q_x_theta_sets",       // theta set algebra (exact twin: q_x_set_overlap)
-    "q_x_reach_theta",      // HyperBall sketch reach (exact twin: q_x_reach_exact)
-    // persisted-index IVF serving (Lloyd codebook — shuffle-order doubles);
-    // exact twin q_x_ann_batch_brute is oracled on the SAME fixed batch and
-    // q_x_ann_index_census hash-pins the persisted assignments themselves
-    "q_x_ann_index_serve"
+    "q_x_reach_theta"       // HyperBall sketch reach (exact twin: q_x_reach_exact)
+    // NOTE q_x_ann_index_serve is NOT here: the Lloyd TRAINING is
+    // shuffle-order, but search through the PERSISTED index is
+    // deterministic given the stored codebook — its oracle replays the
+    // whole kernel from the same parquet (census-row argument, extended)
   )
 
   test("registry census: no entry silently dropped") {
