@@ -67,6 +67,33 @@ object ExtVectorQueries {
     */
   private val AnnIndexBase = "/tmp/graft_ann_index"
 
+  /** Second persisted index, built over the STANDING cohort only
+    * (vec_id % 3 == 0 — the q_x_incr_neardup split), for the
+    * admission-shape row q_x_ann_index_admit: admission needs incoming
+    * DISJOINT from the indexed corpus, which the full-corpus serve index
+    * cannot provide. Same clean-room build + memoization as
+    * [[annIndexRoot]]; path pinned for the static oracle.
+    */
+  private val AnnAdmitIndexBase = "/tmp/graft_ann_admit_index"
+  private val annAdmitRoots =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private def annAdmitIndexRoot(s: SparkSession, dir: String): String = {
+    val conf = s.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val mtime = src.getFileSystem(conf).getFileStatus(src).getModificationTime
+    annAdmitRoots.getOrElseUpdate((dir, mtime), {
+      val root = s"$AnnAdmitIndexBase/${new java.io.File(dir).getName}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(conf)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val standing = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(3)) === 0)
+      graft.serve.AnnIndex.build(s, root, standing, "vec_id", "embedding",
+        nCells = annCells((embeddingCount(s, dir) / 3).max(1L)))
+      root
+    })
+  }
+
   /** The fixed serving batch: the 100 lowest vec_ids — CONSTANT-size at
     * every SF (vs the `% 100` cohorts, whose size ∝ corpus makes measured
     * probe work ∝ n² by construction; those rows stay for recall
@@ -264,6 +291,21 @@ object ExtVectorQueries {
       graft.serve.AnnIndex.search(s, annIndexRoot(s, dir), emb,
         fixedQueryBatch(emb), "vec_id", "vec_id", "embedding",
         k = 5, nProbe = 8)
+    },
+    // Vector-side incremental ADMISSION through the persisted index
+    // (r18 — the DedupIndex.admitNearDups sibling, closing the two-index
+    // lifecycle symmetry): incoming cohort (vec_id % 3 != 0) vs the
+    // standing-cohort index (% 3 == 0, its own clean-room root). Emits
+    // the rejection pairs; candidates only from shared IVF cells
+    // (batch-proportional), verify exact cosine — deterministic given
+    // the stored codebook, so the row hash-oracles end-to-end.
+    "q_x_ann_index_admit" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.serve.AnnIndex.admitNearDups(s, annAdmitIndexRoot(s, dir),
+        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+        "vec_id", "embedding", threshold = 0.25, nProbe = 4)
+        .select(col("a").as("new_id"), col("b").as("old_id"), col("cos_sim"))
     },
     // Exact top-5 over the SAME fixed batch — the oracled ground truth the
     // serve row's recall spec measures against (q_x_ann_topk's brute
@@ -652,6 +694,34 @@ object ExtVectorQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
         |  FROM s)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+    // the admission kernel replayed from the ADMIT index's parquet: each
+    // incoming vector's top-4 cells by the exact argmin fold, standing
+    // candidates from the seg glob, distinct pairs scored once, raw-cs
+    // threshold with the 4dp presentation round (the q_x_embed_neardup
+    // convention)
+    "q_x_ann_index_admit" ->
+      """WITH cb AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_admit_index/sf0.01/codebook/*.parquet')),
+        |asg AS (SELECT id, cell
+        |  FROM read_parquet('/tmp/graft_ann_admit_index/sf0.01/seg-*/*.parquet')),
+        |q AS (SELECT vec_id AS new_id, embedding AS qe FROM embeddings WHERE vec_id % 3 <> 0),
+        |qd AS (SELECT q.new_id, c.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64),
+        |        i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |      (a, x) -> a + x) AS dot
+        |  FROM q CROSS JOIN cb c),
+        |qc AS (SELECT new_id, cell FROM (
+        |    SELECT new_id, cell,
+        |      row_number() OVER (PARTITION BY new_id ORDER BY dot DESC, cell ASC) AS rn
+        |    FROM qd) WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT qc.new_id, a.id AS old_id
+        |  FROM qc JOIN asg a USING (cell)),
+        |s AS (SELECT c.new_id, c.old_id,
+        |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cs
+        |  FROM cand c JOIN q ON q.new_id = c.new_id
+        |  JOIN embeddings e ON e.vec_id = c.old_id)
+        |SELECT new_id, old_id, round(cs, 4) AS cos_sim FROM s WHERE cs >= 0.25""".stripMargin,
     "q_x_ann_batch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
         |s AS (SELECT query_id, vec_id AS neighbor_id,

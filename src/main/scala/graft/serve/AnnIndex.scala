@@ -108,6 +108,38 @@ object AnnIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Embedding near-dup ADMISSION against the persisted index — the
+    * vector-side sibling of [[DedupIndex.admitNearDups]], completing the
+    * two-lifecycle symmetry: each incoming vector ranks the STORED
+    * codebook's cells (narrow, no retrain), candidates are the standing
+    * vectors sharing its `nProbe` best cells (cell-keyed join against the
+    * persisted assignments — the standing corpus is never re-assigned),
+    * and the exact-cosine verify touches candidate embeddings only. Emits
+    * the rejection pairs (a = incoming id, b = standing id, cos_sim ≥
+    * threshold); admitted = incoming anti-joined on `a` — the
+    * [[DedupIndex]] gate stance. Batch-proportional by construction:
+    * per incoming vector ~nProbe·n/nCells candidates (O(√n) at the √n
+    * cell rule), independent of how many batches built the index.
+    * Deterministic GIVEN the stored codebook (the search/census
+    * argument), so the registry row hash-oracles end-to-end; recall is
+    * the IVF trade (candidates only from shared cells) — the exact
+    * brute pair set is the spec's floor reference.
+    */
+  def admitNearDups(spark: SparkSession, root: String, incoming: DataFrame,
+      corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nProbe: Int = 4): DataFrame = {
+    val q = Similarity.ivfAssignWith(incoming, embCol, col(idCol).as("a"),
+        nProbe, readCodebook(spark, root))
+      .withColumnRenamed("__e", "__qe")
+    q.join(readAssignments(spark, root).select(col("id").as("b"), col("cell")),
+        Seq("cell"))
+      .join(corpus.select(col(idCol).as("b"), col(embCol).as("__ce")), Seq("b"))
+      .select(col("a"), col("b"), cosineSim(col("__qe"), col("__ce")).as("cs"))
+      .dropDuplicates("a", "b")
+      .filter(col("cs") >= threshold)
+      .select(col("a"), col("b"), round(col("cs"), 4).as("cos_sim"))
+  }
+
   /** Fold assignment segments into one and prune superseded dirs (the
     * [[DedupIndex.compact]] contract; the codebook is shared and untouched).
     */

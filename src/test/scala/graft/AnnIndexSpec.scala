@@ -77,6 +77,33 @@ class AnnIndexSpec extends SparkSpec {
       "compaction changed search output")
   }
 
+  test("index admission: sound (exact subset of the brute pair set) with fair recall, admitted = anti-join") {
+    import org.apache.spark.sql.graft.natives.cosineSim
+    val standing = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val incoming = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val root = Files.createTempDirectory("graft_ann_idx_admit").toString
+    AnnIndex.build(spark, root, standing, "vec_id", "embedding", nCells = 8)
+    val rej = AnnIndex.admitNearDups(spark, root, incoming, standing,
+        "vec_id", "embedding", threshold = 0.25, nProbe = 4)
+      .select(col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(rej.nonEmpty, "vacuous fixture: no rejection pairs")
+    // brute truth: every incoming×standing pair with exact cosine ≥ θ
+    val brute = incoming.select(col("vec_id").as("a"), col("embedding").as("__qa"))
+      .crossJoin(broadcast(standing.select(col("vec_id").as("b"), col("embedding").as("__qb"))))
+      .filter(cosineSim(col("__qa"), col("__qb")) >= 0.25)
+      .select(col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(rej.subsetOf(brute), "admission emitted a pair below the exact threshold")
+    val recall = rej.size.toDouble / brute.size
+    assert(recall >= 0.2, s"cell-candidate recall $recall below floor")
+    // the gate stance: admitted = incoming anti-joined on the rejection ids
+    val admitted = incoming.join(
+        rej.map(_._1).toSeq.toDF("a"), col("vec_id") === col("a"), "left_anti")
+      .count()
+    assert(admitted == incoming.count() - rej.map(_._1).size)
+  }
+
   test("production serve shape: fixed batch through the √n-cell index meets a recall floor vs brute truth") {
     // the q_x_ann_index_serve registry shape exactly: √n coarse cells,
     // fixed 100-query batch, nProbe = 8 — recall measured against

@@ -96,8 +96,9 @@ class PlanGuardSpec extends SparkSpec {
     // parquet — tier depends on cache state, asserted in neither direction
     "q_x_incr_index_census",
     // same lifecycle for the persisted ANN index (AnnIndex.build trains
-    // the codebook on first reference per (dir, mtime))
-    "q_x_ann_index_census", "q_x_ann_index_serve")
+    // the codebook on first reference per (dir, mtime); the admit row has
+    // its own standing-cohort root)
+    "q_x_ann_index_census", "q_x_ann_index_serve", "q_x_ann_index_admit")
 
   test("zero-job census: building any non-exempt registry query runs no Spark job") {
     // the plan-only tier's contract, asserted per query: constructing the
