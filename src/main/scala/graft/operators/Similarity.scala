@@ -485,10 +485,13 @@ object Similarity {
 
   /** Cells of the codebook array in `cbCol` ranked by DESCENDING dot with
     * the vector in `embCol` (the negdot-sort trick) — the ONE definition of
-    * coarse-cell ranking, shared by [[ivfAssignCells]] and the
-    * [[annIvfPq]] single-pass corpus encode.
+    * coarse-cell ranking, shared by [[ivfAssignCells]], the [[annIvfPq]]
+    * single-pass corpus encode, and the streaming vector-admission gate
+    * ([[graft.streaming.StreamJobs]] ranks incoming vectors inline so the
+    * stream can carry its event-time column through — ivfAssignCells'
+    * staged select drops extra columns).
     */
-  private def coarseRankExpr(cbCol: String, embCol: String): Column =
+  def coarseRankExpr(cbCol: String, embCol: String): Column =
     expr(s"array_sort(transform($cbCol, s -> struct(-" +
       s"aggregate(zip_with(s.centroid, $embCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS negdot, s.cell AS cell)))")

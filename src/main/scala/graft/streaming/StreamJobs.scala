@@ -704,6 +704,44 @@ object StreamJobs {
         col("n_common"), col("alignment"), col("is_aligned"), col("ingest_ts"))
   }
 
+  /** Streaming VECTOR admission gate — the live tier of
+    * [[graft.serve.AnnIndex.admitNearDups]], completing the S-layer gate
+    * symmetry (text near-dup, contamination, cross-modal alignment, and
+    * now embeddings): each incoming vector ranks the persisted index's
+    * STORED codebook (one-row broadcast, ranked inline so `ingest_ts`
+    * rides through — [[graft.operators.Similarity.coarseRankExpr]] is the
+    * same definition the batch assign uses), candidates are the standing
+    * vectors sharing its `nProbe` best cells (stream-static join against
+    * the read-back assignment table), and the exact-cosine verify emits
+    * the rejection feed (vec_id, old_id, cos_sim ≥ threshold) — admission
+    * is the sink's anti-join downstream, the established gate stance. A
+    * pair sharing several probed cells would emit once per cell;
+    * `dropDuplicatesWithinWatermark` collapses the replays with
+    * horizon-bounded state, exactly like the text gate's band replays.
+    */
+  def annAdmitGateStream(incoming: DataFrame, codebook: DataFrame,
+      assignments: DataFrame, corpus: DataFrame, threshold: Double,
+      nProbe: Int = 4, horizon: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graft.natives.cosineSim
+    val staged = incoming.select(col("vec_id"), col("ingest_ts"),
+      col("embedding").as("__qe"))
+    staged.crossJoin(broadcast(codebook))
+      .withColumn("sc", explode(slice(
+        graft.operators.Similarity.coarseRankExpr("cb", "__qe"), 1, nProbe)))
+      .select(col("vec_id"), col("ingest_ts"), col("__qe"),
+        col("sc.cell").as("cell"))
+      .join(assignments.select(col("id").as("old_id"), col("cell")), Seq("cell"))
+      .join(corpus.select(col("vec_id").as("old_id"), col("embedding").as("__ce")),
+        Seq("old_id"))
+      .select(col("vec_id"), col("old_id"), col("ingest_ts"),
+        cosineSim(col("__qe"), col("__ce")).as("cs"))
+      .filter(col("cs") >= threshold)
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("vec_id", "old_id")
+      .select(col("vec_id"), col("old_id"), round(col("cs"), 4).as("cos_sim"),
+        col("ingest_ts"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the views of the
     * same user in the preceding hour — the streaming form of the batch as-of
     * enrichment (J5/B2). Watermarks bound both sides' state; late views past

@@ -145,6 +145,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r._2 == 0 && r._3 == 0 && r._6))
   }
 
+  test("streaming vector admission gate equals the batch index admission") {
+    import spark.implicits._
+    import graft.serve.AnnIndex
+    val src = Files.createTempDirectory("graft_annadmit_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val standing = emb.filter(pmod($"vec_id", lit(3)) === 0)
+    val incoming = emb.filter(pmod($"vec_id", lit(3)) =!= 0)
+    val root = Files.createTempDirectory("graft_annadmit_idx").toString
+    AnnIndex.build(spark, root, standing, "vec_id", "embedding", nCells = 8)
+    incoming.select($"vec_id", $"embedding").withColumn("ingest_ts", lit(t0))
+      .repartition(3).write.mode("append").parquet(src) // several micro-batches
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamJobs.annAdmitGateStream(stream,
+        AnnIndex.readCodebook(spark, root), AnnIndex.readAssignments(spark, root),
+        standing, threshold = 0.25, nProbe = 4)
+      .writeStream.outputMode("append").format("memory").queryName("annadmit").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("annadmit").select("vec_id", "old_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = AnnIndex.admitNearDups(spark, root, incoming, standing,
+        "vec_id", "embedding", threshold = 0.25, nProbe = 4)
+      .select($"a", $"b", $"cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch, "live gate must equal the batch rejection list")
+    assert(streamed.nonEmpty, "fixture must exercise the vector near-dup path")
+  }
+
   test("streaming daily sketches equal the batch sketch columns after drain") {
     val src = Files.createTempDirectory("graft_sketch_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir)
