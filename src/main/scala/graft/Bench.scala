@@ -166,7 +166,10 @@ object Bench {
     // the fixture, not the operator.
     val fixtureRows = Seq("q_x_ann_lsh", "q_x_ann_ivf", "q_x_ann_pq",
       "q_x_ann_ivfpq", "q_x_ann_topk", "q_x_mmr", "q_x_mmr_lsh",
-      "q_x_hard_negatives", "q_x_hard_negatives_lsh")
+      "q_x_hard_negatives", "q_x_hard_negatives_lsh",
+      // incoming cohort ∝ corpus (deliberate, for oracle coverage) →
+      // total work ∝ n·√n; the production admission batch is fixed-size
+      "q_x_ann_index_admit")
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm","settle_sec":$settleSec,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"fixture_rows":$fixtureRows,"production_ann_row":"q_x_ann_index_serve","gc_ms":$gcj}""")
     // Compact summary line LAST (r16, VERDICT item 1): the driver captures
