@@ -102,6 +102,29 @@ object ExtVectorQueries {
   private def fixedQueryBatch(emb: org.apache.spark.sql.DataFrame) =
     emb.filter(col("vec_id") < 100)
 
+  /** Third persisted index: the full-corpus IVFPQ (coarse √n cells + 8×16
+    * PQ codebooks + per-vector codes) for q_x_ann_index_serve_pq — its
+    * ADC search reads cells and codes ONLY, never raw embeddings. Same
+    * clean-room build + memoization; path pinned for the static oracle.
+    */
+  private val AnnPqIndexBase = "/tmp/graft_ann_pq_index"
+  private val annPqRoots =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private def annPqIndexRoot(s: SparkSession, dir: String): String = {
+    val conf = s.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val mtime = src.getFileSystem(conf).getFileStatus(src).getModificationTime
+    annPqRoots.getOrElseUpdate((dir, mtime), {
+      val root = s"$AnnPqIndexBase/${new java.io.File(dir).getName}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(conf)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      graft.serve.AnnIndex.buildPq(s, root, Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCells = annCells(embeddingCount(s, dir)))
+      root
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-5 cosine neighbors for the query subset
     // (vec_id % 100 == 0) — the ANN baseline.
@@ -291,6 +314,20 @@ object ExtVectorQueries {
       graft.serve.AnnIndex.search(s, annIndexRoot(s, dir), emb,
         fixedQueryBatch(emb), "vec_id", "vec_id", "embedding",
         k = 5, nProbe = 8)
+    },
+    // The persisted FAISS-IVFPQ serving shape (r18): the same fixed batch
+    // through AnnIndex.searchPq — coarse cells prune candidate COUNT,
+    // stored PQ codes prune candidate WIDTH (raw embeddings never read at
+    // serve time; the index IS the read path). Deterministic given the
+    // stored codebooks (exact argmin cell rank, exact per-(sub, codeword)
+    // LUT folds, j-ascending score fold, neighbor-id ties), so the
+    // billion-vector production architecture sits on the hash gate
+    // end-to-end — where the in-memory q_x_ann_ivfpq tier (kept for
+    // recall coverage) can only be recall-specced.
+    "q_x_ann_index_serve_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.serve.AnnIndex.searchPq(s, annPqIndexRoot(s, dir),
+        fixedQueryBatch(emb), "vec_id", "embedding", k = 5, nProbe = 8)
     },
     // Vector-side incremental ADMISSION through the persisted index
     // (r18 — the DedupIndex.admitNearDups sibling, closing the two-index
@@ -693,6 +730,48 @@ object ExtVectorQueries {
         |r AS (SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
         |  FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+    // the full ADC kernel replayed from the PQ index's parquet: coarse
+    // cell rank (the census argmin fold, top 8), per-(sub, codeword)
+    // partial-dot LUT (exact 8-element left folds over the stored float
+    // centroids × query sub-slices), candidate codes from the seg glob,
+    // score = the sub-ASC-ordered fold of the m LUT hits (Spark's
+    // j-ascending aggregate), rank by (score DESC, neighbor ASC)
+    "q_x_ann_index_serve_pq" ->
+      """WITH cb AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_pq_index/sf0.01/codebook/*.parquet')),
+        |pq AS (SELECT sub, cell, centroid
+        |  FROM read_parquet('/tmp/graft_ann_pq_index/sf0.01/pq/*.parquet')),
+        |asg AS (SELECT id, cell, codes
+        |  FROM read_parquet('/tmp/graft_ann_pq_index/sf0.01/seg-*/*.parquet')),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+        |qd AS (SELECT q.query_id, c.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64),
+        |        i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |      (a, x) -> a + x) AS dot
+        |  FROM q CROSS JOIN cb c),
+        |qc AS (SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cell ASC) AS rn
+        |    FROM qd) WHERE rn <= 8),
+        |lut AS (SELECT q.query_id, p.sub, p.cell AS cw,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 8),
+        |        i -> CAST(p.centroid[i] AS DOUBLE) * CAST(q.qe[p.sub * 8 + i] AS DOUBLE))),
+        |      (a, x) -> a + x) AS v
+        |  FROM q CROSS JOIN pq p),
+        |cand AS (SELECT qc.query_id, a.id AS neighbor_id, a.codes
+        |  FROM qc JOIN asg a USING (cell) WHERE a.id <> qc.query_id),
+        |sc AS (SELECT c.query_id, c.neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(l.v ORDER BY l.sub)), (a, x) -> a + x) AS score
+        |  FROM cand c JOIN lut l
+        |    ON l.query_id = c.query_id AND l.cw = c.codes[l.sub + 1]
+        |  GROUP BY c.query_id, c.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM sc)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
     // the admission kernel replayed from the ADMIT index's parquet: each
     // incoming vector's top-4 cells by the exact argmin fold, standing

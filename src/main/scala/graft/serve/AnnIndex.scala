@@ -52,12 +52,100 @@ object AnnIndex {
   }
 
   /** Assign one new batch with the PERSISTED codebook (no retrain — the
-    * FAISS add()) and append its (id, cell) rows as a new segment.
+    * FAISS add()) and append its (id, cell) rows — plus PQ codes when the
+    * index carries a PQ layer — as a new segment.
     */
   def append(spark: SparkSession, root: String, newVecs: DataFrame,
       idCol: String, embCol: String): Unit = {
     val seg = writeAssignments(spark, root, newVecs, idCol, embCol)
     publishManifest(spark, root, readManifest(spark, root) :+ seg)
+  }
+
+  /** [[build]] with the PQ layer — the persisted FAISS **IVFPQ** lifecycle:
+    * beside the coarse codebook, `m` per-subspace codebooks (Lloyd over
+    * sub-vectors, [[Similarity.pqCodebooks]]) are persisted under
+    * `<root>/pq/` as (sub, cell, centroid) rows, and every segment stores
+    * each vector's `m` codeword ids beside its coarse cell — so
+    * [[searchPq]] serves queries from cells + codes ALONE, never touching
+    * raw corpus embeddings (the 32× scan-bandwidth argument, made durable:
+    * at 100 TB the embedding table stays cold storage, the index is the
+    * read path). `append` detects the PQ layer and encodes new batches
+    * with the STORED subspace codebooks — no retrain on either level.
+    */
+  def buildPq(spark: SparkSession, root: String, corpus: DataFrame,
+      idCol: String, embCol: String, nCells: Int = 16,
+      lloydIters: Int = 2, m: Int = 8, nCodewords: Int = 16,
+      dim: Int = 64): Unit = {
+    val cb = Similarity.ivfCodebook(corpus, idCol, embCol, nCells, lloydIters)
+    cb.select(explode(col("cb")).as("s"))
+      .select(col("s.cell").as("cell"), col("s.centroid").as("centroid"))
+      .write.mode(SaveMode.Overwrite).parquet(new Path(root, "codebook").toString)
+    Similarity.pqCodebooks(corpus, idCol, embCol, m, nCodewords, dim, lloydIters)
+      .select(explode(col("cb")).as("s"))
+      .select(col("s.sub").as("sub"), col("s.cell").as("cell"),
+        col("s.centroid").as("centroid"))
+      .write.mode(SaveMode.Overwrite).parquet(new Path(root, "pq").toString)
+    val seg = writeAssignments(spark, root, corpus, idCol, embCol)
+    publishManifest(spark, root, Seq(seg))
+  }
+
+  /** The stored PQ codebooks re-collected to the one-row broadcast shape
+    * ([[Similarity.pqEncode]]'s input), plus the layer's derived meta
+    * (m, nCodewords, dim) read from the same rows — nothing is stored
+    * that the codebook table doesn't already pin.
+    */
+  def readPqCodebooks(spark: SparkSession, root: String): (DataFrame, Int, Int, Int) = {
+    val rows = spark.read.parquet(new Path(root, "pq").toString)
+    val meta = rows.agg(
+      (max(col("sub")) + 1).as("m"), (max(col("cell")) + 1).as("k"),
+      max(size(col("centroid"))).as("sd")).head
+    val (m, k, sd) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = rows
+      .agg(collect_list(struct(col("sub"), col("cell"), col("centroid"))).as("cb"))
+    (cb, m, k, m * sd)
+  }
+
+  private def hasPqLayer(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root, "pq")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** ADC search against the persisted IVFPQ index: queries rank the stored
+    * coarse codebook's cells (broadcast, narrow), build their per-
+    * (sub, codeword) partial-dot lookup table against the stored PQ
+    * codebooks (broadcast, narrow), and score candidates from the stored
+    * (cell, codes) segments ALONE — an m-term LUT fold per candidate, raw
+    * corpus embeddings never read. Same output contract as [[search]];
+    * deterministic GIVEN the stored codebooks (j-ascending LUT fold, ties
+    * by neighbor id), so the registry row hash-oracles like the IVF serve
+    * row.
+    */
+  def searchPq(spark: SparkSession, root: String, queries: DataFrame,
+      queryIdCol: String, embCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val (pqCb, m, nCw, dim) = readPqCodebooks(spark, root)
+    val sd = dim / m
+    val q = Similarity.ivfAssignWith(queries, embCol,
+        col(queryIdCol).as("query_id"), nProbe, readCodebook(spark, root))
+      .withColumnRenamed("__e", "__qe")
+      .crossJoin(broadcast(pqCb))
+      .select(col("query_id"), col("cell"), expr(
+        s"map_from_entries(transform(cb, s -> struct(s.sub * $nCw + s.cell, " +
+          s"aggregate(zip_with(s.centroid, slice(__qe, s.sub * $sd + 1, $sd), (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))))")
+        .as("lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    readAssignments(spark, root)
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+      .join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+          s"(a, j) -> a + element_at(lut, j * $nCw + element_at(codes, j + 1)))"))
+      .select(col("query_id"), col("neighbor_id"), col("score")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   /** The stored codebook, re-collected to the one-row broadcast shape every
@@ -165,15 +253,23 @@ object AnnIndex {
   private def newSegmentName(): String =
     s"seg-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  // build() writes the codebook before the first assignment, so the stored
-  // codebook is always present here
+  // build()/buildPq() write the codebook(s) before the first assignment,
+  // so the stored artifacts are always present here; the PQ layer's codes
+  // ride a batch-sized id join (never a corpus shuffle)
   private def writeAssignments(spark: SparkSession, root: String,
       vecs: DataFrame, idCol: String, embCol: String): String = {
     val seg = newSegmentName()
-    Similarity.ivfAssignWith(vecs, embCol, col(idCol).as("id"), 1,
+    val cells = Similarity.ivfAssignWith(vecs, embCol, col(idCol).as("id"), 1,
         readCodebook(spark, root))
       .select(col("id"), col("cell"))
-      .write.mode(SaveMode.Overwrite).parquet(new Path(root, seg).toString)
+    val out =
+      if (hasPqLayer(spark, root)) {
+        val (pqCb, m, _, dim) = readPqCodebooks(spark, root)
+        cells.join(
+          Similarity.pqEncode(vecs, idCol, embCol, pqCb, m, dim, "id"),
+          Seq("id"))
+      } else cells
+    out.write.mode(SaveMode.Overwrite).parquet(new Path(root, seg).toString)
     seg
   }
 

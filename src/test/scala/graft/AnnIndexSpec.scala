@@ -104,6 +104,50 @@ class AnnIndexSpec extends SparkSpec {
     assert(admitted == incoming.count() - rej.map(_._1).size)
   }
 
+  test("pq lifecycle: stored codes are a pure materialization, append reuses both codebooks, ADC recall holds") {
+    import graft.operators.Similarity
+    val base = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val extra = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 1)
+    val root = Files.createTempDirectory("graft_ann_idx_pq").toString
+    AnnIndex.buildPq(spark, root, base, "vec_id", "embedding", nCells = 8)
+
+    // stored (id, codes) == a fresh encode with the ROUND-TRIPPED pq
+    // codebooks (parquet fidelity + no-retrain, the (id, cell) argument
+    // extended to the PQ layer)
+    val (pqCb, m, nCw, dim) = AnnIndex.readPqCodebooks(spark, root)
+    assert(m == 8 && nCw == 16 && dim == 64, s"pq meta drifted: ($m, $nCw, $dim)")
+    def storedCodes() = AnnIndex.readAssignments(spark, root)
+      .select(col("id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    def encodeWith(d: DataFrame) =
+      Similarity.pqEncode(d, "vec_id", "embedding", pqCb, m, dim, "id")
+        .as[(Long, Seq[Int])].collect().toMap
+    assert(storedCodes() == encodeWith(base) && storedCodes().nonEmpty)
+
+    // ADC search reads cells+codes only; recall floor vs exact brute
+    val served = canonSearch(AnnIndex.searchPq(spark, root, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4))
+    val brute = Similarity.annBruteForce(base, queries,
+        "vec_id", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & served.map(r => (r._1, r._3))).size.toDouble / brute.size
+    assert(recall >= 0.25, s"ADC recall $recall below floor")
+
+    // append encodes the new batch with the STORED codebooks (no retrain
+    // on either level); compaction is layout-invariant
+    AnnIndex.append(spark, root, extra, "vec_id", "embedding")
+    assert(storedCodes() == encodeWith(base) ++ encodeWith(extra),
+      "append must reuse the persisted pq codebooks verbatim")
+    val afterAppend = canonSearch(AnnIndex.searchPq(spark, root, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4))
+    AnnIndex.compact(spark, root, retentionMs = 0L)
+    assert(canonSearch(AnnIndex.searchPq(spark, root, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)) == afterAppend,
+      "compaction changed ADC search output")
+  }
+
   test("production serve shape: fixed batch through the √n-cell index meets a recall floor vs brute truth") {
     // the q_x_ann_index_serve registry shape exactly: √n coarse cells,
     // fixed 100-query batch, nProbe = 8 — recall measured against

@@ -98,7 +98,8 @@ class PlanGuardSpec extends SparkSpec {
     // same lifecycle for the persisted ANN index (AnnIndex.build trains
     // the codebook on first reference per (dir, mtime); the admit row has
     // its own standing-cohort root)
-    "q_x_ann_index_census", "q_x_ann_index_serve", "q_x_ann_index_admit")
+    "q_x_ann_index_census", "q_x_ann_index_serve", "q_x_ann_index_admit",
+    "q_x_ann_index_serve_pq")
 
   test("zero-job census: building any non-exempt registry query runs no Spark job") {
     // the plan-only tier's contract, asserted per query: constructing the
