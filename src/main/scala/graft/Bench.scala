@@ -169,9 +169,35 @@ object Bench {
       "q_x_hard_negatives", "q_x_hard_negatives_lsh",
       // incoming cohort ∝ corpus (deliberate, for oracle coverage) →
       // total work ∝ n·√n; the production admission batch is fixed-size
-      "q_x_ann_index_admit")
+      "q_x_ann_index_admit",
+      // replicated-fixture NEW×OLD band edges ∝ bucket² across cohorts
+      // (the sf10 probe's 113.7 s is that arithmetic, PLANS.md r18/r19);
+      // a production admission batch is fixed-size against the standing
+      // bands — the streaming twin mmAlignmentGateStream is that shape
+      "q_x_mm_alignment_incr")
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm","settle_sec":$settleSec,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"fixture_rows":$fixtureRows,"production_ann_row":"q_x_ann_index_serve","gc_ms":$gcj}""")
+    // pinned isolated truths (r19, VERDICT item 3): PLANS.md BenchOne
+    // warm medians for the rows that have drawn sweep-context inflation
+    // (r12–r18: one row per round inflates ONLY in the 370-query sweep,
+    // each adjudicated by an isolated re-pin). Carrying the pins in the
+    // artifact lets the ledger self-adjudicate: sweep_over_pinned > 1.5
+    // marks the med as GC/co-load context — the [med, gc, net] triple
+    // alone under-corrects (r18: net 14.11 vs isolated truth 8.34, heap
+    // pressure isn't gc_ms). Values re-pinned at this round's HEAD.
+    val pinned = Map(
+      "q_x_mm_gated_dedup" -> 6.80, "q_x_hits" -> 4.67,
+      "q_x_semdedup_ivf" -> 6.77, "q_x_ppr" -> 3.94, "q_x_kmeans" -> 7.88)
+    val resultMap = results.toMap
+    val ratios = pinned.toSeq.sorted.flatMap { case (q, p) =>
+      resultMap.get(q).filter(_ >= 0).map(q -> _ / p) }
+    val pinnedJ = pinned.toSeq.sorted
+      .map { case (q, p) => "\"" + q + "\":" + p }.mkString("{", ",", "}")
+    val ratioJ = ratios
+      .map { case (q, r) => "\"" + q + "\":" + math.rint(r * 100) / 100 }
+      .mkString("{", ",", "}")
+    val flaggedJ = ratios.filter(_._2 > 1.5).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median-after-warm","settle_sec":$settleSec,"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"fixture_rows":$fixtureRows,"production_ann_row":"q_x_ann_index_serve","pinned":$pinnedJ,"sweep_over_pinned":$ratioJ,"flagged_over_pinned":$flaggedJ,"gc_ms":$gcj}""")
     // Compact summary line LAST (r16, VERDICT item 1): the driver captures
     // only the final 2000 characters of stdout, so the full line above —
     // ~9 KB of per-query timings + the gc_ms map — loses everything before
@@ -184,17 +210,22 @@ object Bench {
     // break the JSON this line exists to keep parseable.
     def jd(x: Double, p: Int): String =
       String.format(java.util.Locale.ROOT, "%." + p + "f", Double.box(x))
-    // slowest rows as name:[median_sec, gc_ms, net_sec]: net subtracts the
-    // per-rep GC share (gc_ms sums across reps) — the reader's GC-context
-    // adjudication (r12-r16 per-row) done in the artifact itself
+    // slowest rows as name:[median_sec, gc_ms, net_sec(, pinned_sec)]: net
+    // subtracts the per-rep GC share (gc_ms sums across reps) and, for
+    // rows with a PLANS.md isolated pin, the 4th element cites that truth
+    // beside the sweep draw — the reader's GC-context adjudication
+    // (r12-r18 per-row) done in the artifact itself, with the pin because
+    // net alone under-corrects under heap pressure (r18: net 14.11 vs
+    // isolated 8.34)
     def slowJson(k: Int): String = results.filter(_._2 >= 0).sortBy(-_._2).take(k)
       .map { case (q, v) =>
         val g = gcByQuery.getOrElse(q, 0L)
         val net = math.max(0.0, v - g.toDouble / reps / 1000.0)
-        "\"" + q + "\":[" + jd(v, 2) + "," + g + "," + jd(net, 2) + "]" }
+        val pin = pinned.get(q).map("," + _).getOrElse("")
+        "\"" + q + "\":[" + jd(v, 2) + "," + g + "," + jd(net, 2) + pin + "]" }
       .mkString("{", ",", "}")
     def summaryFor(k: Int): String =
-      s"""{"metric":"summary","total":${jd(total, 1)},"n":${results.size},"sf":"$sfDir","settle_sec":${jd(settleSec, 1)},"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"slowest":${slowJson(k)}}"""
+      s"""{"metric":"summary","total":${jd(total, 1)},"n":${results.size},"sf":"$sfDir","settle_sec":${jd(settleSec, 1)},"settle_rdds":$settleRdds,"heap_peak_mb":$heapPeakMb,"flagged_over_pinned":$flaggedJ,"slowest":${slowJson(k)}}"""
     // shrink the slowest list rather than truncate mid-JSON (the r16 take()
     // fallback could emit malformed JSON if ever hit)
     println((20 to 4 by -4).map(summaryFor).find(_.length <= 1800)

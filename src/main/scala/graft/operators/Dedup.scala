@@ -238,12 +238,14 @@ object Dedup {
   def crossModalAlignment(records: DataFrame, idCol: String,
       captionCol: String, phashCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
-      tau: Double = 0.5, failOnOverCap: Boolean = false): DataFrame = {
+      tau: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
     val tp = textCandidatePairs(records, idCol, captionCol,
-      numHashes, rowsPerBand, shingleN, failOnOverCap = failOnOverCap)
+      numHashes, rowsPerBand, shingleN, maxBucketSize, failOnOverCap)
       .localCheckpoint()
     val ip = Multimodal.phashBandPairs(records, idCol, phashCol,
-      failOnOverCap = failOnOverCap).localCheckpoint()
+      maxBucketSize = maxBucketSize, failOnOverCap = failOnOverCap)
+      .localCheckpoint()
     // (a, b) with a < b, once → symmetrized edges are distinct by
     // construction (no self-pairs, each unordered pair yields exactly one
     // a→b and one b→a row)

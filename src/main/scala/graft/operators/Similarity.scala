@@ -518,17 +518,55 @@ object Similarity {
       keep: Int, codebook: DataFrame): DataFrame =
     ivfAssignCells(df, embCol, outId, keep, codebook)
 
+  /** Codebook-training sample cap — the FAISS rule (~256 training vectors
+    * per centroid, floored high enough that test-scale corpora never
+    * sample): Lloyd refinement learns cell GEOMETRY, which a bounded
+    * representative sample pins as well as the full corpus, while the
+    * semantics-bearing assignment pass stays full-corpus. This kills the
+    * one remaining ∝ n^1.5 step in the index lifecycle: at the √n cell
+    * rule, training cost drops from n·√n (full-corpus Lloyd — days at
+    * 100 TB) to cap·√n ≈ 256·n (minutes), and the per-pass scan reads the
+    * materialized sample, not the corpus.
+    */
+  def defaultTrainCap(nCells: Int): Long = math.max(256L * nCells, 65536L)
+
+  /** Bounded training sample: a deterministic hash stride over ids — not
+    * `sample()`, whose partition-order randomness would change the trained
+    * codebook across identical runs for zero recall benefit — materialized
+    * with localCheckpoint so each Lloyd pass re-scans ~cap rows instead of
+    * re-running the corpus scan. At or below the cap the corpus passes
+    * through untouched (the small-corpus path — bit-identical to
+    * pre-sampling behavior, which keeps the test-SF spec corpus exact).
+    */
+  private def trainingSample(corpus: DataFrame, idCol: String, cap: Long): DataFrame = {
+    val n = corpus.count()
+    if (n <= cap) corpus
+    else {
+      val stride = math.max(2L, math.round(n.toDouble / cap.toDouble))
+      corpus.filter(pmod(hash(col(idCol)), lit(stride)) === 0).localCheckpoint()
+    }
+  }
+
   /** The distributed IVF codebook alone: hash-seeded cells refined by
-    * `lloydIters` spherical k-means passes, carried as ONE broadcast row
-    * (see [[annIvf]] for the shape rationale).
+    * `lloydIters` spherical k-means passes over a BOUNDED training sample
+    * ([[defaultTrainCap]]; `trainCap` > 0 overrides, 0 disables sampling),
+    * carried as ONE broadcast row (see [[annIvf]] for the shape rationale).
+    * Sampling changes which codebook is learned, never the downstream
+    * determinism argument: census/serve/admission replay from the STORED
+    * codebook, and assignment stays a full-corpus narrow map.
     */
   def ivfCodebook(corpus: DataFrame, idCol: String, embCol: String,
-      nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
-    var codebook = ivfToCodebook(corpus.select(
-      pmod(hash(col(idCol)), lit(nCells)).as("cell"), col(embCol).as("__e")))
+      nCells: Int = 16, lloydIters: Int = 2, trainCap: Long = -1L): DataFrame = {
+    val cap = if (trainCap >= 0L) trainCap else defaultTrainCap(nCells)
+    val train =
+      if (cap == 0L) corpus.select(col(idCol).as("__tid"), col(embCol).as("__te"))
+      else trainingSample(
+        corpus.select(col(idCol).as("__tid"), col(embCol).as("__te")), "__tid", cap)
+    var codebook = ivfToCodebook(train.select(
+      pmod(hash(col("__tid")), lit(nCells)).as("cell"), col("__te").as("__e")))
     for (_ <- 1 to lloydIters)
       codebook = ivfToCodebook(
-        ivfAssignCells(corpus, embCol, col(idCol).as("id"), 1, codebook)
+        ivfAssignCells(train, "__te", col("__tid").as("id"), 1, codebook)
           .select(col("cell"), col("__e")))
     codebook
   }
@@ -730,10 +768,19 @@ object Similarity {
     * 64-float vector encodes to 8 small ints (32× smaller scan).
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
-      m: Int = 8, k: Int = 16, dim: Int = 64, lloydIters: Int = 2): DataFrame = {
+      m: Int = 8, k: Int = 16, dim: Int = 64, lloydIters: Int = 2,
+      trainCap: Long = -1L): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
     val sd = dim / m
-    val subs = pqSubVectors(corpus, idCol, embCol, m, sd)
+    // the coarse tier's bounded-sample rule, per subspace: every sampled
+    // row contributes one training sub-vector to EACH of the m codebooks,
+    // so the cap needs no m factor (k codewords, not nCells, set the 256×)
+    val cap = if (trainCap >= 0L) trainCap else defaultTrainCap(k)
+    val train =
+      if (cap == 0L) corpus.select(col(idCol).as("__tid"), col(embCol).as("__te"))
+      else trainingSample(
+        corpus.select(col(idCol).as("__tid"), col(embCol).as("__te")), "__tid", cap)
+    val subs = pqSubVectors(train, "__tid", "__te", m, sd)
     var cb = pqToCodebooks(subs.select(col("sub"),
       pmod(hash(col("id"), col("sub")), lit(k)).as("cell"), col("sv")))
     for (_ <- 1 to lloydIters)

@@ -104,19 +104,28 @@ object TextOps {
   def md5Long64(c: Column): Column =
     org.apache.spark.sql.graft.natives.md5Long(c)
 
-  /** Encoding domain for [[sourceCapState]]: 23 bits of per-doc char count
-    * (8.4 M chars/doc ceiling) and 39 bits of doc id (549 B docs) packed
-    * into one order-preserving non-negative long (bit budget: the two
-    * widths must sum to ≤ 62 so (CMAX − 0)·ORD + id stays under 2⁶³).
-    * The r18 index-lifecycle probes fired the original 29/33 guard on
-    * ids just past 2³³ — and a 100 TB corpus at ~10 KB/doc holds ~10¹⁰
-    * docs, so 33 id bits was the wrong side of the budget for the target
-    * scale: web documents rarely pass 8 M chars, corpora routinely pass
-    * 8.5 B ids. Both guards stay LOUD (raise, never clamp — a clamped
-    * char count would silently re-order the cap against the oracle).
+  /** Encoding domain for [[sourceCapState]]: `62 − idBits` bits of per-doc
+    * char count and `idBits` of doc id packed into one order-preserving
+    * non-negative long (bit budget: the two widths must sum to ≤ 62 so
+    * (CMAX − 0)·ORD + id stays under 2⁶³). The r18 index-lifecycle probes
+    * fired the original 29/33 guard on ids just past 2³³ — and a 100 TB
+    * corpus at ~10 KB/doc holds ~10¹⁰ docs, so 33 id bits was the wrong
+    * side of the budget for the target scale: web documents rarely pass
+    * 8 M chars, corpora routinely pass 8.5 B ids. The default is therefore
+    * 39 id bits (549 B docs, 8.4 M chars/doc); `idBits` is a PARAMETER
+    * (r18 ADVICE) because the re-split is a contract change — a long-doc
+    * corpus (books, concatenated pages over 8.4 M chars) opts back into
+    * wider char bits with a smaller `idBits`, as long as state producer
+    * and finisher agree. Both guards stay LOUD (raise, never clamp — a
+    * clamped char count would silently re-order the cap against the
+    * oracle).
     */
-  private val CapOrd = 1L << 39
-  private val CapCMax = 1L << 23
+  val DefaultCapIdBits = 39
+  private def capOrd(idBits: Int): Long = 1L << idBits
+  private def capCMax(idBits: Int): Long = 1L << (62 - idBits)
+  private def requireCapBits(idBits: Int): Unit =
+    require(idBits >= 1 && idBits <= 61,
+      s"sourceCapState: idBits=$idBits outside [1, 61]")
 
   /** Per-source top-K cap STATE — the C4-style per-domain cap
     * (q_x_source_cap) as a BOUNDED MERGEABLE SKETCH instead of a rank
@@ -133,13 +142,17 @@ object TextOps {
     * table, and no per-source sort runs anywhere. Out-of-domain rows
     * (n_chars ≥ 2²³ or doc_id ≥ 2³⁹) raise loudly rather than mis-order.
     */
-  def sourceCapState(docs: DataFrame, k: Int = 5): DataFrame = {
-    val bad = col("n_chars") < 0 || col("n_chars") >= CapCMax ||
-      col("doc_id") < 0 || col("doc_id") >= CapOrd
+  def sourceCapState(docs: DataFrame, k: Int = 5,
+      idBits: Int = DefaultCapIdBits): DataFrame = {
+    requireCapBits(idBits)
+    val (ord, cMax) = (capOrd(idBits), capCMax(idBits))
+    val bad = col("n_chars") < 0 || col("n_chars") >= cMax ||
+      col("doc_id") < 0 || col("doc_id") >= ord
     val e = when(bad,
-      when(raise_error(concat(lit("sourceCapState: doc outside the 23/39-bit encode domain (doc_id="),
+      when(raise_error(concat(lit(
+        s"sourceCapState: doc outside the ${62 - idBits}/$idBits-bit encode domain (doc_id="),
         col("doc_id").cast("string"), lit(")"))).isNull, lit(0L)))
-      .otherwise((lit(CapCMax) - col("n_chars")) * CapOrd + col("doc_id"))
+      .otherwise((lit(cMax) - col("n_chars")) * ord + col("doc_id"))
     docs.select(col("source"), e.as("__e"))
       .groupBy(col("source"))
       .agg(org.apache.spark.sql.graft.natives.kmvBottomK(col("__e"), k).as("topk"))
@@ -150,11 +163,15 @@ object TextOps {
     * the two fields exactly (integer div/mod — no doubles near 2⁶² where
     * they lose ulps). Output ≡ the q_x_source_cap registry row.
     */
-  def sourceCapFromState(state: DataFrame): DataFrame =
+  def sourceCapFromState(state: DataFrame,
+      idBits: Int = DefaultCapIdBits): DataFrame = {
+    requireCapBits(idBits)
+    val (ord, cMax) = (capOrd(idBits), capCMax(idBits))
     state.select(col("source"), posexplode(col("topk")).as(Seq("__p", "__e")))
       .select(col("source"), (col("__p") + 1).cast("int").as("rk"),
-        expr(s"__e % ${CapOrd}L").as("doc_id"),
-        (lit(CapCMax) - expr(s"__e div ${CapOrd}L")).as("n_chars"))
+        expr(s"__e % ${ord}L").as("doc_id"),
+        (lit(cMax) - expr(s"__e div ${ord}L")).as("n_chars"))
+  }
 
   /** Temperature-mix ADDITIVE state — per (source, doc) char totals, the
     * layer under q_x_temperature_mix that is a plain additive aggregate

@@ -227,6 +227,25 @@ object ExtTextQueries {
       Dedup.crossModalAlignment(recs, "doc_id", "text", "ph",
         failOnOverCap = true)
     },
+    // The star-cap REMEDIATION tier of the alignment gate (r19): the same
+    // operator with failOnOverCap = false — over-cap band buckets emit
+    // linear hub→member star pairs instead of raising. This is the
+    // documented 100 TB fallback a production corpus actually runs when a
+    // boilerplate mega-bucket appears (the loud row q_x_mm_alignment is
+    // the oracle-parity stance; at sf10 its phash mega-bucket raises BY
+    // DESIGN — this row completes there, PLANS.md probe). At the compare
+    // SF no bucket exceeds the cap, so output ≡ the loud row and the SAME
+    // oracle applies; DedupSpec pins the over-cap semantics (clusters stay
+    // connected through the hub) with a forced-tiny cap.
+    "q_x_mm_alignment_capped" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .withColumn("__img", when(pmod(col("doc_id"), lit(11)) === 7,
+          reverse(col("text"))).otherwise(col("text")))
+        .withColumn("__cells", Multimodal.dHashCells(col("__img")))
+        .select(col("doc_id"), col("text"),
+          Multimodal.dHash63("__cells").as("ph"))
+      Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
+    },
     // The alignment gate's INCREMENTAL form (r18): each incoming record's
     // modality neighborhoods measured against the STANDING corpus only —
     // the admission-time tier of q_x_mm_alignment, and the exact batch
@@ -2196,7 +2215,7 @@ object ExtTextQueries {
         |       AND alpha_word_frac >= 0.8 AS INT) AS gopher_pass
         |FROM bg""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_x_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -3970,4 +3989,15 @@ object ExtTextQueries {
          |  list_reduce(ps, (a, x) -> a + x) / CAST(n AS DOUBLE) AS fluency
          |FROM f""".stripMargin
   )
+
+  /** The star-cap remediation tier shares its loud twin's oracle verbatim:
+    * at the compare SF no band bucket exceeds the cap, so the capped
+    * operator's output is bit-identical to the uncapped replay — the
+    * oracle checks exactly the regime where the cap is inert. The over-cap
+    * regime is DedupSpec's job (hub-connectivity pin with a forced-tiny
+    * cap) plus the sf10 probe that COMPLETES where the loud row raises
+    * (PLANS.md).
+    */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_x_mm_alignment_capped" -> oracleSqlBase("q_x_mm_alignment"))
 }

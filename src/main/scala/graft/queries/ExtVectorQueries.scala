@@ -305,10 +305,12 @@ object ExtVectorQueries {
     // work ≈ nProbe · n/√n = O(√n) candidates and the batch is constant,
     // so total work is strictly sublinear in corpus — the shape the
     // pinned-nCells `% 100` cohort rows (kept for recall coverage) can't
-    // measure. No oracle by design: the codebook is Lloyd shuffle-order
-    // doubles; the census row above pins the persisted assignments and
-    // AnnIndexSpec pins recall vs q_x_ann_batch_brute's oracled truth on
-    // the SAME batch.
+    // measure. Hash-oracled end-to-end via the persisted-codebook replay
+    // (the census-row argument extended to the whole serve kernel): the
+    // Lloyd TRAINING is shuffle-order, but search is deterministic GIVEN
+    // the stored codebook, and the DuckDB oracle reads the same persisted
+    // parquet. AnnIndexSpec additionally pins recall vs
+    // q_x_ann_batch_brute's oracled truth on the SAME batch.
     "q_x_ann_index_serve" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       graft.serve.AnnIndex.search(s, annIndexRoot(s, dir), emb,
@@ -761,7 +763,7 @@ object ExtVectorQueries {
         |        i -> CAST(p.centroid[i] AS DOUBLE) * CAST(q.qe[p.sub * 8 + i] AS DOUBLE))),
         |      (a, x) -> a + x) AS v
         |  FROM q CROSS JOIN pq p),
-        |cand AS (SELECT qc.query_id, a.id AS neighbor_id, a.codes
+        |cand AS (SELECT DISTINCT qc.query_id, a.id AS neighbor_id, a.codes
         |  FROM qc JOIN asg a USING (cell) WHERE a.id <> qc.query_id),
         |sc AS (SELECT c.query_id, c.neighbor_id,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -124,15 +124,23 @@ object AnnIndex {
       queryIdCol: String, embCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val (pqCb, m, nCw, dim) = readPqCodebooks(spark, root)
     val sd = dim / m
-    val q = Similarity.ivfAssignWith(queries, embCol,
-        col(queryIdCol).as("query_id"), nProbe, readCodebook(spark, root))
-      .withColumnRenamed("__e", "__qe")
+    // the m·nCodewords LUT is computed ONCE per query on the deduplicated
+    // projection — ivfAssignWith has already fanned each query to nProbe
+    // (query, cell) rows, so building the map there repeated the fold
+    // nProbe× and carried the result through the explode; the (query_id →
+    // lut) table is batch-sized, so it joins back broadcast
+    val qlut = queries
+      .select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"))
       .crossJoin(broadcast(pqCb))
-      .select(col("query_id"), col("cell"), expr(
+      .select(col("query_id"), expr(
         s"map_from_entries(transform(cb, s -> struct(s.sub * $nCw + s.cell, " +
           s"aggregate(zip_with(s.centroid, slice(__qe, s.sub * $sd + 1, $sd), (x, y) -> " +
           "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))))")
         .as("lut"))
+    val q = Similarity.ivfAssignWith(queries, embCol,
+        col(queryIdCol).as("query_id"), nProbe, readCodebook(spark, root))
+      .select(col("query_id"), col("cell"))
+      .join(broadcast(qlut), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     readAssignments(spark, root)

@@ -148,6 +148,59 @@ class AnnIndexSpec extends SparkSpec {
       "compaction changed ADC search output")
   }
 
+  test("sampled Lloyd training: a bounded-sample codebook keeps structure, coverage, and recall (the FAISS train rule)") {
+    // r19: training runs over a deterministic hash-stride sample
+    // (defaultTrainCap ≈ 256·nCells) so build cost is linear in the corpus
+    // at the √n cell rule instead of n^1.5 — this pin forces the sampled
+    // path on the tiny spec corpus with an explicit sub-corpus cap and
+    // asserts the three things sampling must NOT break
+    val n = emb.count()
+    val cap = math.max(64L, n / 4) // strictly below n → the sample path runs
+    assert(cap < n, "fixture must force sampling")
+    val cbS = Similarity.ivfCodebook(emb, "vec_id", "embedding",
+      nCells = 16, lloydIters = 2, trainCap = cap)
+    // structure: ≤ nCells unit-norm 64-d centroids
+    val cells = cbS.select(explode(col("cb")).as("s"))
+      .select(col("s.cell").as("cell"), col("s.centroid").as("centroid"))
+      .as[(Int, Seq[Float])].collect()
+    assert(cells.nonEmpty && cells.length <= 16)
+    assert(cells.forall(_._2.length == 64))
+    assert(cells.forall(c =>
+      math.abs(c._2.map(x => x.toDouble * x).sum - 1.0) < 1e-3),
+      "sampled centroids must stay unit-norm (spherical k-means)")
+    // the semantics-bearing pass stays FULL-corpus: assignment with the
+    // sampled codebook covers every vector exactly once
+    val assigned = Similarity.ivfAssignWith(emb, "embedding",
+      col("vec_id").as("id"), 1, cbS).select(col("id"), col("cell"))
+    assert(assigned.count() == n)
+    assert(assigned.select(col("id")).distinct().count() == n)
+    // recall floor: the serve kernel with the SAMPLED codebook vs brute
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 1)
+    val served = canonSearch(AnnIndex.searchWith(cbS, assigned, emb, queries,
+      "vec_id", "vec_id", "embedding", k = 5, nProbe = 4))
+    val brute = Similarity.annBruteForce(emb, queries,
+        "vec_id", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & served.map(r => (r._1, r._3))).size.toDouble / brute.size
+    assert(recall >= 0.2, s"sampled-codebook recall $recall below floor")
+    // PQ tier: sampled subspace codebooks keep the (sub, cell) structure
+    // and encode the full corpus in-domain
+    val pqCb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, trainCap = cap)
+    val pqCells = pqCb.select(explode(col("cb")).as("s"))
+      .select(col("s.sub").as("sub"), col("s.cell").as("cell"),
+        col("s.centroid").as("centroid"))
+      .as[(Int, Int, Seq[Float])].collect()
+    assert(pqCells.map(_._1).toSet == (0 until 8).toSet,
+      "every subspace must train a codebook from the sample")
+    assert(pqCells.forall(_._3.length == 8))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", pqCb, 8, 64, "id")
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length == n)
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+  }
+
   test("production serve shape: fixed batch through the √n-cell index meets a recall floor vs brute truth") {
     // the q_x_ann_index_serve registry shape exactly: √n coarse cells,
     // fixed 100-query batch, nProbe = 8 — recall measured against

@@ -1166,4 +1166,39 @@ class DedupSpec extends SparkSpec {
     // singletons: no neighborhood contradicts the pairing → vacuous 1.0
     Seq(20L, 21L).foreach(d => assert(got(d) == ((0L, 0L, 0L, 1.0, true)), s"doc $d: ${got(d)}"))
   }
+
+  test("star-cap remediation tier: over-cap alignment buckets stay connected through the hub; the loud tier raises") {
+    // 40 identical (caption, image) records: every band bucket holds all
+    // 40 — far over a forced cap of 8 — plus a singleton. The capped mode
+    // (registry row q_x_mm_alignment_capped — the documented 100 TB
+    // fallback when a boilerplate mega-bucket appears) must COMPLETE with
+    // linear star pairs: each member's neighborhoods collapse to {hub}
+    // (bucket-min id 0), so every cluster member stays aligned THROUGH
+    // the hub — connectivity is preserved, all-pairs density is not.
+    val cap = "the quick brown fox jumps over the lazy dog while the storm rolls in"
+    val rows = (0L until 40L).map(i => (i, cap, 0x1234432112344321L)) ++
+      Seq((100L, "a singleton about watermark semantics and state stores",
+        0x0AAA0BBB0CCC0DDDL))
+    val recs = spark.createDataFrame(rows).toDF("doc_id", "text", "ph")
+    val got = Dedup.crossModalAlignment(recs, "doc_id", "text", "ph",
+        maxBucketSize = 8)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // hub (min id): all 39 members in both neighborhoods, fully aligned
+    assert(got(0L) == ((39L, 39L, 39L, 1.0, true)), s"hub: ${got(0L)}")
+    // members: both neighborhoods = {hub} → aligned via the hub edge
+    (1L until 40L).foreach(d =>
+      assert(got(d) == ((1L, 1L, 1L, 1.0, true)), s"doc $d: ${got(d)}"))
+    assert(got(100L) == ((0L, 0L, 0L, 1.0, true)))
+    // the loud tier (q_x_mm_alignment's mode) raises on the same corpus
+    // instead of star-substituting — the sf10 division of labor: loud row
+    // raises by design, capped row completes (PLANS.md probe)
+    val ex = intercept[Exception] {
+      Dedup.crossModalAlignment(recs, "doc_id", "text", "ph",
+        maxBucketSize = 8, failOnOverCap = true).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxBucketSize"), s"expected over-cap raise, got: $msgs")
+  }
 }

@@ -33,7 +33,7 @@ class RegistrySpec extends AnyFunSuite {
   )
 
   test("registry census: no entry silently dropped") {
-    assert(SparkEntry.queries.size == 370,
+    assert(SparkEntry.queries.size == 371,
       s"query registry changed size (${SparkEntry.queries.size}) — if intentional, " +
         "update this census AND the oracle accounting below")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - noOracleByDesign.size)

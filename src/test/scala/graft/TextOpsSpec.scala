@@ -335,4 +335,37 @@ class TextOpsSpec extends SparkSpec {
       ("y", 2L, "x", 1L, 5000L),
       ("y", 2L, "z", 1L, 5000L)))
   }
+
+  test("sourceCapState idBits split: parameterized round-trip, loud raise outside the domain") {
+    // r18 ADVICE: the 29/33 → 23/39 re-split dropped the per-doc char
+    // ceiling to 8.4 M — a contract change for long-doc corpora. The split
+    // is now a parameter: a books corpus opts back into wider char bits
+    // with a smaller idBits, as long as producer and finisher agree.
+    // Round-trip at idBits = 30 (char ceiling 2^32): a doc OVER the
+    // default's 2^23 ceiling encodes and decodes exactly.
+    val longDocs = Seq(
+      ("web", 1L, 50L), ("web", 2L, 20_000_000L), // > default 8.4 M ceiling
+      ("web", 3L, 9_000_000L), ("books", 4L, 4_000_000_000L)) // near 2^32
+      .toDF("source", "doc_id", "n_chars")
+    val got = TextOps.sourceCapFromState(
+        TextOps.sourceCapState(longDocs, k = 2, idBits = 30), idBits = 30)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("web", 1, 2L, 20_000_000L), ("web", 2, 3L, 9_000_000L),
+      ("books", 1, 4L, 4_000_000_000L)))
+    // the DEFAULT split raises loudly on the same corpus (n_chars ≥ 2^23)
+    // — never clamps, which would silently re-order the cap
+    val ex = intercept[Exception] {
+      TextOps.sourceCapState(longDocs, k = 2).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("encode domain"), s"expected domain raise, got: $msgs")
+    // producer/finisher agreement is the caller's contract; the guard on
+    // nonsense widths is loud at plan build
+    intercept[IllegalArgumentException] {
+      TextOps.sourceCapState(longDocs, k = 2, idBits = 62)
+    }
+  }
 }
