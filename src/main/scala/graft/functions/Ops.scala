@@ -234,6 +234,39 @@ object Ops {
       .drop("__b", "__cum", "__off")
   }
 
+  /** The exact-fold idiom `groupBy(keys).agg(aggregate(sort_array(
+    * collect_list(struct(ord…, v))), 0.0D, (acc, x) -> acc + x.v))` as a
+    * RUNNING WINDOW SUM: shuffle by keys, sort by (ord…, v), running
+    * sum(v), keep the last row per group. Bit-identical to the
+    * collect-and-fold form — the window walks rows in the same ascending
+    * (ord…, v) order, and Sum's update expression is `coalesce(acc, 0.0) +
+    * v`, the same 0.0-seeded left fold (including the -0.0 first-element
+    * case) — but the per-group state is ONE double instead of a collected
+    * array, the per-element add is the codegen'd Sum update instead of an
+    * interpreted CodegenFallback `aggregate` lambda, and the group-size
+    * buffer bound (in-degree, bucket width) becomes a sort key instead of
+    * an ObjectHashAggregate array (r19 measured: the graph exact-fold rows
+    * spent most of their time building/sorting/folding those arrays).
+    *
+    * KEYED groups only (groups have ≥1 row by construction); a GLOBAL fold
+    * over a possibly-empty frame must keep the collect_list form, whose
+    * empty-input result is one 0.0 row where a window yields zero rows.
+    */
+  def orderedFoldSum(df: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
+      vCol: String, outCol: String): DataFrame = {
+    require(!df.columns.exists(Set("__ofs_rs", "__ofs_rn", "__ofs_n")),
+      "orderedFoldSum reserves the __ofs_* column names")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((ordCols :+ vCol).map(col): _*)
+    df.withColumn("__ofs_rs", sum(col(vCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__ofs_rn", row_number().over(w))
+      .withColumn("__ofs_n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("__ofs_rn") === col("__ofs_n"))
+      .select(keyCols.map(col) :+ col("__ofs_rs").as(outCol): _*)
+  }
+
   /** Distributed global LEAD over a DISTINCT numeric key column — the
     * scale-safe form of `lead(k) OVER (ORDER BY k)`, whose empty PARTITION
     * BY otherwise collapses the whole table into one window partition
@@ -548,27 +581,12 @@ object Ops {
           lv.cast("string"))))
         .otherwise(lv)
     }
-    // the bit level is a lambda variable, so the variable-amount shifts go
-    // through the SQL shiftleft/shiftright (the Scala wrappers take only
-    // literal Int amounts)
-    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n.cast("int"))
-    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n.cast("int"))
-    val init = shiftleft(checked(x, "x"), 16).bitwiseOR(checked(y, "y"))
-    val levels = array((14 to 0 by -1).map(lit): _*)
-    val folded = aggregate(levels, init, (acc, i) => {
-      val d = shiftright(acc, 32)
-      val cx = shiftright(acc, 16).bitwiseAND(lit(0x7FFFL))
-      val cy = acc.bitwiseAND(lit(0x7FFFL))
-      val rx = shr(cx, i).bitwiseAND(lit(1L))
-      val ry = shr(cy, i).bitwiseAND(lit(1L))
-      val nd = d + shl(lit(1L), i * 2) * (rx * 3).bitwiseXOR(ry)
-      val nx = when(ry === 0, when(rx === 1, lit(0x7FFFL) - cy).otherwise(cy))
-        .otherwise(cx)
-      val ny = when(ry === 0, when(rx === 1, lit(0x7FFFL) - cx).otherwise(cx))
-        .otherwise(cy)
-      shiftleft(nd, 32).bitwiseOR(shiftleft(nx, 16)).bitwiseOR(ny)
-    })
-    shiftright(folded, 32)
+    // r19: the 15-level aggregate() fold ran as an interpreted
+    // CodegenFallback HOF per row; the identical all-integer d2xy
+    // recurrence now runs as ONE codegen'd static call
+    // (NativeKernels.hilbert2D — bit-identical by integer arithmetic).
+    // The range guard stays out here as the codegen'd raise_error gate.
+    org.apache.spark.sql.graft.natives.hilbert2D(checked(x, "x"), checked(y, "y"))
   }
 
   /** Rendezvous (highest-random-weight) shard assignment: each key scores

@@ -82,13 +82,16 @@ object Clustering {
       // and a re-shuffle per round — the IVF-encode precedent).
       val ctrList = ctr.agg(
         sort_array(collect_list(struct(col("cid"), col("__cs")))).as("__ctrs"))
+      // the per-centroid distance is the native element-order fold
+      // (natives.sqDistDD — bit-identical to the zip_with/aggregate chain,
+      // but one codegen'd call instead of an interpreted HOF per centroid
+      // per row; r19)
       val assigned = pts.crossJoin(broadcast(ctrList))
         .select(col("__id"), col("__fs"),
           array_min(transform(col("__ctrs"), c =>
             struct(
-              aggregate(zip_with(col("__fs"), c.getField("__cs"),
-                  (x, cc) => (x - cc) * (x - cc)),
-                lit(0.0), (acc, v) => acc + v).as("__dist"),
+              org.apache.spark.sql.graft.natives
+                .sqDistDD(col("__fs"), c.getField("__cs")).as("__dist"),
               c.getField("cid").as("cid")))).getField("cid").as("cid"))
       // the k-row update table is what gets checkpointed (one pass over
       // the points per round — the un-checkpointed form recomputed the
@@ -102,22 +105,35 @@ object Clustering {
       // data-pinned at both levels, so the oracle replays it exactly,
       // and no reducer ever buffers a whole cluster — the flat
       // in-cluster-sorted fold would page on a 10⁹-member cluster.
-      upd = (if (exactFold)
-          assigned
-            .withColumn("__bk", expr(s"__id div $FoldBucketWidth"))
-            .groupBy(col("cid"), col("__bk"))
-            .agg(count(lit(1)).as("__bn"),
-              aggregate(sort_array(collect_list(struct(col("__id"), col("__fs")))),
-                array((0 until d).map(_ => lit(0.0)): _*),
-                (acc, x) => zip_with(acc, x.getField("__fs"), (a, v) => a + v))
-                .as("__bs"))
-            .groupBy(col("cid"))
-            .agg(sum(col("__bn")).as("__n"),
-              aggregate(sort_array(collect_list(struct(col("__bk"), col("__bs")))),
-                array((0 until d).map(_ => lit(0.0)): _*),
-                (acc, x) => zip_with(acc, x.getField("__bs"), (a, v) => a + v))
-                .as("__sum"))
-        else
+      // exact tier, r19 rewrite: both fold levels run as RUNNING WINDOW
+      // SUMS (one per feature dim) instead of collect_list arrays + an
+      // interpreted zip_with fold — the window walks rows in the identical
+      // (__id, __fs) / __bk ascending order and Sum's update is the same
+      // 0.0-seeded left add per dim, so every centroid double is
+      // bit-identical (the Ops.orderedFoldSum argument, array-valued), but
+      // no reducer ever materializes a bucket's member list.
+      def lastRowVecSum(df: org.apache.spark.sql.DataFrame, parts: Seq[String],
+          ords: Seq[org.apache.spark.sql.Column], vec: String,
+          cnt: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(parts.map(col): _*).orderBy(ords: _*)
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("__rs", array((1 to d).map(i =>
+              sum(element_at(col(vec), i)).over(run)): _*))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__ct", count(lit(1)).over(full))
+          .withColumn("__nt", sum(cnt).over(full))
+          .filter(col("__rn") === col("__ct"))
+      }
+      upd = (if (exactFold) {
+          val lvl1 = lastRowVecSum(
+              assigned.withColumn("__bk", expr(s"__id div $FoldBucketWidth")),
+              Seq("cid", "__bk"), Seq(col("__id"), col("__fs")), "__fs", lit(1L))
+            .select(col("cid"), col("__bk"), col("__nt").as("__bn"),
+              col("__rs").as("__bs"))
+          lastRowVecSum(lvl1, Seq("cid"), Seq(col("__bk")), "__bs", col("__bn"))
+            .select(col("cid"), col("__nt").as("__n"), col("__rs").as("__sum"))
+        } else
           assigned.groupBy(col("cid"))
             .agg(count(lit(1)).as("__n"),
               array((1 to d).map(i => sum(element_at(col("__fs"), i))): _*).as("__sum"))

@@ -92,11 +92,12 @@ object Graph {
     for (i <- 1 to iters) {
       val contribs = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), col("src"), share.as("c"))
+      // exact tier: the source-sorted fold as a running window sum
+      // (Ops.orderedFoldSum — bit-identical association order, streaming
+      // O(1) state instead of a collected in-degree-sized array; r19)
       val sums =
         if (exactFold)
-          contribs.groupBy(col("dst"))
-            .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
-              lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+          graft.functions.Ops.orderedFoldSum(contribs, Seq("dst"), Seq("src"), "c", "s")
         else
           contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val base = nodes.join(sums, col("node") === col("dst"), "left")
@@ -182,11 +183,10 @@ object Graph {
     for (i <- 1 to iters) {
       val contribs = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+      // exact tier: running-window fold (the pageRank rewrite, r19)
       val sums =
         if (exactFold)
-          contribs.groupBy(col("dst"))
-            .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
-              lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+          graft.functions.Ops.orderedFoldSum(contribs, Seq("dst"), Seq("src"), "c", "s")
         else
           contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val base = seeded.join(sums, col("node") === col("dst"), "left")
@@ -257,11 +257,12 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    // exact tier: counterparty-sorted fold as a running window sum
+    // (Ops.orderedFoldSum — bit-identical, streaming state; r19)
     def foldSum(pairs: DataFrame, key: String, by: String, v: String): DataFrame =
       if (exactFold)
-        pairs.groupBy(col(key).as("node"))
-          .agg(aggregate(sort_array(collect_list(struct(col(by), col(v)))),
-            lit(0.0), (acc, x) => acc + x.getField(v)).as("s"))
+        graft.functions.Ops.orderedFoldSum(pairs, Seq(key), Seq(by), v, "s")
+          .withColumnRenamed(key, "node")
       else
         pairs.groupBy(col(key).as("node")).agg(sum(col(v)).as("s"))
     // L2 norm of a (node, score) table as a one-row frame. The exact tier
@@ -276,15 +277,21 @@ object Graph {
     // reducer, which is what made the r13 flat fold the last unbounded
     // exact-tier buffer. The oracle replays the identical two-level tree.
     def l2(scores: DataFrame, v: String): DataFrame =
-      if (exactFold)
-        scores.groupBy(shiftright(col("node"), 12).as("__bk"))
-          .agg(aggregate(
-            sort_array(collect_list(struct(col("node"), col(v)))),
-            lit(0.0), (acc, x) => acc + x.getField(v) * x.getField(v)).as("__p"))
+      if (exactFold) {
+        // bucket level as a running window sum over the pre-squared score
+        // (node order is unique within a bucket, so ordering by node alone
+        // replays sort_array's (node, v) order; v*v is the same double
+        // multiply the fold applied per element — bit-identical). The final
+        // bucket-order fold stays a GLOBAL collect fold: its input is
+        // ≤ n/4096 one-row-per-bucket partials and a global window would
+        // yield zero rows on empty input where the fold yields one.
+        val sq = scores.select(shiftright(col("node"), 12).as("__bk"),
+          col("node"), (col(v) * col(v)).as("__v2"))
+        graft.functions.Ops.orderedFoldSum(sq, Seq("__bk"), Seq("node"), "__v2", "__p")
           .agg(sqrt(aggregate(
             sort_array(collect_list(struct(col("__bk"), col("__p")))),
             lit(0.0), (acc, x) => acc + x.getField("__p"))).as("nrm"))
-      else
+      } else
         scores.agg(sqrt(sum(col(v) * col(v))).as("nrm"))
     def normalize(scores: DataFrame, v: String): DataFrame =
       scores.crossJoin(broadcast(l2(scores, v)))

@@ -270,12 +270,13 @@ object Similarity {
         when(col("m") === 0, lit(0.0))
           .otherwise(col("w").cast("double") / col("m").cast("double")).as("v"))
     for (_ <- 2 to iters) {
-      val w = sym.join(v, Seq("j"))
-        .groupBy(col("i"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("j"),
-            (col("c").cast("double") * col("v")).as("t")))),
-          lit(0.0), (acc, x) => acc + x.getField("t")).as("w"))
+      // r19: j-ascending fold as a running window sum (Ops.orderedFoldSum —
+      // bit-identical association order, no collected row-sized array)
+      val w = graft.functions.Ops.orderedFoldSum(
+        sym.join(v, Seq("j"))
+          .select(col("i"), col("j"),
+            (col("c").cast("double") * col("v")).as("t")),
+        Seq("i"), Seq("j"), "t", "w")
       val m = w.agg(max(abs(col("w"))).as("m"))
       v = w.crossJoin(broadcast(m))
         .select(col("i").as("j"),
@@ -459,9 +460,9 @@ object Similarity {
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(
-        zip_with(emb, planeCol, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      // r19: native element-order fold (dot_fd) — bit-identical to the
+      // zip_with cast-multiply/aggregate chain, codegen'd per plane
+      val dot = org.apache.spark.sql.graft.natives.dotFD(emb, planeCol)
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -492,9 +493,16 @@ object Similarity {
     * staged select drops extra columns).
     */
   def coarseRankExpr(cbCol: String, embCol: String): Column =
-    expr(s"array_sort(transform($cbCol, s -> struct(-" +
-      s"aggregate(zip_with(s.centroid, $embCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS negdot, s.cell AS cell)))")
+    // r19: the per-cell dot is the native element-order fold (DotFF —
+    // bit-identical to the zip_with/aggregate chain; the transform/sort
+    // over nCells structs stays interpreted but is now O(nCells), not
+    // O(nCells·dim) of boxed lambda dispatch per row). Column API, not an
+    // expr() string: natives resolve structurally, no session-registered
+    // SQL function needed (plain sessions build these plans too).
+    array_sort(transform(col(cbCol), s => struct(
+      (-org.apache.spark.sql.graft.natives
+        .dotFF(s.getField("centroid"), col(embCol))).as("negdot"),
+      s.getField("cell").as("cell"))))
 
   // rank cells by dot against the broadcast codebook; keep the best `keep`
   private def ivfAssignCells(df: DataFrame, embCol: String, id: Column,
@@ -750,11 +758,12 @@ object Similarity {
   // codebook row (the IVF negdot-sort trick, L2 flavor)
   private def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame =
     subs.crossJoin(broadcast(codebooks))
-      .withColumn("best", expr(
-        "element_at(array_sort(transform(filter(cb, s -> s.sub = sub), s -> " +
-          "struct(aggregate(zip_with(s.centroid, sv, (x, y) -> " +
-          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-          "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d, s.cell AS cell))), 1)"))
+      .withColumn("best", element_at(array_sort(transform(
+        filter(col("cb"), s => s.getField("sub") === col("sub")),
+        s => struct(
+          org.apache.spark.sql.graft.natives
+            .sqDistFF(s.getField("centroid"), col("sv")).as("d"),
+          s.getField("cell").as("cell")))), 1))
       .select(col("id"), col("sub"), col("sv"), col("best.cell").as("cell"))
 
   /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI 2011):
@@ -803,12 +812,40 @@ object Similarity {
     * ONE definition of the encode expression, shared by [[pqEncode]] and
     * the [[annIvfPq]] single-pass corpus encode.
     */
+  /** The per-query (sub, codeword) → partial-dot ADC lookup table as a
+    * MAP keyed sub·nCw + cell (cells can go extinct in a Lloyd round, so
+    * the key set may be sparse). Partial dots are the native element-order
+    * fold (DotFF) — bit-identical to the zip_with cast-multiply chain.
+    */
+  private[graft] def pqLutMap(nCw: Int, sd: Int, cbCol: String, embCol: String): Column =
+    map_from_entries(transform(col(cbCol), s =>
+      struct((s.getField("sub") * lit(nCw) + s.getField("cell")).as("k"),
+        org.apache.spark.sql.graft.natives.dotFF(s.getField("centroid"),
+          slice(col(embCol), s.getField("sub") * lit(sd) + lit(1), lit(sd))).as("v"))))
+
+  /** [[pqLutMap]] densified to a positional array (position i+1 holds map
+    * key i; extinct codewords hold null, null-poisoning a score fold
+    * exactly like a missing map key) — the representation
+    * [[org.apache.spark.sql.graft.natives.pqAdcScore]] folds in O(1) per
+    * term where the map form linear-scanned its key array per lookup.
+    * Runs on the batch-sized query side only.
+    */
+  private[graft] def pqLutDense(m: Int, nCw: Int, lutMapCol: String): Column =
+    transform(sequence(lit(0), lit(m * nCw - 1)), i => try_element_at(col(lutMapCol), i))
+
   private def pqCodesExpr(m: Int, sd: Int, cbCol: String, embCol: String): Column =
-    expr(s"transform(sequence(0, ${m - 1}), j -> " +
-      s"element_at(array_sort(transform(filter($cbCol, s -> s.sub = j), s -> " +
-      s"struct(aggregate(zip_with(s.centroid, slice($embCol, j * $sd + 1, $sd), (x, y) -> " +
-      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-      "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d, s.cell AS cell))), 1).cell)")
+    // r19: the per-codeword distance is the native element-order fold
+    // (SqDistFF — bit-identical to the cast-subtract-square zip_with
+    // chain); the per-subspace argmin keeps the array_sort tie order.
+    // Column API so plain (extension-less) sessions resolve it.
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      element_at(array_sort(transform(
+        filter(col(cbCol), s => s.getField("sub") === j),
+        s => struct(
+          org.apache.spark.sql.graft.natives.sqDistFF(
+            s.getField("centroid"),
+            slice(col(embCol), j * lit(sd) + lit(1), lit(sd))).as("d"),
+          s.getField("cell").as("cell")))), 1).getField("cell"))
 
   /** PQ-scan ANN with asymmetric distance computation (ADC): the corpus is
     * scanned as 8-small-int CODES (32× less data than raw floats — the
@@ -831,17 +868,20 @@ object Similarity {
     val codes = pqEncode(corpus, idCol, embCol, cb, m, dim, "neighbor_id")
     // per-query LUT keyed sub·k + cell (cells can go extinct in a Lloyd
     // round, so a MAP lookup, not positional indexing)
+    // r19: partial dots via the native fold (dot_ff), and the sparse map
+    // DENSIFIED to a positional array on the (batch-sized) query side —
+    // position i+1 holds map key i, extinct codewords hold null exactly
+    // like a missing map key — so the per-candidate m-term score runs as
+    // one codegen'd call (pq_adc_score) instead of m interpreted
+    // linear-scan map lookups per candidate row. Scores bit-identical
+    // (same j-ascending 0.0-seeded fold over the same doubles).
     val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__q"))
       .crossJoin(broadcast(cb))
-      .select(col("query_id"), expr(
-        s"map_from_entries(transform(cb, s -> struct(s.sub * $nCodewords + s.cell, " +
-          s"aggregate(zip_with(s.centroid, slice(__q, s.sub * $sd + 1, $sd), (x, y) -> " +
-          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))))")
-        .as("lut"))
+      .select(col("query_id"), pqLutMap(nCodewords, sd, "cb", "__q").as("__lutm"))
+      .select(col("query_id"), pqLutDense(m, nCodewords, "__lutm").as("lut"))
     val scored = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", expr(
-        s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
-          s"(a, j) -> a + element_at(lut, j * $nCodewords + element_at(codes, j + 1)))"))
+      .withColumn("score", org.apache.spark.sql.graft.natives
+        .pqAdcScore(col("lut"), col("codes"), nCodewords))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -884,17 +924,17 @@ object Similarity {
     // query side: probe cells + the ADC lookup table
     val qCells = ivfAssignCells(queries, embCol, col(queryIdCol).as("query_id"),
       nProbe, coarse).select(col("query_id"), col("cell"), col("__e"))
+    // r19: native dots + dense positional LUT + codegen'd ADC score — the
+    // annPq rewrite (see there for the bit-identity argument)
     val q = qCells.crossJoin(broadcast(pq))
-      .select(col("query_id"), col("cell"), expr(
-        s"map_from_entries(transform(cb, s -> struct(s.sub * $nCodewords + s.cell, " +
-          s"aggregate(zip_with(s.centroid, slice(__e, s.sub * $sd + 1, $sd), (x, y) -> " +
-          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))))")
-        .as("lut"))
+      .select(col("query_id"), col("cell"),
+        pqLutMap(nCodewords, sd, "cb", "__e").as("__lutm"))
+      .select(col("query_id"), col("cell"),
+        pqLutDense(m, nCodewords, "__lutm").as("lut"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", expr(
-        s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
-          s"(a, j) -> a + element_at(lut, j * $nCodewords + element_at(codes, j + 1)))"))
+      .withColumn("score", org.apache.spark.sql.graft.natives
+        .pqAdcScore(col("lut"), col("codes"), nCodewords))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     // a corpus vector can meet a query in only ONE cell (corpus assignment

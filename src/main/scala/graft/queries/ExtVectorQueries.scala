@@ -485,10 +485,12 @@ object ExtVectorQueries {
     // position, so each row is one (vector, output-dim) projection value.
     "q_x_rand_proj" -> { (s, dir) =>
       val planes = Similarity.hyperplanes(16, 64, seed = 77L)
+      // r19: each output dim's index-order fold runs as the native dot_fd
+      // (bit-identical: same float→double promote, same 0.0-seeded
+      // left-to-right adds) instead of 16 interpreted HOF chains per row
       val proj = array(planes.map { p =>
-        aggregate(
-          zip_with(col("embedding"), array(p.map(lit).toSeq: _*), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)
+        org.apache.spark.sql.graft.natives
+          .dotFD(col("embedding"), array(p.map(lit).toSeq: _*))
       }.toSeq: _*)
       Tables.embeddings(s, dir).select(col("vec_id"), posexplode(proj))
         .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),

@@ -129,14 +129,18 @@ object AnnIndex {
     // (query, cell) rows, so building the map there repeated the fold
     // nProbe× and carried the result through the explode; the (query_id →
     // lut) table is batch-sized, so it joins back broadcast
+    // r19: partial dots via the native fold (dot_ff) and the sparse map
+    // densified to a positional array (position i+1 = map key i, extinct
+    // codewords null) so the per-candidate score below is one codegen'd
+    // call — bit-identical scores (same j-ascending 0.0-seeded fold), see
+    // Similarity.annPq
     val qlut = queries
       .select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"))
       .crossJoin(broadcast(pqCb))
-      .select(col("query_id"), expr(
-        s"map_from_entries(transform(cb, s -> struct(s.sub * $nCw + s.cell, " +
-          s"aggregate(zip_with(s.centroid, slice(__qe, s.sub * $sd + 1, $sd), (x, y) -> " +
-          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))))")
-        .as("lut"))
+      .select(col("query_id"),
+        Similarity.pqLutMap(nCw, sd, "cb", "__qe").as("__lutm"))
+      .select(col("query_id"),
+        Similarity.pqLutDense(m, nCw, "__lutm").as("lut"))
     val q = Similarity.ivfAssignWith(queries, embCol,
         col(queryIdCol).as("query_id"), nProbe, readCodebook(spark, root))
       .select(col("query_id"), col("cell"))
@@ -147,9 +151,8 @@ object AnnIndex {
       .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
       .join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", expr(
-        s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
-          s"(a, j) -> a + element_at(lut, j * $nCw + element_at(codes, j + 1)))"))
+      .withColumn("score", org.apache.spark.sql.graft.natives
+        .pqAdcScore(col("lut"), col("codes"), nCw))
       .select(col("query_id"), col("neighbor_id"), col("score")).distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

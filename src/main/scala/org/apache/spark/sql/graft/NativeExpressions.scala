@@ -182,6 +182,62 @@ object natives {
   def bloomMightContain(bloom: Column, hash: Column): Column =
     ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       ExpressionUtils.expression(bloom), ExpressionUtils.expression(hash)))
+
+  /** Dot product of two FLOAT vectors with double accumulation in element
+    * order — bit-identical to `aggregate(zip_with(a, b, (x, y) ->
+    * CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)`,
+    * including the null semantics (length mismatch or a null element
+    * null-poisons the fold → null), but evaluated as ONE whole-stage-codegen
+    * static call instead of an interpreted CodegenFallback HOF chain per row
+    * (r19: the coarse-cell ranking spent ~all its time in boxed lambda
+    * dispatch).
+    */
+  def dotFF(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotFF(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** [[dotFF]] with a FLOAT left vector and a DOUBLE right vector —
+    * bit-identical to `aggregate(zip_with(a, b, (x, h) ->
+    * CAST(x AS DOUBLE) * h), 0.0D, +)` (the hyperplane-projection shape:
+    * float embeddings against double plane literals).
+    */
+  def dotFD(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotFD(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** [[sqDistDD]] over FLOAT vectors (double accumulation) — the PQ
+    * codeword-assignment distance shape.
+    */
+  def sqDistFF(a: Column, b: Column): Column =
+    ExpressionUtils.column(SqDistFF(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Squared L2 distance of two DOUBLE vectors, element-order left fold —
+    * bit-identical to `aggregate(zip_with(a, b, (x, c) -> (x-c)*(x-c)),
+    * 0.0D, +)` with the same null-poisoning semantics.
+    */
+  def sqDistDD(a: Column, b: Column): Column =
+    ExpressionUtils.column(SqDistDD(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Order-15 2-D Hilbert index over validated [0, 2^15) coordinates —
+    * bit-identical to the 15-level `aggregate` fold in
+    * [[graft.functions.Ops.hilbertIndex]] (all-integer arithmetic), as one
+    * codegen'd static call. Callers keep their own range guard.
+    */
+  def hilbert2D(x: Column, y: Column): Column =
+    ExpressionUtils.column(HilbertIndex2D(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
+
+  /** ADC score: `aggregate(sequence(0, m-1), 0.0D, (a, j) ->
+    * a + element_at(lut, j * nCodewords + codes[j]))` over a DENSE
+    * 1-indexed lut array (position i+1 holds map key i; extinct codewords
+    * hold null and null-poison exactly like the map fold) — the PQ
+    * candidate-scoring kernel, one codegen'd call per candidate row.
+    */
+  def pqAdcScore(lut: Column, codes: Column, nCodewords: Int): Column =
+    ExpressionUtils.column(PqAdcScore(
+      ExpressionUtils.expression(lut), ExpressionUtils.expression(codes), nCodewords))
 }
 
 /** Winnowing (rolling-hash) document fingerprint — one pass, O(n) per doc,
@@ -369,6 +425,37 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "theta_diff(a, b) takes exactly 2 arguments")
         ThetaAnotBEstimate(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("dot_ff"),
+      new ExpressionInfo(classOf[DotFF].getName, "dot_ff"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_ff(a, b) takes exactly 2 arguments")
+        DotFF(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("dot_fd"),
+      new ExpressionInfo(classOf[DotFD].getName, "dot_fd"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_fd(a, b) takes exactly 2 arguments")
+        DotFD(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("sq_dist_ff"),
+      new ExpressionInfo(classOf[SqDistFF].getName, "sq_dist_ff"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "sq_dist_ff(a, b) takes exactly 2 arguments")
+        SqDistFF(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("sq_dist_dd"),
+      new ExpressionInfo(classOf[SqDistDD].getName, "sq_dist_dd"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "sq_dist_dd(a, b) takes exactly 2 arguments")
+        SqDistDD(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("pq_adc_score"),
+      new ExpressionInfo(classOf[PqAdcScore].getName, "pq_adc_score"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "pq_adc_score(lut, codes, nCodewords) takes exactly 3 arguments")
+        PqAdcScore(exprs(0), exprs(1), literalInt("pq_adc_score", "nCodewords", exprs(2)))
       }))
   }
 }
@@ -632,6 +719,127 @@ case class ProtoEncodeBytes(child: Expression, fieldNo: Int)
       c => s"org.apache.spark.sql.graft.NativeKernels.protoEncBytes($fieldNo, $c)")
   override protected def withNewChildInternal(newChild: Expression): ProtoEncodeBytes =
     copy(child = newChild)
+}
+
+/** Dot product over two float arrays, double accumulation in element order.
+  * Nullable: a length mismatch or null element mirrors the zip_with padding /
+  * null-poisoned fold of the built-ins formulation it replaces (boxed Double
+  * return, null ⇒ SQL NULL).
+  */
+case class DotFF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("dotFF")
+      s"""java.lang.Double $v = org.apache.spark.sql.graft.NativeKernels.dotFF($a, $b);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotFF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of a float array against a double array (hyperplane shape),
+  * double accumulation in element order; null semantics as [[DotFF]].
+  */
+case class DotFD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("dotFD")
+      s"""java.lang.Double $v = org.apache.spark.sql.graft.NativeKernels.dotFD($a, $b);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotFD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance of two float arrays (double accumulation),
+  * element-order left fold; null semantics as [[DotFF]].
+  */
+case class SqDistFF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.sqDistFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("sqDistFF")
+      s"""java.lang.Double $v = org.apache.spark.sql.graft.NativeKernels.sqDistFF($a, $b);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistFF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance of two double arrays, element-order left fold; null
+  * semantics as [[DotFF]].
+  */
+case class SqDistDD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.sqDistDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("sqDistDD")
+      s"""java.lang.Double $v = org.apache.spark.sql.graft.NativeKernels.sqDistDD($a, $b);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistDD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Order-15 2-D Hilbert curve index (d2xy fold, all-integer) — the
+  * [[graft.functions.Ops.hilbertIndex]] 15-level aggregate() fold as one
+  * static call. Inputs must already be validated to [0, 2^15).
+  */
+case class HilbertIndex2D(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    NativeKernels.hilbert2D(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"org.apache.spark.sql.graft.NativeKernels.hilbert2D($x, $y)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HilbertIndex2D =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC score fold: Σ_{j=0..m-1} lut[j·nCodewords + codes[j]] with double
+  * accumulation in j order over a DENSE 1-indexed lut (array position i+1 =
+  * map key i; null slots — extinct codewords — null-poison the fold exactly
+  * like the element_at(map, …) formulation this replaces).
+  */
+case class PqAdcScore(left: Expression, right: Expression, nCodewords: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    NativeKernels.pqAdcScore(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], nCodewords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val v = ctx.freshName("adc")
+      s"""java.lang.Double $v = org.apache.spark.sql.graft.NativeKernels.pqAdcScore($lut, $codes, $nCodewords);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Static kernels invoked from generated code. */
@@ -1148,6 +1356,117 @@ object NativeKernels {
       else j += 1
     }
     c
+  }
+
+  /** Double-accumulated float dot in element order; null mirrors the
+    * zip_with/aggregate built-ins chain (length mismatch pads null, a null
+    * element poisons the fold).
+    */
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Float×double dot (hyperplane-projection shape), same contract. */
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Squared L2 over float arrays (double accumulation), element-order
+    * fold, same contract.
+    */
+  def sqDistFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Squared L2 over double arrays, element-order fold, same contract. */
+  def sqDistDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Order-15 2-D Hilbert d2xy fold — the exact integer recurrence of
+    * Ops.hilbertIndex's aggregate() formulation, one level at a time from
+    * bit 14 down to 0.
+    */
+  def hilbert2D(x0: Long, y0: Long): Long = {
+    var d = 0L
+    var cx = x0
+    var cy = y0
+    var i = 14
+    while (i >= 0) {
+      val rx = (cx >> i) & 1L
+      val ry = (cy >> i) & 1L
+      d += (1L << (i * 2)) * ((rx * 3L) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          val nx = 0x7FFFL - cy
+          val ny = 0x7FFFL - cx
+          cx = nx
+          cy = ny
+        } else {
+          val t = cx
+          cx = cy
+          cy = t
+        }
+      }
+      i -= 1
+    }
+    d
+  }
+
+  /** ADC fold over a dense 1-indexed lut: Σ_j lut[j·nCw + codes[j]], double
+    * accumulation in j order; a null lut slot (extinct codeword) poisons the
+    * fold like the map formulation.
+    */
+  def pqAdcScore(lut: ArrayData, codes: ArrayData, nCw: Int): java.lang.Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val idx = j * nCw + codes.getInt(j)
+      if (idx < 0 || idx >= lut.numElements() || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      j += 1
+    }
+    acc
   }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {

@@ -53,7 +53,9 @@ class PlanGuardSpec extends SparkSpec {
     // (three consumers — both join sides + star extraction, the
     // lshCandidatePairs stance); the alignment gate checkpoints both
     // candidate-pair fronts
-    "q_x_phash_dedup", "q_x_mm_alignment",
+    // …and the r18 star-cap fallback tier builds the identical
+    // checkpointed fronts (only the over-cap branch differs)
+    "q_x_phash_dedup", "q_x_mm_alignment", "q_x_mm_alignment_capped",
     // index-served admission checkpoints its candidate pairs every build
     // (the crossNearDupMinHash stance; the first build also publishes the
     // memoized index)
