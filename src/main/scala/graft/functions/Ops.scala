@@ -267,6 +267,44 @@ object Ops {
       .select(keyCols.map(col) :+ col("__ofs_rs").as(outCol): _*)
   }
 
+  /** localCheckpoint with a FUSED scalar metric (r19): attaches one
+    * aggregate column via `observe` so the scalar an iterative loop needs
+    * (convergence count, label sum, row count) is computed DURING the
+    * checkpoint materialization itself instead of a separate driver action
+    * per round — at 100 TB each avoided action is a full cluster
+    * round-trip. The metric is read back through
+    * [[org.apache.spark.sql.Observation]] (a QueryExecutionListener —
+    * production's vantage; the r16 probe pinned that observe+checkpoint
+    * moves the CollectMetrics to the CHECKPOINT's QueryExecution). The
+    * listener bus is asynchronous, so the reader spin-waits briefly;
+    * `None` after the wait means the metric never fired — AQE's
+    * empty-relation propagation can prune the CollectMetrics subtree when
+    * the frame is empty (the blockingQuality caveat) — and callers fall
+    * back to their pre-fusion check, which only happens on empty/terminal
+    * rounds.
+    *
+    * Returns the checkpointed frame (metric column NOT in the output —
+    * observe is pass-through) and a blocking reader.
+    */
+  def checkpointWithMetric(df: DataFrame, metric: Column): (DataFrame, () => Option[Any]) = {
+    import org.apache.spark.sql.graft.ObservationBridge.peek
+    val obs = org.apache.spark.sql.Observation()
+    val cp = df.observe(obs, metric).localCheckpoint()
+    val read = () => {
+      // the listener bus usually delivers within well under a millisecond —
+      // spin-yield first (sleep granularity would otherwise add ~2 ms per
+      // round to tight iterative loops), then back off; ~2 s total bound
+      var tries = 0
+      var m = peek(obs)
+      while (m.isEmpty && tries < 3000) {
+        if (tries < 1000) Thread.`yield`() else Thread.sleep(1)
+        tries += 1; m = peek(obs)
+      }
+      m.values.headOption
+    }
+    (cp, read)
+  }
+
   /** Distributed global LEAD over a DISTINCT numeric key column — the
     * scale-safe form of `lead(k) OVER (ORDER BY k)`, whose empty PARTITION
     * BY otherwise collapses the whole table into one window partition

@@ -739,13 +739,28 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("label"))
-      val next = neighborLabels.unionByName(labels)
+      val merged = neighborLabels.unionByName(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      // labels are monotonically non-increasing, so "changed" ⟺ "shrank";
-      // one distributed count, no row data to the driver
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") < col("prev")).isEmpty
+      // labels are monotonically non-increasing, so "changed" ⟺ "shrank".
+      // r19: the shrink census rides the checkpoint job itself — the
+      // previous labels join INTO the checkpointed plan (1:1 on the same
+      // node set, so the output rows are unchanged) and the count is an
+      // observe metric (Ops.checkpointWithMetric) instead of a separate
+      // join-and-isEmpty action per round.
+      val withPrev = merged
+        .join(labels.withColumnRenamed("label", "__prev"), Seq("node"))
+      val (cp, readChanged) = graft.functions.Ops.checkpointWithMetric(
+        withPrev.select(col("node"), col("label"), col("__prev")),
+        sum(when(col("label") < col("__prev"), 1L).otherwise(0L)).as("n_changed"))
+      val next = cp.select(col("node"), col("label"))
+      converged = readChanged() match {
+        case Some(n: Long) => n == 0L
+        case Some(null) => true // sum over zero rows: no label could change
+        case _ =>
+          // metric pruned (empty frame under AQE) — the pre-fusion check
+          next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+            .filter(col("label") < col("prev")).isEmpty
+      }
       labels = next
       iter += 1
     }

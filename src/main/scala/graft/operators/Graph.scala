@@ -386,21 +386,24 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
-    val e = edges
+    // r19: the checkpointed edge table carries BOTH orientations once, so
+    // each round floods with ONE labels⋈edges join instead of two (the
+    // duplicateClusters shape — same neighbor-label multiset, min is
+    // order-insensitive, labels identical; per-round stage count halves)
+    val e0 = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    val e = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .distinct()
+    var labels = e.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("lab"))
     for (_ <- 1 to rounds) {
-      val viaA = e.join(labels.withColumnRenamed("n", "a"), "a")
-        .select(col("b").as("n"), col("lab"))
-      val viaB = e.join(labels.withColumnRenamed("n", "b"), "b")
-        .select(col("a").as("n"), col("lab"))
-      labels = labels.unionByName(viaA).unionByName(viaB)
+      val viaNbr = e.join(labels.withColumnRenamed("n", "src"), "src")
+        .select(col("dst").as("n"), col("lab"))
+      labels = labels.unionByName(viaNbr)
         .groupBy(col("n")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
     }
@@ -488,8 +491,15 @@ object Graph {
     var converged = eCount == 0L
     var r = 0
     while (!converged && r < maxRounds) {
-      val ss = smallStar(largeStar(e)).localCheckpoint()
-      val ssCount = ss.count()
+      // r19: the round's edge count rides the checkpoint job; the EXCEPT
+      // (which only fires once counts agree — normally exactly once, at
+      // the fixpoint) stays a separate action
+      val (ss, readN) = graft.functions.Ops.checkpointWithMetric(
+        smallStar(largeStar(e)), count(lit(1)).as("n"))
+      val ssCount = readN() match {
+        case Some(n: Long) => n
+        case _ => ss.count()
+      }
       converged = ssCount == eCount && ss.except(e).isEmpty
       e = ss
       eCount = ssCount
@@ -527,23 +537,25 @@ object Graph {
     */
   def bfsDistances(edges: DataFrame, aCol: String, bCol: String,
       seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
-    val e = edges
+    // r19: both orientations materialized once → ONE relax join per round
+    // (the connectedComponents rewrite; distances identical — min over the
+    // same multiset)
+    val e0 = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    val e = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .distinct()
+    val nodes = e.select(col("src").as("n")).distinct()
     var dist = seeds.select(col(seedCol).as("n")).distinct()
       .join(nodes, Seq("n"), "left_semi")
       .select(col("n"), lit(0L).as("d"))
     for (_ <- 1 to rounds) {
-      val viaA = e.join(dist.withColumnRenamed("n", "a"), "a")
-        .select(col("b").as("n"), (col("d") + 1L).as("d"))
-      val viaB = e.join(dist.withColumnRenamed("n", "b"), "b")
-        .select(col("a").as("n"), (col("d") + 1L).as("d"))
-      dist = dist.unionByName(viaA).unionByName(viaB)
+      val viaNbr = e.join(dist.withColumnRenamed("n", "src"), "src")
+        .select(col("dst").as("n"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(viaNbr)
         .groupBy(col("n")).agg(min(col("d")).as("d"))
         .localCheckpoint()
     }
@@ -574,22 +586,23 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
-    val e = edges
+    // r19: both orientations once → ONE vote join per round (votes are the
+    // same multiset, counts identical)
+    val e0 = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    val e = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .distinct()
+    var labels = e.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("lab"))
     val w = Window.partitionBy(col("n"))
       .orderBy(col("__c").desc, col("lab").asc)
     for (_ <- 1 to rounds) {
-      val votes = e.join(labels.withColumnRenamed("n", "a"), "a")
-        .select(col("b").as("n"), col("lab"))
-        .unionByName(e.join(labels.withColumnRenamed("n", "b"), "b")
-          .select(col("a").as("n"), col("lab")))
+      val votes = e.join(labels.withColumnRenamed("n", "src"), "src")
+        .select(col("dst").as("n"), col("lab"))
       labels = votes.groupBy(col("n"), col("lab"))
         .agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w))
@@ -680,6 +693,17 @@ object Graph {
     // unchanged; decimal(38,0) keeps the scalar exact at any node count
     def labelSum(m: DataFrame): java.math.BigDecimal =
       m.agg(sum(col("mlab").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+    // r19: the per-round/sub-round driver scalars (chosen-edge count, the
+    // label-sum convergence scalar) now ride the SAME checkpoint jobs that
+    // materialize those tables (Ops.checkpointWithMetric) instead of one
+    // extra action each — at sf0.1 this roughly halves the job count of
+    // the whole operator, and at 100 TB each avoided action is a cluster
+    // round-trip. Stats-cut unchanged (the BigInteger estimate hazard).
+    def cutStatsWithMetric(df: DataFrame, metric: Column): (DataFrame, Option[Any]) = {
+      val (cp, read) = graft.functions.Ops.checkpointWithMetric(df, metric)
+      (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), read())
+    }
+    val labelSumMetric = sum(col("mlab").cast("decimal(38,0)")).as("s")
     var exhausted = false
     var round = 0
     while (!exhausted && round < rounds) {
@@ -694,32 +718,44 @@ object Graph {
       val chosen = pick
         .select(col("__m.a").as("a"), col("__m.b").as("b"), col("__m.w").as("w"))
         .distinct()
-      val chosenCp = checkpointCutStats(chosen)
-      if (chosenCp.isEmpty) {
+      val (chosenCp, nChosen) = cutStatsWithMetric(chosen, count(lit(1)).as("n"))
+      val noneChosen = nChosen match {
+        case Some(n: Long) => n == 0L
+        case _ => chosenCp.isEmpty // metric pruned on the empty round
+      }
+      if (noneChosen) {
         exhausted = true // no component has a cross edge left: done for good
       } else {
         forest = checkpointCutStats(forest.unionByName(chosenCp))
         // contraction: hash-min + pointer-jump over the chosen-edge
-        // COMPONENT graph, to the label-sum fixpoint (see docstring)
-        val cg = chosenCp
+        // COMPONENT graph, to the label-sum fixpoint (see docstring).
+        // r19: the component graph materializes BOTH orientations once
+        // (it was recomputed from two label joins per sub-round, twice),
+        // so each flood is one join over a checkpointed table.
+        val cg0 = chosenCp
           .join(labels.select(col("n").as("a"), col("lab").as("__ca")), Seq("a"))
           .join(labels.select(col("n").as("b"), col("lab").as("__cb")), Seq("b"))
           .select(col("__ca").as("ca"), col("__cb").as("cb"))
           .distinct()
-        var m = checkpointCutStats(
-          cg.select(col("ca").as("c")).union(cg.select(col("cb").as("c")))
-            .distinct()
-            .select(col("c"), col("c").as("mlab")))
-        var mSum = labelSum(m)
+        val cg = checkpointCutStats(
+          cg0.select(col("ca").as("src"), col("cb").as("dst"))
+            .union(cg0.select(col("cb").as("src"), col("ca").as("dst"))))
+        val (m0, s0) = cutStatsWithMetric(
+          cg.select(col("src").as("c")).distinct()
+            .select(col("c"), col("c").as("mlab")),
+          labelSumMetric)
+        var m = m0
+        var mSum = s0 match {
+          case Some(d: java.math.BigDecimal) => d
+          case _ => labelSum(m)
+        }
         var converged = false
         var cc = 0
         while (!converged && cc < maxCcRounds) {
           cc += 1
-          val viaA = cg.join(m.withColumnRenamed("c", "ca"), "ca")
-            .select(col("cb").as("c"), col("mlab"))
-          val viaB = cg.join(m.withColumnRenamed("c", "cb"), "cb")
-            .select(col("ca").as("c"), col("mlab"))
-          val flooded = m.unionByName(viaA).unionByName(viaB)
+          val viaNbr = cg.join(m.withColumnRenamed("c", "src"), "src")
+            .select(col("dst").as("c"), col("mlab"))
+          val flooded = m.unionByName(viaNbr)
             .groupBy(col("c")).agg(min(col("mlab")).as("mlab"))
           // pointer jump: label ← label(label); every label value is a cg
           // node (labels start as node ids and only copy), so the lookup
@@ -728,8 +764,12 @@ object Graph {
             .join(flooded.as("y"), col("x.mlab") === col("y.c"), "left")
             .select(col("x.c").as("c"),
               coalesce(col("y.mlab"), col("x.mlab")).as("mlab"))
-          m = checkpointCutStats(jumped)
-          val s = labelSum(m)
+          val (mNext, sOpt) = cutStatsWithMetric(jumped, labelSumMetric)
+          m = mNext
+          val s = sOpt match {
+            case Some(d: java.math.BigDecimal) => d
+            case _ => labelSum(m)
+          }
           converged = s.compareTo(mSum) == 0
           mSum = s
         }
@@ -783,10 +823,17 @@ object Graph {
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("n"))
-      e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
-      val n2 = e.count()
+      // r19: the survivor count rides the checkpoint job (one observe
+      // metric) instead of a separate count action per peel round
+      val (cp, readN) = graft.functions.Ops.checkpointWithMetric(
+        e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi"),
+        count(lit(1)).as("n"))
+      e = cp
+      val n2 = readN() match {
+        case Some(n: Long) => n
+        case _ => e.count() // metric pruned on an empty round — rare
+      }
       stable = n2 == nEdges
       nEdges = n2
       r += 1
@@ -838,10 +885,16 @@ object Graph {
     var stable = nEdges == 0L
     var r = 0
     while (r < rounds && !stable) {
-      e = e.join(support(e).filter(col("support") >= k - 2), Seq("a", "b"),
-          "left_semi")
-        .localCheckpoint()
-      val n2 = e.count()
+      // r19: survivor count fused into the checkpoint (the kcore move)
+      val (cp, readN) = graft.functions.Ops.checkpointWithMetric(
+        e.join(support(e).filter(col("support") >= k - 2), Seq("a", "b"),
+          "left_semi"),
+        count(lit(1)).as("n"))
+      e = cp
+      val n2 = readN() match {
+        case Some(n: Long) => n
+        case _ => e.count()
+      }
       stable = n2 == nEdges
       nEdges = n2
       r += 1

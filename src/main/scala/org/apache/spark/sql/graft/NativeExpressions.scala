@@ -721,6 +721,15 @@ case class ProtoEncodeBytes(child: Expression, fieldNo: Int)
     copy(child = newChild)
 }
 
+/** Non-blocking read of an [[org.apache.spark.sql.Observation]]'s metrics —
+  * `getOrEmpty` is private[spark] (the blocking `get` would deadlock when
+  * AQE's empty-relation propagation prunes the CollectMetrics node), so the
+  * poll is bridged from this package like the other private[sql] surfaces.
+  */
+object ObservationBridge {
+  def peek(o: org.apache.spark.sql.Observation): Map[String, Any] = o.getOrEmpty
+}
+
 /** Dot product over two float arrays, double accumulation in element order.
   * Nullable: a length mismatch or null element mirrors the zip_with padding /
   * null-poisoned fold of the built-ins formulation it replaces (boxed Double
