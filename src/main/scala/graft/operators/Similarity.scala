@@ -823,16 +823,6 @@ object Similarity {
         org.apache.spark.sql.graft.natives.dotFF(s.getField("centroid"),
           slice(col(embCol), s.getField("sub") * lit(sd) + lit(1), lit(sd))).as("v"))))
 
-  /** [[pqLutMap]] densified to a positional array (position i+1 holds map
-    * key i; extinct codewords hold null, null-poisoning a score fold
-    * exactly like a missing map key) — the representation
-    * [[org.apache.spark.sql.graft.natives.pqAdcScore]] folds in O(1) per
-    * term where the map form linear-scanned its key array per lookup.
-    * Runs on the batch-sized query side only.
-    */
-  private[graft] def pqLutDense(m: Int, nCw: Int, lutMapCol: String): Column =
-    transform(sequence(lit(0), lit(m * nCw - 1)), i => try_element_at(col(lutMapCol), i))
-
   private def pqCodesExpr(m: Int, sd: Int, cbCol: String, embCol: String): Column =
     // r19: the per-codeword distance is the native element-order fold
     // (SqDistFF — bit-identical to the cast-subtract-square zip_with
@@ -868,17 +858,14 @@ object Similarity {
     val codes = pqEncode(corpus, idCol, embCol, cb, m, dim, "neighbor_id")
     // per-query LUT keyed sub·k + cell (cells can go extinct in a Lloyd
     // round, so a MAP lookup, not positional indexing)
-    // r19: partial dots via the native fold (dot_ff), and the sparse map
-    // DENSIFIED to a positional array on the (batch-sized) query side —
-    // position i+1 holds map key i, extinct codewords hold null exactly
-    // like a missing map key — so the per-candidate m-term score runs as
-    // one codegen'd call (pq_adc_score) instead of m interpreted
-    // linear-scan map lookups per candidate row. Scores bit-identical
-    // (same j-ascending 0.0-seeded fold over the same doubles).
+    // r19: partial dots via the native fold (DotFF inside pqLutMap), and
+    // the per-candidate m-term score as ONE codegen'd call straight off
+    // the sparse map (PqAdcScore: one entry pass + j-ascending fold)
+    // instead of m interpreted linear-scan map lookups per candidate row.
+    // Scores bit-identical (same doubles, same 0.0-seeded fold order).
     val q = queries.select(col(queryIdCol).as("query_id"), col(embCol).as("__q"))
       .crossJoin(broadcast(cb))
-      .select(col("query_id"), pqLutMap(nCodewords, sd, "cb", "__q").as("__lutm"))
-      .select(col("query_id"), pqLutDense(m, nCodewords, "__lutm").as("lut"))
+      .select(col("query_id"), pqLutMap(nCodewords, sd, "cb", "__q").as("lut"))
     val scored = codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("score", org.apache.spark.sql.graft.natives
         .pqAdcScore(col("lut"), col("codes"), nCodewords))
@@ -924,13 +911,11 @@ object Similarity {
     // query side: probe cells + the ADC lookup table
     val qCells = ivfAssignCells(queries, embCol, col(queryIdCol).as("query_id"),
       nProbe, coarse).select(col("query_id"), col("cell"), col("__e"))
-    // r19: native dots + dense positional LUT + codegen'd ADC score — the
-    // annPq rewrite (see there for the bit-identity argument)
+    // r19: native dots + codegen'd map-ADC score — the annPq rewrite (see
+    // there for the bit-identity argument)
     val q = qCells.crossJoin(broadcast(pq))
       .select(col("query_id"), col("cell"),
-        pqLutMap(nCodewords, sd, "cb", "__e").as("__lutm"))
-      .select(col("query_id"), col("cell"),
-        pqLutDense(m, nCodewords, "__lutm").as("lut"))
+        pqLutMap(nCodewords, sd, "cb", "__e").as("lut"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", org.apache.spark.sql.graft.natives

@@ -129,18 +129,14 @@ object AnnIndex {
     // (query, cell) rows, so building the map there repeated the fold
     // nProbe× and carried the result through the explode; the (query_id →
     // lut) table is batch-sized, so it joins back broadcast
-    // r19: partial dots via the native fold (dot_ff) and the sparse map
-    // densified to a positional array (position i+1 = map key i, extinct
-    // codewords null) so the per-candidate score below is one codegen'd
-    // call — bit-identical scores (same j-ascending 0.0-seeded fold), see
-    // Similarity.annPq
+    // r19: partial dots via the native fold (DotFF) and the per-candidate
+    // score as one codegen'd map-ADC call — bit-identical scores (same
+    // j-ascending 0.0-seeded fold), see Similarity.annPq
     val qlut = queries
       .select(col(queryIdCol).as("query_id"), col(embCol).as("__qe"))
       .crossJoin(broadcast(pqCb))
       .select(col("query_id"),
-        Similarity.pqLutMap(nCw, sd, "cb", "__qe").as("__lutm"))
-      .select(col("query_id"),
-        Similarity.pqLutDense(m, nCw, "__lutm").as("lut"))
+        Similarity.pqLutMap(nCw, sd, "cb", "__qe").as("lut"))
     val q = Similarity.ivfAssignWith(queries, embCol,
         col(queryIdCol).as("query_id"), nProbe, readCodebook(spark, root))
       .select(col("query_id"), col("cell"))

@@ -230,10 +230,9 @@ object natives {
       ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
 
   /** ADC score: `aggregate(sequence(0, m-1), 0.0D, (a, j) ->
-    * a + element_at(lut, j * nCodewords + codes[j]))` over a DENSE
-    * 1-indexed lut array (position i+1 holds map key i; extinct codewords
-    * hold null and null-poison exactly like the map fold) — the PQ
-    * candidate-scoring kernel, one codegen'd call per candidate row.
+    * a + element_at(lut, j * nCodewords + codes[j]))` straight off the
+    * sparse (sub·nCodewords + cell) → partial-dot LUT MAP — same values,
+    * same j-ascending fold order, one codegen'd call per candidate row.
     */
   def pqAdcScore(lut: Column, codes: Column, nCodewords: Int): Column =
     ExpressionUtils.column(PqAdcScore(
@@ -828,19 +827,28 @@ case class HilbertIndex2D(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** ADC score fold: Σ_{j=0..m-1} lut[j·nCodewords + codes[j]] with double
-  * accumulation in j order over a DENSE 1-indexed lut (array position i+1 =
-  * map key i; null slots — extinct codewords — null-poison the fold exactly
-  * like the element_at(map, …) formulation this replaces).
+/** ADC score fold STRAIGHT OFF THE SPARSE LUT MAP: one native pass over the
+  * map's entries gathers the m addressed partial dots (key j·nCodewords +
+  * codes[j]), then folds them j-ASCENDING with double accumulation — the
+  * exact `aggregate(sequence(0, m-1), 0.0, (a, j) -> a + element_at(lut,
+  * …))` values and association order, without m interpreted linear-scan
+  * GetMapValue calls per candidate row. (A dense positional-array LUT was
+  * tried first and REVERTED: CollapseProject inlines the map construction
+  * into the densify-transform's lambda, rebuilding the 128-dot map once per
+  * element — the dHash63Text hazard — which doubled q_x_ann_index_serve_pq.)
+  * A missing key (impossible by construction — codes come from the same
+  * codebook) yields null.
   */
 case class PqAdcScore(left: Expression, right: Expression, nCodewords: Int)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+    Seq(MapType(IntegerType, DoubleType), ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(lut: Any, codes: Any): Any =
-    NativeKernels.pqAdcScore(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], nCodewords)
+    NativeKernels.pqAdcScore(
+      lut.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      codes.asInstanceOf[ArrayData], nCodewords)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lut, codes) => {
       val v = ctx.freshName("adc")
@@ -1460,21 +1468,45 @@ object NativeKernels {
     d
   }
 
-  /** ADC fold over a dense 1-indexed lut: Σ_j lut[j·nCw + codes[j]], double
-    * accumulation in j order; a null lut slot (extinct codeword) poisons the
-    * fold like the map formulation.
+  /** ADC fold off the sparse LUT map: gather the m addressed partial dots
+    * in ONE pass over the map's entry arrays, then fold j-ascending (double
+    * accumulation) — same values, same association order as the
+    * element_at(map, …) sequence fold. Null on a missing key / null value /
+    * null code (the null-poisoned-fold semantics).
     */
-  def pqAdcScore(lut: ArrayData, codes: ArrayData, nCw: Int): java.lang.Double = {
+  def pqAdcScore(lut: org.apache.spark.sql.catalyst.util.MapData,
+      codes: ArrayData, nCw: Int): java.lang.Double = {
     val m = codes.numElements()
-    var acc = 0.0
+    val wanted = new Array[Int](m)
     var j = 0
     while (j < m) {
       if (codes.isNullAt(j)) return null
-      val idx = j * nCw + codes.getInt(j)
-      if (idx < 0 || idx >= lut.numElements() || lut.isNullAt(idx)) return null
-      acc += lut.getDouble(idx)
+      wanted(j) = j * nCw + codes.getInt(j)
       j += 1
     }
+    val keys = lut.keyArray()
+    val vals = lut.valueArray()
+    val n = keys.numElements()
+    val picked = new Array[Double](m)
+    var found = 0
+    var i = 0
+    while (i < n && found < m) {
+      val k = keys.getInt(i)
+      var jj = 0
+      while (jj < m) {
+        if (wanted(jj) == k) {
+          if (vals.isNullAt(i)) return null
+          picked(jj) = vals.getDouble(i)
+          found += 1
+          jj = m
+        } else jj += 1
+      }
+      i += 1
+    }
+    if (found < m) return null
+    var acc = 0.0
+    j = 0
+    while (j < m) { acc += picked(j); j += 1 }
     acc
   }
 
