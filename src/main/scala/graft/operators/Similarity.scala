@@ -471,12 +471,15 @@ object Similarity {
   // per-cell unit centroids → one codebook row: cb = array<struct<cell, centroid>>
   // (input carries cols `cell` and `__e`)
   private def ivfToCodebook(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("__e")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
-      .select(col("cell"), expr("transform(cs, s -> s.cx)").as("c"))
+    // r19: ONE cell-keyed aggregate (native element-wise vector sum +
+    // count → mean) instead of posexplode → per-(cell, pos) avg →
+    // re-collect — a dim× narrower shuffle and one exchange fewer per
+    // Lloyd pass. Centroid values stay the same shuffle-order-double
+    // class the tier declares (oracles replay STORED codebooks).
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"),
+        org.apache.spark.sql.graft.natives.floatVectorSum(col("__e")).as("__s"))
+      .select(col("cell"), expr("transform(__s, x -> x / __n)").as("c"))
       .select(col("cell"), expr(
         "transform(c, x -> CAST(x / sqrt(greatest(" +
           "aggregate(c, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v), 1e-30)) AS FLOAT))")
@@ -744,13 +747,12 @@ object Similarity {
   // normalized: the full-vector dot decomposes as Σ_m ⟨q_m, x_m⟩ only if
   // codewords live in the raw (unnormalized) subspace.
   private def pqToCodebooks(assigned: DataFrame): DataFrame =
-    assigned.select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy(col("sub"), col("cell"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("sub"), col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+    // r19: one (sub, cell)-keyed aggregate (the ivfToCodebook move)
+    assigned.groupBy(col("sub"), col("cell"))
+      .agg(count(lit(1)).as("__n"),
+        org.apache.spark.sql.graft.natives.floatVectorSum(col("sv")).as("__s"))
       .select(col("sub"), col("cell"),
-        expr("transform(cs, s -> CAST(s.cx AS FLOAT))").as("centroid"))
+        expr("transform(__s, x -> CAST(x / __n AS FLOAT))").as("centroid"))
       .localCheckpoint()
       .agg(collect_list(struct(col("sub"), col("cell"), col("centroid"))).as("cb"))
 

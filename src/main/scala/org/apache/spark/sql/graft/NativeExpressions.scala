@@ -166,6 +166,13 @@ object natives {
     ExpressionUtils.column(KmvBottomKAgg(
       ExpressionUtils.expression(hash), k).toAggregateExpression())
 
+  /** Element-wise double-accumulated sum of float vectors (see
+    * [[FloatVectorSumAgg]]) — the one-shuffle Lloyd centroid accumulator.
+    */
+  def floatVectorSum(vec: Column): Column =
+    ExpressionUtils.column(FloatVectorSumAgg(
+      ExpressionUtils.expression(vec)).toAggregateExpression())
+
   def bloomAgg(hash: Column, expectedItems: Long, numBits: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

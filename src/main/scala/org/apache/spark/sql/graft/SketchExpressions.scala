@@ -172,6 +172,84 @@ case class LongVectorSumAgg(
     copy(child = newChildren.head)
 }
 
+/** Element-wise DOUBLE-accumulated sum of float vectors — the centroid
+  * accumulator of Lloyd codebook training (r19): one grouped aggregate
+  * replaces the posexplode → per-(group, pos) avg → re-collect two-shuffle
+  * chain. Summation order is partial-aggregation order — exactly the
+  * shuffle-order nondeterminism the codebook tiers already declare (their
+  * oracles replay STORED codebooks, never the training fold). Ragged inputs
+  * throw; NULL rows are skipped; an all-NULL group returns NULL.
+  */
+case class FloatVectorSumAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_vector_sum"
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (buffer.isEmpty) {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = arr.getFloat(i).toDouble; i += 1 }
+      out
+    } else {
+      require(buffer.length == n,
+        s"float_vector_sum: ragged input (${buffer.length} vs $n elements)")
+      var i = 0
+      while (i < n) { buffer(i) += arr.getFloat(i).toDouble; i += 1 }
+      buffer
+    }
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] =
+    if (buffer.isEmpty) other
+    else if (other.isEmpty) buffer
+    else {
+      require(buffer.length == other.length,
+        s"float_vector_sum: ragged merge (${buffer.length} vs ${other.length} elements)")
+      var i = 0
+      while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putDouble(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FloatVectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FloatVectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FloatVectorSumAgg =
+    copy(child = newChildren.head)
+}
+
 /** KMV (k-minimum-values / bottom-k) distinct sketch aggregate over a LONG
   * hash column: state = the k smallest DISTINCT hash values seen, emitted
   * as an ascending array. The mergeable form of the `q_x_kmv_distinct`
