@@ -386,10 +386,19 @@ object ExtTextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val nDocs = docs.agg(max(col("doc_id")).as("mx"))
+      // r19: grams ride as the native one-pass distinct HASH set
+      // (shingleHashes — the shared 64-bit md5 gram identity of the
+      // containment/jaccard family, exact w.r.t. the string set up to
+      // ~1e-15 collision odds per pair; fixed testdata, compared green at
+      // every SF) — the interpreted string-shingle transform + the
+      // string-keyed shuffle were this row's whole cost. The oracle keeps
+      // counting the STRING grams; the distinct-count per decile is
+      // identical absent a collision.
       val firstDecile = docs
         .crossJoin(broadcast(nDocs))
         .select(least(expr("doc_id * 10 div (mx + 1)"), lit(9)).as("decile"),
-          explode(Dedup.shingles(col("text"), 3)).as("g"))
+          explode(org.apache.spark.sql.graft.natives
+            .shingleHashes(col("text"), 3)).as("g"))
         .groupBy(col("g")).agg(min(col("decile")).as("decile"))
         .groupBy(col("decile")).agg(count(lit(1)).as("new_grams"))
       firstDecile
