@@ -287,7 +287,7 @@ object Ops {
     * observe is pass-through) and a blocking reader.
     */
   def checkpointWithMetric(df: DataFrame, metric: Column): (DataFrame, () => Option[Any]) = {
-    import org.apache.spark.sql.graft.ObservationBridge.peek
+    import org.apache.spark.sql.graft.ObservationBridge.{discard, peek}
     val obs = org.apache.spark.sql.Observation()
     val cp = df.observe(obs, metric).localCheckpoint()
     val read = () => {
@@ -299,6 +299,20 @@ object Ops {
       while (m.isEmpty && tries < 3000) {
         if (tries < 1000) Thread.`yield`() else Thread.sleep(1)
         tries += 1; m = peek(obs)
+      }
+      if (m.isEmpty) {
+        // r20: make the fallback LOUD — expected at most once per loop
+        // (AQE's empty-relation propagation pruning the CollectMetrics on
+        // an empty/terminal round); on a NON-empty frame it means the
+        // listener path regressed and every round is paying the ~2 s
+        // spin-wait above. Also evict the never-completing observation
+        // from the session's pending registry (one entry would otherwise
+        // leak per pruned round).
+        val evicted = discard(df.sparkSession, obs)
+        System.err.println(
+          "[graft] checkpointWithMetric: observe metric never fired " +
+            "(CollectMetrics pruned or listener stalled); caller falls " +
+            s"back to a separate action (evicted=$evicted)")
       }
       m.values.headOption
     }

@@ -550,6 +550,17 @@ object Dedup {
     // conjunction BEFORE verify; materialized once — referenced by the
     // verify semi-join and the pair join (the nearDupPairsMinHash pattern)
     val cand = textCand.join(imgCand, Seq("a", "b")).localCheckpoint()
+    crossModalVerify(cand, records, idCol, captionCol, phashCol,
+      shingleN, threshold, maxHamming)
+  }
+
+  /** The verify tail shared by [[crossModalPairDedup]] and
+    * [[crossModalGatedDedup]]: a materialized candidate pair table in,
+    * exact caption Jaccard + exact image Hamming out, conjunction filter.
+    */
+  private def crossModalVerify(cand: DataFrame, records: DataFrame,
+      idCol: String, captionCol: String, phashCol: String,
+      shingleN: Int, threshold: Double, maxHamming: Int): DataFrame = {
     val ph = records.select(col(idCol), col(phashCol))
     jaccardOnPairs(cand, records, idCol, captionCol, shingleN)
       .join(ph.select(col(idCol).as("a"), col(phashCol).as("__pa")), Seq("a"))
@@ -557,6 +568,53 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"),
         expr("bit_count(__pa ^ __pb)").cast("long").as("hamming"))
       .filter(col("jaccard") >= threshold && col("hamming") <= maxHamming)
+  }
+
+  /** [[crossModalAlignment]] composed with [[crossModalPairDedup]], the band
+    * fronts built ONCE (r20): the alignment gate and the pair dedup consume
+    * the SAME two banded candidate-pair tables, so the composed query (gate
+    * first, dedup over aligned survivors) need not re-sketch the survivor
+    * cohort — the survivor cohort's candidate pairs are exactly the
+    * full-cohort pairs whose BOTH endpoints survived the gate:
+    *   - all-pairs buckets: restricting a bucket's membership to the
+    *     survivor set S turns its pair set {a<b ∈ M} into {a<b ∈ M∩S},
+    *     i.e. the full pair set filtered to S×S;
+    *   - the hot-bucket cap only ever gets LAXER on a sub-cohort
+    *     (|M∩S| ≤ |M|), and both stages here run the fronts with the same
+    *     `failOnOverCap`, so a full-cohort over-cap bucket raises at the
+    *     gate before the dedup stage could observe any difference.
+    * Output is therefore row-identical to
+    * `crossModalPairDedup(records ⋉ aligned, …)` (DedupSpec pins it) at
+    * half the sketching cost: one MinHash signature pipeline and one pHash
+    * band table instead of two of each.
+    */
+  def crossModalGatedDedup(records: DataFrame, idCol: String,
+      captionCol: String, phashCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.6, maxHamming: Int = 6, tau: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnOverCap: Boolean = false): DataFrame = {
+    val tp = textCandidatePairs(records, idCol, captionCol,
+      numHashes, rowsPerBand, shingleN, maxBucketSize, failOnOverCap)
+      .localCheckpoint()
+    val ip = Multimodal.phashBandPairs(records, idCol, phashCol,
+      maxBucketSize = maxBucketSize, failOnOverCap = failOnOverCap)
+      .localCheckpoint()
+    def sym(p: DataFrame): DataFrame =
+      p.select(col("a").as(idCol), col("b").as("__nbr"))
+        .unionByName(p.select(col("b").as(idCol), col("a").as("__nbr")))
+    // doc-scale survivor set; materialized once — referenced by two
+    // semi-joins (both endpoints must survive the gate)
+    val aligned = alignmentFromNeighbors(records.select(col(idCol)),
+        sym(tp), sym(ip), idCol, tau)
+      .filter(col("is_aligned")).select(col(idCol))
+      .localCheckpoint()
+    val cand = tp.join(ip, Seq("a", "b"))
+      .join(broadcast(aligned.select(col(idCol).as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(aligned.select(col(idCol).as("b"))), Seq("b"), "left_semi")
+      .localCheckpoint()
+    crossModalVerify(cand, records, idCol, captionCol, phashCol,
+      shingleN, threshold, maxHamming)
   }
 
   /** 64-bit SimHash per doc over the token multiset: bit i of the sketch is

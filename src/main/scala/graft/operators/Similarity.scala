@@ -476,8 +476,14 @@ object Similarity {
     // re-collect — a dim× narrower shuffle and one exchange fewer per
     // Lloyd pass. Centroid values stay the same shuffle-order-double
     // class the tier declares (oracles replay STORED codebooks).
+    // denominator counts the NON-NULL vectors — the rows FloatVectorSumAgg
+    // actually accumulated (count(lit(1)) would count a NULL-embedding row
+    // the sum skipped and deflate the centroid; the replaced posexplode+avg
+    // form excluded NULL rows from both sides). No-op on NULL-free
+    // training folds — the tested corpora — so stored-codebook oracles
+    // are unchanged.
     assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("__n"),
+      .agg(count(col("__e")).as("__n"),
         org.apache.spark.sql.graft.natives.floatVectorSum(col("__e")).as("__s"))
       .select(col("cell"), expr("transform(__s, x -> x / __n)").as("c"))
       .select(col("cell"), expr(
@@ -748,8 +754,10 @@ object Similarity {
   // codewords live in the raw (unnormalized) subspace.
   private def pqToCodebooks(assigned: DataFrame): DataFrame =
     // r19: one (sub, cell)-keyed aggregate (the ivfToCodebook move)
+    // count(col("sv")), not count(lit(1)): the ivfToCodebook NULL-row
+    // denominator alignment
     assigned.groupBy(col("sub"), col("cell"))
-      .agg(count(lit(1)).as("__n"),
+      .agg(count(col("sv")).as("__n"),
         org.apache.spark.sql.graft.natives.floatVectorSum(col("sv")).as("__s"))
       .select(col("sub"), col("cell"),
         expr("transform(__s, x -> CAST(x / __n AS FLOAT))").as("centroid"))

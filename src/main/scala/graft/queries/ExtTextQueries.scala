@@ -279,12 +279,13 @@ object ExtTextQueries {
         .withColumn("__cells", Multimodal.dHashCells(col("__img")))
         .select(col("doc_id"), col("text"),
           Multimodal.dHash63("__cells").as("ph"))
-      val aligned = Dedup.crossModalAlignment(recs, "doc_id", "text", "ph",
-          failOnOverCap = true)
-        .filter(col("is_aligned")).select(col("doc_id"))
-      Dedup.crossModalPairDedup(
-        recs.join(aligned, Seq("doc_id"), "left_semi"),
-        "doc_id", "text", "ph",
+      // r20: the gate and the dedup share ONE pair of band fronts
+      // (Dedup.crossModalGatedDedup) — the survivor cohort's candidate
+      // pairs are the full-cohort pairs with both endpoints aligned, so
+      // re-sketching the survivors was pure recompute. Row-identical to
+      // the previous alignment∘pairDedup composition (DedupSpec pins it;
+      // oracle unchanged).
+      Dedup.crossModalGatedDedup(recs, "doc_id", "text", "ph",
         numHashes = 16, rowsPerBand = 4, shingleN = 3,
         threshold = 0.6, maxHamming = 6, failOnOverCap = true)
     },
@@ -386,19 +387,21 @@ object ExtTextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val nDocs = docs.agg(max(col("doc_id")).as("mx"))
-      // r19: grams ride as the native one-pass distinct HASH set
-      // (shingleHashes — the shared 64-bit md5 gram identity of the
-      // containment/jaccard family, exact w.r.t. the string set up to
-      // ~1e-15 collision odds per pair; fixed testdata, compared green at
-      // every SF) — the interpreted string-shingle transform + the
-      // string-keyed shuffle were this row's whole cost. The oracle keeps
-      // counting the STRING grams; the distinct-count per decile is
-      // identical absent a collision.
+      // r19: grams ride as a native one-pass distinct HASH set instead of
+      // interpreted string shingles + a string-keyed shuffle (that was this
+      // row's whole cost). r20: the identity is widened to the FULL 16-byte
+      // md5 (shingleHashes128) — a 64-bit identity EXPECTS birthday
+      // collisions near 4.3e9 distinct grams (≈0.3% at the 100 TB regime's
+      // ~1e10), which would silently undercount new_grams while the row's
+      // declaration says exact; 128 bits is collision-free at any realistic
+      // corpus (~1e-19 at 1e10). The oracle keeps counting the STRING
+      // grams; the distinct-count per decile is identical absent a
+      // collision (compared green at every SF).
       val firstDecile = docs
         .crossJoin(broadcast(nDocs))
         .select(least(expr("doc_id * 10 div (mx + 1)"), lit(9)).as("decile"),
           explode(org.apache.spark.sql.graft.natives
-            .shingleHashes(col("text"), 3)).as("g"))
+            .shingleHashes128(col("text"), 3)).as("g"))
         .groupBy(col("g")).agg(min(col("decile")).as("decile"))
         .groupBy(col("decile")).agg(count(lit(1)).as("new_grams"))
       firstDecile

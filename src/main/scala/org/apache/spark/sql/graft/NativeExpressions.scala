@@ -94,6 +94,19 @@ object natives {
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
 
+  /** Sorted distinct FULL 16-byte md5 digests of the word n-gram shingles —
+    * the 128-bit widening of [[shingleHashes]] for distinct-gram COUNTING
+    * at corpus scale (r20): a 64-bit identity expects birthday collisions
+    * near ~4.3e9 distinct grams (≈0.3% collision odds at 1e10 grams, the
+    * 100 TB regime), silently undercounting a distinct count; both md5
+    * halves are collision-free at any realistic corpus (~1e-19 at 1e10).
+    * Pairwise-verify consumers (Jaccard on candidate pairs) keep the
+    * 64-bit form — per-pair odds there are ~1e-15 and the arrays pair with
+    * the zero-allocation sorted-intersect kernels.
+    */
+  def shingleHashes128(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes128(ExpressionUtils.expression(text), n))
+
   /** Position-ordered (duplicates kept) md5-derived word n-gram shingle
     * hashes — element i is the shingle starting at token i. The positional
     * twin of [[shingleHashes]]: `posexplode` of this array yields
@@ -578,6 +591,22 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Sorted distinct full 16-byte md5 digests of word n-gram shingles (see
+  * [[natives.shingleHashes128]]). Non-null: shingle-less short docs yield an
+  * empty array.
+  */
+case class ShingleHashes128(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.shingleHashes128(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.shingleHashes128($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes128 =
+    copy(child = newChild)
+}
+
 /** Position-ordered md5-derived hashes of word n-gram shingles (see
   * [[natives.shingleHashesOrdered]]): element i = shingle starting at token
   * i, duplicates kept. Non-null: shingle-less short docs yield an empty
@@ -734,6 +763,33 @@ case class ProtoEncodeBytes(child: Expression, fieldNo: Int)
   */
 object ObservationBridge {
   def peek(o: org.apache.spark.sql.Observation): Map[String, Any] = o.getOrEmpty
+
+  /** Best-effort removal of a never-completed Observation from the
+    * session's ObservationManager registry (r20): when AQE's
+    * empty-relation propagation prunes a CollectMetrics node, the
+    * manager's `tryComplete` never fires for that plan and the observation
+    * entry stays in its pending map for the life of the session — one
+    * leaked entry per pruned iterative round. The map is private, so this
+    * reaches it reflectively; any failure (a future Spark rename) is
+    * swallowed — the leak is small and the fallback path already ran.
+    * Returns true when an entry was removed.
+    */
+  def discard(spark: org.apache.spark.sql.SparkSession,
+      o: org.apache.spark.sql.Observation): Boolean =
+    try {
+      val mgr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .observationManager
+      val f = mgr.getClass.getDeclaredField("observations")
+      f.setAccessible(true)
+      val m = f.get(mgr)
+        .asInstanceOf[java.util.concurrent.ConcurrentHashMap[AnyRef, AnyRef]]
+      val it = m.entrySet().iterator()
+      var removed = false
+      while (it.hasNext) {
+        if (it.next().getValue eq o) { it.remove(); removed = true }
+      }
+      removed
+    } catch { case scala.util.control.NonFatal(_) => false }
 }
 
 /** Dot product over two float arrays, double accumulation in element order.
@@ -1162,6 +1218,50 @@ object NativeKernels {
       org.apache.spark.sql.catalyst.util.GenericArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       sortDistinct(shingleHashArray(s, n)))
+
+  /** Sorted distinct FULL 16-byte md5 digests of word n-gram shingles —
+    * the 128-bit gram identity (see [[natives.shingleHashes128]]). Shingle
+    * construction identical to [[shingleHashes]]; only the hash width
+    * differs (whole digest instead of the first 8 bytes).
+    */
+  def shingleHashes128(s: org.apache.spark.unsafe.types.UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = tokensOf(s)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Array[Byte]])
+    val md = digest.get()
+    val out = new Array[Array[Byte]](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.reset()
+      md.update(bytes, 0, bytes.length)
+      out(i) = md.digest()
+      i += 1
+    }
+    // sort (signed lexicographic — consumers only need SOME total order for
+    // dedup; counting is order-blind) + adjacent dedupe
+    java.util.Arrays.sort(out,
+      (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compare(a, b))
+    var w = 0
+    i = 1
+    while (i < out.length) {
+      if (!java.util.Arrays.equals(out(i), out(w))) { w += 1; out(w) = out(i) }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w + 1 == out.length) out else java.util.Arrays.copyOf(out, w + 1))
+  }
 
   /** Position-ordered md5-derived hashes of word n-gram shingles — element
     * i is the shingle STARTING at token i, duplicates kept. The positional

@@ -199,6 +199,12 @@ case class FloatVectorSumAgg(
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // an empty buffer means "no row seen yet": a zero-length input vector
+    // would alias that state — the next k-dim row would silently
+    // re-initialize instead of tripping the ragged require, and an
+    // all-zero-dim group would eval to NULL like an all-NULL group. Vector
+    // sums of zero-dim inputs have no consumer; fail fast instead.
+    require(n > 0, "float_vector_sum: zero-length input vector")
     if (buffer.isEmpty) {
       val out = new Array[Double](n)
       var i = 0

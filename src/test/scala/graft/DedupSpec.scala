@@ -1167,6 +1167,35 @@ class DedupSpec extends SparkSpec {
     Seq(20L, 21L).foreach(d => assert(got(d) == ((0L, 0L, 0L, 1.0, true)), s"doc $d: ${got(d)}"))
   }
 
+  test("gated dedup with shared band fronts is row-identical to the alignment∘pairDedup composition") {
+    // the alignment-gate corpus (misaligned records 5 and 13 are dropped by
+    // the gate, so the gate is non-vacuous): the r20 shared-fronts operator
+    // must emit exactly the rows of the two-stage composition that
+    // re-sketches the survivor cohort — the equivalence claim of
+    // Dedup.crossModalGatedDedup (survivor pairs = full-cohort pairs with
+    // both endpoints aligned)
+    val capA = "the quick brown fox jumps over the lazy dog while the storm rolls in"
+    val capB = "parquet footers carry column statistics that prune entire row groups early"
+    val rows = (0L to 4L).map(i => (i, capA, 0x1111222233334444L)) ++
+      Seq((5L, capA, 0x0999099909990999L)) ++
+      (10L to 12L).map(i => (i, capB, 0x5555666677778888L)) ++
+      Seq((13L, capB, 0x1111222233334444L)) ++
+      Seq((20L, "a singleton about watermark semantics and state stores", 0x0AAA0BBB0CCC0DDDL))
+    val recs = spark.createDataFrame(rows).toDF("doc_id", "text", "ph")
+    val aligned = Dedup.crossModalAlignment(recs, "doc_id", "text", "ph")
+      .filter(col("is_aligned")).select(col("doc_id"))
+    val composed = Dedup.crossModalPairDedup(
+        recs.join(aligned, Seq("doc_id"), "left_semi"), "doc_id", "text", "ph")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val shared = Dedup.crossModalGatedDedup(recs, "doc_id", "text", "ph")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(shared == composed, s"shared=$shared composed=$composed")
+    // the gate actually bit: misaligned 5/13 appear in NO pair, aligned
+    // clusters still collapse
+    assert(shared.nonEmpty)
+    assert(!shared.exists(p => Set(p._1, p._2).exists(Set(5L, 13L))))
+  }
+
   test("star-cap remediation tier: over-cap alignment buckets stay connected through the hub; the loud tier raises") {
     // 40 identical (caption, image) records: every band bucket holds all
     // 40 — far over a forced cap of 8 — plus a singleton. The capped mode
