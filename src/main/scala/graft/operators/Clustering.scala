@@ -138,14 +138,15 @@ object Clustering {
             .agg(count(lit(1)).as("__n"),
               array((1 to d).map(i => sum(element_at(col("__fs"), i))): _*).as("__sum"))
         ).localCheckpoint()
-      // ctr is k rows — its checkpoint is a trivial job that keeps the
-      // doubly-referenced (assignment + empty-cluster fallback) lineage
-      // from re-expanding 2^iters-fold
+      // ctr stays LAZY (r20): it is k rows joined to the CHECKPOINTED upd,
+      // so the doubly-referenced (assignment + empty-cluster fallback)
+      // lineage re-expands only as 2^iters copies of k-row arithmetic over
+      // materialized leaves — pure planning, no recompute — where the old
+      // per-round localCheckpoint paid a driver action each round
       ctr = ctr.join(upd, Seq("cid"), "left")
         .select(col("cid"),
           when(col("__n").isNull, col("__cs"))
             .otherwise(transform(col("__sum"), s => s / col("__n"))).as("__cs"))
-        .localCheckpoint()
     }
     ctr.join(upd.select(col("cid"), col("__n")), Seq("cid"), "left")
       .select(col("cid").cast("long").as("cluster"),

@@ -70,6 +70,14 @@ object Graph {
     // rank/outdeg, W = the node's out-weight total). Unweighted is the
     // all-weights-1 special case; the fold-determinism argument is
     // unchanged (the per-edge share is one extra exact double multiply).
+    // r20 negative result, kept for the record: PRE-PARTITIONING this
+    // checkpoint on src (repartition(col("src")) before localCheckpoint —
+    // Spark 4's LogicalRDD does capture the partitioning, probe-verified)
+    // measured a ~25% REGRESSION isolated at sf0.1 (pagerank 3.19→4.24 s
+    // warm, ppr 4.36→4.68, pagerank_w 3.34→3.86): the extra edge-scale
+    // exchange at build is real, while the per-round e-side exchanges it
+    // was meant to remove were already deduped by ReusedExchange across
+    // the loop's identical subtrees. Do not re-try without a shape change.
     val e = edges.select(col(srcCol).as("src") +: col(dstCol).as("dst") +:
         weightCol.map(w => col(w).cast("double").as("w")).toSeq: _*)
       .localCheckpoint()
@@ -300,22 +308,30 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // r20: checkpoint the PRE-normalized score table, not normalize's
+      // output — normalize references its input twice (the main branch and
+      // the l2 subtree), so checkpointing after it materialized the
+      // expensive edge-join + fold subtree through BOTH references; with
+      // the cut before it, the fold runs once per half-round and the lazy
+      // normalize only re-derives the cheap node-scale l2/crossJoin from
+      // the checkpointed table per consumer. Same doubles bit-for-bit —
+      // materialization placement doesn't touch any fold order.
       val a0 = foldSum(
         hub.join(e, col("node") === col("src"))
           .select(col("dst"), col("src").as("__by"), col("hub").as("__v")),
         "dst", "__by", "__v")
       auth = normalize(
         nodes.join(a0, Seq("node"), "left")
-          .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth")), "auth")
-        .localCheckpoint()
+          .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth"))
+          .localCheckpoint(), "auth")
       val h0 = foldSum(
         auth.join(e, col("node") === col("dst"))
           .select(col("src"), col("dst").as("__by"), col("auth").as("__v")),
         "src", "__by", "__v")
       hub = normalize(
         nodes.join(h0, Seq("node"), "left")
-          .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub")), "hub")
-        .localCheckpoint()
+          .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub"))
+          .localCheckpoint(), "hub")
     }
     hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
@@ -726,7 +742,12 @@ object Graph {
       if (noneChosen) {
         exhausted = true // no component has a cross edge left: done for good
       } else {
-        forest = checkpointCutStats(forest.unionByName(chosenCp))
+        // r20: forest stays a LAZY union — every leaf is an
+        // already-materialized chosenCp checkpoint, so re-checkpointing
+        // the union was one pure-overhead action per round (the union
+        // tree is `rounds` deep over round-sized leaves; planning cost is
+        // trivial and nothing re-executes)
+        forest = forest.unionByName(chosenCp)
         // contraction: hash-min + pointer-jump over the chosen-edge
         // COMPONENT graph, to the label-sum fixpoint (see docstring).
         // r19: the component graph materializes BOTH orientations once
@@ -759,7 +780,12 @@ object Graph {
             .groupBy(col("c")).agg(min(col("mlab")).as("mlab"))
           // pointer jump: label ← label(label); every label value is a cg
           // node (labels start as node ids and only copy), so the lookup
-          // always hits — coalesce is belt-and-braces
+          // always hits — coalesce is belt-and-braces. (r20 negative: a
+          // SECOND jump per sub-round — one more self-join inside the same
+          // checkpoint job, hoping to halve sub-round count — measured
+          // slightly WORSE at sf0.1: the supplier-graph contraction
+          // already converges in 1-2 sub-rounds, so the extra join was
+          // pure plan cost. Revisit only for deep-diameter graphs.)
           val jumped = flooded.as("x")
             .join(flooded.as("y"), col("x.mlab") === col("y.c"), "left")
             .select(col("x.c").as("c"),

@@ -232,7 +232,20 @@ object Multimodal {
     * [[dHashCells]]+[[dHash63Of]] cell for cell; codegen's common-
     * subexpression elimination shares the repeated rpad/substring calls.
     */
-  def dHash63Text(text: Column): Column = {
+  def dHash63Text(text: Column): Column =
+    // r20: ONE native call (NativeKernels.dhash63Text) instead of the
+    // ~140-node rpad/substring/ascii comparison tree — bit-identical
+    // (MultimodalSpec pins parity against the Column tree, incl.
+    // multi-byte and short inputs); the dominant win is sceneCuts, which
+    // evaluates the hash twice per frame pair. The historical built-in
+    // tree lives on as [[dHash63TextColumns]] for the parity pin.
+    org.apache.spark.sql.graft.natives.dhash63Text(text)
+
+  /** The pre-r20 all-built-ins formulation of [[dHash63Text]] — kept ONLY
+    * as the parity anchor for the native kernel (the spec compares the
+    * two bit-for-bit; the oracle replays this ascii/substring tree).
+    */
+  def dHash63TextColumns(text: Column): Column = {
     val t2 = rpad(text, 70, " ")
     def cell(k: Int) = ascii(substring(t2, k, 1))
     (for (r <- 0 until 7; c <- 0 until 9) yield

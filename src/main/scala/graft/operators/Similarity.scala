@@ -217,21 +217,22 @@ object Similarity {
     */
   def embedGram(emb: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    // r20: ONE native triangle accumulator (GramAgg) instead of a
+    // d(d+1)/2-struct nested-transform explode + (i, j)-keyed aggregate —
+    // the explode built 2080 interpreted-HOF struct allocations per 64-dim
+    // vector (a 4M-row stream at sf0.1) to feed a hash aggregate; the
+    // aggregate walks the quant array once per vector into a flat long
+    // triangle (~66 KB state at d=64) and partials merge element-wise.
+    // Additive exact integers ⇒ bit-identical at any accumulation order —
+    // the row's own declared argument — and at corpus scale the shuffle
+    // carries one triangle per task instead of d²/2 rows per vector.
     val q = emb.select(int8Quant(col(embCol)).as("__q"))
-    val pairs = q.select(explode(flatten(
-      transform(col("__q"), (qi, i) =>
-        transform(slice(col("__q"), i + 1, size(col("__q")) - i), (qj, k) =>
-          struct((i + 1).cast("int").as("i"),
-            (i + 1 + k).cast("int").as("j"),
-            qi.as("qi"), qj.as("qj")))))).as("__p"))
-    pairs.groupBy(col("__p.i").as("i"), col("__p.j").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__p.qi") * col("__p.qj")).as("sum_qq"),
-        sum(col("__p.qi")).as("sum_qi"),
-        sum(col("__p.qj")).as("sum_qj"))
-      .select(col("i"), col("j"), col("n"), col("sum_qq"),
-        col("sum_qi"), col("sum_qj"),
-        (col("n") * col("sum_qq") - col("sum_qi") * col("sum_qj"))
+    q.agg(org.apache.spark.sql.graft.natives.gramAgg(col("__q")).as("__g"))
+      .select(explode(col("__g")).as("__p"))
+      .select(col("__p.i").as("i"), col("__p.j").as("j"), col("__p.n").as("n"),
+        col("__p.sum_qq").as("sum_qq"), col("__p.sum_qi").as("sum_qi"),
+        col("__p.sum_qj").as("sum_qj"),
+        (col("__p.n") * col("__p.sum_qq") - col("__p.sum_qi") * col("__p.sum_qj"))
           .as("cov_num"))
   }
 

@@ -186,6 +186,14 @@ object natives {
     ExpressionUtils.column(FloatVectorSumAgg(
       ExpressionUtils.expression(vec)).toAggregateExpression())
 
+  /** One-pass exact-integer Gram accumulator over int8-quantized vectors —
+    * array<struct<i, j, n, sum_qq, sum_qi, sum_qj>> per group, see
+    * [[GramAgg]].
+    */
+  def gramAgg(qv: Column): Column =
+    ExpressionUtils.column(GramAgg(
+      ExpressionUtils.expression(qv)).toAggregateExpression())
+
   def bloomAgg(hash: Column, expectedItems: Long, numBits: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -245,6 +253,13 @@ object natives {
     * [[graft.functions.Ops.hilbertIndex]] (all-integer arithmetic), as one
     * codegen'd static call. Callers keep their own range guard.
     */
+  /** 63-bit dHash straight from text in one native call — bit-identical to
+    * the `ascii(substring(rpad(text, 70, ' '), k, 1))` comparison tree
+    * (see [[DHash63Text]]).
+    */
+  def dhash63Text(text: Column): Column =
+    ExpressionUtils.column(DHash63Text(ExpressionUtils.expression(text)))
+
   def hilbert2D(x: Column, y: Column): Column =
     ExpressionUtils.column(HilbertIndex2D(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
@@ -878,6 +893,27 @@ case class SqDistDD(left: Expression, right: Expression)
   * [[graft.functions.Ops.hilbertIndex]] 15-level aggregate() fold as one
   * static call. Inputs must already be validated to [0, 2^15).
   */
+/** 63-bit difference hash (dHash) straight from a text column in one native
+  * pass (r20) — bit (r, c) = cell(r·10+c) > cell(r·10+c+1) over the first
+  * 70 code points (space-padded below 70), exactly the
+  * `ascii(substring(rpad(text, 70, ' '), k, 1))` cell grid of the
+  * Column-tree form (Spark's ascii returns the CODE POINT — probe-pinned)
+  * — but one call instead of ~140 codegen'd rpad/substring/ascii nodes per
+  * row. MultimodalSpec pins bit-parity against the Column tree, including
+  * multi-byte and short inputs.
+  */
+case class DHash63Text(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.dhash63Text(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NativeKernels.dhash63Text($c)")
+  override protected def withNewChildInternal(newChild: Expression): DHash63Text =
+    copy(child = newChild)
+}
+
 case class HilbertIndex2D(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
@@ -1549,6 +1585,37 @@ object NativeKernels {
     * Ops.hilbertIndex's aggregate() formulation, one level at a time from
     * bit 14 down to 0.
     */
+  /** 63-bit dHash over the first 70 code points (space-padded) — the
+    * native twin of the ascii/substring/rpad Column tree (see
+    * [[natives.dhash63Text]]). Cells are CODE POINTS (Spark's `ascii`),
+    * decoded by the same UTF-8 → String path Spark's string ops use.
+    */
+  def dhash63Text(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    val cells = new Array[Int](70)
+    var i = 0
+    var k = 0
+    val n = str.length
+    while (k < 70 && i < n) {
+      val cp = str.codePointAt(i)
+      cells(k) = cp
+      i += Character.charCount(cp)
+      k += 1
+    }
+    while (k < 70) { cells(k) = 32; k += 1 }
+    var h = 0L
+    var r = 0
+    while (r < 7) {
+      var c = 0
+      while (c < 9) {
+        if (cells(r * 10 + c) > cells(r * 10 + c + 1)) h |= 1L << (r * 9 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   def hilbert2D(x0: Long, y0: Long): Long = {
     var d = 0L
     var cx = x0

@@ -256,6 +256,162 @@ case class FloatVectorSumAgg(
     copy(child = newChildren.head)
 }
 
+/** Growable flat-triangle state of [[GramAgg]]: four long accumulators per
+  * upper-triangle dim pair (i ≤ j, 0-based), laid out at idx = j(j+1)/2 + i
+  * — j-major, so growing the max dimension APPENDS slots without
+  * re-indexing existing pairs (ragged inputs stay mergeable).
+  */
+final class GramBuffer(var d: Int, var n: Array[Long], var qq: Array[Long],
+    var qi: Array[Long], var qj: Array[Long])
+
+/** One-pass exact-integer GRAM accumulator over int8-quantized vectors
+  * (r20): per upper-triangle dim pair (i ≤ j) the vector count, sum qi*qj
+  * and the marginal sums — the Similarity.embedGram statistic WITHOUT the
+  * d(d+1)/2-struct per-row explode (2080 interpreted-HOF struct
+  * allocations per 64-dim vector, then a 4M-row shuffle at sf0.1): one
+  * native loop accumulates the whole triangle into flat long arrays and
+  * partials merge element-wise. The statistic is additive-integer, so any
+  * accumulation order yields the same bits — identical to the exploded
+  * form, which is why the hash-oracled rows stay green. Semantics mirror
+  * the exploded form exactly: a NULL row contributes nothing, pair (i, j)
+  * counts only vectors long enough to contain j (ragged corpora), and a
+  * NULL element is counted in n but skipped by the sums it touches.
+  * Output: array<struct<i, j, n, sum_qq, sum_qi, sum_qj>> (1-based dims,
+  * pairs with n > 0), ready to explode.
+  */
+case class GramAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramBuffer] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("sum_qq", LongType, nullable = false),
+    StructField("sum_qi", LongType, nullable = false),
+    StructField("sum_qj", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "gram_agg"
+
+  private def tri(d: Int): Int = d * (d + 1) / 2
+
+  override def createAggregationBuffer(): GramBuffer =
+    new GramBuffer(0, Array.emptyLongArray, Array.emptyLongArray,
+      Array.emptyLongArray, Array.emptyLongArray)
+
+  private def grow(buf: GramBuffer, d: Int): Unit = {
+    val t = tri(d)
+    buf.n = java.util.Arrays.copyOf(buf.n, t)
+    buf.qq = java.util.Arrays.copyOf(buf.qq, t)
+    buf.qi = java.util.Arrays.copyOf(buf.qi, t)
+    buf.qj = java.util.Arrays.copyOf(buf.qj, t)
+    buf.d = d
+  }
+
+  override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len == 0) return buf
+    if (len > buf.d) grow(buf, len)
+    var j = 0
+    while (j < len) {
+      val nullJ = arr.isNullAt(j)
+      val qjv = if (nullJ) 0L else arr.getLong(j)
+      val base = j * (j + 1) / 2
+      var i = 0
+      while (i <= j) {
+        val idx = base + i
+        buf.n(idx) += 1L
+        if (!arr.isNullAt(i)) {
+          val qiv = arr.getLong(i)
+          buf.qi(idx) += qiv
+          if (!nullJ) buf.qq(idx) += qiv * qjv
+        }
+        if (!nullJ) buf.qj(idx) += qjv
+        i += 1
+      }
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(buf: GramBuffer, other: GramBuffer): GramBuffer = {
+    if (other.d == 0) return buf
+    if (other.d > buf.d) grow(buf, other.d)
+    val t = tri(other.d)
+    var idx = 0
+    while (idx < t) {
+      buf.n(idx) += other.n(idx)
+      buf.qq(idx) += other.qq(idx)
+      buf.qi(idx) += other.qi(idx)
+      buf.qj(idx) += other.qj(idx)
+      idx += 1
+    }
+    buf
+  }
+
+  override def eval(buf: GramBuffer): Any = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var j = 0
+    while (j < buf.d) {
+      val base = j * (j + 1) / 2
+      var i = 0
+      while (i <= j) {
+        val idx = base + i
+        if (buf.n(idx) > 0L) {
+          rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i + 1, j + 1, buf.n(idx), buf.qq(idx), buf.qi(idx),
+              buf.qj(idx)))
+        }
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  override def serialize(buf: GramBuffer): Array[Byte] = {
+    val t = tri(buf.d)
+    val bb = ByteBuffer.allocate(4 + 4 * t * 8)
+    bb.putInt(buf.d)
+    var k = 0
+    while (k < t) { bb.putLong(buf.n(k)); k += 1 }
+    k = 0
+    while (k < t) { bb.putLong(buf.qq(k)); k += 1 }
+    k = 0
+    while (k < t) { bb.putLong(buf.qi(k)); k += 1 }
+    k = 0
+    while (k < t) { bb.putLong(buf.qj(k)); k += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val d = bb.getInt()
+    val t = tri(d)
+    def arr(): Array[Long] = {
+      val a = new Array[Long](t)
+      var k = 0
+      while (k < t) { a(k) = bb.getLong(); k += 1 }
+      a
+    }
+    new GramBuffer(d, arr(), arr(), arr(), arr())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): GramAgg =
+    copy(child = newChildren.head)
+}
+
 /** KMV (k-minimum-values / bottom-k) distinct sketch aggregate over a LONG
   * hash column: state = the k smallest DISTINCT hash values seen, emitted
   * as an ascending array. The mergeable form of the `q_x_kmv_distinct`

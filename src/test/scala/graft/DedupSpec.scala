@@ -303,6 +303,28 @@ class DedupSpec extends SparkSpec {
     assert(got((2, 2)) == ((3L, 48387L, 127L, 127L, 3L * 48387 - 127L * 127)))
   }
 
+  test("embed gram: ragged and null inputs keep the exploded-form semantics") {
+    // the r20 native GramAgg must mirror the replaced explode+groupBy
+    // exactly: a NULL row contributes nothing, pair (i, j) counts only
+    // vectors long enough to contain j, shorter vectors still feed the
+    // pairs they do contain
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq((1L, Option(v(1, 2, 4))), (2L, Option(v(3, 4))),
+      (3L, Option(v(2))), (4L, None))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedGram(emb)
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // quants: [1,2,4] m=4 → [32,64,127]; [3,4] m=4 → [95,127]; [2] m=2 → [127]
+    assert(got.keySet == Set((1, 1), (1, 2), (2, 2), (1, 3), (2, 3), (3, 3)))
+    // (1,1): three non-null vectors
+    assert(got((1, 1)) == ((3L, 32L * 32 + 95L * 95 + 127L * 127, 32L + 95 + 127, 32L + 95 + 127)))
+    // (1,2): only the two vectors with a dim 2
+    assert(got((1, 2)) == ((2L, 32L * 64 + 95L * 127, 32L + 95, 64L + 127)))
+    // (3,3): only the 3-dim vector
+    assert(got((3, 3)) == ((1L, 127L * 127, 127L, 127L)))
+  }
+
   test("power iteration: loadings equal a driver-side replay; zero matrix yields zeros") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")

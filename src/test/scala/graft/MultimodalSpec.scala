@@ -91,6 +91,38 @@ class MultimodalSpec extends SparkSpec {
     assert(h.values.forall(_ >= 0L), "63-bit hash stays in the signed-positive range")
   }
 
+  test("native dHash63Text is bit-identical to the ascii/substring Column tree") {
+    import org.apache.spark.sql.functions.col
+    // covers: plain ASCII over/under the 70-char window, the empty string
+    // (all-pad grid), exact-70, multi-byte code points (Spark's ascii
+    // returns the CODE POINT — the kernel must too), a supplementary-plane
+    // char, and a string of identical chars (zero gradient bits)
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps going today with more trailing content",
+      "short",
+      "",
+      "x" * 70,
+      "café crème €100 über alles and some filler text to cross the window boundary ok",
+      "emoji 😀 inside the seventy char window with padding after it",
+      "aaaaaaaaaa"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        Multimodal.dHash63Text(col("text")).as("n"),
+        Multimodal.dHash63TextColumns(col("text")).as("c"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, n, c) =>
+      assert(n == c, s"doc $id: native $n != column-tree $c")
+    }
+    // and against the cells-array formulation too (the mm-family path)
+    val viaCells = rows
+      .withColumn("__cells", Multimodal.dHashCells(col("text")))
+      .select(col("doc_id"), Multimodal.dHash63("__cells").as("h"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, n, _) =>
+      assert(n == viaCells(id), s"doc $id: native $n != cells ${viaCells(id)}")
+    }
+  }
+
   test("scene-change: per-doc consecutive-frame Hamming, cuts at the threshold") {
     val rows = graft.queries.PipelineQueries.queries("q_x_scene_change")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1)) ->
